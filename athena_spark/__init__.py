@@ -1,0 +1,23 @@
+"""athena_spark — a from-scratch PySpark-native distributed sketch /
+approximate-aggregation library.
+
+Capabilities mirror ccmaymay/athena (Space-Saving heavy hitters,
+subsampling, sampling strategies, SGNS embeddings) re-expressed
+Spark-first, plus the mergeable-summaries family the north rule adds:
+HyperLogLog, count-min, KLL quantiles, Bloom filters — all as
+vectorized pandas/Arrow kernels composed into explicit
+partial-aggregate + tree-merge DataFrame plans.
+
+Design notes
+------------
+* Sketch state is NumPy columnar arrays (mirroring the reference's
+  parallel-array layout, /root/reference/src/_core.h:112-116) and is
+  serializable to bytes without pickle.
+* All distributed hot paths are Arrow-batched (mapInPandas /
+  applyInPandas); no per-row Python anywhere.
+* Every sketch supports an associative, commutative ``merge`` so the
+  same code serves batch tree-aggregation and Structured Streaming
+  ``foreachBatch`` incremental updates.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,20 @@
+from athena_spark.sketch.spacesaving import SpaceSaving, SpaceSavingLanguageModel
+from athena_spark.sketch.naive_lm import NaiveLanguageModel
+from athena_spark.sketch.hll import HyperLogLog
+from athena_spark.sketch.cms import CountMinSketch
+from athena_spark.sketch.kll import KLL
+from athena_spark.sketch.bloom import BloomFilter
+from athena_spark.sketch.reservoir import ReservoirSampler
+from athena_spark.sketch.normalizer import ExponentCountNormalizer
+
+__all__ = [
+    "SpaceSaving",
+    "SpaceSavingLanguageModel",
+    "NaiveLanguageModel",
+    "HyperLogLog",
+    "CountMinSketch",
+    "KLL",
+    "BloomFilter",
+    "ReservoirSampler",
+    "ExponentCountNormalizer",
+]

@@ -1,0 +1,60 @@
+"""Deterministic vectorized 64-bit hashing for sketch kernels.
+
+The reference hashes nothing (its sketches key on raw strings through
+``std::unordered_map``, /root/reference/src/_core.h:112); HLL / CMS /
+Bloom / MinHash need uniform 64-bit hashes.  We build them from
+pandas' deterministic SipHash-based ``hash_array`` (stable across
+processes and machines, unlike Python's ``hash``) and derive an
+arbitrary family of independent hash functions by mixing the base
+hash with splitmix64 — the standard seed-expansion finalizer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_U64 = np.uint64
+
+
+def hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of an array-like of strings.
+
+    Vectorized (C speed) via ``pd.util.hash_array``; no per-row Python.
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False).astype(_U64, copy=False)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (Steele et al.); vectorized over uint64."""
+    with np.errstate(over="ignore"):
+        z = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+        z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)).astype(_U64)
+        z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)).astype(_U64)
+        return (z ^ (z >> _U64(31))).astype(_U64)
+
+
+def hash_family(base: np.ndarray, seed: int) -> np.ndarray:
+    """The ``seed``-th independent hash derived from base hashes."""
+    with np.errstate(over="ignore"):
+        return splitmix64(base ^ splitmix64(np.asarray([seed], dtype=_U64))[0])
+
+
+def clz64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (exact, no float log).
+
+    Binary-search style: 6 vectorized steps.  ``v == 0`` maps to 64.
+    """
+    v = v.astype(_U64, copy=True)
+    n = np.full(v.shape, 64, dtype=np.int64)
+    shift = 32
+    while shift:
+        s = _U64(shift)
+        big = (v >> s) != 0
+        n[big] -= shift
+        v[big] >>= s
+        shift >>= 1
+    # after the loop v is 0 or 1; subtract the final bit
+    n[v != 0] -= 1
+    return n

@@ -1,0 +1,87 @@
+"""HyperLogLog distinct-count sketch (Flajolet et al. 2007).
+
+Not in the reference (athena has no distinct-count operator); added by
+the north rule as part of the mergeable-summaries family.  Dense
+``2**p`` uint8 registers, max-merge, vectorized register updates.
+Cross-checked in tests against Spark's built-in
+``approx_count_distinct`` (HLL++) and exact counts.
+
+Standard error: 1.04 / sqrt(2**p)  (~0.81% at the default p=14).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+from athena_spark.sketch.hashing import clz64, hash64
+
+
+class HyperLogLog:
+    __slots__ = ("p", "m", "_regs")
+
+    def __init__(self, p: int = 14):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = int(p)
+        self.m = 1 << self.p
+        self._regs = np.zeros(self.m, dtype=np.uint8)
+
+    @property
+    def relative_error(self) -> float:
+        return 1.04 / float(np.sqrt(self.m))
+
+    def update(self, values) -> None:
+        h = hash64(values)
+        if h.size == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)).astype(np.uint64)
+        # rank of first set bit in the remaining 64-p bits, 1-based;
+        # all-zero rest maps to (64 - p) + 1
+        rho = np.minimum(clz64(rest), 64 - self.p).astype(np.uint8) + np.uint8(1)
+        np.maximum.at(self._regs, idx, rho)
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        """Update from precomputed 64-bit hashes (shared hashing pass)."""
+        if h.size == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)).astype(np.uint64)
+        rho = np.minimum(clz64(rest), 64 - self.p).astype(np.uint8) + np.uint8(1)
+        np.maximum.at(self._regs, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs with different p")
+        np.maximum(self._regs, other._regs, out=self._regs)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        if self.m >= 128:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        elif self.m == 16:
+            alpha = 0.673
+        elif self.m == 32:
+            alpha = 0.697
+        else:
+            alpha = 0.709
+        raw = alpha * m * m / float(np.sum(np.exp2(-self._regs.astype(np.float64))))
+        if raw <= 2.5 * m:
+            zeros = int(np.count_nonzero(self._regs == 0))
+            if zeros:
+                return m * float(np.log(m / zeros))
+        return raw
+
+    def to_bytes(self) -> bytes:
+        return serialization.dumps({"algo": "hll", "p": self.p}, {"regs": self._regs})
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "hll":
+            raise ValueError("not an hll summary")
+        sk = cls(scalars["p"])
+        sk._regs = np.asarray(arrays["regs"], dtype=np.uint8)
+        return sk

@@ -1,0 +1,141 @@
+"""KLL quantile sketch (Karnin, Lang, Liberty — FOCS 2016).
+
+Not in the reference; added by the north rule.  Mergeable
+rank/quantile summary over doubles: a ladder of compactors, level h
+holding items of weight 2**h; compaction sorts a level and keeps
+every other item (deterministic-seeded parity choice), halving size
+and pushing survivors one level up.
+
+Rank error is O(1/k) with the per-level capacity schedule
+cap(h) = max(ceil(k * c**(H-1-h)), 2), c = 2/3; tests certify an
+empirical epsilon well inside the published constant.
+Cross-checked against Spark's ``percentile_approx`` and exact ranks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+
+_C = 2.0 / 3.0
+
+
+class KLL:
+    __slots__ = ("k", "n", "_levels", "_rng")
+
+    def __init__(self, k: int = 200, seed: int = 0):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.n = 0
+        self._levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._rng = np.random.default_rng(seed)
+
+    # -- internals ---------------------------------------------------------
+
+    def _capacity(self, level: int) -> int:
+        height = len(self._levels)
+        return max(int(np.ceil(self.k * _C ** (height - 1 - level))), 2)
+
+    def _total_in_levels(self) -> int:
+        return sum(len(lv) for lv in self._levels)
+
+    def _compress(self) -> None:
+        while self._total_in_levels() > sum(
+            self._capacity(h) for h in range(len(self._levels))
+        ):
+            for h in range(len(self._levels)):
+                if len(self._levels[h]) > self._capacity(h):
+                    self._compact_level(h)
+                    break
+            else:
+                break
+
+    def _compact_level(self, h: int) -> None:
+        lv = np.sort(self._levels[h])
+        offset = int(self._rng.integers(0, 2))
+        survivors = lv[offset::2]
+        self._levels[h] = np.empty(0, dtype=np.float64)
+        if h + 1 == len(self._levels):
+            self._levels.append(np.empty(0, dtype=np.float64))
+        self._levels[h + 1] = np.concatenate([self._levels[h + 1], survivors])
+
+    # -- updates -----------------------------------------------------------
+
+    def update(self, values) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return
+        self.n += int(values.size)
+        self._levels[0] = np.concatenate([self._levels[0], values])
+        self._compress()
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.k != self.k:
+            raise ValueError("cannot merge KLLs with different k")
+        self.n += other.n
+        while len(self._levels) < len(other._levels):
+            self._levels.append(np.empty(0, dtype=np.float64))
+        for h, lv in enumerate(other._levels):
+            if len(lv):
+                self._levels[h] = np.concatenate([self._levels[h], lv])
+        self._compress()
+        return self
+
+    # -- queries -----------------------------------------------------------
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for h, lv in enumerate(self._levels):
+            if len(lv):
+                items.append(lv)
+                weights.append(np.full(len(lv), 1 << h, dtype=np.int64))
+        if not items:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], wt[order]
+
+    def rank(self, values) -> np.ndarray:
+        """Estimated number of inserted items <= value (vectorized)."""
+        it, wt = self._weighted_items()
+        if it.size == 0:
+            return np.zeros(np.asarray(values).shape, dtype=np.int64)
+        cum = np.cumsum(wt)
+        pos = np.searchsorted(it, np.asarray(values, dtype=np.float64), side="right")
+        return np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0).astype(np.int64)
+
+    def quantile(self, qs) -> np.ndarray:
+        """Estimated quantiles for q in [0, 1] (vectorized)."""
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        it, wt = self._weighted_items()
+        if it.size == 0:
+            return np.full(qs.shape, np.nan)
+        cum = np.cumsum(wt)
+        targets = np.clip(qs, 0.0, 1.0) * cum[-1]
+        idx = np.searchsorted(cum, targets, side="left")
+        return it[np.minimum(idx, len(it) - 1)]
+
+    def to_bytes(self) -> bytes:
+        arrays = {f"level_{h}": lv for h, lv in enumerate(self._levels)}
+        return serialization.dumps(
+            {"algo": "kll", "k": self.k, "n": self.n,
+             "height": len(self._levels)},
+            arrays,
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLL":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "kll":
+            raise ValueError("not a kll summary")
+        sk = cls(scalars["k"])
+        sk.n = int(scalars["n"])
+        sk._levels = [
+            np.asarray(arrays[f"level_{h}"], dtype=np.float64)
+            for h in range(scalars["height"])
+        ]
+        return sk

@@ -1,0 +1,85 @@
+"""Exact (naive) language model — the reference's exact-count oracle.
+
+Capability match for ``NaiveLanguageModel``
+(/root/reference/src/_core.cpp:21-118): insert-or-increment exact
+counting, descending ``ordered_counts``, and ``truncate(max_size)``
+which keeps the top-``max_size`` words by count, reassigns ids
+0..n-1 in descending-count order, and recomputes ``total`` as the
+*retained* mass (src/_core.cpp:87-114).  Tie order among equal counts
+is unspecified in the reference (its own test accepts either outcome,
+test/core_test.cpp:1052-1069); we pick the deterministic
+(count desc, word asc).
+
+At scale this whole class is one line of Spark
+(``df.groupBy(token).count()``); the local class exists as the golden
+oracle and for parity tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class NaiveLanguageModel:
+    def __init__(self, subsample_threshold: float = 1e-3,
+                 rng: np.random.Generator | None = None):
+        self._subsample_threshold = float(subsample_threshold)
+        self._size = 0
+        self._total = 0
+        self._counters: list[int] = []
+        self._word_ids: dict[str, int] = {}
+        self._words: list[str] = []
+        self._rng = rng if rng is not None else np.random.default_rng()
+
+    def increment(self, word: str) -> tuple[int, str]:
+        idx = self._word_ids.get(word)
+        if idx is None:
+            self._word_ids[word] = self._size
+            self._words.append(word)
+            self._counters.append(1)
+            self._size += 1
+        else:
+            self._counters[idx] += 1
+        self._total += 1
+        return (-1, "")
+
+    def lookup(self, word: str) -> int:
+        return self._word_ids.get(word, -1)
+
+    def reverse_lookup(self, idx: int) -> str:
+        return self._words[idx]
+
+    def count(self, idx: int) -> int:
+        return self._counters[idx]
+
+    def counts(self) -> list[int]:
+        return list(self._counters)
+
+    def ordered_counts(self) -> list[int]:
+        return sorted(self._counters, reverse=True)
+
+    def size(self) -> int:
+        return self._size
+
+    def total(self) -> int:
+        return self._total
+
+    def subsample(self, idx: int) -> bool:
+        normalized_freq = self.count(idx) / float(self.total())
+        u = float(self._rng.random())
+        return u > 1.0 - math.sqrt(self._subsample_threshold / normalized_freq)
+
+    def truncate(self, max_size: int) -> None:
+        pairs = sorted(
+            zip(self._words, self._counters), key=lambda p: (-p[1], p[0])
+        )[: min(self._size, max_size)]
+        self._size = len(pairs)
+        self._words = [w for w, _ in pairs]
+        self._counters = [c for _, c in pairs]
+        self._word_ids = {w: i for i, w in enumerate(self._words)}
+        self._total = sum(self._counters)
+
+    def sort(self) -> None:
+        self.truncate(self._size)

@@ -1,0 +1,25 @@
+"""Count normalization (word2vec's smoothed unigram distribution).
+
+Capability match for ``ExponentCountNormalizer``
+(/root/reference/src/_math.cpp:210-221): ``p_i proportional to
+(count_i + offset) ** exponent``, normalized to sum 1.  word2vec uses
+exponent 0.75, offset 0 (src/word2vec-train.cpp:22-23).  Vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ExponentCountNormalizer:
+    __slots__ = ("exponent", "offset")
+
+    def __init__(self, exponent: float = 1.0, offset: float = 0.0):
+        self.exponent = float(exponent)
+        self.offset = float(offset)
+
+    def normalize(self, counts) -> np.ndarray:
+        p = np.power(
+            np.asarray(counts, dtype=np.float64) + self.offset, self.exponent
+        )
+        return p / p.sum()

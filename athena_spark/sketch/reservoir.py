@@ -1,0 +1,131 @@
+"""Uniform reservoir sampling with a distributed weighted merge.
+
+Faithful to the reference's ``ReservoirSampler``
+(/root/reference/src/_math.h:255-291): fill to capacity, then replace
+slot ``j ~ U{0..count}`` when ``j < size`` (Vitter's Algorithm R with
+the reference's inclusive-bound convention); ``insert`` returns the
+ejected value (the inserted value itself when it wasn't admitted).
+
+The distributed extension (absent from the single-stream reference) is
+the standard weighted merge of uniform reservoirs: sample ``size``
+items without replacement from the concatenated reservoirs, each item
+weighted by ``count_i / filled_i`` — the number of stream items it
+represents.  The merged sample is uniform over the union stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+
+
+class ReservoirSampler:
+    __slots__ = ("size", "filled_size", "count", "_reservoir", "_rng")
+
+    def __init__(self, size: int, seed: int | None = None):
+        self.size = int(size)
+        self.filled_size = 0
+        self.count = 0
+        self._reservoir = np.zeros(self.size, dtype=np.float64)
+        self._rng = np.random.default_rng(seed)
+
+    def __getitem__(self, i: int) -> float:
+        return self._reservoir[i]
+
+    def insert(self, val: float) -> float:
+        if self.filled_size < self.size:
+            self._reservoir[self.filled_size] = val
+            self.filled_size += 1
+            self.count += 1
+            return val
+        idx = int(self._rng.integers(0, self.count + 1))  # inclusive upper
+        self.count += 1
+        if idx < self.size:
+            prev = self._reservoir[idx]
+            self._reservoir[idx] = val
+            return prev
+        return val
+
+    def insert_many(self, values) -> None:
+        """Vectorized bulk insert (no eviction reporting).
+
+        Admission decisions are made jointly: slot draws are taken per
+        item against the running count, preserving Algorithm R's
+        distribution, but the inner accept/replace is a NumPy pass.
+        """
+        values = np.asarray(values, dtype=np.float64)
+        i = 0
+        if self.filled_size < self.size:
+            take = min(self.size - self.filled_size, len(values))
+            self._reservoir[self.filled_size : self.filled_size + take] = values[:take]
+            self.filled_size += take
+            self.count += take
+            i = take
+        rest = values[i:]
+        if len(rest) == 0:
+            return
+        counts = self.count + np.arange(len(rest), dtype=np.int64)
+        draws = (self._rng.random(len(rest)) * (counts + 1)).astype(np.int64)
+        admit = draws < self.size
+        # later admits overwrite earlier ones in the same slot — same
+        # as sequential processing
+        self._reservoir[draws[admit]] = rest[admit]
+        self.count += len(rest)
+
+    def sample(self) -> float:
+        idx = int(self._rng.integers(0, self.filled_size))
+        return float(self._reservoir[idx])
+
+    def values(self) -> np.ndarray:
+        return self._reservoir[: self.filled_size].copy()
+
+    def clear(self) -> None:
+        self.filled_size = 0
+        self.count = 0
+
+    def merge(self, other: "ReservoirSampler") -> "ReservoirSampler":
+        """Exact merge: draw how many survivors come from each side
+        via the hypergeometric law (a uniform size-s sample of the
+        union stream contains Hypergeom(count_a, count_b, s) items
+        from stream A), then subsample each reservoir uniformly."""
+        if other.size != self.size:
+            raise ValueError("cannot merge reservoirs with different size")
+        a, b = self.values(), other.values()
+        if len(a) + len(b) == 0:
+            return self
+        take = min(self.size, self.count + other.count)
+        if self.count + other.count <= self.size:
+            merged = np.concatenate([a, b])
+        else:
+            na = int(self._rng.hypergeometric(self.count, other.count, take))
+            # clamp to what each (possibly under-filled) reservoir holds
+            na = min(na, len(a))
+            nb = min(take - na, len(b))
+            na = take - nb
+            merged = np.concatenate([
+                a[self._rng.choice(len(a), size=na, replace=False)] if na else a[:0],
+                b[self._rng.choice(len(b), size=nb, replace=False)] if nb else b[:0],
+            ])
+        self._reservoir[: len(merged)] = merged
+        self.filled_size = len(merged)
+        self.count += other.count
+        return self
+
+    def to_bytes(self) -> bytes:
+        return serialization.dumps(
+            {"algo": "reservoir", "size": self.size,
+             "filled": self.filled_size, "count": self.count},
+            {"reservoir": self._reservoir},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ReservoirSampler":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "reservoir":
+            raise ValueError("not a reservoir summary")
+        sk = cls(scalars["size"])
+        sk.filled_size = int(scalars["filled"])
+        sk.count = int(scalars["count"])
+        sk._reservoir = np.asarray(arrays["reservoir"], dtype=np.float64)
+        return sk

@@ -1,0 +1,101 @@
+"""Categorical sampling kernels (reference §C operators).
+
+Capability matches, all NumPy-vectorized with explicit seeded
+generators (the reference gives each OpenMP thread its own LCG seeded
+``seed + thread``, /root/reference/src/_math.cpp:184-186; we give each
+Spark partition a ``Generator(seed + partition_id)``):
+
+* :class:`NaiveSampler`  — O(log n) draws via cumulative table +
+  binary search (src/_math.cpp:246-270).
+* :class:`AliasSampler`  — Walker/Vose alias method, O(1) draws
+  (src/_math.cpp:298-357).
+* :class:`Discretization` — quantize a probability vector into an
+  integer sample table (word2vec's 1e8-entry unigram table,
+  src/_math.cpp:403-428).
+* ``sample_gaussian_vector`` / ``sample_centered_uniform_vector`` —
+  embedding initializers (src/_math.h:105-120).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class NaiveSampler:
+    __slots__ = ("_cdf",)
+
+    def __init__(self, probabilities):
+        p = np.asarray(probabilities, dtype=np.float64)
+        self._cdf = np.cumsum(p)
+        self._cdf[-1] = 1.0
+
+    def sample(self, rng: np.random.Generator, n: int = 1) -> np.ndarray:
+        return np.searchsorted(self._cdf, rng.random(n), side="right")
+
+
+class AliasSampler:
+    """Vose's stable alias-table construction; draws are O(1)."""
+
+    __slots__ = ("n", "_prob", "_alias")
+
+    def __init__(self, probabilities):
+        p = np.asarray(probabilities, dtype=np.float64)
+        n = len(p)
+        scaled = p * n / p.sum()
+        prob = np.zeros(n, dtype=np.float64)
+        alias = np.zeros(n, dtype=np.int64)
+        small = [i for i in range(n) if scaled[i] < 1.0]
+        large = [i for i in range(n) if scaled[i] >= 1.0]
+        scaled = scaled.copy()
+        while small and large:
+            s, l = small.pop(), large.pop()
+            prob[s] = scaled[s]
+            alias[s] = l
+            scaled[l] = (scaled[l] + scaled[s]) - 1.0
+            (small if scaled[l] < 1.0 else large).append(l)
+        # float-slop cleanup: leftovers take probability 1
+        for i in small + large:
+            prob[i] = 1.0
+        self.n, self._prob, self._alias = n, prob, alias
+
+    def sample(self, rng: np.random.Generator, n: int = 1) -> np.ndarray:
+        idx = rng.integers(0, self.n, size=n)
+        flip = rng.random(n) >= self._prob[idx]
+        return np.where(flip, self._alias[idx], idx)
+
+
+class Discretization:
+    """Pre-sampled index table: i appears round(p_i * num_samples)
+    times (cumulative rounding, so the table is exactly full)."""
+
+    __slots__ = ("_samples",)
+
+    def __init__(self, probabilities, num_samples: int):
+        p = np.asarray(probabilities, dtype=np.float64)
+        edges = np.floor(np.cumsum(p) / p.sum() * num_samples).astype(np.int64)
+        counts = np.diff(np.concatenate([[0], edges]))
+        self._samples = np.repeat(np.arange(len(p), dtype=np.int64), counts)
+        if len(self._samples) < num_samples:  # rounding shortfall
+            pad = np.full(num_samples - len(self._samples), len(p) - 1, np.int64)
+            self._samples = np.concatenate([self._samples, pad])
+
+    @property
+    def table(self) -> np.ndarray:
+        return self._samples
+
+    def sample(self, rng: np.random.Generator, n: int = 1) -> np.ndarray:
+        return self._samples[rng.integers(0, len(self._samples), size=n)]
+
+
+def sample_gaussian_vector(rng: np.random.Generator, dim: int) -> np.ndarray:
+    return rng.normal(0.0, 1.0, dim).astype(np.float32)
+
+
+def sample_centered_uniform_vector(rng: np.random.Generator, dim: int) -> np.ndarray:
+    return (rng.random(dim, dtype=np.float64) - 0.5).astype(np.float32)
+
+
+def partition_rng(base_seed: int, partition_id: int) -> np.random.Generator:
+    """Per-partition generator, mirroring the reference's per-thread
+    ``seed + thread`` scheme (src/_math.cpp:184-186)."""
+    return np.random.default_rng(np.random.SeedSequence([base_seed, partition_id]))

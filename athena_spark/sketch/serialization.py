@@ -1,0 +1,94 @@
+"""Pickle-free bytes serialization for sketch summaries.
+
+Role-equivalent to the reference's text-stream ``Serializer`` /
+``FileSerializer`` (/root/reference/src/_serialization.h:72-242), but
+binary: summaries travel as ``BinaryType`` cells through Arrow between
+the partial-update and tree-merge stages, so encode/decode is on the
+hot path and must not pickle (security + speed + stability).
+
+Format: a tiny header ``ATHS`` + version, then a JSON-encoded manifest
+of scalar fields and array descriptors, then raw C-order array bytes.
+String arrays are stored as a UTF-8 blob + int64 offsets (robust to
+any character, unlike delimiter joins).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+_MAGIC = b"ATHS"
+_VERSION = 1
+
+
+def _pack_strings(arr) -> tuple[bytes, np.ndarray]:
+    encoded = [s.encode("utf-8") for s in arr]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in encoded], out=offsets[1:])
+    return b"".join(encoded), offsets
+
+
+def _unpack_strings(blob: bytes, offsets: np.ndarray) -> list[str]:
+    return [
+        blob[offsets[i] : offsets[i + 1]].decode("utf-8")
+        for i in range(len(offsets) - 1)
+    ]
+
+
+def dumps(scalars: dict, arrays: dict) -> bytes:
+    """Serialize scalar fields + numpy/string arrays to bytes.
+
+    ``arrays`` values may be numpy ndarrays (any primitive dtype) or
+    lists/arrays of str.
+    """
+    manifest: dict = {"scalars": scalars, "arrays": []}
+    payloads: list[bytes] = []
+    for name, arr in arrays.items():
+        if isinstance(arr, np.ndarray) and arr.dtype.kind not in ("U", "O"):
+            data = np.ascontiguousarray(arr).tobytes()
+            manifest["arrays"].append(
+                {"name": name, "kind": "num", "dtype": arr.dtype.str,
+                 "shape": list(arr.shape), "nbytes": len(data)}
+            )
+            payloads.append(data)
+        else:
+            blob, offsets = _pack_strings(arr)
+            odata = offsets.tobytes()
+            manifest["arrays"].append(
+                {"name": name, "kind": "str", "n": len(offsets) - 1,
+                 "obytes": len(odata), "nbytes": len(blob)}
+            )
+            payloads.append(odata)
+            payloads.append(blob)
+    mbytes = json.dumps(manifest, separators=(",", ":")).encode("utf-8")
+    return b"".join(
+        [_MAGIC, struct.pack("<II", _VERSION, len(mbytes)), mbytes, *payloads]
+    )
+
+
+def loads(data: bytes) -> tuple[dict, dict]:
+    """Inverse of :func:`dumps` → (scalars, arrays)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not an athena_spark summary blob")
+    version, mlen = struct.unpack_from("<II", data, 4)
+    if version != _VERSION:
+        raise ValueError(f"unsupported summary version {version}")
+    pos = 12
+    manifest = json.loads(data[pos : pos + mlen].decode("utf-8"))
+    pos += mlen
+    arrays: dict = {}
+    for desc in manifest["arrays"]:
+        if desc["kind"] == "num":
+            arr = np.frombuffer(
+                data, dtype=np.dtype(desc["dtype"]), count=int(np.prod(desc["shape"], dtype=np.int64)), offset=pos
+            ).reshape(desc["shape"]).copy()
+            pos += desc["nbytes"]
+        else:
+            offsets = np.frombuffer(data, dtype=np.int64, count=desc["n"] + 1, offset=pos)
+            pos += desc["obytes"]
+            arr = _unpack_strings(data[pos : pos + desc["nbytes"]], offsets)
+            pos += desc["nbytes"]
+        arrays[desc["name"]] = arr
+    return manifest["scalars"], arrays

@@ -1,0 +1,348 @@
+"""Space-Saving heavy-hitters sketches.
+
+Two implementations of Metwally, Agrawal & El Abbadi's Space-Saving
+algorithm (the reference's centerpiece):
+
+* :class:`SpaceSavingLanguageModel` — a faithful single-stream,
+  per-token port of the reference semantics
+  (/root/reference/src/_core.cpp:179-364): sorted-descending counter
+  array, ``min_idx`` pointer, stable external-id indirection,
+  overwrite-and-increment eviction, eviction reporting.  This is the
+  golden-test oracle and the embedding trainer's vocabulary.
+
+* :class:`SpaceSaving` — the distributed workhorse: a *mergeable*,
+  batch-vectorized summary.  ``update`` folds an exact batch count
+  into the summary; ``merge`` combines two summaries with the
+  mergeable-summaries construction (Agarwal, Cormode, Huang, Phillips,
+  Wei, Yi — PODS 2012), preserving ``0 <= est - true <= err`` per key
+  and the aggregate epsilon = 1/k guarantee.  All hot operations are
+  NumPy/pandas vectorized: no per-token Python.
+
+The reference never merges sketches (single stream, single thread);
+the merge operator here is the capability the north rule adds, and the
+distributed API therefore exposes ``(word, est, err)`` rows rather
+than the single-stream stable external ids (see SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from athena_spark.sketch import serialization
+
+DEFAULT_VOCAB_DIM = 16000  # reference default sketch size, src/_core.h:23
+DEFAULT_SUBSAMPLE_THRESHOLD = 1e-3  # src/_core.h:22
+
+
+class SpaceSavingLanguageModel:
+    """Faithful per-token Space-Saving language model.
+
+    Semantics match /root/reference/src/_core.cpp:179-364 exactly, as
+    pinned down by the reference's golden-sequence unit tests
+    (/root/reference/test/core_test.cpp:660-795): counters kept sorted
+    descending, a min-index pointer, eviction via
+    overwrite-and-increment, and stable external word ids that survive
+    internal re-sorting (needed so embedding rows track words).
+    """
+
+    def __init__(self, num_counters: int = DEFAULT_VOCAB_DIM,
+                 subsample_threshold: float = DEFAULT_SUBSAMPLE_THRESHOLD,
+                 rng: np.random.Generator | None = None):
+        self._subsample_threshold = float(subsample_threshold)
+        self._num_counters = int(num_counters)
+        self._size = 0
+        self._total = 0
+        self._min_idx = 0
+        self._counters: list[int] = []          # internal order, sorted desc
+        self._word_ids: dict[str, int] = {}     # word -> internal idx
+        self._internal_ids: list[int] = []      # external id -> internal idx
+        self._external_ids: list[int] = []      # internal idx -> external id
+        self._words: list[str] = [""] * self._num_counters
+        self._rng = rng if rng is not None else np.random.default_rng()
+
+    # -- accessors (src/_core.cpp:198-233) --------------------------------
+
+    def lookup(self, word: str) -> int:
+        int_idx = self._word_ids.get(word)
+        return -1 if int_idx is None else self._external_ids[int_idx]
+
+    def reverse_lookup(self, ext_idx: int) -> str:
+        return self._words[self._internal_ids[ext_idx]]
+
+    def count(self, ext_idx: int) -> int:
+        return self._counters[self._internal_ids[ext_idx]]
+
+    def counts(self) -> list[int]:
+        out = [0] * self._size
+        for int_idx in range(self._size):
+            out[self._external_ids[int_idx]] = self._counters[int_idx]
+        return out
+
+    def ordered_counts(self) -> list[int]:
+        return list(self._counters)
+
+    def size(self) -> int:
+        return self._size
+
+    def capacity(self) -> int:
+        return self._num_counters
+
+    def total(self) -> int:
+        return self._total
+
+    # -- updates (src/_core.cpp:177-196, 300-364) --------------------------
+
+    def increment(self, word: str) -> tuple[int, str]:
+        """Observe one token; returns (ejected_external_id, ejected_word)
+        or (-1, "") when nothing was ejected."""
+        self._total += 1
+        int_idx = self._word_ids.get(word)
+        if int_idx is None:
+            if self._size < self._num_counters:
+                return self._unfull_append(word)
+            return self._full_replace(word)
+        return self._full_increment(int_idx)
+
+    def _update_min_idx(self) -> None:
+        if self._min_idx + 1 == self._size:
+            min_count = self._counters[self._min_idx]
+            while self._min_idx > 0 and self._counters[self._min_idx - 1] == min_count:
+                self._min_idx -= 1
+        else:
+            self._min_idx += 1
+
+    def _unfull_append(self, word: str) -> tuple[int, str]:
+        ext_idx = self._size
+        self._word_ids[word] = ext_idx
+        self._internal_ids.append(ext_idx)
+        self._external_ids.append(ext_idx)
+        self._words[ext_idx] = word
+        self._size += 1
+        self._counters.append(1)
+        if ext_idx == 0 or self._counters[self._min_idx] > 1:
+            self._min_idx = ext_idx
+        return (-1, "")
+
+    def _full_replace(self, word: str) -> tuple[int, str]:
+        ejectee = self._words[self._min_idx]
+        ext_idx = self._external_ids[self._min_idx]
+        del self._word_ids[ejectee]
+        self._word_ids[word] = self._min_idx
+        self._words[self._min_idx] = word
+        self._counters[self._min_idx] += 1
+        self._update_min_idx()
+        return (ext_idx, ejectee)
+
+    def _full_increment(self, int_idx: int) -> tuple[int, str]:
+        c = self._counters
+        c[int_idx] += 1
+        if int_idx == self._min_idx:
+            self._update_min_idx()
+        else:
+            if int_idx > self._min_idx:
+                self._min_idx += 1
+            # bubble the slot toward the front to restore descending order
+            new_count = c[int_idx]
+            dst = int_idx
+            while dst > 0 and new_count > c[dst - 1]:
+                dst -= 1
+            if dst != int_idx:
+                w, ids, ext, intl = self._words, self._word_ids, self._external_ids, self._internal_ids
+                ids[w[int_idx]], ids[w[dst]] = ids[w[dst]], ids[w[int_idx]]
+                c[int_idx], c[dst] = c[dst], c[int_idx]
+                w[int_idx], w[dst] = w[dst], w[int_idx]
+                intl[ext[int_idx]], intl[ext[dst]] = intl[ext[dst]], intl[ext[int_idx]]
+                ext[int_idx], ext[dst] = ext[dst], ext[int_idx]
+        return (-1, "")
+
+    # -- misc ops ----------------------------------------------------------
+
+    def subsample(self, ext_idx: int) -> bool:
+        """Frequent-word subsampling, word2vec heuristic
+        (src/_core.cpp:235-240): keep w.p. sqrt(t / f)."""
+        normalized_freq = self.count(ext_idx) / float(self.total())
+        u = float(self._rng.random())
+        return u > 1.0 - math.sqrt(self._subsample_threshold / normalized_freq)
+
+    def truncate(self, max_size: int) -> None:
+        # deliberately unimplemented, matching src/_core.cpp:242-245
+        raise NotImplementedError(
+            "SpaceSavingLanguageModel.truncate: not implemented"
+        )
+
+
+class SpaceSaving:
+    """Mergeable, batch-vectorized Space-Saving summary.
+
+    State is columnar (words / est counts / per-key overestimate
+    bounds), mirroring the reference's parallel-array layout but held
+    as NumPy arrays so a whole Arrow batch of tokens is folded in per
+    call.
+
+    Invariant (inductively maintained by ``update`` and ``merge``):
+    for every tracked word, ``true <= est <= true + err``; for every
+    untracked word, ``true <= floor`` where ``floor`` is the minimum
+    tracked estimate once the sketch is full (0 before).  This is the
+    classical Space-Saving guarantee, kept under merge via the
+    PODS-2012 mergeable-summaries construction.
+    """
+
+    __slots__ = ("k", "total", "_words", "_counts", "_errs", "_index")
+
+    def __init__(self, k: int = DEFAULT_VOCAB_DIM):
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.k = int(k)
+        self.total = 0
+        self._words: np.ndarray = np.empty(0, dtype=object)
+        self._counts: np.ndarray = np.empty(0, dtype=np.int64)
+        self._errs: np.ndarray = np.empty(0, dtype=np.int64)
+        self._index: pd.Index | None = None
+
+    # -- helpers -----------------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        return len(self._words)
+
+    def floor(self) -> int:
+        """Upper bound on the true count of any untracked word."""
+        return int(self._counts.min()) if self.size >= self.k else 0
+
+    def error_bound(self) -> int:
+        """Aggregate bound: ceil(total / k)   (epsilon = 1/k)."""
+        return -(-self.total // self.k)
+
+    def _get_index(self) -> pd.Index:
+        if self._index is None:
+            self._index = pd.Index(self._words)
+        return self._index
+
+    def _truncate_topk(self) -> None:
+        if self.size <= self.k:
+            return
+        # deterministic: order by est desc, then word asc
+        order = np.lexsort((self._words.astype("U"), -self._counts))[: self.k]
+        self._words = self._words[order]
+        self._counts = self._counts[order]
+        self._errs = self._errs[order]
+        self._index = None
+
+    # -- updates -----------------------------------------------------------
+
+    def update(self, tokens) -> None:
+        """Fold a batch of tokens into the summary.
+
+        Equivalent to merging with the (error-free) exact summary of
+        the batch: vectorized replacement for the reference's per-token
+        increment loop (src/_core.cpp:179-196); only API-observable
+        semantics (count multiset, bounds, eviction choice) are kept,
+        per SURVEY.md §2.1 B9.
+        """
+        tokens = np.asarray(tokens, dtype=object)
+        if tokens.size == 0:
+            return
+        uniq, cnts = np.unique(tokens, return_counts=True)
+        self.total += int(tokens.size)
+        self._fold(uniq.astype(object), cnts.astype(np.int64),
+                   np.zeros(len(uniq), dtype=np.int64), other_floor=0)
+
+    def update_counts(self, words, counts) -> None:
+        """Fold pre-aggregated exact (word, count) pairs (e.g. the
+        vocab-file source, src/word2vec-vocab-to-naive-lm.cpp:69-90)."""
+        words = np.asarray(words, dtype=object)
+        counts = np.asarray(counts, dtype=np.int64)
+        self.total += int(counts.sum())
+        # consolidate duplicates defensively
+        if len(pd.unique(words)) != len(words):
+            s = pd.Series(counts).groupby(pd.Index(words)).sum()
+            words, counts = s.index.to_numpy(dtype=object), s.to_numpy(np.int64)
+        self._fold(words, counts, np.zeros(len(words), dtype=np.int64), 0)
+
+    def _fold(self, uniq: np.ndarray, cnts: np.ndarray, errs: np.ndarray,
+              other_floor: int) -> None:
+        """Merge (uniq, cnts, errs) coming from a summary whose
+        untracked-floor is ``other_floor`` into self's arrays."""
+        my_floor = self.floor()
+        if self.size:
+            pos = self._get_index().get_indexer(uniq)
+        else:
+            pos = np.full(len(uniq), -1, dtype=np.int64)
+        hit = pos >= 0
+        if hit.any():
+            self._counts[pos[hit]] += cnts[hit]
+            self._errs[pos[hit]] += errs[hit]
+        if other_floor:
+            # keys self tracks but other never reported could have
+            # occurred up to other_floor times in other's stream.
+            miss = np.ones(self.size, dtype=bool)
+            if hit.any():
+                miss[pos[hit]] = False
+            self._counts[miss] += other_floor
+            self._errs[miss] += other_floor
+        new = ~hit
+        if new.any():
+            # keys unseen by self could have occurred up to my_floor
+            # times before — pessimistic bound keeps est >= true.
+            nw = uniq[new]
+            nc = cnts[new] + my_floor
+            ne = errs[new] + my_floor
+            self._words = np.concatenate([self._words, nw])
+            self._counts = np.concatenate([self._counts, nc])
+            self._errs = np.concatenate([self._errs, ne])
+            self._index = None
+            self._truncate_topk()
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Associative/commutative merge (PODS-2012 construction)."""
+        if other.k != self.k:
+            raise ValueError("cannot merge sketches with different k")
+        self.total += other.total
+        self._fold(other._words, other._counts.copy(), other._errs.copy(),
+                   other_floor=other.floor())
+        return self
+
+    # -- queries -----------------------------------------------------------
+
+    def items(self, n: int | None = None):
+        """Top-n (word, est, err) triples, est desc then word asc."""
+        order = np.lexsort((self._words.astype("U"), -self._counts))
+        if n is not None:
+            order = order[:n]
+        return [
+            (self._words[i], int(self._counts[i]), int(self._errs[i]))
+            for i in order
+        ]
+
+    def to_pandas(self) -> pd.DataFrame:
+        order = np.lexsort((self._words.astype("U"), -self._counts))
+        return pd.DataFrame(
+            {
+                "token": self._words[order].astype("U"),
+                "est_count": self._counts[order],
+                "err": self._errs[order],
+            }
+        )
+
+    # -- serialization -----------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return serialization.dumps(
+            {"algo": "spacesaving", "k": self.k, "total": self.total},
+            {"words": self._words, "counts": self._counts, "errs": self._errs},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SpaceSaving":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "spacesaving":
+            raise ValueError("not a spacesaving summary")
+        sk = cls(scalars["k"])
+        sk.total = int(scalars["total"])
+        sk._words = np.asarray(arrays["words"], dtype=object)
+        sk._counts = np.asarray(arrays["counts"], dtype=np.int64)
+        sk._errs = np.asarray(arrays["errs"], dtype=np.int64)
+        return sk

@@ -1,0 +1,153 @@
+"""Property tests for the mergeable batch Space-Saving summary.
+
+North-rule requirements: published error bound (0 <= est - true <=
+total/k per reported item), top-k recall vs exact counts, and
+associativity/commutativity of merge (SURVEY.md §2.2).
+"""
+
+import numpy as np
+import pytest
+
+from athena_spark.sketch import SpaceSaving
+
+
+def zipf_stream(n, vocab=2000, a=1.3, seed=7):
+    rng = np.random.default_rng(seed)
+    ids = rng.zipf(a, size=n)
+    ids = ids[ids <= vocab]
+    return np.array([f"w{int(i):06d}" for i in ids], dtype=object)
+
+
+def exact_counts(tokens):
+    uniq, cnts = np.unique(tokens, return_counts=True)
+    return dict(zip(uniq.tolist(), cnts.tolist()))
+
+
+def test_exact_when_under_capacity():
+    toks = zipf_stream(50_000, vocab=500)
+    sk = SpaceSaving(k=4096)
+    for chunk in np.array_split(toks, 7):
+        sk.update(chunk)
+    truth = exact_counts(toks)
+    assert sk.total == len(toks)
+    got = {w: c for w, c, e in sk.items()}
+    errs = {w: e for w, c, e in sk.items()}
+    assert got == truth
+    assert all(e == 0 for e in errs.values())
+
+
+def test_error_bound_and_recall_single_stream():
+    toks = zipf_stream(200_000)
+    truth = exact_counts(toks)
+    k = 256
+    sk = SpaceSaving(k=k)
+    for chunk in np.array_split(toks, 13):
+        sk.update(chunk)
+    bound = sk.total / k
+    for w, est, err in sk.items():
+        true = truth.get(w, 0)
+        assert true <= est, (w, est, true)
+        assert est - true <= err + 1e-9
+        assert est - true <= bound, (w, est, true, bound)
+    # recall: every word with true count > total/k must be reported
+    reported = {w for w, _, _ in sk.items()}
+    for w, c in truth.items():
+        if c > bound:
+            assert w in reported, (w, c, bound)
+
+
+def test_error_bound_after_distributed_merge():
+    toks = zipf_stream(200_000, seed=11)
+    truth = exact_counts(toks)
+    k = 256
+    parts = np.array_split(toks, 16)
+    summaries = []
+    for p in parts:
+        s = SpaceSaving(k=k)
+        s.update(p)
+        summaries.append(s)
+    # binary tree merge
+    while len(summaries) > 1:
+        nxt = []
+        for i in range(0, len(summaries), 2):
+            if i + 1 < len(summaries):
+                summaries[i].merge(summaries[i + 1])
+            nxt.append(summaries[i])
+        summaries = nxt
+    sk = summaries[0]
+    assert sk.total == len(toks)
+    bound = sk.total / k
+    for w, est, err in sk.items():
+        true = truth.get(w, 0)
+        assert true <= est
+        assert est - true <= err + 1e-9
+        assert est - true <= bound, (w, est, true, bound)
+    reported = {w for w, _, _ in sk.items()}
+    for w, c in truth.items():
+        if c > bound:
+            assert w in reported
+
+
+def _summary_of(tokens, k):
+    s = SpaceSaving(k=k)
+    s.update(tokens)
+    return s
+
+
+def test_merge_commutative():
+    a_toks = zipf_stream(30_000, seed=1)
+    b_toks = zipf_stream(30_000, seed=2)
+    k = 128
+    ab = _summary_of(a_toks, k).merge(_summary_of(b_toks, k))
+    ba = _summary_of(b_toks, k).merge(_summary_of(a_toks, k))
+    assert ab.total == ba.total
+    assert ab.items() == ba.items()
+
+
+def test_merge_associative_estimates():
+    k = 128
+    streams = [zipf_stream(20_000, seed=s) for s in (3, 4, 5)]
+    a, b, c = (_summary_of(t, k) for t in streams)
+    a2, b2, c2 = (_summary_of(t, k) for t in streams)
+    left = a.merge(b).merge(c)           # (A ⊕ B) ⊕ C
+    right = a2.merge(b2.merge(c2))       # A ⊕ (B ⊕ C)
+    assert left.total == right.total
+    # both groupings obey the common bound vs exact truth
+    truth = exact_counts(np.concatenate(streams))
+    for sk in (left, right):
+        bound = sk.total / k
+        for w, est, err in sk.items():
+            true = truth.get(w, 0)
+            assert true <= est and est - true <= bound
+    # heavy hitters agree between groupings
+    top_l = [w for w, _, _ in left.items(20)]
+    top_r = [w for w, _, _ in right.items(20)]
+    assert set(top_l[:10]) == set(top_r[:10])
+
+
+def test_update_counts_pairs():
+    sk = SpaceSaving(k=16)
+    sk.update_counts(["a", "b", "c"], [10, 5, 1])
+    sk.update_counts(["a", "d"], [3, 2])
+    got = {w: c for w, c, _ in sk.items()}
+    assert got == {"a": 13, "b": 5, "c": 1, "d": 2}
+    assert sk.total == 21
+
+
+def test_serialization_roundtrip():
+    toks = zipf_stream(50_000, seed=9)
+    sk = _summary_of(toks, 256)
+    blob = sk.to_bytes()
+    sk2 = SpaceSaving.from_bytes(blob)
+    assert sk2.k == sk.k and sk2.total == sk.total
+    assert sk2.items() == sk.items()
+    # merged behaviour identical post-roundtrip
+    more = zipf_stream(10_000, seed=10)
+    a = SpaceSaving.from_bytes(blob).merge(_summary_of(more, 256))
+    b = sk.merge(_summary_of(more, 256))
+    assert a.items() == b.items()
+
+
+def test_mismatched_k_rejected():
+    with pytest.raises(ValueError):
+        SpaceSaving(8).merge(SpaceSaving(16))

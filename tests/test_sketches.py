@@ -1,0 +1,246 @@
+"""Accuracy, merge, and round-trip tests for HLL / CMS / KLL / Bloom,
+plus the sampling kernels' statistical tests (reference 6-sigma
+recipe, /root/reference/test/math_test.cpp)."""
+
+import numpy as np
+import pytest
+
+from athena_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    ExponentCountNormalizer,
+    HyperLogLog,
+    KLL,
+    ReservoirSampler,
+)
+from athena_spark.sketch.sampling import (
+    AliasSampler,
+    Discretization,
+    NaiveSampler,
+    partition_rng,
+)
+
+
+def uniq_strings(n, prefix="v", seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 1 << 60, size=n)
+    return np.array([f"{prefix}{int(x):x}-{i}" for i, x in enumerate(base)], dtype=object)
+
+
+# -- HLL -------------------------------------------------------------------
+
+@pytest.mark.parametrize("true_n", [100, 10_000, 200_000])
+def test_hll_estimate_within_3sigma(true_n):
+    vals = uniq_strings(true_n)
+    hll = HyperLogLog(p=14)
+    for chunk in np.array_split(vals, 5):
+        hll.update(chunk)
+    est = hll.estimate()
+    assert abs(est - true_n) <= 3 * hll.relative_error * true_n + 3
+
+
+def test_hll_merge_equals_union():
+    a_vals = uniq_strings(50_000, "a")
+    b_vals = uniq_strings(50_000, "b")
+    both = HyperLogLog(p=12)
+    both.update(np.concatenate([a_vals, b_vals]))
+    a = HyperLogLog(p=12)
+    a.update(a_vals)
+    b = HyperLogLog(p=12)
+    b.update(b_vals)
+    a.merge(b)
+    assert a.estimate() == pytest.approx(both.estimate())
+    # round trip
+    c = HyperLogLog.from_bytes(a.to_bytes())
+    assert c.estimate() == a.estimate()
+
+
+def test_hll_duplicates_dont_inflate():
+    vals = uniq_strings(1000)
+    hll = HyperLogLog(p=12)
+    for _ in range(5):
+        hll.update(vals)
+    assert abs(hll.estimate() - 1000) <= 3 * hll.relative_error * 1000 + 3
+
+
+# -- CMS -------------------------------------------------------------------
+
+def test_cms_overestimates_within_eps():
+    rng = np.random.default_rng(3)
+    ids = rng.zipf(1.2, size=300_000)
+    toks = np.array([f"t{i}" for i in ids], dtype=object)
+    cms = CountMinSketch(depth=5, width=2048)
+    for chunk in np.array_split(toks, 9):
+        cms.update(chunk)
+    uniq, cnts = np.unique(toks, return_counts=True)
+    top = np.argsort(cnts)[-50:]
+    est = cms.query(uniq[top])
+    true = cnts[top]
+    assert (est >= true).all()
+    assert (est - true <= cms.eps * cms.total).all()
+
+
+def test_cms_merge_is_sum():
+    a_toks = np.array(["x"] * 10 + ["y"] * 5, dtype=object)
+    b_toks = np.array(["x"] * 7 + ["z"] * 2, dtype=object)
+    a = CountMinSketch(4, 512)
+    a.update(a_toks)
+    b = CountMinSketch(4, 512)
+    b.update(b_toks)
+    a.merge(b)
+    assert a.total == 24
+    est = a.query(np.array(["x", "y", "z"], dtype=object))
+    assert (est >= np.array([17, 5, 2])).all()
+    c = CountMinSketch.from_bytes(a.to_bytes())
+    assert (c.query(np.array(["x"], dtype=object)) == est[:1]).all()
+
+
+# -- KLL -------------------------------------------------------------------
+
+def test_kll_rank_error_single():
+    rng = np.random.default_rng(5)
+    data = rng.normal(0, 1, 100_000)
+    kll = KLL(k=200)
+    for chunk in np.array_split(data, 11):
+        kll.update(chunk)
+    assert kll.n == len(data)
+    s = np.sort(data)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = kll.quantile(q)[0]
+        true_rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(true_rank - q) < 0.03, (q, est, true_rank)
+
+
+def test_kll_merge_rank_error():
+    rng = np.random.default_rng(6)
+    data = rng.exponential(2.0, 120_000)
+    parts = np.array_split(data, 8)
+    sks = []
+    for i, p in enumerate(parts):
+        sk = KLL(k=200, seed=i)
+        sk.update(p)
+        sks.append(sk)
+    while len(sks) > 1:
+        sks = [sks[i].merge(sks[i + 1]) if i + 1 < len(sks) else sks[i]
+               for i in range(0, len(sks), 2)]
+    kll = sks[0]
+    assert kll.n == len(data)
+    s = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = kll.quantile(q)[0]
+        true_rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(true_rank - q) < 0.04
+    k2 = KLL.from_bytes(kll.to_bytes())
+    assert (k2.quantile([0.5]) == kll.quantile([0.5])).all()
+
+
+# -- Bloom -----------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fpp():
+    members = uniq_strings(20_000, "m")
+    others = uniq_strings(20_000, "o", seed=1)
+    bf = BloomFilter.from_capacity(20_000, fpp=0.01)
+    for chunk in np.array_split(members, 4):
+        bf.add(chunk)
+    assert bf.contains(members).all()
+    fp = bf.contains(others).mean()
+    assert fp < 0.03  # ~3x slack over design fpp
+
+
+def test_bloom_merge_is_union():
+    a_vals = uniq_strings(1000, "a")
+    b_vals = uniq_strings(1000, "b")
+    a = BloomFilter(1 << 16, 5)
+    a.add(a_vals)
+    b = BloomFilter(1 << 16, 5)
+    b.add(b_vals)
+    a.merge(b)
+    assert a.contains(a_vals).all() and a.contains(b_vals).all()
+    c = BloomFilter.from_bytes(a.to_bytes())
+    assert c.contains(b_vals).all()
+
+
+# -- Reservoir (reference distribution test, math_test.cpp:721-799) --------
+
+def test_reservoir_weighted_occupancy():
+    # stream with weights 8,4,2,1 for values -1,7,3,0; reservoir size 3;
+    # marginal P(sample()==v) = weight/15
+    stream = [-1, 7, -1, 3, -1, -1, -1, 3, -1, -1, -1, 0, 7, 7, 7]
+    p = {-1: 8 / 15, 7: 4 / 15, 3: 2 / 15, 0: 1 / 15}
+    n_trials = 40_000
+    rng = np.random.default_rng(12)
+    hits = {v: 0 for v in p}
+    for t in range(n_trials):
+        rs = ReservoirSampler(3, seed=int(rng.integers(1 << 31)))
+        for v in stream:
+            rs.insert(v)
+        hits[rs.sample()] += 1
+    for v, prob in p.items():
+        sigma = np.sqrt(prob * (1 - prob) / n_trials)
+        assert abs(hits[v] / n_trials - prob) < 6 * sigma, v
+
+
+def test_reservoir_merge_uniformity():
+    # two streams of different lengths; merged sample should be uniform
+    # over the union — check inclusion probability of stream-A items
+    n_trials = 3000
+    a_stream = np.arange(0, 100, dtype=float)
+    b_stream = np.arange(100, 400, dtype=float)
+    count_a = 0
+    size = 40
+    for t in range(n_trials):
+        ra = ReservoirSampler(size, seed=2 * t)
+        ra.insert_many(a_stream)
+        rb = ReservoirSampler(size, seed=2 * t + 1)
+        rb.insert_many(b_stream)
+        ra.merge(rb)
+        count_a += (ra.values() < 100).sum()
+    # expected fraction of A items = 100/400
+    frac = count_a / (n_trials * size)
+    assert abs(frac - 0.25) < 0.02
+
+
+def test_reservoir_insert_many_matches_sequential_distribution():
+    rs = ReservoirSampler(10, seed=0)
+    rs.insert_many(np.arange(1000.0))
+    assert rs.count == 1000 and rs.filled_size == 10
+    assert (rs.values() < 1000).all()
+
+
+# -- samplers (reference math_test.cpp:325-616) ----------------------------
+
+def test_naive_and_alias_sampler_distribution():
+    probs = np.array([0.5, 0.25, 0.125, 0.125])
+    n = 200_000
+    for sampler in (NaiveSampler(probs), AliasSampler(probs)):
+        rng = np.random.default_rng(42)
+        draws = sampler.sample(rng, n)
+        freq = np.bincount(draws, minlength=4) / n
+        sigma = np.sqrt(probs * (1 - probs) / n)
+        assert (np.abs(freq - probs) < 6 * sigma).all(), type(sampler)
+
+
+def test_discretization_table():
+    probs = np.array([0.5, 0.3, 0.2])
+    d = Discretization(probs, 1000)
+    counts = np.bincount(d.table, minlength=3)
+    assert len(d.table) == 1000
+    assert (np.abs(counts - np.array([500, 300, 200])) <= 1).all()
+
+
+def test_exponent_normalizer():
+    # word2vec smoothing: exponent .75, offset 0 (word2vec-train.cpp:22)
+    norm = ExponentCountNormalizer(exponent=0.75)
+    p = norm.normalize([16, 81, 1])
+    expected = np.array([8.0, 27.0, 1.0])
+    expected = expected / expected.sum()
+    assert np.allclose(p, expected)
+    assert p.sum() == pytest.approx(1.0)
+
+
+def test_partition_rng_deterministic():
+    a = partition_rng(42, 3).random(5)
+    b = partition_rng(42, 3).random(5)
+    c = partition_rng(42, 4).random(5)
+    assert (a == b).all()
+    assert not (a == c).all()

@@ -1,0 +1,143 @@
+"""Golden-sequence tests ported from the reference's unit suite.
+
+The canonical fixture: a k=3 Space-Saving sketch fed the stream
+``foo bar foo baz baz bbq baz`` with assertions after *every*
+increment (/root/reference/test/core_test.cpp:660-795), plus the
+NaiveLanguageModel truncate suite (:949-1070).
+"""
+
+import pytest
+
+from athena_spark.sketch import NaiveLanguageModel, SpaceSavingLanguageModel
+
+
+def test_spacesaving_algorithm_golden():
+    # mirrors test/core_test.cpp:660-760 step by step
+    lm = SpaceSavingLanguageModel(3)
+    assert lm.size() == 0 and lm.total() == 0
+
+    assert lm.increment("foo") == (-1, "")
+    assert (lm.capacity(), lm.size(), lm.total()) == (3, 1, 1)
+    assert lm.lookup("foo") == 0 and lm.count(0) == 1
+    assert lm.counts() == [1]
+    assert lm.lookup("bar") == -1 and lm.lookup("baz") == -1 and lm.lookup("bbq") == -1
+    assert lm.reverse_lookup(0) == "foo"
+
+    assert lm.increment("bar") == (-1, "")
+    assert (lm.size(), lm.total()) == (2, 2)
+    assert lm.lookup("foo") == 0 and lm.count(0) == 1
+    assert lm.lookup("bar") == 1 and lm.count(1) == 1
+    assert lm.counts() == [1, 1]
+    assert lm.reverse_lookup(1) == "bar"
+
+    assert lm.increment("foo") == (-1, "")
+    assert (lm.size(), lm.total()) == (2, 3)
+    assert lm.count(0) == 2 and lm.count(1) == 1
+    assert lm.counts() == [2, 1]
+
+    assert lm.increment("baz") == (-1, "")
+    assert (lm.size(), lm.total()) == (3, 4)
+    assert lm.lookup("baz") == 2 and lm.count(2) == 1
+    assert lm.counts() == [2, 1, 1]
+
+    assert lm.increment("baz") == (-1, "")
+    assert (lm.size(), lm.total()) == (3, 5)
+    assert lm.counts() == [2, 1, 2]
+
+    # sketch is full: inserting bbq evicts the min word (bar, ext id 1)
+    # and bbq inherits its count + 1 = 2
+    assert lm.increment("bbq") == (1, "bar")
+    assert (lm.size(), lm.total()) == (3, 6)
+    assert lm.lookup("foo") == 0 and lm.count(0) == 2
+    assert lm.lookup("bbq") == 1 and lm.count(1) == 2
+    assert lm.lookup("baz") == 2 and lm.count(2) == 2
+    assert lm.counts() == [2, 2, 2]
+    assert lm.lookup("bar") == -1
+    assert lm.reverse_lookup(0) == "foo"
+    assert lm.reverse_lookup(1) == "bbq"
+    assert lm.reverse_lookup(2) == "baz"
+
+    assert lm.increment("baz") == (-1, "")
+    assert (lm.size(), lm.total()) == (3, 7)
+    assert lm.counts() == [2, 2, 3]
+    assert lm.reverse_lookup(2) == "baz"
+
+
+def test_spacesaving_ordered_counts_golden():
+    # mirrors test/core_test.cpp:762-795
+    lm = SpaceSavingLanguageModel(3)
+    expected = [
+        ("foo", [1]),
+        ("bar", [1, 1]),
+        ("foo", [2, 1]),
+        ("baz", [2, 1, 1]),
+        ("baz", [2, 2, 1]),
+        ("bbq", [2, 2, 2]),
+        ("baz", [3, 2, 2]),
+        ("baz", [4, 2, 2]),
+        ("bbq", [4, 3, 2]),
+        ("foo", [4, 3, 3]),
+        ("foo", [4, 4, 3]),
+    ]
+    for word, counts in expected:
+        lm.increment(word)
+        assert lm.ordered_counts() == counts, word
+
+
+def test_spacesaving_truncate_not_implemented():
+    # mirrors test/core_test.cpp:615-658
+    lm = SpaceSavingLanguageModel(3)
+    lm.increment("foo")
+    with pytest.raises(NotImplementedError):
+        lm.truncate(1)
+
+
+def _fill_naive(increments):
+    lm = NaiveLanguageModel()
+    for w in increments:
+        lm.increment(w)
+    return lm
+
+
+STREAM_5421 = ["bbq", "bar", "foo", "foo", "baz", "baz", "baz", "bbq",
+               "foo", "foo", "foo", "baz"]  # foo:5 baz:4 bbq:2 bar:1
+
+
+def test_naive_truncate_loose_and_tight():
+    # mirrors test/core_test.cpp:949-1008
+    for max_size in (5, 4):
+        lm = _fill_naive(STREAM_5421)
+        lm.truncate(max_size)
+        assert lm.size() == 4
+        assert lm.total() == 12
+        assert [lm.reverse_lookup(i) for i in range(4)] == ["foo", "baz", "bbq", "bar"]
+        assert [lm.count(i) for i in range(4)] == [5, 4, 2, 1]
+        assert lm.lookup("foo") == 0 and lm.lookup("bar") == 3
+
+
+def test_naive_truncate_nontrivial():
+    # mirrors test/core_test.cpp:1010-1035: retained total drops to 9
+    lm = _fill_naive(STREAM_5421)
+    lm.truncate(2)
+    assert lm.size() == 2
+    assert lm.total() == 9
+    assert [lm.reverse_lookup(i) for i in range(2)] == ["foo", "baz"]
+
+
+def test_naive_truncate_ties():
+    # mirrors test/core_test.cpp:1037-1070; either tie order is legal,
+    # ours is deterministic (count desc, word asc)
+    lm = _fill_naive(["bbq", "bar", "foo", "foo", "baz", "baz", "baz",
+                      "bbq", "foo", "foo", "foo", "bbq"])  # foo:5 bbq:3 baz:3 bar:1
+    lm.truncate(3)
+    assert lm.size() == 3 and lm.total() == 11
+    assert lm.reverse_lookup(0) == "foo" and lm.count(0) == 5
+    assert {lm.reverse_lookup(1), lm.reverse_lookup(2)} == {"baz", "bbq"}
+    assert lm.count(1) == 3 and lm.count(2) == 3
+
+
+def test_naive_ordered_counts_golden():
+    # mirrors test/core_test.cpp:1168-1201 shape: descending counts
+    lm = _fill_naive(STREAM_5421)
+    assert lm.ordered_counts() == [5, 4, 2, 1]
+    assert lm.counts() == [2, 1, 5, 4]  # insertion order bbq bar foo baz
