@@ -1,38 +1,366 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship Space-Saving top-k pipeline.
+``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+
+Two oracle styles:
+
+* **Exact queries** (token counts, top-k, truncate, normalize, sha256,
+  token stats, windowed counts) — the oracle recomputes the same
+  deterministic result in ANSI SQL.
+* **Certified queries** (HLL / CMS / KLL / Bloom / small-k
+  Space-Saving) — a sketch's estimate cannot be reproduced by SQL, so
+  the Spark query computes BOTH the estimate and the exact answer,
+  checks the algorithm's published error bound, and returns booleans;
+  the oracle asserts those booleans are true.  A broken sketch ⇒
+  hash mismatch.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TOKEN_SQL_SOURCE = """
+    SELECT token FROM (
+        SELECT unnest(regexp_split_to_array(text, '[ \\t\\r\\n]+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Space-Saving top-k token report on sf0.001."""
+    from athena_spark.operators.agg import spacesaving_topk
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return spacesaving_topk(docs, "text", k=4096, n=100)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_ss_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E2 pipeline (SS train + print): with k >= vocab the sketch is
+    exact, so the oracle is plain GROUP BY."""
+    from athena_spark.operators.agg import spacesaving_topk
+
+    return spacesaving_topk(_docs(spark, sf_dir), "text", k=65536, n=100)
+
+
+def q_exact_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B3: exact counting via Catalyst hash aggregation."""
+    from athena_spark.functions.tokenize import exploded_tokens
+
+    return (
+        exploded_tokens(_docs(spark, sf_dir), "text")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_naive_truncate_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 truncate semantics: top-5 by (count desc, token asc), with
+    the retained total (reference recomputes total as retained mass,
+    src/_core.cpp:105-113)."""
+    from athena_spark.functions.tokenize import exploded_tokens
+    from pyspark.sql import Window
+
+    counts = (
+        exploded_tokens(_docs(spark, sf_dir), "text")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    top = counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return top.select(
+        "token", "cnt",
+        F.sum("cnt").over(Window.partitionBy()).alias("retained_total"),
+    )
+
+
+def q_exp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: word2vec's smoothed unigram distribution, p_i ∝ cnt^0.75."""
+    from athena_spark.functions.tokenize import exploded_tokens
+    from pyspark.sql import Window
+
+    counts = (
+        exploded_tokens(_docs(spark, sf_dir), "text")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.select(
+        "token",
+        F.round(
+            F.pow("cnt", 0.75) / F.sum(F.pow("cnt", 0.75)).over(Window.partitionBy()),
+            6,
+        ).alias("p"),
+    )
+
+
+def q_hll_distinct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified HLL: per-lang distinct-token estimate within 3σ of the
+    exact distinct count (σ = 1.04/sqrt(2^p))."""
+    from athena_spark.operators.agg import token_distinct_updater
+    from athena_spark.operators.grouped import grouped_sketch_agg, grouped_sketch_report
+    from athena_spark.functions.tokenize import tokens_col
+    from athena_spark.sketch import HyperLogLog
+
+    docs = _docs(spark, sf_dir)
+    grouped = grouped_sketch_agg(
+        docs, ["lang"], "text", lambda: HyperLogLog(p=14), token_distinct_updater
+    )
+    ests = grouped_sketch_report(
+        grouped, ["lang"],
+        lambda sk: {"est": float(sk.estimate()),
+                    "tol": 3 * sk.relative_error},
+        "est double, tol double",
+    )
+    exact = (
+        docs.select("lang", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("exact"))
+    )
+    return (
+        ests.join(exact, "lang")
+        .select(
+            "lang",
+            (F.abs(F.col("est") - F.col("exact"))
+             <= F.col("tol") * F.col("exact") + F.lit(3.0)).alias("ok"),
+        )
+    )
+
+
+def q_cms_token_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified count-min: for every token, exact <= est <= exact +
+    eps * total."""
+    from athena_spark.operators.agg import aggregate_sketch
+    from athena_spark.functions.tokenize import exploded_tokens
+    from athena_spark.sketch import CountMinSketch
+
+    docs = _docs(spark, sf_dir)
+    sk, _ = aggregate_sketch(docs, "text", lambda pid: CountMinSketch(5, 4096))
+    exact = (
+        exploded_tokens(docs, "text").groupBy("token").agg(F.count("*").alias("cnt"))
+    ).toPandas()
+    est = sk.query(np.asarray(exact["token"], dtype=object))
+    ok = (exact["cnt"].to_numpy() <= est) & (
+        est <= exact["cnt"].to_numpy() + sk.eps * sk.total
+    )
+    out = exact.assign(ok=ok)[["token", "ok"]]
+    return spark.createDataFrame(out, schema="token string, ok boolean")
+
+
+def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified KLL: estimated l_extendedprice quantiles have rank
+    error <= 0.03 vs the exact distribution."""
+    from athena_spark.operators.agg import aggregate_sketch, values_updater
+    from athena_spark.sketch import KLL
+
+    li = _table(spark, sf_dir, "lineitem")
+    sk, _ = aggregate_sketch(
+        li, "l_extendedprice", lambda pid: KLL(k=200, seed=pid), values_updater
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    ests = sk.quantile(qs)
+    # exact ranks of all estimates in ONE aggregation job
+    aggs = [
+        F.avg((F.col("l_extendedprice") <= float(e)).cast("double")).alias(f"r{i}")
+        for i, e in enumerate(ests)
+    ]
+    ranks = li.agg(*aggs).collect()[0]
+    rows = [
+        (float(q), bool(abs(ranks[f"r{i}"] - q) <= 0.03))
+        for i, q in enumerate(qs)
+    ]
+    return spark.createDataFrame(rows, schema="q double, ok boolean")
+
+
+def q_bloom_orders_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified Bloom: membership filter built on orders.o_custkey —
+    no false negatives for present keys; FPP within 3x design on
+    absent keys."""
+    from athena_spark.operators.agg import aggregate_sketch, values_updater
+    from athena_spark.sketch import BloomFilter
+
+    orders = _table(spark, sf_dir, "orders")
+    sk, _ = aggregate_sketch(
+        orders.select(F.col("o_custkey").cast("string").alias("key")),
+        "key",
+        lambda pid: BloomFilter.from_capacity(200_000, fpp=0.01),
+        values_updater,
+    )
+    present = np.asarray(
+        [str(r["o_custkey"]) for r in orders.select("o_custkey").distinct().collect()],
+        dtype=object,
+    )
+    absent = np.asarray([f"absent-{i}" for i in range(20_000)], dtype=object)
+    rows = [
+        ("no_false_negatives", bool(sk.contains(present).all())),
+        ("fpp_within_bound", bool(sk.contains(absent).mean() <= 0.03)),
+    ]
+    return spark.createDataFrame(rows, schema="check string, ok boolean")
+
+
+def q_ss_small_k_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified Space-Saving under eviction pressure (k=8 < vocab):
+    every reported item obeys 0 <= est - true <= total/k, and every
+    item with true > total/k is reported (top-k recall)."""
+    from athena_spark.operators.agg import aggregate_sketch
+    from athena_spark.functions.tokenize import exploded_tokens
+    from athena_spark.sketch import SpaceSaving
+
+    docs = _docs(spark, sf_dir)
+    k = 8
+    sk, _ = aggregate_sketch(docs, "text", lambda pid: SpaceSaving(k=k),
+                             num_partitions=8)
+    exact = {
+        r["token"]: r["cnt"]
+        for r in exploded_tokens(docs, "text")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    bound = sk.total / k
+    bounds_ok = all(
+        exact.get(w, 0) <= est <= exact.get(w, 0) + bound
+        for w, est, err in sk.items()
+    )
+    reported = {w for w, _, _ in sk.items()}
+    recall_ok = all(w in reported for w, c in exact.items() if c > bound)
+    total_ok = sk.total == sum(exact.values())
+    return spark.createDataFrame(
+        [(bool(bounds_ok), bool(recall_ok), bool(total_ok))],
+        schema="bounds_ok boolean, recall_ok boolean, total_ok boolean",
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 tokenizer parity per document: token count and distinct
+    token count computed JVM-side."""
+    from athena_spark.functions.tokenize import tokens_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens_col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col("text"))).alias("n_distinct"),
+    )
+
+
+def q_content_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content fingerprint (input_hint invariant)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregation over the events stream table (batch parity
+    of the Structured Streaming path)."""
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ss_topk_tokens": q_ss_topk_tokens,
+        "exact_token_counts": q_exact_token_counts,
+        "naive_truncate_top5": q_naive_truncate_top5,
+        "exp_normalize": q_exp_normalize,
+        "hll_distinct_by_lang": q_hll_distinct_by_lang,
+        "cms_token_bounds": q_cms_token_bounds,
+        "kll_price_quantiles": q_kll_price_quantiles,
+        "bloom_orders_custkeys": q_bloom_orders_custkeys,
+        "ss_small_k_bounds": q_ss_small_k_bounds,
+        "token_stats": q_token_stats,
+        "content_sha256": q_content_sha256,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ss_topk_tokens": f"""
+            SELECT token, COUNT(*) AS est_count, 0 AS err
+            FROM ({TOKEN_SQL_SOURCE})
+            GROUP BY token
+            ORDER BY est_count DESC, token ASC
+            LIMIT 100
+        """,
+        "exact_token_counts": f"""
+            SELECT token, COUNT(*) AS cnt FROM ({TOKEN_SQL_SOURCE}) GROUP BY token
+        """,
+        "naive_truncate_top5": f"""
+            WITH counts AS (
+                SELECT token, COUNT(*) AS cnt FROM ({TOKEN_SQL_SOURCE}) GROUP BY token
+            ), top AS (
+                SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 5
+            )
+            SELECT token, cnt, (SELECT SUM(cnt) FROM top) AS retained_total FROM top
+        """,
+        "exp_normalize": f"""
+            WITH counts AS (
+                SELECT token, COUNT(*) AS cnt FROM ({TOKEN_SQL_SOURCE}) GROUP BY token
+            )
+            SELECT token,
+                   ROUND(POW(cnt, 0.75) / SUM(POW(cnt, 0.75)) OVER (), 6) AS p
+            FROM counts
+        """,
+        "hll_distinct_by_lang": """
+            SELECT lang, TRUE AS ok FROM documents GROUP BY lang
+        """,
+        "cms_token_bounds": f"""
+            SELECT token, TRUE AS ok FROM ({TOKEN_SQL_SOURCE}) GROUP BY token
+        """,
+        "kll_price_quantiles": """
+            SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM (
+                VALUES (0.1), (0.25), (0.5), (0.75), (0.9)
+            ) t(q)
+        """,
+        "bloom_orders_custkeys": """
+            SELECT 'no_false_negatives' AS "check", TRUE AS ok
+            UNION ALL
+            SELECT 'fpp_within_bound' AS "check", TRUE AS ok
+        """,
+        "ss_small_k_bounds": """
+            SELECT TRUE AS bounds_ok, TRUE AS recall_ok, TRUE AS total_ok
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   LEN(LIST_FILTER(regexp_split_to_array(text, '[ \t\r\n]+'),
+                                   t -> t <> '')) AS n_tokens,
+                   LEN(LIST_DISTINCT(LIST_FILTER(
+                       regexp_split_to_array(text, '[ \t\r\n]+'),
+                       t -> t <> ''))) AS n_distinct
+            FROM documents
+        """,
+        "content_sha256": """
+            SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "events_hourly": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

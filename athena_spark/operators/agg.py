@@ -1,0 +1,230 @@
+"""Distributed sketch aggregation: Arrow partials + tree merge.
+
+The reference is a single-threaded stream loop
+(/root/reference/src/spacesaving-lm-train.cpp:87-104).  Here the same
+computation is a two-stage DataFrame plan shaped like
+``treeAggregate``:
+
+1. **Partial pass** — ``df.mapInArrow``: every partition folds its
+   Arrow batches into one k-bounded summary (tokenize + exact
+   per-batch counts run in Arrow C++; the fold is NumPy).  Output is
+   ONE row per partition ``(pid, state: binary, metrics...)`` — token
+   streams never hit a shuffle, so the stage is skew-immune and its
+   shuffle output is O(partitions × k), independent of data size.
+
+2. **Tree merge** — repeated ``groupBy(pid // fanout).applyInPandas``
+   rounds, each merging ≤ fanout summaries, until one row remains
+   (depth ceil(log_fanout P)).  With 1000 executors and fanout 16
+   that is 3 rounds over kilobyte-sized rows.
+
+Python pandas UDAFs expose no partial/merge hook to Catalyst, so this
+explicit plan IS the architecture (SURVEY.md §3.2), not a workaround.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.tokenize import arrow_token_counts
+from athena_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    SpaceSaving,
+)
+from athena_spark.sketch.serialization import loads as _loads_summary
+
+SUMMARY_SCHEMA = (
+    "pid long, state binary, n_rows long, n_values long, wall_secs double"
+)
+
+_LOADERS = {
+    "spacesaving": SpaceSaving.from_bytes,
+    "hll": HyperLogLog.from_bytes,
+    "cms": CountMinSketch.from_bytes,
+    "kll": KLL.from_bytes,
+    "bloom": BloomFilter.from_bytes,
+}
+
+
+def load_summary(state: bytes):
+    """Restore any sketch summary from its binary cell."""
+    scalars, _ = _loads_summary(state)
+    return _LOADERS[scalars["algo"]](state)
+
+
+# -- updaters: fold one Arrow column chunk into a sketch -------------------
+
+def token_counts_updater(sketch, col: pa.Array) -> int:
+    """Tokenize + exact-count the batch in Arrow C++, fold the pairs."""
+    words, counts, n = arrow_token_counts(col)
+    if n:
+        sketch.update_counts(words, counts)
+    return n
+
+
+def token_distinct_updater(sketch, col: pa.Array) -> int:
+    """For distinct/membership sketches duplicate tokens are no-ops —
+    feed only the batch-unique tokens (HLL: idempotent max; Bloom:
+    idempotent OR)."""
+    words, _, n = arrow_token_counts(col)
+    if len(words):
+        if isinstance(sketch, BloomFilter):
+            sketch.add(words)
+        else:
+            sketch.update(words)
+    return n
+
+
+def values_updater(sketch, col: pa.Array) -> int:
+    """Feed raw (non-tokenized) column values."""
+    vals = col.to_numpy(zero_copy_only=False)
+    if len(vals):
+        if isinstance(sketch, BloomFilter):
+            sketch.add(vals.astype(object))
+        elif isinstance(sketch, KLL):
+            sketch.update(vals.astype(np.float64))
+        elif isinstance(sketch, SpaceSaving) or isinstance(sketch, CountMinSketch):
+            u, c = np.unique(vals.astype("U"), return_counts=True)
+            sketch.update_counts(u.astype(object), c)
+        else:
+            sketch.update(vals.astype(object))
+    return len(vals)
+
+
+# -- stage 1: partial pass -------------------------------------------------
+
+def sketch_partials(
+    df: DataFrame,
+    col: str,
+    factory: Callable[[int], object],
+    updater: Callable[[object, pa.Array], int],
+) -> DataFrame:
+    """One k-bounded summary row per partition (mapInArrow).
+
+    ``factory(partition_id)`` builds the empty sketch — seeds, if any,
+    must derive from the partition id for reproducibility (mirrors the
+    reference's per-thread ``seed + t`` PRNGs, src/_math.cpp:184-186).
+    """
+    col_name = col
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sketch = factory(pid)
+        n_rows = 0
+        n_values = 0
+        start = time.perf_counter()
+        for batch in batches:
+            column = batch.column(batch.schema.get_field_index(col_name))
+            n_rows += batch.num_rows
+            n_values += updater(sketch, column)
+        wall = time.perf_counter() - start
+        yield pa.RecordBatch.from_pydict(
+            {
+                "pid": pa.array([pid], pa.int64()),
+                "state": pa.array([sketch.to_bytes()], pa.binary()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "n_values": pa.array([n_values], pa.int64()),
+                "wall_secs": pa.array([wall], pa.float64()),
+            }
+        )
+
+    return df.select(col_name).mapInArrow(fold, SUMMARY_SCHEMA)
+
+
+# -- stage 2: tree merge ---------------------------------------------------
+
+def _merge_group(pdf: pd.DataFrame, fanout: int) -> pd.DataFrame:
+    sketches = [load_summary(s) for s in pdf["state"]]
+    start = time.perf_counter()
+    merged = sketches[0]
+    for other in sketches[1:]:
+        merged = merged.merge(other)
+    wall = time.perf_counter() - start
+    return pd.DataFrame(
+        {
+            # the group id becomes the next round's pid, so pids stay
+            # dense (0..ceil(n/fanout)-1) and the tree converges
+            "pid": [int(pdf["pid"].min()) // fanout],
+            "state": [merged.to_bytes()],
+            "n_rows": [int(pdf["n_rows"].sum())],
+            "n_values": [int(pdf["n_values"].sum())],
+            "wall_secs": [float(pdf["wall_secs"].sum() + wall)],
+        }
+    )
+
+
+def tree_merge(
+    partials: DataFrame, n_partials: int, fanout: int = 32
+) -> DataFrame:
+    """Merge summary rows to a single row in ceil(log_fanout P) rounds."""
+    out = partials
+    n = max(int(n_partials), 1)
+    while n > 1:
+        out = (
+            out.withColumn("g", (F.col("pid") / fanout).cast("long"))
+            .groupBy("g")
+            .applyInPandas(lambda pdf: _merge_group(pdf, fanout), SUMMARY_SCHEMA)
+        )
+        n = -(-n // fanout)
+    return out
+
+
+# -- end-to-end ------------------------------------------------------------
+
+def aggregate_sketch(
+    df: DataFrame,
+    col: str,
+    factory: Callable[[int], object],
+    updater: Callable[[object, pa.Array], int] = token_counts_updater,
+    fanout: int = 32,
+    num_partitions: int | None = None,
+):
+    """Full plan: [repartition] → partials → tree merge → summary.
+
+    Returns (sketch, metrics dict).  The collect is one k-bounded row
+    — the aggregation's result, not a driver-side loop.
+    """
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+    n_parts = df.rdd.getNumPartitions()
+    partials = sketch_partials(df, col, factory, updater)
+    final = tree_merge(partials, n_parts, fanout)
+    row = final.collect()[0]
+    metrics = {
+        "n_partials": n_parts,
+        "n_rows": row["n_rows"],
+        "n_values": row["n_values"],
+        "wall_secs": row["wall_secs"],
+    }
+    return load_summary(row["state"]), metrics
+
+
+def spacesaving_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 16000,
+    n: int | None = 100,
+    fanout: int = 32,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Top-n token report from a Space-Saving aggregation (E1+E2:
+    train+print pipelines, src/spacesaving-lm-train.cpp:87-116)."""
+    spark = df.sparkSession
+    sk, _ = aggregate_sketch(
+        df, col, lambda pid: SpaceSaving(k=k),
+        token_counts_updater, fanout, num_partitions,
+    )
+    pdf = sk.to_pandas().head(n) if n else sk.to_pandas()
+    return spark.createDataFrame(
+        pdf, schema="token string, est_count long, err long"
+    )

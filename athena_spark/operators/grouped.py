@@ -1,0 +1,89 @@
+"""Grouped sketch aggregation — one summary per key.
+
+Map-side combine done explicitly: the partial pass folds each
+partition's rows into per-key sketches (k-bounded each), so the only
+shuffle carries ``(key, summary)`` rows — never raw tokens.  With G
+distinct keys and P partitions the shuffle is O(G × P × k) bytes,
+independent of data volume; the final ``groupBy(key).applyInPandas``
+merge is G tiny groups.
+
+This is the scalable shape of ``SELECT key, sketch(col) GROUP BY
+key`` given that Python UDAFs expose no Catalyst merge hook.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from athena_spark.operators.agg import load_summary
+
+
+def grouped_sketch_agg(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    factory: Callable[[], object],
+    updater: Callable[[object, pa.Array], int],
+) -> DataFrame:
+    """Returns one row per key group: (*keys, state binary, n_values
+    long)."""
+    key_fields = df.select(*keys).schema
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+    out_schema = ", ".join(schema_parts + ["state binary", "n_values long"])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict[tuple, object] = {}
+        counts: dict[tuple, int] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(keys, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = factory()
+                    counts[key] = 0
+                counts[key] += updater(sk, pa.Array.from_pandas(grp[col]))
+        rows = [
+            (*key, sk.to_bytes(), counts[key]) for key, sk in sketches.items()
+        ]
+        yield pd.DataFrame(rows, columns=[*keys, "state", "n_values"])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = load_summary(pdf["state"].iloc[0])
+        for blob in pdf["state"].iloc[1:]:
+            merged = merged.merge(load_summary(blob))
+        head = pdf.iloc[[0]][keys].reset_index(drop=True)
+        head["state"] = [merged.to_bytes()]
+        head["n_values"] = [int(pdf["n_values"].sum())]
+        return head
+
+    partials = df.select(*keys, col).mapInPandas(partial, out_schema)
+    return partials.groupBy(*keys).applyInPandas(merge, out_schema)
+
+
+def grouped_sketch_report(
+    grouped: DataFrame,
+    keys: list[str],
+    report_fn: Callable[[object], dict],
+    report_schema: str,
+) -> DataFrame:
+    """Turn (key, state) rows into a report DataFrame by applying
+    ``report_fn(sketch) -> {col: value}`` to each summary (distributed,
+    one tiny row per key)."""
+    key_fields = grouped.select(*keys).schema
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+    out_schema = ", ".join(schema_parts + [report_schema])
+
+    def apply_report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rep = report_fn(load_summary(row["state"]))
+                out.append({**{k: row[k] for k in keys}, **rep})
+            if out:
+                yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(apply_report, out_schema)

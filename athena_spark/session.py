@@ -1,0 +1,43 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+One place to encode the knobs that matter at 100 TB: AQE (runtime
+coalescing + skew-join splitting), Arrow batch sizing for the
+vectorized kernels, and sensible shuffle parallelism.  Tests and the
+bench harness both build sessions through here so local[N] runs see
+the same plan shapes a cluster would.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "athena-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = 100_000,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.sql.session.timeZone", "UTC")
+        # partial summaries are k-bounded; don't let tiny final stages
+        # fan out into hundreds of empty tasks
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.driver.memory", os.environ.get("ATHENA_DRIVER_MEM", "8g"))
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -59,6 +59,11 @@ class CountMinSketch:
         for r in range(self.depth):
             np.add.at(self._table[r], cols[r], counts)
 
+    def update_counts(self, words, counts) -> None:
+        """Fold pre-aggregated exact (word, count) pairs (uniform
+        sketch-updater interface)."""
+        self.update(words, counts)
+
     def query(self, values) -> np.ndarray:
         values = np.asarray(values, dtype=object)
         if values.size == 0:

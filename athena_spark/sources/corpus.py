@@ -1,0 +1,112 @@
+"""Deterministic synthetic source-code corpus + testdata adapters.
+
+The north rule's input is an Iceberg table of source-code repositories
+``(repo, path, commit, lang, content)``.  No Iceberg runtime jar ships
+with the sandboxed PySpark, so the reader is format-switchable
+(parquet by default, identical schema); at scale the same code points
+at the Iceberg catalog.
+
+Generation is distributed (``spark.range`` → ``mapInPandas``), seeded,
+and row-deterministic: row ``i`` always produces the same content
+regardless of partitioning, so the sha256-per-row invariant holds
+across runs and parallelism levels.  Identifier vocabulary is Zipfian
+(source-code identifiers are heavily skewed — the north rule's skew
+scenario).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+_LANGS = np.array(["py", "java", "cpp", "go", "rs", "js"])
+_VOCAB_SIZE = 50_000
+_ZIPF_A = 1.2
+
+
+def _vocab() -> np.ndarray:
+    """Deterministic identifier vocabulary (code-like tokens)."""
+    rng = np.random.default_rng(1234)
+    stems = np.array(
+        ["get", "set", "idx", "buf", "ctx", "tmp", "val", "ptr", "iter",
+         "node", "map", "vec", "str", "len", "hash", "key", "obj", "cfg",
+         "init", "run", "read", "write", "open", "close", "parse", "emit"]
+    )
+    suffix = rng.integers(0, 10_000, size=_VOCAB_SIZE)
+    stem = stems[rng.integers(0, len(stems), size=_VOCAB_SIZE)]
+    return np.char.add(np.char.add(stem.astype("U"), "_"), suffix.astype("U"))
+
+
+def generate_corpus(
+    spark: SparkSession,
+    n_rows: int,
+    tokens_per_row: int = 200,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus of ``n_rows`` files."""
+    vocab = _vocab()
+    rng_seed = seed
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out_rows = []
+            for i in ids:
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([rng_seed, int(i)])
+                )
+                n_tok = int(tokens_per_row * (0.5 + rng.random()))
+                # Zipfian draw over the identifier vocabulary
+                draws = rng.zipf(_ZIPF_A, size=n_tok)
+                draws = np.minimum(draws - 1, _VOCAB_SIZE - 1)
+                toks = vocab[draws]
+                # break into lines of ~12 tokens (sentence structure)
+                parts = []
+                for j in range(0, len(toks), 12):
+                    parts.append(" ".join(toks[j : j + 12]))
+                content = "\n".join(parts)
+                out_rows.append(
+                    (
+                        f"repo{int(i) % 997:04d}",
+                        f"src/f{int(i):09d}.txt",
+                        f"{int(i) * 2654435761 % (1 << 40):010x}",
+                        str(_LANGS[int(i) % len(_LANGS)]),
+                        content,
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    rng_df = spark.range(0, n_rows, numPartitions=num_partitions)
+    return rng_df.mapInPandas(gen, CORPUS_SCHEMA)
+
+
+def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Format-switchable corpus reader (``iceberg`` at scale)."""
+    if fmt == "iceberg":
+        return spark.read.table(path)
+    return spark.read.format(fmt).load(path)
+
+
+def with_sha256(df: DataFrame, col: str = "content") -> DataFrame:
+    """Per-row content fingerprint (the driver-contract invariant):
+    JVM-side ``sha2`` — matches any standard sha256 of the UTF-8
+    bytes."""
+    return df.withColumn(f"{col}_sha256", F.sha2(F.col(col), 256))
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver testdata adapter: documents(doc_id, text, lang, source,
+    n_chars) plays the corpus role with text ~ content."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

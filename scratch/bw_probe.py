@@ -1,0 +1,17 @@
+import time, multiprocessing as mp
+import numpy as np
+
+def copy_bw(_):
+    a = np.ones(200_000_000 // 8, dtype=np.float64)  # 200MB
+    t0=time.perf_counter()
+    for _ in range(5):
+        b = a.copy()
+    dt = time.perf_counter()-t0
+    return 5*0.2*2/dt  # GB/s (read+write)
+
+if __name__ == '__main__':
+    for nproc in (1, 8, 32):
+        with mp.get_context('fork').Pool(nproc) as pool:
+            t0=time.perf_counter()
+            res = pool.map(copy_bw, range(nproc))
+        print(f'{nproc} procs: per-proc GB/s={sum(res)/len(res):.1f} aggregate={sum(res):.1f} GB/s')

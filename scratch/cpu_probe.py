@@ -1,0 +1,17 @@
+import time, multiprocessing as mp
+
+def spin(n):
+    t0=time.perf_counter()
+    x=0
+    for i in range(n):
+        x += i*i % 7
+    return time.perf_counter()-t0
+
+if __name__ == '__main__':
+    N = 20_000_000
+    for nproc in (1, 2, 8, 16, 32):
+        with mp.get_context('fork').Pool(nproc) as pool:
+            t0=time.perf_counter()
+            res = pool.map(spin, [N]*nproc)
+            wall=time.perf_counter()-t0
+        print(f'{nproc} procs: wall={wall:.2f}s per-proc avg={sum(res)/len(res):.2f}s max={max(res):.2f}s')

@@ -1,0 +1,30 @@
+import time, glob
+import multiprocessing as mp
+
+def work(fs):
+    import pyarrow.parquet as pq
+    from athena_spark.functions.tokenize import arrow_token_counts
+    from athena_spark.sketch import SpaceSaving
+    t0=time.perf_counter()
+    sk = SpaceSaving(k=16000); n=0
+    t_tok=0.0
+    for f in fs:
+        col = pq.read_table(f, columns=['content']).column('content').combine_chunks()
+        t1=time.perf_counter()
+        w,c,k = arrow_token_counts(col)
+        t_tok += time.perf_counter()-t1
+        sk.update_counts(w,c); n+=k
+    return n, time.perf_counter()-t0, t_tok
+
+if __name__ == '__main__':
+    files = sorted(glob.glob('/root/repo/.bench_cache/corpus_120000x300/*.parquet'))
+    print(len(files),'files')
+    for nproc in (1, 8, 32):
+        shards = [files[i::nproc] for i in range(nproc)]
+        t0=time.perf_counter()
+        with mp.get_context('fork').Pool(nproc) as pool:
+            res = pool.map(work, shards)
+        wall = time.perf_counter()-t0
+        ntok = sum(r[0] for r in res); maxw = max(r[1] for r in res)
+        sumtok = sum(r[2] for r in res)
+        print(f'{nproc} procs: {ntok/1e6:.1f}M tokens wall={wall:.2f}s tput={ntok/wall/1e6:.2f}M/s max_worker={maxw:.2f}s sum_tok={sumtok:.2f}s')

@@ -1,0 +1,83 @@
+"""Driver simulation: consume __spark_entry__ exactly as the round
+driver does — entry() smoke, then queries() vs oracle_sql() on DuckDB
+at sf0.01 — plus edge probes."""
+import sys, math, traceback
+import duckdb
+from athena_spark.session import build_session
+
+spark = build_session(master="local[8]", shuffle_partitions=8, app_name="verify-drive")
+import __spark_entry__ as m
+
+# 1. entry smoke
+df = m.entry(spark)
+rows = df.collect()
+print(f"ENTRY: {len(rows)} rows, schema={df.schema.simpleString()}")
+print("  top3:", [(r['token'], r['est_count'], r['err']) for r in rows[:3]])
+
+# 2. driver-style oracle comparison at sf0.01
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out=[]
+    for row in rows:
+        vals=[]
+        for i in order:
+            v=row[i]
+            if isinstance(v,float):
+                v = "NaN" if math.isnan(v) else f"{v:.9g}"
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+qs, osql = m.queries(), m.oracle_sql()
+fails=0
+for name, fn in qs.items():
+    try:
+        sdf = fn(spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in osql:
+            print(f"  {name}: rows-only, {len(srows)} rows"); continue
+        rel = con.sql(osql[name]); drows = rel.fetchall()
+        match = (sorted(sdf.columns)==sorted(rel.columns) and len(srows)==len(drows)
+                 and canon(srows, sdf.columns)==canon(drows, rel.columns))
+        print(f"  {name}: spark={len(srows)} duck={len(drows)} match={match}")
+        fails += 0 if match else 1
+    except Exception as e:
+        print(f"  {name}: EXC {e}"); traceback.print_exc(); fails+=1
+
+# 3. probes
+print("PROBES:")
+# empty input
+from athena_spark.operators.agg import aggregate_sketch, spacesaving_topk
+from athena_spark.sketch import SpaceSaving
+empty = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 0")
+try:
+    sk, met = aggregate_sketch(empty, "text", lambda pid: SpaceSaving(k=64))
+    print(f"  empty-input: ok, total={sk.total}, items={len(sk.items())}, n_values={met['n_values']}")
+except Exception as e:
+    print(f"  empty-input: EXC {type(e).__name__}: {e}")
+try:
+    out = spacesaving_topk(empty, "text", k=64, n=10)
+    print(f"  empty-topk-df: {out.count()} rows")
+except Exception as e:
+    print(f"  empty-topk-df: EXC {type(e).__name__}: {e}")
+# nulls in column
+nulldf = spark.sql("select cast(null as string) as text union all select 'a b a'")
+try:
+    sk, _ = aggregate_sketch(nulldf, "text", lambda pid: SpaceSaving(k=64))
+    print(f"  null-text: ok items={sk.items()}")
+except Exception as e:
+    print(f"  null-text: EXC {type(e).__name__}: {e}")
+# wrong column name
+try:
+    aggregate_sketch(nulldf, "nope", lambda pid: SpaceSaving(k=64))
+    print("  wrong-col: NO ERROR (bad)")
+except Exception as e:
+    print(f"  wrong-col: raised {type(e).__name__} (good)")
+print("FAILS:", fails)
+spark.stop()
+sys.exit(1 if fails else 0)

@@ -1,0 +1,24 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from athena_spark.session import build_session
+
+    spark = build_session(
+        app_name="athena-spark-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        arrow_max_records=10_000,
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ["SPARK_GRAFT_SF_DIR"]

@@ -1,0 +1,150 @@
+"""End-to-end distributed aggregation tests (the SURVEY §7 minimum
+slice): tokenize → per-partition sketch partials → tree merge, checked
+against exact Spark ``groupBy().count()`` on the same data."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.functions.tokenize import exploded_tokens
+from athena_spark.operators import agg
+from athena_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    SpaceSaving,
+)
+from athena_spark.sources.corpus import generate_corpus, read_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_documents(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def exact_token_counts(docs):
+    rows = (
+        exploded_tokens(docs, "text")
+        .groupBy("token")
+        .count()
+        .collect()
+    )
+    return {r["token"]: r["count"] for r in rows}
+
+
+def test_spacesaving_exact_when_k_large(spark, docs, exact_token_counts):
+    sk, metrics = agg.aggregate_sketch(
+        docs, "text", lambda pid: SpaceSaving(k=4096), num_partitions=6
+    )
+    assert metrics["n_values"] == sum(exact_token_counts.values())
+    got = {w: c for w, c, e in sk.items()}
+    assert got == exact_token_counts
+    assert all(e == 0 for _, _, e in sk.items())
+
+
+def test_spacesaving_bounds_when_k_small(spark, docs, exact_token_counts):
+    k = 8  # fewer counters than the 31-word vocab → real evictions
+    sk, _ = agg.aggregate_sketch(
+        docs, "text", lambda pid: SpaceSaving(k=k), num_partitions=6
+    )
+    total = sum(exact_token_counts.values())
+    assert sk.total == total
+    for w, est, err in sk.items():
+        true = exact_token_counts.get(w, 0)
+        assert true <= est
+        assert est - true <= err + 1e-9
+    # items with true count above the aggregate bound must be reported
+    reported = {w for w, _, _ in sk.items()}
+    for w, c in exact_token_counts.items():
+        if c > total / k:
+            assert w in reported
+
+
+def test_spacesaving_topk_dataframe(spark, docs, exact_token_counts):
+    out = agg.spacesaving_topk(docs, "text", k=4096, n=10).collect()
+    truth = sorted(exact_token_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["est_count"]) for r in out] == truth
+
+
+def test_hll_agg(spark, docs, exact_token_counts):
+    sk, _ = agg.aggregate_sketch(
+        docs, "text", lambda pid: HyperLogLog(p=14),
+        agg.token_distinct_updater, num_partitions=6,
+    )
+    true_n = len(exact_token_counts)
+    assert abs(sk.estimate() - true_n) <= 3 * sk.relative_error * true_n + 3
+
+
+def test_cms_agg(spark, docs, exact_token_counts):
+    sk, _ = agg.aggregate_sketch(
+        docs, "text", lambda pid: CountMinSketch(depth=5, width=1024),
+        num_partitions=6,
+    )
+    words = np.array(list(exact_token_counts), dtype=object)
+    est = sk.query(words)
+    true = np.array([exact_token_counts[w] for w in words])
+    assert (est >= true).all()
+    assert (est - true <= sk.eps * sk.total).all()
+
+
+def test_kll_agg_vs_exact_quantiles(spark, sf_dir):
+    from athena_spark.sources.corpus import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sk, _ = agg.aggregate_sketch(
+        li, "l_extendedprice", lambda pid: KLL(k=200, seed=pid),
+        agg.values_updater, num_partitions=6,
+    )
+    vals = np.sort(
+        np.array(li.select("l_extendedprice").toPandas()["l_extendedprice"])
+    )
+    assert sk.n == len(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = sk.quantile(q)[0]
+        rank = np.searchsorted(vals, est, side="right") / len(vals)
+        assert abs(rank - q) < 0.05
+
+
+def test_bloom_agg(spark, docs, exact_token_counts):
+    sk, _ = agg.aggregate_sketch(
+        docs, "text", lambda pid: BloomFilter(1 << 16, 5),
+        agg.token_distinct_updater, num_partitions=6,
+    )
+    words = np.array(list(exact_token_counts), dtype=object)
+    assert sk.contains(words).all()
+    absent = np.array([f"zz_not_a_token_{i}" for i in range(2000)], dtype=object)
+    assert sk.contains(absent).mean() < 0.02
+
+
+def test_multi_round_tree_merge(spark, docs, exact_token_counts):
+    """Partition count >> fanout forces several merge rounds; the tree
+    must still converge to ONE summary holding ALL partials."""
+    sk, m = agg.aggregate_sketch(
+        docs, "text", lambda pid: SpaceSaving(k=4096),
+        num_partitions=40, fanout=4,
+    )
+    assert m["n_partials"] == 40
+    assert m["n_values"] == sum(exact_token_counts.values())
+    assert {w: c for w, c, _ in sk.items()} == exact_token_counts
+
+
+def test_parallelism_invariance(spark, docs):
+    """Same input at different partition counts → identical exact
+    result when k exceeds vocab (determinism-under-parallelism)."""
+    a, _ = agg.aggregate_sketch(docs, "text", lambda pid: SpaceSaving(k=4096),
+                                num_partitions=2)
+    b, _ = agg.aggregate_sketch(docs, "text", lambda pid: SpaceSaving(k=4096),
+                                num_partitions=11)
+    assert a.items() == b.items()
+
+
+def test_generated_corpus_deterministic(spark):
+    df1 = generate_corpus(spark, 50, tokens_per_row=40, num_partitions=3)
+    df2 = generate_corpus(spark, 50, tokens_per_row=40, num_partitions=7)
+    h1 = df1.select(F.sha2(F.col("content"), 256).alias("h")).orderBy("h").collect()
+    h2 = df2.select(F.sha2(F.col("content"), 256).alias("h")).orderBy("h").collect()
+    assert h1 == h2
+    sk, m = agg.aggregate_sketch(df1, "content", lambda pid: SpaceSaving(k=1000))
+    assert m["n_values"] > 0 and sk.total == m["n_values"]

