@@ -31,6 +31,98 @@ TOKEN_SQL_SOURCE = """
     ) WHERE token <> ''
 """
 
+_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def _markers_sql() -> dict[str, str]:
+    from athena_spark.functions.text import LANG_MARKERS
+
+    return {
+        lang: "[" + ", ".join(f"'{m}'" for m in ms) + "]"
+        for lang, ms in LANG_MARKERS.items()
+    }
+
+
+def _langid_sql() -> str:
+    ms = _markers_sql()
+    toks = (r"list_filter(regexp_split_to_array(text, '[ \t\r\n]+'), "
+            r"t -> t <> '')")
+    scores = {
+        lang: f"LEN(LIST_FILTER({toks}, t -> LIST_CONTAINS({lst}, t)))"
+        for lang, lst in ms.items()
+    }
+    greatest = "GREATEST(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = m AND m > 0 THEN '{lang}'"
+        for lang in sorted(scores)
+    )
+    return f"""
+        SELECT doc_id,
+               CASE {cases} ELSE 'und' END AS pred_lang
+        FROM (SELECT doc_id, text, {greatest} AS m FROM documents)
+    """
+
+
+_LANGID_SQL = _langid_sql()
+
+_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+                     t -> t <> '') AS ts,
+         LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[^0-9A-Za-z \t\n]',
+                                              '', 'g')) AS n_punct,
+         text
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         LEN(ts) AS n_tokens,
+         CASE WHEN LEN(ts) > 0
+              THEN LIST_SUM(LIST_TRANSFORM(ts, t -> LENGTH(t)))::DOUBLE / LEN(ts)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN n_chars > 0
+              THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN LEN(ts) > 0
+              THEN LEN(LIST_FILTER(ts, t -> LIST_CONTAINS(
+                       ['the','and','of','is','to','in','that','a'], t)))::DOUBLE
+                   / LEN(ts)
+              ELSE 0.0 END AS stop_ratio
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS q_n_tokens,
+       ROUND(mean_tok_len, 4) AS q_mean_tok_len,
+       ROUND(punct_ratio, 4) AS q_punct_ratio,
+       ROUND(stop_ratio, 4) AS q_stop_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - punct_ratio) * 0.3
+             + LEAST(stop_ratio * 5.0, 1.0) * 0.3, 4) AS q_score
+FROM g
+"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -279,6 +371,137 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- dedup / similarity / text-analysis operators ---------------------------
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy over sha2(text) — only hashes shuffle."""
+    from athena_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (J >= 0.5) via
+    inverted-index self-join."""
+    from athena_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline (128 perms, 32 bands, exact
+    verification).  LSH recall at J >= 0.5 is ~1, so the verified
+    output must equal the exact all-pairs oracle."""
+    from athena_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+def q_simhash_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified SimHash: banded blocking must find exactly the pairs
+    brute-force 64-bit Hamming comparison finds (distance <= 3)."""
+    import numpy as np
+    from athena_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    docs = _docs(spark, sf_dir)
+    sigs_df = simhash_signatures(docs, "doc_id", "text")
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(sigs_df, "doc_id", max_distance=3).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+            for r in sigs_df.collect()}
+    ids = sorted(sigs)
+    arr = np.array([sigs[i] for i in ids], dtype=np.uint64)
+    brute = {}
+    for i, a in enumerate(ids):
+        x = arr[i] ^ arr[i + 1 :]
+        d = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero(d <= 3)[0]:
+            brute[(a, ids[i + 1 + int(j)])] = int(d[j])
+    rows = [
+        ("blocking_complete", banded == brute),
+        ("distances_correct",
+         all(banded.get(k) == v for k, v in brute.items())),
+    ]
+    return spark.createDataFrame(rows, schema="check string, ok boolean")
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors for query vectors
+    vec_id < 10 (D9 capability, distributed)."""
+    from athena_spark.operators.similarity import ann_topk_bruteforce
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return ann_topk_bruteforce(emb, emb.where("vec_id < 10"), k=5)
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified LSH ANN: recall@5 vs brute force >= 0.6 with 4
+    hyperplanes + 2-bit multi-probe (measured 0.82 on this weakly
+    clustered data)."""
+    from athena_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, queries_df, k=5).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_lsh(emb, queries_df, k=5, n_planes=4,
+                                 probe_hamming=2).collect()}
+    recall = len(bf & lsh) / len(bf)
+    return spark.createDataFrame(
+        [("recall_at_5_ge_0.6", bool(recall >= 0.6))],
+        schema="check string, ok boolean",
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.3)."""
+    from athena_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-scoring language-ID (argmax, ties by code
+    asc) — the oracle replicates the same function in SQL."""
+    from athena_spark.functions.text import langid_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", langid_col("text").alias("pred_lang")
+    )
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/punct/stopword ratios +
+    composite score), all JVM column expressions."""
+    from athena_spark.functions.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir), "text").select(
+        "doc_id", "q_n_tokens", "q_mean_tok_len", "q_punct_ratio",
+        "q_stop_ratio", "q_score",
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash selection) — no
+    SQL-expressible oracle; driver records the rows-only check and
+    pytest covers determinism/containment."""
+    from athena_spark.functions.text import fingerprint_docs
+
+    return fingerprint_docs(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -293,6 +516,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "content_sha256": q_content_sha256,
         "events_hourly": q_events_hourly,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_close_pairs": q_simhash_close_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "embedding_neardup": q_embedding_neardup,
+        "langid": q_langid,
+        "quality_features": q_quality_features,
+        "doc_fingerprints": q_doc_fingerprints,
     }
 
 
@@ -363,4 +596,49 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "dedup_exact_groups": """
+            SELECT sha256(text) AS text_sha,
+                   COUNT(*) AS n_dups,
+                   MIN(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": _JACCARD_SQL,
+        "minhash_dedup_pairs": _JACCARD_SQL,
+        "simhash_close_pairs": """
+            SELECT 'blocking_complete' AS "check", TRUE AS ok
+            UNION ALL
+            SELECT 'distances_correct' AS "check", TRUE AS ok
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10
+            ), s AS (
+                SELECT qid, vec_id AS nid,
+                       list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+                FROM q, embeddings WHERE vec_id <> qid
+            ), r AS (
+                SELECT qid, nid, sim,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, nid ASC) AS rn
+                FROM s
+            )
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   ROUND(sim, 6) AS sim, CAST(rn AS INT) AS rn
+            FROM r WHERE rn <= 5
+        """,
+        "ann_lsh_recall": """
+            SELECT 'recall_at_5_ge_0.6' AS "check", TRUE AS ok
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "langid": _LANGID_SQL,
+        "quality_features": _QUALITY_SQL,
     }

@@ -1,0 +1,142 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All of these are built from JVM-side ``pyspark.sql.functions``
+(whole-stage codegen, no Python in the hot path): language-ID
+heuristic, quality scoring, token statistics, shingling.  The
+document fingerprint (winnowing) is the one Arrow-kernel exception —
+rolling hashes are not expressible as SQL functions.
+
+The reference has only the tokenizer + subsampler (SURVEY.md §2.2
+"Projection/filter"); these operators are the training-data-pipeline
+extensions the engine adds for corpus curation at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from athena_spark.functions.tokenize import tokens_col
+from athena_spark.sketch.hashing import hash64, splitmix64
+
+# deterministic marker vocabularies for the language-ID heuristic
+# (n-gram/stopword scoring; argmax with lexicographic tie-break)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "and", "of", "is", "to", "in", "that", "a"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "人"],
+}
+
+
+def marker_score(col, markers: list[str]) -> Column:
+    """Number of tokens that are in the marker list (JVM filter)."""
+    lit_markers = F.array(*[F.lit(m) for m in markers])
+    return F.size(
+        F.filter(tokens_col(col), lambda t: F.array_contains(lit_markers, t))
+    ).cast("long")
+
+
+def langid_col(col) -> Column:
+    """Deterministic heuristic language-ID: argmax marker score, ties
+    broken by language code ascending; 'und' when no marker hits."""
+    langs = sorted(LANG_MARKERS)
+    scores = [marker_score(col, LANG_MARKERS[lang]) for lang in langs]
+    best = F.greatest(*scores)
+    pred = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang, score in reversed(list(zip(langs, scores))):
+        pred = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def token_count_col(col) -> Column:
+    return F.size(tokens_col(col)).cast("long")
+
+
+def quality_features(df: DataFrame, col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features and a
+    composite score — all codegen'd column expressions."""
+    toks = tokens_col(col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(col)).cast("long")
+    stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(col), "[^0-9A-Za-z \\t\\n]", ""))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    score = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_tok_len, 4).alias("q_mean_tok_len"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(stop_ratio, 4).alias("q_stop_ratio"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def shingles_col(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (JVM higher-order functions):
+    slide an n-window over the token array, join with spaces."""
+    toks = tokens_col(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # sequence(1, x) is DESCENDING for x < 1 — guard short docs
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# -- document fingerprinting (winnowing) ------------------------------------
+
+def winnow_fingerprints(tokens: list[str], k: int = 5, window: int = 4,
+                        base: np.ndarray | None = None) -> np.ndarray:
+    """Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003): hash all
+    k-gram shingles, keep the minimum hash of every sliding window
+    (rightmost on ties), dedupe.  Vectorized NumPy."""
+    if len(tokens) < k:
+        h = hash64(np.array([" ".join(tokens)], dtype=object)) if tokens else np.empty(0, np.uint64)
+        return np.unique(h)
+    th = hash64(np.asarray(tokens, dtype=object))
+    # combine k consecutive token hashes with splitmix mixing
+    gram = th[: len(th) - k + 1].copy()
+    for j in range(1, k):
+        gram = splitmix64(gram ^ th[j : len(th) - k + 1 + j])
+    if len(gram) <= window:
+        return np.unique(np.array([gram.min()], dtype=np.uint64))
+    sw = np.lib.stride_tricks.sliding_window_view(gram, window)
+    return np.unique(sw.min(axis=1))
+
+
+def fingerprint_docs(df: DataFrame, id_col: str, text_col: str,
+                     k: int = 5, window: int = 4) -> DataFrame:
+    """One row per (doc, fingerprint) — winnowed rolling-hash
+    selection, mapInPandas Arrow kernel."""
+    from typing import Iterator
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split()
+                prints = winnow_fingerprints(toks, k=k, window=window)
+                ids.extend([doc_id] * len(prints))
+                fps.extend(prints.view(np.int64))  # reinterpret for Spark long
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        fp, f"`{id_col}` {id_type}, fingerprint long"
+    )

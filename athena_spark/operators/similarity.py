@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns.
+
+* :func:`cosine_col` — JVM higher-order-function cosine between two
+  array columns (whole-stage codegen; D8 capability,
+  /root/reference/src/_sgns.h:156-172).
+* :func:`ann_topk_bruteforce` — exact top-k neighbors: broadcast the
+  (small) query set, score every corpus vector with a vectorized
+  NumPy kernel, keep per-partition top-k, merge.  Scales linearly in
+  corpus size with no shuffle of vectors (D9 capability,
+  src/_sgns.h:174-192, distributed).
+* :func:`ann_topk_lsh` — the scale path: random-hyperplane LSH
+  buckets (sign sketch) so each query only scores its bucket
+  neighborhood; brute force is the recall oracle.
+* :func:`embedding_neardup_pairs` — all pairs with cosine >=
+  threshold, via block-matmul partitions x broadcast matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def cosine_col(a, b) -> Column:
+    """Cosine similarity of two array<float/double> columns, computed
+    JVM-side with zip_with/aggregate."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def ann_topk_bruteforce(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim rounded to 6),
+    excluding self-matches.
+
+    The query set is collected + broadcast (it is small by
+    definition); the corpus side streams through a NumPy matmul per
+    Arrow batch and emits only per-batch top-k rows, so the shuffle
+    is O(batches x queries x k)."""
+    spark = df.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_ = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_mat_ @ mat.T  # (Q, B)
+            topn = min(k + 1, sims.shape[1])  # +1 absorbs self-match
+            part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+            rows = {
+                "query_id": np.repeat(q_ids_, topn),
+                "neighbor_id": ids[part.ravel()],
+                "sim": np.take_along_axis(sims, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    partial = df.select(id_col, vec_col).mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_col_kernel(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-sketch bucket id per row: bit b set iff vec . plane_b > 0."""
+    signs = (mat @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (signs * weights).sum(axis=1).astype(np.int64)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-bucketed ANN: corpus bucketed by random-hyperplane sign
+    sketch; each query scores only buckets within ``probe_hamming``
+    bit flips of its own (multi-probe).  Approximate — recall measured
+    against :func:`ann_topk_bruteforce` in tests/queries."""
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    q_buckets = lsh_bucket_col_kernel(q_mat, planes)
+    # multi-probe: query's own bucket plus all buckets within
+    # probe_hamming bit flips
+    probe_sets: dict[int, list] = {}
+    all_buckets = []
+    for qi, qb in enumerate(q_buckets):
+        probes = [int(qb)]
+        if probe_hamming >= 1:
+            probes += [int(qb) ^ (1 << b) for b in range(n_planes)]
+        if probe_hamming >= 2:
+            probes += [
+                int(qb) ^ (1 << b1) ^ (1 << b2)
+                for b1 in range(n_planes)
+                for b2 in range(b1 + 1, n_planes)
+            ]
+        for p in probes:
+            probe_sets.setdefault(p, []).append(qi)
+        all_buckets.extend(probes)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, probe_sets))
+    planes_bc = spark.sparkContext.broadcast(planes)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, probe_sets_ = bc.value
+        planes_ = planes_bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            buckets = lsh_bucket_col_kernel(mat, planes_)
+            out_q, out_n, out_s = [], [], []
+            for bucket in np.unique(buckets):
+                qis = probe_sets_.get(int(bucket))
+                if not qis:
+                    continue
+                rows = buckets == bucket
+                sims = q_mat_[qis] @ mat[rows].T
+                topn = min(k + 1, sims.shape[1])
+                part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+                out_q.append(np.repeat(q_ids_[qis], topn))
+                out_n.append(ids[rows][part.ravel()])
+                out_s.append(np.take_along_axis(sims, part, axis=1).ravel())
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                })
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    partial = df.select(id_col, vec_col).mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold.
+
+    Block strategy: broadcast the normalized corpus matrix (fits while
+    V x dim x 8B is broadcastable — for larger V switch to
+    ann_topk_lsh-style bucketing), stream partitions against it."""
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            ids_ = pdf[id_col].to_numpy()
+            mat_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat_ = mat_ / np.linalg.norm(mat_, axis=1, keepdims=True)
+            sims = mat_ @ all_mat.T
+            ii, jj = np.where(sims >= threshold)
+            keep = ids_[ii] < all_ids[jj]
+            yield pd.DataFrame({
+                "id_a": ids_[ii][keep],
+                "id_b": all_ids[jj][keep],
+                "cosine": np.round(sims[ii, jj][keep], 6),
+            })
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )

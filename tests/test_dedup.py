@@ -1,0 +1,108 @@
+"""Dedup operator tests: exact groups, n-gram Jaccard vs a local
+oracle, MinHash-LSH recall, SimHash vs brute-force Hamming."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "pack my box with five dozen liquor jugs today"),
+        (4, "pack my box with five dozen liquor jugs tonight"),  # near-dup of 3
+        (5, "completely different text about spark engines and sketches"),
+        (6, "xy"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def local_jaccard(a: str, b: str, n=3):
+    ga = {" ".join(a.split()[i:i+n]) for i in range(len(a.split())-n+1)}
+    gb = {" ".join(b.split()[i:i+n]) for i in range(len(b.split())-n+1)}
+    return len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+
+
+def test_exact_dup_groups(spark, docs):
+    out = dedup.exact_dup_groups(docs, "doc_id", "text")
+    dups = {r["text_sha"]: r for r in out.collect() if r["n_dups"] > 1}
+    assert len(dups) == 1
+    (row,) = dups.values()
+    assert row["n_dups"] == 2 and row["min_doc_id"] == 0
+
+
+def test_ngram_jaccard_pairs_match_local_oracle(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                j = local_jaccard(texts[a], texts[b])
+                if j >= 0.3:
+                    want[(a, b)] = round(j, 6)
+    assert got == pytest.approx(want)
+
+
+def test_minhash_verified_equals_exact(spark, docs):
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    mh = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    e = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    m = {(r["id_a"], r["id_b"]): r["jaccard"] for r in mh.collect()}
+    assert e == m
+    assert len(e) >= 2  # the two planted near-dup pairs + exact dup
+
+
+def test_minhash_signature_similarity_estimates_jaccard(spark, docs):
+    sigs = {r["doc_id"]: np.array(r["sig"])
+            for r in dedup.minhash_signatures(docs, "doc_id", "text",
+                                              num_perm=256).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    j_true = local_jaccard(texts[0], texts[1])
+    j_est = (sigs[0] == sigs[1]).mean()
+    assert abs(j_est - j_true) < 0.15  # 256 perms → sd ~0.03
+    # identical docs → identical signatures
+    assert (sigs[0] == sigs[2]).all()
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    base = rng.choice(vocab, size=60).tolist()
+    rows = []
+    for i in range(40):
+        doc = list(base)
+        for _ in range(rng.integers(0, 12)):
+            doc[rng.integers(0, len(doc))] = vocab[rng.integers(0, len(vocab))]
+        rows.append((i, " ".join(doc)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = dedup.simhash_signatures(docs, "doc_id", "text")
+    pairs = dedup.simhash_pairs(sim, "doc_id", max_distance=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    sigs = {r["doc_id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF for r in sim.collect()}
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                d = bin(sigs[a] ^ sigs[b]).count("1")
+                if d <= 3:
+                    want[(a, b)] = d
+    assert got == want
+    assert len(want) > 0  # mutated copies produce close sims
+
+
+def test_simhash_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f"), (2, "zz yy xx ww vv uu")],
+        "doc_id long, text string",
+    )
+    sim = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sim[0] == sim[1]
+    assert sim[0] != sim[2]

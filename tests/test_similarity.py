@@ -1,0 +1,103 @@
+"""Similarity-search tests: brute-force ANN vs a local NumPy oracle,
+LSH recall, cosine column expression, near-dup pairs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def local_topk(pdf, query_ids, k):
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = {v: i for i, v in enumerate(ids)}
+    out = {}
+    for q in query_ids:
+        sims = mat @ mat[idx[q]]
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        out[q] = [(ids[i], round(float(sims[i]), 6))
+                  for i in order if ids[i] != q][:k]
+    return out
+
+
+def test_ann_bruteforce_matches_local(spark, emb):
+    queries = emb.where("vec_id < 5")
+    out = similarity.ann_topk_bruteforce(emb, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rn"], r["neighbor_id"], r["sim"])
+        )
+    want = local_topk(emb.toPandas(), list(range(5)), 5)
+    for q in range(5):
+        got_sorted = [(n, s) for _, n, s in sorted(got[q])]
+        assert got_sorted == pytest.approx(want[q])
+
+
+def test_ann_lsh_recall(spark, emb):
+    # testdata embeddings are weakly clustered (max cosine ~0.33), the
+    # hard case for sign-sketch LSH: 4 planes + 2-bit multi-probe
+    # measured recall 0.82 — assert with margin
+    queries = emb.where("vec_id < 20")
+    bf = similarity.ann_topk_bruteforce(emb, queries, k=5)
+    lsh = similarity.ann_topk_lsh(emb, queries, k=5, n_planes=4, probe_hamming=2)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    lsh_pairs = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.6, recall
+    # LSH sims are exact cosines for the pairs it does return
+    bf_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in bf.collect()}
+    for r in lsh.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_sims:
+            assert r["sim"] == pytest.approx(bf_sims[key])
+
+
+def test_ann_lsh_recall_clustered(spark):
+    """On genuinely clustered vectors (the case LSH is built for),
+    recall should be near-perfect with cheap settings."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(10, 32))
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + rng.normal(scale=0.05, size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.ann_topk_bruteforce(df, queries, k=5).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ann_topk_lsh(df, queries, k=5, n_planes=8,
+                                            probe_hamming=1).collect()}
+    assert len(bf & lsh) / len(bf) >= 0.9
+
+
+def test_cosine_col_matches_numpy(spark):
+    rows = [(1, [1.0, 0.0, 1.0], [1.0, 1.0, 0.0]), (2, [0.5, 0.5, 0.5], [0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", similarity.cosine_col("a", "b").alias("c")).collect()}
+    assert out[1] == pytest.approx(0.5)
+    assert out[2] == pytest.approx(1.0)
+
+
+def test_embedding_neardup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.995, 0.1]),    # near-dup of 2
+        (4, [0.577, 0.577, 0.577]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_neardup_pairs(df, threshold=0.98)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(0, 1), (2, 3)}

@@ -1,0 +1,84 @@
+"""Text-analysis function tests: langid determinism, quality
+features, shingles, winnowing fingerprints."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.functions import text
+
+
+def test_langid_marker_scoring(spark):
+    rows = [
+        (0, "the cat and the dog is in a house"),
+        (1, "el perro y la casa de que los es un"),
+        (2, "der hund und die katze ist nicht ein"),
+        (3, "le chat et les maisons est un une"),
+        (4, "nomarkers here whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred"] for r in df.select(
+        "doc_id", text.langid_col("text").alias("pred")).collect()}
+    assert out == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_langid_tie_break_deterministic(spark):
+    # 'la' is a marker for both es and fr → tie broken by code asc (es)
+    df = spark.createDataFrame([(0, "la la")], "doc_id long, text string")
+    assert df.select(text.langid_col("text").alias("p")).first()["p"] == "es"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick fox!!"), (1, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.quality_features(df, "text").collect()}
+    r0 = out[0]
+    assert r0["q_n_tokens"] == 3
+    assert r0["q_mean_tok_len"] == pytest.approx((3 + 5 + 5) / 3, abs=1e-3)
+    assert r0["q_punct_ratio"] == pytest.approx(2 / 15, abs=1e-3)
+    assert r0["q_stop_ratio"] == pytest.approx(1 / 3, abs=1e-3)
+    r1 = out[1]
+    assert r1["q_n_tokens"] == 0 and r1["q_score"] == pytest.approx(0.3, abs=1e-6)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b"), (2, "a a a a a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", text.shingles_col("text", 3).alias("sh")).collect()}
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []          # shorter than one shingle
+    assert out[2] == ["a a a"]   # distinct
+
+
+def test_winnow_fingerprints_properties():
+    toks = ("the quick brown fox jumps over the lazy dog and then "
+            "the quick brown fox naps").split()
+    fp1 = text.winnow_fingerprints(toks, k=4, window=3)
+    fp2 = text.winnow_fingerprints(list(toks), k=4, window=3)
+    assert (fp1 == fp2).all()                      # deterministic
+    assert len(fp1) < len(toks)                    # selective
+    # containment: a doc sharing a long run shares fingerprints
+    other = ("unrelated prefix words " + " ".join(toks[:12])).split()
+    fp3 = text.winnow_fingerprints(other, k=4, window=3)
+    assert len(np.intersect1d(fp1, fp3)) > 0
+    # short docs degrade gracefully
+    assert len(text.winnow_fingerprints(["a"], k=4, window=3)) == 1
+    assert len(text.winnow_fingerprints([], k=4, window=3)) == 0
+
+
+def test_fingerprint_docs_spark(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l m n"), (1, "a b c d e f g h i j k l m n"),
+         (2, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    out = text.fingerprint_docs(df, "doc_id", "text", k=4, window=3)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[0] != by_doc[2]
