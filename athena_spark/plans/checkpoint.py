@@ -1,0 +1,217 @@
+"""Checkpoint / resume for sketch jobs, with lineage and metrics.
+
+Role-equivalent of the reference's whole-model ``FileSerializer``
+dump/load (/root/reference/src/_serialization.h:209-242) — but
+distributed: the unit of work is an *input file* (the natural
+granularity of an Iceberg/parquet table scan), and the unit of state
+is one mergeable summary row per file.
+
+Protocol:
+
+* A job writes one parquet row per processed input file:
+  ``(job_id, stage, file, state, n_rows, n_values, wall_secs, seed,
+  host_time)`` — appended atomically (Spark commits output files only
+  on job success, so an interrupted attempt leaves no partial rows).
+* A manifest row pins the job's parameters + an input fingerprint
+  (sha256 over the sorted file list); resume refuses to mix params.
+* Resume = list input files → anti-join against already-committed
+  summary rows → process only the remainder → tree-merge ALL rows
+  (old + new).  Merge associativity makes this exact.
+
+One-file-per-partition is forced by disabling Spark's file packing
+and splitting for the scan (openCostInBytes == maxPartitionBytes »
+any file size), so each summary row's lineage is exactly one file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Callable, Iterator
+
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from athena_spark.operators.agg import load_summary, tree_merge
+
+CKPT_SCHEMA = (
+    "pid long, state binary, n_rows long, n_values long, wall_secs double, "
+    "file string, job_id string, seed long"
+)
+
+
+def _list_data_files(spark: SparkSession, input_dir: str) -> list[str]:
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(input_dir)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    out = []
+    for status in fs.listStatus(jvm_path):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            out.append(status.getPath().toString())
+    return sorted(out)
+
+
+def input_fingerprint(files: list[str]) -> str:
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+class SketchCheckpoint:
+    def __init__(self, spark: SparkSession, ckpt_dir: str, job_id: str):
+        self.spark = spark
+        self.ckpt_dir = ckpt_dir
+        self.job_id = job_id
+        self.summaries_path = os.path.join(ckpt_dir, "summaries")
+        self.manifest_path = os.path.join(ckpt_dir, "manifest.json")
+
+    # -- manifest -----------------------------------------------------------
+
+    def _write_manifest(self, params: dict) -> None:
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        with open(self.manifest_path, "w") as fh:
+            json.dump(params, fh, indent=2, sort_keys=True)
+
+    def _check_manifest(self, params: dict) -> None:
+        if not os.path.exists(self.manifest_path):
+            self._write_manifest(params)
+            return
+        with open(self.manifest_path) as fh:
+            existing = json.load(fh)
+        if existing != params:
+            raise ValueError(
+                "checkpoint manifest mismatch — refusing to resume with "
+                f"different parameters.\n  existing: {existing}\n  now: {params}"
+            )
+
+    # -- state --------------------------------------------------------------
+
+    def completed_files(self) -> set[str]:
+        """Basenames of already-summarized input files (basename is
+        the stable key — Hadoop listings and input_file_name() render
+        the same path with different URI slashing)."""
+        if not os.path.exists(self.summaries_path):
+            return set()
+        df = self.spark.read.parquet(self.summaries_path)
+        return {
+            os.path.basename(r["file"])
+            for r in df.where(F.col("job_id") == self.job_id)
+            .select("file").distinct().collect()
+            if r["file"]
+        }
+
+    # -- run ----------------------------------------------------------------
+
+    def run(
+        self,
+        input_dir: str,
+        col: str,
+        factory: Callable[[int], object],
+        updater: Callable[[object, pa.Array], int],
+        params: dict,
+        base_seed: int = 42,
+        fanout: int = 32,
+        commit_batch_files: int | None = None,
+        fail_on_file: str | None = None,  # test hook: crash mid-job
+    ) -> tuple[object, dict]:
+        """Process any not-yet-checkpointed input files, then merge
+        all summaries (old + new) to the final sketch."""
+        spark = self.spark
+        files = _list_data_files(spark, input_dir)
+        fingerprint = input_fingerprint(files)
+        self._check_manifest(
+            {**params, "input_dir": input_dir, "job_id": self.job_id,
+             "input_fingerprint": fingerprint, "base_seed": base_seed}
+        )
+        done = self.completed_files()
+        todo = [f for f in files if os.path.basename(f) not in done]
+        job_id = self.job_id
+        col_name = col
+
+        def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            sketch = factory(base_seed + pid)
+            n_rows = n_values = 0
+            file_name = None
+            start = time.perf_counter()
+            for batch in batches:
+                fcol = batch.column(1)
+                if len(fcol) and file_name is None:
+                    file_name = fcol[0].as_py()
+                if fail_on_file and file_name and fail_on_file in file_name:
+                    raise RuntimeError(f"injected failure on {file_name}")
+                colv = batch.column(0)
+                n_rows += batch.num_rows
+                n_values += updater(sketch, colv)
+            wall = time.perf_counter() - start
+            yield pa.RecordBatch.from_pydict({
+                "pid": pa.array([pid], pa.int64()),
+                "state": pa.array([sketch.to_bytes()], pa.binary()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "n_values": pa.array([n_values], pa.int64()),
+                "wall_secs": pa.array([wall], pa.float64()),
+                "file": pa.array([file_name or ""], pa.string()),
+                "job_id": pa.array([job_id], pa.string()),
+                "seed": pa.array([base_seed + pid], pa.int64()),
+            })
+
+        if todo:
+            # one file per partition: no packing, no splitting → each
+            # summary row's lineage is exactly one input file
+            old_conf = {
+                k: spark.conf.get(k, None)
+                for k in ("spark.sql.files.maxPartitionBytes",
+                          "spark.sql.files.openCostInBytes")
+            }
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "512g")
+            spark.conf.set("spark.sql.files.openCostInBytes", "512g")
+            try:
+                # commit in file batches so an interrupted run loses at
+                # most one batch of work, not the whole pass
+                step = commit_batch_files or len(todo)
+                for i in range(0, len(todo), step):
+                    chunk = todo[i : i + step]
+                    df = (
+                        spark.read.parquet(*chunk)
+                        .select(F.col(col_name), F.input_file_name().alias("_file"))
+                    )
+                    partials = df.mapInArrow(fold, CKPT_SCHEMA)
+                    partials.write.mode("append").parquet(self.summaries_path)
+            finally:
+                for k, v in old_conf.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+
+        # merge every committed summary row for this job
+        all_rows = (
+            self.spark.read.parquet(self.summaries_path)
+            .where(F.col("job_id") == self.job_id)
+            .where(F.col("file") != "")
+        )
+        n = all_rows.count()
+        merged = tree_merge(
+            all_rows.withColumn(
+                "pid", F.pmod(F.xxhash64("file"), F.lit(max(n, 1)))
+            ).select("pid", "state", "n_rows", "n_values", "wall_secs"),
+            n_partials=max(n, 1),
+            fanout=fanout,
+        )
+        row = merged.collect()[0]
+        metrics = {
+            "files_total": len(files),
+            "files_resumed_from_checkpoint": len(done),
+            "files_processed_this_run": len(todo),
+            "n_rows": row["n_rows"],
+            "n_values": row["n_values"],
+            "wall_secs": row["wall_secs"],
+            "input_fingerprint": fingerprint,
+        }
+        return load_summary(row["state"]), metrics

@@ -1,0 +1,103 @@
+"""Structured Streaming surfaces.
+
+The reference is a single-pass bounded-state stream consumer
+(/root/reference/src/spacesaving-lm-train.cpp:87-104); its sketches
+being mergeable makes the batch and streaming engines semantically
+identical (SURVEY.md §1.3).  Two surfaces:
+
+* :class:`StreamingSketch` — ``foreachBatch`` incremental sketch
+  maintenance: each micro-batch is folded with the SAME partial +
+  tree-merge plan as batch mode, then merged into the running
+  summary.  State is k-bounded; an optional on-disk checkpoint makes
+  the consumer restartable.
+* :func:`windowed_event_counts` — watermarked tumbling-window
+  aggregation over an event-time stream (built-in streaming aggs;
+  late data beyond the watermark is dropped by Spark).
+
+The reference has no timestamps/watermarks (SURVEY.md §2.2); the
+windowed path is the engine extension for the events table.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.operators.agg import load_summary, sketch_partials, tree_merge
+
+
+class StreamingSketch:
+    """Maintain a mergeable sketch over a streaming DataFrame.
+
+    Usage::
+
+        ss = StreamingSketch(lambda pid: SpaceSaving(k=16000),
+                             token_counts_updater, col="content")
+        q = stream_df.writeStream.foreachBatch(ss.foreach_batch) \\
+             .trigger(availableNow=True).start()
+        q.awaitTermination()
+        sketch = ss.current()
+    """
+
+    def __init__(
+        self,
+        factory: Callable[[int], object],
+        updater: Callable[[object, pa.Array], int],
+        col: str,
+        state_dir: str | None = None,
+    ):
+        self.factory = factory
+        self.updater = updater
+        self.col = col
+        self.state_dir = state_dir
+        self._state = None
+        self.batches_seen = 0
+        self.rows_seen = 0
+        if state_dir and os.path.exists(os.path.join(state_dir, "state.bin")):
+            with open(os.path.join(state_dir, "state.bin"), "rb") as fh:
+                self._state = load_summary(fh.read())
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        n_parts = batch_df.rdd.getNumPartitions()
+        partials = sketch_partials(batch_df, self.col, self.factory, self.updater)
+        row = tree_merge(partials, n_parts).collect()[0]
+        batch_sketch = load_summary(row["state"])
+        if self._state is None:
+            self._state = batch_sketch
+        else:
+            self._state = self._state.merge(batch_sketch)
+        self.batches_seen += 1
+        self.rows_seen += row["n_rows"]
+        if self.state_dir:
+            os.makedirs(self.state_dir, exist_ok=True)
+            tmp = os.path.join(self.state_dir, "state.bin.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(self._state.to_bytes())
+            os.replace(tmp, os.path.join(self.state_dir, "state.bin"))
+
+    def current(self):
+        return self._state
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts + mean value — the
+    streaming twin of the batch ``q_events_hourly`` query."""
+    # watermarks require TIMESTAMP (not NTZ) event time
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), key_col)
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("win.start").cast("string").alias("hour"), key_col, "n", "avg_value"
+        )
+    )

@@ -1,0 +1,93 @@
+"""Checkpoint/resume tests: interrupted runs resume from committed
+file batches; resumed result equals the from-scratch result exactly;
+manifests pin parameters."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators.agg import aggregate_sketch, token_counts_updater
+from athena_spark.plans.checkpoint import SketchCheckpoint, input_fingerprint
+from athena_spark.sketch import SpaceSaving
+from athena_spark.sources.corpus import generate_corpus
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp_test")
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark):
+    path = os.path.join(TMP, "ckpt_corpus")
+    shutil.rmtree(path, ignore_errors=True)
+    generate_corpus(spark, 200, tokens_per_row=60, num_partitions=10) \
+        .write.mode("overwrite").parquet(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def params():
+    return {"algo": "spacesaving", "k": 4096, "col": "content"}
+
+
+def run_ckpt(spark, corpus_dir, ckpt_dir, **kw):
+    ck = SketchCheckpoint(spark, ckpt_dir, job_id="job1")
+    return ck.run(
+        corpus_dir, "content", lambda seed: SpaceSaving(k=4096),
+        token_counts_updater, params(), **kw,
+    )
+
+
+def test_resume_after_interruption_is_exact(spark, corpus_dir):
+    ckpt = os.path.join(TMP, "ckpt1")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # ground truth without checkpointing
+    truth_sk, truth_m = aggregate_sketch(
+        spark.read.parquet(corpus_dir), "content",
+        lambda pid: SpaceSaving(k=4096),
+    )
+
+    # interrupted run: batches of 3 files, crash on a later file
+    files = sorted(os.listdir(corpus_dir))
+    data_files = [f for f in files if not f.startswith(("_", "."))]
+    victim = data_files[7]
+    with pytest.raises(Exception):
+        run_ckpt(spark, corpus_dir, ckpt,
+                 commit_batch_files=3, fail_on_file=victim)
+
+    ck = SketchCheckpoint(spark, ckpt, job_id="job1")
+    committed = ck.completed_files()
+    assert 0 < len(committed) < len(data_files)  # partial progress survived
+
+    # resume: must only process the remainder, and match truth exactly
+    sk, metrics = run_ckpt(spark, corpus_dir, ckpt, commit_batch_files=3)
+    assert metrics["files_resumed_from_checkpoint"] == len(committed)
+    assert (metrics["files_processed_this_run"]
+            == len(data_files) - len(committed))
+    assert sk.total == truth_sk.total == truth_m["n_values"]
+    assert sk.items() == truth_sk.items()
+
+    # idempotent: a third run processes nothing and returns the same
+    sk2, m2 = run_ckpt(spark, corpus_dir, ckpt)
+    assert m2["files_processed_this_run"] == 0
+    assert sk2.items() == sk.items()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_manifest_rejects_changed_params(spark, corpus_dir):
+    ckpt = os.path.join(TMP, "ckpt2")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_ckpt(spark, corpus_dir, ckpt)
+    ck = SketchCheckpoint(spark, ckpt, job_id="job1")
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        ck.run(corpus_dir, "content", lambda seed: SpaceSaving(k=128),
+               token_counts_updater, {"algo": "spacesaving", "k": 128,
+                                      "col": "content"})
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_input_fingerprint_changes_with_files():
+    a = input_fingerprint(["f1", "f2"])
+    b = input_fingerprint(["f1", "f3"])
+    assert a != b and len(a) == 64

@@ -1,0 +1,140 @@
+"""Structured Streaming tests: incremental sketch over micro-batches
+equals the batch result; watermarked window counts match the batch
+aggregation; sketch state survives a restart."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators.agg import aggregate_sketch, token_counts_updater
+from athena_spark.sketch import SpaceSaving
+from athena_spark.sources.corpus import generate_corpus
+from athena_spark.streaming.stream_agg import StreamingSketch, windowed_event_counts
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp_test")
+
+
+@pytest.fixture(scope="module")
+def stream_corpus(spark):
+    path = os.path.join(TMP, "stream_corpus")
+    shutil.rmtree(path, ignore_errors=True)
+    generate_corpus(spark, 120, tokens_per_row=50, num_partitions=8) \
+        .write.mode("overwrite").parquet(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_streaming_sketch_equals_batch(spark, stream_corpus):
+    batch_df = spark.read.parquet(stream_corpus)
+    truth, _ = aggregate_sketch(batch_df, "content",
+                                lambda pid: SpaceSaving(k=2048))
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)       # force several micro-batches
+        .parquet(stream_corpus)
+    )
+    ss = StreamingSketch(lambda pid: SpaceSaving(k=2048),
+                         token_counts_updater, col="content")
+    ckpt = os.path.join(TMP, "stream_ckpt1")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        stream.writeStream.foreachBatch(ss.foreach_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert ss.batches_seen > 1
+    got = ss.current()
+    assert got.total == truth.total
+    assert got.items() == truth.items()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_sketch_state_restart(spark, stream_corpus):
+    """Kill-and-restart: state persisted after each micro-batch is
+    picked up by a new consumer via the saved state + stream
+    checkpoint."""
+    batch_df = spark.read.parquet(stream_corpus)
+    truth, _ = aggregate_sketch(batch_df, "content",
+                                lambda pid: SpaceSaving(k=2048))
+    state_dir = os.path.join(TMP, "stream_state")
+    ckpt = os.path.join(TMP, "stream_ckpt2")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    files = sorted(
+        f for f in os.listdir(stream_corpus) if not f.startswith(("_", "."))
+    )
+    half = os.path.join(TMP, "stream_half")
+    shutil.rmtree(half, ignore_errors=True)
+    os.makedirs(half)
+    for f in files[: len(files) // 2]:
+        shutil.copy(os.path.join(stream_corpus, f), os.path.join(half, f))
+
+    # phase 1: consume half the files, then "crash"
+    ss1 = StreamingSketch(lambda pid: SpaceSaving(k=2048),
+                          token_counts_updater, col="content",
+                          state_dir=state_dir)
+    stream1 = (spark.readStream.schema(batch_df.schema)
+               .option("maxFilesPerTrigger", 2).parquet(half))
+    q1 = (stream1.writeStream.foreachBatch(ss1.foreach_batch)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q1.awaitTermination(300)
+    assert ss1.current().total > 0
+
+    # phase 2: rest of the files arrive; NEW consumer restores state
+    for f in files[len(files) // 2 :]:
+        shutil.copy(os.path.join(stream_corpus, f), os.path.join(half, f))
+    ss2 = StreamingSketch(lambda pid: SpaceSaving(k=2048),
+                          token_counts_updater, col="content",
+                          state_dir=state_dir)
+    assert ss2.current() is not None          # restored, not empty
+    assert ss2.current().total == ss1.current().total
+    stream2 = (spark.readStream.schema(batch_df.schema)
+               .option("maxFilesPerTrigger", 2).parquet(half))
+    q2 = (stream2.writeStream.foreachBatch(ss2.foreach_batch)
+          .option("checkpointLocation", ckpt)   # same stream checkpoint →
+          .trigger(availableNow=True).start())  # already-read files skipped
+    q2.awaitTermination(300)
+    got = ss2.current()
+    assert got.total == truth.total
+    assert got.items() == truth.items()
+    for p in (state_dir, ckpt, half):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_windowed_event_counts_matches_batch(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    truth = {
+        (r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            "event_type",
+        ).agg(F.count("*").alias("n"),
+              F.round(F.avg("value"), 4).alias("avg_value")).collect()
+    }
+    src = os.path.join(TMP, "events_stream")
+    shutil.rmtree(src, ignore_errors=True)
+    events.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = windowed_event_counts(stream)
+    ckpt = os.path.join(TMP, "events_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (out.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    assert got == truth
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
