@@ -1,0 +1,67 @@
+"""Skew-taming helpers (north rule: Zipfian source-code identifiers).
+
+What each one is for at 100 TB:
+
+* Plain ``groupBy().count()`` does NOT need salting — Catalyst's hash
+  aggregate already partially combines map-side, so each token sends
+  one row per task regardless of frequency.
+* ``salted_distinct_count`` — per-key DISTINCT counts are the real
+  skew hazard (no map-side combine over raw rows): dedupe on
+  (key, value) first, diluting the hot key across the value space,
+  then count.
+* ``salted_join`` — explicit hot-key salting for joins where AQE's
+  runtime skew split is unavailable (e.g. non-sort-merge paths):
+  replicate the small side S ways, scatter the big side's hot keys.
+* ``repartition_by_bytes`` — balance partitions by *content bytes*
+  rather than row count before an Arrow kernel pass (giant documents
+  make row-balanced partitions time-skewed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_distinct_count(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Exact distinct-count per key, skew-safe: shuffle keys are
+    (key, value) pairs, so a hot key spreads over its value space."""
+    return (
+        df.select(key, value).distinct()
+        .groupBy(key)
+        .agg(F.count("*").alias("n_distinct"))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Inner join with hot-key dilution: big side gets a random salt
+    in [0, salt); small side is exploded salt times.  Use when the
+    small side is too large to broadcast and AQE skew handling can't
+    kick in."""
+    big_s = big.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def repartition_by_bytes(
+    df: DataFrame, col: str, target_bytes: int = 64 << 20
+) -> DataFrame:
+    """Range-repartition so each partition holds ~target_bytes of
+    ``col`` content: sort keys are (length bucket, random) so giant
+    rows spread instead of clumping."""
+    stats = df.select(
+        F.sum(F.length(col)).alias("total"), F.count("*").alias("rows")
+    ).collect()[0]
+    if not stats["total"]:
+        return df
+    n_parts = max(1, int(stats["total"] // target_bytes) + 1)
+    # seeded-random spread: NOT a range partition on length (which
+    # clusters the giant rows into one partition) and NOT a content
+    # hash (which sends identical giant rows to the same partition)
+    return df.repartition(n_parts, F.rand(seed=7))

@@ -1,0 +1,124 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata.
+
+Design: media travels as a ``binary`` cell with a ``meta`` struct
+(modality, dims, sample rate, codec); every transform is an
+Arrow-batched ``mapInPandas`` kernel so the plumbing — schema,
+batch shape, partitioning — is identical to what a real decoder
+would use.  The decode step itself is STUBBED: the sandbox has no
+image/audio libraries, so ``decode_stub=False`` raises
+``NotImplementedError`` with the library it would use, and
+``decode_stub=True`` swaps in a deterministic fake (hash-seeded
+pixels/samples) that keeps shapes and dtypes honest for tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = (
+    "media_id long, modality string, media binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int, codec:string>"
+)
+
+
+def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
+                    seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded random bytes)."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        if modality == "image":
+            meta = (64, 48, None, None, "fake-rgb")
+            payload = rng.bytes(64 * 48 * 3)
+        elif modality == "audio":
+            meta = (None, None, 16_000, None, "fake-pcm")
+            payload = rng.bytes(16_000 * 2)
+        else:  # video
+            meta = (32, 24, None, 30, "fake-frames")
+            payload = rng.bytes(32 * 24 * 3 * 30)
+        rows.append((i, modality, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: content-addressed
+    pixels (same bytes → same image)."""
+    seed = int.from_bytes(hashlib.sha256(blob).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def decode_and_featurize_images(
+    df: DataFrame,
+    feature_dim: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """media → (media_id, features array<float>): decode, resize to a
+    canonical grid, channel-stat features.  Batch-shaped exactly like
+    a Pillow/libvips pipeline; only the pixel source is stubbed."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image decode requires Pillow/pyarrow-image, not "
+            "available in this environment — run with decode_stub=True"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for media_id, blob, meta in zip(
+                pdf["media_id"], pdf["media"], pdf["meta"]
+            ):
+                img = _fake_decode(bytes(blob), meta["width"], meta["height"])
+                # "resize": average-pool to a 4x4 grid, then channel means
+                h, w, _ = img.shape
+                gh, gw = h // 4, w // 4
+                pooled = img[: gh * 4, : gw * 4].reshape(4, gh, 4, gw, 3)
+                pooled = pooled.mean(axis=(1, 3))  # (4, 4, 3)
+                vec = pooled.reshape(-1)[:feature_dim].astype(np.float32) / 255.0
+                ids.append(media_id)
+                feats.append(vec)
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.mapInPandas(kernel, "media_id long, features array<float>")
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 10, decode_stub: bool = True
+) -> DataFrame:
+    """video rows → one row per sampled frame (media_id, frame_idx,
+    frame binary).  Frame extraction is byte-slicing on the fake
+    codec; a real implementation swaps in pyav — the Spark plumbing
+    (explode shape, binary payloads per row) is identical."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real video demux requires pyav/ffmpeg, not available here"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, blob, meta in zip(
+                pdf["media_id"], pdf["media"], pdf["meta"]
+            ):
+                n_frames = meta["n_frames"] or 0
+                frame_bytes = (meta["width"] or 0) * (meta["height"] or 0) * 3
+                data = bytes(blob)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(media_id)
+                    idxs.append(fi)
+                    frames.append(bytearray(
+                        data[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.where("modality = 'video'").mapInPandas(
+        kernel, "media_id long, frame_idx int, frame binary"
+    )

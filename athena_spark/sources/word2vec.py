@@ -1,0 +1,86 @@
+"""Google word2vec binary embedding format (reader + writer).
+
+Capability match for ``Word2VecModel::deserialize``
+(/root/reference/src/_word2vec.cpp:14-74): header ``"<vocab> <dim>\\n"``,
+then per word ``"<word> "`` followed by ``dim`` little-endian float32s;
+vectors are L2-normalized on load (reference does snrm2+sscal per row —
+here one vectorized NumPy pass).  ``serialize`` is unimplemented in the
+reference (:10-12); we provide the writer anyway since a sink is needed
+to round-trip models.
+
+Reader surface: a DataFrame ``(word string, vec array<float>)`` built
+driver-side for model-size files, or via ``binaryFile`` + ``mapInPandas``
+when sharded across many files.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parse_word2vec_binary(data: bytes, normalize: bool = True):
+    """Parse one binary file → (words list, float32 matrix)."""
+    buf = io.BytesIO(data)
+    header = b""
+    while not header.endswith(b"\n"):
+        ch = buf.read(1)
+        if not ch:
+            raise ValueError("word2vec: truncated header")
+        header += ch
+    vocab_dim, embedding_dim = (int(x) for x in header.split())
+    words: list[str] = []
+    mat = np.empty((vocab_dim, embedding_dim), dtype=np.float32)
+    for i in range(vocab_dim):
+        word = b""
+        while True:
+            ch = buf.read(1)
+            if not ch:
+                raise ValueError("word2vec: truncated word")
+            if ch == b" ":
+                break
+            if ch != b"\n":  # tolerate leading newlines like istream >>
+                word += ch
+        words.append(word.decode("utf-8", errors="replace"))
+        vec = buf.read(4 * embedding_dim)
+        if len(vec) != 4 * embedding_dim:
+            raise ValueError("word2vec: truncated vector")
+        mat[i] = np.frombuffer(vec, dtype="<f4")
+    if normalize:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+    return words, mat
+
+
+def write_word2vec_binary(words, mat: np.ndarray) -> bytes:
+    mat = np.asarray(mat, dtype="<f4")
+    out = io.BytesIO()
+    out.write(f"{len(words)} {mat.shape[1]}\n".encode())
+    for word, row in zip(words, mat):
+        out.write(word.encode("utf-8") + b" ")
+        out.write(row.tobytes())
+    return out.getvalue()
+
+
+def read_word2vec(spark: SparkSession, path: str,
+                  normalize: bool = True) -> DataFrame:
+    """(word string, vec array<float>) DataFrame from one or more
+    word2vec binary files (sharded files parsed executor-side)."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                words, mat = parse_word2vec_binary(bytes(blob), normalize)
+                yield pd.DataFrame({
+                    "word": words,
+                    "vec": [row.astype(np.float32) for row in mat],
+                })
+
+    return files.mapInPandas(parse, "word string, vec array<float>")

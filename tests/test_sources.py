@@ -1,0 +1,140 @@
+"""Source/sink tests: word2vec binary round-trip + normalization,
+multimodal plumbing, skew helpers."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators.skew import (
+    repartition_by_bytes,
+    salted_distinct_count,
+    salted_join,
+)
+from athena_spark.sources.multimodal import (
+    decode_and_featurize_images,
+    sample_video_frames,
+    synthetic_media,
+)
+from athena_spark.sources.word2vec import (
+    parse_word2vec_binary,
+    read_word2vec,
+    write_word2vec_binary,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp_test")
+
+
+def test_word2vec_roundtrip_and_normalize():
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma"]
+    mat = rng.normal(size=(3, 5)).astype(np.float32)
+    blob = write_word2vec_binary(words, mat)
+    got_words, got = parse_word2vec_binary(blob, normalize=True)
+    assert got_words == words
+    norms = np.linalg.norm(got, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    # direction preserved
+    for i in range(3):
+        expected = mat[i] / np.linalg.norm(mat[i])
+        assert np.allclose(got[i], expected, atol=1e-5)
+    raw_words, raw = parse_word2vec_binary(blob, normalize=False)
+    assert np.allclose(raw, mat, atol=1e-6)
+
+
+def test_word2vec_truncated_raises():
+    blob = write_word2vec_binary(["a", "b"], np.ones((2, 4), np.float32))
+    with pytest.raises(ValueError):
+        parse_word2vec_binary(blob[:-3])
+
+
+def test_read_word2vec_spark(spark):
+    path = os.path.join(TMP, "w2v")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    rng = np.random.default_rng(1)
+    words = [f"w{i}" for i in range(20)]
+    mat = rng.normal(size=(20, 8)).astype(np.float32)
+    with open(os.path.join(path, "model.bin"), "wb") as fh:
+        fh.write(write_word2vec_binary(words, mat))
+    df = read_word2vec(spark, path)
+    rows = {r["word"]: np.array(r["vec"]) for r in df.collect()}
+    assert set(rows) == set(words)
+    assert np.allclose(np.linalg.norm(rows["w3"]), 1.0, atol=1e-5)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_multimodal_image_features(spark):
+    media = synthetic_media(spark, 6, "image")
+    out = decode_and_featurize_images(media)
+    rows = {r["media_id"]: np.array(r["features"]) for r in out.collect()}
+    assert len(rows) == 6
+    assert all(len(v) == 16 for v in rows.values())
+    assert all((0.0 <= v).all() and (v <= 1.0).all() for v in rows.values())
+    # deterministic: same payload → same features
+    out2 = decode_and_featurize_images(media)
+    rows2 = {r["media_id"]: np.array(r["features"]) for r in out2.collect()}
+    for k in rows:
+        assert np.allclose(rows[k], rows2[k])
+
+
+def test_multimodal_real_decode_is_explicit(spark):
+    media = synthetic_media(spark, 1, "image")
+    with pytest.raises(NotImplementedError):
+        decode_and_featurize_images(media, decode_stub=False)
+
+
+def test_video_frame_sampling(spark):
+    media = synthetic_media(spark, 3, "video")
+    out = sample_video_frames(media, every_n=10)
+    rows = out.collect()
+    # 30 frames, every 10th → frames 0, 10, 20 per video
+    assert len(rows) == 9
+    assert {r["frame_idx"] for r in rows} == {0, 10, 20}
+    frame_bytes = 32 * 24 * 3
+    assert all(len(r["frame"]) == frame_bytes for r in rows)
+
+
+def test_salted_distinct_count(spark):
+    df = spark.createDataFrame(
+        [("hot", i % 7) for i in range(1000)] + [("cold", 1), ("cold", 2)],
+        "key string, value long",
+    )
+    got = {r["key"]: r["n_distinct"]
+           for r in salted_distinct_count(df, "key", "value").collect()}
+    assert got == {"hot": 7, "cold": 2}
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(2000)],
+        "id long, key string",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 2.5)], "key string, weight double"
+    )
+    plain = big.join(small, "key").agg(F.sum("weight")).collect()[0][0]
+    salted = salted_join(big, small, "key").agg(F.sum("weight")).collect()[0][0]
+    assert salted == pytest.approx(plain)
+
+
+def test_repartition_by_bytes(spark):
+    df = spark.createDataFrame(
+        [(i, "x" * (10_000 if i % 100 == 0 else 10)) for i in range(2000)],
+        "id long, content string",
+    )
+    out = repartition_by_bytes(df, "content", target_bytes=50_000)
+    assert out.count() == 2000
+    sizes = (
+        out.select(F.spark_partition_id().alias("p"), F.length("content").alias("l"))
+        .groupBy("p").agg(F.sum("l").alias("bytes"),
+                          F.sum(F.when(F.col("l") > 100, 1)
+                                .otherwise(0)).alias("giants")).collect()
+    )
+    per_part = [r["bytes"] for r in sizes]
+    assert len(per_part) >= 4  # actually fanned out by byte budget
+    assert max(per_part) < 3 * (sum(per_part) / len(per_part))
+    # identical giant rows must NOT all land in one partition
+    assert sum(1 for r in sizes if r["giants"] > 0) >= 2
