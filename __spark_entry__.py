@@ -502,6 +502,23 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_docs(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 pipeline (streaming SGNS embeddings over a Space-Saving
+    vocabulary, arXiv:1704.07463): per-partition trainers +
+    count-weighted parameter averaging.  Stochastic → rows-only check;
+    pytest asserts the learning behavior (planted-topic separation,
+    gradient math, eviction resets)."""
+    from athena_spark.embedding.sgns import train_embeddings
+
+    out = train_embeddings(
+        _docs(spark, sf_dir), "text", vocab_dim=64, embedding_dim=16,
+        symm_context=3, neg_samples=3, reservoir_size=4096,
+    )
+    return out.select(
+        "word", "count", F.size("vec").alias("dim"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -526,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality_features": q_quality_features,
         "doc_fingerprints": q_doc_fingerprints,
+        "sgns_embeddings": q_sgns_embeddings,
     }
 
 

@@ -1,0 +1,186 @@
+"""Command-line entry points (spark-submit surface).
+
+Role-equivalent of the reference's trainer/printer binaries
+(spacesaving-lm-train/print, *-word2vec-train/print, naive-lm-*,
+/root/reference/src/*.cpp E1-E9).  Run either directly
+(``python -m athena_spark.cli ...``, local master from
+$SPARK_GRAFT_CPUS) or on a cluster::
+
+    python -m athena_spark.cli package --out athena_spark.zip
+    spark-submit --py-files athena_spark.zip -m athena_spark.cli ...
+
+Subcommands:
+
+* ``topk``       — E1+E2: Space-Saving token top-k report
+* ``sketch``     — any mergeable sketch over a column (hll/cms/kll/bloom)
+* ``train-embeddings`` — E3: streaming SGNS, writes (word, count, vec)
+  parquet and optionally a word2vec-format binary dump (E4)
+* ``package``    — build the --py-files zip
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="athena-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True, help="parquet dir")
+        sp.add_argument("--col", default="content")
+        sp.add_argument("--output", default=None, help="output parquet dir")
+        sp.add_argument("--master", default=None)
+        sp.add_argument("--partitions", type=int, default=None)
+        sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--job-id", default="cli")
+
+    t = sub.add_parser("topk")
+    common(t)
+    t.add_argument("--k", type=int, default=16000)
+    t.add_argument("--n", type=int, default=100)
+
+    s = sub.add_parser("sketch")
+    common(s)
+    s.add_argument("--algo", choices=["hll", "cms", "kll", "bloom"], required=True)
+
+    e = sub.add_parser("train-embeddings")
+    common(e)
+    e.add_argument("--vocab-dim", type=int, default=16000)
+    e.add_argument("--embedding-dim", type=int, default=100)
+    e.add_argument("--neg-samples", type=int, default=5)
+    e.add_argument("--symm-context", type=int, default=5)
+    e.add_argument("--word2vec-out", default=None,
+                   help="also dump Google word2vec binary format")
+
+    z = sub.add_parser("package")
+    z.add_argument("--out", default="athena_spark.zip")
+    return p
+
+
+def _spark(args):
+    from athena_spark.session import build_session
+
+    return build_session(app_name=f"athena-{args.cmd}", master=args.master)
+
+
+def cmd_topk(args) -> None:
+    from athena_spark.operators.agg import (
+        spacesaving_topk, token_counts_updater,
+    )
+    from athena_spark.plans.checkpoint import SketchCheckpoint
+    from athena_spark.sketch import SpaceSaving
+
+    spark = _spark(args)
+    if args.checkpoint_dir:
+        ck = SketchCheckpoint(spark, args.checkpoint_dir, args.job_id)
+        sk, metrics = ck.run(
+            args.input, args.col, lambda seed: SpaceSaving(k=args.k),
+            token_counts_updater,
+            {"algo": "spacesaving", "k": args.k, "col": args.col},
+        )
+        print(json.dumps(metrics), file=sys.stderr)
+        out = spark.createDataFrame(
+            sk.to_pandas().head(args.n),
+            schema="token string, est_count long, err long",
+        )
+    else:
+        df = spark.read.parquet(args.input)
+        out = spacesaving_topk(df, args.col, k=args.k, n=args.n,
+                               num_partitions=args.partitions)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in out.collect():
+            print(f"{row['token']}\t{row['est_count']}\t{row['err']}")
+
+
+def cmd_sketch(args) -> None:
+    from athena_spark.operators.agg import (
+        aggregate_sketch, token_distinct_updater, token_counts_updater,
+        values_updater,
+    )
+    from athena_spark.sketch import BloomFilter, CountMinSketch, HyperLogLog, KLL
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    factories = {
+        "hll": (lambda pid: HyperLogLog(p=14), token_distinct_updater),
+        "cms": (lambda pid: CountMinSketch(5, 65536), token_counts_updater),
+        "kll": (lambda pid: KLL(k=200, seed=pid), values_updater),
+        "bloom": (lambda pid: BloomFilter(1 << 24, 7), token_distinct_updater),
+    }
+    factory, updater = factories[args.algo]
+    sk, metrics = aggregate_sketch(df, args.col, factory, updater,
+                                   num_partitions=args.partitions)
+    report = {"algo": args.algo, **metrics}
+    if args.algo == "hll":
+        report["estimate"] = sk.estimate()
+    elif args.algo == "kll":
+        report["quantiles"] = {
+            str(q): float(sk.quantile(q)[0]) for q in (0.1, 0.5, 0.9, 0.99)
+        }
+    print(json.dumps(report))
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, f"{args.algo}.bin"), "wb") as fh:
+            fh.write(sk.to_bytes())
+
+
+def cmd_train_embeddings(args) -> None:
+    import numpy as np
+
+    from athena_spark.embedding.sgns import train_embeddings
+    from athena_spark.sources.word2vec import write_word2vec_binary
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.partitions:
+        df = df.repartition(args.partitions)
+    out = train_embeddings(
+        df, args.col, vocab_dim=args.vocab_dim,
+        embedding_dim=args.embedding_dim, neg_samples=args.neg_samples,
+        symm_context=args.symm_context,
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    if args.word2vec_out:
+        pdf = out.toPandas()
+        blob = write_word2vec_binary(
+            pdf["word"].tolist(),
+            np.stack(pdf["vec"].to_numpy()).astype(np.float32),
+        )
+        with open(args.word2vec_out, "wb") as fh:
+            fh.write(blob)
+    print(json.dumps({"words": out.count()}))
+
+
+def cmd_package(args) -> None:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for name in filenames:
+                if name.endswith(".py"):
+                    full = os.path.join(dirpath, name)
+                    zf.write(full, os.path.relpath(full, root))
+    print(args.out)
+
+
+def main(argv=None) -> None:
+    args = _build_parser().parse_args(argv)
+    {
+        "topk": cmd_topk,
+        "sketch": cmd_sketch,
+        "train-embeddings": cmd_train_embeddings,
+        "package": cmd_package,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

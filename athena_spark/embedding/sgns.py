@@ -1,0 +1,346 @@
+"""SGNS (skip-gram negative sampling) streaming embeddings — the
+reference's paper algorithm (arXiv:1704.07463), re-expressed as
+NumPy kernels composed into a per-partition Spark trainer.
+
+Semantics ported (capability, not code) from:
+
+* SGD with per-word decaying learning rate
+  rho = max(lb, kappa * (1 - t/tau))   — src/_core.cpp:454-527
+* WordContextFactorization: word vecs ~ U(-.5,.5), context vecs zero
+  — src/_core.cpp:372-398
+* token_train: one positive pair + n negative samples; accumulate the
+  input-word gradient while updating each context vector in place,
+  then apply the input gradient — src/_sgns.h:216-274
+* sentence_train: per-position (left,right) context from the context
+  strategy, train on every (center, context) pair — src/_sgns.h:313-337
+* reset_word on Space-Saving eviction: SGD clock reset, word vector
+  re-randomized, context vector zeroed — src/_sgns.h:108-117
+* static / dynamic (word2vec random-window) context strategies
+  — src/_core.cpp:535-567
+* E3 pipeline: per token increment + evict-reset + reservoir step;
+  per sentence OOV-drop + subsample + train + SGD step per kept token
+  — src/spacesaving-word2vec-train.cpp:156-185
+
+Distribution model (SURVEY.md §7 step 9): each partition trains its
+own model over its sentence stream (Hogwild-style independence);
+models are combined by count-weighted averaging of word vectors keyed
+by word — the standard parameter-averaging scheme for SGNS.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.tokenize import sentences_pandas
+from athena_spark.sketch.reservoir import ReservoirSampler
+from athena_spark.sketch.spacesaving import SpaceSavingLanguageModel
+
+SIGMOID_ARG_THRESHOLD = 11.0  # reference hard-clamps beyond ±11 (src/_math.h:19)
+
+
+def sigmoid(x):
+    x = np.clip(x, -SIGMOID_ARG_THRESHOLD, SIGMOID_ARG_THRESHOLD)
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class SGD:
+    """Per-word-dimension decaying learning rate (src/_core.cpp:454-527)."""
+
+    def __init__(self, dimension: int, tau: float = 1e5, kappa: float = 2.5e-2,
+                 rho_lower_bound: float = 1e-4):
+        self.tau = float(tau)
+        self.kappa = float(kappa)
+        self.rho_lower_bound = float(rho_lower_bound)
+        self._t = np.zeros(dimension, dtype=np.int64)
+        self._rho = np.full(dimension, max(rho_lower_bound, kappa), dtype=np.float32)
+
+    def step(self, idx: int) -> None:
+        self._t[idx] += 1
+        self._compute_rho(idx)
+
+    def get_rho(self, idx: int) -> float:
+        return float(self._rho[idx])
+
+    def reset(self, idx: int) -> None:
+        self._t[idx] = 0
+        self._compute_rho(idx)
+
+    def _compute_rho(self, idx: int) -> None:
+        self._rho[idx] = max(
+            self.rho_lower_bound, self.kappa * (1.0 - self._t[idx] / self.tau)
+        )
+
+    def gradient_update(self, idx: int, g: np.ndarray, x: np.ndarray,
+                        alpha: float = 1.0) -> None:
+        x += self._rho[idx] * alpha * g
+
+
+class WordContextFactorization:
+    """Two vocab x dim float32 matrices (src/_core.cpp:372-398)."""
+
+    def __init__(self, vocab_dim: int, embedding_dim: int,
+                 rng: np.random.Generator | None = None):
+        rng = rng if rng is not None else np.random.default_rng()
+        self.vocab_dim = vocab_dim
+        self.embedding_dim = embedding_dim
+        self.word = (rng.random((vocab_dim, embedding_dim), dtype=np.float64)
+                     .astype(np.float32) - np.float32(0.5))
+        self.context = np.zeros((vocab_dim, embedding_dim), dtype=np.float32)
+        self._rng = rng
+
+    def reinit_word(self, idx: int) -> None:
+        self.word[idx] = (self._rng.random(self.embedding_dim) - 0.5).astype(np.float32)
+        self.context[idx] = 0.0
+
+
+class StaticContextStrategy:
+    def __init__(self, symm_context: int):
+        self.symm_context = symm_context
+
+    def size(self, avail_left: int, avail_right: int, rng) -> tuple[int, int]:
+        return (min(avail_left, self.symm_context),
+                min(avail_right, self.symm_context))
+
+
+class DynamicContextStrategy:
+    """word2vec's random window: c ~ U(1, symm_context) per position
+    (src/_core.cpp:561-567)."""
+
+    def __init__(self, symm_context: int):
+        self.symm_context = symm_context
+
+    def size(self, avail_left: int, avail_right: int, rng) -> tuple[int, int]:
+        c = int(rng.integers(1, self.symm_context + 1))
+        return (min(avail_left, c), min(avail_right, c))
+
+
+class ReservoirNegSampler:
+    """Reservoir-of-word-ids negative sampler (src/_core.h:342-365):
+    every observed id feeds the reservoir; negatives drawn uniformly
+    from it (empirical unigram approximation)."""
+
+    def __init__(self, size: int, rng: np.random.Generator):
+        self.reservoir = ReservoirSampler(size, seed=int(rng.integers(1 << 62)))
+        self._rng = rng
+
+    def step(self, word_idx: int) -> None:
+        self.reservoir.insert(float(word_idx))
+
+    def sample_idx(self, n: int = 1) -> np.ndarray:
+        vals = self.reservoir.values()
+        return vals[self._rng.integers(0, len(vals), size=n)].astype(np.int64)
+
+
+class SGNSTokenLearner:
+    """token_train + reset_word + similarity queries
+    (src/_sgns.h:108-274)."""
+
+    def __init__(self, factorization: WordContextFactorization, sgd: SGD,
+                 neg_sampler: ReservoirNegSampler):
+        self.f = factorization
+        self.sgd = sgd
+        self.neg = neg_sampler
+
+    def reset_word(self, idx: int) -> None:
+        self.sgd.reset(idx)
+        self.f.reinit_word(idx)
+
+    def compute_gradient_coeff(self, input_idx: int, output_idx: int,
+                               negative: bool) -> float:
+        label = 0.0 if negative else 1.0
+        return float(label - sigmoid(self.f.word[input_idx] @ self.f.context[output_idx]))
+
+    def token_train(self, input_idx: int, output_idx: int, neg_samples: int) -> None:
+        w_in = self.f.word[input_idx]
+        grad_in = np.zeros(self.f.embedding_dim, dtype=np.float32)
+        # positive pair: accumulate input grad, update context in place
+        coeff = self.compute_gradient_coeff(input_idx, output_idx, False)
+        grad_in += np.float32(coeff) * self.f.context[output_idx]
+        self.sgd.gradient_update(output_idx, w_in, self.f.context[output_idx], coeff)
+        # negatives
+        if neg_samples:
+            for neg_idx in self.neg.sample_idx(neg_samples):
+                coeff = self.compute_gradient_coeff(input_idx, int(neg_idx), True)
+                grad_in += np.float32(coeff) * self.f.context[neg_idx]
+                self.sgd.gradient_update(int(neg_idx), w_in,
+                                         self.f.context[neg_idx], coeff)
+        # input word step
+        self.sgd.gradient_update(input_idx, grad_in, self.f.word[input_idx])
+
+    def compute_similarity(self, i: int, j: int) -> float:
+        a, b = self.f.word[i], self.f.word[j]
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def find_nearest_neighbor_idx(self, idx: int, size: int) -> int:
+        w = self.f.word[:size]
+        norms = np.linalg.norm(w, axis=1)
+        sims = (w @ w[idx]) / (norms * norms[idx])
+        sims[idx] = -np.inf
+        return int(np.argmax(sims))
+
+    def find_context_nearest_neighbor_idx(self, left: int, right: int,
+                                          word_ids, size: int) -> int:
+        """argmax over vocab of sum sigmoid(w . c_out) over context
+        (src/_sgns.h:119-154; R oracle test/find.context.nearest.neighbor.r)."""
+        w = self.f.word[:size]
+        total = np.zeros(size, dtype=np.float64)
+        for i, out_idx in enumerate(word_ids):
+            if i != left and out_idx >= 0:
+                total += sigmoid(w @ self.f.context[out_idx])
+        return int(np.argmax(total))
+
+    @staticmethod
+    def context_contains_oov(ctx_word_ids) -> bool:
+        return any(i < 0 for i in ctx_word_ids)
+
+
+class SGNSSentenceLearner:
+    """sentence_train (src/_sgns.h:313-337)."""
+
+    def __init__(self, token_learner: SGNSTokenLearner, ctx_strategy,
+                 neg_samples: int, rng: np.random.Generator):
+        self.token_learner = token_learner
+        self.ctx_strategy = ctx_strategy
+        self.neg_samples = neg_samples
+        self._rng = rng
+
+    def sentence_train(self, word_ids: list[int]) -> None:
+        n = len(word_ids)
+        for pos in range(n):
+            left, right = self.ctx_strategy.size(pos, (n - 1) - pos, self._rng)
+            start = pos - left
+            end = start + left + 1 + right
+            for out_pos in range(start, end):
+                if out_pos != pos:
+                    self.token_learner.token_train(
+                        word_ids[pos], word_ids[out_pos], self.neg_samples
+                    )
+
+
+class SpaceSavingWord2Vec:
+    """E3 pipeline (src/spacesaving-word2vec-train.cpp:156-185): the
+    streaming-embeddings trainer with a Space-Saving vocabulary."""
+
+    def __init__(
+        self,
+        vocab_dim: int = 1000,
+        embedding_dim: int = 32,
+        symm_context: int = 5,
+        neg_samples: int = 5,
+        subsample_threshold: float = 1e-3,
+        reservoir_size: int = 100_000,
+        tau: float = 1e5,
+        kappa: float = 2.5e-2,
+        rho_lower_bound: float = 1e-4,
+        dynamic_context: bool = True,
+        seed: int = 42,
+    ):
+        rng = np.random.default_rng(seed)
+        self.rng = rng
+        self.lm = SpaceSavingLanguageModel(vocab_dim, subsample_threshold, rng=rng)
+        self.factorization = WordContextFactorization(vocab_dim, embedding_dim, rng)
+        self.sgd = SGD(vocab_dim, tau, kappa, rho_lower_bound)
+        self.neg_sampler = ReservoirNegSampler(reservoir_size, rng)
+        self.token_learner = SGNSTokenLearner(
+            self.factorization, self.sgd, self.neg_sampler
+        )
+        ctx = (DynamicContextStrategy(symm_context) if dynamic_context
+               else StaticContextStrategy(symm_context))
+        self.sentence_learner = SGNSSentenceLearner(
+            self.token_learner, ctx, neg_samples, rng
+        )
+        self.n_sentences = 0
+        self.n_tokens = 0
+
+    def train_sentence(self, words: list[str]) -> None:
+        # Embedding rows are keyed by EXTERNAL word id: on eviction the
+        # slot's external id transfers to the replacing word
+        # (src/_core.cpp:326-336), which is exactly why reset_word
+        # re-randomizes that row (src/spacesaving-word2vec-train.cpp:160-164).
+        # 1. vocab maintenance: increment, evict-reset, reservoir step
+        for word in words:
+            evicted_id, _evicted_word = self.lm.increment(word)
+            if evicted_id >= 0:
+                self.token_learner.reset_word(evicted_id)
+            wid = self.lm.lookup(word)
+            if wid >= 0:
+                self.neg_sampler.step(wid)
+        # 2. sentence encode: lookup, drop OOV, subsample filter
+        ids = []
+        for word in words:
+            ext = self.lm.lookup(word)
+            if ext < 0:
+                continue
+            # subsample() == True means KEEP (w.p. sqrt(t/f)), mirroring
+            # `if (!lm.subsample(idx)) continue;` in the reference
+            # trainer (src/spacesaving-word2vec-train.cpp:170-178)
+            if not self.lm.subsample(ext):
+                continue
+            ids.append(ext)
+        # 3. learn + SGD clock
+        if len(ids) > 1:
+            self.sentence_learner.sentence_train(ids)
+        for wid in ids:
+            self.sgd.step(wid)
+        self.n_sentences += 1
+        self.n_tokens += len(words)
+
+    def embeddings(self) -> pd.DataFrame:
+        """(word, count, vec float32[dim]) for the current vocab."""
+        rows = []
+        for ext in range(self.lm.size()):
+            word = self.lm.reverse_lookup(ext)
+            rows.append((word, self.lm.count(ext),
+                         self.factorization.word[ext].copy()))
+        return pd.DataFrame(rows, columns=["word", "count", "vec"])
+
+
+def train_embeddings(
+    df: DataFrame,
+    col: str,
+    vocab_dim: int = 1000,
+    embedding_dim: int = 32,
+    seed: int = 42,
+    **trainer_kw,
+) -> DataFrame:
+    """Distributed SGNS: per-partition streaming trainers (Hogwild-
+    style independence), combined by count-weighted averaging of word
+    vectors.  Returns (word, count, vec array<float>)."""
+
+    def train(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        trainer = SpaceSavingWord2Vec(
+            vocab_dim=vocab_dim, embedding_dim=embedding_dim,
+            seed=seed + pid, **trainer_kw,
+        )
+        for pdf in batches:
+            for sentence in sentences_pandas(pdf[col]):
+                trainer.train_sentence(sentence)
+        out = trainer.embeddings()
+        out["vec"] = [v.astype(np.float32) for v in out["vec"]]
+        yield out
+
+    partials = df.select(col).mapInPandas(
+        train, "word string, count long, vec array<float>"
+    )
+
+    def avg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        weights = pdf["count"].to_numpy().astype(np.float64)
+        avg = (vecs * weights[:, None]).sum(axis=0) / weights.sum()
+        return pd.DataFrame({
+            "word": [pdf["word"].iloc[0]],
+            "count": [int(pdf["count"].sum())],
+            "vec": [avg.astype(np.float32)],
+        })
+
+    return partials.groupBy("word").applyInPandas(
+        avg_group, "word string, count long, vec array<float>"
+    )

@@ -1,0 +1,201 @@
+"""SGNS embedding tests: SGD decay arithmetic, gradient math against
+hand-computed values (style of the reference's gmock suite), eviction
+reset, sentence-train call pattern, and end-to-end embedding quality
+on a planted-topic corpus."""
+
+import numpy as np
+import pytest
+
+from athena_spark.embedding import sgns
+
+
+# -- SGD (reference test/core_test.cpp:1307-1426 style) ---------------------
+
+def test_sgd_decay_and_reset():
+    sg = sgns.SGD(dimension=3, tau=10, kappa=0.5, rho_lower_bound=0.01)
+    assert sg.get_rho(0) == pytest.approx(0.5, abs=1e-6)
+    for i in range(5):
+        sg.step(0)
+    assert sg.get_rho(0) == pytest.approx(0.5 * (1 - 5 / 10), abs=1e-6)
+    assert sg.get_rho(1) == pytest.approx(0.5, abs=1e-6)  # independent clocks
+    for i in range(100):
+        sg.step(0)
+    assert sg.get_rho(0) == pytest.approx(0.01, abs=1e-9)  # floor
+    sg.reset(0)
+    assert sg.get_rho(0) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_sgd_gradient_update_scaling():
+    sg = sgns.SGD(dimension=2, tau=100, kappa=0.1)
+    x = np.zeros(4, dtype=np.float32)
+    g = np.ones(4, dtype=np.float32)
+    sg.gradient_update(0, g, x, alpha=2.0)
+    assert np.allclose(x, 0.1 * 2.0 * g)
+
+
+# -- gradient math (reference test/sgns_test.cpp:55-241 style) --------------
+
+def make_learner(vocab=4, dim=3, seed=5):
+    rng = np.random.default_rng(seed)
+    f = sgns.WordContextFactorization(vocab, dim, rng)
+    sg = sgns.SGD(vocab, tau=100, kappa=0.1)
+    neg = sgns.ReservoirNegSampler(16, rng)
+    for i in range(vocab):
+        neg.step(i)
+    return sgns.SGNSTokenLearner(f, sg, neg)
+
+
+def test_gradient_coeff_formula():
+    tl = make_learner()
+    w, c = tl.f.word, tl.f.context
+    c[1] = np.array([0.2, -0.1, 0.4], dtype=np.float32)
+    dot = float(w[0] @ c[1])
+    expected_pos = 1.0 - 1.0 / (1.0 + np.exp(-dot))
+    expected_neg = -1.0 / (1.0 + np.exp(-dot))
+    assert tl.compute_gradient_coeff(0, 1, False) == pytest.approx(expected_pos, abs=1e-6)
+    assert tl.compute_gradient_coeff(0, 1, True) == pytest.approx(expected_neg, abs=1e-6)
+
+
+def test_token_train_updates_match_hand_computation():
+    tl = make_learner()
+    w0 = tl.f.word[0].copy()
+    c1 = tl.f.context[1].copy()
+    rho = tl.sgd.get_rho(0)
+    # no negatives: one positive pair
+    coeff = 1.0 - 1.0 / (1.0 + np.exp(-float(w0 @ c1)))
+    tl.token_train(0, 1, neg_samples=0)
+    # context vector: c1 += rho * coeff * w0 (in place, with old w0)
+    assert np.allclose(tl.f.context[1], c1 + rho * coeff * w0, atol=1e-6)
+    # input vector: w0 += rho * (coeff * c1_old)   (grad uses OLD context)
+    assert np.allclose(tl.f.word[0], w0 + rho * coeff * c1, atol=1e-6)
+
+
+def test_reset_word_rerandomizes_and_zeros():
+    tl = make_learner()
+    tl.f.context[2] = 1.0
+    tl.sgd.step(2)
+    old_word = tl.f.word[2].copy()
+    tl.reset_word(2)
+    assert not np.allclose(tl.f.word[2], old_word)
+    assert (np.abs(tl.f.word[2]) <= 0.5).all()
+    assert (tl.f.context[2] == 0).all()
+    assert tl.sgd.get_rho(2) == pytest.approx(tl.sgd.kappa)
+
+
+def test_similarity_and_neighbors():
+    tl = make_learner(vocab=3)
+    tl.f.word[0] = np.array([1, 0, 0], np.float32)
+    tl.f.word[1] = np.array([0.9, 0.1, 0], np.float32)
+    tl.f.word[2] = np.array([0, 0, 1], np.float32)
+    assert tl.compute_similarity(0, 0) == pytest.approx(1.0)
+    assert tl.find_nearest_neighbor_idx(0, 3) == 1
+    assert tl.context_contains_oov([1, -1, 2])
+    assert not tl.context_contains_oov([1, 2])
+
+
+def test_find_context_nearest_neighbor():
+    tl = make_learner(vocab=3)
+    tl.f.word[0] = np.array([1, 0, 0], np.float32)
+    tl.f.word[1] = np.array([-1, 0, 0], np.float32)
+    tl.f.word[2] = np.array([0, 1, 0], np.float32)
+    tl.f.context[2] = np.array([5, 0, 0], np.float32)
+    # context = [_, w2]: candidate maximizing sigmoid(w . c2) is word 0
+    got = tl.find_context_nearest_neighbor_idx(0, 1, [-1, 2], 3)
+    assert got == 0
+
+
+def test_sentence_train_pair_pattern():
+    """Static context=1 on a 3-token sentence trains exactly the
+    adjacent pairs, mirroring the reference's mock expectations
+    (test/sgns_test.cpp:336-432)."""
+    calls = []
+
+    class SpyLearner:
+        def token_train(self, i, o, n):
+            calls.append((i, o, n))
+
+    sl = sgns.SGNSSentenceLearner(
+        SpyLearner(), sgns.StaticContextStrategy(1), neg_samples=2,
+        rng=np.random.default_rng(0),
+    )
+    sl.sentence_train([10, 11, 12])
+    assert calls == [
+        (10, 11, 2),
+        (11, 10, 2), (11, 12, 2),
+        (12, 11, 2),
+    ]
+
+
+def test_streaming_trainer_evicts_and_learns():
+    tr = sgns.SpaceSavingWord2Vec(
+        vocab_dim=3, embedding_dim=4, symm_context=2, neg_samples=2,
+        subsample_threshold=1e6,  # never subsample (threshold huge)
+        reservoir_size=64, seed=1,
+    )
+    tr.train_sentence(["a", "b", "a"])
+    assert tr.lm.size() == 2
+    tr.train_sentence(["c", "d", "c", "d"])  # forces eviction of min
+    assert tr.lm.size() == 3
+    emb = tr.embeddings()
+    assert set(emb["word"]) <= {"a", "b", "c", "d"}
+    assert len(emb) == 3
+    assert all(len(v) == 4 for v in emb["vec"])
+
+
+def planted_corpus(rng, n_sent=400):
+    """Two topics whose words never co-occur across topics."""
+    topic_a = ["spark", "shuffle", "partition", "executor"]
+    topic_b = ["piano", "violin", "sonata", "tempo"]
+    rows = []
+    for _ in range(n_sent):
+        topic = topic_a if rng.random() < 0.5 else topic_b
+        rows.append(" ".join(rng.choice(topic, size=8)))
+    return rows
+
+
+def test_embeddings_separate_planted_topics():
+    rng = np.random.default_rng(7)
+    tr = sgns.SpaceSavingWord2Vec(
+        vocab_dim=16, embedding_dim=16, symm_context=3, neg_samples=4,
+        subsample_threshold=1e6, reservoir_size=1024, tau=2e4,
+        kappa=5e-2, seed=3,
+    )
+    for sent in planted_corpus(rng):
+        tr.train_sentence(sent.split())
+    emb = {r.word: np.asarray(r.vec, dtype=np.float64)
+           for r in tr.embeddings().itertuples()}
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    within = np.mean([cos(emb["spark"], emb["shuffle"]),
+                      cos(emb["piano"], emb["violin"]),
+                      cos(emb["partition"], emb["executor"]),
+                      cos(emb["sonata"], emb["tempo"])])
+    across = np.mean([cos(emb["spark"], emb["piano"]),
+                      cos(emb["shuffle"], emb["sonata"]),
+                      cos(emb["executor"], emb["tempo"]),
+                      cos(emb["partition"], emb["violin"])])
+    assert within > across + 0.3, (within, across)
+
+
+def test_distributed_training_spark(spark):
+    rng = np.random.default_rng(13)
+    rows = [(s,) for s in planted_corpus(rng, n_sent=600)]
+    df = spark.createDataFrame(rows, "content string").repartition(4)
+    out = sgns.train_embeddings(
+        df, "content", vocab_dim=16, embedding_dim=16, symm_context=3,
+        neg_samples=4, subsample_threshold=1e6, reservoir_size=1024,
+        tau=2e4, kappa=5e-2,
+    )
+    emb = {r["word"]: np.array(r["vec"], dtype=np.float64)
+           for r in out.collect()}
+    assert set(emb) == {"spark", "shuffle", "partition", "executor",
+                        "piano", "violin", "sonata", "tempo"}
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    within = cos(emb["spark"], emb["shuffle"])
+    across = cos(emb["spark"], emb["piano"])
+    assert within > across, (within, across)
