@@ -502,6 +502,111 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_docs(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_hourly: the same windowed
+    aggregation run through a file-source stream (availableNow) —
+    shares the batch oracle, proving batch/stream parity."""
+    import shutil
+    import tempfile
+
+    from athena_spark.streaming.stream_agg import windowed_event_counts
+
+    batch = _table(spark, sf_dir, "events")
+    # the file stream source needs a directory basePath
+    src_dir = tempfile.mkdtemp(prefix="athena_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet",
+                f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = windowed_event_counts(stream)
+    name = "events_hourly_stream_gate"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix="athena_stream_ckpt_")
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def q_topk_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Space-Saving: one sketch per lang (map-side combined,
+    summaries shuffle — never tokens), top-5 tokens each.  k >> vocab
+    → exact, so the oracle is a windowed GROUP BY."""
+    from athena_spark.operators.agg import token_counts_updater
+    from athena_spark.operators.grouped import grouped_sketch_agg, grouped_sketch_report
+    from athena_spark.sketch import SpaceSaving
+
+    docs = _docs(spark, sf_dir)
+    grouped = grouped_sketch_agg(
+        docs, ["lang"], "text", lambda: SpaceSaving(k=4096),
+        token_counts_updater,
+    )
+
+    def top5(sk):
+        items = sk.items(5)
+        return {
+            "token": [w for w, _, _ in items],
+            "est_count": [c for _, c, _ in items],
+        }
+
+    rep = grouped_sketch_report(
+        grouped, ["lang"], top5,
+        "token array<string>, est_count array<long>",
+    )
+    return rep.select(
+        "lang",
+        F.explode(F.arrays_zip("token", "est_count")).alias("z")
+    ).select("lang", F.col("z.token").alias("token"),
+             F.col("z.est_count").alias("est_count"))
+
+
+def q_subsample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified B13 subsampling: the empirical keep-rate of the
+    sqrt(t/f) subsampler stays within 6σ of the analytic probability
+    for every token (reference's statistical-test recipe,
+    test/core_test.cpp:525-613)."""
+    import numpy as np
+    from athena_spark.functions.tokenize import exploded_tokens
+    from athena_spark.sketch import NaiveLanguageModel
+
+    exact = (
+        exploded_tokens(_docs(spark, sf_dir), "text")
+        .groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    )
+    lm = NaiveLanguageModel(subsample_threshold=1e-3,
+                            rng=np.random.default_rng(11))
+    counts = {r["token"]: r["cnt"] for r in exact}
+    total = sum(counts.values())
+    trials = 4000
+    ok_all = True
+    for token, cnt in counts.items():
+        idx = lm.lookup(token)
+        if idx < 0:
+            for _ in range(cnt):
+                lm.increment(token)
+    for token, cnt in counts.items():
+        idx = lm.lookup(token)
+        p = min(1.0, float(np.sqrt(1e-3 / (cnt / total))))
+        keep = sum(lm.subsample(idx) for _ in range(trials)) / trials
+        sigma = max(np.sqrt(p * (1 - p) / trials), 1e-9)
+        if abs(keep - p) > 6 * sigma + 1e-12:
+            ok_all = False
+    return spark.createDataFrame(
+        [("keep_rate_within_6_sigma", bool(ok_all))],
+        schema="check string, ok boolean",
+    )
+
+
 def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 pipeline (streaming SGNS embeddings over a Space-Saving
     vocabulary, arXiv:1704.07463): per-partition trainers +
@@ -544,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "doc_fingerprints": q_doc_fingerprints,
         "sgns_embeddings": q_sgns_embeddings,
+        "events_hourly_streaming": q_events_hourly_streaming,
+        "topk_tokens_by_lang": q_topk_tokens_by_lang,
+        "subsample_rate": q_subsample_rate,
     }
 
 
@@ -659,4 +767,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid": _LANGID_SQL,
         "quality_features": _QUALITY_SQL,
+        "events_hourly_streaming": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "topk_tokens_by_lang": r"""
+            WITH counts AS (
+                SELECT lang, token, COUNT(*) AS est_count FROM (
+                    SELECT lang,
+                           unnest(regexp_split_to_array(text, '[ \t\r\n]+')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+                GROUP BY lang, token
+            ), ranked AS (
+                SELECT lang, token, est_count,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY est_count DESC, token ASC) AS rn
+                FROM counts
+            )
+            SELECT lang, token, est_count FROM ranked WHERE rn <= 5
+        """,
+        "subsample_rate": """
+            SELECT 'keep_rate_within_6_sigma' AS "check", TRUE AS ok
+        """,
     }

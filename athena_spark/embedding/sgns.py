@@ -118,6 +118,74 @@ class DynamicContextStrategy:
         return (min(avail_left, c), min(avail_right, c))
 
 
+class UniformNegSampler:
+    """Uniform over the current vocab (src/_core.h:444-448)."""
+
+    def __init__(self, rng: np.random.Generator):
+        self._rng = rng
+        self.vocab_size = 0
+
+    def step(self, word_idx: int) -> None:
+        self.vocab_size = max(self.vocab_size, word_idx + 1)
+
+    def sample_idx(self, n: int = 1) -> np.ndarray:
+        return self._rng.integers(0, max(self.vocab_size, 1), size=n)
+
+
+class EmpiricalNegSampler:
+    """Alias-sample from (smoothed) current counts with the reference's
+    refresh policy: rebuild the alias table during the first
+    ``refresh_burn_in`` steps and every ``refresh_interval`` steps
+    after (0 = never again) — src/_core.h:469-494, defaults :25-26."""
+
+    def __init__(self, counts_fn, rng: np.random.Generator,
+                 exponent: float = 1.0, offset: float = 0.0,
+                 refresh_burn_in: int = 1000, refresh_interval: int = 0):
+        from athena_spark.sketch.normalizer import ExponentCountNormalizer
+        from athena_spark.sketch.sampling import AliasSampler
+
+        self._counts_fn = counts_fn  # () -> current count vector
+        self._rng = rng
+        self._normalizer = ExponentCountNormalizer(exponent, offset)
+        self._burn_in = refresh_burn_in
+        self._interval = refresh_interval
+        self._t = 0
+        self._alias_cls = AliasSampler
+        self._sampler = None
+
+    def _refresh(self) -> None:
+        counts = np.asarray(self._counts_fn(), dtype=np.float64)
+        if counts.sum() > 0:
+            self._sampler = self._alias_cls(self._normalizer.normalize(counts))
+
+    def step(self, word_idx: int) -> None:
+        self._t += 1
+        if self._t <= self._burn_in or (
+            self._interval and self._t % self._interval == 0
+        ):
+            self._refresh()
+
+    def sample_idx(self, n: int = 1) -> np.ndarray:
+        if self._sampler is None:
+            self._refresh()
+        return self._sampler.sample(self._rng, n)
+
+
+class DiscreteNegSampler:
+    """Draw from a frozen Discretization table (word2vec's 1e8-entry
+    unigram table; src/_core.h:373-391, src/word2vec-train.cpp:164-178)."""
+
+    def __init__(self, table, rng: np.random.Generator):
+        self._table = table  # sketch.sampling.Discretization
+        self._rng = rng
+
+    def step(self, word_idx: int) -> None:
+        pass  # static distribution
+
+    def sample_idx(self, n: int = 1) -> np.ndarray:
+        return self._table.sample(self._rng, n)
+
+
 class ReservoirNegSampler:
     """Reservoir-of-word-ids negative sampler (src/_core.h:342-365):
     every observed id feeds the reservoir; negatives drawn uniformly

@@ -1,0 +1,133 @@
+"""Two-pass word2vec parity trainer (reference E5/E6,
+src/word2vec-train.cpp / word2vec-alias-train.cpp).
+
+Pass 1 — exact vocabulary: Catalyst ``groupBy().count()`` over all
+tokens, truncated to the top-V words (NaiveLanguageModel.truncate
+semantics: descending count, ids 0..V-1, retained total —
+src/word2vec-train.cpp:133-151).
+
+Frozen negative-sampling distribution: counts → 0.75-exponent
+smoothing → Discretization table (:164-178) or alias table (E6
+variant).  SGD ``tau`` = retained corpus mass, i.e. the learning rate
+decays linearly over one epoch (:165,174).
+
+Pass 2 — re-scan the corpus and train SGNS per partition with the
+frozen vocab + table; models merged by count-weighted averaging.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from athena_spark.embedding import sgns
+from athena_spark.functions.tokenize import exploded_tokens, sentences_pandas
+from athena_spark.sketch.normalizer import ExponentCountNormalizer
+from athena_spark.sketch.sampling import AliasSampler, Discretization
+
+
+def build_vocab(df: DataFrame, col: str, vocab_size: int):
+    """Pass 1: (words, counts) of the top-``vocab_size`` tokens,
+    deterministic ordering (count desc, word asc)."""
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    top = (
+        exploded_tokens(df, col)
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= vocab_size)
+        .orderBy("rn")
+        .collect()
+    )
+    words = [r["token"] for r in top]
+    counts = np.array([r["cnt"] for r in top], dtype=np.int64)
+    return words, counts
+
+
+def word2vec_train(
+    df: DataFrame,
+    col: str,
+    vocab_size: int = 10_000,
+    embedding_dim: int = 100,
+    symm_context: int = 5,
+    neg_samples: int = 5,
+    subsample_threshold: float = 1e-3,
+    smoothing_exponent: float = 0.75,
+    table_size: int = 1_000_000,
+    alias_sampling: bool = False,  # E6 variant
+    kappa: float = 2.5e-2,
+    rho_lower_bound: float = 1e-4,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns (word, count, vec array<float>)."""
+    spark = df.sparkSession
+    words, counts = build_vocab(df, col, vocab_size)
+    total = int(counts.sum())
+    probs = ExponentCountNormalizer(smoothing_exponent).normalize(counts)
+    vocab_index = {w: i for i, w in enumerate(words)}
+    keep_prob = np.minimum(
+        1.0, np.sqrt(subsample_threshold / (counts / total))
+    )
+    bc = spark.sparkContext.broadcast(
+        (vocab_index, probs, counts, keep_prob)
+    )
+    v = len(words)
+
+    def train(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        rng = np.random.default_rng(np.random.SeedSequence([seed, pid]))
+        vocab_index_, probs_, counts_, keep_prob_ = bc.value
+        # both tables expose .sample(rng, n): Discretization (E5) and
+        # the alias method (E6)
+        table = (AliasSampler(probs_) if alias_sampling
+                 else Discretization(probs_, table_size))
+        neg = sgns.DiscreteNegSampler(table, rng)
+        fact = sgns.WordContextFactorization(v, embedding_dim, rng)
+        # tau = corpus mass: learning rate decays over ~one epoch
+        sg = sgns.SGD(v, tau=max(total, 1), kappa=kappa,
+                      rho_lower_bound=rho_lower_bound)
+        tl = sgns.SGNSTokenLearner(fact, sg, neg)
+        sl = sgns.SGNSSentenceLearner(
+            tl, sgns.DynamicContextStrategy(symm_context), neg_samples, rng
+        )
+        for pdf in batches:
+            for sentence in sentences_pandas(pdf[col]):
+                ids = []
+                for word in sentence:
+                    idx = vocab_index_.get(word)
+                    if idx is None:
+                        continue
+                    if rng.random() > keep_prob_[idx]:
+                        continue
+                    ids.append(idx)
+                if len(ids) > 1:
+                    sl.sentence_train(ids)
+                for idx in ids:
+                    sg.step(idx)
+        out = pd.DataFrame({
+            "word": list(words),
+            "count": counts_.astype(np.int64),
+            "vec": [row.copy() for row in fact.word],
+        })
+        yield out
+
+    partials = df.select(col).mapInPandas(
+        train, "word string, count long, vec array<float>"
+    )
+
+    def avg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "word": [pdf["word"].iloc[0]],
+            "count": [int(pdf["count"].iloc[0])],
+            "vec": [vecs.mean(axis=0).astype(np.float32)],
+        })
+
+    return partials.groupBy("word").applyInPandas(
+        avg_group, "word string, count long, vec array<float>"
+    )

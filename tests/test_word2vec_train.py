@@ -1,0 +1,117 @@
+"""Two-pass word2vec parity trainer (E5/E6) + sampling strategies."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.embedding import sgns
+from athena_spark.embedding.word2vec_train import build_vocab, word2vec_train
+
+
+def corpus_df(spark, n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    topic_a = ["spark", "shuffle", "partition", "executor"]
+    topic_b = ["piano", "violin", "sonata", "tempo"]
+    rare = ["zzz1", "zzz2"]
+    rows = []
+    for i in range(n):
+        topic = topic_a if rng.random() < 0.5 else topic_b
+        words = list(rng.choice(topic, size=8))
+        if rng.random() < 0.02:
+            words.append(rng.choice(rare))
+        rows.append((" ".join(words),))
+    return spark.createDataFrame(rows, "content string")
+
+
+def test_build_vocab_truncates_deterministically(spark):
+    df = corpus_df(spark)
+    words, counts = build_vocab(df, "content", vocab_size=8)
+    assert len(words) == 8
+    assert (np.diff(counts) <= 0).all()          # descending
+    assert not set(words) & {"zzz1", "zzz2"}     # rare words truncated
+
+
+def test_word2vec_train_learns_topics(spark):
+    df = corpus_df(spark, n=600).repartition(4)
+    out = word2vec_train(
+        df, "content", vocab_size=8, embedding_dim=16, symm_context=3,
+        neg_samples=4, subsample_threshold=1e6, table_size=10_000,
+        kappa=5e-2,
+    )
+    emb = {r["word"]: np.array(r["vec"], dtype=np.float64)
+           for r in out.collect()}
+    assert len(emb) == 8
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    within = cos(emb["spark"], emb["shuffle"])
+    across = cos(emb["spark"], emb["piano"])
+    assert within > across, (within, across)
+
+
+def test_word2vec_alias_variant_runs(spark):
+    df = corpus_df(spark, n=100).repartition(2)
+    out = word2vec_train(
+        df, "content", vocab_size=8, embedding_dim=8,
+        alias_sampling=True, table_size=1000,
+    )
+    assert out.count() == 8
+
+
+# -- sampling strategies (C5, C6, C8) ---------------------------------------
+
+def test_uniform_neg_sampler():
+    rng = np.random.default_rng(0)
+    s = sgns.UniformNegSampler(rng)
+    for i in range(10):
+        s.step(i)
+    draws = s.sample_idx(10_000)
+    assert draws.min() >= 0 and draws.max() <= 9
+    freq = np.bincount(draws, minlength=10) / 10_000
+    assert (np.abs(freq - 0.1) < 0.02).all()
+
+
+def test_empirical_neg_sampler_refresh_policy():
+    rng = np.random.default_rng(1)
+    counts = np.array([100, 0, 0])
+    refreshes = []
+
+    def counts_fn():
+        refreshes.append(1)
+        return counts
+
+    s = sgns.EmpiricalNegSampler(counts_fn, rng, exponent=0.75,
+                                 refresh_burn_in=3, refresh_interval=5)
+    for t in range(20):
+        s.step(0)
+    # refreshed at t=1,2,3 (burn-in) and t=5,10,15,20 (interval)
+    assert len(refreshes) == 7
+    counts[1] = 100_000
+    s._refresh()
+    draws = s.sample_idx(5000)
+    assert (draws == 1).mean() > 0.8  # follows updated distribution
+
+
+def test_empirical_sampler_distribution():
+    rng = np.random.default_rng(2)
+    counts = np.array([16, 81, 1], dtype=float)
+    s = sgns.EmpiricalNegSampler(lambda: counts, rng, exponent=0.75)
+    draws = s.sample_idx(100_000)
+    expected = np.array([8.0, 27.0, 1.0])
+    expected = expected / expected.sum()
+    freq = np.bincount(draws, minlength=3) / 100_000
+    sigma = np.sqrt(expected * (1 - expected) / 100_000)
+    assert (np.abs(freq - expected) < 6 * sigma).all()
+
+
+def test_discrete_neg_sampler():
+    from athena_spark.sketch.sampling import Discretization
+
+    rng = np.random.default_rng(3)
+    table = Discretization([0.5, 0.3, 0.2], 1000)
+    s = sgns.DiscreteNegSampler(table, rng)
+    s.step(0)  # no-op
+    draws = s.sample_idx(50_000)
+    freq = np.bincount(draws, minlength=3) / 50_000
+    assert np.abs(freq - [0.5, 0.3, 0.2]).max() < 0.02
