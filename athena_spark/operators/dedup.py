@@ -177,11 +177,37 @@ def minhash_dedup_pairs(
     the verified output matches the exact all-pairs answer."""
     sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
     cands = minhash_lsh_candidates(sigs, id_col, num_perm=num_perm, bands=bands)
-    exact = ngram_jaccard_pairs(
-        df, id_col, text_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    # exact verification restricted to CANDIDATE pairs only — the
+    # whole point of LSH is never materializing the all-pairs join
+    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed("doc", "id_a").withColumnRenamed("shingle", "sh_a")
+    b = sh.withColumnRenamed("doc", "id_b2").withColumnRenamed("shingle", "sh_b")
+    inter = (
+        cands.join(a, "id_a")
+        # equi-join on BOTH the doc id and the shingle (Catalyst folds
+        # the shingle equality into the join keys — no per-pair cross
+        # product of shingle sets)
+        .join(b, (F.col("id_b") == F.col("id_b2"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
-    # verify candidates exactly; exact side is already pair-keyed
-    return exact.join(cands, ["id_a", "id_b"], "inner")
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # -- SimHash -----------------------------------------------------------------

