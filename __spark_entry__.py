@@ -607,6 +607,52 @@ def q_subsample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data dedup pipeline: exact (sha-group,
+    keep min id) then MinHash-LSH near-dup removal (greedy
+    keep-smaller-id at J >= 0.8).  Returns surviving doc ids."""
+    from athena_spark.operators.dedup import dedup_corpus
+
+    return dedup_corpus(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
+    ).select("doc_id")
+
+
+def q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified batch/stream parity: the foreachBatch-maintained
+    Space-Saving summary over a file stream equals the batch
+    aggregation exactly (mergeability makes the two engines
+    semantically identical, SURVEY.md §1.3)."""
+    import shutil
+    import tempfile
+
+    from athena_spark.operators.agg import aggregate_sketch, token_counts_updater
+    from athena_spark.sketch import SpaceSaving
+    from athena_spark.streaming.stream_agg import StreamingSketch
+
+    docs = _docs(spark, sf_dir)
+    truth, _ = aggregate_sketch(docs, "text", lambda pid: SpaceSaving(k=4096))
+    src = tempfile.mkdtemp(prefix="athena_sketch_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+    ss = StreamingSketch(lambda pid: SpaceSaving(k=4096),
+                         token_counts_updater, col="text")
+    ckpt = tempfile.mkdtemp(prefix="athena_sketch_stream_ckpt_")
+    q = (
+        spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream.foreachBatch(ss.foreach_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = ss.current()
+    rows = [
+        ("stream_total_equals_batch", bool(got.total == truth.total)),
+        ("stream_items_equal_batch", bool(got.items() == truth.items())),
+    ]
+    return spark.createDataFrame(rows, schema="check string, ok boolean")
+
+
 def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 pipeline (streaming SGNS embeddings over a Space-Saving
     vocabulary, arXiv:1704.07463): per-partition trainers +
@@ -652,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_streaming": q_events_hourly_streaming,
         "topk_tokens_by_lang": q_topk_tokens_by_lang,
         "subsample_rate": q_subsample_rate,
+        "dedup_corpus": q_dedup_corpus,
+        "streaming_sketch_parity": q_streaming_sketch_parity,
     }
 
 
@@ -793,5 +841,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "subsample_rate": """
             SELECT 'keep_rate_within_6_sigma' AS "check", TRUE AS ok
+        """,
+        "dedup_corpus": r"""
+            WITH keep_exact AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+            ), surv AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN keep_exact k ON d.doc_id = k.doc_id
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+                                   t -> t <> '') AS ts
+                FROM surv
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT id_b FROM inter
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+            )
+            SELECT doc_id FROM surv
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "streaming_sketch_parity": """
+            SELECT 'stream_total_equals_batch' AS "check", TRUE AS ok
+            UNION ALL
+            SELECT 'stream_items_equal_batch' AS "check", TRUE AS ok
         """,
     }

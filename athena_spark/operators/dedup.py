@@ -210,6 +210,39 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """End-to-end corpus dedup: drop exact duplicates (keep the min
+    id per byte-identical group), then drop near-duplicates via
+    MinHash-LSH (greedy keep-smaller-id rule: a doc is removed iff it
+    is the larger id of some pair with Jaccard >= threshold).
+
+    Both removal sets arrive via anti-joins of id lists — the corpus
+    text itself is never reshuffled.
+    """
+    exact_keep = (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_sha"))
+        .groupBy("_sha")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = df.join(exact_keep, id_col, "left_semi")
+    near_pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, n=n, threshold=threshold,
+        num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
+    )
+    losers = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return survivors.join(losers, id_col, "left_anti")
+
+
 # -- SimHash -----------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

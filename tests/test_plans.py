@@ -1,0 +1,64 @@
+"""Plan-hygiene regression tests: the physical plans the engine relies
+on at 100 TB — column pruning into the scan, predicate pushdown,
+map-side partial aggregation, no shuffle before the sketch partial
+pass — asserted from `.explain("formatted")` output."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from athena_spark.functions.tokenize import exploded_tokens
+from athena_spark.operators.agg import sketch_partials, token_counts_updater
+from athena_spark.sketch import SpaceSaving
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sketch_partials_scan_prunes_to_one_column(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(
+        sketch_partials(docs, "text", lambda pid: SpaceSaving(k=16),
+                        token_counts_updater)
+    )
+    assert "ReadSchema: struct<text:string>" in plan
+    # fused pass: nothing between scan and the Arrow map — no shuffle
+    assert "Exchange" not in plan
+
+
+def test_exact_counts_have_map_side_combine(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(
+        exploded_tokens(docs, "text").groupBy("token").count()
+    )
+    assert "partial_count" in plan          # map-side combine
+    tree = plan.split("\n\n")[0]            # operator tree section
+    assert tree.count("Exchange") == 1      # exactly one shuffle
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(docs.where(F.col("lang") == "en").select("doc_id"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_ann_bruteforce_no_vector_shuffle(spark, sf_dir):
+    """The corpus side must stream through the scorer without a
+    shuffle; the only exchange is the tiny per-batch top-k rows."""
+    from athena_spark.operators.similarity import ann_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(ann_topk_bruteforce(emb, emb.where("vec_id < 3"), k=3))
+    # tree section = lines until the first blank line; the subtree
+    # printed BELOW MapInPandas feeds it — must be shuffle-free
+    tree = plan.split("\n\n")[0].splitlines()
+    map_lines = [i for i, l in enumerate(tree) if "MapInPandas" in l]
+    assert map_lines, plan
+    below_map = "\n".join(tree[map_lines[0] + 1 :])
+    assert "Exchange" not in below_map, below_map

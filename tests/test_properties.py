@@ -1,0 +1,137 @@
+"""Hypothesis property tests for the mergeable-summary laws the north
+rule requires: bounds, merge associativity/commutativity, round-trips
+— over adversarial random inputs, not just the fixed fixtures."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from athena_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    SpaceSaving,
+)
+
+token = st.text(
+    alphabet=st.characters(codec="utf-8", categories=("L", "N", "P", "S")),
+    min_size=1, max_size=12,
+)
+stream = st.lists(token, min_size=0, max_size=400)
+
+
+def exact(tokens):
+    out = {}
+    for t in tokens:
+        out[t] = out.get(t, 0) + 1
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(stream, stream, st.integers(min_value=2, max_value=16))
+def test_spacesaving_merge_bounds_and_commutativity(a_toks, b_toks, k):
+    truth = exact(a_toks + b_toks)
+    a1 = SpaceSaving(k=k); a1.update(np.array(a_toks, dtype=object))
+    b1 = SpaceSaving(k=k); b1.update(np.array(b_toks, dtype=object))
+    ab = a1.merge(b1)
+    a2 = SpaceSaving(k=k); a2.update(np.array(a_toks, dtype=object))
+    b2 = SpaceSaving(k=k); b2.update(np.array(b_toks, dtype=object))
+    ba = b2.merge(a2)
+    assert ab.items() == ba.items()                 # commutative
+    assert ab.total == len(a_toks) + len(b_toks)
+    for w, est, err in ab.items():
+        true = truth.get(w, 0)
+        assert true <= est <= true + err + ab.total / k + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(stream, stream, stream, st.integers(min_value=2, max_value=12))
+def test_spacesaving_merge_associative_bounds(a_toks, b_toks, c_toks, k):
+    truth = exact(a_toks + b_toks + c_toks)
+
+    def mk(toks):
+        s = SpaceSaving(k=k)
+        s.update(np.array(toks, dtype=object))
+        return s
+
+    left = mk(a_toks).merge(mk(b_toks)).merge(mk(c_toks))
+    right = mk(a_toks).merge(mk(b_toks).merge(mk(c_toks)))
+    assert left.total == right.total
+    for sk in (left, right):
+        bound = sk.total / k
+        for w, est, err in sk.items():
+            true = truth.get(w, 0)
+            assert true <= est <= true + bound
+        # guaranteed heavy hitters are always reported
+        reported = {w for w, _, _ in sk.items()}
+        for w, c in truth.items():
+            if c > bound:
+                assert w in reported
+
+
+@settings(max_examples=30, deadline=None)
+@given(stream)
+def test_spacesaving_serialization_roundtrip(toks):
+    sk = SpaceSaving(k=8)
+    sk.update(np.array(toks, dtype=object))
+    back = SpaceSaving.from_bytes(sk.to_bytes())
+    assert back.items() == sk.items() and back.total == sk.total
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(token, min_size=0, max_size=300),
+       st.lists(token, min_size=0, max_size=300))
+def test_hll_merge_equals_union(a_vals, b_vals):
+    u = HyperLogLog(p=10)
+    u.update(np.array(a_vals + b_vals, dtype=object))
+    a = HyperLogLog(p=10); a.update(np.array(a_vals, dtype=object))
+    b = HyperLogLog(p=10); b.update(np.array(b_vals, dtype=object))
+    assert a.merge(b).estimate() == u.estimate()    # register-exact
+
+
+@settings(max_examples=25, deadline=None)
+@given(stream, stream)
+def test_cms_never_underestimates_after_merge(a_toks, b_toks):
+    truth = exact(a_toks + b_toks)
+    a = CountMinSketch(4, 64); a.update(np.array(a_toks, dtype=object))
+    b = CountMinSketch(4, 64); b.update(np.array(b_toks, dtype=object))
+    a.merge(b)
+    words = np.array(list(truth) or ["x"], dtype=object)
+    est = a.query(words)
+    for w, e in zip(words, est):
+        assert e >= truth.get(w, 0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=1, max_size=500),
+       st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=1, max_size=500))
+def test_kll_merge_rank_bound(a_vals, b_vals):
+    data = np.array(a_vals + b_vals, dtype=np.float64)
+    a = KLL(k=64, seed=1); a.update(np.array(a_vals))
+    b = KLL(k=64, seed=2); b.update(np.array(b_vals))
+    a.merge(b)
+    assert a.n == len(data)
+    s = np.sort(data)
+    for q in (0.25, 0.5, 0.75):
+        est = a.quantile(q)[0]
+        lo = np.searchsorted(s, est, side="left") / len(s)
+        hi = np.searchsorted(s, est, side="right") / len(s)
+        # generous bound for small k / tiny n (error <= ~3/k + 1/n)
+        assert lo - 0.1 <= q <= hi + 0.1
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(token, min_size=0, max_size=200),
+       st.lists(token, min_size=0, max_size=200))
+def test_bloom_union_no_false_negatives(a_vals, b_vals):
+    a = BloomFilter(1 << 12, 4); b = BloomFilter(1 << 12, 4)
+    if a_vals:
+        a.add(np.array(a_vals, dtype=object))
+    if b_vals:
+        b.add(np.array(b_vals, dtype=object))
+    a.merge(b)
+    members = np.array(a_vals + b_vals, dtype=object)
+    if len(members):
+        assert a.contains(members).all()
