@@ -13,6 +13,18 @@ from athena_spark.operators.agg import sketch_partials, token_counts_updater
 from athena_spark.sketch import SpaceSaving
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def fresh_scans(spark):
+    # other modules cache the documents table; a cached plan replaces
+    # the parquet scan with InMemoryRelation and hides ReadSchema /
+    # PushedFilters from these assertions
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
