@@ -357,6 +357,88 @@ class SpaceSavingWord2Vec:
         self.n_sentences += 1
         self.n_tokens += len(words)
 
+    # -- whole-learner serialization (reference E3 dumps the entire
+    # learner as one blob, src/spacesaving-word2vec-train.cpp:207-208;
+    # fixed-point round-trip is the reference's test style,
+    # test/core_test.cpp:797-857) --------------------------------------
+
+    def to_bytes(self) -> bytes:
+        from athena_spark.sketch import serialization
+
+        lm = self.lm
+        return serialization.dumps(
+            {
+                "algo": "sswv",
+                "vocab_dim": lm.capacity(),
+                "embedding_dim": self.factorization.embedding_dim,
+                "size": lm.size(),
+                "total": lm.total(),
+                "min_idx": lm._min_idx,
+                "subsample_threshold": lm._subsample_threshold,
+                "neg_samples": self.sentence_learner.neg_samples,
+                "symm_context": self.sentence_learner.ctx_strategy.symm_context,
+                "sgd_tau": self.sgd.tau,
+                "sgd_kappa": self.sgd.kappa,
+                "sgd_lb": self.sgd.rho_lower_bound,
+                "n_sentences": self.n_sentences,
+                "n_tokens": self.n_tokens,
+                "res_filled": self.neg_sampler.reservoir.filled_size,
+                "res_count": self.neg_sampler.reservoir.count,
+            },
+            {
+                "counters": np.asarray(lm._counters, dtype=np.int64),
+                "internal_ids": np.asarray(lm._internal_ids, dtype=np.int64),
+                "external_ids": np.asarray(lm._external_ids, dtype=np.int64),
+                "words": lm._words[: lm.size()],
+                "word_vecs": self.factorization.word,
+                "context_vecs": self.factorization.context,
+                "sgd_t": self.sgd._t,
+                "sgd_rho": self.sgd._rho,
+                "reservoir": self.neg_sampler.reservoir._reservoir,
+            },
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SpaceSavingWord2Vec":
+        from athena_spark.sketch import serialization
+
+        s, a = serialization.loads(data)
+        if s.get("algo") != "sswv":
+            raise ValueError("not a SpaceSavingWord2Vec blob")
+        tr = cls(
+            vocab_dim=s["vocab_dim"], embedding_dim=s["embedding_dim"],
+            symm_context=s["symm_context"], neg_samples=s["neg_samples"],
+            subsample_threshold=s["subsample_threshold"],
+            reservoir_size=len(a["reservoir"]), tau=s["sgd_tau"],
+            kappa=s["sgd_kappa"], rho_lower_bound=s["sgd_lb"],
+        )
+        lm = tr.lm
+        lm._size = s["size"]
+        lm._total = s["total"]
+        lm._min_idx = s["min_idx"]
+        lm._counters = [int(c) for c in a["counters"]]
+        lm._internal_ids = [int(i) for i in a["internal_ids"]]
+        lm._external_ids = [int(i) for i in a["external_ids"]]
+        words = list(a["words"])
+        for i, w in enumerate(words):
+            lm._words[i] = w
+            lm._word_ids[w] = i
+        tr.factorization.word = np.asarray(a["word_vecs"], np.float32).reshape(
+            s["vocab_dim"], s["embedding_dim"]
+        )
+        tr.factorization.context = np.asarray(a["context_vecs"], np.float32).reshape(
+            s["vocab_dim"], s["embedding_dim"]
+        )
+        tr.sgd._t = np.asarray(a["sgd_t"], np.int64)
+        tr.sgd._rho = np.asarray(a["sgd_rho"], np.float32)
+        res = tr.neg_sampler.reservoir
+        res._reservoir = np.asarray(a["reservoir"], np.float64)
+        res.filled_size = s["res_filled"]
+        res.count = s["res_count"]
+        tr.n_sentences = s["n_sentences"]
+        tr.n_tokens = s["n_tokens"]
+        return tr
+
     def embeddings(self) -> pd.DataFrame:
         """(word, count, vec float32[dim]) for the current vocab."""
         rows = []

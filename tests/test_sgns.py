@@ -142,6 +142,36 @@ def test_streaming_trainer_evicts_and_learns():
     assert all(len(v) == 4 for v in emb["vec"])
 
 
+def test_trainer_serialization_fixed_point():
+    """Serialize → deserialize → state equality (the reference's
+    fixed-point style, test/core_test.cpp:797-857), then training can
+    continue on the restored learner."""
+    rng = np.random.default_rng(21)
+    tr = sgns.SpaceSavingWord2Vec(
+        vocab_dim=8, embedding_dim=6, symm_context=2, neg_samples=2,
+        subsample_threshold=1e6, reservoir_size=32, seed=9,
+    )
+    for sent in ["a b c a", "d e f g h i j", "a c a c"]:
+        tr.train_sentence(sent.split())
+    blob = tr.to_bytes()
+    back = sgns.SpaceSavingWord2Vec.from_bytes(blob)
+    assert back.lm.size() == tr.lm.size()
+    assert back.lm.total() == tr.lm.total()
+    for ext in range(tr.lm.size()):
+        w = tr.lm.reverse_lookup(ext)
+        assert back.lm.lookup(w) == tr.lm.lookup(w)
+        assert back.lm.count(ext) == tr.lm.count(ext)
+    assert np.array_equal(back.factorization.word, tr.factorization.word)
+    assert np.array_equal(back.factorization.context, tr.factorization.context)
+    assert np.array_equal(back.sgd._t, tr.sgd._t)
+    assert np.array_equal(back.neg_sampler.reservoir.values(),
+                          tr.neg_sampler.reservoir.values())
+    assert back.n_tokens == tr.n_tokens
+    # restored learner keeps learning without error
+    back.train_sentence("a b c d".split())
+    assert back.lm.total() == tr.lm.total() + 4
+
+
 def planted_corpus(rng, n_sent=400):
     """Two topics whose words never co-occur across topics."""
     topic_a = ["spark", "shuffle", "partition", "executor"]
