@@ -607,6 +607,14 @@ def q_subsample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) of the events stream — the
+    window-function surface (lag + running sum of boundaries)."""
+    from athena_spark.operators.sessionize import sessionize
+
+    return sessionize(_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data dedup pipeline: exact (sha-group,
     keep min id) then MinHash-LSH near-dup removal (greedy
@@ -700,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subsample_rate": q_subsample_rate,
         "dedup_corpus": q_dedup_corpus,
         "streaming_sketch_parity": q_streaming_sketch_parity,
+        "sessionization": q_sessionization,
     }
 
 
@@ -877,5 +886,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'stream_total_equals_batch' AS "check", TRUE AS ok
             UNION ALL
             SELECT 'stream_items_equal_batch' AS "check", TRUE AS ok
+        """,
+        "sessionization": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   CAST(MIN(ts) AS VARCHAR) AS session_start,
+                   CAST(MAX(ts) AS VARCHAR) AS session_end
+            FROM s GROUP BY user_id, session_id
         """,
     }

@@ -1,0 +1,47 @@
+"""Gap-based sessionization over event streams.
+
+Batch path (:func:`sessionize`): classic window-function plan —
+``lag(ts) over (partition by user order by ts)``, session boundary
+when the gap exceeds the threshold, session id by running sum of
+boundaries.  Whole-stage-codegen JVM expressions; the only shuffle is
+the per-user window partitioning.
+
+The reference has no SQL windows (SURVEY.md §2.2 — its "window" is
+the skip-gram context); this is the engine's window-function surface
+used by the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """One row per (user, session): start/end timestamps and event
+    count.  A new session starts when the gap since the previous
+    event of the same user exceeds ``gap_minutes``."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60.0
+    ts = F.col(ts_col).cast("timestamp")
+    prev = F.lag(ts).over(w)
+    new_session = (
+        prev.isNull()
+        | (ts.cast("double") - prev.cast("double") > gap_s)
+    ).cast("long")
+    w2 = Window.partitionBy(user_col).orderBy("_ts")
+    with_sid = df.select(
+        F.col(user_col), ts.alias("_ts"), new_session.alias("_new")
+    ).withColumn("session_id", F.sum("_new").over(w2))
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("_ts").cast("string").alias("session_start"),
+            F.max("_ts").cast("string").alias("session_end"),
+        )
+    )

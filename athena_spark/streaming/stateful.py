@@ -1,0 +1,50 @@
+"""Custom stateful streaming via ``applyInPandasWithState``.
+
+Demonstration operator for arbitrary per-key streaming state (the
+surface a custom stateful sketch would use): running per-key
+aggregates maintained in GroupState across micro-batches — each batch
+emits the keys it touched with their cumulative totals, so the last
+emission per key equals the batch-mode aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "key long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"key": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals(
+    stream_df: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running (count, sum) over a stream; update-mode output,
+    one row per touched key per micro-batch."""
+    from pyspark.sql import functions as F
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

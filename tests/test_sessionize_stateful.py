@@ -1,0 +1,79 @@
+"""Sessionization (batch window plan) and applyInPandasWithState
+running totals (custom stateful streaming)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators.sessionize import sessionize
+from athena_spark.streaming.stateful import running_totals
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp_test")
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (10 min gap)
+        (1, "2024-01-01 01:00:00"),   # new session (50 min gap)
+        (2, "2024-01-01 00:00:00"),   # separate user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {
+        (1, 1): (2, "2024-01-01 00:00:00"),
+        (1, 2): (1, "2024-01-01 01:00:00"),
+        (2, 1): (1, "2024-01-01 00:00:00"),
+    }
+
+
+def test_sessionize_events_table(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap_minutes=30)
+    agg = out.agg(F.sum("n_events").alias("n"),
+                  F.count("*").alias("sessions")).collect()[0]
+    assert agg["n"] == ev.count()            # every event in one session
+    assert agg["sessions"] >= out.select("user_id").distinct().count()
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    truth = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    src = os.path.join(TMP, "stateful_src")
+    ckpt = os.path.join(TMP, "stateful_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.repartition(5).write.parquet(src)     # several files → batches
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory").queryName("running_totals_t")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from running_totals_t").collect()
+    assert len(rows) > len(truth)            # several emissions per key
+    # last emission per key == batch aggregate
+    last = {}
+    for r in rows:                            # memory sink preserves order
+        last[r["key"]] = (r["n_events"], round(r["total_value"], 6))
+    assert last == truth
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
