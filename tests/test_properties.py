@@ -5,6 +5,11 @@ rule requires: bounds, merge associativity/commutativity, round-trips
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
+# deterministic example generation: a fresh random seed per CI run
+# would make the driver's verify pass flaky
+settings.register_profile("ci", derandomize=True, deadline=None)
+settings.load_profile("ci")
+
 from athena_spark.sketch import (
     BloomFilter,
     CountMinSketch,
