@@ -33,7 +33,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from athena_spark.functions.tokenize import sentences_pandas
 from athena_spark.sketch.reservoir import ReservoirSampler

@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from athena_spark.functions.text import shingles_col
 from athena_spark.sketch.hashing import hash64, splitmix64

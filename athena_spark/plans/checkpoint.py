@@ -33,7 +33,7 @@ from typing import Callable, Iterator
 
 import pyarrow as pa
 from pyspark import TaskContext
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from athena_spark.operators.agg import load_summary, tree_merge
 

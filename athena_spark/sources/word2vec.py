@@ -16,7 +16,6 @@ when sharded across many files.
 from __future__ import annotations
 
 import io
-import struct
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
