@@ -239,6 +239,43 @@ class SGNSTokenLearner:
         # input word step
         self.sgd.gradient_update(input_idx, grad_in, self.f.word[input_idx])
 
+    def window_train(self, input_idx: int, output_idxs: list[int],
+                     neg_samples: int) -> None:
+        """Vectorized variant of the per-pair loop: one center word
+        against its whole context window plus all negatives in a
+        single NumPy pass.
+
+        Deviation from the strictly-sequential reference updates:
+        gradients use a snapshot of the context matrix taken at the
+        start of the window (pairs within one window don't see each
+        other's context updates).  Statistically equivalent mini-batch
+        SGD; the embedding-quality tests hold for both paths.
+        """
+        if not output_idxs:
+            return
+        f, sgd = self.f, self.sgd
+        pos = np.asarray(output_idxs, dtype=np.int64)
+        if neg_samples:
+            neg = self.neg.sample_idx(neg_samples * len(pos))
+            outs = np.concatenate([pos, neg])
+            labels = np.concatenate([
+                np.ones(len(pos), np.float32),
+                np.zeros(len(neg), np.float32),
+            ])
+        else:
+            outs, labels = pos, np.ones(len(pos), np.float32)
+        w_in = f.word[input_idx].copy()
+        ctx = f.context[outs]                       # snapshot (R, D)
+        coeff = (labels - sigmoid(ctx @ w_in)).astype(np.float32)
+        rho_out = sgd._rho[outs].astype(np.float32)
+        # context rows step toward/away from the input vector;
+        # duplicate out-ids accumulate like sequential-with-snapshot
+        np.add.at(f.context, outs, (rho_out * coeff)[:, None] * w_in[None, :])
+        # input step from the snapshot context rows
+        grad_in = (coeff[:, None] * ctx).sum(axis=0)
+        sgd.gradient_update(input_idx, grad_in.astype(np.float32),
+                            f.word[input_idx])
+
     def compute_similarity(self, i: int, j: int) -> float:
         a, b = self.f.word[i], self.f.word[j]
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
@@ -270,10 +307,12 @@ class SGNSSentenceLearner:
     """sentence_train (src/_sgns.h:313-337)."""
 
     def __init__(self, token_learner: SGNSTokenLearner, ctx_strategy,
-                 neg_samples: int, rng: np.random.Generator):
+                 neg_samples: int, rng: np.random.Generator,
+                 fast: bool = False):
         self.token_learner = token_learner
         self.ctx_strategy = ctx_strategy
         self.neg_samples = neg_samples
+        self.fast = fast
         self._rng = rng
 
     def sentence_train(self, word_ids: list[int]) -> None:
@@ -282,6 +321,12 @@ class SGNSSentenceLearner:
             left, right = self.ctx_strategy.size(pos, (n - 1) - pos, self._rng)
             start = pos - left
             end = start + left + 1 + right
+            if self.fast:
+                window = [word_ids[p] for p in range(start, end) if p != pos]
+                self.token_learner.window_train(
+                    word_ids[pos], window, self.neg_samples
+                )
+                continue
             for out_pos in range(start, end):
                 if out_pos != pos:
                     self.token_learner.token_train(
@@ -305,6 +350,7 @@ class SpaceSavingWord2Vec:
         kappa: float = 2.5e-2,
         rho_lower_bound: float = 1e-4,
         dynamic_context: bool = True,
+        fast: bool = False,
         seed: int = 42,
     ):
         rng = np.random.default_rng(seed)
@@ -319,7 +365,7 @@ class SpaceSavingWord2Vec:
         ctx = (DynamicContextStrategy(symm_context) if dynamic_context
                else StaticContextStrategy(symm_context))
         self.sentence_learner = SGNSSentenceLearner(
-            self.token_learner, ctx, neg_samples, rng
+            self.token_learner, ctx, neg_samples, rng, fast=fast
         )
         self.n_sentences = 0
         self.n_tokens = 0
@@ -380,6 +426,7 @@ class SpaceSavingWord2Vec:
                 "sgd_tau": self.sgd.tau,
                 "sgd_kappa": self.sgd.kappa,
                 "sgd_lb": self.sgd.rho_lower_bound,
+                "fast": self.sentence_learner.fast,
                 "n_sentences": self.n_sentences,
                 "n_tokens": self.n_tokens,
                 "res_filled": self.neg_sampler.reservoir.filled_size,
@@ -411,6 +458,7 @@ class SpaceSavingWord2Vec:
             subsample_threshold=s["subsample_threshold"],
             reservoir_size=len(a["reservoir"]), tau=s["sgd_tau"],
             kappa=s["sgd_kappa"], rho_lower_bound=s["sgd_lb"],
+            fast=bool(s.get("fast", False)),
         )
         lm = tr.lm
         lm._size = s["size"]

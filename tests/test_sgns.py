@@ -209,6 +209,50 @@ def test_embeddings_separate_planted_topics():
     assert within > across + 0.3, (within, across)
 
 
+def test_fast_mode_learns_topics_and_is_faster():
+    import time
+
+    rng = np.random.default_rng(7)
+    corpus = planted_corpus(rng, n_sent=400)
+
+    def run(fast):
+        tr = sgns.SpaceSavingWord2Vec(
+            vocab_dim=16, embedding_dim=16, symm_context=3, neg_samples=4,
+            subsample_threshold=1e6, reservoir_size=1024, tau=2e4,
+            kappa=5e-2, seed=3, fast=fast,
+        )
+        t0 = time.perf_counter()
+        for sent in corpus:
+            tr.train_sentence(sent.split())
+        return tr, time.perf_counter() - t0
+
+    tr_fast, t_fast = run(True)
+    tr_slow, t_slow = run(False)
+    emb = {r.word: np.asarray(r.vec, dtype=np.float64)
+           for r in tr_fast.embeddings().itertuples()}
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    within = cos(emb["spark"], emb["shuffle"])
+    across = cos(emb["spark"], emb["piano"])
+    assert within > across + 0.3, (within, across)
+    # vectorized window pass must beat the per-pair loop
+    assert t_fast < t_slow, (t_fast, t_slow)
+
+
+def test_window_train_matches_token_train_for_single_pair():
+    """With one output word and no negatives, the fast path reduces to
+    exactly one token_train step."""
+    a = make_learner(seed=11)
+    b = make_learner(seed=11)
+    assert np.array_equal(a.f.word, b.f.word)
+    a.token_train(0, 1, neg_samples=0)
+    b.window_train(0, [1], neg_samples=0)
+    assert np.allclose(a.f.word, b.f.word, atol=1e-7)
+    assert np.allclose(a.f.context, b.f.context, atol=1e-7)
+
+
 def test_distributed_training_spark(spark):
     rng = np.random.default_rng(13)
     rows = [(s,) for s in planted_corpus(rng, n_sent=600)]
