@@ -463,6 +463,29 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified IVF ANN (the partition-pruned scale path): recall@5
+    vs brute force >= 0.6 with 16 k-means cells, 6 probed (measured
+    0.80 at sf0.01 / 0.73 at sf0.1)."""
+    from athena_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, queries_df, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_ivf(emb, queries_df, k=5, n_centroids=16,
+                                 n_probe=6).collect()}
+    recall = len(bf & ivf) / len(bf)
+    return spark.createDataFrame(
+        [("ivf_recall_at_5_ge_0.6", bool(recall >= 0.6))],
+        schema="check string, ok boolean",
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.3)."""
     from athena_spark.operators.similarity import embedding_neardup_pairs
@@ -607,6 +630,148 @@ def q_subsample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting per document (GPT-2-style
+    pre-tokenizer pieces), all codegen'd regexp_extract_all."""
+    from athena_spark.functions.text import bpe_token_count_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count_col("text").alias("n_bpe")
+    )
+
+
+def q_vocab_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 vocab-file reader (word2vec-vocab-to-naive-lm,
+    src/word2vec-vocab-to-naive-lm.cpp:69-90): dump exact token counts
+    as 'word count' lines, read them back through the CSV vocab
+    reader, return the reconstructed counts."""
+    import os
+    import tempfile
+
+    from athena_spark.functions.tokenize import exploded_tokens
+
+    counts = (
+        exploded_tokens(_docs(spark, sf_dir), "text")
+        .groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    )
+    vocab_dir = tempfile.mkdtemp(prefix="athena_vocab_")
+    with open(os.path.join(vocab_dir, "vocab.txt"), "w") as f:
+        for r in counts:
+            f.write(f"{r['token']} {r['cnt']}\n")
+    return (
+        spark.read.csv(vocab_dir, sep=" ", schema="token string, cnt long",
+                       quote="", escape="")
+    )
+
+
+def q_word2vec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified A4 (Word2VecModel::deserialize,
+    src/_word2vec.cpp:14-74): write the embeddings table as a Google
+    word2vec binary file, read it back through the binaryFile +
+    mapInPandas reader, verify L2 normalization on load and cosine
+    identity with the source vectors."""
+    import os
+    import tempfile
+
+    from athena_spark.sources.word2vec import read_word2vec, write_word2vec_binary
+
+    emb = _table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    words = [f"w{int(i)}" for i in pdf["vec_id"]]
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    d = tempfile.mkdtemp(prefix="athena_w2v_")
+    with open(os.path.join(d, "model.bin"), "wb") as f:
+        f.write(write_word2vec_binary(words, mat))
+    parsed = read_word2vec(spark, d).toPandas()
+    back = {w: np.asarray(v) for w, v in zip(parsed["word"], parsed["vec"])}
+    norm_mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    norms_ok = all(abs(np.linalg.norm(back[w]) - 1.0) < 1e-4 for w in words)
+    cos_ok = all(
+        float(back[w] @ norm_mat[i]) > 1 - 1e-5 for i, w in enumerate(words)
+    )
+    rows = [
+        ("row_count", len(parsed) == len(words)),
+        ("l2_normalized_on_load", bool(norms_ok)),
+        ("vectors_roundtrip", bool(cos_ok)),
+    ]
+    return spark.createDataFrame(rows, schema="check string, ok boolean")
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified C3 distributed reservoir (src/_math.h:262-291 +
+    hypergeometric weighted merge): sample size / stream count exact,
+    every sampled value a member of the column, sample mean within 6σ
+    of the population mean (reference's statistical-test recipe)."""
+    from athena_spark.operators.agg import aggregate_sketch, values_updater
+    from athena_spark.sketch.reservoir import ReservoirSampler
+
+    li = _table(spark, sf_dir, "lineitem")
+    size = 512
+    sk, _ = aggregate_sketch(
+        li, "l_extendedprice",
+        lambda pid: ReservoirSampler(size, seed=1000 + pid),
+        values_updater,
+    )
+    stats = li.agg(
+        F.count("*").alias("n"),
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_pop("l_extendedprice").alias("sd"),
+    ).collect()[0]
+    sample = sk.values()
+    members = set(
+        r["l_extendedprice"]
+        for r in li.select("l_extendedprice").distinct().collect()
+    )
+    rows = [
+        ("count_equals_stream", sk.count == stats["n"]),
+        ("filled_to_capacity", sk.filled_size == min(size, stats["n"])),
+        ("all_values_members", all(float(v) in members for v in sample)),
+        ("mean_within_6_sigma",
+         abs(float(sample.mean()) - stats["mu"])
+         <= 6 * stats["sd"] / np.sqrt(len(sample))),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
+def q_sampler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified C1/C2/C4 samplers (naive binary-search, Walker/Vose
+    alias, word2vec Discretization): 200k draws from the corpus's
+    smoothed top-16 unigram distribution, every empirical frequency
+    within 6σ of analytic (test/math_test.cpp:325-616 recipe)."""
+    from athena_spark.functions.tokenize import exploded_tokens
+    from athena_spark.sketch.sampling import (
+        AliasSampler,
+        Discretization,
+        NaiveSampler,
+    )
+
+    top = (
+        exploded_tokens(_docs(spark, sf_dir), "text")
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(16).collect()
+    )
+    counts = np.array([r["cnt"] for r in top], dtype=np.float64)
+    probs = counts**0.75 / (counts**0.75).sum()
+    n = 200_000
+    rows = []
+    for name, sampler, extra_tol in [
+        ("naive", NaiveSampler(probs), 0.0),
+        ("alias", AliasSampler(probs), 0.0),
+        # quantization error of the discretized table
+        ("discretization", Discretization(probs, num_samples=1_000_000),
+         len(probs) / 1_000_000),
+    ]:
+        rng = np.random.default_rng(13)
+        draws = sampler.sample(rng, n)
+        freq = np.bincount(draws, minlength=len(probs)) / n
+        sigma = np.sqrt(probs * (1 - probs) / n)
+        ok = bool((np.abs(freq - probs) <= 6 * sigma + extra_tol + 1e-12).all())
+        rows.append((f"{name}_within_6_sigma", ok))
+    return spark.createDataFrame(rows, schema="check string, ok boolean")
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min) of the events stream — the
     window-function surface (lag + running sum of boundaries)."""
@@ -698,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_close_pairs": q_simhash_close_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup": q_embedding_neardup,
         "langid": q_langid,
         "quality_features": q_quality_features,
@@ -709,6 +875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "sessionization": q_sessionization,
+        "bpe_token_count": q_bpe_token_count,
+        "vocab_file_counts": q_vocab_file_counts,
+        "word2vec_roundtrip": q_word2vec_roundtrip,
+        "reservoir_sample": q_reservoir_sample,
+        "sampler_stats": q_sampler_stats,
     }
 
 
@@ -813,6 +984,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": """
             SELECT 'recall_at_5_ge_0.6' AS "check", TRUE AS ok
         """,
+        "ann_ivf_recall": """
+            SELECT 'ivf_recall_at_5_ge_0.6' AS "check", TRUE AS ok
+        """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -886,6 +1060,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'stream_total_equals_batch' AS "check", TRUE AS ok
             UNION ALL
             SELECT 'stream_items_equal_batch' AS "check", TRUE AS ok
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                       AS n_bpe
+            FROM documents
+        """,
+        "vocab_file_counts": f"""
+            SELECT token, COUNT(*) AS cnt FROM ({TOKEN_SQL_SOURCE}) GROUP BY token
+        """,
+        "word2vec_roundtrip": """
+            SELECT 'row_count' AS "check", TRUE AS ok
+            UNION ALL SELECT 'l2_normalized_on_load', TRUE
+            UNION ALL SELECT 'vectors_roundtrip', TRUE
+        """,
+        "reservoir_sample": """
+            SELECT 'count_equals_stream' AS "check", TRUE AS ok
+            UNION ALL SELECT 'filled_to_capacity', TRUE
+            UNION ALL SELECT 'all_values_members', TRUE
+            UNION ALL SELECT 'mean_within_6_sigma', TRUE
+        """,
+        "sampler_stats": """
+            SELECT 'naive_within_6_sigma' AS "check", TRUE AS ok
+            UNION ALL SELECT 'alias_within_6_sigma', TRUE
+            UNION ALL SELECT 'discretization_within_6_sigma', TRUE
         """,
         "sessionization": """
             WITH g AS (

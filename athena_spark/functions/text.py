@@ -56,6 +56,19 @@ def token_count_col(col) -> Column:
     return F.size(tokens_col(col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer approximation: alpha runs, digit runs,
+# single non-alnum symbols.  Valid in both Java regex (Spark) and RE2
+# (DuckDB), so the oracle can replicate it verbatim.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_col(col) -> Column:
+    """BPE-ish token count: number of regex pre-tokenization pieces
+    (codegen'd regexp_extract_all, no Python)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+
+
 def quality_features(df: DataFrame, col: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features and a
     composite score — all codegen'd column expressions."""

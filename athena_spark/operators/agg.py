@@ -46,12 +46,19 @@ SUMMARY_SCHEMA = (
     "pid long, state binary, n_rows long, n_values long, wall_secs double"
 )
 
+def _reservoir_from_bytes(data: bytes):
+    from athena_spark.sketch.reservoir import ReservoirSampler
+
+    return ReservoirSampler.from_bytes(data)
+
+
 _LOADERS = {
     "spacesaving": SpaceSaving.from_bytes,
     "hll": HyperLogLog.from_bytes,
     "cms": CountMinSketch.from_bytes,
     "kll": KLL.from_bytes,
     "bloom": BloomFilter.from_bytes,
+    "reservoir": _reservoir_from_bytes,
 }
 
 
@@ -86,9 +93,13 @@ def token_distinct_updater(sketch, col: pa.Array) -> int:
 
 def values_updater(sketch, col: pa.Array) -> int:
     """Feed raw (non-tokenized) column values."""
+    from athena_spark.sketch.reservoir import ReservoirSampler
+
     vals = col.to_numpy(zero_copy_only=False)
     if len(vals):
-        if isinstance(sketch, BloomFilter):
+        if isinstance(sketch, ReservoirSampler):
+            sketch.insert_many(vals.astype(np.float64))
+        elif isinstance(sketch, BloomFilter):
             sketch.add(vals.astype(object))
         elif isinstance(sketch, KLL):
             sketch.update(vals.astype(np.float64))

@@ -8,9 +8,16 @@
   NumPy kernel, keep per-partition top-k, merge.  Scales linearly in
   corpus size with no shuffle of vectors (D9 capability,
   src/_sgns.h:174-192, distributed).
-* :func:`ann_topk_lsh` — the scale path: random-hyperplane LSH
+* :func:`ann_topk_lsh` — a scale path: random-hyperplane LSH
   buckets (sign sketch) so each query only scores its bucket
   neighborhood; brute force is the recall oracle.
+* :func:`ann_topk_ivf` — the other scale path: IVF (inverted-file)
+  coarse quantizer — k-means centroids trained on a sample, corpus
+  rows assigned to their nearest centroid, queries probe only their
+  ``n_probe`` nearest cells.  :func:`assign_centroids` exposes the
+  cell id as a column so the corpus can be *written bucketed by
+  cell* (partition pruning turns a probe into a partition-pruned
+  scan at 100 TB).
 * :func:`embedding_neardup_pairs` — all pairs with cosine >=
   threshold, via block-matmul partitions x broadcast matrix.
 """
@@ -161,6 +168,136 @@ def ann_topk_lsh(
                 if not qis:
                     continue
                 rows = buckets == bucket
+                sims = q_mat_[qis] @ mat[rows].T
+                topn = min(k + 1, sims.shape[1])
+                part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+                out_q.append(np.repeat(q_ids_[qis], topn))
+                out_n.append(ids[rows][part.ravel()])
+                out_s.append(np.take_along_axis(sims, part, axis=1).ravel())
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                })
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    partial = df.select(id_col, vec_col).mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 50_000,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: Lloyd k-means on a deterministic
+    sample, driver-side NumPy (centroids are tiny — k x dim).
+
+    At 100 TB the sample fraction keeps the training set bounded; the
+    corpus itself is never collected."""
+    if sample_fraction is not None:
+        sampled = df.select(vec_col).sample(fraction=sample_fraction, seed=seed)
+    else:
+        sampled = df.select(vec_col)
+    pdf = sampled.limit(max_train_rows).toPandas()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, mat.shape[0])
+    centroids = mat[rng.choice(mat.shape[0], n_centroids, replace=False)]
+    for _ in range(n_iters):
+        # cosine assignment on unit vectors == max dot product
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        centroids = centroids / np.where(norms == 0, 1.0, norms)
+    return centroids
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Add the nearest-centroid cell id as a column (no shuffle; the
+    centroid matrix is broadcast).  Writing the result partitioned /
+    bucketed by ``out_col`` gives partition-pruned probes at scale."""
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf[out_col] = (mat @ cents.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
+    return df.mapInPandas(assign, schema)
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN: each query scores only corpus rows assigned to its
+    ``n_probe`` nearest k-means cells.
+
+    Same single-pass shape as :func:`ann_topk_lsh` — no shuffle of
+    vectors, per-batch NumPy matmul restricted to probed cells, then a
+    top-k window over the (batches x queries x k)-sized partials.
+    Approximate; recall is certified against brute force."""
+    spark = df.sparkSession
+    centroids = train_centroids(df, vec_col, n_centroids, seed=seed)
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets: dict[int, list] = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            probe_sets.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, probe_sets, centroids))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, probe_sets_, cents = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = (mat @ cents.T).argmax(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for cell in np.unique(cells):
+                qis = probe_sets_.get(int(cell))
+                if not qis:
+                    continue
+                rows = cells == cell
                 sims = q_mat_[qis] @ mat[rows].T
                 topn = min(k + 1, sims.shape[1])
                 part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]

@@ -148,3 +148,20 @@ def test_generated_corpus_deterministic(spark):
     assert h1 == h2
     sk, m = agg.aggregate_sketch(df1, "content", lambda pid: SpaceSaving(k=1000))
     assert m["n_values"] > 0 and sk.total == m["n_values"]
+
+
+def test_distributed_reservoir(spark, sf_dir):
+    from athena_spark.operators.agg import aggregate_sketch, values_updater
+    from athena_spark.sketch.reservoir import ReservoirSampler
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    size = 128
+    sk, metrics = aggregate_sketch(
+        li, "l_quantity", lambda pid: ReservoirSampler(size, seed=pid),
+        values_updater,
+    )
+    assert sk.count == n == metrics["n_values"]
+    assert sk.filled_size == min(size, n)
+    members = {r["l_quantity"] for r in li.select("l_quantity").distinct().collect()}
+    assert all(float(v) in members for v in sk.values())

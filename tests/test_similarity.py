@@ -101,3 +101,33 @@ def test_embedding_neardup_pairs(spark):
     out = similarity.embedding_neardup_pairs(df, threshold=0.98)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(0, 1), (2, 3)}
+
+
+def test_ann_ivf_recall_clustered(spark):
+    """IVF on clustered vectors: probing the top cells recovers the
+    brute-force neighbors (the coarse quantizer learns the clusters)."""
+    rng = np.random.default_rng(12)
+    centers = rng.normal(size=(10, 32))
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + rng.normal(scale=0.05, size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.ann_topk_bruteforce(df, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ann_topk_ivf(df, queries, k=5, n_centroids=16,
+                                            n_probe=3).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.9
+
+
+def test_assign_centroids_cells(spark, emb):
+    cents = similarity.train_centroids(emb, n_centroids=8)
+    assert cents.shape[0] == 8
+    out = similarity.assign_centroids(emb, cents)
+    assert out.columns == emb.columns + ["ivf_cell"]
+    cells = [r["ivf_cell"] for r in out.select("ivf_cell").collect()]
+    assert len(cells) == emb.count()
+    assert all(0 <= c < 8 for c in cells)

@@ -82,3 +82,21 @@ def test_fingerprint_docs_spark(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert by_doc[0] == by_doc[1]
     assert by_doc[0] != by_doc[2]
+
+
+def test_bpe_token_count(spark):
+    import re
+
+    from athena_spark.functions.text import BPE_ISH_PATTERN, bpe_token_count_col
+
+    rows = [
+        (0, "def foo(x): return x+1"),
+        (1, "  leading   spaces\tand\ttabs  "),
+        (2, ""),
+        (3, "camelCase123 under_score . , !"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", bpe_token_count_col("text").alias("n")).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == len(re.findall(BPE_ISH_PATTERN, text)), text
