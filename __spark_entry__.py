@@ -280,6 +280,32 @@ def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="q double, ok boolean")
 
 
+def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified t-digest (distributed partials + merge): estimated
+    l_extendedprice quantiles have rank error <= 0.02 vs the exact
+    distribution (tighter than KLL's 0.03 gate — t-digest is
+    relatively accurate at the tails)."""
+    from athena_spark.operators.agg import aggregate_sketch, values_updater
+    from athena_spark.sketch import TDigest
+
+    li = _table(spark, sf_dir, "lineitem")
+    sk, _ = aggregate_sketch(
+        li, "l_extendedprice", lambda pid: TDigest(delta=100), values_updater
+    )
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ests = sk.quantile(qs)
+    aggs = [
+        F.avg((F.col("l_extendedprice") <= float(e)).cast("double")).alias(f"r{i}")
+        for i, e in enumerate(ests)
+    ]
+    ranks = li.agg(*aggs).collect()[0]
+    rows = [
+        (float(q), bool(abs(ranks[f"r{i}"] - q) <= 0.02))
+        for i, q in enumerate(qs)
+    ]
+    return spark.createDataFrame(rows, schema="q double, ok boolean")
+
+
 def q_bloom_orders_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified Bloom: membership filter built on orders.o_custkey —
     no false negatives for present keys; FPP within 3x design on
@@ -852,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "cms_token_bounds": q_cms_token_bounds,
         "kll_price_quantiles": q_kll_price_quantiles,
+        "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
         "ss_small_k_bounds": q_ss_small_k_bounds,
         "token_stats": q_token_stats,
@@ -920,6 +947,11 @@ def oracle_sql() -> dict[str, str]:
         "kll_price_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM (
                 VALUES (0.1), (0.25), (0.5), (0.75), (0.9)
+            ) t(q)
+        """,
+        "tdigest_price_quantiles": """
+            SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM (
+                VALUES (0.01), (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)
             ) t(q)
         """,
         "bloom_orders_custkeys": """

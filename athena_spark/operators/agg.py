@@ -39,6 +39,7 @@ from athena_spark.sketch import (
     HyperLogLog,
     KLL,
     SpaceSaving,
+    TDigest,
 )
 from athena_spark.sketch.serialization import loads as _loads_summary
 
@@ -57,6 +58,7 @@ _LOADERS = {
     "hll": HyperLogLog.from_bytes,
     "cms": CountMinSketch.from_bytes,
     "kll": KLL.from_bytes,
+    "tdigest": TDigest.from_bytes,
     "bloom": BloomFilter.from_bytes,
     "reservoir": _reservoir_from_bytes,
 }
@@ -101,7 +103,7 @@ def values_updater(sketch, col: pa.Array) -> int:
             sketch.insert_many(vals.astype(np.float64))
         elif isinstance(sketch, BloomFilter):
             sketch.add(vals.astype(object))
-        elif isinstance(sketch, KLL):
+        elif isinstance(sketch, (KLL, TDigest)):
             sketch.update(vals.astype(np.float64))
         elif isinstance(sketch, SpaceSaving) or isinstance(sketch, CountMinSketch):
             u, c = np.unique(vals.astype("U"), return_counts=True)

@@ -3,6 +3,7 @@ from athena_spark.sketch.naive_lm import NaiveLanguageModel
 from athena_spark.sketch.hll import HyperLogLog
 from athena_spark.sketch.cms import CountMinSketch
 from athena_spark.sketch.kll import KLL
+from athena_spark.sketch.tdigest import TDigest
 from athena_spark.sketch.bloom import BloomFilter
 from athena_spark.sketch.reservoir import ReservoirSampler
 from athena_spark.sketch.normalizer import ExponentCountNormalizer
@@ -14,6 +15,7 @@ __all__ = [
     "HyperLogLog",
     "CountMinSketch",
     "KLL",
+    "TDigest",
     "BloomFilter",
     "ReservoirSampler",
     "ExponentCountNormalizer",

@@ -1,0 +1,174 @@
+"""Merging t-digest quantile sketch (Dunning & Ertl,
+arXiv:1902.04023).
+
+Not in the reference; named by the north rule alongside KLL.  A
+mergeable quantile summary over doubles: centroids (mean, weight)
+kept sorted by mean, cluster sizes bounded by the k1 scale function
+
+    k(q) = (delta / 2π) · asin(2q − 1)
+
+so clusters are fine near the tails (q→0,1) and coarse in the middle
+— rank error ≈ q(1−q)/delta, i.e. relative accuracy at the extremes,
+the opposite trade-off to KLL's uniform O(1/k) error.  Both are
+exposed so a pipeline can pick per use case.
+
+Fully deterministic (no RNG): updates buffer values and periodically
+re-merges; ``merge`` concatenates centroid sets and re-merges.  The
+merge pass is a single sorted sweep, NumPy-assisted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+
+
+class TDigest:
+    __slots__ = ("delta", "n", "_means", "_weights", "_buffer", "_min", "_max")
+
+    def __init__(self, delta: int = 100):
+        if delta < 10:
+            raise ValueError("delta must be >= 10")
+        self.delta = int(delta)
+        self.n = 0
+        self._means = np.empty(0, dtype=np.float64)
+        self._weights = np.empty(0, dtype=np.float64)
+        self._buffer: list[np.ndarray] = []
+        self._min = np.inf
+        self._max = -np.inf
+
+    # -- internals ---------------------------------------------------------
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return (self.delta / (2 * np.pi)) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def _flush(self) -> None:
+        if not self._buffer and len(self._means) <= 2 * self.delta:
+            return
+        if self._buffer:
+            bv = np.concatenate(self._buffer)
+            self._buffer = []
+            means = np.concatenate([self._means, bv])
+            weights = np.concatenate(
+                [self._weights, np.ones(len(bv), dtype=np.float64)]
+            )
+        else:
+            means, weights = self._means, self._weights
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # greedy sorted sweep: extend the current cluster while the
+        # k-size constraint allows, else start a new one
+        out_m: list[float] = []
+        out_w: list[float] = []
+        cur_m, cur_w = means[0], weights[0]
+        w_before = 0.0  # weight fully to the left of the current cluster
+        k_lo = float(self._k(np.array([0.0]))[0])
+        for i in range(1, len(means)):
+            q_hi = (w_before + cur_w + weights[i]) / total
+            if float(self._k(np.array([q_hi]))[0]) - k_lo <= 1.0:
+                cur_m += (means[i] - cur_m) * (weights[i] / (cur_w + weights[i]))
+                cur_w += weights[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_before += cur_w
+                k_lo = float(self._k(np.array([w_before / total]))[0])
+                cur_m, cur_w = means[i], weights[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self._means = np.asarray(out_m, dtype=np.float64)
+        self._weights = np.asarray(out_w, dtype=np.float64)
+
+    # -- updates -----------------------------------------------------------
+
+    def update(self, values) -> None:
+        values = np.asarray(values, dtype=np.float64).ravel()
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return
+        self.n += int(values.size)
+        self._min = min(self._min, float(values.min()))
+        self._max = max(self._max, float(values.max()))
+        self._buffer.append(values)
+        if sum(len(b) for b in self._buffer) >= 10 * self.delta:
+            self._flush()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.delta != self.delta:
+            raise ValueError("cannot merge t-digests with different delta")
+        other._flush()
+        self._flush()
+        self.n += other.n
+        self._min = min(self._min, other._min)
+        self._max = max(self._max, other._max)
+        self._means = np.concatenate([self._means, other._means])
+        self._weights = np.concatenate([self._weights, other._weights])
+        if len(self._means):
+            order = np.argsort(self._means, kind="stable")
+            self._means = self._means[order]
+            self._weights = self._weights[order]
+            self._buffer.append(np.empty(0))  # force re-merge
+            self._flush()
+        return self
+
+    # -- queries -----------------------------------------------------------
+
+    def quantile(self, qs) -> np.ndarray:
+        """Estimated quantiles for q in [0, 1]: piecewise-linear
+        interpolation between centroid means, pinned to the exact
+        min/max at the ends."""
+        self._flush()
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        if self.n == 0 or len(self._means) == 0:
+            return np.full(qs.shape, np.nan)
+        if len(self._means) == 1:
+            return np.full(qs.shape, self._means[0])
+        # centroid midpoint ranks (centroid covers its weight span)
+        cum = np.cumsum(self._weights)
+        mid = (cum - self._weights / 2.0) / self.n
+        xs = np.concatenate([[0.0], mid, [1.0]])
+        ys = np.concatenate([[self._min], self._means, [self._max]])
+        return np.interp(np.clip(qs, 0.0, 1.0), xs, ys)
+
+    def rank(self, values) -> np.ndarray:
+        """Estimated fraction of inserted items <= value."""
+        self._flush()
+        values = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        if self.n == 0 or len(self._means) == 0:
+            return np.zeros(values.shape)
+        cum = np.cumsum(self._weights)
+        mid = (cum - self._weights / 2.0) / self.n
+        xs = np.concatenate([[self._min], self._means, [self._max]])
+        qs = np.concatenate([[0.0], mid, [1.0]])
+        # enforce monotone xs for interp (equal means collapse)
+        return np.interp(values, xs, qs)
+
+    def centroids(self) -> tuple[np.ndarray, np.ndarray]:
+        self._flush()
+        return self._means.copy(), self._weights.copy()
+
+    def to_bytes(self) -> bytes:
+        self._flush()
+        return serialization.dumps(
+            {"algo": "tdigest", "delta": self.delta, "n": self.n,
+             "min": self._min if np.isfinite(self._min) else 0.0,
+             "max": self._max if np.isfinite(self._max) else 0.0,
+             "empty": int(self.n == 0)},
+            {"means": self._means, "weights": self._weights},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "tdigest":
+            raise ValueError("not a tdigest summary")
+        sk = cls(scalars["delta"])
+        sk.n = int(scalars["n"])
+        if not scalars.get("empty"):
+            sk._min = float(scalars["min"])
+            sk._max = float(scalars["max"])
+        sk._means = np.asarray(arrays["means"], dtype=np.float64)
+        sk._weights = np.asarray(arrays["weights"], dtype=np.float64)
+        return sk

@@ -244,3 +244,58 @@ def test_partition_rng_deterministic():
     c = partition_rng(42, 4).random(5)
     assert (a == b).all()
     assert not (a == c).all()
+
+
+# -- t-digest ---------------------------------------------------------------
+
+def test_tdigest_rank_error_single():
+    from athena_spark.sketch import TDigest
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(0, 1, 100_000)
+    td = TDigest(delta=100)
+    for chunk in np.array_split(data, 11):
+        td.update(chunk)
+    assert td.n == len(data)
+    s = np.sort(data)
+    for q in (0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        est = td.quantile(q)[0]
+        true_rank = np.searchsorted(s, est, side="right") / len(s)
+        # t-digest error scales with q(1-q) — tight at the tails
+        tol = max(4 * q * (1 - q) / 100, 0.0005)
+        assert abs(true_rank - q) < tol + 0.01, (q, est, true_rank)
+    # extreme quantiles pinned to observed min/max
+    assert td.quantile(0.0)[0] == data.min()
+    assert td.quantile(1.0)[0] == data.max()
+
+
+def test_tdigest_merge_and_roundtrip():
+    from athena_spark.sketch import TDigest
+
+    rng = np.random.default_rng(8)
+    data = rng.exponential(2.0, 120_000)
+    parts = np.array_split(data, 8)
+    sks = []
+    for p in parts:
+        sk = TDigest(delta=100)
+        sk.update(p)
+        sks.append(sk)
+    while len(sks) > 1:
+        sks = [sks[i].merge(sks[i + 1]) if i + 1 < len(sks) else sks[i]
+               for i in range(0, len(sks), 2)]
+    td = sks[0]
+    assert td.n == len(data)
+    s = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = td.quantile(q)[0]
+        true_rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(true_rank - q) < 0.02
+    # centroid count bounded by the scale function (~2*delta)
+    means, weights = td.centroids()
+    assert len(means) <= 2 * 100
+    assert weights.sum() == td.n
+    t2 = TDigest.from_bytes(td.to_bytes())
+    assert (t2.quantile([0.1, 0.5, 0.9]) == td.quantile([0.1, 0.5, 0.9])).all()
+    # rank() is the inverse surface
+    mid = td.quantile(0.5)[0]
+    assert abs(td.rank(mid)[0] - 0.5) < 0.02
