@@ -12,7 +12,7 @@ $SPARK_GRAFT_CPUS) or on a cluster::
 Subcommands:
 
 * ``topk``       — E1+E2: Space-Saving token top-k report
-* ``sketch``     — any mergeable sketch over a column (hll/cms/kll/bloom)
+* ``sketch``     — any mergeable sketch over a column (hll/cms/kll/tdigest/reservoir/bloom)
 * ``train-embeddings`` — E3: streaming SGNS, writes (word, count, vec)
   parquet and optionally a word2vec-format binary dump (E4)
 * ``package``    — build the --py-files zip
@@ -47,7 +47,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("sketch")
     common(s)
-    s.add_argument("--algo", choices=["hll", "cms", "kll", "bloom"], required=True)
+    s.add_argument("--algo", choices=["hll", "cms", "kll", "tdigest", "reservoir", "bloom"], required=True)
 
     e = sub.add_parser("train-embeddings")
     common(e)
@@ -105,7 +105,9 @@ def cmd_sketch(args) -> None:
         aggregate_sketch, token_distinct_updater, token_counts_updater,
         values_updater,
     )
-    from athena_spark.sketch import BloomFilter, CountMinSketch, HyperLogLog, KLL
+    from athena_spark.sketch import (
+        BloomFilter, CountMinSketch, HyperLogLog, KLL, ReservoirSampler, TDigest,
+    )
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
@@ -113,6 +115,8 @@ def cmd_sketch(args) -> None:
         "hll": (lambda pid: HyperLogLog(p=14), token_distinct_updater),
         "cms": (lambda pid: CountMinSketch(5, 65536), token_counts_updater),
         "kll": (lambda pid: KLL(k=200, seed=pid), values_updater),
+        "tdigest": (lambda pid: TDigest(delta=100), values_updater),
+        "reservoir": (lambda pid: ReservoirSampler(4096, seed=pid), values_updater),
         "bloom": (lambda pid: BloomFilter(1 << 24, 7), token_distinct_updater),
     }
     factory, updater = factories[args.algo]
@@ -121,10 +125,12 @@ def cmd_sketch(args) -> None:
     report = {"algo": args.algo, **metrics}
     if args.algo == "hll":
         report["estimate"] = sk.estimate()
-    elif args.algo == "kll":
+    elif args.algo in ("kll", "tdigest"):
         report["quantiles"] = {
             str(q): float(sk.quantile(q)[0]) for q in (0.1, 0.5, 0.9, 0.99)
         }
+    elif args.algo == "reservoir":
+        report["sample_size"] = int(sk.filled_size)
     print(json.dumps(report))
     if args.output:
         os.makedirs(args.output, exist_ok=True)

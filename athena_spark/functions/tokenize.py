@@ -68,14 +68,23 @@ def arrow_token_counts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
     (small) unique set crosses into NumPy — this is the hot path of
     every token-sketch partial.
     """
-    toks = arrow_tokens(arr)
-    n = len(toks)
-    if n == 0:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if USE_ASCII_WHITESPACE:
+        flat = pc.ascii_split_whitespace(arr).flatten()
+    else:
+        flat = pc.split_pattern_regex(arr, pattern=TOKEN_PATTERN).flatten()
+    if len(flat) == 0:
         return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64), 0)
-    vc = pc.value_counts(toks)
+    # leading/trailing whitespace yields "" tokens — cheaper to drop
+    # the single "" row from the unique set than to filter the full
+    # token stream
+    vc = pc.value_counts(flat)
     words = vc.field("values").to_numpy(zero_copy_only=False).astype(object)
     counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
-    return words, counts, n
+    keep = words != ""
+    words, counts = words[keep], counts[keep]
+    return words, counts, int(counts.sum())
 
 
 def sentences_pandas(texts: pd.Series) -> list[list[str]]:

@@ -140,3 +140,29 @@ def test_bloom_union_no_false_negatives(a_vals, b_vals):
     members = np.array(a_vals + b_vals, dtype=object)
     if len(members):
         assert a.contains(members).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=1, max_size=500),
+       st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=1, max_size=500))
+def test_tdigest_merge_invariants(a_vals, b_vals):
+    from athena_spark.sketch import TDigest
+
+    data = np.array(a_vals + b_vals, dtype=np.float64)
+    a = TDigest(delta=50); a.update(np.array(a_vals))
+    b = TDigest(delta=50); b.update(np.array(b_vals))
+    a.merge(b)
+    assert a.n == len(data)
+    means, weights = a.centroids()
+    assert weights.sum() == len(data)
+    assert (np.diff(means) >= 0).all()  # centroids stay sorted
+    # estimates bounded by observed range; median rank sane
+    s = np.sort(data)
+    for q in (0.25, 0.5, 0.75):
+        est = a.quantile(q)[0]
+        assert s[0] <= est <= s[-1]
+        lo = np.searchsorted(s, est, side="left") / len(s)
+        hi = np.searchsorted(s, est, side="right") / len(s)
+        assert lo - 0.15 <= q <= hi + 0.15
