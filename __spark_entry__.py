@@ -798,6 +798,76 @@ def q_sampler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="check string, ok boolean")
 
 
+def q_grouped_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified grouped t-digest (SELECT key, sketch(col) GROUP BY
+    key shape): per-event_type median/p90 of `value` with rank error
+    <= 0.03 against exact per-group ranks.  Only (key, summary) rows
+    shuffle."""
+    from athena_spark.operators.agg import values_updater
+    from athena_spark.operators.grouped import (
+        grouped_sketch_agg,
+        grouped_sketch_report,
+    )
+    from athena_spark.sketch import TDigest
+
+    ev = _table(spark, sf_dir, "events")
+    grouped = grouped_sketch_agg(
+        ev, ["event_type"], "value", lambda: TDigest(delta=100), values_updater
+    )
+    ests = grouped_sketch_report(
+        grouped, ["event_type"],
+        lambda sk: {"q50": float(sk.quantile(0.5)[0]),
+                    "q90": float(sk.quantile(0.9)[0])},
+        "q50 double, q90 double",
+    )
+    ranks = (
+        ev.join(F.broadcast(ests), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("q50")).cast("double")).alias("r50"),
+            F.avg((F.col("value") <= F.col("q90")).cast("double")).alias("r90"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        (F.abs(F.col("r50") - 0.5) <= 0.03).alias("q50_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.03).alias("q90_ok"),
+    )
+
+
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified multimodal plumbing (binary media columns + typed
+    metadata, deterministic stubbed decode): image featurization is
+    shape-correct, bounded, and content-deterministic; video frame
+    sampling yields the exact expected (rows, byte-size) shape."""
+    from athena_spark.sources.multimodal import (
+        decode_and_featurize_images,
+        sample_video_frames,
+        synthetic_media,
+    )
+
+    imgs = synthetic_media(spark, 64, "image")
+    feats = decode_and_featurize_images(imgs).collect()
+    dims_ok = all(len(r["features"]) == 16 for r in feats)
+    range_ok = all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    feats2 = {r["media_id"]: list(r["features"])
+              for r in decode_and_featurize_images(imgs).collect()}
+    determ_ok = all(list(r["features"]) == feats2[r["media_id"]] for r in feats)
+    vids = synthetic_media(spark, 16, "video")
+    frames = sample_video_frames(vids, every_n=10).collect()
+    n_ok = len(frames) == 16 * 3  # 30 frames, every 10th -> 3 per video
+    size_ok = all(len(r["frame"]) == 32 * 24 * 3 for r in frames)
+    rows = [
+        ("image_feature_shape", len(feats) == 64 and dims_ok),
+        ("features_in_unit_range", range_ok),
+        ("decode_deterministic", determ_ok),
+        ("video_frame_sampling_shape", n_ok and size_ok),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min) of the events stream — the
     window-function surface (lag + running sum of boundaries)."""
@@ -907,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word2vec_roundtrip": q_word2vec_roundtrip,
         "reservoir_sample": q_reservoir_sample,
         "sampler_stats": q_sampler_stats,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "grouped_value_quantiles": q_grouped_value_quantiles,
     }
 
 
@@ -1117,6 +1189,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'naive_within_6_sigma' AS "check", TRUE AS ok
             UNION ALL SELECT 'alias_within_6_sigma', TRUE
             UNION ALL SELECT 'discretization_within_6_sigma', TRUE
+        """,
+        "multimodal_pipeline": """
+            SELECT 'image_feature_shape' AS "check", TRUE AS ok
+            UNION ALL SELECT 'features_in_unit_range', TRUE
+            UNION ALL SELECT 'decode_deterministic', TRUE
+            UNION ALL SELECT 'video_frame_sampling_shape', TRUE
+        """,
+        "grouped_value_quantiles": """
+            SELECT event_type, TRUE AS q50_ok, TRUE AS q90_ok
+            FROM events GROUP BY event_type
         """,
         "sessionization": """
             WITH g AS (

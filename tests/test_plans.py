@@ -74,3 +74,40 @@ def test_ann_bruteforce_no_vector_shuffle(spark, sf_dir):
     assert map_lines, plan
     below_map = "\n".join(tree[map_lines[0] + 1 :])
     assert "Exchange" not in below_map, below_map
+
+
+def test_ann_ivf_no_vector_shuffle(spark, sf_dir):
+    """IVF scoring is a single map pass over the corpus: no Exchange
+    may appear below the MapInPandas scorer (the only shuffle is the
+    O(queries x k) partial top-k window afterward)."""
+    from athena_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(ann_topk_ivf(emb, emb.where("vec_id < 3"), k=3))
+    tree = plan.split("\n\n")[0].splitlines()
+    map_lines = [i for i, l in enumerate(tree) if "MapInPandas" in l]
+    assert map_lines, plan
+    below_map = "\n".join(tree[map_lines[-1] + 1 :])
+    assert "Exchange" not in below_map, below_map
+
+
+def test_grouped_sketch_shuffles_only_summaries(spark, sf_dir):
+    """grouped_sketch_agg: the shuffle input is the map-side-combined
+    (key, state) partials, never raw rows — MapInPandas must sit below
+    the Exchange."""
+    from athena_spark.operators.agg import values_updater
+    from athena_spark.operators.grouped import grouped_sketch_agg
+    from athena_spark.sketch import TDigest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    grouped = grouped_sketch_agg(
+        ev, ["event_type"], "value", lambda: TDigest(delta=50), values_updater
+    )
+    plan = plan_of(grouped)
+    # formatted tree prints root-first: merge, then its Exchange
+    # input, then the partial MapInPandas feeding the Exchange
+    tree = plan.split("\n\n")[0]
+    i_merge = tree.find("FlatMapGroupsInPandas")
+    i_exchange = tree.find("Exchange", i_merge)
+    i_partial = tree.find("MapInPandas", i_exchange)
+    assert -1 < i_merge < i_exchange < i_partial, tree
