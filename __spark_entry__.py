@@ -798,6 +798,64 @@ def q_sampler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="check string, ok boolean")
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified checkpoint/resume (north rule): a job killed mid-pass
+    resumes from per-file summary rows, skips completed files, refuses
+    mismatched parameters, and the resumed result equals the
+    uninterrupted aggregation exactly (merge associativity)."""
+    import os
+    import tempfile
+
+    from athena_spark.operators.agg import aggregate_sketch, token_counts_updater
+    from athena_spark.plans.checkpoint import SketchCheckpoint
+    from athena_spark.sketch import SpaceSaving
+
+    docs = _docs(spark, sf_dir)
+    data_dir = tempfile.mkdtemp(prefix="athena_ckpt_data_")
+    docs.repartition(4).write.mode("overwrite").parquet(data_dir)
+    ckpt_dir = tempfile.mkdtemp(prefix="athena_ckpt_state_")
+    params = {"algo": "spacesaving", "k": 65536, "col": "text"}
+    ck = SketchCheckpoint(spark, ckpt_dir, job_id="gate")
+    files = sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    crashed = False
+    try:
+        ck.run(data_dir, "text", lambda seed: SpaceSaving(k=65536),
+               token_counts_updater, params, commit_batch_files=1,
+               fail_on_file=files[-1])
+    except Exception:
+        crashed = True
+    resumed_sk, metrics = ck.run(
+        data_dir, "text", lambda seed: SpaceSaving(k=65536),
+        token_counts_updater, params, commit_batch_files=1,
+    )
+    direct_sk, _ = aggregate_sketch(
+        spark.read.parquet(data_dir), "text", lambda pid: SpaceSaving(k=65536)
+    )
+    guard_raised = False
+    try:
+        ck.run(data_dir, "text", lambda seed: SpaceSaving(k=65536),
+               token_counts_updater, {**params, "k": 1234})
+    except ValueError:
+        guard_raised = True
+    rows = [
+        ("crashed_then_resumed", crashed),
+        ("resume_skipped_completed",
+         metrics["files_resumed_from_checkpoint"] > 0),
+        ("all_files_accounted",
+         metrics["files_resumed_from_checkpoint"]
+         + metrics["files_processed_this_run"] == metrics["files_total"]),
+        ("resumed_equals_direct_total", resumed_sk.total == direct_sk.total),
+        ("resumed_equals_direct_items",
+         sorted(resumed_sk.items()) == sorted(direct_sk.items())),
+        ("manifest_param_guard", guard_raised),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
 def q_grouped_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified grouped t-digest (SELECT key, sketch(col) GROUP BY
     key shape): per-event_type median/p90 of `value` with rank error
@@ -979,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_stats": q_sampler_stats,
         "multimodal_pipeline": q_multimodal_pipeline,
         "grouped_value_quantiles": q_grouped_value_quantiles,
+        "checkpoint_resume": q_checkpoint_resume,
     }
 
 
@@ -1199,6 +1258,14 @@ def oracle_sql() -> dict[str, str]:
         "grouped_value_quantiles": """
             SELECT event_type, TRUE AS q50_ok, TRUE AS q90_ok
             FROM events GROUP BY event_type
+        """,
+        "checkpoint_resume": """
+            SELECT 'crashed_then_resumed' AS "check", TRUE AS ok
+            UNION ALL SELECT 'resume_skipped_completed', TRUE
+            UNION ALL SELECT 'all_files_accounted', TRUE
+            UNION ALL SELECT 'resumed_equals_direct_total', TRUE
+            UNION ALL SELECT 'resumed_equals_direct_items', TRUE
+            UNION ALL SELECT 'manifest_param_guard', TRUE
         """,
         "sessionization": """
             WITH g AS (
