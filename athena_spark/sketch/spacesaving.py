@@ -305,6 +305,44 @@ class SpaceSaving:
                    other_floor=other.floor())
         return self
 
+    @classmethod
+    def merge_many(cls, summaries: list["SpaceSaving"]) -> "SpaceSaving":
+        """Vectorized n-way merge: one concat + groupby + single
+        truncation instead of n-1 pairwise folds.
+
+        Same PODS-2012 construction, applied once over all inputs:
+        ``est(w) = Σ_i (c_i(w) if i tracks w else floor_i)`` (and the
+        same for err), then one top-k truncation.  Bounds are
+        preserved and are at least as tight as the pairwise chain
+        (no intermediate-truncation floor inflation); the exact
+        estimates may differ from a pairwise order within the shared
+        ``0 <= est - true <= err`` guarantee.
+        """
+        if not summaries:
+            raise ValueError("merge_many needs at least one summary")
+        k = summaries[0].k
+        if any(s.k != k for s in summaries):
+            raise ValueError("cannot merge sketches with different k")
+        floors = np.array([s.floor() for s in summaries], dtype=np.int64)
+        floor_sum = int(floors.sum())
+        words = np.concatenate([s._words for s in summaries])
+        # per-tracked-key contribution relative to the all-floors base
+        cnts = np.concatenate(
+            [s._counts - f for s, f in zip(summaries, floors)]
+        )
+        errs = np.concatenate(
+            [s._errs - f for s, f in zip(summaries, floors)]
+        )
+        out = cls(k)
+        out.total = int(sum(s.total for s in summaries))
+        if len(words):
+            codes, uniq = pd.factorize(words)
+            out._words = np.asarray(uniq, dtype=object)
+            out._counts = np.bincount(codes, weights=cnts).astype(np.int64) + floor_sum
+            out._errs = np.bincount(codes, weights=errs).astype(np.int64) + floor_sum
+            out._truncate_topk()
+        return out
+
     # -- queries -----------------------------------------------------------
 
     def items(self, n: int | None = None):

@@ -165,3 +165,28 @@ def test_distributed_reservoir(spark, sf_dir):
     assert sk.filled_size == min(size, n)
     members = {r["l_quantity"] for r in li.select("l_quantity").distinct().collect()}
     assert all(float(v) in members for v in sk.values())
+
+
+def test_direct_reader_matches_jvm_scan(spark, sf_dir, tmp_path):
+    import os
+
+    from athena_spark.operators.agg import (
+        aggregate_sketch,
+        aggregate_sketch_direct,
+    )
+    from athena_spark.sketch import SpaceSaving
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    data_dir = str(tmp_path / "docs4")
+    docs.repartition(4).write.parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    sk_d, m_d = aggregate_sketch_direct(
+        spark, files, "text", lambda pid: SpaceSaving(k=4096))
+    sk_j, m_j = aggregate_sketch(
+        spark.read.parquet(data_dir), "text", lambda pid: SpaceSaving(k=4096))
+    assert m_d["n_values"] == m_j["n_values"]
+    assert sk_d.total == sk_j.total
+    assert sk_d.items() == sk_j.items()

@@ -151,3 +151,47 @@ def test_serialization_roundtrip():
 def test_mismatched_k_rejected():
     with pytest.raises(ValueError):
         SpaceSaving(8).merge(SpaceSaving(16))
+
+
+def test_merge_many_matches_bounds_and_beats_pairwise():
+    """Vectorized n-way merge: bounds hold, totals exact, errors no
+    looser than the pairwise chain, heavy-hitter recall complete."""
+    import numpy as np
+
+    from athena_spark.sketch import SpaceSaving
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(2000)], dtype=object)
+    sks, exact = [], {}
+    for p in range(16):
+        z = np.clip(rng.zipf(1.4, size=20_000), 1, len(vocab)) - 1
+        toks = vocab[z]
+        u, c = np.unique(toks, return_counts=True)
+        sk = SpaceSaving(k=128)
+        sk.update_counts(u.astype(object), c)
+        sks.append(sk)
+        for w, cnt in zip(u, c):
+            exact[w] = exact.get(w, 0) + int(cnt)
+    many = SpaceSaving.merge_many(sks)
+    pair = SpaceSaving.from_bytes(sks[0].to_bytes())
+    for s in sks[1:]:
+        pair = pair.merge(s)
+    assert many.total == pair.total == sum(exact.values())
+    for w, est, err in many.items():
+        true = exact.get(w, 0)
+        assert true <= est <= true + err
+    assert max(e for _, _, e in many.items()) <= max(
+        max(e for _, _, e in pair.items()), 0
+    )
+    bound = many.total / many.k
+    reported = {w for w, _, _ in many.items()}
+    assert all(w in reported for w, c in exact.items() if c > bound)
+    # associativity with respect to grouping: merge_many == merge_many
+    # of merge_many halves (bounds-level check)
+    left = SpaceSaving.merge_many(sks[:8])
+    right = SpaceSaving.merge_many(sks[8:])
+    grouped = SpaceSaving.merge_many([left, right])
+    assert grouped.total == many.total
+    for w, est, err in grouped.items():
+        true = exact.get(w, 0)
+        assert true <= est <= true + err
