@@ -798,6 +798,40 @@ def q_sampler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="check string, ok boolean")
 
 
+def q_skew_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct-token count per lang
+    (operators/skew.py): shuffle keys are (lang, token) pairs so the
+    Zipf head dilutes over the value space — exact SQL oracle."""
+    from athena_spark.functions.tokenize import exploded_tokens
+    from athena_spark.operators.skew import salted_distinct_count
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(
+        F.filter(F.split("text", r"[ \t\r\n]+"), lambda t: t != F.lit(""))
+    ).alias("token"))
+    return salted_distinct_count(toks, "lang", "token")
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-diluted join (operators/skew.py salted_join): lineitem
+    x orders on l_orderkey, revenue per order priority — must equal
+    the plain SQL join exactly."""
+    from athena_spark.operators.skew import salted_join
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = _table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "okey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified checkpoint/resume (north rule): a job killed mid-pass
     resumes from per-file summary rows, skips completed files, refuses
@@ -1038,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "grouped_value_quantiles": q_grouped_value_quantiles,
         "checkpoint_resume": q_checkpoint_resume,
+        "skew_distinct_tokens": q_skew_distinct_tokens,
+        "skew_salted_join": q_skew_salted_join,
     }
 
 
@@ -1266,6 +1302,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'resumed_equals_direct_total', TRUE
             UNION ALL SELECT 'resumed_equals_direct_items', TRUE
             UNION ALL SELECT 'manifest_param_guard', TRUE
+        """,
+        "skew_distinct_tokens": r"""
+            SELECT lang, COUNT(DISTINCT token) AS n_distinct FROM (
+                SELECT lang,
+                       unnest(regexp_split_to_array(text, '[ \t\r\n]+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY lang
+        """,
+        "skew_salted_join": """
+            SELECT o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "sessionization": """
             WITH g AS (
