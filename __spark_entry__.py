@@ -1031,6 +1031,23 @@ def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word2vec_parity_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E6 two-pass word2vec parity trainer
+    (src/word2vec-train.cpp): exact vocab pass + truncate, frozen
+    smoothed negative-sampling table (alias variant = E6,
+    src/word2vec-alias-train.cpp), SGNS pass with per-partition
+    models + count-weighted averaging.  Stochastic → rows-only check;
+    pytest certifies the learning behavior."""
+    from athena_spark.embedding.word2vec_train import word2vec_train
+
+    out = word2vec_train(
+        _docs(spark, sf_dir), "text", vocab_size=64, embedding_dim=16,
+        symm_context=3, neg_samples=3, table_size=100_000,
+        alias_sampling=True,
+    )
+    return out.select("word", "count", F.size("vec").alias("dim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -1074,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": q_checkpoint_resume,
         "skew_distinct_tokens": q_skew_distinct_tokens,
         "skew_salted_join": q_skew_salted_join,
+        "word2vec_parity_train": q_word2vec_parity_train,
     }
 
 
