@@ -1031,6 +1031,61 @@ def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified custom stateful streaming sketch
+    (applyInPandasWithState): per-lang Space-Saving held in
+    GroupState across micro-batches; final emission per key must
+    equal the batch grouped sketch exactly."""
+    import shutil
+    import tempfile
+
+    from athena_spark.streaming.stateful import stateful_topk_tokens
+
+    docs = _docs(spark, sf_dir)
+    truth = {
+        r["lang"]: (list(r["token"]), list(r["est_count"]))
+        for r in q_topk_tokens_by_lang(spark, sf_dir)
+        .groupBy("lang").agg(
+            F.collect_list("token").alias("token"),
+            F.collect_list("est_count").alias("est_count"),
+        ).collect()
+    }
+    src = tempfile.mkdtemp(prefix="athena_topk_state_src_")
+    ckpt = tempfile.mkdtemp(prefix="athena_topk_state_ckpt_")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = "topk_state_gate"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        stateful_topk_tokens(stream, "lang", "text", k=4096, n=5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(name).collect()
+    last = {}
+    for r in rows:
+        last[r["key"]] = (list(r["token"]), list(r["est_count"]))
+    shutil.rmtree(src, ignore_errors=True)
+    checks = [
+        ("keys_match", set(last) == set(truth)),
+        ("final_topk_equals_batch",
+         all(last.get(k) == v for k, v in truth.items())),
+        ("multiple_emissions", len(rows) > len(truth)),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in checks], schema="check string, ok boolean"
+    )
+
+
 def q_word2vec_parity_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5/E6 two-pass word2vec parity trainer
     (src/word2vec-train.cpp): exact vocab pass + truncate, frozen
@@ -1092,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_distinct_tokens": q_skew_distinct_tokens,
         "skew_salted_join": q_skew_salted_join,
         "word2vec_parity_train": q_word2vec_parity_train,
+        "stateful_topk_stream": q_stateful_topk_stream,
     }
 
 
@@ -1328,6 +1384,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE token <> ''
             GROUP BY lang
+        """,
+        "stateful_topk_stream": """
+            SELECT 'keys_match' AS "check", TRUE AS ok
+            UNION ALL SELECT 'final_topk_equals_batch', TRUE
+            UNION ALL SELECT 'multiple_emissions', TRUE
         """,
         "skew_salted_join": """
             SELECT o.o_orderpriority,

@@ -44,6 +44,9 @@ def _build_parser() -> argparse.ArgumentParser:
     common(t)
     t.add_argument("--k", type=int, default=16000)
     t.add_argument("--n", type=int, default=100)
+    t.add_argument("--direct", action="store_true",
+                   help="native-reader plan: one task per file, Arrow "
+                        "C++ parquet reader in the worker (no JVM scan)")
 
     s = sub.add_parser("sketch")
     common(s)
@@ -83,6 +86,24 @@ def cmd_topk(args) -> None:
             args.input, args.col, lambda seed: SpaceSaving(k=args.k),
             token_counts_updater,
             {"algo": "spacesaving", "k": args.k, "col": args.col},
+        )
+        print(json.dumps(metrics), file=sys.stderr)
+        out = spark.createDataFrame(
+            sk.to_pandas().head(args.n),
+            schema="token string, est_count long, err long",
+        )
+    elif getattr(args, "direct", False):
+        import os as _os
+
+        from athena_spark.operators.agg import aggregate_sketch_direct
+
+        files = sorted(
+            _os.path.join(args.input, f)
+            for f in _os.listdir(args.input) if f.endswith(".parquet")
+        )
+        sk, metrics = aggregate_sketch_direct(
+            spark, files, args.col, lambda pid: SpaceSaving(k=args.k),
+            tasks=args.partitions,
         )
         print(json.dumps(metrics), file=sys.stderr)
         out = spark.createDataFrame(

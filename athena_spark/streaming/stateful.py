@@ -1,10 +1,16 @@
 """Custom stateful streaming via ``applyInPandasWithState``.
 
-Demonstration operator for arbitrary per-key streaming state (the
-surface a custom stateful sketch would use): running per-key
-aggregates maintained in GroupState across micro-batches — each batch
-emits the keys it touched with their cumulative totals, so the last
-emission per key equals the batch-mode aggregate.
+Two operators:
+
+* :func:`running_totals` — per-key running (count, sum): the minimal
+  arbitrary-state surface.
+* :func:`stateful_topk_tokens` — a custom stateful SKETCH operator:
+  one Space-Saving summary per key held in GroupState as its binary
+  serialization, folded forward every micro-batch with the same
+  Arrow tokenize+count kernel as the batch path.  Because the
+  summary is mergeable and the fold is the batch update, the last
+  emission per key equals the batch-mode grouped sketch exactly
+  (tested) — the streaming/batch parity SURVEY.md §1.3 predicts.
 """
 
 from __future__ import annotations
@@ -27,6 +33,63 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     state.update((n, total))
     yield pd.DataFrame(
         {"key": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+TOPK_OUTPUT_SCHEMA = (
+    "key string, total long, token array<string>, est_count array<long>"
+)
+TOPK_STATE_SCHEMA = "state binary"
+
+
+def stateful_topk_tokens(
+    stream_df: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int = 4096,
+    n: int = 10,
+) -> DataFrame:
+    """Per-key streaming Space-Saving top-n over tokenized text.
+
+    Update-mode: each micro-batch emits the current top-n for every
+    key it touched.  State is the sketch's own serialization —
+    k-bounded per key regardless of stream length."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from athena_spark.functions.tokenize import arrow_token_counts
+    from athena_spark.sketch import SpaceSaving
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            sk = SpaceSaving.from_bytes(bytes(state.get[0]))
+        else:
+            sk = SpaceSaving(k=k)
+        for pdf in pdfs:
+            words, counts, n_toks = arrow_token_counts(
+                pa.Array.from_pandas(pdf["text"])
+            )
+            if n_toks:
+                sk.update_counts(words, counts)
+        state.update((bytearray(sk.to_bytes()),))
+        items = sk.items(n)
+        yield pd.DataFrame({
+            "key": [key[0]],
+            "total": [sk.total],
+            "token": [[w for w, _, _ in items]],
+            "est_count": [[c for _, c, _ in items]],
+        })
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(text_col).alias("text"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

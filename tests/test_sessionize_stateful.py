@@ -77,3 +77,49 @@ def test_apply_in_pandas_with_state_running_totals(spark, sf_dir):
     assert last == truth
     for p in (src, ckpt):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_stateful_topk_tokens_matches_batch(spark, sf_dir):
+    """Custom stateful sketch operator: per-lang Space-Saving in
+    GroupState; the final emission per key equals the batch grouped
+    sketch exactly (k > vocab at test scale, so both are exact)."""
+    from athena_spark.streaming.stateful import stateful_topk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        r["lang"]: (r["token"], r["est_count"])
+        for r in __import__("__spark_entry__").q_topk_tokens_by_lang(
+            spark, sf_dir
+        ).groupBy("lang").agg(
+            F.collect_list("token").alias("token"),
+            F.collect_list("est_count").alias("est_count"),
+        ).collect()
+    }
+    src = os.path.join(TMP, "topk_state_src")
+    ckpt = os.path.join(TMP, "topk_state_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_topk_tokens(stream, "lang", "text", k=4096, n=5)
+        .writeStream.format("memory").queryName("topk_state_t")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from topk_state_t").collect()
+    last = {}
+    for r in rows:
+        last[r["key"]] = (list(r["token"]), list(r["est_count"]))
+    assert set(last) == set(truth)
+    for lang, (toks, cnts) in truth.items():
+        assert last[lang] == (list(toks), list(cnts)), lang
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
