@@ -178,8 +178,13 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
     cands = minhash_lsh_candidates(sigs, id_col, num_perm=num_perm, bands=bands)
     # exact verification restricted to CANDIDATE pairs only — the
-    # whole point of LSH is never materializing the all-pairs join
-    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq)
+    # whole point of LSH is never materializing the all-pairs join.
+    # shingles travel as xxhash64 ints, not strings: ~5x smaller
+    # shuffle, same intersection sizes up to a ~n_shingles^2/2^64
+    # collision probability
+    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).select(
+        "doc", F.xxhash64("shingle").alias("shingle")
+    )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.withColumnRenamed("doc", "id_a").withColumnRenamed("shingle", "sh_a")
     b = sh.withColumnRenamed("doc", "id_b2").withColumnRenamed("shingle", "sh_b")
