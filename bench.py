@@ -60,7 +60,7 @@ def _ensure_corpus(spark) -> str:
 
 
 def _sketch_job(spark, corpus_path: str, mode: str = "direct", repeat: int = 1,
-                tasks: int | None = None):
+                tasks: int | None = None, k: int = SKETCH_K):
     """The measured job: scan → tokenize+partial (fused) → tree merge.
 
     ``mode="direct"`` (default) is the native-reader plan: Spark
@@ -84,13 +84,13 @@ def _sketch_job(spark, corpus_path: str, mode: str = "direct", repeat: int = 1,
         n_files = len(files)
         files = files * repeat  # repeat lists every file again: 2x the work
         sk, metrics = aggregate_sketch_direct(
-            spark, files, "content", lambda pid: SpaceSaving(k=SKETCH_K),
+            spark, files, "content", lambda pid: SpaceSaving(k=k),
             fanout=64, tasks=tasks or n_files,
         )
     else:
         df = spark.read.parquet(corpus_path)
         sk, metrics = aggregate_sketch(
-            df, "content", lambda pid: SpaceSaving(k=SKETCH_K), fanout=64
+            df, "content", lambda pid: SpaceSaving(k=k), fanout=64
         )
     wall = time.perf_counter() - t0
     return {
@@ -157,6 +157,12 @@ def run_headline() -> dict:
               for _ in range(2)),
              key=lambda r: r["tokens_per_sec"])
     timings["ss_throughput_corpus"] = round(time.perf_counter() - t0, 3)
+    # the BASELINE.json metric names k=1e5 at full scale — report that
+    # operating point too (bigger summaries: truncation sorts + merge
+    # cost ~30% of throughput)
+    t0 = time.perf_counter()
+    tp_1e5 = _sketch_job(spark, corpus_path, repeat=2, tasks=32, k=100_000)
+    timings["ss_throughput_corpus_k1e5"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "headline_suite_plus_sketch_throughput",
@@ -167,6 +173,7 @@ def run_headline() -> dict:
         "sketch_tokens": tp["tokens"],
         "sketch_tokens_per_sec": round(tp["tokens_per_sec"]),
         "sketch_k": SKETCH_K,
+        "sketch_tokens_per_sec_k1e5": round(tp_1e5["tokens_per_sec"]),
     }
     spark.stop()
     return result
