@@ -86,6 +86,7 @@ def _sketch_job(spark, corpus_path: str, mode: str = "direct", repeat: int = 1,
         sk, metrics = aggregate_sketch_direct(
             spark, files, "content", lambda pid: SpaceSaving(k=k),
             fanout=64, tasks=tasks or n_files,
+            batch_rows=None,  # whole-file folds: these files are ~2.2M tokens
         )
     else:
         df = spark.read.parquet(corpus_path)
