@@ -61,6 +61,16 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("--word2vec-out", default=None,
                    help="also dump Google word2vec binary format")
 
+    pe = sub.add_parser("print-embeddings")
+    pe.add_argument("--input", required=True,
+                    help="word2vec binary file or directory of shards")
+    pe.add_argument("--master", default=None)
+    pe.add_argument("--words", action="store_true",
+                    help="print the word column (reference -w flag)")
+    pe.add_argument("--dims", action="store_true",
+                    help="print the vector dims (reference -d flag)")
+    pe.add_argument("--n", type=int, default=None)
+
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
     return p
@@ -187,6 +197,29 @@ def cmd_train_embeddings(args) -> None:
     print(json.dumps({"words": out.count()}))
 
 
+def cmd_print_embeddings(args) -> None:
+    """E4/E7 printer parity (spacesaving-word2vec-print -w/-d flags,
+    /root/reference/src/spacesaving-word2vec-print.cpp:76-104): dump
+    words and/or vector components from a word2vec binary model."""
+    from athena_spark.sources.word2vec import read_word2vec
+
+    class _A:  # reuse _spark's arg shape
+        cmd = "print-embeddings"
+        master = args.master
+
+    spark = _spark(_A)
+    df = read_word2vec(spark, args.input)
+    rows = df.collect() if args.n is None else df.limit(args.n).collect()
+    show_words = args.words or not args.dims
+    for row in rows:
+        parts = []
+        if show_words:
+            parts.append(row["word"])
+        if args.dims:
+            parts.extend(f"{v:.6f}" for v in row["vec"])
+        print(" ".join(parts))
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -204,6 +237,7 @@ def main(argv=None) -> None:
     {
         "topk": cmd_topk,
         "sketch": cmd_sketch,
+        "print-embeddings": cmd_print_embeddings,
         "train-embeddings": cmd_train_embeddings,
         "package": cmd_package,
     }[args.cmd](args)
