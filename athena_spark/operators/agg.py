@@ -263,6 +263,9 @@ def aggregate_sketch_direct(
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
+    if not paths:
+        return factory(0), {"n_partials": 0, "n_rows": 0, "n_values": 0,
+                            "wall_secs": 0.0}
     n_tasks = min(tasks or len(paths), len(paths))
     files_df = spark.createDataFrame(
         spark.sparkContext.parallelize([(p,) for p in paths], n_tasks),

@@ -338,6 +338,9 @@ class SpaceSaving:
         if len(words):
             codes, uniq = pd.factorize(words)
             out._words = np.asarray(uniq, dtype=object)
+            # bincount sums in float64: exact for integer counts up to
+            # 2^53 (~9e15) per key — beyond any per-key count at the
+            # 1e12-file target scale
             out._counts = np.bincount(codes, weights=cnts).astype(np.int64) + floor_sum
             out._errs = np.bincount(codes, weights=errs).astype(np.int64) + floor_sum
             out._truncate_topk()
