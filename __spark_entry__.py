@@ -979,6 +979,17 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-based dedup: one representative (min id) per
+    connected component of the near-dup graph (J >= 0.8), after exact
+    dedup.  Oracle recomputes components with a recursive CTE."""
+    from athena_spark.operators.dedup import dedup_corpus_components
+
+    return dedup_corpus_components(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
+    ).select("doc_id")
+
+
 def q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified batch/stream parity: the foreachBatch-maintained
     Space-Saving summary over a file stream equals the batch
@@ -1134,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_tokens_by_lang": q_topk_tokens_by_lang,
         "subsample_rate": q_subsample_rate,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_corpus_components": q_dedup_corpus_components,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "sessionization": q_sessionization,
         "bpe_token_count": q_bpe_token_count,
@@ -1328,6 +1340,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM surv
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "dedup_corpus_components": r"""
+            WITH RECURSIVE keep_exact AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+            ), surv AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN keep_exact k ON d.doc_id = k.doc_id
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+                                   t -> t <> '') AS ts
+                FROM surv
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), comp AS (
+                SELECT a AS node, LEAST(a, MIN(b)) AS component
+                FROM reach GROUP BY a
+            )
+            SELECT s.doc_id FROM surv s
+            LEFT JOIN comp c ON s.doc_id = c.node
+            WHERE c.node IS NULL OR s.doc_id = c.component
         """,
         "streaming_sketch_parity": """
             SELECT 'stream_total_equals_batch' AS "check", TRUE AS ok

@@ -248,6 +248,93 @@ def dedup_corpus(
     return survivors.join(losers, id_col, "left_anti")
 
 
+def dup_components(
+    pairs: DataFrame,
+    max_iters: int = 15,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph:
+    (node, component) where component = min doc id reachable.
+
+    Hash-min label propagation entirely in DataFrame joins: each
+    round every node adopts the smallest label in its neighborhood;
+    rounds needed = graph diameter (near-dup clusters are shallow —
+    a handful of rounds).  Each round is one shuffle of (node, label)
+    pairs; lineage is cut with localCheckpoint so plans stay flat.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("component").alias("nc"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nc", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Component-based corpus dedup: exact dedup, then keep exactly
+    ONE representative (the min id) per connected component of the
+    near-dup graph.
+
+    Unlike the greedy keep-smaller-id rule (``dedup_corpus``), which
+    can remove every member of a chain A~B~C except A even when A and
+    C are not similar, the component rule keeps one doc per duplicate
+    cluster — the standard choice for training-data pipelines.
+    """
+    exact_keep = (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_sha"))
+        .groupBy("_sha")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = df.join(exact_keep, id_col, "left_semi")
+    near_pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, n=n, threshold=threshold,
+        num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
+    )
+    comps = dup_components(near_pairs)
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return survivors.join(losers, id_col, "left_anti")
+
+
 # -- SimHash -----------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

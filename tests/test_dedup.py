@@ -106,3 +106,28 @@ def test_simhash_identical_and_disjoint(spark):
            for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
     assert sim[0] == sim[1]
     assert sim[0] != sim[2]
+
+
+def test_dup_components_label_propagation(spark):
+    from athena_spark.operators.dedup import dup_components
+
+    # two components: {0,1,2,5} via a chain, {7,9} direct
+    pairs = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 5), (7, 9)], "id_a long, id_b long"
+    )
+    comps = {r["node"]: r["component"] for r in dup_components(pairs).collect()}
+    assert comps == {0: 0, 1: 0, 2: 0, 5: 0, 7: 7, 9: 7}
+
+
+def test_component_dedup_differs_from_greedy(spark):
+    """Star graph 0-2, 1-2 (0 and 1 not similar to each other): the
+    greedy id_b rule keeps both 0 and 1; the component rule keeps
+    exactly one representative per cluster."""
+    from athena_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame([(0, 2), (1, 2)], "id_a long, id_b long")
+    greedy_losers = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    comps = {r["node"]: r["component"] for r in dup_components(pairs).collect()}
+    comp_losers = {n for n, c in comps.items() if n != c}
+    assert greedy_losers == {2}          # keeps 0 AND 1
+    assert comp_losers == {1, 2}         # keeps only 0
