@@ -521,6 +521,34 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified banded sign-LSH near-dup (the 100TB path — no
+    broadcast of the corpus matrix): on this weakly-clustered data
+    (threshold 0.3 → 72° angle) 32 bands x 4 bits give ~0.99 catch
+    probability; verified pairs must be a subset of brute force with
+    recall >= 0.95."""
+    from athena_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    bf = {(r["id_a"], r["id_b"])
+          for r in embedding_neardup_pairs(emb, threshold=0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_neardup_pairs_lsh(
+               emb, threshold=0.3, bands=32, bits=4).collect()}
+    recall = len(bf & lsh) / max(len(bf), 1)
+    rows = [
+        ("recall_ge_0.95", recall >= 0.95),
+        ("no_false_positives", lsh <= bf),
+        ("nonempty", len(bf) > 0),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic marker-scoring language-ID (argmax, ties by code
     asc) — the oracle replicates the same function in SQL."""
@@ -1137,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "langid": q_langid,
         "quality_features": q_quality_features,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1280,6 +1309,11 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "embedding_neardup_lsh": """
+            SELECT 'recall_ge_0.95' AS "check", TRUE AS ok
+            UNION ALL SELECT 'no_false_positives', TRUE
+            UNION ALL SELECT 'nonempty', TRUE
         """,
         "langid": _LANGID_SQL,
         "quality_features": _QUALITY_SQL,

@@ -325,6 +325,68 @@ def ann_topk_ivf(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int = 16,
+    bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs at scale: sign-LSH banding instead of the
+    broadcast all-pairs matmul.
+
+    Each vector gets ``bands`` bucket ids (each from ``bits`` random
+    hyperplanes); any pair sharing a (band, bucket) is a candidate,
+    verified with the exact JVM cosine.  Catch probability for a pair
+    at cosine s is 1 - (1 - (1 - arccos(s)/π)^bits)^bands — ≥ 0.99
+    at s ≥ 0.9 with the defaults.  Only candidate ids shuffle; the
+    vectors join back afterward (broadcastable per-candidate set)."""
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(bands * bits, dim))
+    bc = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes_ = bc.value
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            signs = (mat @ planes_.T) > 0          # (n, bands*bits)
+            signs = signs.reshape(len(ids), bands, bits)
+            buckets = (signs * weights).sum(axis=2)  # (n, bands)
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, bands),
+                "band": np.tile(np.arange(bands), len(ids)),
+                "bucket": buckets.ravel(),
+            })
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    banded = df.select(id_col, vec_col).mapInPandas(
+        bucketize, f"`{id_col}` {id_type}, band int, bucket long"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine_col("_va", "_vb"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -131,3 +131,29 @@ def test_assign_centroids_cells(spark, emb):
     cells = [r["ivf_cell"] for r in out.select("ivf_cell").collect()]
     assert len(cells) == emb.count()
     assert all(0 <= c < 8 for c in cells)
+
+
+def test_embedding_neardup_lsh_matches_bruteforce(spark):
+    """Banded sign-LSH near-dup: at cosine >= 0.9 with 16 bands x 8
+    bits the candidate stage catches essentially every true pair; the
+    verified output must equal brute force on clustered data."""
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(20, 32))
+    rows = []
+    for i in range(300):
+        c = centers[i % 20]
+        v = c + rng.normal(scale=0.03, size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bf = {(r["id_a"], r["id_b"]): r["cosine"]
+          for r in similarity.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.embedding_neardup_pairs_lsh(
+               df, threshold=0.9).collect()}
+    assert bf, "fixture must contain near-dup pairs"
+    recall = len(set(bf) & set(lsh)) / len(bf)
+    assert recall >= 0.98, recall
+    for k in set(bf) & set(lsh):
+        assert abs(bf[k] - lsh[k]) < 1e-6
+    # no false positives: every reported pair really is >= threshold
+    assert set(lsh) <= set(bf)
