@@ -138,3 +138,15 @@ def test_repartition_by_bytes(spark):
     assert max(per_part) < 3 * (sum(per_part) / len(per_part))
     # identical giant rows must NOT all land in one partition
     assert sum(1 for r in sizes if r["giants"] > 0) >= 2
+
+
+def test_with_sha256_matches_hashlib(spark):
+    import hashlib
+
+    from athena_spark.sources.corpus import generate_corpus, with_sha256
+
+    df = with_sha256(generate_corpus(spark, 50, tokens_per_row=40))
+    for r in df.select("content", "content_sha256").collect():
+        assert r["content_sha256"] == hashlib.sha256(
+            r["content"].encode("utf-8")
+        ).hexdigest()
