@@ -1,0 +1,99 @@
+"""Cross-checks of the custom sketch kernels against Spark's built-in
+reference implementations (SURVEY.md §5.2): both sides must agree with
+the exact answer within each algorithm's bound, on the same data.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators.agg import (
+    aggregate_sketch,
+    token_distinct_updater,
+    values_updater,
+)
+from athena_spark.sketch import KLL, CountMinSketch, HyperLogLog, TDigest
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+
+
+def test_hll_vs_approx_count_distinct(spark, docs):
+    from athena_spark.functions.tokenize import tokens_col
+
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    exact = toks.select(F.countDistinct("token")).collect()[0][0]
+    builtin = toks.select(
+        F.approx_count_distinct("token", rsd=0.01)
+    ).collect()[0][0]
+    ours, _ = aggregate_sketch(
+        docs, "text", lambda pid: HyperLogLog(p=14), token_distinct_updater
+    )
+    tol = 3 * 1.04 / np.sqrt(1 << 14)
+    assert abs(ours.estimate() - exact) <= tol * exact + 3
+    assert abs(builtin - exact) <= 0.03 * exact + 3
+    # the two estimators agree with each other through the exact value
+    assert abs(ours.estimate() - builtin) <= (tol + 0.03) * exact + 6
+
+
+def test_cms_vs_builtin_count_min_sketch(spark, docs):
+    """PySpark 4 exposes count_min_sketch only as a SQL function
+    returning Spark's binary serialization (version int, totalCount
+    long, ... — big-endian DataOutputStream layout).  Cross-check the
+    stream totals agree exactly and our per-key bounds hold."""
+    import struct
+
+    from athena_spark.functions.tokenize import exploded_tokens
+
+    toks = exploded_tokens(docs, "text")
+    exact = {r["token"]: r["cnt"] for r in
+             toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(exact.values())
+    blob = bytes(
+        toks.select(
+            F.expr("count_min_sketch(token, 0.001d, 0.99d, 7)").alias("s")
+        ).collect()[0]["s"]
+    )
+    version, builtin_total = struct.unpack(">iq", blob[:12])
+    assert version == 1
+    assert builtin_total == total
+    ours, _ = aggregate_sketch(
+        docs, "text", lambda pid: CountMinSketch(5, 4096)
+    )
+    assert ours.total == total
+    words = np.array(sorted(exact), dtype=object)
+    our_est = ours.query(words)
+    for w, mine in zip(words, our_est):
+        assert exact[w] <= mine <= exact[w] + ours.eps * total
+
+
+def test_quantiles_vs_percentile_approx(spark, lineitem):
+    qs = [0.1, 0.5, 0.9]
+    exact_sorted = np.sort(
+        np.array([r[0] for r in lineitem.select("l_extendedprice").collect()])
+    )
+    n = len(exact_sorted)
+    builtin = lineitem.select(
+        F.percentile_approx("l_extendedprice", qs, 10_000).alias("p")
+    ).collect()[0]["p"]
+    kll, _ = aggregate_sketch(
+        lineitem, "l_extendedprice", lambda pid: KLL(k=200, seed=pid),
+        values_updater,
+    )
+    td, _ = aggregate_sketch(
+        lineitem, "l_extendedprice", lambda pid: TDigest(delta=100),
+        values_updater,
+    )
+    for i, q in enumerate(qs):
+        for est, tol in ((builtin[i], 0.01),
+                         (kll.quantile(q)[0], 0.03),
+                         (td.quantile(q)[0], 0.02)):
+            rank = np.searchsorted(exact_sorted, est, side="right") / n
+            assert abs(rank - q) <= tol, (q, est, rank)
