@@ -709,7 +709,7 @@ def q_vocab_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token").agg(F.count("*").alias("cnt")).collect()
     )
     vocab_dir = tempfile.mkdtemp(prefix="athena_vocab_")
-    with open(os.path.join(vocab_dir, "vocab.txt"), "w") as f:
+    with open(os.path.join(vocab_dir, "vocab.txt"), "w", encoding="utf-8") as f:
         for r in counts:
             f.write(f"{r['token']} {r['cnt']}\n")
     return (

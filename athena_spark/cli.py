@@ -107,9 +107,10 @@ def cmd_topk(args) -> None:
 
         from athena_spark.operators.agg import aggregate_sketch_direct
 
+        in_dir = _os.path.abspath(args.input)
         files = sorted(
-            _os.path.join(args.input, f)
-            for f in _os.listdir(args.input) if f.endswith(".parquet")
+            _os.path.join(in_dir, f)
+            for f in _os.listdir(in_dir) if f.endswith(".parquet")
         )
         sk, metrics = aggregate_sketch_direct(
             spark, files, args.col, lambda pid: SpaceSaving(k=args.k),

@@ -322,7 +322,7 @@ def aggregate_sketch_direct(
     final = tree_merge(partials, n_tasks, fanout)
     row = final.collect()[0]
     metrics = {
-        "n_partials": len(paths),
+        "n_partials": n_tasks,
         "n_rows": row["n_rows"],
         "n_values": row["n_values"],
         "wall_secs": row["wall_secs"],

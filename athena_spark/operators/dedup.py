@@ -271,6 +271,7 @@ def dup_components(
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
@@ -294,7 +295,16 @@ def dup_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent partial labels would keep several representatives per
+        # cluster — fail loudly; callers raise max_iters for graphs
+        # with diameter beyond the near-dup norm
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iters} rounds — "
+            "component diameter exceeds max_iters; raise max_iters"
+        )
     return labels
 
 

@@ -209,6 +209,13 @@ def train_centroids(
 
     At 100 TB the sample fraction keeps the training set bounded; the
     corpus itself is never collected."""
+    if sample_fraction is None:
+        # a plain limit() would train on the corpus PREFIX — heavily
+        # biased when storage order correlates with the clusters.
+        # One cheap count sizes a uniform sample instead.
+        n_total = df.count()
+        if n_total > max_train_rows:
+            sample_fraction = min(1.0, 4.0 * max_train_rows / n_total)
     if sample_fraction is not None:
         sampled = df.select(vec_col).sample(fraction=sample_fraction, seed=seed)
     else:
@@ -267,6 +274,7 @@ def ann_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 7,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN: each query scores only corpus rows assigned to its
     ``n_probe`` nearest k-means cells.
@@ -276,7 +284,8 @@ def ann_topk_ivf(
     top-k window over the (batches x queries x k)-sized partials.
     Approximate; recall is certified against brute force."""
     spark = df.sparkSession
-    centroids = train_centroids(df, vec_col, n_centroids, seed=seed)
+    centroids = train_centroids(df, vec_col, n_centroids, seed=seed,
+                                sample_fraction=sample_fraction)
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
     q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
     probe_sets: dict[int, list] = {}
@@ -379,11 +388,13 @@ def embedding_neardup_pairs_lsh(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # threshold on the UNROUNDED cosine (matching the brute-force
+    # path) — rounding first would admit pairs just below threshold
     return (
         cands.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b",
-                F.round(cosine_col("_va", "_vb"), 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+        .withColumn("_c", cosine_col("_va", "_vb"))
+        .where(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cosine"))
     )
 
 

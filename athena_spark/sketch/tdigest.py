@@ -133,17 +133,26 @@ class TDigest:
         return np.interp(np.clip(qs, 0.0, 1.0), xs, ys)
 
     def rank(self, values) -> np.ndarray:
-        """Estimated fraction of inserted items <= value."""
+        """Estimated fraction of inserted items <= value (CDF)."""
         self._flush()
         values = np.atleast_1d(np.asarray(values, dtype=np.float64))
         if self.n == 0 or len(self._means) == 0:
             return np.zeros(values.shape)
-        cum = np.cumsum(self._weights)
-        mid = (cum - self._weights / 2.0) / self.n
-        xs = np.concatenate([[self._min], self._means, [self._max]])
+        means, weights = self._means, self._weights
+        cum = np.cumsum(weights)
+        # a query that lands exactly on centroid mass (ties / discrete
+        # data) gets the full cumulative weight through that mass —
+        # np.interp would land mid-tie and grossly under-count
+        lo = np.searchsorted(means, values, side="left")
+        hi = np.searchsorted(means, values, side="right")
+        tied = hi > lo
+        w_thru = np.where(hi > 0, cum[np.maximum(hi - 1, 0)], 0.0)
+        out_tied = w_thru / self.n
+        mid = (cum - weights / 2.0) / self.n
+        xs = np.concatenate([[self._min], means, [self._max]])
         qs = np.concatenate([[0.0], mid, [1.0]])
-        # enforce monotone xs for interp (equal means collapse)
-        return np.interp(values, xs, qs)
+        out_interp = np.interp(values, xs, qs)
+        return np.where(tied, out_tied, out_interp)
 
     def centroids(self) -> tuple[np.ndarray, np.ndarray]:
         self._flush()

@@ -5,10 +5,11 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...} plus sketch-throughput extras.
 
---scaling: evidence for the N→4N criterion — run the same
-Space-Saving job on the same generated corpus at local[8] and
-local[32] and report tokens/sec at both plus
-efficiency = throughput_32 / (4 * throughput_8).
+--scaling [--n N]: evidence for the N→4N criterion — run the same
+Space-Saving job on the same generated corpus at local[N] and
+local[4N] (default N=1), interleaved in paired rounds, and report
+tokens/sec at both plus the median paired-round efficiency
+throughput_4N / (4 * throughput_N).
 """
 
 from __future__ import annotations

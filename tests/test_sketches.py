@@ -299,3 +299,17 @@ def test_tdigest_merge_and_roundtrip():
     # rank() is the inverse surface
     mid = td.quantile(0.5)[0]
     assert abs(td.rank(mid)[0] - 0.5) < 0.02
+
+
+def test_tdigest_rank_with_ties():
+    """rank() is a CDF: a query landing on tied centroid mass counts
+    the whole mass, not the interpolated midpoint."""
+    from athena_spark.sketch import TDigest
+
+    td = TDigest(delta=100)
+    td.update(np.concatenate([np.zeros(50), np.arange(1.0, 51.0)]))
+    assert abs(td.rank(0.0)[0] - 0.5) < 0.05
+    assert td.rank(-1.0)[0] == 0.0
+    assert td.rank(100.0)[0] == 1.0
+    # continuous region still interpolates sanely
+    assert abs(td.rank(25.0)[0] - 0.75) < 0.05
