@@ -1210,7 +1210,11 @@ def oracle_sql() -> dict[str, str]:
             ), top AS (
                 SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 5
             )
-            SELECT token, cnt, (SELECT SUM(cnt) FROM top) AS retained_total FROM top
+            SELECT token, cnt,
+                   -- DuckDB SUM(BIGINT) is HUGEINT (decimal128 via Arrow);
+                   -- cast so the driver's value hash sees int64 like Spark
+                   CAST((SELECT SUM(cnt) FROM top) AS BIGINT) AS retained_total
+            FROM top
         """,
         "exp_normalize": f"""
             WITH counts AS (
@@ -1496,8 +1500,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (
                 SELECT user_id, ts,
-                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                              ROWS UNBOUNDED PRECEDING)
+                       CAST(SUM(new_session)
+                            OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
                            AS session_id
                 FROM g
             )

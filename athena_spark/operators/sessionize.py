@@ -33,7 +33,17 @@ def sessionize(
         prev.isNull()
         | (ts.cast("double") - prev.cast("double") > gap_s)
     ).cast("long")
-    w2 = Window.partitionBy(user_col).orderBy("_ts")
+    # ROWS frame, not Spark's default RANGE frame: RANGE gives peer rows
+    # at tied timestamps one shared running-sum value, which diverges
+    # from ANSI ROWS engines.  Within a tie group at most the first row
+    # can be a boundary (its peers see gap 0), so with ROWS every tied
+    # row lands in the same session regardless of tie order — the
+    # grouped output is deterministic.
+    w2 = (
+        Window.partitionBy(user_col)
+        .orderBy("_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     with_sid = df.select(
         F.col(user_col), ts.alias("_ts"), new_session.alias("_new")
     ).withColumn("session_id", F.sum("_new").over(w2))

@@ -57,6 +57,17 @@ def test_query_matches_oracle(spark, ddb, name):
 
     rel = ddb.sql(oracle)
     duck_cols = rel.columns
+    # The driver hashes Arrow value bytes, where DuckDB's HUGEINT
+    # (e.g. SUM(BIGINT)) surfaces as decimal128 and mismatches Spark's
+    # int64 even when Python-level equality holds (Decimal(15) == 15).
+    # Reject decimal columns outright — oracle SQL must CAST them.
+    import pyarrow as pa
+
+    for field in rel.arrow().schema:
+        assert not pa.types.is_decimal(field.type), (
+            f"{name}: oracle column {field.name} is {field.type}; "
+            "CAST it (driver value-hash sees raw Arrow bytes)"
+        )
     duck_rows = rel.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
