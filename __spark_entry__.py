@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TOKEN_SQL_SOURCE = """
     SELECT token FROM (
-        SELECT unnest(regexp_split_to_array(text, '[ \\t\\r\\n]+')) AS token
+        SELECT unnest(regexp_split_to_array(replace(text, chr(13), ''),
+                                            '[ \\t\\n]+')) AS token
         FROM documents
     ) WHERE token <> ''
 """
@@ -34,7 +35,7 @@ TOKEN_SQL_SOURCE = """
 _JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+         list_filter(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
                      t -> t <> '') AS ts
   FROM documents
 ), sh AS (
@@ -67,7 +68,7 @@ def _markers_sql() -> dict[str, str]:
 
 def _langid_sql() -> str:
     ms = _markers_sql()
-    toks = (r"list_filter(regexp_split_to_array(text, '[ \t\r\n]+'), "
+    toks = (r"list_filter(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'), "
             r"t -> t <> '')")
     scores = {
         lang: f"LEN(LIST_FILTER({toks}, t -> LIST_CONTAINS({lst}, t)))"
@@ -90,7 +91,7 @@ _LANGID_SQL = _langid_sql()
 _QUALITY_SQL = r"""
 WITH f AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+         list_filter(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
                      t -> t <> '') AS ts,
          LENGTH(text) AS n_chars,
          LENGTH(text) - LENGTH(regexp_replace(text, '[^0-9A-Za-z \t\n]',
@@ -830,13 +831,13 @@ def q_skew_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct-token count per lang
     (operators/skew.py): shuffle keys are (lang, token) pairs so the
     Zipf head dilutes over the value space — exact SQL oracle."""
-    from athena_spark.functions.tokenize import exploded_tokens
+    from athena_spark.functions.tokenize import tokens_col
     from athena_spark.operators.skew import salted_distinct_count
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select("lang", F.explode(
-        F.filter(F.split("text", r"[ \t\r\n]+"), lambda t: t != F.lit(""))
-    ).alias("token"))
+    toks = docs.select(
+        "lang", F.explode(tokens_col("text")).alias("token")
+    )
     return salted_distinct_count(toks, "lang", "token")
 
 
@@ -1250,10 +1251,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": r"""
             SELECT doc_id,
-                   LEN(LIST_FILTER(regexp_split_to_array(text, '[ \t\r\n]+'),
+                   LEN(LIST_FILTER(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
                                    t -> t <> '')) AS n_tokens,
                    LEN(LIST_DISTINCT(LIST_FILTER(
-                       regexp_split_to_array(text, '[ \t\r\n]+'),
+                       regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
                        t -> t <> ''))) AS n_distinct
             FROM documents
         """,
@@ -1333,7 +1334,7 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
                 SELECT lang, token, COUNT(*) AS est_count FROM (
                     SELECT lang,
-                           unnest(regexp_split_to_array(text, '[ \t\r\n]+')) AS token
+                           unnest(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+')) AS token
                     FROM documents
                 ) WHERE token <> ''
                 GROUP BY lang, token
@@ -1356,7 +1357,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN keep_exact k ON d.doc_id = k.doc_id
             ), toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+                       list_filter(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
                                    t -> t <> '') AS ts
                 FROM surv
             ), sh AS (
@@ -1387,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN keep_exact k ON d.doc_id = k.doc_id
             ), toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '[ \t\r\n]+'),
+                       list_filter(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
                                    t -> t <> '') AS ts
                 FROM surv
             ), sh AS (
@@ -1472,7 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_distinct_tokens": r"""
             SELECT lang, COUNT(DISTINCT token) AS n_distinct FROM (
                 SELECT lang,
-                       unnest(regexp_split_to_array(text, '[ \t\r\n]+')) AS token
+                       unnest(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+')) AS token
                 FROM documents
             ) WHERE token <> ''
             GROUP BY lang

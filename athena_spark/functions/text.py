@@ -143,7 +143,7 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str,
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").split()
+                toks = (text or "").replace("\r", "").split()
                 prints = winnow_fingerprints(toks, k=k, window=window)
                 ids.extend([doc_id] * len(prints))
                 fps.extend(prints.view(np.int64))  # reinterpret for Spark long

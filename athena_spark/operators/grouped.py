@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from athena_spark.operators.agg import load_summary
+from athena_spark.operators.agg import load_summary, merge_summaries
 
 
 def grouped_sketch_agg(
@@ -52,9 +52,10 @@ def grouped_sketch_agg(
         yield pd.DataFrame(rows, columns=[*keys, "state", "n_values"])
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = load_summary(pdf["state"].iloc[0])
-        for blob in pdf["state"].iloc[1:]:
-            merged = merged.merge(load_summary(blob))
+        # n-way merge_summaries, not a pairwise chain: SpaceSaving's
+        # merge_many gives tighter bounds (no intermediate truncation,
+        # PODS-2012) and one pass over the wide-group case
+        merged = merge_summaries([load_summary(b) for b in pdf["state"]])
         head = pdf.iloc[[0]][keys].reset_index(drop=True)
         head["state"] = [merged.to_bytes()]
         head["n_values"] = [int(pdf["n_values"].sum())]

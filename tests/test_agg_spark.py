@@ -190,3 +190,23 @@ def test_direct_reader_matches_jvm_scan(spark, sf_dir, tmp_path):
     assert m_d["n_values"] == m_j["n_values"]
     assert sk_d.total == sk_j.total
     assert sk_d.items() == sk_j.items()
+
+
+def test_grouped_equals_ungrouped_per_key(spark, docs):
+    """Grouped sketch aggregation must equal running the ungrouped
+    aggregation on each key's slice (merge_summaries n-way path)."""
+    from athena_spark.operators.grouped import grouped_sketch_agg
+    from athena_spark.operators.agg import load_summary, token_counts_updater
+
+    grouped = grouped_sketch_agg(
+        docs, ["lang"], "text", lambda: SpaceSaving(k=4096),
+        token_counts_updater,
+    )
+    got = {r["lang"]: load_summary(r["state"]) for r in grouped.collect()}
+    for lang in got:
+        per_key, _ = agg.aggregate_sketch(
+            docs.where(F.col("lang") == lang), "text",
+            lambda pid: SpaceSaving(k=4096),
+        )
+        assert got[lang].total == per_key.total
+        assert sorted(got[lang].items()) == sorted(per_key.items())

@@ -131,3 +131,39 @@ def test_component_dedup_differs_from_greedy(spark):
     comp_losers = {n for n, c in comps.items() if n != c}
     assert greedy_losers == {2}          # keeps 0 AND 1
     assert comp_losers == {1, 2}         # keeps only 0
+
+
+def test_zipf_guard_on_by_default_and_caps_join_volume(spark):
+    """One boilerplate shingle shared by every doc must not create a
+    quadratic join: with the guard at max_doc_freq=10 the hot shingle
+    is dropped and pair volume stays linear-ish, while the honest
+    near-dup pair is still found."""
+    hot = "common boilerplate header"
+    rows = [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(60)]
+    rows.append((60, rows[0][1]))  # one honest near-dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # guard ON: the hot shingle (df=61 > 10) is dropped before the join
+    guarded = dedup._shingle_table(docs, "doc_id", "text", 3, max_doc_freq=10)
+    assert guarded.where(F.col("shingle") == hot).count() == 0
+    n_pairs_guarded = (
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.01, max_doc_freq=10
+        ).count()
+    )
+    # guard OFF: every doc pairs with every other through the hot
+    # shingle -> quadratic candidate volume
+    n_pairs_off = (
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.01, max_doc_freq=None
+        ).count()
+    )
+    assert n_pairs_off == 61 * 60 // 2      # the quadratic blow-up
+    assert n_pairs_guarded == 1             # only the honest dup pair
+
+    # the default is finite (guard on unless explicitly disabled)
+    import inspect
+
+    sig = inspect.signature(dedup.ngram_jaccard_pairs)
+    assert sig.parameters["max_doc_freq"].default == dedup.DEFAULT_MAX_DOC_FREQ
+    assert dedup.DEFAULT_MAX_DOC_FREQ is not None

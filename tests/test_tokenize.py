@@ -37,13 +37,34 @@ def test_arrow_tokens_match_reference_semantics():
     arr = pa.array(texts, pa.string())
     got = tokenize.arrow_tokens(arr).to_pylist()
     want = [t for s in texts for t in reference_tokens(s)]
-    # ascii_split_whitespace treats \r as a separator rather than a
-    # skipped char: "e\rf" → ["e","f"] vs reference ["ef"].  That is
-    # the one divergence; everything else must match exactly.
-    got_joined = [t for t in got]
-    assert [t for t in got_joined if t not in ("e", "f", "ef")] == [
-        t for t in want if t not in ("e", "f", "ef")
-    ]
+    # exact parity including the \r-mid-token case: the reference
+    # DELETES \r ("e\rf" → "ef", src/_io.cpp:28-30) and so do we.
+    assert got == want
+
+
+def test_cr_deleted_mid_token(spark):
+    # "e\rf" → ["ef"] on every surface: Arrow, JVM, sentences
+    arr = pa.array(["e\rf g"], pa.string())
+    assert tokenize.arrow_tokens(arr).to_pylist() == ["ef", "g"]
+    df = spark.createDataFrame([("e\rf g",)], "text string")
+    from pyspark.sql import functions as F
+
+    (row,) = df.select(tokenize.tokens_col("text").alias("t")).collect()
+    assert row["t"] == ["ef", "g"]
+    import pandas as pd
+
+    assert tokenize.sentences_pandas(pd.Series(["e\rf g"])) == [["ef", "g"]]
+    toks, counts = tokenize.arrow_tokenize_batch(pd.Series(["e\rf g"]))
+    assert toks.to_pylist() == ["ef", "g"] and counts.tolist() == [2]
+
+
+def test_arrow_tokenize_batch_boundaries():
+    import pandas as pd
+
+    texts = pd.Series(["a b", "", "  x  ", None, "p q r"])
+    toks, counts = tokenize.arrow_tokenize_batch(texts)
+    assert toks.to_pylist() == ["a", "b", "x", "p", "q", "r"]
+    assert counts.tolist() == [2, 0, 1, 0, 3]
 
 
 def test_ascii_and_regex_paths_agree_on_test_tables(spark, sf_dir):
