@@ -534,16 +534,27 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _table(spark, sf_dir, "embeddings")
-    bf = {(r["id_a"], r["id_b"])
-          for r in embedding_neardup_pairs(emb, threshold=0.3).collect()}
+    # the LSH path verifies with the JVM cosine (float accumulation),
+    # the brute path with NumPy float64 — a pair sitting exactly on
+    # the 0.3 boundary can land on different sides.  Compare against
+    # an epsilon-loosened brute set for false positives and an
+    # epsilon-tightened one for recall, so boundary pairs can never
+    # flip either check.
+    eps = 1e-6
+    bf_loose = {(r["id_a"], r["id_b"])
+                for r in embedding_neardup_pairs(
+                    emb, threshold=0.3 - eps).collect()}
+    bf_strict = {(r["id_a"], r["id_b"])
+                 for r in embedding_neardup_pairs(
+                     emb, threshold=0.3 + eps).collect()}
     lsh = {(r["id_a"], r["id_b"])
            for r in embedding_neardup_pairs_lsh(
                emb, threshold=0.3, bands=32, bits=4).collect()}
-    recall = len(bf & lsh) / max(len(bf), 1)
+    recall = len(bf_strict & lsh) / max(len(bf_strict), 1)
     rows = [
         ("recall_ge_0.95", recall >= 0.95),
-        ("no_false_positives", lsh <= bf),
-        ("nonempty", len(bf) > 0),
+        ("no_false_positives", lsh <= bf_loose),
+        ("nonempty", len(bf_strict) > 0),
     ]
     return spark.createDataFrame(
         [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
@@ -572,12 +583,65 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (rolling-hash selection) — no
-    SQL-expressible oracle; driver records the rows-only check and
-    pytest covers determinism/containment."""
+    """Certified winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    the distributed fingerprint run must satisfy the algorithm's
+    invariants, re-derived from first principles per document —
+    fingerprints ⊆ the doc's k-gram hash set, every sliding window of
+    ``window`` grams contains a selected fingerprint (the coverage
+    guarantee), every fingerprint is some window's minimum, and two
+    independent runs agree exactly (determinism)."""
     from athena_spark.functions.text import fingerprint_docs
+    from athena_spark.sketch.hashing import hash64, splitmix64
 
-    return fingerprint_docs(_docs(spark, sf_dir), "doc_id", "text")
+    k, window = 5, 4
+    docs = _docs(spark, sf_dir)
+
+    def collect_fps():
+        out: dict = {}
+        rows = fingerprint_docs(docs, "doc_id", "text", k=k, window=window)
+        for r in rows.collect():
+            out.setdefault(r["doc_id"], set()).add(
+                r["fingerprint"] & 0xFFFFFFFFFFFFFFFF
+            )
+        return out
+
+    run1, run2 = collect_fps(), collect_fps()
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select("doc_id", "text").collect()}
+    subset_ok = coverage_ok = minima_ok = True
+    for doc_id, text in texts.items():
+        toks = (text or "").replace("\r", "").split()
+        fps = run1.get(doc_id, set())
+        if len(toks) < k:
+            expected = (
+                {int(hash64(np.array([" ".join(toks)], dtype=object))[0])}
+                if toks else set()
+            )
+            subset_ok &= fps == expected
+            continue
+        th = hash64(np.asarray(toks, dtype=object))
+        m = len(th) - k + 1
+        gram = th[:m].copy()
+        with np.errstate(over="ignore"):
+            for j in range(1, k):
+                gram = splitmix64(gram ^ th[j : j + m])
+        subset_ok &= fps <= set(gram.tolist())
+        if m <= window:
+            subset_ok &= fps == {int(gram.min())}
+            continue
+        sw = np.lib.stride_tricks.sliding_window_view(gram, window)
+        fp_arr = np.fromiter(fps, dtype=np.uint64, count=len(fps))
+        coverage_ok &= bool(np.isin(sw, fp_arr).any(axis=1).all())
+        minima_ok &= fps <= set(sw.min(axis=1).tolist())
+    rows = [
+        ("deterministic_across_runs", run1 == run2),
+        ("fingerprints_subset_of_gram_hashes", subset_ok),
+        ("every_window_covered", coverage_ok),
+        ("fingerprints_are_window_minima", minima_ok),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
 
 
 def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,30 +654,38 @@ def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from athena_spark.streaming.stream_agg import windowed_event_counts
 
     batch = _table(spark, sf_dir, "events")
-    # the file stream source needs a directory basePath
+    # the file stream source needs a directory basePath (local-mode
+    # only: driver and executors share the filesystem)
     src_dir = tempfile.mkdtemp(prefix="athena_stream_src_")
-    shutil.copy(f"{sf_dir}/events.parquet",
-                f"{src_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    out = windowed_event_counts(stream)
-    name = "events_hourly_stream_gate"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
     ckpt = tempfile.mkdtemp(prefix="athena_stream_ckpt_")
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet",
+                    f"{src_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = windowed_event_counts(stream)
+        name = "events_hourly_stream_gate"
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # the memory sink holds results in driver memory; materialize
+        # before the source dir disappears
+        rows = spark.table(name).collect()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=spark.table(name).schema)
 
 
 def q_topk_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,18 +777,31 @@ def q_vocab_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from athena_spark.functions.tokenize import exploded_tokens
 
+    import shutil
+
     counts = (
         exploded_tokens(_docs(spark, sf_dir), "text")
         .groupBy("token").agg(F.count("*").alias("cnt")).collect()
     )
+    # local-mode only: executors share the driver filesystem, so a
+    # driver-local temp dir is readable by the CSV scan
     vocab_dir = tempfile.mkdtemp(prefix="athena_vocab_")
-    with open(os.path.join(vocab_dir, "vocab.txt"), "w", encoding="utf-8") as f:
-        for r in counts:
-            f.write(f"{r['token']} {r['cnt']}\n")
-    return (
-        spark.read.csv(vocab_dir, sep=" ", schema="token string, cnt long",
-                       quote="", escape="")
-    )
+    try:
+        with open(os.path.join(vocab_dir, "vocab.txt"), "w",
+                  encoding="utf-8") as f:
+            for r in counts:
+                f.write(f"{r['token']} {r['cnt']}\n")
+        parsed = (
+            spark.read.csv(vocab_dir, sep=" ",
+                           schema="token string, cnt long",
+                           quote="", escape="")
+            .collect()
+        )
+    finally:
+        # the lazy scan would dangle once the dir is gone — collect
+        # above materializes, then rebuild a driver-local DataFrame
+        shutil.rmtree(vocab_dir, ignore_errors=True)
+    return spark.createDataFrame(parsed, schema="token string, cnt long")
 
 
 def q_word2vec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,14 +815,20 @@ def q_word2vec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from athena_spark.sources.word2vec import read_word2vec, write_word2vec_binary
 
+    import shutil
+
     emb = _table(spark, sf_dir, "embeddings")
     pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
     words = [f"w{int(i)}" for i in pdf["vec_id"]]
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    # local-mode only: binaryFile scan reads the driver-local temp dir
     d = tempfile.mkdtemp(prefix="athena_w2v_")
-    with open(os.path.join(d, "model.bin"), "wb") as f:
-        f.write(write_word2vec_binary(words, mat))
-    parsed = read_word2vec(spark, d).toPandas()
+    try:
+        with open(os.path.join(d, "model.bin"), "wb") as f:
+            f.write(write_word2vec_binary(words, mat))
+        parsed = read_word2vec(spark, d).toPandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     back = {w: np.asarray(v) for w, v in zip(parsed["word"], parsed["vec"])}
     norm_mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     norms_ok = all(abs(np.linalg.norm(back[w]) - 1.0) < 1e-4 for w in words)
@@ -873,35 +964,44 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from athena_spark.plans.checkpoint import SketchCheckpoint
     from athena_spark.sketch import SpaceSaving
 
+    import shutil
+
     docs = _docs(spark, sf_dir)
+    # local-mode only: checkpoint/data dirs live on the shared
+    # driver/executor filesystem
     data_dir = tempfile.mkdtemp(prefix="athena_ckpt_data_")
-    docs.repartition(4).write.mode("overwrite").parquet(data_dir)
     ckpt_dir = tempfile.mkdtemp(prefix="athena_ckpt_state_")
-    params = {"algo": "spacesaving", "k": 65536, "col": "text"}
-    ck = SketchCheckpoint(spark, ckpt_dir, job_id="gate")
-    files = sorted(
-        f for f in os.listdir(data_dir) if f.endswith(".parquet")
-    )
-    crashed = False
     try:
-        ck.run(data_dir, "text", lambda seed: SpaceSaving(k=65536),
-               token_counts_updater, params, commit_batch_files=1,
-               fail_on_file=files[-1])
-    except Exception:
-        crashed = True
-    resumed_sk, metrics = ck.run(
-        data_dir, "text", lambda seed: SpaceSaving(k=65536),
-        token_counts_updater, params, commit_batch_files=1,
-    )
-    direct_sk, _ = aggregate_sketch(
-        spark.read.parquet(data_dir), "text", lambda pid: SpaceSaving(k=65536)
-    )
-    guard_raised = False
-    try:
-        ck.run(data_dir, "text", lambda seed: SpaceSaving(k=65536),
-               token_counts_updater, {**params, "k": 1234})
-    except ValueError:
-        guard_raised = True
+        docs.repartition(4).write.mode("overwrite").parquet(data_dir)
+        params = {"algo": "spacesaving", "k": 65536, "col": "text"}
+        ck = SketchCheckpoint(spark, ckpt_dir, job_id="gate")
+        files = sorted(
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+        crashed = False
+        try:
+            ck.run(data_dir, "text", lambda seed: SpaceSaving(k=65536),
+                   token_counts_updater, params, commit_batch_files=1,
+                   fail_on_file=files[-1])
+        except Exception:
+            crashed = True
+        resumed_sk, metrics = ck.run(
+            data_dir, "text", lambda seed: SpaceSaving(k=65536),
+            token_counts_updater, params, commit_batch_files=1,
+        )
+        direct_sk, _ = aggregate_sketch(
+            spark.read.parquet(data_dir), "text",
+            lambda pid: SpaceSaving(k=65536)
+        )
+        guard_raised = False
+        try:
+            ck.run(data_dir, "text", lambda seed: SpaceSaving(k=65536),
+                   token_counts_updater, {**params, "k": 1234})
+        except ValueError:
+            guard_raised = True
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     rows = [
         ("crashed_then_resumed", crashed),
         ("resume_skipped_completed",
@@ -1033,20 +1133,25 @@ def q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     truth, _ = aggregate_sketch(docs, "text", lambda pid: SpaceSaving(k=4096))
+    # local-mode only: stream source/checkpoint on the shared fs
     src = tempfile.mkdtemp(prefix="athena_sketch_stream_")
-    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
-    ss = StreamingSketch(lambda pid: SpaceSaving(k=4096),
-                         token_counts_updater, col="text")
     ckpt = tempfile.mkdtemp(prefix="athena_sketch_stream_ckpt_")
-    q = (
-        spark.readStream.schema(docs.schema).parquet(src)
-        .writeStream.foreachBatch(ss.foreach_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    got = ss.current()
+    try:
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+        ss = StreamingSketch(lambda pid: SpaceSaving(k=4096),
+                             token_counts_updater, col="text")
+        q = (
+            spark.readStream.schema(docs.schema).parquet(src)
+            .writeStream.foreachBatch(ss.foreach_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = ss.current()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     rows = [
         ("stream_total_equals_batch", bool(got.total == truth.total)),
         ("stream_items_equal_batch", bool(got.items() == truth.items())),
@@ -1055,19 +1160,57 @@ def q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 pipeline (streaming SGNS embeddings over a Space-Saving
-    vocabulary, arXiv:1704.07463): per-partition trainers +
-    count-weighted parameter averaging.  Stochastic → rows-only check;
-    pytest asserts the learning behavior (planted-topic separation,
-    gradient math, eviction resets)."""
+    """Certified E3 (streaming SGNS over a Space-Saving vocabulary,
+    arXiv:1704.07463): deterministic planted-topic corpus — two topic
+    vocabularies that never co-occur.  After distributed training
+    (per-partition streaming trainers + count-weighted averaging) the
+    learned geometry must separate the topics (within-topic cosine >
+    across-topic cosine), every planted word must be learned with its
+    exact corpus count, and vectors must be finite with the right
+    dimensionality."""
+    from collections import Counter
+
     from athena_spark.embedding.sgns import train_embeddings
 
+    rng = np.random.default_rng(13)
+    topic_a = ["spark", "shuffle", "partition", "executor"]
+    topic_b = ["piano", "violin", "sonata", "tempo"]
+    sents = []
+    for _ in range(600):
+        topic = topic_a if rng.random() < 0.5 else topic_b
+        sents.append(" ".join(rng.choice(topic, size=8)))
+    df = spark.createDataFrame(
+        [(s,) for s in sents], "content string"
+    ).repartition(4)
     out = train_embeddings(
-        _docs(spark, sf_dir), "text", vocab_dim=64, embedding_dim=16,
-        symm_context=3, neg_samples=3, reservoir_size=4096,
-    )
-    return out.select(
-        "word", "count", F.size("vec").alias("dim"),
+        df, "content", vocab_dim=16, embedding_dim=16, symm_context=3,
+        neg_samples=4, subsample_threshold=1e6, reservoir_size=1024,
+        tau=2e4, kappa=5e-2,
+    ).collect()
+    emb = {r["word"]: np.array(r["vec"], dtype=np.float64) for r in out}
+    counts = {r["word"]: r["count"] for r in out}
+    exact = Counter(t for s in sents for t in s.split())
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    within = np.mean([
+        cos(emb["spark"], emb["shuffle"]), cos(emb["piano"], emb["violin"]),
+        cos(emb["partition"], emb["executor"]), cos(emb["sonata"], emb["tempo"]),
+    ])
+    across = np.mean([
+        cos(emb["spark"], emb["piano"]), cos(emb["shuffle"], emb["sonata"]),
+        cos(emb["executor"], emb["tempo"]), cos(emb["partition"], emb["violin"]),
+    ])
+    rows = [
+        ("all_planted_words_learned", set(emb) == set(topic_a + topic_b)),
+        ("counts_exact", counts == dict(exact)),
+        ("dims_correct", all(len(v) == 16 for v in emb.values())),
+        ("vectors_finite", all(np.isfinite(v).all() for v in emb.values())),
+        ("topic_separation", bool(within > across)),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
     )
 
 
@@ -1109,12 +1252,22 @@ def q_stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    rows = spark.table(name).collect()
+    try:
+        q.awaitTermination(300)
+        rows = spark.table(name).collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # the memory sink's collect() order is not contractual across
+    # micro-batches — pick each key's FINAL emission as the one with
+    # the max running total (monotone per key; equal totals mean the
+    # sketch saw no new tokens, so the items are identical too)
     last = {}
+    best_total = {}
     for r in rows:
-        last[r["key"]] = (list(r["token"]), list(r["est_count"]))
-    shutil.rmtree(src, ignore_errors=True)
+        if r["total"] >= best_total.get(r["key"], -1):
+            best_total[r["key"]] = r["total"]
+            last[r["key"]] = (list(r["token"]), list(r["est_count"]))
     checks = [
         ("keys_match", set(last) == set(truth)),
         ("final_topk_equals_batch",
@@ -1127,20 +1280,49 @@ def q_stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_word2vec_parity_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5/E6 two-pass word2vec parity trainer
-    (src/word2vec-train.cpp): exact vocab pass + truncate, frozen
-    smoothed negative-sampling table (alias variant = E6,
-    src/word2vec-alias-train.cpp), SGNS pass with per-partition
-    models + count-weighted averaging.  Stochastic → rows-only check;
-    pytest certifies the learning behavior."""
+    """Certified E5/E6 two-pass word2vec parity trainer
+    (src/word2vec-train.cpp, alias variant src/word2vec-alias-
+    train.cpp): the exact vocab pass must reproduce the corpus's
+    token counts verbatim (count desc, word asc truncate rule), the
+    SGNS pass must produce finite vectors of the right dimensionality
+    for every vocab word, and the vectors must carry signal (not the
+    zero/init state: mean pairwise |cosine| strictly inside (0,1)).
+    PRNG parity with the reference's java.util.Random LCG is parity
+    of *procedure*, not of bits — distributed runs cannot be
+    bit-identical (SURVEY §2.1 C10)."""
     from athena_spark.embedding.word2vec_train import word2vec_train
+    from athena_spark.functions.tokenize import exploded_tokens
 
+    docs = _docs(spark, sf_dir)
+    dim = 16
     out = word2vec_train(
-        _docs(spark, sf_dir), "text", vocab_size=64, embedding_dim=16,
+        docs, "text", vocab_size=64, embedding_dim=dim,
         symm_context=3, neg_samples=3, table_size=100_000,
         alias_sampling=True,
+    ).collect()
+    counts = {r["word"]: r["count"] for r in out}
+    vecs = {r["word"]: np.array(r["vec"], dtype=np.float64) for r in out}
+    exact_rows = (
+        exploded_tokens(docs, "text")
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(64).collect()
     )
-    return out.select("word", "count", F.size("vec").alias("dim"))
+    exact = {r["token"]: r["cnt"] for r in exact_rows}
+    mat = np.stack([vecs[w] for w in sorted(vecs)])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+    off_diag = sims[~np.eye(len(mat), dtype=bool)]
+    rows = [
+        ("vocab_counts_exact", counts == exact),
+        ("dims_correct", all(len(v) == dim for v in vecs.values())),
+        ("vectors_finite", all(np.isfinite(v).all() for v in vecs.values())),
+        ("vectors_nonzero", bool((norms > 0).all())),
+        ("vectors_not_degenerate",
+         bool(0.0 < np.abs(off_diag).mean() < 0.999)),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1322,6 +1504,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid": _LANGID_SQL,
         "quality_features": _QUALITY_SQL,
+        "doc_fingerprints": """
+            SELECT 'deterministic_across_runs' AS "check", TRUE AS ok
+            UNION ALL SELECT 'fingerprints_subset_of_gram_hashes', TRUE
+            UNION ALL SELECT 'every_window_covered', TRUE
+            UNION ALL SELECT 'fingerprints_are_window_minima', TRUE
+        """,
+        "sgns_embeddings": """
+            SELECT 'all_planted_words_learned' AS "check", TRUE AS ok
+            UNION ALL SELECT 'counts_exact', TRUE
+            UNION ALL SELECT 'dims_correct', TRUE
+            UNION ALL SELECT 'vectors_finite', TRUE
+            UNION ALL SELECT 'topic_separation', TRUE
+        """,
+        "word2vec_parity_train": """
+            SELECT 'vocab_counts_exact' AS "check", TRUE AS ok
+            UNION ALL SELECT 'dims_correct', TRUE
+            UNION ALL SELECT 'vectors_finite', TRUE
+            UNION ALL SELECT 'vectors_nonzero', TRUE
+            UNION ALL SELECT 'vectors_not_degenerate', TRUE
+        """,
         "events_hourly_streaming": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type,

@@ -90,6 +90,14 @@ def cmd_topk(args) -> None:
     from athena_spark.sketch import SpaceSaving
 
     spark = _spark(args)
+    if args.checkpoint_dir and getattr(args, "direct", False):
+        # the checkpointed runner drives its own per-file reads; the
+        # native-reader plan has no checkpoint hook — refuse rather
+        # than silently ignoring --direct
+        raise SystemExit(
+            "--direct and --checkpoint-dir are mutually exclusive: "
+            "checkpointed runs use the per-file checkpoint reader"
+        )
     if args.checkpoint_dir:
         ck = SketchCheckpoint(spark, args.checkpoint_dir, args.job_id)
         sk, metrics = ck.run(

@@ -215,12 +215,18 @@ def train_centroids(
         # One cheap count sizes a uniform sample instead.
         n_total = df.count()
         if n_total > max_train_rows:
-            sample_fraction = min(1.0, 4.0 * max_train_rows / n_total)
+            sample_fraction = min(1.0, 1.2 * max_train_rows / n_total)
     if sample_fraction is not None:
         sampled = df.select(vec_col).sample(fraction=sample_fraction, seed=seed)
     else:
         sampled = df.select(vec_col)
-    pdf = sampled.limit(max_train_rows).toPandas()
+    # the cap must not reintroduce positional bias: shuffle the
+    # (already bounded) sample by rand(seed) before limiting, so the
+    # truncation drops random rows, not the tail of partition order.
+    # The sort touches only ~1.2x max_train_rows sampled rows.
+    pdf = (
+        sampled.orderBy(F.rand(seed)).limit(max_train_rows).toPandas()
+    )
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
