@@ -304,18 +304,37 @@ class SGNSTokenLearner:
 
 
 class SGNSSentenceLearner:
-    """sentence_train (src/_sgns.h:313-337)."""
+    """sentence_train (src/_sgns.h:313-337).
+
+    Three execution modes with identical pair structure:
+
+    * **exact** (default) — strictly sequential per-pair updates, the
+      reference's order (golden-parity mode).
+    * **window** (``fast=True``) — one vectorized update per center
+      word over its window + negatives (context snapshot per window).
+    * **sentence** (``batched=True``) — ONE vectorized update for the
+      whole sentence: all (center, context, negative) index arrays
+      are built first, then a single gather / sigmoid / scatter-add
+      pass updates both matrices from sentence-start snapshots.
+      Mini-batch SGD at sentence granularity; statistically
+      equivalent (the embedding-quality tests hold for all modes)
+      and the throughput mode of the distributed trainer.
+    """
 
     def __init__(self, token_learner: SGNSTokenLearner, ctx_strategy,
                  neg_samples: int, rng: np.random.Generator,
-                 fast: bool = False):
+                 fast: bool = False, batched: bool = False):
         self.token_learner = token_learner
         self.ctx_strategy = ctx_strategy
         self.neg_samples = neg_samples
         self.fast = fast
+        self.batched = batched
         self._rng = rng
 
     def sentence_train(self, word_ids: list[int]) -> None:
+        if self.batched:
+            self._sentence_train_batched(word_ids)
+            return
         n = len(word_ids)
         for pos in range(n):
             left, right = self.ctx_strategy.size(pos, (n - 1) - pos, self._rng)
@@ -332,6 +351,52 @@ class SGNSSentenceLearner:
                     self.token_learner.token_train(
                         word_ids[pos], word_ids[out_pos], self.neg_samples
                     )
+
+    def _sentence_train_batched(self, word_ids: list[int]) -> None:
+        n = len(word_ids)
+        if n < 2:
+            return
+        tl = self.token_learner
+        f, sgd = tl.f, tl.sgd
+        # pair structure first (windows stay per-position random, so
+        # the DynamicContextStrategy distribution is unchanged)
+        centers: list[int] = []
+        outs: list[int] = []
+        for pos in range(n):
+            left, right = self.ctx_strategy.size(pos, (n - 1) - pos, self._rng)
+            start = pos - left
+            end = start + left + 1 + right
+            for p in range(start, end):
+                if p != pos:
+                    centers.append(word_ids[pos])
+                    outs.append(word_ids[p])
+        if not centers:
+            return
+        pos_c = np.asarray(centers, dtype=np.int64)
+        pos_o = np.asarray(outs, dtype=np.int64)
+        if self.neg_samples:
+            neg_o = tl.neg.sample_idx(self.neg_samples * len(pos_c))
+            c_all = np.concatenate([pos_c, np.repeat(pos_c, self.neg_samples)])
+            o_all = np.concatenate([pos_o, neg_o])
+            labels = np.concatenate([
+                np.ones(len(pos_c), np.float32),
+                np.zeros(len(neg_o), np.float32),
+            ])
+        else:
+            c_all, o_all = pos_c, pos_o
+            labels = np.ones(len(pos_c), np.float32)
+        # snapshots at sentence start: pairs in this sentence see
+        # neither each other's word nor context updates (pure
+        # mini-batch step); duplicates accumulate via scatter-add
+        w_snap = f.word[c_all]                          # (P, D)
+        c_snap = f.context[o_all]                       # (P, D)
+        coeff = (labels
+                 - sigmoid(np.einsum("ij,ij->i", w_snap, c_snap))
+                 ).astype(np.float32)
+        rho_o = sgd._rho[o_all].astype(np.float32)
+        np.add.at(f.context, o_all, (rho_o * coeff)[:, None] * w_snap)
+        rho_c = sgd._rho[c_all].astype(np.float32)
+        np.add.at(f.word, c_all, (rho_c * coeff)[:, None] * c_snap)
 
 
 class SpaceSavingWord2Vec:
@@ -351,6 +416,7 @@ class SpaceSavingWord2Vec:
         rho_lower_bound: float = 1e-4,
         dynamic_context: bool = True,
         fast: bool = False,
+        batched: bool = False,
         seed: int = 42,
     ):
         rng = np.random.default_rng(seed)
@@ -365,7 +431,8 @@ class SpaceSavingWord2Vec:
         ctx = (DynamicContextStrategy(symm_context) if dynamic_context
                else StaticContextStrategy(symm_context))
         self.sentence_learner = SGNSSentenceLearner(
-            self.token_learner, ctx, neg_samples, rng, fast=fast
+            self.token_learner, ctx, neg_samples, rng, fast=fast,
+            batched=batched,
         )
         self.n_sentences = 0
         self.n_tokens = 0
@@ -427,6 +494,7 @@ class SpaceSavingWord2Vec:
                 "sgd_kappa": self.sgd.kappa,
                 "sgd_lb": self.sgd.rho_lower_bound,
                 "fast": self.sentence_learner.fast,
+                "batched": self.sentence_learner.batched,
                 "n_sentences": self.n_sentences,
                 "n_tokens": self.n_tokens,
                 "res_filled": self.neg_sampler.reservoir.filled_size,
@@ -459,6 +527,7 @@ class SpaceSavingWord2Vec:
             reservoir_size=len(a["reservoir"]), tau=s["sgd_tau"],
             kappa=s["sgd_kappa"], rho_lower_bound=s["sgd_lb"],
             fast=bool(s.get("fast", False)),
+            batched=bool(s.get("batched", False)),
         )
         lm = tr.lm
         lm._size = s["size"]
@@ -503,11 +572,17 @@ def train_embeddings(
     vocab_dim: int = 1000,
     embedding_dim: int = 32,
     seed: int = 42,
+    batched: bool = True,
     **trainer_kw,
 ) -> DataFrame:
     """Distributed SGNS: per-partition streaming trainers (Hogwild-
     style independence), combined by count-weighted averaging of word
-    vectors.  Returns (word, count, vec array<float>)."""
+    vectors.  Returns (word, count, vec array<float>).
+
+    Defaults to the sentence-batched vectorized SGD step (one
+    gather/sigmoid/scatter-add pass per sentence) — the throughput
+    mode; pass ``batched=False`` for the reference's strictly
+    sequential per-pair update order."""
 
     def train(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -516,7 +591,7 @@ def train_embeddings(
         pid = ctx.partitionId() if ctx is not None else 0
         trainer = SpaceSavingWord2Vec(
             vocab_dim=vocab_dim, embedding_dim=embedding_dim,
-            seed=seed + pid, **trainer_kw,
+            seed=seed + pid, batched=batched, **trainer_kw,
         )
         for pdf in batches:
             for sentence in sentences_pandas(pdf[col]):

@@ -4,6 +4,9 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...} plus sketch-throughput extras.
+Per-query numbers are the MEDIAN of 3 interleaved full-sweep rounds
+(raw rounds in "queries_rounds") — single sweeps on this host measure
+its 2-3x bandwidth wander, not the code.
 
 --scaling [--n N]: evidence for the N→4N criterion — run the same
 Space-Saving job on the same generated corpus at local[N] and
@@ -140,13 +143,28 @@ def run_headline() -> dict:
         "events_hourly_streaming",
     ]
     qmap = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qmap[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n > 0, name
+    # median of 3 full-sweep rounds: this host's bandwidth wanders
+    # 2-3x over minutes, so a single sweep measures the neighbor
+    # lottery.  Interleaving whole rounds (like --scaling) keeps each
+    # round inside one host phase; the per-query median is the
+    # round-over-round comparable number.
+    rounds = 3
+    per_round: list[dict[str, float]] = []
+    for _ in range(rounds):
+        t_round: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            df = qmap[name](spark, SF_DIR)
+            n = df.count()
+            t_round[name] = round(time.perf_counter() - t0, 3)
+            assert n > 0, name
+        per_round.append(t_round)
+    import statistics
+
+    timings: dict[str, float] = {
+        name: round(statistics.median(r[name] for r in per_round), 3)
+        for name in names
+    }
 
     corpus_path = _ensure_corpus(spark)
     # warm-up then best-of-2 — cold page cache + JIT otherwise
@@ -171,6 +189,8 @@ def run_headline() -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median_of": rounds,
+        "queries_rounds": per_round,
         "sf": sf,
         "sketch_tokens": tp["tokens"],
         "sketch_tokens_per_sec": round(tp["tokens_per_sec"]),

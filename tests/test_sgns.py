@@ -273,3 +273,41 @@ def test_distributed_training_spark(spark):
     within = cos(emb["spark"], emb["shuffle"])
     across = cos(emb["spark"], emb["piano"])
     assert within > across, (within, across)
+
+
+def test_batched_mode_learns_topics():
+    """Sentence-batched vectorized SGD (one gather/scatter pass per
+    sentence) must learn the planted-topic geometry like the
+    sequential path."""
+    rng = np.random.default_rng(7)
+    tr = sgns.SpaceSavingWord2Vec(
+        vocab_dim=16, embedding_dim=16, symm_context=3, neg_samples=4,
+        subsample_threshold=1e6, reservoir_size=1024, tau=2e4,
+        kappa=5e-2, seed=3, batched=True,
+    )
+    for sent in planted_corpus(rng):
+        tr.train_sentence(sent.split())
+    emb = {r.word: np.asarray(r.vec, dtype=np.float64)
+           for r in tr.embeddings().itertuples()}
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    within = np.mean([cos(emb["spark"], emb["shuffle"]),
+                      cos(emb["piano"], emb["violin"]),
+                      cos(emb["partition"], emb["executor"]),
+                      cos(emb["sonata"], emb["tempo"])])
+    across = np.mean([cos(emb["spark"], emb["piano"]),
+                      cos(emb["shuffle"], emb["sonata"]),
+                      cos(emb["executor"], emb["tempo"]),
+                      cos(emb["partition"], emb["violin"])])
+    assert within > across + 0.3, (within, across)
+
+
+def test_batched_mode_roundtrips_flag():
+    tr = sgns.SpaceSavingWord2Vec(vocab_dim=8, embedding_dim=4,
+                                  batched=True, seed=1)
+    tr.train_sentence("a b c d".split())
+    back = sgns.SpaceSavingWord2Vec.from_bytes(tr.to_bytes())
+    assert back.sentence_learner.batched is True
+    back.train_sentence("a b c d".split())  # keeps training batched

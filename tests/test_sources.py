@@ -150,3 +150,67 @@ def test_with_sha256_matches_hashlib(spark):
         assert r["content_sha256"] == hashlib.sha256(
             r["content"].encode("utf-8")
         ).hexdigest()
+
+
+def test_read_corpus_format_dispatch():
+    """The 100 TB input path: fmt='iceberg' must dispatch to the
+    catalog reader (spark.read.table), file formats to
+    format(fmt).load.  Dispatch is testable without the Iceberg jar."""
+    from athena_spark.sources import corpus
+
+    calls = {}
+
+    class FakeReader:
+        def table(self, path):
+            calls["table"] = path
+            return "CATALOG_DF"
+
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def load(self, path):
+            calls["load"] = path
+            return "FILE_DF"
+
+    class FakeSpark:
+        read = FakeReader()
+
+    assert corpus.read_corpus(FakeSpark(), "cat.db.corpus",
+                              fmt="iceberg") == "CATALOG_DF"
+    assert calls == {"table": "cat.db.corpus"}
+    calls.clear()
+    assert corpus.read_corpus(FakeSpark(), "/data/corpus",
+                              fmt="parquet") == "FILE_DF"
+    assert calls == {"format": "parquet", "load": "/data/corpus"}
+
+
+def test_iceberg_roundtrip_when_jar_present(spark, tmp_path):
+    """Full Iceberg write/read when the runtime jar is on the
+    classpath; skipped (with the reason) in the sandbox, which ships
+    no Iceberg jar.  Documents the production input path: an Iceberg
+    catalog table of (repo, path, commit, lang, content)."""
+    import pytest
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+    except Exception:
+        pytest.skip(
+            "Iceberg runtime jar not on the classpath in this sandbox; "
+            "at scale read_corpus(spark, 'cat.db.corpus', fmt='iceberg') "
+            "reads the catalog table"
+        )
+    from athena_spark.sources.corpus import generate_corpus, read_corpus
+
+    spark.conf.set("spark.sql.catalog.bench_local",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.bench_local.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.bench_local.warehouse",
+                   str(tmp_path / "warehouse"))
+    df = generate_corpus(spark, 100, tokens_per_row=20, num_partitions=2)
+    df.writeTo("bench_local.db.corpus").create()
+    back = read_corpus(spark, "bench_local.db.corpus", fmt="iceberg")
+    assert back.count() == 100
+    assert set(back.columns) == {"repo", "path", "commit", "lang", "content"}
