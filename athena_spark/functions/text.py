@@ -136,18 +136,96 @@ def winnow_fingerprints(tokens: list[str], k: int = 5, window: int = 4,
 def fingerprint_docs(df: DataFrame, id_col: str, text_col: str,
                      k: int = 5, window: int = 4) -> DataFrame:
     """One row per (doc, fingerprint) — winnowed rolling-hash
-    selection, mapInPandas Arrow kernel."""
+    selection, fully vectorized per batch (no per-row Python; output
+    identical to :func:`winnow_fingerprints` per doc, pinned by
+    tests):
+
+    tokenize the batch with Arrow, hash tokens once, fold k
+    consecutive token hashes per gram, then take sliding-window
+    minima with w-1 shifted ``np.minimum`` passes over the flat gram
+    array (per-doc validity by offset masking).  Docs with fewer
+    grams than one window get their single segment-min via
+    ``reduceat``; docs shorter than k tokens hash their joined text.
+    Tie position is irrelevant at the set level, so the winnowing
+    "rightmost on ties" rule cannot change the distinct output."""
     from typing import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from athena_spark.functions.tokenize import arrow_tokenize_batch
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").replace("\r", "").split()
-                prints = winnow_fingerprints(toks, k=k, window=window)
-                ids.extend([doc_id] * len(prints))
-                fps.extend(prints.view(np.int64))  # reinterpret for Spark long
-            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+            tokens, t = arrow_tokenize_batch(pdf[text_col])
+            ids_np = pdf[id_col].to_numpy()
+            th = hash64(tokens.to_numpy(zero_copy_only=False))
+            L = len(th)
+            ends = np.cumsum(t)
+            starts = ends - t
+            out_doc: list[np.ndarray] = []
+            out_fp: list[np.ndarray] = []
+            long_mask = t >= k
+            if long_mask.any():
+                m = L - k + 1
+                gram = th[:m].copy()
+                with np.errstate(over="ignore"):
+                    for j in range(1, k):
+                        gram = splitmix64(gram ^ th[j : j + m])
+                pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
+                grams = gram[(pos_in_doc[:m] <= np.repeat(t - k, t)[:m])]
+                g_counts = t[long_mask] - k + 1
+                g_starts = np.cumsum(g_counts) - g_counts
+                long_idx = np.nonzero(long_mask)[0]
+                Gm = len(grams)
+                # windowed docs: sliding minima by shifted passes
+                win_mask = g_counts > window
+                if win_mask.any():
+                    wn = Gm - window + 1
+                    mins = grams[:wn].copy()
+                    for j in range(1, window):
+                        np.minimum(mins, grams[j : j + wn], out=mins)
+                    q_in_doc = (np.arange(Gm, dtype=np.int64)
+                                - np.repeat(g_starts, g_counts))
+                    valid = q_in_doc[:wn] <= np.repeat(
+                        g_counts - window, g_counts
+                    )[:wn]
+                    sel = mins[valid]
+                    w_counts = g_counts[win_mask] - window + 1
+                    # distinct per doc: unique over (doc, fp) pairs
+                    doc_of_sel = np.repeat(long_idx[win_mask], w_counts)
+                    pairs = np.stack([doc_of_sel.astype(np.uint64), sel])
+                    _, keep = np.unique(pairs, axis=1, return_index=True)
+                    out_doc.append(doc_of_sel[keep])
+                    out_fp.append(sel[keep])
+                # docs with 1..window grams: one fingerprint, the
+                # segment min (reduceat segments are all non-empty)
+                few_mask = ~win_mask
+                if few_mask.any():
+                    seg_min = np.minimum.reduceat(grams, g_starts)
+                    out_doc.append(long_idx[few_mask])
+                    out_fp.append(seg_min[few_mask])
+            short_mask = (~long_mask) & (t > 0)
+            if short_mask.any():
+                offs = np.concatenate([np.zeros(1, np.int64), ends])
+                lists = pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), tokens
+                )
+                short_idx = np.nonzero(short_mask)[0]
+                joined = pc.binary_join(
+                    lists.take(pa.array(short_idx, type=pa.int64())), " "
+                )
+                out_doc.append(short_idx)
+                out_fp.append(hash64(joined.to_numpy(zero_copy_only=False)))
+            if out_doc:
+                doc_all = np.concatenate(out_doc).astype(np.int64)
+                fp_all = np.concatenate(out_fp).view(np.int64)
+            else:
+                doc_all = np.empty(0, np.int64)
+                fp_all = np.empty(0, np.int64)
+            yield pd.DataFrame(
+                {id_col: ids_np[doc_all], "fingerprint": fp_all}
+            )
 
     id_type = df.select(id_col).schema[0].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(

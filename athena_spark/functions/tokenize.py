@@ -56,7 +56,20 @@ USE_ASCII_WHITESPACE = True
 
 
 def _strip_cr(arr: pa.Array) -> pa.Array:
-    """Delete \\r (reference reader semantics, src/_io.cpp:28-30)."""
+    """Delete \\r (reference reader semantics, src/_io.cpp:28-30).
+
+    ``replace_substring`` rebuilds the whole column (~26% of the
+    tokenize+count kernel), so first detect with a zero-copy NumPy
+    scan of the raw data buffer (~5%) and skip the rebuild when the
+    batch has no \\r — the overwhelmingly common case.  The scan may
+    overscan unused buffer regions of sliced arrays; a false positive
+    only triggers an unnecessary (correct) replace."""
+    bufs = arr.buffers()
+    data = bufs[2] if len(bufs) > 2 else None
+    if data is not None and len(data) and not np.any(
+        np.frombuffer(data, dtype=np.uint8) == 13
+    ):
+        return arr
     return pc.replace_substring(arr, "\r", "")
 
 

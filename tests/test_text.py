@@ -100,3 +100,46 @@ def test_bpe_token_count(spark):
         "doc_id", bpe_token_count_col("text").alias("n")).collect()}
     for doc_id, text in rows:
         assert got[doc_id] == len(re.findall(BPE_ISH_PATTERN, text)), text
+
+
+def test_fingerprint_docs_batch_kernel_matches_scalar(spark, sf_dir):
+    """The vectorized batch kernel must produce exactly the scalar
+    winnow_fingerprints set per document, including the short-doc,
+    few-gram, and empty-doc edge cases."""
+    rows = [
+        (0, "a b c d e f g h i j k l m n"),          # windowed path
+        (1, "a b c d e"),                             # grams <= window
+        (2, "a b"),                                   # shorter than k
+        (3, ""),                                      # empty
+        (4, None),                                    # null
+        (5, "x " * 200),                              # repetitive long
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, window = 5, 4
+    got = {}
+    for r in text.fingerprint_docs(df, "doc_id", "text",
+                                   k=k, window=window).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            r["fingerprint"] & 0xFFFFFFFFFFFFFFFF
+        )
+    for doc_id, t in rows:
+        toks = (t or "").replace("\r", "").split()
+        want = set(
+            text.winnow_fingerprints(toks, k=k, window=window).tolist()
+        )
+        assert got.get(doc_id, set()) == want, doc_id
+
+    # and on the real documents table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {}
+    for r in text.fingerprint_docs(docs, "doc_id", "text",
+                                   k=k, window=window).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            r["fingerprint"] & 0xFFFFFFFFFFFFFFFF
+        )
+    for row in docs.select("doc_id", "text").collect():
+        toks = (row["text"] or "").replace("\r", "").split()
+        want = set(
+            text.winnow_fingerprints(toks, k=k, window=window).tolist()
+        )
+        assert got.get(row["doc_id"], set()) == want, row["doc_id"]
