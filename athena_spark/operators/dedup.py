@@ -245,9 +245,13 @@ def minhash_dedup_pairs(
     # shingles travel as xxhash64 ints, not strings: ~5x smaller
     # shuffle, same intersection sizes up to a ~n_shingles^2/2^64
     # collision probability
+    # cache: the hashed shingle table feeds the size aggregation AND
+    # both sides of the candidate equi-join (3 consumers).  At corpus
+    # scale persist it to storage instead; here memory/disk cache with
+    # LRU eviction is the same reuse.
     sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).select(
         "doc", F.xxhash64("shingle").alias("shingle")
-    )
+    ).cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.withColumnRenamed("doc", "id_a").withColumnRenamed("shingle", "sh_a")
     b = sh.withColumnRenamed("doc", "id_b2").withColumnRenamed("shingle", "sh_b")
