@@ -167,3 +167,67 @@ def test_zipf_guard_on_by_default_and_caps_join_volume(spark):
     sig = inspect.signature(dedup.ngram_jaccard_pairs)
     assert sig.parameters["max_doc_freq"].default == dedup.DEFAULT_MAX_DOC_FREQ
     assert dedup.DEFAULT_MAX_DOC_FREQ is not None
+
+
+def _scalar_simhash(text):
+    """Independent scalar SimHash oracle (the pre-vectorization
+    formulation: unique tokens weighted by count vote per bit)."""
+    from athena_spark.sketch.hashing import hash64
+
+    toks = (text or "").replace("\r", "").split()
+    if not toks:
+        return 0
+    bit_mask = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    h = hash64(uniq)
+    bits = ((h[:, None] & bit_mask) != 0).astype(np.int64)
+    votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+    sig = int((bit_mask[0][votes > 0]).sum())
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_batch_kernel_matches_scalar_oracle(spark):
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(0, 40)))))
+            for i in range(50)]
+    rows += [(50, ""), (51, None), (52, "single")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == _scalar_simhash(text), doc_id
+
+
+def test_minhash_signatures_partitioning_invariant(spark):
+    """Signatures are per-document functions: repartitioning and row
+    order must not change any signature."""
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(0, 30)))))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = {r["doc_id"]: list(r["sig"]) for r in dedup.minhash_signatures(
+        docs.coalesce(1), "doc_id", "text", num_perm=32).collect()}
+    many = {r["doc_id"]: list(r["sig"]) for r in dedup.minhash_signatures(
+        docs.repartition(7), "doc_id", "text", num_perm=32).collect()}
+    assert one == many
+    # short/empty docs present and deterministic
+    assert set(one) == {i for i, _ in rows}
+
+
+def test_minhash_signature_multiset_equals_distinct(spark):
+    """min over the gram multiset == min over the distinct set: a doc
+    that repeats its content twice must keep the same signature as
+    the single copy with identical token stream."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " " + base)],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: np.array(r["sig"]) for r in
+            dedup.minhash_signatures(docs, "doc_id", "text",
+                                     num_perm=64).collect()}
+    # doc 1 contains every gram of doc 0 (plus bridge grams), so its
+    # minima can only be <= doc 0's — and most coordinates equal
+    assert (sigs[1].view(np.uint64) <= sigs[0].view(np.uint64)).all()
