@@ -111,3 +111,34 @@ def test_grouped_sketch_shuffles_only_summaries(spark, sf_dir):
     i_exchange = tree.find("Exchange", i_merge)
     i_partial = tree.find("MapInPandas", i_exchange)
     assert -1 < i_merge < i_exchange < i_partial, tree
+
+
+def test_sessionize_single_shuffle_rows_frame(spark, sf_dir):
+    """Sessionization: exactly one Exchange (the per-user window
+    partitioning) feeds both window passes and the final aggregation
+    partial; the running sum must be a ROWS frame (RANGE diverges
+    from ANSI engines at tied timestamps)."""
+    from athena_spark.operators.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(sessionize(ev, gap_minutes=30))
+    tree = plan.split("\n\n")[0]
+    # ONE exchange: both window passes and the final (user, session)
+    # aggregation all reuse the per-user hash partitioning
+    assert tree.count("Exchange") == 1, tree
+    # running sum pinned to a ROWS frame (RANGE diverges from ANSI
+    # engines at tied timestamps)
+    assert ("specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+            "currentrow$())") in plan, plan
+
+
+def test_minhash_verification_reuses_cached_shingles(spark, sf_dir):
+    """The hashed shingle table feeds three consumers (sizes + both
+    join sides); the plan must read it from the cache
+    (InMemoryTableScan), not recompute the tokenize+explode."""
+    from athena_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    plan = plan_of(out)
+    assert plan.count("InMemoryTableScan") >= 3, plan
