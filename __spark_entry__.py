@@ -513,6 +513,63 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified persisted-IVF index (the 100 TB ANN path): the corpus
+    written ``partitionBy(ivf_cell)`` and probed must (a) prune the
+    parquet scan to the probed cell directories (PartitionFilters),
+    (b) equal brute force exactly when every cell is probed, and
+    (c) keep recall@5 >= 0.6 at n_probe=6 of 16."""
+    import io
+    import re
+    import shutil
+    import tempfile
+    from contextlib import redirect_stdout
+
+    from athena_spark.operators import similarity as sim
+
+    emb = _table(spark, sf_dir, "embeddings")
+    centroids = sim.train_centroids(emb, n_centroids=16, seed=7)
+    d = tempfile.mkdtemp(prefix="athena_ivf_")  # local-mode shared fs
+    try:
+        sim.write_ivf_bucketed(emb, centroids, d)
+        queries_df = emb.where("vec_id < 20")
+        bf = {(r["query_id"], r["neighbor_id"])
+              for r in sim.ann_topk_bruteforce(emb, queries_df, k=5).collect()}
+        full = {(r["query_id"], r["neighbor_id"])
+                for r in sim.ann_topk_ivf_bucketed(
+                    spark, d, centroids, queries_df, k=5, n_probe=16
+                ).collect()}
+        # pruning demonstrated with a small probe set (2 queries x 3
+        # probes <= 6 of 16 cells -> the union CANNOT cover the store,
+        # so the scan must read strictly fewer directories)
+        narrow = sim.ann_topk_ivf_bucketed(
+            spark, d, centroids, emb.where("vec_id < 2"), k=5, n_probe=3
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            narrow.explain("formatted")
+        # <=10 values renders as IN (...), more as INSET v, v, ...
+        pruned = re.search(
+            r"PartitionFilters: \[ivf_cell#\d+ (IN \(|INSET )", buf.getvalue()
+        ) is not None
+        narrow.count()  # execute the pruned plan end-to-end
+        probe = sim.ann_topk_ivf_bucketed(spark, d, centroids, queries_df,
+                                          k=5, n_probe=6)
+        probe_set = {(r["query_id"], r["neighbor_id"])
+                     for r in probe.collect()}
+        recall = len(bf & probe_set) / max(len(bf), 1)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    rows = [
+        ("scan_partition_pruned", pruned),
+        ("full_probe_equals_bruteforce", full == bf),
+        ("pruned_recall_ge_0.6", recall >= 0.6),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.3)."""
     from athena_spark.operators.similarity import embedding_neardup_pairs
@@ -1347,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_ivf_bucketed": q_ann_ivf_bucketed,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "langid": q_langid,
@@ -1487,6 +1545,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_recall": """
             SELECT 'ivf_recall_at_5_ge_0.6' AS "check", TRUE AS ok
+        """,
+        "ann_ivf_bucketed": """
+            SELECT 'scan_partition_pruned' AS "check", TRUE AS ok
+            UNION ALL SELECT 'full_probe_equals_bruteforce', TRUE
+            UNION ALL SELECT 'pruned_recall_ge_0.6', TRUE
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

