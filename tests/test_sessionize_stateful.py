@@ -123,3 +123,85 @@ def test_stateful_topk_tokens_matches_batch(spark, sf_dir):
         assert last[lang] == (list(toks), list(cnts)), lang
     for p in (src, ckpt):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_stateful_topk_recovers_groupstate_across_restart(spark, sf_dir):
+    """Spark-managed GroupState recovery: feed half the corpus, stop
+    the query, add the rest, restart on the SAME checkpoint — the
+    recovered per-key sketches must continue (not restart from zero)
+    and the final top-k must equal the batch answer over everything."""
+    import glob
+
+    from athena_spark.streaming.stateful import stateful_topk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        r["lang"]: (list(r["token"]), list(r["est_count"]))
+        for r in __import__("__spark_entry__").q_topk_tokens_by_lang(
+            spark, sf_dir
+        ).groupBy("lang").agg(
+            F.collect_list("token").alias("token"),
+            F.collect_list("est_count").alias("est_count"),
+        ).collect()
+    }
+    stage = os.path.join(TMP, "topk_restart_stage")
+    src = os.path.join(TMP, "topk_restart_src")
+    ckpt = os.path.join(TMP, "topk_restart_ckpt")
+    for p in (stage, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    docs.repartition(4).write.parquet(stage)
+    files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+    assert len(files) == 4
+    os.makedirs(src)
+
+    def run_query(name):
+        # the memory sink does not support checkpoint recovery;
+        # foreachBatch does, and collects the update-mode emissions
+        rows = []
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_topk_tokens(stream, "lang", "text", k=4096, n=5)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return rows
+
+    # phase 1: first half of the files, then the query terminates
+    for f in files[:2]:
+        shutil.copy(f, src)
+    rows1 = run_query("topk_restart_p1")
+    assert rows1  # state written for the first half
+
+    # phase 2: add the remaining files, restart on the same checkpoint
+    for f in files[2:]:
+        shutil.copy(f, src)
+    rows2 = run_query("topk_restart_p2")
+
+    # update-mode: the restarted query emits only for NEW batches —
+    # proof it recovered state instead of reprocessing from scratch
+    # would be violated if phase-2 totals started from zero
+    best = {}
+    for r in rows2:
+        if r["total"] >= best.get(r["key"], (-1, None))[0]:
+            best[r["key"]] = (r["total"], (list(r["token"]),
+                                           list(r["est_count"])))
+    final = {k: v for k, (_, v) in best.items()}
+    assert set(final) == set(truth)
+    for lang, want in truth.items():
+        assert final[lang] == want, lang
+    # phase-2 totals must exceed any phase-1 emission for at least one
+    # key (i.e. the state carried over and kept growing)
+    p1_max = {}
+    for r in rows1:
+        p1_max[r["key"]] = max(p1_max.get(r["key"], 0), r["total"])
+    assert any(best[k][0] > p1_max.get(k, 0) for k in best)
