@@ -167,39 +167,39 @@ def q_exact_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_naive_truncate_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 truncate semantics: top-5 by (count desc, token asc), with
     the retained total (reference recomputes total as retained mass,
-    src/_core.cpp:105-113)."""
+    src/_core.cpp:105-113).  orderBy().limit() compiles to
+    TakeOrderedAndProject — a distributed partial top-k, unlike a
+    row_number over an unpartitioned window (single task at scale);
+    the retained total joins back as a broadcast scalar."""
     from athena_spark.functions.tokenize import exploded_tokens
-    from pyspark.sql import Window
 
     counts = (
         exploded_tokens(_docs(spark, sf_dir), "text")
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    top = counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
-    return top.select(
-        "token", "cnt",
-        F.sum("cnt").over(Window.partitionBy()).alias("retained_total"),
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(5)
+    total = top.agg(F.sum("cnt").alias("retained_total"))
+    return top.crossJoin(F.broadcast(total)).select(
+        "token", "cnt", "retained_total"
     )
 
 
 def q_exp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B14: word2vec's smoothed unigram distribution, p_i ∝ cnt^0.75."""
+    """B14: word2vec's smoothed unigram distribution, p_i ∝ cnt^0.75.
+    The normalizing constant is a broadcast scalar — an unpartitioned
+    window would funnel the whole vocab through one task at scale."""
     from athena_spark.functions.tokenize import exploded_tokens
-    from pyspark.sql import Window
 
     counts = (
         exploded_tokens(_docs(spark, sf_dir), "text")
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    return counts.select(
+    denom = counts.agg(F.sum(F.pow("cnt", 0.75)).alias("_d"))
+    return counts.crossJoin(F.broadcast(denom)).select(
         "token",
-        F.round(
-            F.pow("cnt", 0.75) / F.sum(F.pow("cnt", 0.75)).over(Window.partitionBy()),
-            6,
-        ).alias("p"),
+        F.round(F.pow("cnt", 0.75) / F.col("_d"), 6).alias("p"),
     )
 
 

@@ -21,7 +21,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from athena_spark.embedding import sgns
 from athena_spark.functions.tokenize import exploded_tokens, sentences_pandas
@@ -31,14 +31,14 @@ from athena_spark.sketch.sampling import AliasSampler, Discretization
 
 def build_vocab(df: DataFrame, col: str, vocab_size: int):
     """Pass 1: (words, counts) of the top-``vocab_size`` tokens,
-    deterministic ordering (count desc, word asc)."""
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    deterministic ordering (count desc, word asc).  orderBy+limit
+    compiles to TakeOrderedAndProject — a distributed partial top-k
+    per partition, not a single-task global window."""
     top = (
         exploded_tokens(df, col)
         .groupBy("token").agg(F.count("*").alias("cnt"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= vocab_size)
-        .orderBy("rn")
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
         .collect()
     )
     words = [r["token"] for r in top]

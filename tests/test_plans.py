@@ -142,3 +142,14 @@ def test_minhash_verification_reuses_cached_shingles(spark, sf_dir):
     out = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     plan = plan_of(out)
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_global_topk_is_take_ordered_not_window(spark, sf_dir):
+    """Global truncate/top-k must compile to TakeOrderedAndProject
+    (distributed partial top-k per partition), never a row_number over
+    an unpartitioned window (single-task sort at scale)."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.q_naive_truncate_top5(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "row_number" not in plan, plan
