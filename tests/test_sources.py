@@ -214,3 +214,42 @@ def test_iceberg_roundtrip_when_jar_present(spark, tmp_path):
     back = read_corpus(spark, "bench_local.db.corpus", fmt="iceberg")
     assert back.count() == 100
     assert set(back.columns) == {"repo", "path", "commit", "lang", "content"}
+
+
+def test_package_zip_is_self_contained(tmp_path):
+    """`cli package` builds the --py-files zip; it must contain every
+    athena_spark module and be importable on its own (a clean
+    subprocess with only the zip on sys.path runs a sketch kernel)."""
+    import subprocess
+    import sys
+    import zipfile
+
+    from athena_spark.cli import main
+
+    out = str(tmp_path / "athena_spark.zip")
+    main(["package", "--out", out])
+    names = zipfile.ZipFile(out).namelist()
+    for mod in [
+        "athena_spark/sketch/spacesaving.py",
+        "athena_spark/operators/agg.py",
+        "athena_spark/functions/tokenize.py",
+        "athena_spark/embedding/sgns.py",
+        "athena_spark/streaming/stateful.py",
+        "athena_spark/plans/checkpoint.py",
+        "athena_spark/cli.py",
+    ]:
+        assert mod in names, mod
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "from athena_spark.sketch import SpaceSaving; "
+        "import numpy as np; sk = SpaceSaving(k=4); "
+        "sk.update_counts(np.array(['a','b','a'], dtype=object), "
+        "np.array([2,1,3], dtype=np.int64)); "
+        "assert sk.total == 6 and sk.items(1)[0][0] == 'a'; print('OK')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", probe, out],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={"PATH": "/usr/bin:/bin", "HOME": "/tmp"},
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr)
