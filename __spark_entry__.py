@@ -366,6 +366,67 @@ def q_ss_small_k_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ss_merge_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified mergeable-summaries properties (north rule; PODS-2012
+    construction — the reference itself has no merge): on real corpus
+    partials under eviction pressure (k=64 << vocab),
+    merge(A,B).total == merge(B,A).total with identical items
+    (commutativity), left-fold == right-fold == n-way merge_many
+    totals (associativity of the mass), and every merged estimate
+    obeys the ε-bound 0 <= est - true <= total/k against exact
+    counts."""
+    from athena_spark.functions.tokenize import exploded_tokens
+    from athena_spark.operators.agg import sketch_partials, token_counts_updater
+    from athena_spark.sketch import SpaceSaving
+    from athena_spark.sketch.spacesaving import SpaceSaving as SS
+
+    docs = _docs(spark, sf_dir).repartition(6)
+    k = 64
+    partial_rows = sketch_partials(
+        docs, "text", lambda pid: SpaceSaving(k=k), token_counts_updater
+    ).collect()
+    blobs = [bytes(r["state"]) for r in partial_rows]
+
+    def clone(i: int):
+        # merge() folds into the receiver in place — every fold below
+        # starts from fresh deserialized copies
+        return SS.from_bytes(blobs[i])
+
+    n = len(blobs)
+    ab = clone(0).merge(clone(1))
+    ba = clone(1).merge(clone(0))
+    comm = (ab.total == ba.total
+            and sorted(ab.items()) == sorted(ba.items()))
+    left = clone(0)
+    for i in range(1, n):
+        left = left.merge(clone(i))
+    right = clone(n - 1)
+    for i in reversed(range(n - 1)):
+        right = clone(i).merge(right)
+    nway = SS.merge_many([clone(i) for i in range(n)])
+    assoc_total = left.total == right.total == nway.total
+    exact = {
+        r["token"]: r["cnt"]
+        for r in exploded_tokens(docs, "text")
+        .groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    bound = nway.total / k
+    bounds_ok = all(
+        exact.get(w, 0) <= est <= exact.get(w, 0) + bound
+        for w, est, _ in nway.items()
+    )
+    total_ok = nway.total == sum(exact.values())
+    rows = [
+        ("merge_commutative", bool(comm)),
+        ("merge_associative_total", bool(assoc_total)),
+        ("merged_estimates_within_eps_bound", bool(bounds_ok)),
+        ("merged_total_exact", bool(total_ok)),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 tokenizer parity per document: token count and distinct
     token count computed JVM-side."""
@@ -1394,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
         "ss_small_k_bounds": q_ss_small_k_bounds,
+        "ss_merge_properties": q_ss_merge_properties,
         "token_stats": q_token_stats,
         "content_sha256": q_content_sha256,
         "events_hourly": q_events_hourly,
@@ -1488,6 +1550,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ss_small_k_bounds": """
             SELECT TRUE AS bounds_ok, TRUE AS recall_ok, TRUE AS total_ok
+        """,
+        "ss_merge_properties": """
+            SELECT 'merge_commutative' AS "check", TRUE AS ok
+            UNION ALL SELECT 'merge_associative_total', TRUE
+            UNION ALL SELECT 'merged_estimates_within_eps_bound', TRUE
+            UNION ALL SELECT 'merged_total_exact', TRUE
         """,
         "token_stats": r"""
             SELECT doc_id,
