@@ -136,6 +136,9 @@ def arrow_tokenize_batch(texts) -> tuple[pa.Array, np.ndarray]:
     split = pc.ascii_split_whitespace(arr)
     flat = split.flatten()
     off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # flatten() rebases to position 0; rebase the offsets to match in
+    # case the list array is a slice (offsets[0] != 0)
+    off = off - off[0]
     keep = pc.not_equal(flat, "")
     keep_np = keep.to_numpy(zero_copy_only=False)
     cum = np.concatenate(

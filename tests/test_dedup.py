@@ -231,3 +231,15 @@ def test_minhash_signature_multiset_equals_distinct(spark):
     # doc 1 contains every gram of doc 0 (plus bridge grams), so its
     # minima can only be <= doc 0's — and most coordinates equal
     assert (sigs[1].view(np.uint64) <= sigs[0].view(np.uint64)).all()
+
+
+def test_signature_kernels_on_empty_input(spark):
+    """Zero-row inputs must produce zero-row outputs, not crash the
+    vectorized kernels."""
+    from athena_spark.functions.text import fingerprint_docs
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.minhash_signatures(docs, "doc_id", "text").count() == 0
+    assert dedup.simhash_signatures(docs, "doc_id", "text").count() == 0
+    assert fingerprint_docs(docs, "doc_id", "text").count() == 0
+    assert dedup.minhash_dedup_pairs(docs, "doc_id", "text").count() == 0
