@@ -188,7 +188,10 @@ def q_naive_truncate_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14: word2vec's smoothed unigram distribution, p_i ∝ cnt^0.75.
     The normalizing constant is a broadcast scalar — an unpartitioned
-    window would funnel the whole vocab through one task at scale."""
+    window would funnel the whole vocab through one task at scale.
+    The aggregation appears in both crossJoin subplans but runs once:
+    AQE's runtime plan folds the identical exchange into a
+    ReusedExchange (verified on the executed plan)."""
     from athena_spark.functions.tokenize import exploded_tokens
 
     counts = (
@@ -377,13 +380,12 @@ def q_ss_merge_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts."""
     from athena_spark.functions.tokenize import exploded_tokens
     from athena_spark.operators.agg import sketch_partials, token_counts_updater
-    from athena_spark.sketch import SpaceSaving
-    from athena_spark.sketch.spacesaving import SpaceSaving as SS
+    from athena_spark.sketch import SpaceSaving as SS
 
     docs = _docs(spark, sf_dir).repartition(6)
     k = 64
     partial_rows = sketch_partials(
-        docs, "text", lambda pid: SpaceSaving(k=k), token_counts_updater
+        docs, "text", lambda pid: SS(k=k), token_counts_updater
     ).collect()
     blobs = [bytes(r["state"]) for r in partial_rows]
 
@@ -594,9 +596,13 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sim.write_ivf_bucketed(emb, centroids, d)
         queries_df = emb.where("vec_id < 20")
-        bf = {(r["query_id"], r["neighbor_id"])
-              for r in sim.ann_topk_bruteforce(emb, queries_df, k=5).collect()}
-        full = {(r["query_id"], r["neighbor_id"])
+        bf_rows = sim.ann_topk_bruteforce(emb, queries_df, k=5).collect()
+        bf = {(r["query_id"], r["neighbor_id"]) for r in bf_rows}
+        # equality compares (query, rank, sim) — identical-cosine ties
+        # at the rank-k boundary may keep different (equally correct)
+        # neighbors in the two paths' partial top-k stages
+        bf_ranked = {(r["query_id"], r["rn"], r["sim"]) for r in bf_rows}
+        full = {(r["query_id"], r["rn"], r["sim"])
                 for r in sim.ann_topk_ivf_bucketed(
                     spark, d, centroids, queries_df, k=5, n_probe=16
                 ).collect()}
@@ -623,7 +629,7 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
     rows = [
         ("scan_partition_pruned", pruned),
-        ("full_probe_equals_bruteforce", full == bf),
+        ("full_probe_equals_bruteforce", full == bf_ranked),
         ("pruned_recall_ge_0.6", recall >= 0.6),
     ]
     return spark.createDataFrame(

@@ -187,8 +187,14 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str,
                         np.minimum(mins, grams[j : j + wn], out=mins)
                     q_in_doc = (np.arange(Gm, dtype=np.int64)
                                 - np.repeat(g_starts, g_counts))
+                    # windowed docs only: a doc with exactly `window`
+                    # grams would admit position 0 under the plain
+                    # g_counts - window bound but belongs to the
+                    # segment-min path below — force its limit to -1
+                    win_limit = np.where(win_mask, g_counts - window,
+                                         np.int64(-1))
                     valid = q_in_doc[:wn] <= np.repeat(
-                        g_counts - window, g_counts
+                        win_limit, g_counts
                     )[:wn]
                     sel = mins[valid]
                     w_counts = g_counts[win_mask] - window + 1

@@ -89,7 +89,9 @@ def ngram_jaccard_pairs(
     every pair sharing >= 1 shingle: (id_a, id_b, jaccard), a < b.
 
     Inverted-index join: |A ∩ B| from the shingle self-join, set
-    sizes joined in, J = inter / (|A| + |B| - inter).
+    sizes joined in, J = inter / (|A| + |B| - inter).  The result is
+    materialized eagerly (localCheckpoint) so the cached shingle
+    table can be released before returning.
     """
     sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
@@ -115,6 +117,8 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 
@@ -247,8 +251,10 @@ def minhash_dedup_pairs(
     # collision probability
     # cache: the hashed shingle table feeds the size aggregation AND
     # both sides of the candidate equi-join (3 consumers).  At corpus
-    # scale persist it to storage instead; here memory/disk cache with
-    # LRU eviction is the same reuse.
+    # scale persist it to storage instead.  The verified pair set is
+    # materialized eagerly below so the cache can be released before
+    # returning — otherwise every call leaks a corpus-scale cached
+    # table for the lifetime of the session.
     sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).select(
         "doc", F.xxhash64("shingle").alias("shingle")
     ).cache()
@@ -265,7 +271,7 @@ def minhash_dedup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("doc", "id_a")
                    .withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("doc", "id_b")
@@ -280,6 +286,11 @@ def minhash_dedup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # the verified pair set is small (near-dup pairs); localCheckpoint
+    # materializes it so the shingle cache can be dropped immediately
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def dedup_corpus(

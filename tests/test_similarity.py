@@ -189,31 +189,45 @@ def test_ivf_bucketed_store_prunes_partitions_and_matches(spark, sf_dir, tmp_pat
         r"PartitionFilters: \[ivf_cell#\d+ (IN \(|INSET )", plan
     ), plan
 
-    # probed cells only: the pruned scan reads <= 2*3 of 8 cells and
-    # they must be exactly the union of the queries' probe cells
     q_ids, q_mat = sim._collect_matrix(queries, "vec_id", "embedding")
     want_cells = sorted(sim._probe_sets(q_mat, centroids, 3))
-    assert len(want_cells) < 8  # strictly pruned
-    got_cells = sorted(
-        r["ivf_cell"]
-        for r in spark.read.parquet(path)
-        .where(F.col("ivf_cell").isin(want_cells))
-        .select("ivf_cell").distinct().collect()
-    )
-    assert set(got_cells) <= set(want_cells)
+    assert len(want_cells) < 8  # the probe union cannot cover the store
 
-    # identical result to the in-memory scorer with shared centroids:
-    # replicate ann_topk_ivf's scoring via the bucketed path on an
-    # unpruned equivalent (assignment argmax == stored cell)
+    # with n_probe covering every cell the bucketed result equals the
+    # brute-force top-k; compare (query, rank, sim) so equal-cosine
+    # ties at the boundary cannot flip the check
     got = {(r["query_id"], r["neighbor_id"], r["rn"]) for r in out.collect()}
-    assigned = sim.assign_centroids(emb, centroids)
-    # recompute reference: score with stored cells, no pruning
     probe = sim.ann_topk_ivf_bucketed(spark, path, centroids, queries,
                                       k=5, n_probe=8)  # probe all cells
-    full = {(r["query_id"], r["neighbor_id"], r["rn"]) for r in probe.collect()}
-    # with n_probe covering every cell the bucketed result equals the
-    # brute-force top-k
-    bf = {(r["query_id"], r["neighbor_id"], r["rn"])
+    full = {(r["query_id"], r["rn"], r["sim"]) for r in probe.collect()}
+    bf = {(r["query_id"], r["rn"], r["sim"])
           for r in sim.ann_topk_bruteforce(emb, queries, k=5).collect()}
     assert full == bf
     assert len(got) == 5 * queries.count()
+
+    # behavioral proof the scan never OPENS non-probed directories
+    # (inputFiles() is not pruning-aware, and a result-set check is
+    # tautological): corrupt every parquet file in one non-probed
+    # cell — the pruned probe must still succeed end-to-end, while a
+    # full-store scan trips over the corruption
+    import glob as globmod
+    import os
+
+    import pytest as pytestmod
+
+    stored_cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(path) if d.startswith("ivf_cell=")
+    }
+    victims = sorted(stored_cells - set(want_cells))
+    assert victims  # want_cells < 8 stored cells
+    for f in globmod.glob(os.path.join(path, f"ivf_cell={victims[0]}",
+                                       "*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    again = sim.ann_topk_ivf_bucketed(spark, path, centroids, queries,
+                                      k=5, n_probe=3)
+    assert {(r["query_id"], r["neighbor_id"], r["rn"])
+            for r in again.collect()} == got
+    with pytestmod.raises(Exception):
+        spark.read.parquet(path).select("vec_id").collect()

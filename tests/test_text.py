@@ -143,3 +143,27 @@ def test_fingerprint_docs_batch_kernel_matches_scalar(spark, sf_dir):
             text.winnow_fingerprints(toks, k=k, window=window).tolist()
         )
         assert got.get(row["doc_id"], set()) == want, row["doc_id"]
+
+
+def test_fingerprint_docs_gram_count_equals_window_boundary(spark):
+    """Regression: a doc whose gram count EQUALS the winnow window
+    (k + window - 1 tokens) mixed with longer docs must take the
+    single-segment-min path, not leak into the sliding-window mask
+    (which crashed with a shape mismatch)."""
+    k, window = 5, 4
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(k + window - 1))),  # 4 grams
+        (1, " ".join(f"u{i}" for i in range(20))),              # 16 grams
+        (2, " ".join(f"v{i}" for i in range(k + window))),      # 5 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in text.fingerprint_docs(df, "doc_id", "text",
+                                   k=k, window=window).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            r["fingerprint"] & 0xFFFFFFFFFFFFFFFF
+        )
+    for doc_id, t in rows:
+        want = set(text.winnow_fingerprints(
+            t.split(), k=k, window=window).tolist())
+        assert got.get(doc_id, set()) == want, doc_id
