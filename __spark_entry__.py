@@ -1283,6 +1283,76 @@ def q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="check string, ok boolean")
 
 
+def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified streaming exact dedup (ingestion-time dedup for
+    training pipelines): over a bounded replay with planted exact
+    duplicates, both the unbounded (dropDuplicates on sha) and the
+    watermarked (dropDuplicatesWithinWatermark) variants must emit
+    exactly one row per distinct content — the batch exact-dedup
+    survivor count — with no duplicate contents emitted."""
+    import shutil
+    import tempfile
+
+    from athena_spark.operators.dedup import exact_dup_groups
+    from athena_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+        streaming_exact_dedup_unbounded,
+    )
+
+    docs = _docs(spark, sf_dir)
+    dupes = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=F.col("doc_id") % 600
+    )
+    full = docs.unionByName(dupes).withColumn("ts", ts)
+    src = tempfile.mkdtemp(prefix="athena_sdedup_src_")  # local-mode fs
+    ck1 = tempfile.mkdtemp(prefix="athena_sdedup_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="athena_sdedup_ck2_")
+    try:
+        full.repartition(3).write.mode("overwrite").parquet(src)
+        n_distinct = exact_dup_groups(full, "doc_id", "text").count()
+        results = {}
+        for name, fn, ck in [
+            ("unbounded",
+             lambda s: streaming_exact_dedup_unbounded(s, "text"), ck1),
+            ("watermarked",
+             lambda s: streaming_exact_dedup(s, "text", "ts", "1 hour"),
+             ck2),
+        ]:
+            rows: list = []
+            stream = (
+                spark.readStream.schema(full.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            q = (
+                fn(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _e, rows=rows: rows.extend(
+                        df.select("text").collect())
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            texts = [r["text"] for r in rows]
+            results[name] = (len(texts), len(set(texts)))
+    finally:
+        for p in (src, ck1, ck2):
+            shutil.rmtree(p, ignore_errors=True)
+    rows_out = [
+        ("unbounded_matches_batch",
+         results["unbounded"] == (n_distinct, n_distinct)),
+        ("watermarked_matches_batch",
+         results["watermarked"] == (n_distinct, n_distinct)),
+        ("duplicates_planted", n_distinct < full.count()),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows_out],
+        schema="check string, ok boolean",
+    )
+
+
 def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified E3 (streaming SGNS over a Space-Saving vocabulary,
     arXiv:1704.07463): deterministic planted-topic corpus — two topic
@@ -1485,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "dedup_corpus_components": q_dedup_corpus_components,
         "streaming_sketch_parity": q_streaming_sketch_parity,
+        "streaming_dedup_parity": q_streaming_dedup_parity,
         "sessionization": q_sessionization,
         "bpe_token_count": q_bpe_token_count,
         "vocab_file_counts": q_vocab_file_counts,
@@ -1765,6 +1836,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'stream_total_equals_batch' AS "check", TRUE AS ok
             UNION ALL
             SELECT 'stream_items_equal_batch' AS "check", TRUE AS ok
+        """,
+        "streaming_dedup_parity": """
+            SELECT 'unbounded_matches_batch' AS "check", TRUE AS ok
+            UNION ALL SELECT 'watermarked_matches_batch', TRUE
+            UNION ALL SELECT 'duplicates_planted', TRUE
         """,
         "bpe_token_count": r"""
             SELECT doc_id,

@@ -1,0 +1,56 @@
+"""Streaming exact deduplication for training-data ingestion.
+
+At 100 TB, ingestion is a stream; exact dedup must happen before
+anything expensive touches a document.  Two surfaces, both keyed on
+``sha2(content)`` so state holds 64-hex digests, never the text:
+
+* :func:`streaming_exact_dedup` — ``dropDuplicatesWithinWatermark``
+  on the content hash: Spark-managed state, bounded by the watermark
+  horizon (a re-ingested duplicate beyond the horizon passes — the
+  deliberate bounded-state trade-off at scale).
+* :func:`streaming_exact_dedup_unbounded` — ``dropDuplicates`` on the
+  hash without a watermark: exact forever, state grows with the
+  number of DISTINCT documents (hash-sized rows).  The right choice
+  when the distinct-document count is bounded and known.
+
+Batch parity: for a bounded replay (availableNow) with no
+out-of-horizon duplicates, the surviving (first-seen) set equals the
+batch ``exact_dup_groups`` min-id survivors — certified in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First occurrence per content hash within the watermark horizon.
+
+    State per key: one (hash, event-time) row, expired once the
+    watermark passes it — bounded regardless of stream length."""
+    return (
+        stream_df
+        .withColumn("_sha", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_sha"])
+        .drop("_sha")
+    )
+
+
+def streaming_exact_dedup_unbounded(
+    stream_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """First occurrence per content hash, exact over the whole stream
+    (state = one digest row per distinct document)."""
+    return (
+        stream_df
+        .withColumn("_sha", F.sha2(F.col(text_col), 256))
+        .dropDuplicates(["_sha"])
+        .drop("_sha")
+    )

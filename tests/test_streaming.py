@@ -138,3 +138,54 @@ def test_windowed_event_counts_matches_batch(spark, sf_dir):
     assert got == truth
     for p in (src, ckpt):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming exact dedup (dropDuplicates on the content hash) over
+    a bounded replay must keep exactly one row per distinct content —
+    the same survivor count as batch exact_dup_groups — and the
+    watermarked variant must agree on this in-horizon stream."""
+    from athena_spark.operators.dedup import exact_dup_groups
+    from athena_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+        streaming_exact_dedup_unbounded,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant exact duplicates with fresh ids so dedup has work to do
+    dupes = docs.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=F.col("doc_id") % 600
+    )
+    full = docs.unionByName(dupes).withColumn("ts", ts)
+    src = str(tmp_path / "dedup_src")
+    full.repartition(3).write.parquet(src)
+
+    n_distinct = exact_dup_groups(full, "doc_id", "text").count()
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    for fn, name in [
+        (lambda s: streaming_exact_dedup_unbounded(s, "text"), "unb"),
+        (lambda s: streaming_exact_dedup(s, "text", "ts", "1 hour"), "wm"),
+    ]:
+        out_rows = []
+        q = (
+            fn(stream)
+            .writeStream.foreachBatch(
+                lambda df, _e: out_rows.extend(
+                    df.select("text").collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        texts = [r["text"] for r in out_rows]
+        assert len(texts) == n_distinct, name
+        assert len(set(texts)) == n_distinct, name
