@@ -1243,6 +1243,20 @@ def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation pipeline (quality gate >= 0.25, langid in
+    {en, fr}, exact dedup min-id, MinHash-LSH near-dup removal at
+    J >= 0.8): surviving doc ids, checked against an exact DuckDB
+    oracle composed from the per-stage oracles."""
+    from athena_spark.operators.curate import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_quality=0.25, keep_langs=("en", "fr"),
+        near_dup_threshold=0.8,
+    )
+
+
 def q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified batch/stream parity: the foreachBatch-maintained
     Space-Saving summary over a file stream equals the batch
@@ -1553,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_tokens_by_lang": q_topk_tokens_by_lang,
         "subsample_rate": q_subsample_rate,
         "dedup_corpus": q_dedup_corpus,
+        "curate_corpus": q_curate_corpus,
         "dedup_corpus_components": q_dedup_corpus_components,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
@@ -1758,6 +1773,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "subsample_rate": """
             SELECT 'keep_rate_within_6_sigma' AS "check", TRUE AS ok
+        """,
+        "curate_corpus": f"""
+            WITH q AS (SELECT * FROM ({_QUALITY_SQL})),
+            l AS (SELECT * FROM ({_LANGID_SQL})),
+            gated AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN q ON q.doc_id = d.doc_id AND q.q_score >= 0.25
+                JOIN l ON l.doc_id = d.doc_id
+                      AND l.pred_lang IN ('en', 'fr')
+            ), keep_exact AS (
+                SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+            ), surv AS (
+                SELECT g.doc_id, g.text FROM gated g
+                JOIN keep_exact k ON g.doc_id = k.doc_id
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                                   t -> t <> '') AS ts
+                FROM surv
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT id_b FROM inter
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+            )
+            SELECT doc_id FROM surv
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
         """,
         "dedup_corpus": r"""
             WITH keep_exact AS (

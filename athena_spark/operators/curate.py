@@ -1,0 +1,67 @@
+"""End-to-end corpus curation: the composite training-data pipeline.
+
+One call chains the standard curation stages a 100 TB ingest runs,
+each already scale-shaped on its own:
+
+1. **quality gate** — drop documents below a composite quality score
+   (pure JVM column expressions, functions/text.py);
+2. **language gate** — keep a set of predicted languages
+   (marker-scoring langid, JVM expressions);
+3. **exact dedup** — keep the min-id document per sha2(content)
+   group (only hashes shuffle);
+4. **near-dup removal** — MinHash-LSH banded candidates + exact
+   n-gram-Jaccard verification, greedy keep-smaller-id rule
+   (operators/dedup.py; Zipf guard on by default).
+
+Every stage is SQL-expressible, so the whole pipeline has an exact
+DuckDB oracle in the driver contract (`curate_corpus`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.text import langid_col, quality_features
+from athena_spark.operators.dedup import (
+    DEFAULT_MAX_DOC_FREQ,
+    minhash_dedup_pairs,
+)
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.25,
+    keep_langs: tuple[str, ...] | None = None,
+    near_dup_threshold: float = 0.8,
+    ngram: int = 3,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Surviving document ids after the four curation stages.
+
+    Returns one column (``id_col``); join back to the corpus for the
+    surviving rows — ids, hashes and signatures shuffle, text never
+    does."""
+    scored = quality_features(df, text_col).where(
+        F.col("q_score") >= min_quality
+    )
+    if keep_langs is not None:
+        scored = scored.where(
+            langid_col(text_col).isin(list(keep_langs))
+        )
+    gated = scored.select(id_col, text_col)
+    exact_keep = (
+        gated.select(F.col(id_col),
+                     F.sha2(F.col(text_col), 256).alias("_sha"))
+        .groupBy("_sha")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = gated.join(exact_keep, id_col, "left_semi")
+    near_pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, n=ngram,
+        threshold=near_dup_threshold, max_doc_freq=max_doc_freq,
+    )
+    losers = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return survivors.join(losers, id_col, "left_anti").select(id_col)

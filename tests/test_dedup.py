@@ -243,3 +243,29 @@ def test_signature_kernels_on_empty_input(spark):
     assert dedup.simhash_signatures(docs, "doc_id", "text").count() == 0
     assert fingerprint_docs(docs, "doc_id", "text").count() == 0
     assert dedup.minhash_dedup_pairs(docs, "doc_id", "text").count() == 0
+
+
+def test_curate_corpus_stages_compose(spark):
+    """The composite pipeline must drop the low-quality doc, the
+    wrong-language doc, the exact duplicate, and the near-duplicate,
+    keeping everything else."""
+    from athena_spark.operators.curate import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox sat in the shade of a tree by the river") * 2
+    rows = [
+        (0, good),
+        (1, good),                                   # exact dup of 0
+        (2, good + " tonight"),                      # near-dup of 0
+        (3, "el la de que y los es un " * 12),       # spanish
+        (4, "@@ ## !! %% ^^ && ** (("),              # low quality
+        (5, "a completely different english text about the spark "
+            "engine and the sketches that it is running in the lab "
+            "with the data and the tests of the day"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in curate_corpus(
+        docs, min_quality=0.25, keep_langs=("en",),
+        near_dup_threshold=0.5,
+    ).collect()}
+    assert kept == {0, 5}
