@@ -138,6 +138,7 @@ def run_headline() -> dict:
         "bloom_orders_custkeys",
         "events_hourly",
         "minhash_dedup_pairs",
+        "curate_corpus",
         "ann_topk_cosine",
         "langid",
         "events_hourly_streaming",
