@@ -104,3 +104,29 @@ def test_sentences_semantics():
     assert len(sents[2]) == tokenize.SENTENCE_LIMIT
     assert len(sents[3]) == 500
     assert sum(len(s) for s in sents[2:]) == 1500
+
+
+def test_batch_tokenizer_matches_reference_property():
+    """Property: for ANY text built from word chars and the
+    whitespace set (space, tab, newline, carriage return), the batch
+    tokenizer's per-doc tokens equal the reference reader
+    transliteration exactly."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.sampled_from(list("ab1._ \t\n\r"))
+    texts = st.lists(st.text(alphabet, max_size=40), max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(docs):
+        toks, counts = tokenize.arrow_tokenize_batch(pd.Series(docs, dtype=object))
+        flat = toks.to_pylist()
+        assert len(flat) == counts.sum()
+        pos = 0
+        for d, c in zip(docs, counts):
+            got = flat[pos : pos + c]
+            pos += c
+            assert got == reference_tokens(d), d
+
+    check()
