@@ -1,0 +1,108 @@
+"""End-to-end CLI tests: every subcommand run through main() as a
+user would (the reference's train/print command-line surface, E1-E9).
+The CLI's session builder uses getOrCreate, so these reuse the shared
+test session."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_corpus"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select(F.col("text").alias("content")).repartition(2) \
+        .write.mode("overwrite").parquet(d)
+    return d
+
+
+def run_cli(capsys, argv):
+    main(argv)
+    return capsys.readouterr().out
+
+
+def test_cli_topk_matches_exact(spark, corpus_dir, capsys):
+    out = run_cli(capsys, ["topk", "--input", corpus_dir, "--col",
+                           "content", "--k", "65536", "--n", "5"])
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    assert len(lines) == 5
+    from athena_spark.functions.tokenize import exploded_tokens
+
+    docs = spark.read.parquet(corpus_dir)
+    exact = (
+        exploded_tokens(docs, "content").groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(5).collect()
+    )
+    for (tok, cnt, err), want in zip(lines, exact):
+        assert tok == want["token"] and int(cnt) == want["cnt"]
+        assert int(err) == 0  # k >= vocab -> exact
+
+
+def test_cli_topk_direct_matches_jvm(spark, corpus_dir, capsys):
+    jvm = run_cli(capsys, ["topk", "--input", corpus_dir, "--col",
+                           "content", "--k", "65536", "--n", "10"])
+    direct = run_cli(capsys, ["topk", "--input", corpus_dir, "--col",
+                              "content", "--k", "65536", "--n", "10",
+                              "--direct"])
+    assert jvm == direct
+
+
+def test_cli_topk_checkpoint_resume_and_conflict(spark, corpus_dir,
+                                                tmp_path, capsys):
+    ck = str(tmp_path / "cli_ckpt")
+    first = run_cli(capsys, ["topk", "--input", corpus_dir, "--col",
+                             "content", "--k", "65536", "--n", "5",
+                             "--checkpoint-dir", ck])
+    again = run_cli(capsys, ["topk", "--input", corpus_dir, "--col",
+                             "content", "--k", "65536", "--n", "5",
+                             "--checkpoint-dir", ck])
+    assert first == again  # resumed run reproduces the report
+    with pytest.raises(SystemExit):
+        main(["topk", "--input", corpus_dir, "--col", "content",
+              "--checkpoint-dir", ck, "--direct"])
+
+
+def test_cli_sketch_reports(spark, corpus_dir, tmp_path, capsys):
+    from athena_spark.functions.tokenize import exploded_tokens
+
+    docs = spark.read.parquet(corpus_dir)
+    n_distinct = (
+        exploded_tokens(docs, "content").select("token").distinct().count()
+    )
+    out_dir = str(tmp_path / "sketch_out")
+    rep = json.loads(run_cli(capsys, [
+        "sketch", "--algo", "hll", "--input", corpus_dir,
+        "--col", "content", "--output", out_dir,
+    ]))
+    assert abs(rep["estimate"] - n_distinct) <= 0.05 * n_distinct + 3
+    assert os.path.exists(os.path.join(out_dir, "hll.bin"))
+
+
+def test_cli_train_and_print_embeddings(spark, corpus_dir, tmp_path,
+                                        capsys):
+    w2v = str(tmp_path / "model.bin")
+    rep = json.loads(run_cli(capsys, [
+        "train-embeddings", "--input", corpus_dir, "--col", "content",
+        "--vocab-dim", "64", "--embedding-dim", "8",
+        "--word2vec-out", w2v,
+    ]).strip().splitlines()[-1])
+    assert rep["words"] > 0
+    printed = run_cli(capsys, [
+        "print-embeddings", "--input", w2v, "--words", "--n", "5",
+    ])
+    words = printed.strip().splitlines()
+    assert len(words) == 5 and all(w for w in words)
+    dims = run_cli(capsys, [
+        "print-embeddings", "--input", w2v, "--dims", "--n", "2",
+    ])
+    row = dims.strip().splitlines()[0].split()
+    assert len(row) == 8
+    vec = np.array([float(v) for v in row])
+    assert abs(np.linalg.norm(vec) - 1.0) < 1e-3  # L2-normalized on load
