@@ -53,7 +53,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
-WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5
 """
 
 
@@ -475,8 +475,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join."""
     from athena_spark.operators.dedup import ngram_jaccard_pairs
 
+    # guard off: the exact-all-pairs oracle has no doc-freq cutoff
+    # (the guard has its own hot-shingle linearity test)
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+        max_doc_freq=None,
     )
 
 
@@ -486,8 +489,10 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output must equal the exact all-pairs oracle."""
     from athena_spark.operators.dedup import minhash_dedup_pairs
 
+    # guard off for oracle parity (see ngram_jaccard_pairs gate)
     return minhash_dedup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+        max_doc_freq=None,
     )
 
 
@@ -1228,7 +1233,8 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from athena_spark.operators.dedup import dedup_corpus
 
     return dedup_corpus(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8,
+        max_doc_freq=None,  # oracle parity: no doc-freq cutoff in SQL
     ).select("doc_id")
 
 
@@ -1239,7 +1245,8 @@ def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from athena_spark.operators.dedup import dedup_corpus_components
 
     return dedup_corpus_components(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8,
+        max_doc_freq=None,  # oracle parity: no doc-freq cutoff in SQL
     ).select("doc_id")
 
 
@@ -1254,6 +1261,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "doc_id", "text",
         min_quality=0.25, keep_langs=("en", "fr"),
         near_dup_threshold=0.8,
+        max_doc_freq=None,  # oracle parity: no doc-freq cutoff in SQL
     )
 
 
@@ -1808,7 +1816,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT id_b FROM inter
                 JOIN sz sa ON sa.doc_id = id_a
                 JOIN sz sb ON sb.doc_id = id_b
-                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+                WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.8
             )
             SELECT doc_id FROM surv
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
@@ -1839,7 +1847,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT id_b FROM inter
                 JOIN sz sa ON sa.doc_id = id_a
                 JOIN sz sb ON sb.doc_id = id_b
-                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+                WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.8
             )
             SELECT doc_id FROM surv
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
@@ -1870,7 +1878,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id_a, id_b FROM inter
                 JOIN sz sa ON sa.doc_id = id_a
                 JOIN sz sb ON sb.doc_id = id_b
-                WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+                WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.8
             ), edges AS (
                 SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs

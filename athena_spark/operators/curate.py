@@ -22,10 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from athena_spark.functions.text import langid_col, quality_features
-from athena_spark.operators.dedup import (
-    DEFAULT_MAX_DOC_FREQ,
-    minhash_dedup_pairs,
-)
+from athena_spark.operators.dedup import DEFAULT_MAX_DOC_FREQ, dedup_corpus
 
 
 def curate_corpus(
@@ -51,17 +48,8 @@ def curate_corpus(
             langid_col(text_col).isin(list(keep_langs))
         )
     gated = scored.select(id_col, text_col)
-    exact_keep = (
-        gated.select(F.col(id_col),
-                     F.sha2(F.col(text_col), 256).alias("_sha"))
-        .groupBy("_sha")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    survivors = gated.join(exact_keep, id_col, "left_semi")
-    near_pairs = minhash_dedup_pairs(
-        survivors, id_col, text_col, n=ngram,
-        threshold=near_dup_threshold, max_doc_freq=max_doc_freq,
-    )
-    losers = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return survivors.join(losers, id_col, "left_anti").select(id_col)
+    # stages 3+4 ARE the corpus-dedup operator — one implementation
+    return dedup_corpus(
+        gated, id_col, text_col, n=ngram, threshold=near_dup_threshold,
+        max_doc_freq=max_doc_freq,
+    ).select(id_col)

@@ -22,6 +22,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+_SHA = "__athena_dedup_sha"
+
+
+def _with_sha(stream_df: DataFrame, text_col: str) -> DataFrame:
+    if _SHA in stream_df.columns:
+        raise ValueError(
+            f"input stream already has a {_SHA!r} column — rename it"
+        )
+    return stream_df.withColumn(_SHA, F.sha2(F.col(text_col), 256))
+
 
 def streaming_exact_dedup(
     stream_df: DataFrame,
@@ -34,11 +44,10 @@ def streaming_exact_dedup(
     State per key: one (hash, event-time) row, expired once the
     watermark passes it — bounded regardless of stream length."""
     return (
-        stream_df
-        .withColumn("_sha", F.sha2(F.col(text_col), 256))
+        _with_sha(stream_df, text_col)
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_sha"])
-        .drop("_sha")
+        .dropDuplicatesWithinWatermark([_SHA])
+        .drop(_SHA)
     )
 
 
@@ -49,8 +58,7 @@ def streaming_exact_dedup_unbounded(
     """First occurrence per content hash, exact over the whole stream
     (state = one digest row per distinct document)."""
     return (
-        stream_df
-        .withColumn("_sha", F.sha2(F.col(text_col), 256))
-        .dropDuplicates(["_sha"])
-        .drop("_sha")
+        _with_sha(stream_df, text_col)
+        .dropDuplicates([_SHA])
+        .drop(_SHA)
     )

@@ -14,9 +14,9 @@ from athena_spark.cli import main
 
 
 @pytest.fixture(scope="module")
-def corpus_dir(spark, tmp_path_factory):
+def corpus_dir(spark, sf_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("cli_corpus"))
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.select(F.col("text").alias("content")).repartition(2) \
         .write.mode("overwrite").parquet(d)
     return d
