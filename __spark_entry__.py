@@ -1186,15 +1186,44 @@ def q_grouped_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Certified multimodal plumbing (binary media columns + typed
-    metadata, deterministic stubbed decode): image featurization is
-    shape-correct, bounded, and content-deterministic; video frame
-    sampling yields the exact expected (rows, byte-size) shape."""
+    """Certified multimodal pipeline: REAL pure-NumPy decode of BMP
+    images and PCM16 WAV audio (features must equal direct
+    computation on the known pixels/samples), plus the stubbed-codec
+    plumbing checks (shape-correct, bounded, content-deterministic
+    featurization; exact video frame-sampling shape)."""
     from athena_spark.sources.multimodal import (
+        decode_and_featurize_audio,
         decode_and_featurize_images,
+        decode_bmp,
+        decode_wav_pcm16,
+        image_grid_features,
         sample_video_frames,
         synthetic_media,
     )
+
+    # real BMP decode path
+    bmps = synthetic_media(spark, 16, "bmp")
+    got_b = {r["media_id"]: np.array(r["features"])
+             for r in decode_and_featurize_images(bmps).collect()}
+    bmp_ok = all(
+        np.allclose(
+            got_b[r["media_id"]],
+            image_grid_features(decode_bmp(bytes(r["media"]))),
+            atol=1e-6,
+        )
+        for r in bmps.collect()
+    )
+    # real WAV decode path
+    wavs = synthetic_media(spark, 8, "wav")
+    got_w = {r["media_id"]: r
+             for r in decode_and_featurize_audio(wavs).collect()}
+    wav_ok = True
+    for r in wavs.collect():
+        samples, rate = decode_wav_pcm16(bytes(r["media"]))
+        x = samples.astype(np.float64) / 32768.0
+        g = got_w[r["media_id"]]
+        wav_ok &= abs(g["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-9
+        wav_ok &= abs(g["duration_s"] - len(x) / rate) < 1e-9
 
     imgs = synthetic_media(spark, 64, "image")
     feats = decode_and_featurize_images(imgs).collect()
@@ -1208,6 +1237,8 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ok = len(frames) == 16 * 3  # 30 frames, every 10th -> 3 per video
     size_ok = all(len(r["frame"]) == 32 * 24 * 3 for r in frames)
     rows = [
+        ("bmp_real_decode_features_exact", bool(bmp_ok)),
+        ("wav_real_decode_stats_exact", bool(wav_ok)),
         ("image_feature_shape", len(feats) == 64 and dims_ok),
         ("features_in_unit_range", range_ok),
         ("decode_deterministic", determ_ok),
@@ -1930,7 +1961,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'discretization_within_6_sigma', TRUE
         """,
         "multimodal_pipeline": """
-            SELECT 'image_feature_shape' AS "check", TRUE AS ok
+            SELECT 'bmp_real_decode_features_exact' AS "check", TRUE AS ok
+            UNION ALL SELECT 'wav_real_decode_stats_exact', TRUE
+            UNION ALL SELECT 'image_feature_shape', TRUE
             UNION ALL SELECT 'features_in_unit_range', TRUE
             UNION ALL SELECT 'decode_deterministic', TRUE
             UNION ALL SELECT 'video_frame_sampling_shape', TRUE

@@ -5,16 +5,22 @@ Design: media travels as a ``binary`` cell with a ``meta`` struct
 (modality, dims, sample rate, codec); every transform is an
 Arrow-batched ``mapInPandas`` kernel so the plumbing — schema,
 batch shape, partitioning — is identical to what a real decoder
-would use.  The decode step itself is STUBBED: the sandbox has no
-image/audio libraries, so ``decode_stub=False`` raises
-``NotImplementedError`` with the library it would use, and
-``decode_stub=True`` swaps in a deterministic fake (hash-seeded
-pixels/samples) that keeps shapes and dtypes honest for tests.
+would use.
+
+Decode is REAL for formats parseable in pure NumPy — uncompressed
+24-bit **BMP** (:func:`decode_bmp`) and RIFF **PCM16 WAV**
+(:func:`decode_wav_pcm16`), both with byte-exact encode/decode
+round-trip tests — and STUBBED for codecs that need external
+libraries (JPEG → Pillow, MP4 → pyav; absent in this sandbox):
+``decode_stub=False`` raises ``NotImplementedError`` naming the
+library, ``decode_stub=True`` swaps in a deterministic fake
+(hash-seeded pixels) that keeps shapes and dtypes honest.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -27,15 +33,106 @@ MEDIA_SCHEMA = (
 )
 
 
+# -- real pure-NumPy codecs --------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP bytes
+    (BITMAPINFOHEADER, 4-byte row padding, BGR channel order)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    return header + dib + rows.tobytes()
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes → (H, W, 3) uint8 RGB.  Handles
+    row padding, bottom-up and top-down (negative height) layouts."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    _, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={comp}) — other variants need Pillow"
+        )
+    row_size = (w * 3 + 3) & ~3
+    h_abs = abs(h)
+    data = np.frombuffer(blob, np.uint8, count=row_size * h_abs,
+                         offset=offset).reshape(h_abs, row_size)
+    px = data[:, : w * 3].reshape(h_abs, w, 3)[:, :, ::-1]
+    if h > 0:  # bottom-up (the common case)
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff = struct.pack("<4sI4s", b"RIFF",
+                       4 + len(fmt) + len(data_hdr) + len(data), b"WAVE")
+    return riff + fmt + data_hdr + data
+
+
+def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes → (int16 samples, sample_rate).  Walks
+    the chunk list, so extra chunks (LIST/INFO) are tolerated."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate, samples = None, None
+    while pos + 8 <= len(blob):
+        cid, clen = struct.unpack_from("<4sI", blob, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", blob, body)
+            if audio_fmt != 1 or channels != 1:
+                raise NotImplementedError(
+                    "only mono PCM WAV is supported — other codecs "
+                    "need soundfile/pyav"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(blob, "<i2", count=clen // 2,
+                                    offset=body).copy()
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
 def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
                     seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded random bytes)."""
+    """Deterministic media table.  ``bmp`` and ``wav`` rows carry REAL
+    encoded payloads (round-trippable by the pure-NumPy codecs);
+    ``image``/``audio``/``video`` rows carry fake-codec bytes for the
+    stubbed-decode plumbing."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
         if modality == "image":
             meta = (64, 48, None, None, "fake-rgb")
             payload = rng.bytes(64 * 48 * 3)
+        elif modality == "bmp":
+            w, h = 30, 22  # odd row width exercises the 4-byte padding
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            meta = (w, h, None, None, "bmp")
+            payload = encode_bmp(px)
+        elif modality == "wav":
+            rate = 16_000
+            t = np.arange(rate // 4, dtype=np.float64)
+            freq = 200.0 + 50.0 * (i % 8)
+            wave = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+            meta = (None, None, rate, None, "pcm_s16le")
+            payload = encode_wav_pcm16(wave, rate)
         elif modality == "audio":
             meta = (None, None, 16_000, None, "fake-pcm")
             payload = rng.bytes(16_000 * 2)
@@ -54,19 +151,28 @@ def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def image_grid_features(img: np.ndarray, feature_dim: int = 16) -> np.ndarray:
+    """Canonical image features: average-pool to a 4x4 grid, channel
+    means, unit-scaled.  Shared by the real-BMP and stubbed paths."""
+    h, w, _ = img.shape
+    gh, gw = h // 4, w // 4
+    pooled = img[: gh * 4, : gw * 4].reshape(4, gh, 4, gw, 3)
+    pooled = pooled.mean(axis=(1, 3))  # (4, 4, 3)
+    return pooled.reshape(-1)[:feature_dim].astype(np.float32) / 255.0
+
+
 def decode_and_featurize_images(
     df: DataFrame,
     feature_dim: int = 16,
     decode_stub: bool = True,
 ) -> DataFrame:
     """media → (media_id, features array<float>): decode, resize to a
-    canonical grid, channel-stat features.  Batch-shaped exactly like
-    a Pillow/libvips pipeline; only the pixel source is stubbed."""
-    if not decode_stub:
-        raise NotImplementedError(
-            "real image decode requires Pillow/pyarrow-image, not "
-            "available in this environment — run with decode_stub=True"
-        )
+    canonical grid, channel-stat features.
+
+    Decode dispatches on the codec: ``bmp`` rows go through the REAL
+    pure-NumPy BMP parser; ``fake-rgb`` rows use the deterministic
+    stub when ``decode_stub=True`` (a JPEG/PNG-class codec would need
+    Pillow, absent in this sandbox — ``decode_stub=False`` raises)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,18 +180,59 @@ def decode_and_featurize_images(
             for media_id, blob, meta in zip(
                 pdf["media_id"], pdf["media"], pdf["meta"]
             ):
-                img = _fake_decode(bytes(blob), meta["width"], meta["height"])
-                # "resize": average-pool to a 4x4 grid, then channel means
-                h, w, _ = img.shape
-                gh, gw = h // 4, w // 4
-                pooled = img[: gh * 4, : gw * 4].reshape(4, gh, 4, gw, 3)
-                pooled = pooled.mean(axis=(1, 3))  # (4, 4, 3)
-                vec = pooled.reshape(-1)[:feature_dim].astype(np.float32) / 255.0
+                codec = meta["codec"]
+                if codec == "bmp":
+                    img = decode_bmp(bytes(blob))
+                elif decode_stub:
+                    img = _fake_decode(bytes(blob), meta["width"],
+                                       meta["height"])
+                else:
+                    raise NotImplementedError(
+                        f"decoding codec {codec!r} requires Pillow — "
+                        "not available in this environment; run with "
+                        "decode_stub=True or supply bmp payloads"
+                    )
                 ids.append(media_id)
-                feats.append(vec)
+                feats.append(image_grid_features(img, feature_dim))
             yield pd.DataFrame({"media_id": ids, "features": feats})
 
     return df.mapInPandas(kernel, "media_id long, features array<float>")
+
+
+def decode_and_featurize_audio(df: DataFrame) -> DataFrame:
+    """audio → (media_id, duration_s, rms, zero_cross_rate, peak):
+    REAL decode of PCM16 WAV payloads (pure NumPy), vectorized signal
+    statistics per clip."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "duration_s", "rms", "zero_cross_rate",
+                    "peak")}
+            for media_id, blob, meta in zip(
+                pdf["media_id"], pdf["media"], pdf["meta"]
+            ):
+                if meta["codec"] != "pcm_s16le":
+                    raise NotImplementedError(
+                        f"decoding codec {meta['codec']!r} requires "
+                        "soundfile/pyav — supply pcm_s16le WAV payloads"
+                    )
+                samples, rate = decode_wav_pcm16(bytes(blob))
+                x = samples.astype(np.float64) / 32768.0
+                out["media_id"].append(media_id)
+                out["duration_s"].append(len(x) / rate)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                out["zero_cross_rate"].append(
+                    float(np.mean(np.diff(np.signbit(x)) != 0)) if len(x) > 1 else 0.0
+                )
+                out["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        kernel,
+        "media_id long, duration_s double, rms double, "
+        "zero_cross_rate double, peak double",
+    )
 
 
 def sample_video_frames(
