@@ -1196,6 +1196,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_and_featurize_images,
         decode_bmp,
         decode_wav_pcm16,
+        decode_y4m_mono,
         image_grid_features,
         sample_video_frames,
         synthetic_media,
@@ -1225,6 +1226,17 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_ok &= abs(g["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-9
         wav_ok &= abs(g["duration_s"] - len(x) / rate) < 1e-9
 
+    # real y4m container demux path
+    vids_y4m = synthetic_media(spark, 6, "y4m")
+    sampled = {(r["media_id"], r["frame_idx"]): bytes(r["frame"])
+               for r in sample_video_frames(vids_y4m, every_n=7).collect()}
+    y4m_ok = True
+    for r in vids_y4m.collect():
+        dec, _fps = decode_y4m_mono(bytes(r["media"]))
+        for fi in range(0, len(dec), 7):
+            y4m_ok &= sampled.get((r["media_id"], fi)) == dec[fi].tobytes()
+    y4m_ok &= len(sampled) == 6 * 4
+
     imgs = synthetic_media(spark, 64, "image")
     feats = decode_and_featurize_images(imgs).collect()
     dims_ok = all(len(r["features"]) == 16 for r in feats)
@@ -1239,6 +1251,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         ("bmp_real_decode_features_exact", bool(bmp_ok)),
         ("wav_real_decode_stats_exact", bool(wav_ok)),
+        ("y4m_real_demux_frames_exact", bool(y4m_ok)),
         ("image_feature_shape", len(feats) == 64 and dims_ok),
         ("features_in_unit_range", range_ok),
         ("decode_deterministic", determ_ok),
@@ -1963,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_pipeline": """
             SELECT 'bmp_real_decode_features_exact' AS "check", TRUE AS ok
             UNION ALL SELECT 'wav_real_decode_stats_exact', TRUE
+            UNION ALL SELECT 'y4m_real_demux_frames_exact', TRUE
             UNION ALL SELECT 'image_feature_shape', TRUE
             UNION ALL SELECT 'features_in_unit_range', TRUE
             UNION ALL SELECT 'decode_deterministic', TRUE

@@ -109,6 +109,48 @@ def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+def encode_y4m_mono(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(N, H, W) uint8 grayscale frames → YUV4MPEG2 (Cmono) bytes.
+    Mono keeps the round-trip byte-exact (no chroma subsampling)."""
+    n, h, w = frames.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    parts = [header]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m_mono(blob: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 (Cmono) bytes → ((N, H, W) uint8 frames, fps)."""
+    end = blob.index(b"\n")
+    header = blob[:end].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    params = dict((p[0], p[1:]) for p in header.split()[1:])
+    w, h = int(params["W"]), int(params["H"])
+    fps = int(params["F"].split(":")[0])
+    if params.get("C", "420") != "mono":
+        raise NotImplementedError(
+            f"only Cmono y4m is supported (C{params.get('C')}) — "
+            "chroma formats need pyav"
+        )
+    frame_bytes = w * h
+    frames = []
+    pos = end + 1
+    while pos < len(blob):
+        marker_end = blob.index(b"\n", pos)
+        if not blob[pos:marker_end].startswith(b"FRAME"):
+            raise ValueError("malformed y4m frame marker")
+        start = marker_end + 1
+        frames.append(
+            np.frombuffer(blob, np.uint8, count=frame_bytes, offset=start)
+            .reshape(h, w)
+        )
+        pos = start + frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+
+
 def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
                     seed: int = 42) -> DataFrame:
     """Deterministic media table.  ``bmp`` and ``wav`` rows carry REAL
@@ -136,6 +178,11 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
         elif modality == "audio":
             meta = (None, None, 16_000, None, "fake-pcm")
             payload = rng.bytes(16_000 * 2)
+        elif modality == "y4m":
+            w, h, nf = 40, 30, 24
+            frames = rng.integers(0, 256, size=(nf, h, w), dtype=np.uint8)
+            meta = (w, h, None, nf, "y4m-mono")
+            payload = encode_y4m_mono(frames, fps=12)
         else:  # video
             meta = (32, 24, None, 30, "fake-frames")
             payload = rng.bytes(32 * 24 * 3 * 30)
@@ -239,13 +286,12 @@ def sample_video_frames(
     df: DataFrame, every_n: int = 10, decode_stub: bool = True
 ) -> DataFrame:
     """video rows → one row per sampled frame (media_id, frame_idx,
-    frame binary).  Frame extraction is byte-slicing on the fake
-    codec; a real implementation swaps in pyav — the Spark plumbing
-    (explode shape, binary payloads per row) is identical."""
-    if not decode_stub:
-        raise NotImplementedError(
-            "real video demux requires pyav/ffmpeg, not available here"
-        )
+    frame binary).
+
+    ``y4m-mono`` payloads go through the REAL YUV4MPEG2 parser
+    (container demux in pure NumPy); ``fake-frames`` payloads are
+    byte-sliced by the stub (an MP4-class codec would need pyav —
+    ``decode_stub=False`` raises for those rows)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -253,6 +299,19 @@ def sample_video_frames(
             for media_id, blob, meta in zip(
                 pdf["media_id"], pdf["media"], pdf["meta"]
             ):
+                if meta["codec"] == "y4m-mono":
+                    decoded, _fps = decode_y4m_mono(bytes(blob))
+                    for fi in range(0, len(decoded), every_n):
+                        ids.append(media_id)
+                        idxs.append(fi)
+                        frames.append(bytearray(decoded[fi].tobytes()))
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        f"demuxing codec {meta['codec']!r} requires "
+                        "pyav/ffmpeg — supply y4m-mono payloads or run "
+                        "with decode_stub=True"
+                    )
                 n_frames = meta["n_frames"] or 0
                 frame_bytes = (meta["width"] or 0) * (meta["height"] or 0) * 3
                 data = bytes(blob)
@@ -266,6 +325,6 @@ def sample_video_frames(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )
 
-    return df.where("modality = 'video'").mapInPandas(
+    return df.where("modality IN ('video', 'y4m')").mapInPandas(
         kernel, "media_id long, frame_idx int, frame binary"
     )

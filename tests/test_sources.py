@@ -335,3 +335,43 @@ def test_real_wav_decode_audio_features(spark):
         # sine at amplitude 12000/32768: rms ~ A/sqrt(2)
         assert got["rms"] == pytest.approx((12000 / 32768) / np.sqrt(2),
                                            rel=0.01)
+
+
+def test_y4m_codec_roundtrip_exact():
+    import numpy as np
+
+    from athena_spark.sources.multimodal import (
+        decode_y4m_mono,
+        encode_y4m_mono,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(5, 12, 17), dtype=np.uint8)
+    back, fps = decode_y4m_mono(encode_y4m_mono(frames, fps=25))
+    assert fps == 25
+    assert back.shape == frames.shape
+    assert (back == frames).all()
+
+
+def test_real_y4m_frame_sampling(spark):
+    """Frame sampling over REAL y4m containers must return exactly
+    the frames the local decoder yields at the sampled indices."""
+    import numpy as np
+
+    from athena_spark.sources.multimodal import (
+        decode_y4m_mono,
+        sample_video_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6, "y4m")
+    got = {}
+    for r in sample_video_frames(media, every_n=7).collect():
+        got[(r["media_id"], r["frame_idx"])] = bytes(r["frame"])
+    n_rows = 0
+    for r in media.collect():
+        frames, _fps = decode_y4m_mono(bytes(r["media"]))
+        for fi in range(0, len(frames), 7):
+            assert got[(r["media_id"], fi)] == frames[fi].tobytes()
+            n_rows += 1
+    assert len(got) == n_rows == 6 * 4  # 24 frames, every 7th -> 4
