@@ -71,6 +71,17 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="print the vector dims (reference -d flag)")
     pe.add_argument("--n", type=int, default=None)
 
+    c = sub.add_parser("curate")
+    common(c)
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--min-quality", type=float, default=0.25)
+    c.add_argument("--keep-langs", default=None,
+                   help="comma-separated language codes (default: all)")
+    c.add_argument("--near-dup-threshold", type=float, default=0.8)
+    c.add_argument("--max-doc-freq", type=int, default=-1,
+                   help="Zipf shingle guard; -1 = library default, "
+                        "0 = disabled")
+
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
     return p
@@ -229,6 +240,37 @@ def cmd_print_embeddings(args) -> None:
         print(" ".join(parts))
 
 
+def cmd_curate(args) -> None:
+    """Composite curation pipeline: write (or print) surviving ids."""
+    from athena_spark.operators.curate import curate_corpus
+    from athena_spark.operators.dedup import DEFAULT_MAX_DOC_FREQ
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.max_doc_freq == -1:
+        mdf = DEFAULT_MAX_DOC_FREQ
+    elif args.max_doc_freq == 0:
+        mdf = None
+    else:
+        mdf = args.max_doc_freq
+    keep = (tuple(args.keep_langs.split(","))
+            if args.keep_langs else None)
+    out = curate_corpus(
+        df, id_col=args.id_col, text_col=args.col,
+        min_quality=args.min_quality, keep_langs=keep,
+        near_dup_threshold=args.near_dup_threshold, max_doc_freq=mdf,
+    )
+    n_in = df.count()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    n_out = out.count()
+    print(json.dumps({"rows_in": n_in, "rows_kept": n_out,
+                      "rows_dropped": n_in - n_out}), file=sys.stderr)
+    if not args.output:
+        for row in out.collect():
+            print(row[args.id_col])
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -248,6 +290,7 @@ def main(argv=None) -> None:
         "sketch": cmd_sketch,
         "print-embeddings": cmd_print_embeddings,
         "train-embeddings": cmd_train_embeddings,
+        "curate": cmd_curate,
         "package": cmd_package,
     }[args.cmd](args)
 

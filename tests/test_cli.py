@@ -106,3 +106,28 @@ def test_cli_train_and_print_embeddings(spark, corpus_dir, tmp_path,
     assert len(row) == 8
     vec = np.array([float(v) for v in row])
     assert abs(np.linalg.norm(vec) - 1.0) < 1e-3  # L2-normalized on load
+
+
+def test_cli_curate(spark, sf_dir, tmp_path, capsys):
+    """curate subcommand: surviving ids equal the library pipeline;
+    --output writes parquet; the summary JSON goes to stderr."""
+    from athena_spark.operators.curate import curate_corpus
+
+    docs_dir = str(tmp_path / "curate_in")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.mode("overwrite").parquet(docs_dir)
+    out_dir = str(tmp_path / "curate_out")
+    main(["curate", "--input", docs_dir, "--col", "text",
+          "--keep-langs", "en,fr", "--min-quality", "0.25",
+          "--near-dup-threshold", "0.8", "--max-doc-freq", "0",
+          "--output", out_dir])
+    err = capsys.readouterr().err
+    rep = json.loads(err.strip().splitlines()[-1])
+    want = {r["doc_id"] for r in curate_corpus(
+        docs, min_quality=0.25, keep_langs=("en", "fr"),
+        near_dup_threshold=0.8, max_doc_freq=None).collect()}
+    got = {r["doc_id"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+    assert rep["rows_kept"] == len(want)
+    assert rep["rows_in"] == docs.count()
