@@ -375,3 +375,42 @@ def test_real_y4m_frame_sampling(spark):
             assert got[(r["media_id"], fi)] == frames[fi].tobytes()
             n_rows += 1
     assert len(got) == n_rows == 6 * 4  # 24 frames, every 7th -> 4
+
+
+def test_bmp_decode_top_down_layout():
+    """Negative DIB height = top-down row order; the decoder must not
+    flip those."""
+    import struct
+
+    import numpy as np
+
+    from athena_spark.sources.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(px))
+    # rewrite height to -6 and store rows top-down (no flip)
+    struct.pack_into("<i", blob, 14 + 8, -6)
+    row_size = (5 * 3 + 3) & ~3
+    rows = np.zeros((6, row_size), dtype=np.uint8)
+    rows[:, : 5 * 3] = px[:, :, ::-1].reshape(6, 5 * 3)  # BGR, top-down
+    blob[54:] = rows.tobytes()
+    back = decode_bmp(bytes(blob))
+    assert (back == px).all()
+
+
+def test_y4m_decode_rejects_chroma_and_handles_empty():
+    import numpy as np
+    import pytest
+
+    from athena_spark.sources.multimodal import (
+        decode_y4m_mono,
+        encode_y4m_mono,
+    )
+
+    frames, fps = decode_y4m_mono(
+        encode_y4m_mono(np.empty((0, 4, 4), np.uint8), fps=10)
+    )
+    assert frames.shape == (0, 4, 4) and fps == 10
+    with pytest.raises(NotImplementedError):
+        decode_y4m_mono(b"YUV4MPEG2 W4 H4 F10:1 Ip A1:1 C420\nFRAME\n" + b"\0" * 24)
