@@ -269,3 +269,17 @@ def test_curate_corpus_stages_compose(spark):
         near_dup_threshold=0.5,
     ).collect()}
     assert kept == {0, 5}
+
+
+def test_dup_components_raises_on_deep_chain(spark):
+    """A chain whose diameter exceeds max_iters must fail loudly, not
+    return silently partial labels."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_components(pairs, max_iters=2)
+    # and converges fine with enough rounds
+    comps = {r["node"]: r["component"]
+             for r in dedup.dup_components(pairs, max_iters=10).collect()}
+    assert set(comps.values()) == {0}

@@ -205,3 +205,59 @@ def test_stateful_topk_recovers_groupstate_across_restart(spark, sf_dir):
     for r in rows1:
         p1_max[r["key"]] = max(p1_max.get(r["key"], 0), r["total"])
     assert any(best[k][0] > p1_max.get(k, 0) for k in best)
+
+
+def test_sessionize_tied_timestamps_match_duckdb(spark):
+    """Tied timestamps at a session boundary: the ROWS-frame running
+    sum must give the same grouped output as DuckDB's ANSI ROWS
+    semantics regardless of tie order."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        # user 1: burst, 40-min gap, then TWO events at the same ts
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 00:50:00"),
+        (1, "2024-01-01 00:50:00"),   # tie AT the boundary event
+        (1, "2024-01-01 00:55:00"),
+        # user 2: all ties, single session
+        (2, "2024-01-01 02:00:00"),
+        (2, "2024-01-01 02:00:00"),
+        (2, "2024-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["session_start"], r["session_end"]
+        )
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    con.register("ev", pdf)
+    want = {}
+    for u, s, n, a, b in con.sql("""
+        WITH g AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                             OR epoch(CAST(ts AS TIMESTAMP))
+                                - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                                > 1800
+                        THEN 1 ELSE 0 END AS ns
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, COUNT(*),
+               CAST(MIN(ts) AS VARCHAR), CAST(MAX(ts) AS VARCHAR)
+        FROM s GROUP BY 1, 2
+    """).fetchall():
+        want[(u, int(s))] = (n, a, b)
+    assert got == want
