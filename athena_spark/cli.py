@@ -261,13 +261,19 @@ def cmd_curate(args) -> None:
         near_dup_threshold=args.near_dup_threshold, max_doc_freq=mdf,
     )
     n_in = df.count()
+    # run the (expensive) pipeline exactly once: count the written
+    # parquet, or reuse the one collected row set
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
-    n_out = out.count()
+        n_out = spark.read.parquet(args.output).count()
+        rows = None
+    else:
+        rows = out.collect()
+        n_out = len(rows)
     print(json.dumps({"rows_in": n_in, "rows_kept": n_out,
                       "rows_dropped": n_in - n_out}), file=sys.stderr)
-    if not args.output:
-        for row in out.collect():
+    if rows is not None:
+        for row in rows:
             print(row[args.id_col])
 
 

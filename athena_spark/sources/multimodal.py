@@ -95,10 +95,12 @@ def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
         body = pos + 8
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", blob, body)
-            if audio_fmt != 1 or channels != 1:
+            bits = struct.unpack_from("<H", blob, body + 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise NotImplementedError(
-                    "only mono PCM WAV is supported — other codecs "
-                    "need soundfile/pyav"
+                    f"only 16-bit mono PCM WAV is supported (fmt="
+                    f"{audio_fmt}, channels={channels}, bits={bits}) — "
+                    "other encodings need soundfile/pyav"
                 )
         elif cid == b"data":
             samples = np.frombuffer(blob, "<i2", count=clen // 2,
@@ -121,15 +123,20 @@ def encode_y4m_mono(frames: np.ndarray, fps: int = 30) -> bytes:
     return b"".join(parts)
 
 
-def decode_y4m_mono(blob: bytes) -> tuple[np.ndarray, int]:
-    """YUV4MPEG2 (Cmono) bytes → ((N, H, W) uint8 frames, fps)."""
-    end = blob.index(b"\n")
-    header = blob[:end].decode()
-    if not header.startswith("YUV4MPEG2"):
+def decode_y4m_mono(blob: bytes) -> tuple[np.ndarray, float]:
+    """YUV4MPEG2 (Cmono) bytes → ((N, H, W) uint8 frames, fps).
+    fps is numerator/denominator of the F rate (e.g. 30000:1001 →
+    29.97), not just the numerator."""
+    if not blob.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
+    end = blob.find(b"\n")
+    if end < 0:
+        raise ValueError("not a YUV4MPEG2 payload (no header line)")
+    header = blob[:end].decode()
     params = dict((p[0], p[1:]) for p in header.split()[1:])
     w, h = int(params["W"]), int(params["H"])
-    fps = int(params["F"].split(":")[0])
+    num, _, den = params["F"].partition(":")
+    fps = int(num) / int(den or 1)
     if params.get("C", "420") != "mono":
         raise NotImplementedError(
             f"only Cmono y4m is supported (C{params.get('C')}) — "
@@ -246,10 +253,14 @@ def decode_and_featurize_images(
     return df.mapInPandas(kernel, "media_id long, features array<float>")
 
 
-def decode_and_featurize_audio(df: DataFrame) -> DataFrame:
+def decode_and_featurize_audio(
+    df: DataFrame, decode_stub: bool = True
+) -> DataFrame:
     """audio → (media_id, duration_s, rms, zero_cross_rate, peak):
-    REAL decode of PCM16 WAV payloads (pure NumPy), vectorized signal
-    statistics per clip."""
+    REAL decode of ``pcm_s16le`` WAV payloads (pure NumPy), stubbed
+    raw-int16 interpretation for ``fake-pcm`` rows when
+    ``decode_stub=True`` (an MP3/AAC-class codec would need
+    soundfile/pyav), vectorized signal statistics per clip."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,12 +270,19 @@ def decode_and_featurize_audio(df: DataFrame) -> DataFrame:
             for media_id, blob, meta in zip(
                 pdf["media_id"], pdf["media"], pdf["meta"]
             ):
-                if meta["codec"] != "pcm_s16le":
+                codec = meta["codec"]
+                if codec == "pcm_s16le":
+                    samples, rate = decode_wav_pcm16(bytes(blob))
+                elif codec == "fake-pcm" and decode_stub:
+                    # stub: the fake payload IS raw little-endian int16
+                    samples = np.frombuffer(bytes(blob), "<i2")
+                    rate = meta["sample_rate"]
+                else:
                     raise NotImplementedError(
-                        f"decoding codec {meta['codec']!r} requires "
-                        "soundfile/pyav — supply pcm_s16le WAV payloads"
+                        f"decoding codec {codec!r} requires "
+                        "soundfile/pyav — supply pcm_s16le WAV "
+                        "payloads or run with decode_stub=True"
                     )
-                samples, rate = decode_wav_pcm16(bytes(blob))
                 x = samples.astype(np.float64) / 32768.0
                 out["media_id"].append(media_id)
                 out["duration_s"].append(len(x) / rate)

@@ -282,7 +282,8 @@ def test_wav_codec_roundtrip_exact():
     )
 
     rng = np.random.default_rng(5)
-    samples = rng.integers(-32768, 32767, size=4001, dtype=np.int16)
+    samples = rng.integers(-32768, 32768, size=4001, dtype=np.int16)
+    samples[0], samples[1] = -32768, 32767  # saturation endpoints
     back, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 22_050))
     assert rate == 22_050
     assert (back == samples).all()
@@ -414,3 +415,53 @@ def test_y4m_decode_rejects_chroma_and_handles_empty():
     assert frames.shape == (0, 4, 4) and fps == 10
     with pytest.raises(NotImplementedError):
         decode_y4m_mono(b"YUV4MPEG2 W4 H4 F10:1 Ip A1:1 C420\nFRAME\n" + b"\0" * 24)
+
+
+def test_wav_decoder_rejects_non_16bit():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from athena_spark.sources.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    blob = bytearray(encode_wav_pcm16(np.zeros(4, np.int16), 8000))
+    struct.pack_into("<H", blob, 12 + 8 + 14, 8)  # claim 8 bits/sample
+    with pytest.raises(NotImplementedError, match="bits=8"):
+        decode_wav_pcm16(bytes(blob))
+
+
+def test_y4m_fractional_frame_rate_and_corrupt_header():
+    import numpy as np
+    import pytest
+
+    from athena_spark.sources.multimodal import decode_y4m_mono
+
+    ntsc = (b"YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 Cmono\n"
+            b"FRAME\n" + b"\0" * 4)
+    frames, fps = decode_y4m_mono(ntsc)
+    assert abs(fps - 30000 / 1001) < 1e-9
+    assert frames.shape == (1, 2, 2)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m_mono(b"\x00\x01\x02no newline here")
+
+
+def test_audio_featurizer_stub_path(spark):
+    """fake-pcm rows go through the raw-int16 stub; real pcm_s16le
+    rows keep the real decoder; decode_stub=False rejects the fake."""
+    import pytest
+
+    from athena_spark.sources.multimodal import (
+        decode_and_featurize_audio,
+        synthetic_media,
+    )
+
+    fake = synthetic_media(spark, 3, "audio")
+    rows = decode_and_featurize_audio(fake).collect()
+    assert len(rows) == 3
+    assert all(r["duration_s"] == pytest.approx(1.0) for r in rows)
+    with pytest.raises(Exception, match="soundfile"):
+        decode_and_featurize_audio(fake, decode_stub=False).collect()
