@@ -13,6 +13,19 @@ decays linearly over one epoch (:165,174).
 
 Pass 2 — re-scan the corpus and train SGNS per partition with the
 frozen vocab + table; models merged by count-weighted averaging.
+
+PRNG parity note (SURVEY §2.1 C10): the reference pins
+``std::linear_congruential_engine<size_t, 25214903917, 11, 2^48>``
+seeded per-thread as ``s + t`` (src/_math.h:36-37,
+src/_math.cpp:184-186).  That exact engine is available as
+``athena_spark.sketch.sampling.ReferenceLCG`` /
+``partition_reference_lcg`` (bit-exact recurrence, tested against an
+independent big-int implementation).  The trainers default to seeded
+PCG64 because (a) distribution wrappers above the engine are
+implementation-defined even across C++ stdlibs, so bit-level parity
+beyond the engine is not well-defined, and (b) distributed runs
+cannot be bit-identical to a single-threaded stream anyway — parity
+is of procedure and of the engine, not of sampled bits.
 """
 
 from __future__ import annotations

@@ -99,3 +99,57 @@ def partition_rng(base_seed: int, partition_id: int) -> np.random.Generator:
     """Per-partition generator, mirroring the reference's per-thread
     ``seed + thread`` scheme (src/_math.cpp:184-186)."""
     return np.random.default_rng(np.random.SeedSequence([base_seed, partition_id]))
+
+
+class ReferenceLCG:
+    """The reference's exact PRNG engine (src/_math.h:36-37):
+    ``std::linear_congruential_engine<size_t, 25214903917, 11, 2^48>``
+    — java.util.Random's multiplier/increment used as a plain C++
+    standard LCG (no java seed scrambling or high-bit extraction).
+    The recurrence ``x' = (25214903917 * x + 11) mod 2^48`` is fully
+    specified by the C++ standard, so engine outputs are bit-exact
+    with the reference; *distribution* wrappers
+    (``uniform_real_distribution`` etc.) are implementation-defined
+    even across C++ stdlibs, so floats here use the documented
+    ``state / 2^48`` mapping.
+
+    Per-partition construction mirrors the reference's per-thread
+    ``PRNG(s + t)`` (src/_math.cpp:184-186):
+    ``ReferenceLCG(seed + partition_id)``.
+    """
+
+    MULT = np.uint64(25214903917)
+    INC = np.uint64(11)
+    MASK = np.uint64((1 << 48) - 1)
+
+    def __init__(self, seed: int):
+        # std::lce seeds with `seed % modulus` (and maps a 0 seed to
+        # `default_seed` only when c == 0; here c = 11, so 0 is kept)
+        self._state = np.uint64(seed) & self.MASK
+
+    def raw(self, n: int = 1) -> np.ndarray:
+        """Next ``n`` engine outputs (the states themselves), uint64
+        in [0, 2^48)."""
+        out = np.empty(n, dtype=np.uint64)
+        s = self._state
+        with np.errstate(over="ignore"):
+            for i in range(n):
+                s = (s * self.MULT + self.INC) & self.MASK
+                out[i] = s
+        self._state = s
+        return out
+
+    def uniform(self, n: int = 1) -> np.ndarray:
+        """n floats in [0, 1): engine output / 2^48."""
+        return self.raw(n).astype(np.float64) / float(1 << 48)
+
+    def integers(self, bound: int, n: int = 1) -> np.ndarray:
+        """n ints in [0, bound) by scaling (the mapping our samplers
+        need; rejection-free, bias < bound / 2^48)."""
+        return (self.uniform(n) * bound).astype(np.int64)
+
+
+def partition_reference_lcg(base_seed: int, partition_id: int) -> ReferenceLCG:
+    """The reference's per-thread scheme verbatim: engine seeded with
+    ``base_seed + partition_id`` (src/_math.cpp:184-186)."""
+    return ReferenceLCG(base_seed + partition_id)

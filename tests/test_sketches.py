@@ -313,3 +313,37 @@ def test_tdigest_rank_with_ties():
     assert td.rank(100.0)[0] == 1.0
     # continuous region still interpolates sanely
     assert abs(td.rank(25.0)[0] - 0.75) < 0.05
+
+
+def test_reference_lcg_matches_bigint_recurrence():
+    """Engine parity with the C++ standard's specification of
+    linear_congruential_engine<size_t, 25214903917, 11, 2^48> —
+    checked against an independent big-int implementation for many
+    seeds, including the 0 seed (kept as-is since c != 0) and
+    wrap-around states."""
+    from athena_spark.sketch.sampling import (
+        ReferenceLCG,
+        partition_reference_lcg,
+    )
+
+    m, c, mod = 25214903917, 11, 1 << 48
+    for seed in [0, 1, 42, 2**31 - 1, 2**48 - 1, 123456789]:
+        lcg = ReferenceLCG(seed)
+        got = lcg.raw(1000).tolist()
+        s = seed % mod
+        want = []
+        for _ in range(1000):
+            s = (m * s + c) % mod
+            want.append(s)
+        assert got == want, seed
+    # per-partition scheme: seed + partition_id, like PRNG(s + t)
+    a = partition_reference_lcg(7, 3)
+    b = ReferenceLCG(10)
+    assert a.raw(5).tolist() == b.raw(5).tolist()
+    # uniforms are state / 2^48 in [0, 1)
+    u = ReferenceLCG(42).uniform(1000)
+    assert (0 <= u).all() and (u < 1).all()
+    # integers scale without exceeding the bound
+    ints = ReferenceLCG(9).integers(17, 5000)
+    assert (0 <= ints).all() and (ints < 17).all()
+    assert len(set(ints.tolist())) == 17  # all values reachable
