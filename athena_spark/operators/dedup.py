@@ -60,6 +60,13 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
                    max_doc_freq: int | None) -> DataFrame:
+    if max_doc_freq is not None and max_doc_freq < 1:
+        # a non-positive cap would silently drop EVERY shingle
+        # (df >= 1 always) and report an empty near-dup set as success
+        raise ValueError(
+            f"max_doc_freq must be None (guard off) or >= 1, got "
+            f"{max_doc_freq}"
+        )
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_col(text_col, n)).alias("shingle"),

@@ -49,9 +49,17 @@ def cosine_col(a, b) -> Column:
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
+    if len(pdf) == 0:
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     return ids, mat
+
+
+def _empty_topk(spark, id_type: str) -> DataFrame:
+    return spark.createDataFrame(
+        [], f"query_id {id_type}, neighbor_id {id_type}, sim double, rn int"
+    )
 
 
 def ann_topk_bruteforce(
@@ -342,6 +350,10 @@ def ann_topk_ivf(
     centroids = train_centroids(df, vec_col, n_centroids, seed=seed,
                                 sample_fraction=sample_fraction)
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
+        return _empty_topk(
+            spark, df.select(id_col).schema[0].dataType.simpleString()
+        )
     probe_sets = _probe_sets(q_mat, centroids, n_probe)
     bc = spark.sparkContext.broadcast((q_ids, q_mat, probe_sets, centroids))
 
@@ -401,6 +413,11 @@ def ann_topk_ivf_bucketed(
     touches only ``<= len(queries) * n_probe`` of the cell
     directories."""
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
+        return _empty_topk(
+            spark,
+            queries.select(id_col).schema[0].dataType.simpleString(),
+        )
     probe_sets = _probe_sets(q_mat, centroids, n_probe)
     all_cells = sorted(probe_sets)
     corpus = spark.read.parquet(path).where(F.col(out_col).isin(all_cells))

@@ -283,3 +283,11 @@ def test_dup_components_raises_on_deep_chain(spark):
     comps = {r["node"]: r["component"]
              for r in dedup.dup_components(pairs, max_iters=10).collect()}
     assert set(comps.values()) == {0}
+
+
+def test_shingle_guard_rejects_nonpositive_cap(spark):
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=0)
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text", max_doc_freq=-2)

@@ -141,13 +141,17 @@ def test_minhash_verification_releases_shingle_cache(spark, sf_dir):
 
     sc = spark.sparkContext
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # diff storage across THIS call only: the session-scoped fixture
+    # means other tests may legitimately hold persisted RDDs
+    before_ids = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
     out = minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     assert out.count() > 0
-    leftover = [(i.name(), i.memSize())
-                for i in sc._jsc.sc().getRDDStorageInfo()]
-    total = sum(sz for _, sz in leftover)
+    new_rdds = [(i.name(), i.memSize())
+                for i in sc._jsc.sc().getRDDStorageInfo()
+                if i.id() not in before_ids]
+    total = sum(sz for _, sz in new_rdds)
     # the checkpointed pair set is KBs; a leaked shingle cache is MBs
-    assert total < 1 << 20, leftover
+    assert total < 1 << 20, new_rdds
 
 
 def test_global_topk_is_take_ordered_not_window(spark, sf_dir):

@@ -231,3 +231,18 @@ def test_ivf_bucketed_store_prunes_partitions_and_matches(spark, sf_dir, tmp_pat
             for r in again.collect()} == got
     with pytestmod.raises(Exception):
         spark.read.parquet(path).select("vec_id").collect()
+
+
+def test_ivf_empty_query_set_returns_empty(spark, sf_dir, tmp_path):
+    from athena_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    none = emb.where("vec_id < 0")
+    out = sim.ann_topk_ivf(emb, none, k=3, n_centroids=4)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rn"]
+    cents = sim.train_centroids(emb, n_centroids=4, seed=7)
+    path = str(tmp_path / "ivf_empty")
+    sim.write_ivf_bucketed(emb, cents, path)
+    out2 = sim.ann_topk_ivf_bucketed(spark, path, cents, none, k=3)
+    assert out2.count() == 0
