@@ -163,3 +163,18 @@ def test_global_topk_is_take_ordered_not_window(spark, sf_dir):
     plan = plan_of(entrymod.q_naive_truncate_top5(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "row_number" not in plan, plan
+
+
+def test_curate_pipeline_never_shuffles_text(spark, sf_dir):
+    """The curation pipeline returns ids only, so Catalyst must prune
+    the text column out of EVERY exchange — ids, hashes and shingle
+    hashes shuffle; document text never does (the 100 TB contract)."""
+    from athena_spark.operators.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_corpus(docs, max_doc_freq=None)
+    plan = plan_of(out)
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first:
+            assert "text#" not in block, block
