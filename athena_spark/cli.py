@@ -32,7 +32,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("--input", required=True, help="parquet dir")
+        sp.add_argument("--input", required=True, help="input dir/table")
+        sp.add_argument("--format", default="parquet",
+                        help="input format: parquet (default), text "
+                             "(the reference's raw token files), "
+                             "json/orc/csv, or iceberg (catalog table)")
         sp.add_argument("--col", default="content")
         sp.add_argument("--output", default=None, help="output parquet dir")
         sp.add_argument("--master", default=None)
@@ -101,6 +105,14 @@ def cmd_topk(args) -> None:
     from athena_spark.sketch import SpaceSaving
 
     spark = _spark(args)
+    if args.format != "parquet" and (
+        args.checkpoint_dir or getattr(args, "direct", False)
+    ):
+        raise SystemExit(
+            "--checkpoint-dir and --direct read per-file parquet; "
+            f"--format {args.format} is only supported on the "
+            "JVM-scan path"
+        )
     if args.checkpoint_dir and getattr(args, "direct", False):
         # the checkpointed runner drives its own per-file reads; the
         # native-reader plan has no checkpoint hook — refuse rather
@@ -141,7 +153,9 @@ def cmd_topk(args) -> None:
             schema="token string, est_count long, err long",
         )
     else:
-        df = spark.read.parquet(args.input)
+        from athena_spark.sources.corpus import read_corpus
+
+        df = read_corpus(spark, args.input, fmt=args.format)
         out = spacesaving_topk(df, args.col, k=args.k, n=args.n,
                                num_partitions=args.partitions)
     if args.output:
@@ -161,7 +175,9 @@ def cmd_sketch(args) -> None:
     )
 
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
+    from athena_spark.sources.corpus import read_corpus
+
+    df = read_corpus(spark, args.input, fmt=args.format)
     factories = {
         "hll": (lambda pid: HyperLogLog(p=14), token_distinct_updater),
         "cms": (lambda pid: CountMinSketch(5, 65536), token_counts_updater),
@@ -196,7 +212,9 @@ def cmd_train_embeddings(args) -> None:
     from athena_spark.sources.word2vec import write_word2vec_binary
 
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
+    from athena_spark.sources.corpus import read_corpus
+
+    df = read_corpus(spark, args.input, fmt=args.format)
     if args.partitions:
         df = df.repartition(args.partitions)
     out = train_embeddings(
@@ -246,7 +264,9 @@ def cmd_curate(args) -> None:
     from athena_spark.operators.dedup import DEFAULT_MAX_DOC_FREQ
 
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
+    from athena_spark.sources.corpus import read_corpus
+
+    df = read_corpus(spark, args.input, fmt=args.format)
     if args.max_doc_freq == -1:
         mdf = DEFAULT_MAX_DOC_FREQ
     elif args.max_doc_freq == 0:

@@ -89,10 +89,33 @@ def generate_corpus(
 
 
 def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Format-switchable corpus reader (``iceberg`` at scale)."""
+    """Format-switchable corpus reader (``iceberg`` at scale;
+    ``text`` for the reference's own raw token-file input)."""
     if fmt == "iceberg":
         return spark.read.table(path)
+    if fmt == "text":
+        return read_text_corpus(spark, path)
     return spark.read.format(fmt).load(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """The REFERENCE's actual input surface: plain text files of
+    whitespace-delimited tokens, one token stream per file
+    (/root/reference/src/spacesaving-lm-train.cpp:87-104 reads one
+    file; a corpus is a directory of them).
+
+    One row per file: (path string, content string) — the whole file
+    is the reference's single-pass stream, sentence boundaries at
+    newlines exactly as the tokenizer expects.  Spark parallelizes
+    across files (wholetext scan), so a directory of N files becomes
+    N-way input parallelism."""
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("path"),
+            F.col("value").alias("content"),
+        )
+    )
 
 
 def with_sha256(df: DataFrame, col: str = "content") -> DataFrame:

@@ -131,3 +131,34 @@ def test_cli_curate(spark, sf_dir, tmp_path, capsys):
     assert got == want
     assert rep["rows_kept"] == len(want)
     assert rep["rows_in"] == docs.count()
+
+
+def test_cli_topk_on_raw_text_files(spark, tmp_path, capsys):
+    """The reference's own input surface: a directory of plain text
+    token files fed straight to topk via --format text."""
+    d = tmp_path / "rawtext"
+    d.mkdir()
+    (d / "a.txt").write_text("the quick fox\nthe lazy dog\n")
+    (d / "b.txt").write_text("the fox again\n")
+    out = run_cli(capsys, ["topk", "--input", str(d), "--format", "text",
+                           "--k", "1024", "--n", "3"])
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    assert lines[0][0] == "the" and int(lines[0][1]) == 3
+    assert {t for t, _, _ in lines} <= {
+        "the", "fox", "quick", "lazy", "dog", "again"}
+    # per-file parquet paths refuse non-parquet formats loudly
+    with pytest.raises(SystemExit):
+        main(["topk", "--input", str(d), "--format", "text", "--direct"])
+
+
+def test_read_text_corpus_one_row_per_file(spark, tmp_path):
+    from athena_spark.sources.corpus import read_text_corpus
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "x.txt").write_text("alpha beta\ngamma\n")
+    (d / "y.txt").write_text("delta")
+    df = read_text_corpus(spark, str(d))
+    rows = {r["path"].rsplit("/", 1)[-1]: r["content"]
+            for r in df.collect()}
+    assert rows == {"x.txt": "alpha beta\ngamma\n", "y.txt": "delta"}
