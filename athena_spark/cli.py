@@ -105,13 +105,18 @@ def cmd_topk(args) -> None:
     from athena_spark.sketch import SpaceSaving
 
     spark = _spark(args)
-    if args.format != "parquet" and (
-        args.checkpoint_dir or getattr(args, "direct", False)
+    if args.format != "parquet" and args.checkpoint_dir:
+        raise SystemExit(
+            "--checkpoint-dir reads per-file parquet; "
+            f"--format {args.format} is only supported on the "
+            "JVM-scan and --direct paths"
+        )
+    if args.format not in ("parquet", "text") and getattr(
+        args, "direct", False
     ):
         raise SystemExit(
-            "--checkpoint-dir and --direct read per-file parquet; "
-            f"--format {args.format} is only supported on the "
-            "JVM-scan path"
+            "--direct supports --format parquet or text (per-file "
+            f"native readers); got {args.format}"
         )
     if args.checkpoint_dir and getattr(args, "direct", False):
         # the checkpointed runner drives its own per-file reads; the
@@ -139,13 +144,20 @@ def cmd_topk(args) -> None:
         from athena_spark.operators.agg import aggregate_sketch_direct
 
         in_dir = _os.path.abspath(args.input)
-        files = sorted(
-            _os.path.join(in_dir, f)
-            for f in _os.listdir(in_dir) if f.endswith(".parquet")
-        )
+        if args.format == "text":
+            files = sorted(
+                _os.path.join(in_dir, f)
+                for f in _os.listdir(in_dir)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            files = sorted(
+                _os.path.join(in_dir, f)
+                for f in _os.listdir(in_dir) if f.endswith(".parquet")
+            )
         sk, metrics = aggregate_sketch_direct(
             spark, files, args.col, lambda pid: SpaceSaving(k=args.k),
-            tasks=args.partitions,
+            tasks=args.partitions, file_format=args.format,
         )
         print(json.dumps(metrics), file=sys.stderr)
         out = spark.createDataFrame(

@@ -246,12 +246,15 @@ def aggregate_sketch_direct(
     batch_rows: int | None = 20_000,
     driver_merge_threshold: int = 128,
     tasks: int | None = None,
+    file_format: str = "parquet",
 ):
     """Native-reader variant of :func:`aggregate_sketch`: Spark
     schedules one task per input file, but each Python worker opens
-    its parquet file directly with the Arrow C++ reader (column
-    projection at the file level) and folds it — the column data never
-    passes through the JVM or the Arrow IPC socket.
+    its file directly — parquet through the Arrow C++ reader (column
+    projection at the file level), or ``file_format="text"`` raw
+    token files (the reference's own input: the whole file is one
+    string cell) — and folds it; the column data never passes
+    through the JVM or the Arrow IPC socket.
 
     This is the accelerated-scan pattern (same shape native engines
     use): for a scan-dominated kernel it roughly doubles per-core
@@ -282,6 +285,14 @@ def aggregate_sketch_direct(
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 filesystem, rel = pafs.FileSystem.from_uri(path)
+                if file_format == "text":
+                    with filesystem.open_input_stream(rel) as fh:
+                        content = fh.read().decode("utf-8",
+                                                   errors="replace")
+                    column = pa.array([content], pa.string())
+                    n_rows += 1
+                    n_values += updater(sketch, column)
+                    continue
                 table = pq.read_table(rel, columns=[col], filesystem=filesystem)
                 if batch_rows is None:
                     # whole-file fold: one value_counts hash build per

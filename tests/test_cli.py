@@ -146,9 +146,18 @@ def test_cli_topk_on_raw_text_files(spark, tmp_path, capsys):
     assert lines[0][0] == "the" and int(lines[0][1]) == 3
     assert {t for t, _, _ in lines} <= {
         "the", "fox", "quick", "lazy", "dog", "again"}
-    # per-file parquet paths refuse non-parquet formats loudly
+    # the native reader handles raw text files too — identical output
+    direct = run_cli(capsys, ["topk", "--input", str(d), "--format",
+                              "text", "--k", "1024", "--n", "3",
+                              "--direct"])
+    assert direct == out
+    # checkpointing stays parquet-only; unsupported direct formats
+    # refuse loudly
     with pytest.raises(SystemExit):
-        main(["topk", "--input", str(d), "--format", "text", "--direct"])
+        main(["topk", "--input", str(d), "--format", "text",
+              "--checkpoint-dir", str(tmp_path / "ck")])
+    with pytest.raises(SystemExit):
+        main(["topk", "--input", str(d), "--format", "json", "--direct"])
 
 
 def test_read_text_corpus_one_row_per_file(spark, tmp_path):
