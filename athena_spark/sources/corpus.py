@@ -108,7 +108,13 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     is the reference's single-pass stream, sentence boundaries at
     newlines exactly as the tokenizer expects.  Spark parallelizes
     across files (wholetext scan), so a directory of N files becomes
-    N-way input parallelism."""
+    N-way input parallelism.
+
+    Scale note: wholetext materializes each file as ONE string cell —
+    fine for the reference's corpus shards (MBs), but for multi-GB
+    files prefer ``aggregate_sketch_direct(file_format="text")``
+    (streams per worker, no JVM row) or pre-split the files; giant
+    cells also respond to ``operators.skew.repartition_by_bytes``."""
     return (
         spark.read.text(path, wholetext=True)
         .select(
