@@ -88,6 +88,48 @@ def _langid_sql() -> str:
 
 _LANGID_SQL = _langid_sql()
 
+# shared CTE chain of the curate_corpus oracles (exact end-to-end SQL
+# twin of operators/curate.py: quality gate >= 0.25, langid in
+# {en, fr}, exact dedup min-id, 3-gram Jaccard near-dup removal at
+# J >= 0.8) — defined below _QUALITY_SQL/_LANGID_SQL via f-string
+_CURATE_CTES_TEMPLATE = """
+            WITH q AS (SELECT * FROM ({quality})),
+            l AS (SELECT * FROM ({langid})),
+            gated AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN q ON q.doc_id = d.doc_id AND q.q_score >= 0.25
+                JOIN l ON l.doc_id = d.doc_id
+                      AND l.pred_lang IN ('en', 'fr')
+            ), keep_exact AS (
+                SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+            ), surv AS (
+                SELECT g.doc_id, g.text FROM gated g
+                JOIN keep_exact k ON g.doc_id = k.doc_id
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                                   t -> t <> '') AS ts
+                FROM surv
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT id_b FROM inter
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.8
+            )
+"""
+
 _QUALITY_SQL = r"""
 WITH f AS (
   SELECT doc_id,
@@ -123,6 +165,11 @@ SELECT doc_id,
              + LEAST(stop_ratio * 5.0, 1.0) * 0.3, 4) AS q_score
 FROM g
 """
+
+
+_CURATE_CTES = _CURATE_CTES_TEMPLATE.format(
+    quality=_QUALITY_SQL, langid=_LANGID_SQL
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,8 +797,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         th = hash64(np.asarray(toks, dtype=object))
         m = len(th) - k + 1
-        gram = th[:m].copy()
         with np.errstate(over="ignore"):
+            # pre-mixed first hash (repeated-token XOR cancellation
+            # guard) — the documented gram-fold scheme
+            gram = splitmix64(th[:m])
             for j in range(1, k):
                 gram = splitmix64(gram ^ th[j : j + m])
         subset_ok &= fps <= set(gram.tolist())
@@ -1309,6 +1358,23 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus(with_features=True): the surviving ids carry the
+    quality score and predicted language computed by the gate pass
+    (no re-scan for the curate-then-stratify follow-up), checked
+    against the same exact DuckDB oracle extended with the per-stage
+    feature columns."""
+    from athena_spark.operators.curate import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_quality=0.25, keep_langs=("en", "fr"),
+        near_dup_threshold=0.8,
+        max_doc_freq=None,  # oracle parity: no doc-freq cutoff in SQL
+        with_features=True,
+    )
+
+
 def q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified batch/stream parity: the foreachBatch-maintained
     Space-Saving summary over a file stream equals the batch
@@ -1620,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subsample_rate": q_subsample_rate,
         "dedup_corpus": q_dedup_corpus,
         "curate_corpus": q_curate_corpus,
+        "curate_corpus_features": q_curate_corpus_features,
         "dedup_corpus_components": q_dedup_corpus_components,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
@@ -1827,43 +1894,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'keep_rate_within_6_sigma' AS "check", TRUE AS ok
         """,
         "curate_corpus": f"""
-            WITH q AS (SELECT * FROM ({_QUALITY_SQL})),
-            l AS (SELECT * FROM ({_LANGID_SQL})),
-            gated AS (
-                SELECT d.doc_id, d.text FROM documents d
-                JOIN q ON q.doc_id = d.doc_id AND q.q_score >= 0.25
-                JOIN l ON l.doc_id = d.doc_id
-                      AND l.pred_lang IN ('en', 'fr')
-            ), keep_exact AS (
-                SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
-            ), surv AS (
-                SELECT g.doc_id, g.text FROM gated g
-                JOIN keep_exact k ON g.doc_id = k.doc_id
-            ), toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(
-                           replace(text, chr(13), ''), '[ \\t\\n]+'),
-                                   t -> t <> '') AS ts
-                FROM surv
-            ), sh AS (
-                SELECT DISTINCT doc_id,
-                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-                FROM toks,
-                     unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
-            ), sz AS (
-                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-                FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ), losers AS (
-                SELECT DISTINCT id_b FROM inter
-                JOIN sz sa ON sa.doc_id = id_a
-                JOIN sz sb ON sb.doc_id = id_b
-                WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.8
-            )
+            {_CURATE_CTES}
             SELECT doc_id FROM surv
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "curate_corpus_features": f"""
+            {_CURATE_CTES}
+            SELECT s.doc_id, q.q_score, l.pred_lang
+            FROM surv s
+            JOIN q ON q.doc_id = s.doc_id
+            JOIN l ON l.doc_id = s.doc_id
+            WHERE s.doc_id NOT IN (SELECT id_b FROM losers)
         """,
         "dedup_corpus": r"""
             WITH keep_exact AS (

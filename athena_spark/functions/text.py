@@ -31,25 +31,34 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def marker_score(col, markers: list[str]) -> Column:
+def _marker_score_expr(toks: Column, markers: list[str]) -> Column:
     """Number of tokens that are in the marker list (JVM filter)."""
     lit_markers = F.array(*[F.lit(m) for m in markers])
     return F.size(
-        F.filter(tokens_col(col), lambda t: F.array_contains(lit_markers, t))
+        F.filter(toks, lambda t: F.array_contains(lit_markers, t))
     ).cast("long")
 
 
-def langid_col(col) -> Column:
-    """Deterministic heuristic language-ID: argmax marker score, ties
-    broken by language code ascending; 'und' when no marker hits."""
+def marker_score(col, markers: list[str]) -> Column:
+    return _marker_score_expr(tokens_col(col), markers)
+
+
+def _langid_expr(toks: Column) -> Column:
+    """Language-ID over a shared tokens subtree (see langid_col)."""
     langs = sorted(LANG_MARKERS)
-    scores = [marker_score(col, LANG_MARKERS[lang]) for lang in langs]
+    scores = [_marker_score_expr(toks, LANG_MARKERS[lang]) for lang in langs]
     best = F.greatest(*scores)
     pred = F.lit("und")
     # build reversed so earlier langs win ties
     for lang, score in reversed(list(zip(langs, scores))):
         pred = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(pred)
     return pred
+
+
+def langid_col(col) -> Column:
+    """Deterministic heuristic language-ID: argmax marker score, ties
+    broken by language code ascending; 'und' when no marker hits."""
+    return _langid_expr(tokens_col(col))
 
 
 def token_count_col(col) -> Column:
@@ -69,10 +78,9 @@ def bpe_token_count_col(col) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
 
 
-def quality_features(df: DataFrame, col: str) -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features and a
-    composite score — all codegen'd column expressions."""
-    toks = tokens_col(col)
+def _quality_exprs(col: str, toks: Column) -> list[Column]:
+    """The aliased quality-feature columns over a shared tokens
+    subtree (see quality_features)."""
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(F.col(col)).cast("long")
     stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
@@ -90,13 +98,36 @@ def quality_features(df: DataFrame, col: str) -> DataFrame:
         + (1.0 - punct_ratio) * 0.3
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
     )
-    return df.select(
-        "*",
+    return [
         n_tokens.alias("q_n_tokens"),
         F.round(mean_tok_len, 4).alias("q_mean_tok_len"),
         F.round(punct_ratio, 4).alias("q_punct_ratio"),
         F.round(stop_ratio, 4).alias("q_stop_ratio"),
         F.round(score, 4).alias("q_score"),
+    ]
+
+
+def quality_features(df: DataFrame, col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features and a
+    composite score — all codegen'd column expressions."""
+    return df.select("*", *_quality_exprs(col, tokens_col(col)))
+
+
+def curation_features(df: DataFrame, col: str) -> DataFrame:
+    """Quality features AND language-ID in ONE projection.
+
+    Every feature (token counts, stopword hits, the five language
+    marker scores) derives from a single ``tokens_col`` subtree inside
+    one Project, so whole-stage codegen's subexpression elimination
+    tokenizes each row once — instead of once per consuming operator
+    when quality and langid are applied as separate select/filter
+    stages.  Values are bit-identical to :func:`quality_features` +
+    :func:`langid_col` (same expressions, same evaluation order);
+    only the plan shape changes.  This is the single-pass front end of
+    ``curate_corpus``."""
+    toks = tokens_col(col)
+    return df.select(
+        "*", *_quality_exprs(col, toks), _langid_expr(toks).alias("pred_lang")
     )
 
 
@@ -123,8 +154,10 @@ def winnow_fingerprints(tokens: list[str], k: int = 5, window: int = 4,
         h = hash64(np.array([" ".join(tokens)], dtype=object)) if tokens else np.empty(0, np.uint64)
         return np.unique(h)
     th = hash64(np.asarray(tokens, dtype=object))
-    # combine k consecutive token hashes with splitmix mixing
-    gram = th[: len(th) - k + 1].copy()
+    # combine k consecutive token hashes with splitmix mixing; the
+    # first hash is pre-mixed so repeated leading tokens cannot cancel
+    # in the XOR ((a,a,x) vs (b,b,x) — h^h = 0)
+    gram = splitmix64(th[: len(th) - k + 1])
     for j in range(1, k):
         gram = splitmix64(gram ^ th[j : len(th) - k + 1 + j])
     if len(gram) <= window:
@@ -168,8 +201,10 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str,
             long_mask = t >= k
             if long_mask.any():
                 m = L - k + 1
-                gram = th[:m].copy()
                 with np.errstate(over="ignore"):
+                    # pre-mix like winnow_fingerprints (repeated-token
+                    # XOR cancellation)
+                    gram = splitmix64(th[:m])
                     for j in range(1, k):
                         gram = splitmix64(gram ^ th[j : j + m])
                 pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)

@@ -21,8 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from athena_spark.functions.text import langid_col, quality_features
-from athena_spark.operators.dedup import DEFAULT_MAX_DOC_FREQ, dedup_corpus
+from athena_spark.functions.text import curation_features
+from athena_spark.operators.dedup import DEFAULT_MAX_DOC_FREQ, minhash_dedup_pairs
 
 
 def curate_corpus(
@@ -34,22 +34,61 @@ def curate_corpus(
     near_dup_threshold: float = 0.8,
     ngram: int = 3,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    with_features: bool = False,
 ) -> DataFrame:
     """Surviving document ids after the four curation stages.
 
-    Returns one column (``id_col``); join back to the corpus for the
-    surviving rows — ids, hashes and signatures shuffle, text never
-    does."""
-    scored = quality_features(df, text_col).where(
-        F.col("q_score") >= min_quality
-    )
+    Returns one column (``id_col``) by default; join back to the
+    corpus for the surviving rows — ids, hashes and signatures
+    shuffle, text never does.  With ``with_features=True`` the
+    already-computed quality score and predicted language ride along
+    as ``q_score`` / ``pred_lang`` (the common curate-then-stratify
+    follow-up otherwise re-scans the corpus to recompute them).
+
+    The corpus text is read exactly twice end-to-end, each read
+    evaluated once:
+
+    1. one fused projection computes the quality features, the
+       language prediction (:func:`curation_features` — one shared
+       tokens subtree, so the row is tokenized once) AND the exact-dup
+       ``sha2`` in the same pass; the gated (id, sha, q_score,
+       pred_lang) rows — no text — are materialized eagerly so the
+       four downstream consumers (exact-keep group, survivor set,
+       near-dup anti-join, optional feature output) never re-evaluate
+       the gate over the corpus.  localCheckpoint is the local-mode
+       materialization; at corpus scale write this thin table to
+       storage instead (localCheckpoint blocks are non-replicated —
+       a lost executor makes them unrecomputable).
+    2. the MinHash kernel reads the surviving docs' text and emits
+       band buckets + verification gram hashes from a single Arrow
+       tokenize pass (``minhash_dedup_pairs``).
+    """
+    feats = curation_features(
+        df.select(id_col, text_col), text_col
+    ).where(F.col("q_score") >= min_quality)
     if keep_langs is not None:
-        scored = scored.where(
-            langid_col(text_col).isin(list(keep_langs))
-        )
-    gated = scored.select(id_col, text_col)
-    # stages 3+4 ARE the corpus-dedup operator — one implementation
-    return dedup_corpus(
-        gated, id_col, text_col, n=ngram, threshold=near_dup_threshold,
+        feats = feats.where(F.col("pred_lang").isin(list(keep_langs)))
+    feats = feats.select(
+        id_col, F.sha2(F.col(text_col), 256).alias("_sha"),
+        "q_score", "pred_lang",
+    ).localCheckpoint(eager=True)
+    # stage 3: exact dedup on the materialized (id, sha) rows only
+    exact_keep = (
+        feats.groupBy("_sha").agg(F.min(id_col).alias(id_col)).select(id_col)
+    )
+    surv_ids = feats.select(id_col).join(exact_keep, id_col, "left_semi")
+    # stage 4: near-dup removal — the only other text read; text comes
+    # straight from the corpus scan (id-list semi join, text never
+    # shuffles)
+    surv_docs = df.select(id_col, text_col).join(surv_ids, id_col, "left_semi")
+    near_pairs = minhash_dedup_pairs(
+        surv_docs, id_col, text_col, n=ngram, threshold=near_dup_threshold,
         max_doc_freq=max_doc_freq,
-    ).select(id_col)
+    )
+    losers = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    keep = surv_ids.join(losers, id_col, "left_anti")
+    if not with_features:
+        return keep
+    return feats.select(id_col, "q_score", "pred_lang").join(
+        keep, id_col, "left_semi"
+    )

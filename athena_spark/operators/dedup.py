@@ -92,13 +92,27 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
-    """Exact Jaccard similarity over distinct word-``n``-gram sets for
-    every pair sharing >= 1 shingle: (id_a, id_b, jaccard), a < b.
+    """Exact Jaccard similarity over distinct word-``n``-gram sets:
+    (id_a, id_b, jaccard), a < b.
 
     Inverted-index join: |A ∩ B| from the shingle self-join, set
-    sizes joined in, J = inter / (|A| + |B| - inter).  The result is
-    materialized eagerly (localCheckpoint) so the cached shingle
-    table can be released before returning.
+    sizes joined in, J = inter / (|A| + |B| - inter).
+
+    **Zipf guard caveat**: with the default ``max_doc_freq``, shingles
+    appearing in more than ``max_doc_freq`` docs are dropped BEFORE
+    the join (and excluded from set sizes), so pairs whose only shared
+    shingles are that hot are not reported and Jaccard values count
+    cold shingles only — exact-all-pairs semantics require
+    ``max_doc_freq=None``.  The default cap (100k) is far above any
+    honest shingle frequency, so the two coincide except on
+    boilerplate-dominated corpora, where dropping the hot shingles is
+    the intended behavior (an unguarded hot shingle contributes
+    O(df^2) join rows).
+
+    The result is materialized eagerly (localCheckpoint) so the
+    cached shingle table can be released before returning; see the
+    fault-tolerance note in :func:`minhash_dedup_pairs` — at corpus
+    scale write the pair set to storage instead.
     """
     sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
@@ -131,6 +145,124 @@ def ngram_jaccard_pairs(
 
 # -- MinHash + LSH -----------------------------------------------------------
 
+def _list_array(values: np.ndarray, counts: np.ndarray) -> pa.ListArray:
+    """Arrow list<int64> column from flat int64 values + per-row counts."""
+    offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+    return pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()),
+        pa.array(values.view(np.int64), type=pa.int64()),
+    )
+
+
+def _minhash_kernel(
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    with_sig: bool = True,
+    with_grams: bool = False,
+    band_count: int | None = None,
+):
+    """Shared Arrow-batch MinHash kernel (see minhash_signatures for
+    the algorithm).  One tokenize pass per batch can emit any of:
+
+    * ``sig`` — the num_perm minhash signature;
+    * ``grams`` — the doc's DISTINCT n-gram hashes (empty when the doc
+      has < n tokens, matching ``shingles_col``), so exact-Jaccard
+      verification reuses this tokenization instead of re-tokenizing
+      the corpus through the JVM shingle expressions;
+    * ``bands`` — the LSH band buckets (band_count splitmix folds of
+      num_perm // band_count signature rows each), so candidate
+      bucketing needs no JVM array slicing/hashing.
+    """
+    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            tokens, t = arrow_tokenize_batch(texts)
+            n_docs = len(t)
+            sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+            th = hash64(tokens.to_numpy(zero_copy_only=False))
+            L = len(th)
+            ends = np.cumsum(t)
+            starts = ends - t
+            long_mask = t >= n
+            gram_vals = np.empty(0, np.uint64)
+            gram_counts = np.zeros(n_docs, np.int64)
+            if long_mask.any():
+                m = L - n + 1  # candidate gram positions in the flat array
+                # pre-mix the first hash: folding the RAW hash would
+                # make grams (a,a,x) and (b,b,x) collide structurally
+                # (h^h = 0 in the first XOR regardless of the token)
+                with np.errstate(over="ignore"):
+                    g = splitmix64(th[:m])
+                    for j in range(1, n):
+                        g = splitmix64(g ^ th[j : j + m])
+                # position p is a real gram iff its n tokens stay
+                # inside one document: offset-in-doc <= doc_len - n
+                pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
+                valid = pos_in_doc[:m] <= np.repeat(t - n, t)[:m]
+                grams = g[valid]
+                g_counts = t[long_mask] - n + 1
+                g_starts = np.cumsum(g_counts) - g_counts
+                long_idx = np.nonzero(long_mask)[0]
+                sig_long = np.empty((len(long_idx), num_perm), np.uint64)
+                # per-seed 1-D passes: contiguous reduceat segments are
+                # ~4x faster than any 2-D axis layout, and the mix
+                # temporary stays one gram-array wide
+                for i, s in enumerate(seeds):
+                    with np.errstate(over="ignore"):
+                        mixed = splitmix64(grams ^ s)
+                    sig_long[:, i] = np.minimum.reduceat(mixed, g_starts)
+                sig[long_mask] = sig_long
+                if with_grams:
+                    # distinct gram hashes per doc: sort (doc, gram),
+                    # keep first occurrence of each pair.  Every long
+                    # doc has >= 1 gram, so unique-doc order == long_idx
+                    doc_of_gram = np.repeat(long_idx, g_counts)
+                    order = np.lexsort((grams, doc_of_gram))
+                    sg, sd = grams[order], doc_of_gram[order]
+                    first = np.ones(len(sg), bool)
+                    first[1:] = (sg[1:] != sg[:-1]) | (sd[1:] != sd[:-1])
+                    gram_vals = sg[first]
+                    uniq, cnt = np.unique(sd[first], return_counts=True)
+                    gram_counts[uniq] = cnt
+            if not long_mask.all():
+                offs = np.concatenate([np.zeros(1, np.int64), ends])
+                lists = pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), tokens
+                )
+                short_idx = np.nonzero(~long_mask)[0]
+                joined = pc.binary_join(
+                    lists.take(pa.array(short_idx, type=pa.int64())), " "
+                )
+                base = hash64(joined.to_numpy(zero_copy_only=False))
+                with np.errstate(over="ignore"):
+                    sig[~long_mask] = splitmix64(base[:, None] ^ seeds[None, :])
+            cols: dict[str, pa.Array] = {id_col: ids}
+            if with_sig:
+                cols["sig"] = _list_array(
+                    sig.ravel(), np.full(n_docs, num_perm, np.int64)
+                )
+            if with_grams:
+                cols["grams"] = _list_array(gram_vals, gram_counts)
+            if band_count is not None:
+                r = num_perm // band_count
+                folded = np.zeros((n_docs, band_count), np.uint64)
+                view = sig.reshape(n_docs, band_count, r)
+                with np.errstate(over="ignore"):
+                    for j in range(r):
+                        folded = splitmix64(folded ^ view[:, :, j])
+                cols["bands"] = _list_array(
+                    folded.ravel(), np.full(n_docs, band_count, np.int64)
+                )
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return kernel
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 128
 ) -> DataFrame:
@@ -152,59 +284,10 @@ def minhash_signatures(
     n tokens contribute one gram: the space-join of all their tokens
     (empty doc → ``""``), matching the scalar semantics.
     """
-    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-
-    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            tokens, t = arrow_tokenize_batch(pdf[text_col])
-            n_docs = len(t)
-            sig = np.empty((n_docs, num_perm), dtype=np.uint64)
-            th = hash64(tokens.to_numpy(zero_copy_only=False))
-            L = len(th)
-            ends = np.cumsum(t)
-            starts = ends - t
-            long_mask = t >= n
-            if long_mask.any():
-                m = L - n + 1  # candidate gram positions in the flat array
-                g = th[:m].copy()
-                with np.errstate(over="ignore"):
-                    for j in range(1, n):
-                        g = splitmix64(g ^ th[j : j + m])
-                # position p is a real gram iff its n tokens stay
-                # inside one document: offset-in-doc <= doc_len - n
-                pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
-                valid = pos_in_doc[:m] <= np.repeat(t - n, t)[:m]
-                grams = g[valid]
-                g_counts = t[long_mask] - n + 1
-                g_starts = np.cumsum(g_counts) - g_counts
-                sig_long = np.empty((int(long_mask.sum()), num_perm), np.uint64)
-                # per-seed 1-D passes: contiguous reduceat segments are
-                # ~4x faster than any 2-D axis layout, and the mix
-                # temporary stays one gram-array wide
-                for i, s in enumerate(seeds):
-                    with np.errstate(over="ignore"):
-                        mixed = splitmix64(grams ^ s)
-                    sig_long[:, i] = np.minimum.reduceat(mixed, g_starts)
-                sig[long_mask] = sig_long
-            if not long_mask.all():
-                offs = np.concatenate([np.zeros(1, np.int64), ends])
-                lists = pa.ListArray.from_arrays(
-                    pa.array(offs, type=pa.int32()), tokens
-                )
-                short_idx = np.nonzero(~long_mask)[0]
-                joined = pc.binary_join(
-                    lists.take(pa.array(short_idx, type=pa.int64())), " "
-                )
-                base = hash64(joined.to_numpy(zero_copy_only=False))
-                with np.errstate(over="ignore"):
-                    sig[~long_mask] = splitmix64(base[:, None] ^ seeds[None, :])
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "sig": list(sig.view(np.int64))}
-            )
-
     id_type = df.select(id_col).schema[0].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        sigs, f"`{id_col}` {id_type}, sig array<long>"
+    return df.select(id_col, text_col).mapInArrow(
+        _minhash_kernel(id_col, text_col, n, num_perm),
+        f"`{id_col}` {id_type}, sig array<long>",
     )
 
 
@@ -249,23 +332,61 @@ def minhash_dedup_pairs(
     candidate pairs only.  With bands=32/num_perm=128 the LSH catch
     threshold is (1/32)^(1/4) ≈ 0.42, so recall at J >= 0.5 is ~1 and
     the verified output matches the exact all-pairs answer."""
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
-    cands = minhash_lsh_candidates(sigs, id_col, num_perm=num_perm, bands=bands)
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ValueError(
+            f"max_doc_freq must be None (guard off) or >= 1, got "
+            f"{max_doc_freq}"
+        )
+    # ONE tokenize pass emits signatures' band buckets AND the
+    # distinct gram hashes used for exact verification — the corpus
+    # text is read once and never re-tokenized through the JVM
+    # shingle expressions.  The compact (id, grams, bands) table is
+    # cached because it feeds the candidate bucketing AND both sides
+    # of the verification equi-join; at corpus scale persist it to
+    # storage instead.  The verified pair set is materialized eagerly
+    # below so the cache can be released before returning — otherwise
+    # every call leaks a corpus-scale cached table for the lifetime
+    # of the session.
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    sg = df.select(id_col, text_col).mapInArrow(
+        _minhash_kernel(id_col, text_col, n, num_perm, with_sig=False,
+                        with_grams=True, band_count=bands),
+        f"`{id_col}` {id_type}, grams array<long>, bands array<long>",
+    ).cache()
+    banded = sg.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode("bands").alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
     # exact verification restricted to CANDIDATE pairs only — the
     # whole point of LSH is never materializing the all-pairs join.
-    # shingles travel as xxhash64 ints, not strings: ~5x smaller
-    # shuffle, same intersection sizes up to a ~n_shingles^2/2^64
-    # collision probability
-    # cache: the hashed shingle table feeds the size aggregation AND
-    # both sides of the candidate equi-join (3 consumers).  At corpus
-    # scale persist it to storage instead.  The verified pair set is
-    # materialized eagerly below so the cache can be released before
-    # returning — otherwise every call leaks a corpus-scale cached
-    # table for the lifetime of the session.
-    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).select(
-        "doc", F.xxhash64("shingle").alias("shingle")
-    ).cache()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # gram hashes travel as int64, not strings: ~5x smaller shuffle,
+    # same intersection sizes up to a ~n_shingles^2/2^64 collision
+    # probability
+    sh = sg.select(F.col(id_col).alias("doc"), F.explode("grams").alias("shingle"))
+    if max_doc_freq is not None:
+        # Zipf guard (see _shingle_table): hot shingles add O(df^2)
+        # join rows and ~0 signal
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    else:
+        # unguarded sizes need no shuffle: |distinct grams| is already
+        # per-row
+        sizes = sg.select(
+            F.col(id_col).alias("doc"), F.size("grams").cast("long").alias("sz")
+        )
     a = sh.withColumnRenamed("doc", "id_a").withColumnRenamed("shingle", "sh_a")
     b = sh.withColumnRenamed("doc", "id_b2").withColumnRenamed("shingle", "sh_b")
     inter = (
@@ -294,9 +415,15 @@ def minhash_dedup_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     # the verified pair set is small (near-dup pairs); localCheckpoint
-    # materializes it so the shingle cache can be dropped immediately
+    # materializes it so the kernel-output cache can be dropped
+    # immediately.  NOTE (fault tolerance): localCheckpoint truncates
+    # lineage and stores blocks non-replicated on executors — fine in
+    # local mode and for short-lived results; at corpus scale on a
+    # real cluster, write the pair set out (reliable checkpoint /
+    # parquet) instead, since a lost executor makes a localCheckpoint
+    # result unrecomputable.
     out = out.localCheckpoint(eager=True)
-    sh.unpersist()
+    sg.unpersist()
     return out
 
 

@@ -233,6 +233,28 @@ def test_minhash_signature_multiset_equals_distinct(spark):
     assert (sigs[1].view(np.uint64) <= sigs[0].view(np.uint64)).all()
 
 
+def test_gram_fold_repeated_tokens_do_not_cancel(spark):
+    """Regression: the gram fold pre-mixes the first token hash.  The
+    raw fold made grams (a, a, x) and (b, b, x) collide structurally
+    (h ^ h = 0 in the first XOR step regardless of the token), which
+    inflated verified Jaccard between unrelated docs sharing a
+    repeated-token pattern."""
+    from athena_spark.functions.text import winnow_fingerprints
+
+    fp_a = winnow_fingerprints(["small", "small", "customer"], k=3)
+    fp_b = winnow_fingerprints(["line", "line", "customer"], k=3)
+    assert fp_a.tolist() != fp_b.tolist()
+
+    # end-to-end: the two docs share NO gram, so no verified pair
+    docs = spark.createDataFrame(
+        [(0, "small small customer"), (1, "line line customer")],
+        "doc_id long, text string",
+    )
+    assert dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.01
+    ).count() == 0
+
+
 def test_signature_kernels_on_empty_input(spark):
     """Zero-row inputs must produce zero-row outputs, not crash the
     vectorized kernels."""
