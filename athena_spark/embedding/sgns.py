@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from athena_spark.functions.tokenize import sentences_pandas
+from athena_spark.functions.tokenize import sentence_batches
 from athena_spark.sketch.reservoir import ReservoirSampler
 from athena_spark.sketch.spacesaving import SpaceSavingLanguageModel
 
@@ -594,8 +594,13 @@ def train_embeddings(
             seed=seed + pid, batched=batched, **trainer_kw,
         )
         for pdf in batches:
-            for sentence in sentences_pandas(pdf[col]):
-                trainer.train_sentence(sentence)
+            # flat sentence layout: ndarray views per sentence, no
+            # per-sentence Python lists (sentence_batches)
+            toks, s_counts = sentence_batches(pdf[col])
+            s_ends = np.cumsum(s_counts)
+            s_starts = s_ends - s_counts
+            for s, e in zip(s_starts.tolist(), s_ends.tolist()):
+                trainer.train_sentence(toks[s:e])
         out = trainer.embeddings()
         out["vec"] = [v.astype(np.float32) for v in out["vec"]]
         yield out

@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from athena_spark.embedding import sgns
-from athena_spark.functions.tokenize import exploded_tokens, sentences_pandas
+from athena_spark.functions.tokenize import exploded_tokens, sentence_batches
 from athena_spark.sketch.normalizer import ExponentCountNormalizer
 from athena_spark.sketch.sampling import AliasSampler, Discretization
 
@@ -109,9 +109,14 @@ def word2vec_train(
             tl, sgns.DynamicContextStrategy(symm_context), neg_samples, rng
         )
         for pdf in batches:
-            for sentence in sentences_pandas(pdf[col]):
+            # flat sentence layout: ndarray views per sentence, no
+            # per-sentence Python lists (sentence_batches)
+            toks, s_counts = sentence_batches(pdf[col])
+            s_ends = np.cumsum(s_counts)
+            s_starts = s_ends - s_counts
+            for s, e in zip(s_starts.tolist(), s_ends.tolist()):
                 ids = []
-                for word in sentence:
+                for word in toks[s:e]:
                     idx = vocab_index_.get(word)
                     if idx is None:
                         continue

@@ -148,18 +148,61 @@ def arrow_tokenize_batch(texts) -> tuple[pa.Array, np.ndarray]:
     return flat.filter(keep), counts
 
 
+def sentence_batches(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Sentence semantics of the reference reader, flat layout: one
+    sentence per line, each capped at SENTENCE_LIMIT tokens (overflow
+    starts a new sentence — tokens are never dropped,
+    src/_io.cpp:40-45), \\r deleted mid-token.
+
+    Returns ``(tokens, counts)``: a flat object ndarray of tokens in
+    sentence-major order and per-sentence token counts (all > 0), so
+    sentence ``i`` is ``tokens[starts[i]:starts[i]+counts[i]]`` with
+    ``starts = cumsum(counts) - counts`` — trainers iterate ndarray
+    views and never materialize per-sentence Python lists.
+
+    Vectorized like :func:`arrow_tokenize_batch`: \\r-delete, split
+    into lines on \\n, whitespace-split every line in one Arrow C++
+    pass, per-line token counts from the list offsets, cap applied by
+    index arithmetic.  Uses ``ascii_split_whitespace`` (the
+    documented \\v/\\f superset of the reference's space/tab — see
+    USE_ASCII_WHITESPACE)."""
+    empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+    if len(texts) == 0:
+        return empty
+    arr = pa.array(texts, type=pa.string()).drop_null()
+    if len(arr) == 0:
+        return empty
+    arr = _strip_cr(arr)
+    lines = pc.split_pattern(arr, "\n").flatten()
+    split = pc.ascii_split_whitespace(lines)
+    flat = split.flatten()
+    off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]  # flatten() rebases sliced list arrays
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    cum = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(keep_np, dtype=np.int64)]
+    )
+    line_counts = cum[off[1:]] - cum[off[:-1]]  # non-empty tokens/line
+    toks = flat.filter(keep).to_numpy(zero_copy_only=False)
+    line_counts = line_counts[line_counts > 0]
+    if (line_counts <= SENTENCE_LIMIT).all():
+        # common case: no line overflows — sentences ARE the lines
+        return toks, line_counts
+    # split overflowing lines into SENTENCE_LIMIT chunks + remainder:
+    # n_i = ceil(c_i / L) sentences per line, all L except the last
+    n_chunks = -(-line_counts // SENTENCE_LIMIT)
+    counts = np.full(int(n_chunks.sum()), SENTENCE_LIMIT, dtype=np.int64)
+    last_pos = np.cumsum(n_chunks) - 1
+    counts[last_pos] = line_counts - (n_chunks - 1) * SENTENCE_LIMIT
+    return toks, counts
+
+
 def sentences_pandas(texts: pd.Series) -> list[list[str]]:
-    """Sentence semantics of the reference reader: one sentence per
-    line, each capped at SENTENCE_LIMIT tokens (overflow starts a new
-    sentence — tokens are never dropped, src/_io.cpp:40-45).  \\r is
-    deleted mid-token like the reference reader."""
-    sentences: list[list[str]] = []
-    for text in texts:
-        if text is None:
-            continue
-        for line in text.split("\n"):
-            toks = [t for t in line.replace("\r", "").replace("\t", " ").split(" ") if t]
-            for i in range(0, len(toks), SENTENCE_LIMIT):
-                if toks[i : i + SENTENCE_LIMIT]:
-                    sentences.append(toks[i : i + SENTENCE_LIMIT])
-    return sentences
+    """List-of-lists view of :func:`sentence_batches` (same reference
+    semantics, parity-tested against the scalar reader)."""
+    toks_np, counts = sentence_batches(texts)
+    toks = toks_np.tolist()
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return [toks[s:e] for s, e in zip(starts.tolist(), ends.tolist())]

@@ -106,6 +106,60 @@ def test_sentences_semantics():
     assert sum(len(s) for s in sents[2:]) == 1500
 
 
+def reference_sentences(texts) -> list[list[str]]:
+    """Transliteration of the reference sentence reader (one sentence
+    per line, SENTENCE_LIMIT cap with overflow continuation, \\r
+    deleted mid-token — src/_io.cpp:21-76), the pre-vectorization
+    implementation of sentences_pandas."""
+    L = tokenize.SENTENCE_LIMIT
+    sentences: list[list[str]] = []
+    for text in texts:
+        if text is None:
+            continue
+        for line in text.split("\n"):
+            toks = [t for t in
+                    line.replace("\r", "").replace("\t", " ").split(" ") if t]
+            for i in range(0, len(toks), L):
+                if toks[i : i + L]:
+                    sentences.append(toks[i : i + L])
+    return sentences
+
+
+def test_sentences_vectorized_parity_mixed_corpora():
+    """The Arrow-vectorized sentences_pandas must equal the scalar
+    reference reader on mixed \\n/\\r/\\t/overflow/None corpora."""
+    import pandas as pd
+
+    texts = [
+        "a b c\nd e",
+        "x " * 1500,                      # overflow: 1000 + 500
+        ("y " * 1000) + "\n" + ("z " * 2001),  # exact cap + 2 overflows + 1
+        "e\rf g\r\nh",                    # \r deletion + \r\n line end
+        "", "\n\n", "  \t  ", None,
+        "tab\tsep\ttokens\nsecond line",
+        "solo",
+    ]
+    got = tokenize.sentences_pandas(pd.Series(texts, dtype=object))
+    want = reference_sentences(texts)
+    assert got == want
+
+
+def test_sentences_vectorized_parity_property():
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.sampled_from(list("ab1._ \t\n\r"))
+    texts = st.lists(st.text(alphabet, max_size=60), max_size=8)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def check(docs):
+        got = tokenize.sentences_pandas(pd.Series(docs, dtype=object))
+        assert got == reference_sentences(docs)
+
+    check()
+
+
 def test_batch_tokenizer_matches_reference_property():
     """Property: for ANY text built from word chars and the
     whitespace set (space, tab, newline, carriage return), the batch
