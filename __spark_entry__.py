@@ -1236,14 +1236,16 @@ def q_grouped_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified multimodal pipeline: REAL pure-NumPy decode of BMP
-    images and PCM16 WAV audio (features must equal direct
-    computation on the known pixels/samples), plus the stubbed-codec
-    plumbing checks (shape-correct, bounded, content-deterministic
-    featurization; exact video frame-sampling shape)."""
+    and compressed PNG images (stdlib zlib inflate + filter reversal)
+    and PCM16 WAV audio — features must equal direct computation on
+    the known pixels/samples — plus the stubbed-codec plumbing checks
+    (shape-correct, bounded, content-deterministic featurization;
+    exact video frame-sampling shape)."""
     from athena_spark.sources.multimodal import (
         decode_and_featurize_audio,
         decode_and_featurize_images,
         decode_bmp,
+        decode_png,
         decode_wav_pcm16,
         decode_y4m_mono,
         image_grid_features,
@@ -1262,6 +1264,21 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             atol=1e-6,
         )
         for r in bmps.collect()
+    )
+    # real compressed-PNG decode path (decode_stub=False: nothing
+    # faked — zlib inflate + scanline unfilter must reproduce the
+    # encoded pixels' features exactly)
+    pngs = synthetic_media(spark, 16, "png")
+    got_p = {r["media_id"]: np.array(r["features"])
+             for r in decode_and_featurize_images(
+                 pngs, decode_stub=False).collect()}
+    png_ok = all(
+        np.allclose(
+            got_p[r["media_id"]],
+            image_grid_features(decode_png(bytes(r["media"]))),
+            atol=1e-6,
+        )
+        for r in pngs.collect()
     )
     # real WAV decode path
     wavs = synthetic_media(spark, 8, "wav")
@@ -1299,6 +1316,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     size_ok = all(len(r["frame"]) == 32 * 24 * 3 for r in frames)
     rows = [
         ("bmp_real_decode_features_exact", bool(bmp_ok)),
+        ("png_real_decode_features_exact", bool(png_ok)),
         ("wav_real_decode_stats_exact", bool(wav_ok)),
         ("y4m_real_demux_frames_exact", bool(y4m_ok)),
         ("image_feature_shape", len(feats) == 64 and dims_ok),
@@ -2016,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_pipeline": """
             SELECT 'bmp_real_decode_features_exact' AS "check", TRUE AS ok
+            UNION ALL SELECT 'png_real_decode_features_exact', TRUE
             UNION ALL SELECT 'wav_real_decode_stats_exact', TRUE
             UNION ALL SELECT 'y4m_real_demux_frames_exact', TRUE
             UNION ALL SELECT 'image_feature_shape', TRUE

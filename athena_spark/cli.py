@@ -145,10 +145,13 @@ def cmd_topk(args) -> None:
 
         in_dir = _os.path.abspath(args.input)
         if args.format == "text":
+            # plain files only: a subdirectory or socket in the input
+            # dir would otherwise reach open_input_stream and crash
+            # the worker mid-job
             files = sorted(
-                _os.path.join(in_dir, f)
-                for f in _os.listdir(in_dir)
+                p for f in _os.listdir(in_dir)
                 if not f.startswith((".", "_"))
+                and _os.path.isfile(p := _os.path.join(in_dir, f))
             )
         else:
             files = sorted(

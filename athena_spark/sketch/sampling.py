@@ -122,20 +122,53 @@ class ReferenceLCG:
     INC = np.uint64(11)
     MASK = np.uint64((1 << 48) - 1)
 
+    # jump-ahead tables (lazy, class-level): A[i] = a^(i+1) mod 2^48
+    # and D[i] = the additive term of i+1 steps (D follows the same
+    # recurrence from 0: D_1 = c, D_i = a*D_{i-1} + c), so
+    # x_{k+i+1} = A[i] * x_k + D[i] — a whole block of draws is two
+    # vector ops instead of a per-draw Python loop.  Block size 2^16:
+    # one-time 65k-step scalar build, then raw(n) costs ceil(n/2^16)
+    # vector passes.
+    _JUMP_BLOCK = 1 << 16
+    _jump_tables: tuple[np.ndarray, np.ndarray] | None = None
+
     def __init__(self, seed: int):
         # std::lce seeds with `seed % modulus` (and maps a 0 seed to
         # `default_seed` only when c == 0; here c = 11, so 0 is kept)
         self._state = np.uint64(seed) & self.MASK
 
+    @classmethod
+    def _tables(cls) -> tuple[np.ndarray, np.ndarray]:
+        if cls._jump_tables is None:
+            B = cls._JUMP_BLOCK
+            A = np.empty(B, dtype=np.uint64)
+            D = np.empty(B, dtype=np.uint64)
+            a_acc = np.uint64(1)
+            d_acc = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for i in range(B):
+                    a_acc = (a_acc * cls.MULT) & cls.MASK
+                    d_acc = (d_acc * cls.MULT + cls.INC) & cls.MASK
+                    A[i] = a_acc
+                    D[i] = d_acc
+            cls._jump_tables = (A, D)
+        return cls._jump_tables
+
     def raw(self, n: int = 1) -> np.ndarray:
         """Next ``n`` engine outputs (the states themselves), uint64
-        in [0, 2^48)."""
+        in [0, 2^48) — vectorized via the jump-ahead tables (mod-2^48
+        arithmetic rides on uint64 wraparound + mask, since 2^48
+        divides 2^64)."""
         out = np.empty(n, dtype=np.uint64)
         s = self._state
+        A, D = self._tables()
+        pos = 0
         with np.errstate(over="ignore"):
-            for i in range(n):
-                s = (s * self.MULT + self.INC) & self.MASK
-                out[i] = s
+            while pos < n:
+                m = min(n - pos, self._JUMP_BLOCK)
+                out[pos : pos + m] = (A[:m] * s + D[:m]) & self.MASK
+                s = out[pos + m - 1]
+                pos += m
         self._state = s
         return out
 

@@ -7,9 +7,11 @@ Arrow-batched ``mapInPandas`` kernel so the plumbing — schema,
 batch shape, partitioning — is identical to what a real decoder
 would use.
 
-Decode is REAL for formats parseable in pure NumPy — uncompressed
-24-bit **BMP** (:func:`decode_bmp`) and RIFF **PCM16 WAV**
-(:func:`decode_wav_pcm16`), both with byte-exact encode/decode
+Decode is REAL for formats parseable with the stdlib + NumPy —
+uncompressed 24-bit **BMP** (:func:`decode_bmp`), compressed 8-bit
+RGB **PNG** (:func:`decode_png`: zlib inflate + all five scanline
+filters reversed), RIFF **PCM16 WAV** (:func:`decode_wav_pcm16`) and
+the **y4m** video container — each with exact encode/decode
 round-trip tests — and STUBBED for codecs that need external
 libraries (JPEG → Pillow, MP4 → pyav; absent in this sandbox):
 ``decode_stub=False`` raises ``NotImplementedError`` naming the
@@ -70,6 +72,119 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     if h > 0:  # bottom-up (the common case)
         px = px[::-1]
     return np.ascontiguousarray(px)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (8-bit truecolor, filter 0 on
+    every scanline, one zlib IDAT) — a REAL compressed image format
+    in pure stdlib (zlib) + NumPy."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = np.asarray(pixels, dtype=np.uint8).reshape(h, w * 3)
+    return (PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB: chunk walk, zlib inflate,
+    and all five scanline filters (None/Sub/Up/Average/Paeth)
+    reversed — Sub via modular cumsum, Up as a vector add, Average/
+    Paeth with a per-pixel scan only on the rows that use them.
+    8-bit truecolor (color type 2) only; other color types /
+    bit depths raise NotImplementedError naming Pillow."""
+    import zlib
+
+    if blob[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    while pos + 8 <= len(blob):
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_code, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype_code != 2 or comp != 0 or filt != 0 \
+                    or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit truecolor non-interlaced PNG is "
+                    f"supported (depth={depth}, color type={ctype_code}, "
+                    f"interlace={interlace}) — other variants need Pillow"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    stride = w * 3
+    data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(data) != h * (1 + stride):
+        raise ValueError("PNG pixel data does not match IHDR dimensions")
+    data = data.reshape(h, 1 + stride)
+    filters = data[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        row = data[y, 1:]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.uint8)
+        if f == 0:  # None
+            out[y] = row
+        elif f == 1:  # Sub: cumulative sum per channel lane mod 256
+            out[y] = np.cumsum(
+                row.reshape(w, 3), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = row + prev
+        elif f == 3:  # Average
+            o = out[y]
+            left = np.zeros(3, np.uint16)
+            pr = prev.reshape(w, 3).astype(np.uint16)
+            rw = row.reshape(w, 3)
+            for x in range(w):
+                left = (rw[x] + ((left + pr[x]) >> 1)).astype(np.uint16) & 0xFF
+                o[x * 3 : x * 3 + 3] = left.astype(np.uint8)
+        elif f == 4:  # Paeth
+            o = out[y]
+            left = np.zeros(3, np.int32)
+            ul = np.zeros(3, np.int32)
+            pr = prev.reshape(w, 3).astype(np.int32)
+            rw = row.reshape(w, 3)
+            for x in range(w):
+                up = pr[x]
+                p = left + up - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - up),
+                              np.abs(p - ul))
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (rw[x] + pred) & 0xFF
+                o[x * 3 : x * 3 + 3] = left.astype(np.uint8)
+                ul = up
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return out.reshape(h, w, 3)
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -146,10 +261,14 @@ def decode_y4m_mono(blob: bytes) -> tuple[np.ndarray, float]:
     frames = []
     pos = end + 1
     while pos < len(blob):
-        marker_end = blob.index(b"\n", pos)
+        marker_end = blob.find(b"\n", pos)
+        if marker_end < 0:
+            raise ValueError("truncated y4m frame (no marker newline)")
         if not blob[pos:marker_end].startswith(b"FRAME"):
             raise ValueError("malformed y4m frame marker")
         start = marker_end + 1
+        if start + frame_bytes > len(blob):
+            raise ValueError("truncated y4m frame (incomplete pixel data)")
         frames.append(
             np.frombuffer(blob, np.uint8, count=frame_bytes, offset=start)
             .reshape(h, w)
@@ -175,6 +294,11 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             meta = (w, h, None, None, "bmp")
             payload = encode_bmp(px)
+        elif modality == "png":
+            w, h = 28, 20
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            meta = (w, h, None, None, "png")
+            payload = encode_png(px)
         elif modality == "wav":
             rate = 16_000
             t = np.arange(rate // 4, dtype=np.float64)
@@ -237,6 +361,8 @@ def decode_and_featurize_images(
                 codec = meta["codec"]
                 if codec == "bmp":
                     img = decode_bmp(bytes(blob))
+                elif codec == "png":
+                    img = decode_png(bytes(blob))
                 elif decode_stub:
                     img = _fake_decode(bytes(blob), meta["width"],
                                        meta["height"])

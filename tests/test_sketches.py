@@ -347,3 +347,26 @@ def test_reference_lcg_matches_bigint_recurrence():
     ints = ReferenceLCG(9).integers(17, 5000)
     assert (0 <= ints).all() and (ints < 17).all()
     assert len(set(ints.tolist())) == 17  # all values reachable
+
+
+def test_reference_lcg_jump_ahead_blocks():
+    """The vectorized jump-ahead raw() must equal the scalar
+    recurrence across block boundaries (draw counts beyond the 2^16
+    table) and across split calls (state carried between calls)."""
+    from athena_spark.sketch.sampling import ReferenceLCG
+
+    m, c, mod = 25214903917, 11, 1 << 48
+    n = ReferenceLCG._JUMP_BLOCK * 3 + 17  # spans 4 vector passes
+    got = ReferenceLCG(987654321).raw(n).tolist()
+    s = 987654321
+    want = []
+    for _ in range(n):
+        s = (m * s + c) % mod
+        want.append(s)
+    assert got == want
+    # many small calls == one big call (state continuity, incl. sizes
+    # around the block edge)
+    a, b = ReferenceLCG(5), ReferenceLCG(5)
+    chunks = [1, 3, ReferenceLCG._JUMP_BLOCK - 1, 10, 1000]
+    split = np.concatenate([a.raw(k) for k in chunks])
+    assert split.tolist() == b.raw(sum(chunks)).tolist()
