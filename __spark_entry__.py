@@ -1376,6 +1376,173 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_input_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified raw text-file input surface (the reference's actual
+    input format — whitespace-token files, src/_io.cpp:21-76 /
+    spacesaving-lm-train.cpp:87-104): the documents table written out
+    as a directory of plain text shards must produce EXACTLY the
+    parquet path's per-token counts through BOTH text surfaces —
+    ``read_text_corpus`` (wholetext scan) and the native direct
+    reader (``aggregate_sketch_direct(file_format='text')``, one
+    Arrow-stream fold per file, no JVM row)."""
+    import os
+    import shutil
+    import tempfile
+
+    from athena_spark.functions.tokenize import exploded_tokens
+    from athena_spark.operators.agg import aggregate_sketch_direct
+    from athena_spark.sketch import SpaceSaving
+    from athena_spark.sources.corpus import read_text_corpus
+
+    docs = _docs(spark, sf_dir)
+    want = {
+        r["token"]: r["count"]
+        for r in exploded_tokens(docs, "text").groupBy("token").count().collect()
+    }
+    texts = [r["text"] for r in docs.select("text").collect()]
+    base = tempfile.mkdtemp(prefix="athena_text_input_")
+    try:
+        # 8 shards, docs joined by newline: same token multiset as
+        # the parquet column (newline is a token/sentence boundary)
+        n_shards = 8
+        files = []
+        for i in range(n_shards):
+            p = os.path.join(base, f"shard_{i:02d}.txt")
+            with open(p, "w") as f:
+                f.write("\n".join(texts[i::n_shards]))
+            files.append(p)
+        got_reader = {
+            r["token"]: r["count"]
+            for r in exploded_tokens(
+                read_text_corpus(spark, base), "content"
+            ).groupBy("token").count().collect()
+        }
+        # the direct reader folds into a Space-Saving sketch; with
+        # k > vocab it never evicts, so counts are exact
+        sk, metrics = aggregate_sketch_direct(
+            spark, files, "content",
+            lambda pid: SpaceSaving(k=len(want) + 16),
+            file_format="text",
+        )
+        got_direct = {w: c for w, c, _err in sk.items()}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        ("text_reader_counts_match_parquet", got_reader == want),
+        ("direct_text_counts_match_parquet", got_direct == want),
+        ("direct_total_matches",
+         int(metrics["n_values"]) == sum(want.values())),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
+def q_streaming_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified streaming NEAR-dup dedup (foreachBatch MinHash-LSH
+    with a cross-batch admitted store of ids + gram/band hashes,
+    never text): over an availableNow replay of the exact-dedup
+    survivors in id order (low-id file first, then high-id file, so
+    the store path is exercised across epochs), the admitted set must
+    EQUAL the batch twin — the greedy id-order scan over exact
+    string-shingle Jaccard pairs from the independent
+    ``ngram_jaccard_pairs`` operator — and satisfy the greedy
+    invariants: the admitted set is an independent set of the
+    near-dup graph, every dropped doc has an earlier admitted
+    witness, and admitted + dropped partition the input."""
+    import os
+    import shutil
+    import tempfile
+
+    from athena_spark.operators.dedup import ngram_jaccard_pairs
+    from athena_spark.streaming.neardup_stream import StreamingNearDupDedup
+
+    threshold = 0.5
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact_keep = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("_sha"))
+        .agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    surv = docs.join(exact_keep, "doc_id", "left_semi")
+    ids_sorted = sorted(r["doc_id"] for r in surv.select("doc_id").collect())
+    median = ids_sorted[len(ids_sorted) // 2]
+    base = tempfile.mkdtemp(prefix="athena_sneardup_")
+    src = os.path.join(base, "src")
+    try:
+        # two files in id order (mtimes force the replay order), so
+        # arrival order == global id order across two epochs
+        lo = os.path.join(src, "lo")
+        hi = os.path.join(src, "hi")
+        surv.where(F.col("doc_id") < median).coalesce(1).write.parquet(lo)
+        surv.where(F.col("doc_id") >= median).coalesce(1).write.parquet(hi)
+        os.makedirs(os.path.join(src, "all"))
+        files = []
+        for i, d in enumerate((lo, hi)):
+            (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            dst = os.path.join(src, "all", f"{i}.parquet")
+            shutil.move(os.path.join(d, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+            files.append(dst)
+        dedup = StreamingNearDupDedup(
+            spark, os.path.join(base, "store"), os.path.join(base, "out"),
+            threshold=threshold,
+        )
+        stream = (
+            spark.readStream.schema(surv.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "all"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(dedup)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        admitted = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(base, "out", "epoch=*")
+            ).select("doc_id").collect()
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # independent batch twin: exact string-shingle Jaccard (JVM
+    # shingles — a different tokenize/hash path than the streaming
+    # kernel) + the same greedy scan in id order
+    pairs = ngram_jaccard_pairs(
+        surv, "doc_id", "text", threshold=threshold, max_doc_freq=None
+    ).collect()
+    nb: dict = {}
+    for r in pairs:
+        a, b = sorted((r["id_a"], r["id_b"]))
+        nb.setdefault(b, set()).add(a)
+    want: set = set()
+    for d in ids_sorted:
+        if not (nb.get(d, set()) & want):
+            want.add(d)
+    dropped = set(ids_sorted) - admitted
+    # every near-dup edge is recorded in nb[larger] = {smaller...},
+    # so "no admitted doc has an admitted smaller-id neighbor" covers
+    # every admitted pair
+    independent = all(
+        not (nb.get(b, set()) & admitted) for b in admitted
+    )
+    witness_ok = all(
+        (nb.get(d, set()) & admitted) for d in dropped
+    )
+    rows = [
+        ("survivors_match_batch_greedy", admitted == want),
+        ("admitted_independent_set", bool(independent)),
+        ("dropped_have_admitted_witness", bool(witness_ok)),
+        ("admitted_dropped_partition_input",
+         (admitted | dropped) == set(ids_sorted) and not (admitted & dropped)),
+        ("some_near_dups_dropped", len(dropped) > 0),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
 def q_curate_corpus_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curate_corpus(with_features=True): the surviving ids carry the
     quality score and predicted language computed by the gate pass
@@ -1705,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "curate_corpus": q_curate_corpus,
         "curate_corpus_features": q_curate_corpus_features,
+        "streaming_neardup_parity": q_streaming_neardup_parity,
+        "text_input_parity": q_text_input_parity,
         "dedup_corpus_components": q_dedup_corpus_components,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
@@ -2031,6 +2200,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'naive_within_6_sigma' AS "check", TRUE AS ok
             UNION ALL SELECT 'alias_within_6_sigma', TRUE
             UNION ALL SELECT 'discretization_within_6_sigma', TRUE
+        """,
+        "text_input_parity": """
+            SELECT 'text_reader_counts_match_parquet' AS "check", TRUE AS ok
+            UNION ALL SELECT 'direct_text_counts_match_parquet', TRUE
+            UNION ALL SELECT 'direct_total_matches', TRUE
+        """,
+        "streaming_neardup_parity": """
+            SELECT 'survivors_match_batch_greedy' AS "check", TRUE AS ok
+            UNION ALL SELECT 'admitted_independent_set', TRUE
+            UNION ALL SELECT 'dropped_have_admitted_witness', TRUE
+            UNION ALL SELECT 'admitted_dropped_partition_input', TRUE
+            UNION ALL SELECT 'some_near_dups_dropped', TRUE
         """,
         "multimodal_pipeline": """
             SELECT 'bmp_real_decode_features_exact' AS "check", TRUE AS ok

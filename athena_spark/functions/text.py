@@ -183,92 +183,100 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str,
     "rightmost on ties" rule cannot change the distinct output."""
     from typing import Iterator
 
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fingerprint_batch(pdf, id_col, text_col, k, window)
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        fp, f"`{id_col}` {id_type}, fingerprint long"
+    )
+
+
+def fingerprint_batch(pdf: pd.DataFrame, id_col: str, text_col: str,
+                      k: int = 5, window: int = 4) -> pd.DataFrame:
+    """One batch of the winnowing kernel (the body of
+    :func:`fingerprint_docs` — module-level so microbenchmarks and
+    tests can drive it without Spark)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from athena_spark.functions.tokenize import arrow_tokenize_batch
 
-    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            tokens, t = arrow_tokenize_batch(pdf[text_col])
-            ids_np = pdf[id_col].to_numpy()
-            th = hash64(tokens.to_numpy(zero_copy_only=False))
-            L = len(th)
-            ends = np.cumsum(t)
-            starts = ends - t
-            out_doc: list[np.ndarray] = []
-            out_fp: list[np.ndarray] = []
-            long_mask = t >= k
-            if long_mask.any():
-                m = L - k + 1
-                with np.errstate(over="ignore"):
-                    # pre-mix like winnow_fingerprints (repeated-token
-                    # XOR cancellation)
-                    gram = splitmix64(th[:m])
-                    for j in range(1, k):
-                        gram = splitmix64(gram ^ th[j : j + m])
-                pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
-                grams = gram[(pos_in_doc[:m] <= np.repeat(t - k, t)[:m])]
-                g_counts = t[long_mask] - k + 1
-                g_starts = np.cumsum(g_counts) - g_counts
-                long_idx = np.nonzero(long_mask)[0]
-                Gm = len(grams)
-                # windowed docs: sliding minima by shifted passes
-                win_mask = g_counts > window
-                if win_mask.any():
-                    wn = Gm - window + 1
-                    mins = grams[:wn].copy()
-                    for j in range(1, window):
-                        np.minimum(mins, grams[j : j + wn], out=mins)
-                    q_in_doc = (np.arange(Gm, dtype=np.int64)
-                                - np.repeat(g_starts, g_counts))
-                    # windowed docs only: a doc with exactly `window`
-                    # grams would admit position 0 under the plain
-                    # g_counts - window bound but belongs to the
-                    # segment-min path below — force its limit to -1
-                    win_limit = np.where(win_mask, g_counts - window,
-                                         np.int64(-1))
-                    valid = q_in_doc[:wn] <= np.repeat(
-                        win_limit, g_counts
-                    )[:wn]
-                    sel = mins[valid]
-                    w_counts = g_counts[win_mask] - window + 1
-                    # distinct per doc: unique over (doc, fp) pairs
-                    doc_of_sel = np.repeat(long_idx[win_mask], w_counts)
-                    pairs = np.stack([doc_of_sel.astype(np.uint64), sel])
-                    _, keep = np.unique(pairs, axis=1, return_index=True)
-                    out_doc.append(doc_of_sel[keep])
-                    out_fp.append(sel[keep])
-                # docs with 1..window grams: one fingerprint, the
-                # segment min (reduceat segments are all non-empty)
-                few_mask = ~win_mask
-                if few_mask.any():
-                    seg_min = np.minimum.reduceat(grams, g_starts)
-                    out_doc.append(long_idx[few_mask])
-                    out_fp.append(seg_min[few_mask])
-            short_mask = (~long_mask) & (t > 0)
-            if short_mask.any():
-                offs = np.concatenate([np.zeros(1, np.int64), ends])
-                lists = pa.ListArray.from_arrays(
-                    pa.array(offs, type=pa.int32()), tokens
-                )
-                short_idx = np.nonzero(short_mask)[0]
-                joined = pc.binary_join(
-                    lists.take(pa.array(short_idx, type=pa.int64())), " "
-                )
-                out_doc.append(short_idx)
-                out_fp.append(hash64(joined.to_numpy(zero_copy_only=False)))
-            if out_doc:
-                doc_all = np.concatenate(out_doc).astype(np.int64)
-                fp_all = np.concatenate(out_fp).view(np.int64)
-            else:
-                doc_all = np.empty(0, np.int64)
-                fp_all = np.empty(0, np.int64)
-            yield pd.DataFrame(
-                {id_col: ids_np[doc_all], "fingerprint": fp_all}
-            )
-
-    id_type = df.select(id_col).schema[0].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        fp, f"`{id_col}` {id_type}, fingerprint long"
+    tokens, t = arrow_tokenize_batch(pdf[text_col])
+    ids_np = pdf[id_col].to_numpy()
+    th = hash64(tokens.to_numpy(zero_copy_only=False))
+    L = len(th)
+    ends = np.cumsum(t)
+    starts = ends - t
+    out_doc: list[np.ndarray] = []
+    out_fp: list[np.ndarray] = []
+    long_mask = t >= k
+    if long_mask.any():
+        m = L - k + 1
+        with np.errstate(over="ignore"):
+            # pre-mix like winnow_fingerprints (repeated-token
+            # XOR cancellation)
+            gram = splitmix64(th[:m])
+            for j in range(1, k):
+                gram = splitmix64(gram ^ th[j : j + m])
+        pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
+        grams = gram[(pos_in_doc[:m] <= np.repeat(t - k, t)[:m])]
+        g_counts = t[long_mask] - k + 1
+        g_starts = np.cumsum(g_counts) - g_counts
+        long_idx = np.nonzero(long_mask)[0]
+        Gm = len(grams)
+        # windowed docs: sliding minima by shifted passes
+        win_mask = g_counts > window
+        if win_mask.any():
+            wn = Gm - window + 1
+            mins = grams[:wn].copy()
+            for j in range(1, window):
+                np.minimum(mins, grams[j : j + wn], out=mins)
+            q_in_doc = (np.arange(Gm, dtype=np.int64)
+                        - np.repeat(g_starts, g_counts))
+            # windowed docs only: a doc with exactly `window`
+            # grams would admit position 0 under the plain
+            # g_counts - window bound but belongs to the
+            # segment-min path below — force its limit to -1
+            win_limit = np.where(win_mask, g_counts - window,
+                                 np.int64(-1))
+            valid = q_in_doc[:wn] <= np.repeat(
+                win_limit, g_counts
+            )[:wn]
+            sel = mins[valid]
+            w_counts = g_counts[win_mask] - window + 1
+            # distinct per doc: unique over (doc, fp) pairs
+            doc_of_sel = np.repeat(long_idx[win_mask], w_counts)
+            pairs = np.stack([doc_of_sel.astype(np.uint64), sel])
+            _, keep = np.unique(pairs, axis=1, return_index=True)
+            out_doc.append(doc_of_sel[keep])
+            out_fp.append(sel[keep])
+        # docs with 1..window grams: one fingerprint, the
+        # segment min (reduceat segments are all non-empty)
+        few_mask = ~win_mask
+        if few_mask.any():
+            seg_min = np.minimum.reduceat(grams, g_starts)
+            out_doc.append(long_idx[few_mask])
+            out_fp.append(seg_min[few_mask])
+    short_mask = (~long_mask) & (t > 0)
+    if short_mask.any():
+        offs = np.concatenate([np.zeros(1, np.int64), ends])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), tokens
+        )
+        short_idx = np.nonzero(short_mask)[0]
+        joined = pc.binary_join(
+            lists.take(pa.array(short_idx, type=pa.int64())), " "
+        )
+        out_doc.append(short_idx)
+        out_fp.append(hash64(joined.to_numpy(zero_copy_only=False)))
+    if out_doc:
+        doc_all = np.concatenate(out_doc).astype(np.int64)
+        fp_all = np.concatenate(out_fp).view(np.int64)
+    else:
+        doc_all = np.empty(0, np.int64)
+        fp_all = np.empty(0, np.int64)
+    return pd.DataFrame(
+        {id_col: ids_np[doc_all], "fingerprint": fp_all}
     )

@@ -1,0 +1,196 @@
+"""Streaming NEAR-duplicate deduplication for training-data ingestion.
+
+Completes the streaming curation story next to
+:mod:`athena_spark.streaming.dedup_stream` (exact dedup): arrivals
+whose verified n-gram Jaccard against an already-admitted document
+reaches the threshold are dropped at ingest time.
+
+Mechanics per micro-batch (``foreachBatch``):
+
+1. ONE Arrow tokenize pass per batch computes each doc's distinct
+   gram hashes and LSH band buckets (the shared MinHash kernel,
+   operators/dedup.py) — document text never enters state.
+2. Candidate pairs come from band-bucket equi-joins (batch vs the
+   admitted store, and within the batch); candidates are verified
+   with exact Jaccard over the gram-hash sets.
+3. Admission is greedy in id order: a doc is admitted iff no
+   ALREADY-ADMITTED doc is near-duplicate to it (store docs were all
+   admitted earlier; within a batch, ids ascending define arrival
+   order).  The admitted set is therefore an independent set of the
+   near-dup graph, and every dropped doc has an admitted witness —
+   the two invariants the driver gate certifies.
+4. The admitted docs' (id, grams, bands) rows append to the store
+   under ``epoch=<epoch_id>`` and the surviving input rows land in
+   ``output_dir/epoch=<epoch_id>`` — per-epoch overwrite makes batch
+   replay after a restart idempotent (the store read excludes the
+   current epoch, so a re-run never compares a doc against its own
+   earlier attempt).
+
+State discipline: the store holds ids and int64 hashes only (grams +
+band buckets), never text — same rule as the exact-dedup stream.  At
+corpus scale, partition the store by band bucket so the candidate
+join prunes; the greedy scan materializes only the VERIFIED near-dup
+pair list per batch (near-dup rate x batch size, not the corpus).
+
+Docs with fewer than ``n`` tokens have empty gram sets, are never
+near-duplicate to anything, and are always admitted — compose this
+operator downstream of exact dedup (dedup_stream) to drop their
+byte-identical copies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from athena_spark.operators.dedup import _minhash_kernel
+
+
+class StreamingNearDupDedup:
+    """foreachBatch handler maintaining a cross-batch MinHash-LSH
+    admitted store.
+
+    Usage::
+
+        dedup = StreamingNearDupDedup(spark, store_dir, output_dir)
+        (stream_df.writeStream
+            .foreachBatch(dedup)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+
+    Surviving rows (all input columns) appear under
+    ``output_dir/epoch=N``; read the union with
+    ``spark.read.option("basePath", output_dir).parquet(output_dir)``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        output_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        threshold: float = 0.8,
+        num_perm: int = 128,
+        bands: int = 32,
+    ):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.output_dir = output_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.threshold = threshold
+        self.num_perm = num_perm
+        self.bands = bands
+        os.makedirs(store_dir, exist_ok=True)
+        os.makedirs(output_dir, exist_ok=True)
+
+    # -- store ---------------------------------------------------------------
+
+    def _read_store(self, before_epoch: int) -> DataFrame | None:
+        """Admitted (id, grams, bands) rows from epochs strictly
+        before ``before_epoch`` (exclude the current epoch so a batch
+        replay never sees its own earlier attempt)."""
+        dirs = [
+            os.path.join(self.store_dir, d)
+            for d in os.listdir(self.store_dir)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < before_epoch
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*sorted(dirs))
+
+    # -- pair verification ---------------------------------------------------
+
+    def _verified_pairs(self, a_sg: DataFrame, b_sg: DataFrame,
+                        ordered: bool) -> list[tuple]:
+        """(id_a, id_b) with exact Jaccard >= threshold, candidates
+        from the band-bucket join (a x b); ``ordered=True`` restricts
+        to id_a < id_b (within-batch pairs).  Collects only the
+        verified pair list (small: the batch's near-dup edges)."""
+        ab = a_sg.select(F.col("doc").alias("id_a"),
+                         F.col("grams").alias("g_a"),
+                         F.posexplode("bands").alias("band", "bucket"))
+        bb = b_sg.select(F.col("doc").alias("id_b"),
+                         F.col("grams").alias("g_b"),
+                         F.posexplode("bands").alias("band", "bucket"))
+        cand = ab.join(bb, ["band", "bucket"])
+        if ordered:
+            cand = cand.where(F.col("id_a") < F.col("id_b"))
+        else:
+            cand = cand.where(F.col("id_a") != F.col("id_b"))
+        # verify on the distinct candidate pairs: |A ∩ B| via
+        # array_intersect on the (already distinct) gram-hash sets —
+        # candidate pairs are bucket-local, so this never touches the
+        # all-pairs space
+        cand = cand.select("id_a", "id_b", "g_a", "g_b").dropDuplicates(
+            ["id_a", "id_b"]
+        )
+        inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+        union = (F.size("g_a") + F.size("g_b")).cast("double") - inter
+        verified = cand.select(
+            "id_a", "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        ).where(
+            (F.size("g_a") > 0) & (F.col("jaccard") >= self.threshold)
+        )
+        return [(r["id_a"], r["id_b"]) for r in verified.collect()]
+
+    # -- the foreachBatch hook ----------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        id_col, text_col = self.id_col, self.text_col
+        id_type = batch_df.select(id_col).schema[0].dataType.simpleString()
+        sg = batch_df.select(id_col, text_col).mapInArrow(
+            _minhash_kernel(id_col, text_col, self.n, self.num_perm,
+                            with_sig=False, with_grams=True,
+                            band_count=self.bands),
+            f"`{id_col}` {id_type}, grams array<long>, bands array<long>",
+        ).withColumnRenamed(id_col, "doc").localCheckpoint(eager=True)
+
+        store = self._read_store(before_epoch=int(epoch_id))
+        blocked: set = set()
+        if store is not None:
+            # docs near-duplicate to an ADMITTED store doc: dropped
+            blocked = {a for a, _b in
+                       self._verified_pairs(sg, store, ordered=False)}
+        # within-batch pairs among docs the store didn't block,
+        # admitted greedily in id order (chains respect admission:
+        # a doc dropped earlier cannot block a later one)
+        batch_sg = sg.where(~F.col("doc").isin(blocked)) if blocked else sg
+        pairs = self._verified_pairs(batch_sg, batch_sg, ordered=True)
+        neighbors: dict = {}
+        ids = set()
+        for a, b in pairs:
+            neighbors.setdefault(b, set()).add(a)
+            ids.update((a, b))
+        admitted_in_pairs = set()
+        dropped = set()
+        for doc in sorted(ids):
+            if neighbors.get(doc, set()) & admitted_in_pairs:
+                dropped.add(doc)
+            else:
+                admitted_in_pairs.add(doc)
+        keep = [d for d in
+                (r["doc"] for r in sg.select("doc").collect())
+                if d not in blocked and d not in dropped]
+        keep_df = self.spark.createDataFrame(
+            [(k,) for k in keep], f"`{id_col}` {id_type}"
+        )
+        # per-epoch overwrite: replay-idempotent
+        sg.join(keep_df.withColumnRenamed(id_col, "doc"), "doc",
+                "left_semi").write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, f"epoch={int(epoch_id)}")
+        )
+        batch_df.join(keep_df, id_col, "left_semi").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.output_dir, f"epoch={int(epoch_id)}"))
+
+    def admitted_ids(self) -> DataFrame:
+        """All admitted ids so far (store scan, ids only)."""
+        return self.spark.read.parquet(
+            os.path.join(self.store_dir, "epoch=*")
+        ).select(F.col("doc").alias(self.id_col))

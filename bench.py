@@ -123,6 +123,88 @@ def _warm_workers(spark) -> None:
     ).count()
 
 
+def run_kernels(corpus_path: str) -> dict:
+    """Single-thread kernel microbenchmarks — the STABLE signal on
+    this host (BASELINE.md: suite walls wander 2-3x with neighbor
+    bandwidth; kernel rates move only when the code does).  Median of
+    3 on one ~2.2M-token corpus file, no Spark involved:
+
+    * read_fold: pyarrow parquet read + fused tokenize+count+
+      Space-Saving fold (the per-task inner loop of the throughput
+      job);
+    * tokenize_count: Arrow split + value_counts + sketch fold on the
+      in-memory column;
+    * minhash: the signature kernel (sigs + grams + bands, the dedup
+      pipeline's one tokenize pass);
+    * winnow: the fingerprint batch kernel.
+    """
+    import statistics
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from athena_spark.functions.text import fingerprint_docs  # noqa: F401
+    from athena_spark.functions.tokenize import arrow_token_counts
+    from athena_spark.operators.dedup import _minhash_kernel
+    from athena_spark.sketch import SpaceSaving
+
+    fpath = sorted(
+        os.path.join(corpus_path, f) for f in os.listdir(corpus_path)
+        if f.endswith(".parquet")
+    )[0]
+    col = pq.read_table(fpath, columns=["content"]).column("content")
+    arr = col.combine_chunks()
+    n_tokens = int(arrow_token_counts(arr)[2])
+
+    def med(fn, n=3):
+        walls = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(time.perf_counter() - t0)
+        return statistics.median(walls)
+
+    def read_fold():
+        a = pq.read_table(fpath, columns=["content"]).column("content")
+        sk = SpaceSaving(k=SKETCH_K)
+        w, c, _n = arrow_token_counts(a.combine_chunks())
+        sk.update_counts(w, c)
+
+    def tok_count():
+        sk = SpaceSaving(k=SKETCH_K)
+        w, c, _n = arrow_token_counts(arr)
+        sk.update_counts(w, c)
+
+    ids = pa.array(range(len(arr)), pa.int64())
+    batch = pa.RecordBatch.from_arrays([ids, arr], ["doc_id", "content"])
+    mh = _minhash_kernel("doc_id", "content", 3, 128, with_sig=False,
+                         with_grams=True, band_count=32)
+
+    def minhash():
+        for _ in mh(iter([batch])):
+            pass
+
+    import pandas as pd
+
+    from athena_spark.functions.text import fingerprint_batch
+
+    pdf = pd.DataFrame({
+        "doc_id": pd.Series(range(len(arr))),
+        "text": arr.to_pandas(),
+    })
+
+    def winnow():
+        fingerprint_batch(pdf, "doc_id", "text")
+
+    return {
+        "tokens_per_file": n_tokens,
+        "read_fold_tokens_per_sec": round(n_tokens / med(read_fold)),
+        "tokenize_count_tokens_per_sec": round(n_tokens / med(tok_count)),
+        "minhash_tokens_per_sec": round(n_tokens / med(minhash)),
+        "winnow_tokens_per_sec": round(n_tokens / med(winnow)),
+    }
+
+
 def run_headline() -> dict:
     import __spark_entry__ as entrymod
 
@@ -192,6 +274,8 @@ def run_headline() -> dict:
                  key=lambda r: r["tokens_per_sec"])
     timings["ss_throughput_corpus_k1e5"] = round(time.perf_counter() - t0, 3)
 
+    kernels = run_kernels(corpus_path)
+
     result = {
         "metric": "headline_suite_plus_sketch_throughput",
         "value": round(sum(timings.values()), 3),
@@ -207,6 +291,11 @@ def run_headline() -> dict:
         "sketch_tokens_per_sec": round(tp["tokens_per_sec"]),
         "sketch_k": SKETCH_K,
         "sketch_tokens_per_sec_k1e5": round(tp_1e5["tokens_per_sec"]),
+        # single-thread kernel rates (median of 3, no Spark) — the
+        # round-over-round STABLE signal on hosts whose bandwidth
+        # wanders (BASELINE.md): compare these first, suite walls
+        # second
+        "kernels": kernels,
     }
     spark.stop()
     return result

@@ -1,0 +1,120 @@
+"""Streaming MinHash-LSH near-dup dedup: greedy-admission semantics,
+chain behavior across micro-batches, and replay idempotency.
+
+The foreachBatch hook is invoked directly with crafted batches —
+deterministic, no streaming engine needed (the engine integration is
+exercised by the driver gate and test_streaming_neardup_end_to_end).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.streaming.neardup_stream import StreamingNearDupDedup
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# three texts where A~B and B~C are near-dups but A~C is not at the
+# 0.5 threshold: J(A,B) = 7/9 ≈ 0.78, J(B,C) = 6/10 = 0.6,
+# J(A,C) = 5/11 ≈ 0.45 (3-gram distinct sets, hand-counted)
+_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_B = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+_C = "p q gamma delta epsilon zeta eta theta iota mu"
+_FAR = "completely different tokens with no shared grams at all here"
+
+
+def _setup(tmp_path, spark, threshold=0.5):
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    return StreamingNearDupDedup(
+        spark, store, out, threshold=threshold
+    ), store, out
+
+
+def _admitted(spark, out):
+    return sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "epoch=*")).collect()
+    )
+
+
+def test_within_batch_greedy_chain(spark, tmp_path):
+    """Chain A~B~C in ONE batch: greedy by id admits A, drops B
+    (similar to admitted A), then ADMITS C — B was dropped, so it
+    cannot block C (A and C are not similar)."""
+    dedup, store, out = _setup(tmp_path, spark)
+    dedup(_mk(spark, [(1, _A), (2, _B), (3, _C), (4, _FAR)]), 0)
+    assert _admitted(spark, out) == [1, 3, 4]
+
+
+def test_cross_batch_chain_and_store_blocking(spark, tmp_path):
+    """Same chain split across batches: A admitted in epoch 0 blocks
+    B in epoch 1; C in epoch 2 is only similar to (dropped) B, so it
+    is admitted.  The store never contains text."""
+    dedup, store, out = _setup(tmp_path, spark)
+    dedup(_mk(spark, [(1, _A)]), 0)
+    dedup(_mk(spark, [(2, _B)]), 1)
+    dedup(_mk(spark, [(3, _C)]), 2)
+    assert _admitted(spark, out) == [1, 3]
+    stored = spark.read.parquet(os.path.join(store, "epoch=*"))
+    assert sorted(stored.columns) == ["bands", "doc", "grams"]
+    assert sorted(r["doc"] for r in stored.collect()) == [1, 3]
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Re-running an epoch (restart replay) must not duplicate output
+    rows or make a doc block itself via its earlier attempt."""
+    dedup, store, out = _setup(tmp_path, spark)
+    dedup(_mk(spark, [(1, _A), (4, _FAR)]), 0)
+    dedup(_mk(spark, [(2, _B)]), 1)
+    dedup(_mk(spark, [(2, _B)]), 1)  # replay after simulated restart
+    assert _admitted(spark, out) == [1, 4]  # B still dropped, once
+    assert spark.read.parquet(os.path.join(out, "epoch=1")).count() == 0
+
+
+def test_short_and_empty_docs_always_admitted(spark, tmp_path):
+    """Docs with < n tokens have empty gram sets: never near-dup,
+    always admitted (exact dedup upstream owns byte-identical
+    copies)."""
+    dedup, store, out = _setup(tmp_path, spark)
+    dedup(_mk(spark, [(1, "ab"), (2, "ab"), (3, "")]), 0)
+    assert _admitted(spark, out) == [1, 2, 3]
+
+
+def test_streaming_neardup_end_to_end(spark, tmp_path):
+    """Through the real streaming engine (availableNow file replay):
+    admitted set equals the driver-side greedy over exact batch
+    Jaccard pairs in arrival order."""
+    from athena_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    dedup, store, out = _setup(tmp_path, spark, threshold=0.5)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(dedup)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = _admitted(spark, out)
+    # independent batch twin: exact string-shingle Jaccard pairs +
+    # the same greedy scan in id order (single file -> one epoch)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                                max_doc_freq=None).collect()
+    nb: dict = {}
+    for r in pairs:
+        nb.setdefault(max(r["id_a"], r["id_b"]), set()).add(
+            min(r["id_a"], r["id_b"]))
+    admitted: set = set()
+    for d in sorted(r["doc_id"] for r in docs.collect()):
+        if nb.get(d, set()) & admitted:
+            continue
+        admitted.add(d)
+    assert got == sorted(admitted)
+    assert len(got) < docs.count()  # some near-dups actually dropped
