@@ -531,15 +531,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pipeline (128 perms, 32 bands, exact
-    verification).  LSH recall at J >= 0.5 is ~1, so the verified
-    output must equal the exact all-pairs oracle."""
+    """MinHash-LSH near-dup pipeline (128 perms, exact verification).
+    bands=64 (r=2) because the gate queries at J >= 0.5: catch
+    probability 1 - 0.75^64 ≈ 1 - 1e-8 per borderline pair, so the
+    verified output must equal the exact all-pairs oracle (the
+    default b=32/r=4 would leave ~13% miss probability at exactly
+    J = 0.5 — see the operator docstring)."""
     from athena_spark.operators.dedup import minhash_dedup_pairs
 
     # guard off for oracle parity (see ngram_jaccard_pairs gate)
     return minhash_dedup_pairs(
         _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
-        max_doc_freq=None,
+        bands=64, max_doc_freq=None,
     )
 
 
@@ -1399,7 +1402,9 @@ def q_text_input_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["token"]: r["count"]
         for r in exploded_tokens(docs, "text").groupBy("token").count().collect()
     }
-    texts = [r["text"] for r in docs.select("text").collect()]
+    # a NULL text contributes no tokens on the parquet path; writing
+    # it as an empty line contributes none on the text path either
+    texts = [r["text"] or "" for r in docs.select("text").collect()]
     base = tempfile.mkdtemp(prefix="athena_text_input_")
     try:
         # 8 shards, docs joined by newline: same token multiset as
@@ -1476,16 +1481,14 @@ def q_streaming_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.where(F.col("doc_id") < median).coalesce(1).write.parquet(lo)
         surv.where(F.col("doc_id") >= median).coalesce(1).write.parquet(hi)
         os.makedirs(os.path.join(src, "all"))
-        files = []
         for i, d in enumerate((lo, hi)):
             (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
             dst = os.path.join(src, "all", f"{i}.parquet")
             shutil.move(os.path.join(d, part), dst)
             os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
-            files.append(dst)
         dedup = StreamingNearDupDedup(
             spark, os.path.join(base, "store"), os.path.join(base, "out"),
-            threshold=threshold,
+            threshold=threshold, bands=64,  # r=2: ~1 recall at J=0.5
         )
         stream = (
             spark.readStream.schema(surv.schema)

@@ -154,9 +154,12 @@ def cmd_topk(args) -> None:
                 and _os.path.isfile(p := _os.path.join(in_dir, f))
             )
         else:
+            # isfile also here: Spark writes nested datasets as
+            # directories named *.parquet
             files = sorted(
-                _os.path.join(in_dir, f)
-                for f in _os.listdir(in_dir) if f.endswith(".parquet")
+                p for f in _os.listdir(in_dir)
+                if f.endswith(".parquet")
+                and _os.path.isfile(p := _os.path.join(in_dir, f))
             )
         sk, metrics = aggregate_sketch_direct(
             spark, files, args.col, lambda pid: SpaceSaving(k=args.k),

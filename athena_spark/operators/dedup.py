@@ -175,6 +175,14 @@ def _minhash_kernel(
       num_perm // band_count signature rows each), so candidate
       bucketing needs no JVM array slicing/hashing.
     """
+    if band_count is not None and num_perm % band_count != 0:
+        # the old slice-based banding silently dropped the tail perms;
+        # the fold kernel requires an exact split — fail at call time,
+        # not inside an executor reshape
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands "
+            f"({band_count})"
+        )
     seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -329,9 +337,15 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline with exact verification:
     signatures → banded candidates → exact n-gram Jaccard on the
-    candidate pairs only.  With bands=32/num_perm=128 the LSH catch
-    threshold is (1/32)^(1/4) ≈ 0.42, so recall at J >= 0.5 is ~1 and
-    the verified output matches the exact all-pairs answer."""
+    candidate pairs only.
+
+    Recall is a property of (bands, rows-per-band): a pair at Jaccard
+    J is caught with probability 1 - (1 - J^r)^b.  The default
+    b=32/r=4 gives ~1 recall for J >= 0.6 but only ~0.87 at exactly
+    J = 0.5 — when the query threshold sits that low, pass more bands
+    (e.g. ``bands=64`` → r=2: catch probability at J = 0.5 is
+    1 - 0.75^64 ≈ 1 - 1e-8; more candidates, all cheaply rejected by
+    the exact verification)."""
     if max_doc_freq is not None and max_doc_freq < 1:
         raise ValueError(
             f"max_doc_freq must be None (guard off) or >= 1, got "

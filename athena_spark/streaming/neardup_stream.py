@@ -110,33 +110,39 @@ class StreamingNearDupDedup:
         """(id_a, id_b) with exact Jaccard >= threshold, candidates
         from the band-bucket join (a x b); ``ordered=True`` restricts
         to id_a < id_b (within-batch pairs).  Collects only the
-        verified pair list (small: the batch's near-dup edges)."""
+        verified pair list (small: the batch's near-dup edges).
+
+        The band join carries IDS ONLY — gram arrays are re-attached
+        by id to the distinct candidate pairs afterwards, so a doc's
+        gram set is shuffled once per candidate pair it appears in,
+        not once per band row."""
         ab = a_sg.select(F.col("doc").alias("id_a"),
-                         F.col("grams").alias("g_a"),
                          F.posexplode("bands").alias("band", "bucket"))
         bb = b_sg.select(F.col("doc").alias("id_b"),
-                         F.col("grams").alias("g_b"),
                          F.posexplode("bands").alias("band", "bucket"))
         cand = ab.join(bb, ["band", "bucket"])
         if ordered:
             cand = cand.where(F.col("id_a") < F.col("id_b"))
         else:
             cand = cand.where(F.col("id_a") != F.col("id_b"))
-        # verify on the distinct candidate pairs: |A ∩ B| via
+        cand = cand.select("id_a", "id_b").distinct()
+        # verify the distinct candidate pairs: |A ∩ B| via
         # array_intersect on the (already distinct) gram-hash sets —
         # candidate pairs are bucket-local, so this never touches the
         # all-pairs space
-        cand = cand.select("id_a", "id_b", "g_a", "g_b").dropDuplicates(
-            ["id_a", "id_b"]
+        cand = cand.join(
+            a_sg.select(F.col("doc").alias("id_a"),
+                        F.col("grams").alias("g_a")), "id_a"
+        ).join(
+            b_sg.select(F.col("doc").alias("id_b"),
+                        F.col("grams").alias("g_b")), "id_b"
         )
         inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
         union = (F.size("g_a") + F.size("g_b")).cast("double") - inter
-        verified = cand.select(
+        verified = cand.where(F.size("g_a") > 0).select(
             "id_a", "id_b",
             F.round(inter / union, 6).alias("jaccard"),
-        ).where(
-            (F.size("g_a") > 0) & (F.col("jaccard") >= self.threshold)
-        )
+        ).where(F.col("jaccard") >= self.threshold)
         return [(r["id_a"], r["id_b"]) for r in verified.collect()]
 
     # -- the foreachBatch hook ----------------------------------------------
@@ -153,14 +159,22 @@ class StreamingNearDupDedup:
 
         store = self._read_store(before_epoch=int(epoch_id))
         blocked: set = set()
+        batch_sg = sg
         if store is not None:
             # docs near-duplicate to an ADMITTED store doc: dropped
             blocked = {a for a, _b in
                        self._verified_pairs(sg, store, ordered=False)}
+        if blocked:
+            # anti-join, not isin: a dup-heavy batch can block
+            # thousands of ids, and a literal IN list that long breaks
+            # codegen
+            blocked_df = self.spark.createDataFrame(
+                [(b,) for b in blocked], "doc " + sg.schema["doc"].dataType.simpleString()
+            )
+            batch_sg = sg.join(blocked_df, "doc", "left_anti")
         # within-batch pairs among docs the store didn't block,
         # admitted greedily in id order (chains respect admission:
         # a doc dropped earlier cannot block a later one)
-        batch_sg = sg.where(~F.col("doc").isin(blocked)) if blocked else sg
         pairs = self._verified_pairs(batch_sg, batch_sg, ordered=True)
         neighbors: dict = {}
         ids = set()

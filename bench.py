@@ -143,7 +143,6 @@ def run_kernels(corpus_path: str) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from athena_spark.functions.text import fingerprint_docs  # noqa: F401
     from athena_spark.functions.tokenize import arrow_token_counts
     from athena_spark.operators.dedup import _minhash_kernel
     from athena_spark.sketch import SpaceSaving

@@ -52,7 +52,11 @@ def test_ngram_jaccard_pairs_match_local_oracle(spark, docs):
 
 def test_minhash_verified_equals_exact(spark, docs):
     exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    mh = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # bands=64 (r=2): ~1 recall at exactly J=0.5, so LSH-verified must
+    # EQUAL the exact all-pairs answer (default r=4 leaves ~13% miss
+    # probability per borderline pair)
+    mh = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                                   bands=64)
     e = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
     m = {(r["id_a"], r["id_b"]): r["jaccard"] for r in mh.collect()}
     assert e == m
@@ -231,6 +235,15 @@ def test_minhash_signature_multiset_equals_distinct(spark):
     # doc 1 contains every gram of doc 0 (plus bridge grams), so its
     # minima can only be <= doc 0's — and most coordinates equal
     assert (sigs[1].view(np.uint64) <= sigs[0].view(np.uint64)).all()
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    """The band fold needs num_perm % bands == 0 — must fail at call
+    time with a clear error, not inside an executor reshape."""
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text",
+                                  num_perm=120, bands=32)
 
 
 def test_gram_fold_repeated_tokens_do_not_cancel(spark):

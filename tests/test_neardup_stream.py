@@ -30,8 +30,10 @@ _FAR = "completely different tokens with no shared grams at all here"
 def _setup(tmp_path, spark, threshold=0.5):
     store = str(tmp_path / "store")
     out = str(tmp_path / "out")
+    # bands=64 (r=2): ~1 LSH recall at the 0.5 threshold these tests
+    # assert exact parity at (see minhash_dedup_pairs docstring)
     return StreamingNearDupDedup(
-        spark, store, out, threshold=threshold
+        spark, store, out, threshold=threshold, bands=64
     ), store, out
 
 
