@@ -627,7 +627,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             tokens, t = arrow_tokenize_batch(pdf[text_col])
-            th = hash64(tokens.to_numpy(zero_copy_only=False))
+            th = hash64_arrow(tokens)
             ends = np.cumsum(t)
             starts = ends - t
             sig = np.zeros(len(t), dtype=np.uint64)
