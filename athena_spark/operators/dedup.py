@@ -613,6 +613,29 @@ def dedup_corpus_components(
 
 # -- SimHash -----------------------------------------------------------------
 
+def simhash_batch(pdf: pd.DataFrame, id_col: str, text_col: str
+                  ) -> pd.DataFrame:
+    """One batch of the SimHash kernel (the body of
+    :func:`simhash_signatures` — module-level so microbenchmarks and
+    property tests can drive it without Spark)."""
+    tokens, t = arrow_tokenize_batch(pdf[text_col])
+    th = hash64_arrow(tokens)
+    ends = np.cumsum(t)
+    starts = ends - t
+    sig = np.zeros(len(t), dtype=np.uint64)
+    csum = np.empty(len(th) + 1, dtype=np.int64)
+    csum[0] = 0
+    for b in range(64):
+        bits = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        np.cumsum(bits, out=csum[1:])
+        ones = csum[ends] - csum[starts]
+        votes = 2 * ones - t  # ones - zeros
+        sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
+    return pd.DataFrame(
+        {id_col: pdf[id_col].to_numpy(), "simhash": sig.view(np.int64)}
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash (Charikar 2002) per doc: token hashes, weighted
     by occurrence count, vote per bit; sign of the vote sets the bit.
@@ -626,22 +649,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            tokens, t = arrow_tokenize_batch(pdf[text_col])
-            th = hash64_arrow(tokens)
-            ends = np.cumsum(t)
-            starts = ends - t
-            sig = np.zeros(len(t), dtype=np.uint64)
-            csum = np.empty(len(th) + 1, dtype=np.int64)
-            csum[0] = 0
-            for b in range(64):
-                bits = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-                np.cumsum(bits, out=csum[1:])
-                ones = csum[ends] - csum[starts]
-                votes = 2 * ones - t  # ones - zeros
-                sig |= (votes > 0).astype(np.uint64) << np.uint64(b)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "simhash": sig.view(np.int64)}
-            )
+            yield simhash_batch(pdf, id_col, text_col)
 
     id_type = df.select(id_col).schema[0].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(

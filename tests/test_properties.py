@@ -166,3 +166,123 @@ def test_tdigest_merge_invariants(a_vals, b_vals):
         lo = np.searchsorted(s, est, side="left") / len(s)
         hi = np.searchsorted(s, est, side="right") / len(s)
         assert lo - 0.15 <= q <= hi + 0.15
+
+
+# -- batch-kernel bit parity under adversarial corpora ---------------------
+#
+# The MinHash / winnowing / SimHash batch kernels are heavily
+# vectorized (cache-blocked seed loops, in-place splitmix, per-segment
+# sorts); each must stay BIT-identical to its straightforward per-doc
+# definition on arbitrary corpora — ragged lengths, empty docs,
+# repeated tokens, unicode.
+
+doc_tokens = st.lists(token, min_size=0, max_size=30)
+corpus = st.lists(doc_tokens, min_size=1, max_size=40)
+
+
+def _scalar_minhash(toks, n, seeds):
+    from athena_spark.sketch.hashing import hash64, splitmix64
+
+    with np.errstate(over="ignore"):
+        if len(toks) >= n:
+            th = hash64(np.array(toks, object))
+            g = splitmix64(th[: len(th) - n + 1])
+            for j in range(1, n):
+                g = splitmix64(g ^ th[j : j + len(g)])
+            return np.array(
+                [splitmix64(g ^ s).min() for s in seeds], np.uint64
+            )
+        base = hash64(np.array([" ".join(toks)], object))[0]
+        return splitmix64(base ^ seeds)
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpus, st.integers(min_value=1, max_value=5))
+def test_minhash_kernel_matches_scalar_oracle(docs, n):
+    import pyarrow as pa
+
+    from athena_spark.operators.dedup import _minhash_kernel
+    from athena_spark.sketch.hashing import splitmix64
+
+    num_perm = 8
+    texts = [" ".join(toks) for toks in docs]
+    batch = pa.RecordBatch.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    kernel = _minhash_kernel("doc_id", "text", n, num_perm, with_sig=True)
+    (out,) = list(kernel(iter([batch])))
+    got = np.asarray(
+        out.column("sig").to_pylist(), dtype=np.int64
+    ).view(np.uint64)
+    seeds = splitmix64(
+        np.arange(1, num_perm + 1, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+    for d, toks in enumerate(docs):
+        # the kernel tokenizes by whitespace split, same as " ".join
+        # round-trips for the whitespace-free token strategy
+        expect = _scalar_minhash([t for t in toks if t], n, seeds)
+        assert np.array_equal(got[d], expect), f"doc {d}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpus, st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=6))
+def test_winnow_batch_matches_scalar_oracle(docs, k, window):
+    import pandas as pd
+
+    from athena_spark.functions.text import (
+        fingerprint_batch,
+        winnow_fingerprints,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": pd.Series(range(len(docs)), dtype="int64"),
+        "text": [" ".join(toks) for toks in docs],
+    })
+    out = fingerprint_batch(pdf, "doc_id", "text", k=k, window=window)
+    got = {
+        d: np.sort(g["fingerprint"].to_numpy().view(np.uint64))
+        for d, g in out.groupby("doc_id")
+    }
+    for d, toks in enumerate(docs):
+        toks = [t for t in toks if t]
+        expect = np.sort(winnow_fingerprints(toks, k=k, window=window))
+        if len(expect) == 0:
+            assert d not in got
+        else:
+            assert np.array_equal(got[d], expect.astype(np.uint64)), (
+                f"doc {d}"
+            )
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpus)
+def test_simhash_batch_matches_scalar_definition(docs):
+    import pandas as pd
+
+    from athena_spark.operators.dedup import simhash_batch
+    from athena_spark.sketch.hashing import hash64
+
+    def scalar_simhash(toks):
+        sig = np.uint64(0)
+        if not toks:
+            return sig
+        th = hash64(np.array(toks, object))
+        for b in range(64):
+            ones = int(((th >> np.uint64(b)) & np.uint64(1)).sum())
+            if 2 * ones - len(toks) > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        return sig
+
+    pdf = pd.DataFrame({
+        "doc_id": pd.Series(range(len(docs)), dtype="int64"),
+        "text": [" ".join(toks) for toks in docs],
+    })
+    got = simhash_batch(pdf, "doc_id", "text")["simhash"].to_numpy().view(
+        np.uint64
+    )
+    for d, toks in enumerate(docs):
+        toks = [t for t in toks if t]
+        assert got[d] == scalar_simhash(toks), f"doc {d}"
