@@ -1238,12 +1238,14 @@ def q_grouped_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Certified multimodal pipeline: REAL pure-NumPy decode of BMP
-    and compressed PNG images (stdlib zlib inflate + filter reversal)
-    and PCM16 WAV audio — features must equal direct computation on
-    the known pixels/samples — plus the stubbed-codec plumbing checks
-    (shape-correct, bounded, content-deterministic featurization;
-    exact video frame-sampling shape)."""
+    """Certified multimodal pipeline: REAL pure-NumPy decode of BMP,
+    compressed PNG (stdlib zlib inflate + filter reversal), baseline
+    JPEG (Huffman entropy decode + dequant + IDCT, lossy → PSNR-bound
+    check) and PCM16 WAV audio — features must equal direct
+    computation on the decoded pixels/samples — plus the stubbed-codec
+    plumbing checks (shape-correct, bounded, content-deterministic
+    featurization; exact video frame-sampling shape)."""
+    from athena_spark.sources.jpeg import decode_jpeg
     from athena_spark.sources.multimodal import (
         decode_and_featurize_audio,
         decode_and_featurize_images,
@@ -1252,6 +1254,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_wav_pcm16,
         decode_y4m_mono,
         image_grid_features,
+        jpeg_test_image,
         sample_video_frames,
         synthetic_media,
     )
@@ -1283,6 +1286,28 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in pngs.collect()
     )
+    # real baseline-JPEG decode path (decode_stub=False: Huffman
+    # entropy decode + dequant + IDCT, tables from the stream's own
+    # DQT/DHT).  Two invariants: the pipeline's features equal direct
+    # decode of the same payload EXACTLY, and — because JPEG is lossy
+    # — the reconstruction stays within a PSNR bound of the known
+    # source pixels (regenerated deterministically), not equal to it.
+    jpegs = synthetic_media(spark, 16, "jpeg")
+    got_j = {r["media_id"]: np.array(r["features"])
+             for r in decode_and_featurize_images(
+                 jpegs, decode_stub=False).collect()}
+    jpeg_ok, jpeg_psnr_ok = True, True
+    for r in jpegs.collect():
+        recon = decode_jpeg(bytes(r["media"]))
+        jpeg_ok &= np.allclose(
+            got_j[r["media_id"]], image_grid_features(recon), atol=1e-6)
+        src = jpeg_test_image(
+            r["meta"]["width"], r["meta"]["height"], 42 + r["media_id"])
+        mse = float(np.mean(
+            (recon.astype(np.float64) - src.astype(np.float64)) ** 2))
+        psnr = float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+        jpeg_psnr_ok &= psnr >= 35.0 and recon.shape == src.shape
+
     # real WAV decode path
     wavs = synthetic_media(spark, 8, "wav")
     got_w = {r["media_id"]: r
@@ -1320,6 +1345,8 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         ("bmp_real_decode_features_exact", bool(bmp_ok)),
         ("png_real_decode_features_exact", bool(png_ok)),
+        ("jpeg_real_decode_features_exact", bool(jpeg_ok)),
+        ("jpeg_roundtrip_psnr_bound", bool(jpeg_psnr_ok)),
         ("wav_real_decode_stats_exact", bool(wav_ok)),
         ("y4m_real_demux_frames_exact", bool(y4m_ok)),
         ("image_feature_shape", len(feats) == 64 and dims_ok),
@@ -2219,6 +2246,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_pipeline": """
             SELECT 'bmp_real_decode_features_exact' AS "check", TRUE AS ok
             UNION ALL SELECT 'png_real_decode_features_exact', TRUE
+            UNION ALL SELECT 'jpeg_real_decode_features_exact', TRUE
+            UNION ALL SELECT 'jpeg_roundtrip_psnr_bound', TRUE
             UNION ALL SELECT 'wav_real_decode_stats_exact', TRUE
             UNION ALL SELECT 'y4m_real_demux_frames_exact', TRUE
             UNION ALL SELECT 'image_feature_shape', TRUE

@@ -10,13 +10,16 @@ would use.
 Decode is REAL for formats parseable with the stdlib + NumPy —
 uncompressed 24-bit **BMP** (:func:`decode_bmp`), compressed 8-bit
 RGB **PNG** (:func:`decode_png`: zlib inflate + all five scanline
-filters reversed), RIFF **PCM16 WAV** (:func:`decode_wav_pcm16`) and
-the **y4m** video container — each with exact encode/decode
-round-trip tests — and STUBBED for codecs that need external
-libraries (JPEG → Pillow, MP4 → pyav; absent in this sandbox):
-``decode_stub=False`` raises ``NotImplementedError`` naming the
-library, ``decode_stub=True`` swaps in a deterministic fake
-(hash-seeded pixels) that keeps shapes and dtypes honest.
+filters reversed), baseline **JPEG** (:mod:`athena_spark.sources.jpeg`:
+DCT + quantization + Huffman entropy coding, tables read from the
+stream; lossy, so its tests assert PSNR bounds rather than equality),
+RIFF **PCM16 WAV** (:func:`decode_wav_pcm16`) and the **y4m** video
+container — each with encode/decode round-trip tests — and STUBBED
+for codecs that need external libraries (progressive/subsampled JPEG
+→ Pillow, MP4 → pyav; absent in this sandbox): ``decode_stub=False``
+raises ``NotImplementedError`` naming the library,
+``decode_stub=True`` swaps in a deterministic fake (hash-seeded
+pixels) that keeps shapes and dtypes honest.
 """
 
 from __future__ import annotations
@@ -28,6 +31,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from athena_spark.sources.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = (
     "media_id long, modality string, media binary, "
@@ -277,12 +282,27 @@ def decode_y4m_mono(blob: bytes) -> tuple[np.ndarray, float]:
     return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
 
 
+def jpeg_test_image(w: int, h: int, seed: int) -> np.ndarray:
+    """Deterministic smooth test image (gradients + low-frequency
+    sinusoids, phase varied by seed).  Smooth content is the honest
+    fixture for a lossy transform codec: white noise has no energy
+    compaction, so its PSNR says nothing about codec correctness."""
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    return np.stack([
+        x * 255.0 / max(w - 1, 1),
+        y * 255.0 / max(h - 1, 1),
+        128.0 + 100.0 * np.sin(x / 9.0 + phase[0]) * np.cos(y / 7.0 + phase[1]),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+
+
 def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
                     seed: int = 42) -> DataFrame:
-    """Deterministic media table.  ``bmp`` and ``wav`` rows carry REAL
-    encoded payloads (round-trippable by the pure-NumPy codecs);
-    ``image``/``audio``/``video`` rows carry fake-codec bytes for the
-    stubbed-decode plumbing."""
+    """Deterministic media table.  ``bmp``/``png``/``jpeg``/``wav``/
+    ``y4m`` rows carry REAL encoded payloads (decodable by the
+    pure-NumPy codecs); ``image``/``audio``/``video`` rows carry
+    fake-codec bytes for the stubbed-decode plumbing."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
@@ -299,6 +319,11 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             meta = (w, h, None, None, "png")
             payload = encode_png(px)
+        elif modality == "jpeg":
+            w, h = 37, 25  # non-multiple-of-8 exercises MCU edge padding
+            px = jpeg_test_image(w, h, seed + i)
+            meta = (w, h, None, None, "jpeg")
+            payload = encode_jpeg(px, quality=90)
         elif modality == "wav":
             rate = 16_000
             t = np.arange(rate // 4, dtype=np.float64)
@@ -347,10 +372,11 @@ def decode_and_featurize_images(
     """media → (media_id, features array<float>): decode, resize to a
     canonical grid, channel-stat features.
 
-    Decode dispatches on the codec: ``bmp`` rows go through the REAL
-    pure-NumPy BMP parser; ``fake-rgb`` rows use the deterministic
-    stub when ``decode_stub=True`` (a JPEG/PNG-class codec would need
-    Pillow, absent in this sandbox — ``decode_stub=False`` raises)."""
+    Decode dispatches on the codec: ``bmp``/``png``/``jpeg`` rows go
+    through the REAL pure-NumPy parsers; ``fake-rgb`` rows use the
+    deterministic stub when ``decode_stub=True`` (an exotic-codec row
+    would need Pillow, absent in this sandbox — ``decode_stub=False``
+    raises)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -363,6 +389,8 @@ def decode_and_featurize_images(
                     img = decode_bmp(bytes(blob))
                 elif codec == "png":
                     img = decode_png(bytes(blob))
+                elif codec == "jpeg":
+                    img = decode_jpeg(bytes(blob))
                 elif decode_stub:
                     img = _fake_decode(bytes(blob), meta["width"],
                                        meta["height"])

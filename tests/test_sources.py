@@ -388,6 +388,130 @@ def test_real_png_decode_features(spark):
         assert np.allclose(got[row["media_id"]], want, atol=1e-6)
 
 
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_jpeg_codec_roundtrip_psnr():
+    """Baseline JPEG is lossy: round-trips assert shape-exactness and
+    PSNR bounds (smooth content), not byte equality.  Covers
+    non-multiple-of-8 shapes (MCU edge padding) down to 1x1."""
+    from athena_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from athena_spark.sources.multimodal import jpeg_test_image
+
+    for w, h in [(37, 25), (8, 8), (1, 1), (16, 5), (9, 17)]:
+        px = jpeg_test_image(w, h, seed=w * 100 + h)
+        back = decode_jpeg(encode_jpeg(px, quality=90))
+        assert back.shape == (h, w, 3), (w, h)
+        assert _psnr(px, back) >= 35.0, (w, h, _psnr(px, back))
+
+
+def test_jpeg_quality_tradeoff_and_flat_image():
+    """Higher quality → larger payload and higher PSNR (the transform
+    coder is actually doing rate/distortion work, not passing bytes
+    through); a flat image reconstructs exactly."""
+    import numpy as np
+
+    from athena_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from athena_spark.sources.multimodal import jpeg_test_image
+
+    px = jpeg_test_image(53, 41, seed=5)
+    sizes, psnrs = [], []
+    for q in (25, 75, 95):
+        blob = encode_jpeg(px, quality=q)
+        sizes.append(len(blob))
+        psnrs.append(_psnr(px, decode_jpeg(blob)))
+    assert sizes == sorted(sizes) and sizes[0] < sizes[-1]
+    assert psnrs == sorted(psnrs) and psnrs[-1] - psnrs[0] > 3.0
+
+    flat = np.full((24, 16, 3), 137, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=95)) == flat).all()
+
+
+def test_jpeg_decoder_uses_stream_tables_and_survives_noise():
+    """The decoder rebuilds quantization and Huffman tables from the
+    payload's own DQT/DHT segments — corrupting one DQT byte must
+    change the reconstruction (proof the table is read, not assumed).
+    Worst-case content (uniform noise, q=100 → all-ones quant tables,
+    maximal entropy data) must still decode to the exact shape,
+    including the adversarial checkerboard that maximizes a single AC
+    coefficient."""
+    import numpy as np
+
+    from athena_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from athena_spark.sources.multimodal import jpeg_test_image
+
+    px = jpeg_test_image(32, 24, seed=9)
+    blob = encode_jpeg(px, quality=75)
+    # locate the luma DQT segment and bump its DC entry
+    i = blob.index(b"\xff\xdb")
+    patched = bytearray(blob)
+    patched[i + 5] = min(255, patched[i + 5] + 40)
+    a = decode_jpeg(blob)
+    b = decode_jpeg(bytes(patched))
+    assert (a != b).any()
+
+    rng = np.random.default_rng(13)
+    noisy = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noisy, quality=100))
+    assert out.shape == noisy.shape
+
+    cb = np.zeros((16, 16, 3), np.uint8)
+    cb[::2, ::2] = 255
+    cb[1::2, 1::2] = 255
+    assert decode_jpeg(encode_jpeg(cb, quality=100)).shape == cb.shape
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    from athena_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from athena_spark.sources.multimodal import jpeg_test_image
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"nope")
+    # progressive (SOF2) is honestly out of scope, naming Pillow
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    # restart intervals (DRI) likewise
+    with pytest.raises(NotImplementedError, match="Pillow|restart"):
+        decode_jpeg(b"\xff\xd8\xff\xdd\x00\x04\x00\x08")
+    # truncated entropy segment -> loud ValueError, not garbage pixels
+    blob = encode_jpeg(jpeg_test_image(24, 24, seed=2), quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2] + b"\xff\xd9")
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), quality=0)
+    with pytest.raises(ValueError, match="RGB"):
+        encode_jpeg(np.zeros((8, 8), np.uint8))
+
+
+def test_real_jpeg_decode_features(spark):
+    """Image featurization over REAL baseline-JPEG payloads: the Spark
+    pipeline must produce exactly the features computed from direct
+    decode of the same payload (decode_stub=False — nothing faked)."""
+    import numpy as np
+
+    from athena_spark.sources.jpeg import decode_jpeg
+    from athena_spark.sources.multimodal import (
+        decode_and_featurize_images,
+        image_grid_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 4, modality="jpeg")
+    got = {r["media_id"]: np.array(r["features"], dtype=np.float32)
+           for r in decode_and_featurize_images(
+               media, decode_stub=False).collect()}
+    for row in media.collect():
+        want = image_grid_features(decode_jpeg(bytes(row["media"])))
+        assert np.allclose(got[row["media_id"]], want, atol=1e-6)
+
+
 def test_y4m_truncated_payload_errors():
     import numpy as np
     import pytest
