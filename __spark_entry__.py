@@ -1320,6 +1320,28 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_ok &= abs(g["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-9
         wav_ok &= abs(g["duration_s"] - len(x) / rate) < 1e-9
 
+    # real G.711 mu-law path (compressed audio, format tag 7):
+    # pipeline stats must equal direct computation on the expanded
+    # samples, and the expanded signal must sit within mu-law's SNR
+    # envelope of the known source sine (lossy companding)
+    ulaws = synthetic_media(spark, 8, "ulaw")
+    got_u = {r["media_id"]: r
+             for r in decode_and_featurize_audio(
+                 ulaws, decode_stub=False).collect()}
+    ulaw_ok = True
+    for r in ulaws.collect():
+        samples, rate = decode_wav_pcm16(bytes(r["media"]))
+        x = samples.astype(np.float64) / 32768.0
+        g = got_u[r["media_id"]]
+        ulaw_ok &= abs(g["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-12
+        ulaw_ok &= abs(g["duration_s"] - len(x) / rate) < 1e-12
+        t = np.arange(rate // 4, dtype=np.float64)
+        freq = 300.0 + 40.0 * (r["media_id"] % 8)
+        src = (np.sin(2 * np.pi * freq * t / rate) * 9000).astype(np.int16)
+        num = float(np.sum(src.astype(np.float64) ** 2))
+        den = float(np.sum((src.astype(np.float64) - samples) ** 2))
+        ulaw_ok &= den > 0 and 10 * np.log10(num / den) > 30.0
+
     # real MP4 (ISO BMFF) demux + per-frame JPEG decode path: sampled
     # frames from the Spark pipeline must equal direct demux + decode
     # of the same payload, byte for byte
@@ -1367,6 +1389,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("jpeg_real_decode_features_exact", bool(jpeg_ok)),
         ("jpeg_roundtrip_psnr_bound", bool(jpeg_psnr_ok)),
         ("wav_real_decode_stats_exact", bool(wav_ok)),
+        ("ulaw_real_decode_stats_and_snr", bool(ulaw_ok)),
         ("y4m_real_demux_frames_exact", bool(y4m_ok)),
         ("mp4_mjpeg_real_demux_decode_exact", bool(mp4_ok)),
         ("image_feature_shape", len(feats) == 64 and dims_ok),
@@ -2269,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'jpeg_real_decode_features_exact', TRUE
             UNION ALL SELECT 'jpeg_roundtrip_psnr_bound', TRUE
             UNION ALL SELECT 'wav_real_decode_stats_exact', TRUE
+            UNION ALL SELECT 'ulaw_real_decode_stats_and_snr', TRUE
             UNION ALL SELECT 'y4m_real_demux_frames_exact', TRUE
             UNION ALL SELECT 'mp4_mjpeg_real_demux_decode_exact', TRUE
             UNION ALL SELECT 'image_feature_shape', TRUE

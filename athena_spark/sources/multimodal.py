@@ -206,28 +206,72 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     return riff + fmt + data_hdr + data
 
 
+def ulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 linear → G.711 μ-law bytes (vectorized companding:
+    clip, bias 0x84, segment exponent, 4-bit mantissa, complement)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = (x < 0).astype(np.uint8) << 7
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exponent = (np.frexp(mag.astype(np.float64))[1] - 8).astype(np.int32)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent.astype(np.uint8) << 4)
+              | mantissa.astype(np.uint8))).astype(np.uint8)
+
+
+def ulaw_expand(code: np.ndarray) -> np.ndarray:
+    """G.711 μ-law bytes → int16 linear (the canonical mid-segment
+    reconstruction levels, so expand∘compress∘expand is the
+    identity)."""
+    u = ~np.asarray(code, dtype=np.uint8)
+    t = (((u & 0x0F).astype(np.int32) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE G.711 μ-law bytes (format
+    tag 7, 8 bits per sample — a real ITU compressed-audio codec,
+    2:1 over PCM16; lossy, so tests assert SNR bounds plus exact
+    idempotence on reconstruction levels)."""
+    data = ulaw_compress(samples).tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, sample_rate,
+                      sample_rate, 1, 8)
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff = struct.pack("<4sI4s", b"RIFF",
+                       4 + len(fmt) + len(data_hdr) + len(data), b"WAVE")
+    return riff + fmt + data_hdr + data + (b"\x00" if len(data) & 1 else b"")
+
+
 def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 bytes → (int16 samples, sample_rate).  Walks
-    the chunk list, so extra chunks (LIST/INFO) are tolerated."""
+    """RIFF/WAVE bytes → (int16 samples, sample_rate).  Walks the
+    chunk list, so extra chunks (LIST/INFO) are tolerated.  Handles
+    PCM16 (format 1) exactly and G.711 μ-law (format 7) by expanding
+    to linear int16; other encodings need soundfile/pyav."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    rate, samples = None, None
+    rate, samples, audio_fmt = None, None, None
     while pos + 8 <= len(blob):
         cid, clen = struct.unpack_from("<4sI", blob, pos)
         body = pos + 8
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", blob, body)
             bits = struct.unpack_from("<H", blob, body + 14)[0]
-            if audio_fmt != 1 or channels != 1 or bits != 16:
+            if not ((audio_fmt, bits) in ((1, 16), (7, 8))
+                    and channels == 1):
                 raise NotImplementedError(
-                    f"only 16-bit mono PCM WAV is supported (fmt="
-                    f"{audio_fmt}, channels={channels}, bits={bits}) — "
-                    "other encodings need soundfile/pyav"
+                    f"only mono PCM16 or 8-bit mu-law WAV is supported "
+                    f"(fmt={audio_fmt}, channels={channels}, "
+                    f"bits={bits}) — other encodings need soundfile/pyav"
                 )
         elif cid == b"data":
-            samples = np.frombuffer(blob, "<i2", count=clen // 2,
-                                    offset=body).copy()
+            if audio_fmt is None:
+                raise ValueError("WAV data chunk precedes fmt chunk")
+            if audio_fmt == 7:
+                samples = ulaw_expand(
+                    np.frombuffer(blob, np.uint8, count=clen, offset=body))
+            else:
+                samples = np.frombuffer(blob, "<i2", count=clen // 2,
+                                        offset=body).copy()
         pos = body + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
@@ -334,6 +378,13 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image",
             wave = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
             meta = (None, None, rate, None, "pcm_s16le")
             payload = encode_wav_pcm16(wave, rate)
+        elif modality == "ulaw":
+            rate = 8_000
+            t = np.arange(rate // 4, dtype=np.float64)
+            freq = 300.0 + 40.0 * (i % 8)
+            wave = (np.sin(2 * np.pi * freq * t / rate) * 9000).astype(np.int16)
+            meta = (None, None, rate, None, "ulaw")
+            payload = encode_wav_ulaw(wave, rate)
         elif modality == "audio":
             meta = (None, None, 16_000, None, "fake-pcm")
             payload = rng.bytes(16_000 * 2)
@@ -423,9 +474,9 @@ def decode_and_featurize_audio(
     df: DataFrame, decode_stub: bool = True
 ) -> DataFrame:
     """audio → (media_id, duration_s, rms, zero_cross_rate, peak):
-    REAL decode of ``pcm_s16le`` WAV payloads (pure NumPy), stubbed
-    raw-int16 interpretation for ``fake-pcm`` rows when
-    ``decode_stub=True`` (an MP3/AAC-class codec would need
+    REAL decode of ``pcm_s16le`` and G.711 ``ulaw`` WAV payloads
+    (pure NumPy), stubbed raw-int16 interpretation for ``fake-pcm``
+    rows when ``decode_stub=True`` (an MP3/AAC-class codec would need
     soundfile/pyav), vectorized signal statistics per clip."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -437,7 +488,7 @@ def decode_and_featurize_audio(
                 pdf["media_id"], pdf["media"], pdf["meta"]
             ):
                 codec = meta["codec"]
-                if codec == "pcm_s16le":
+                if codec in ("pcm_s16le", "ulaw"):
                     samples, rate = decode_wav_pcm16(bytes(blob))
                 elif codec == "fake-pcm" and decode_stub:
                     # stub: the fake payload IS raw little-endian int16

@@ -512,6 +512,78 @@ def test_real_jpeg_decode_features(spark):
         assert np.allclose(got[row["media_id"]], want, atol=1e-6)
 
 
+def test_ulaw_codec_properties():
+    """G.711 μ-law companding: known anchor codes, exact idempotence
+    over all 256 reconstruction levels, and a half-quantization-step
+    error bound over the entire int16 range (the property the
+    standard's segment tables guarantee)."""
+    import numpy as np
+
+    from athena_spark.sources.multimodal import ulaw_compress, ulaw_expand
+
+    assert ulaw_compress(np.array([0]))[0] == 0xFF
+    assert ulaw_expand(np.array([0xFF], np.uint8))[0] == 0
+    assert ulaw_compress(np.array([-32768]))[0] == 0x00
+
+    levels = ulaw_expand(np.arange(256, dtype=np.uint8))
+    assert (ulaw_expand(ulaw_compress(levels)) == levels).all()
+
+    x = np.arange(-32768, 32768, dtype=np.int32)
+    y = ulaw_expand(ulaw_compress(x)).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exponent = (np.frexp(mag.astype(np.float64))[1] - 8).astype(np.int32)
+    err = np.abs(y - np.clip(x, -32635, 32635))
+    assert (err <= (1 << (exponent + 3)) // 2).all()
+
+
+def test_ulaw_wav_roundtrip_snr():
+    """μ-law WAV (format tag 7) halves the payload and reconstructs a
+    speech-band sine above 30 dB SNR; decode_wav_pcm16 dispatches on
+    the fmt chunk's format tag."""
+    import numpy as np
+
+    from athena_spark.sources.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        encode_wav_ulaw,
+    )
+
+    rate = 8000
+    t = np.arange(2000)
+    wave = (np.sin(2 * np.pi * 300 * t / rate) * 9000).astype(np.int16)
+    blob = encode_wav_ulaw(wave, rate)
+    assert len(blob) < len(encode_wav_pcm16(wave, rate)) * 0.6
+    back, r2 = decode_wav_pcm16(blob)
+    assert r2 == rate and len(back) == len(wave)
+    snr = 10 * np.log10(np.sum(wave.astype(float) ** 2)
+                        / np.sum((wave.astype(float) - back) ** 2))
+    assert snr > 30.0, snr
+
+
+def test_real_ulaw_audio_features(spark):
+    """Audio featurization over REAL μ-law WAV payloads: pipeline
+    stats must equal direct computation on the expanded samples."""
+    import numpy as np
+
+    from athena_spark.sources.multimodal import (
+        decode_and_featurize_audio,
+        decode_wav_pcm16,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 4, modality="ulaw")
+    got = {r["media_id"]: r
+           for r in decode_and_featurize_audio(
+               media, decode_stub=False).collect()}
+    for row in media.collect():
+        samples, rate = decode_wav_pcm16(bytes(row["media"]))
+        x = samples.astype(np.float64) / 32768.0
+        g = got[row["media_id"]]
+        assert abs(g["rms"] - float(np.sqrt(np.mean(x * x)))) < 1e-12
+        assert abs(g["duration_s"] - len(x) / rate) < 1e-12
+        assert abs(g["peak"] - float(np.abs(x).max())) < 1e-12
+
+
 def test_mp4_mjpeg_mux_demux_byte_exact():
     """The ISO BMFF demuxer must recover every sample byte-exactly by
     walking the real stsz/stsc/stco tables, across chunk layouts
