@@ -34,6 +34,7 @@ from athena_spark.functions.tokenize import arrow_tokenize_batch
 from athena_spark.sketch.hashing import (
     hash64,
     hash64_arrow,
+    segment_sort_unique_mask,
     splitmix64,
     splitmix64_inplace,
     splitmix64_seed_into,
@@ -257,21 +258,14 @@ def _minhash_kernel(
                 sig[long_mask] = sigT.T
                 if with_grams:
                     # distinct gram hashes per doc.  grams is already
-                    # doc-contiguous, so sort each doc's segment in
-                    # place (7.5K ~300-element sorts beat one global
-                    # 2.25M lexsort by ~24x) and mark first occurrences
-                    # with segment-start resets.  grams is a fresh
-                    # boolean-mask copy and dead after this block, so
-                    # in-place is safe.  Output order is identical to
-                    # the old (doc, gram) lexsort: docs ascending,
-                    # grams sorted within each doc.
+                    # doc-contiguous and is a fresh boolean-mask copy,
+                    # dead after this block, so the shared in-place
+                    # segment-sort kernel is safe (7.5K ~300-element
+                    # sorts beat one global 2.25M lexsort by ~24x).
                     g_ends = g_starts + g_counts
-                    for lo, hi in zip(g_starts.tolist(), g_ends.tolist()):
-                        grams[lo:hi].sort()
-                    first = np.empty(len(grams), bool)
-                    first[0] = True
-                    np.not_equal(grams[1:], grams[:-1], out=first[1:])
-                    first[g_starts] = True
+                    first = segment_sort_unique_mask(
+                        grams, g_starts, g_ends
+                    )
                     gram_vals = grams[first]
                     cs = np.cumsum(first, dtype=np.int64)
                     gram_counts[long_idx] = (

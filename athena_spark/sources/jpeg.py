@@ -377,10 +377,23 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     scan_comps = None
     scan_start = None
     n = len(blob)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if blob[pos] != 0xFF:
             raise ValueError("malformed JPEG marker stream")
-        marker = blob[pos + 1]
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code, so skip the whole 0xFF run first
+        while pos < n and blob[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            raise ValueError("truncated JPEG marker stream")
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x00:
+            raise ValueError("malformed JPEG marker stream")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # TEM / RSTn / SOI: standalone, no length field
+        if marker == 0xD9:  # EOI before any SOS
+            break
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -392,8 +405,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "restart intervals (DRI) are not supported — use Pillow"
             )
-        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
-        body = blob[pos + 4 : pos + 2 + seglen]
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment")
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        body = blob[pos + 2 : pos + seglen]
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -440,9 +455,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i]) for i in range(nc)
             ]
-            scan_start = pos + 2 + seglen
+            scan_start = pos + seglen
             break
-        pos += 2 + seglen
+        pos += seglen
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS segment")
     fh, fw, comps = frame

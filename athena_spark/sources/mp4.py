@@ -69,12 +69,20 @@ def _iter_boxes(blob: bytes, start: int, end: int
         pos += size
 
 
-def _find_box(blob: bytes, start: int, end: int, btype: bytes
-              ) -> tuple[int, int]:
+def _try_find_box(blob: bytes, start: int, end: int, btype: bytes
+                  ) -> tuple[int, int] | None:
     for t, s, e in _iter_boxes(blob, start, end):
         if t == btype:
             return s, e
-    raise ValueError(f"MP4 missing required box {btype!r}")
+    return None
+
+
+def _find_box(blob: bytes, start: int, end: int, btype: bytes
+              ) -> tuple[int, int]:
+    found = _try_find_box(blob, start, end, btype)
+    if found is None:
+        raise ValueError(f"MP4 missing required box {btype!r}")
+    return found
 
 
 def demux_mp4(blob: bytes) -> tuple[list[bytes], bytes, int, int, float]:
@@ -146,12 +154,14 @@ def demux_mp4(blob: bytes) -> tuple[list[bytes], bytes, int, int, float]:
     else:
         sizes = list(struct.unpack_from(f">{count}I", blob, s + 8))
 
-    # stco / co64: chunk offsets
-    try:
+    # stco / co64: chunk offsets.  Presence-check first so a corrupt
+    # stco surfaces as its own parse error instead of a misleading
+    # "missing co64".
+    if _try_find_box(blob, *stbl, b"stco") is not None:
         s, e = full_body(b"stco")
         (n_chunks,) = struct.unpack_from(">I", blob, s)
         offsets = list(struct.unpack_from(f">{n_chunks}I", blob, s + 4))
-    except ValueError:
+    else:
         s, e = full_body(b"co64")
         (n_chunks,) = struct.unpack_from(">I", blob, s)
         offsets = list(struct.unpack_from(f">{n_chunks}Q", blob, s + 4))
@@ -185,7 +195,10 @@ def demux_mp4(blob: bytes) -> tuple[list[bytes], bytes, int, int, float]:
         pos = offsets[ci]
         for _ in range(per_chunk):
             if si >= count:
-                break
+                raise ValueError(
+                    "MP4 sample tables inconsistent: stsc chunk walk "
+                    f"declares more than the {count} samples in stsz"
+                )
             size = sizes[si]
             if pos + size > n:
                 raise ValueError(
@@ -229,9 +242,14 @@ def mux_mp4_mjpeg(samples: list[bytes], width: int, height: int,
         pos += sum(len(s) for s in samples[i : i + samples_per_chunk])
     n_chunks = len(offsets)
     tail = count - (n_chunks - 1) * samples_per_chunk
-    runs = [(1, samples_per_chunk, 1)]
-    if n_chunks > 1 and tail != samples_per_chunk:
-        runs.append((n_chunks, tail, 1))
+    if n_chunks == 1:
+        # a lone chunk holds every sample; declaring the nominal
+        # samples_per_chunk would over-declare vs stsz (spec-invalid)
+        runs = [(1, count, 1)]
+    else:
+        runs = [(1, samples_per_chunk, 1)]
+        if tail != samples_per_chunk:
+            runs.append((n_chunks, tail, 1))
 
     entry = (b"\x00" * 6 + struct.pack(">H", 1)     # reserved + data_ref
              + b"\x00" * 16

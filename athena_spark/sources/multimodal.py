@@ -233,12 +233,14 @@ def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
     2:1 over PCM16; lossy, so tests assert SNR bounds plus exact
     idempotence on reconstruction levels)."""
     data = ulaw_compress(samples).tobytes()
+    pad = len(data) & 1  # RIFF pads odd chunks; the enclosing RIFF
     fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, sample_rate,
                       sample_rate, 1, 8)
     data_hdr = struct.pack("<4sI", b"data", len(data))
-    riff = struct.pack("<4sI4s", b"RIFF",
-                       4 + len(fmt) + len(data_hdr) + len(data), b"WAVE")
-    return riff + fmt + data_hdr + data + (b"\x00" if len(data) & 1 else b"")
+    riff = struct.pack("<4sI4s", b"RIFF",  # ... size counts that pad
+                       4 + len(fmt) + len(data_hdr) + len(data) + pad,
+                       b"WAVE")
+    return riff + fmt + data_hdr + data + (b"\x00" * pad)
 
 
 def decode_wav_pcm16(blob: bytes) -> tuple[np.ndarray, int]:

@@ -864,3 +864,116 @@ def test_audio_featurizer_stub_path(spark):
     assert all(r["duration_s"] == pytest.approx(1.0) for r in rows)
     with pytest.raises(Exception, match="soundfile"):
         decode_and_featurize_audio(fake, decode_stub=False).collect()
+
+
+def test_mp4_stsc_single_underfull_chunk_is_spec_valid():
+    """A lone chunk holding fewer samples than the nominal
+    samples_per_chunk must declare its true count in stsc, so the
+    sample tables are internally consistent (stsc chunk walk == stsz
+    count) for strict external demuxers, not just our lenient one."""
+    import struct
+
+    from athena_spark.sources.jpeg import encode_jpeg
+    from athena_spark.sources.mp4 import (_find_box, _iter_boxes,
+                                          demux_mp4, mux_mp4_mjpeg)
+    from athena_spark.sources.multimodal import jpeg_test_image
+
+    frames = [encode_jpeg(jpeg_test_image(16, 16, seed=70 + i))
+              for i in range(2)]
+    blob = mux_mp4_mjpeg(frames, 16, 16, samples_per_chunk=3)
+    top = {t: (s, e) for t, s, e in _iter_boxes(blob, 0, len(blob))}
+    stbl = blob, *_find_box(
+        blob, *_find_box(
+            blob, *_find_box(
+                blob, *_find_box(blob, *top[b"moov"], b"trak"),
+                b"mdia"),
+            b"minf"),
+        b"stbl")
+    stsc_s, _ = _find_box(*stbl, b"stsc")
+    n_runs, first, spc, desc = struct.unpack_from(
+        ">IIII", blob, stsc_s + 4)
+    assert (n_runs, first, spc, desc) == (1, 1, 2, 1)
+    assert demux_mp4(blob)[0] == frames
+
+
+def test_mp4_demux_rejects_overdeclaring_stsc_and_corrupt_stco():
+    """The chunk walk must reject sample tables whose stsc declares
+    more samples than stsz (corrupt files previously slid through a
+    lenient break), and a present-but-corrupt stco must surface as a
+    malformed-box error, not a misleading 'missing co64'."""
+    import struct
+
+    import pytest
+
+    from athena_spark.sources.jpeg import encode_jpeg
+    from athena_spark.sources.mp4 import (_find_box, _iter_boxes,
+                                          demux_mp4, mux_mp4_mjpeg)
+    from athena_spark.sources.multimodal import jpeg_test_image
+
+    frames = [encode_jpeg(jpeg_test_image(16, 16, seed=80 + i))
+              for i in range(2)]
+    blob = mux_mp4_mjpeg(frames, 16, 16, samples_per_chunk=3)
+    top = {t: (s, e) for t, s, e in _iter_boxes(blob, 0, len(blob))}
+    stbl_bounds = _find_box(
+        blob, *_find_box(
+            blob, *_find_box(
+                blob, *_find_box(blob, *top[b"moov"], b"trak"),
+                b"mdia"),
+            b"minf"),
+        b"stbl")
+    stsc_s, _ = _find_box(blob, *stbl_bounds, b"stsc")
+    over = bytearray(blob)
+    struct.pack_into(">I", over, stsc_s + 12, 3)  # spc 2 -> 3
+    with pytest.raises(ValueError, match="more than"):
+        demux_mp4(bytes(over))
+
+    stco_s, _ = _find_box(blob, *stbl_bounds, b"stco")
+    bad = bytearray(blob)
+    struct.pack_into(">I", bad, stco_s - 8, 0xFFFFFF)  # bogus box size
+    with pytest.raises(ValueError, match="malformed MP4 box"):
+        demux_mp4(bytes(bad))
+
+
+def test_jpeg_decoder_accepts_fill_bytes_and_tem():
+    """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code, and TEM (0xFF01) is parameterless; conforming
+    streams from other encoders use both, so the marker walk must not
+    misread them as lengths."""
+    from athena_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from athena_spark.sources.multimodal import jpeg_test_image
+
+    px = jpeg_test_image(24, 16, seed=9)
+    blob = encode_jpeg(px, quality=90)
+    base = decode_jpeg(blob)
+    # fill bytes right after SOI
+    assert (decode_jpeg(blob[:2] + b"\xff\xff\xff" + blob[2:])
+            == base).all()
+    # a standalone TEM marker between segments
+    assert (decode_jpeg(blob[:2] + b"\xff\x01" + blob[2:]) == base).all()
+    # a fill byte immediately before SOS
+    i = blob.index(b"\xff\xda")
+    assert (decode_jpeg(blob[:i] + b"\xff" + blob[i:]) == base).all()
+
+
+def test_ulaw_wav_odd_length_riff_size_counts_pad():
+    """RIFF ckSize must include the pad byte appended after an
+    odd-length data chunk (RIFF word alignment), so strict parsers see
+    a self-consistent file; the decoder still round-trips exactly."""
+    import struct
+
+    import numpy as np
+
+    from athena_spark.sources.multimodal import (decode_wav_pcm16,
+                                                 encode_wav_ulaw,
+                                                 ulaw_compress,
+                                                 ulaw_expand)
+
+    x = ulaw_expand(ulaw_compress(
+        (np.arange(2001, dtype=np.int64) * 31 % 4001 - 2000
+         ).astype(np.int16)))
+    blob = encode_wav_ulaw(x, 8000)
+    assert len(blob) % 2 == 0
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    assert riff_size == len(blob) - 8
+    back, rate = decode_wav_pcm16(blob)
+    assert rate == 8000 and np.array_equal(back, x)
