@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from athena_spark.functions.text import curation_features
-from athena_spark.operators.dedup import DEFAULT_MAX_DOC_FREQ, minhash_dedup_pairs
+from athena_spark.operators.dedup import (DEFAULT_MAX_DOC_FREQ,
+                                          _materialize,
+                                          minhash_dedup_pairs)
 
 
 def curate_corpus(
@@ -35,6 +37,7 @@ def curate_corpus(
     ngram: int = 3,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     with_features: bool = False,
+    materialize: str = "local",
 ) -> DataFrame:
     """Surviving document ids after the four curation stages.
 
@@ -55,10 +58,11 @@ def curate_corpus(
        pred_lang) rows — no text — are materialized eagerly so the
        four downstream consumers (exact-keep group, survivor set,
        near-dup anti-join, optional feature output) never re-evaluate
-       the gate over the corpus.  localCheckpoint is the local-mode
-       materialization; at corpus scale write this thin table to
-       storage instead (localCheckpoint blocks are non-replicated —
-       a lost executor makes them unrecomputable).
+       the gate over the corpus.  The default ``materialize="local"``
+       uses localCheckpoint (blocks are non-replicated — a lost
+       executor makes them unrecomputable); corpus-scale cluster runs
+       should pass ``materialize="reliable"`` to checkpoint the thin
+       tables to fault-tolerant storage instead.
     2. the MinHash kernel reads the surviving docs' text and emits
        band buckets + verification gram hashes from a single Arrow
        tokenize pass (``minhash_dedup_pairs``).
@@ -68,10 +72,13 @@ def curate_corpus(
     ).where(F.col("q_score") >= min_quality)
     if keep_langs is not None:
         feats = feats.where(F.col("pred_lang").isin(list(keep_langs)))
-    feats = feats.select(
-        id_col, F.sha2(F.col(text_col), 256).alias("_sha"),
-        "q_score", "pred_lang",
-    ).localCheckpoint(eager=True)
+    feats = _materialize(
+        feats.select(
+            id_col, F.sha2(F.col(text_col), 256).alias("_sha"),
+            "q_score", "pred_lang",
+        ),
+        materialize,
+    )
     # stage 3: exact dedup on the materialized (id, sha) rows only
     exact_keep = (
         feats.groupBy("_sha").agg(F.min(id_col).alias(id_col)).select(id_col)
@@ -83,7 +90,7 @@ def curate_corpus(
     surv_docs = df.select(id_col, text_col).join(surv_ids, id_col, "left_semi")
     near_pairs = minhash_dedup_pairs(
         surv_docs, id_col, text_col, n=ngram, threshold=near_dup_threshold,
-        max_doc_freq=max_doc_freq,
+        max_doc_freq=max_doc_freq, materialize=materialize,
     )
     losers = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
     keep = surv_ids.join(losers, id_col, "left_anti")

@@ -52,6 +52,39 @@ from athena_spark.sketch.hashing import (
 DEFAULT_MAX_DOC_FREQ = 100_000
 
 
+def _materialize(out: DataFrame, mode: str) -> DataFrame:
+    """Eagerly materialize a result so upstream caches can be released
+    before returning.
+
+    ``mode="local"`` (the default everywhere): ``localCheckpoint`` —
+    fastest, but blocks live non-replicated on executors and lineage
+    is truncated, so on a real cluster a lost executor makes the
+    result unrecomputable.  Fine in local mode and for short-lived
+    results.
+
+    ``mode="reliable"``: ``DataFrame.checkpoint`` — blocks are written
+    to the SparkContext checkpoint directory (HDFS/S3 on a cluster),
+    surviving executor loss.  The right choice for corpus-scale runs;
+    requires ``spark.sparkContext.setCheckpointDir(...)`` first, and
+    this helper raises a descriptive error when it is unset rather
+    than Spark's bare failure.
+    """
+    if mode == "reliable":
+        sc = out.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                'materialize="reliable" needs a checkpoint directory: '
+                "call spark.sparkContext.setCheckpointDir(<fault-"
+                "tolerant path>) first"
+            )
+        return out.checkpoint(eager=True)
+    if mode == "local":
+        return out.localCheckpoint(eager=True)
+    raise ValueError(
+        f'materialize must be "local" or "reliable", got {mode!r}'
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical documents: (text_sha, n_dups,
     min_id).  Only hashes shuffle."""
@@ -98,6 +131,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word-``n``-gram sets:
     (id_a, id_b, jaccard), a < b.
@@ -116,10 +150,10 @@ def ngram_jaccard_pairs(
     the intended behavior (an unguarded hot shingle contributes
     O(df^2) join rows).
 
-    The result is materialized eagerly (localCheckpoint) so the
-    cached shingle table can be released before returning; see the
-    fault-tolerance note in :func:`minhash_dedup_pairs` — at corpus
-    scale write the pair set to storage instead.
+    The result is materialized eagerly so the cached shingle table
+    can be released before returning; ``materialize="reliable"``
+    checkpoints it to fault-tolerant storage for corpus-scale runs
+    (see :func:`_materialize`).
     """
     sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
@@ -145,7 +179,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    out = out.localCheckpoint(eager=True)
+    out = _materialize(out, materialize)
     sh.unpersist()
     return out
 
@@ -368,6 +402,7 @@ def minhash_dedup_pairs(
     num_perm: int = 128,
     bands: int = 32,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline with exact verification:
     signatures → banded candidates → exact n-gram Jaccard on the
@@ -462,15 +497,13 @@ def minhash_dedup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    # the verified pair set is small (near-dup pairs); localCheckpoint
-    # materializes it so the kernel-output cache can be dropped
-    # immediately.  NOTE (fault tolerance): localCheckpoint truncates
-    # lineage and stores blocks non-replicated on executors — fine in
-    # local mode and for short-lived results; at corpus scale on a
-    # real cluster, write the pair set out (reliable checkpoint /
-    # parquet) instead, since a lost executor makes a localCheckpoint
-    # result unrecomputable.
-    out = out.localCheckpoint(eager=True)
+    # the verified pair set is small (near-dup pairs); eager
+    # materialization lets the kernel-output cache drop immediately.
+    # Default "local" is fine in local mode and for short-lived
+    # results; corpus-scale cluster runs should pass
+    # materialize="reliable" (see _materialize's fault-tolerance
+    # contrast).
+    out = _materialize(out, materialize)
     sg.unpersist()
     return out
 
@@ -484,6 +517,7 @@ def dedup_corpus(
     num_perm: int = 128,
     bands: int = 32,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
 ) -> DataFrame:
     """End-to-end corpus dedup: drop exact duplicates (keep the min
     id per byte-identical group), then drop near-duplicates via
@@ -503,6 +537,7 @@ def dedup_corpus(
     near_pairs = minhash_dedup_pairs(
         survivors, id_col, text_col, n=n, threshold=threshold,
         num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
+        materialize=materialize,
     )
     losers = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return survivors.join(losers, id_col, "left_anti")
@@ -511,6 +546,7 @@ def dedup_corpus(
 def dup_components(
     pairs: DataFrame,
     max_iters: int = 15,
+    materialize: str = "local",
 ) -> DataFrame:
     """Connected components of the near-dup pair graph:
     (node, component) where component = min doc id reachable.
@@ -526,7 +562,8 @@ def dup_components(
     )
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    edges = _materialize(edges, materialize)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node"))
@@ -545,8 +582,8 @@ def dup_components(
                     F.col("component"), F.coalesce("nc", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _materialize(new_labels, materialize)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -577,6 +614,7 @@ def dedup_corpus_components(
     num_perm: int = 128,
     bands: int = 32,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
 ) -> DataFrame:
     """Component-based corpus dedup: exact dedup, then keep exactly
     ONE representative (the min id) per connected component of the
@@ -597,8 +635,9 @@ def dedup_corpus_components(
     near_pairs = minhash_dedup_pairs(
         survivors, id_col, text_col, n=n, threshold=threshold,
         num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
+        materialize=materialize,
     )
-    comps = dup_components(near_pairs)
+    comps = dup_components(near_pairs, materialize=materialize)
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

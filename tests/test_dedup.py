@@ -414,3 +414,43 @@ def test_hashing_inplace_helpers_bit_parity():
         hash64(withnull.to_numpy(zero_copy_only=False)),
     )
     assert hash64_arrow(pa.array([], pa.string())).shape == (0,)
+
+
+def test_reliable_materialization_mode(spark, docs, tmp_path):
+    """materialize="reliable" must checkpoint results to the
+    SparkContext checkpoint dir (surviving executor loss on a real
+    cluster) with identical output to the default local mode, raise a
+    descriptive error when the dir is unset, and reject bad modes."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.5, bands=64,
+                                  materialize="reliable")
+    with pytest.raises(ValueError, match="local.*reliable"):
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                  materialize="parquet")
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    key = lambda df: sorted(map(tuple, df.collect()))
+    local = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.5, bands=64)
+    rel = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3,
+                                    threshold=0.5, bands=64,
+                                    materialize="reliable")
+    assert key(local) == key(rel) and key(rel)
+    ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+    assert any(f.is_file() for f in ckpt_files)
+
+    from athena_spark.operators.curate import curate_corpus
+    cl = curate_corpus(docs, "doc_id", "text", min_quality=0.0,
+                       near_dup_threshold=0.5)
+    cr = curate_corpus(docs, "doc_id", "text", min_quality=0.0,
+                       near_dup_threshold=0.5, materialize="reliable")
+    assert key(cl) == key(cr)
+    comp_l = dedup.dedup_corpus_components(docs, "doc_id", "text",
+                                           threshold=0.5, bands=64)
+    comp_r = dedup.dedup_corpus_components(docs, "doc_id", "text",
+                                           threshold=0.5, bands=64,
+                                           materialize="reliable")
+    assert key(comp_l) == key(comp_r)
