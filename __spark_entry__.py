@@ -1422,6 +1422,63 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+# deterministic train/val/test weights shared by the Spark query and
+# its DuckDB oracle (thresholds are embedded as identical hex literals)
+_SPLIT_SPEC = [("train", 8.0), ("val", 1.0), ("test", 1.0)]
+_SPLIT_SEED = 7
+_MIX_SEED = 3
+_PACK_MAX_TOKENS = 512
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (80/10/10):
+    sha256("<id>:<seed>") hex-prefix thresholds, so the split is
+    stable under repartitioning and reproducible by any engine —
+    exact DuckDB oracle recomputes every assignment independently.
+    Shuffle-free narrow projection (no randomSplit partition-layout
+    dependence)."""
+    from athena_spark.operators.trainprep import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id",
+        _SPLIT_SPEC, seed=_SPLIT_SEED,
+    ).select("doc_id", "split")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture (the data-mixing step of a training
+    pipeline): even-id docs at weight 1.5 (one full pass + a
+    deterministic half-rate oversampling replica), odd-id docs at
+    weight 0.25 (deterministic down-sampling).  Selection hashes
+    (id, seed, replica) — exact DuckDB oracle reproduces the full
+    row multiset including replica tags."""
+    from athena_spark.operators.trainprep import mix_corpora
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    return mix_corpora(
+        [("even", even, 1.5), ("odd", odd, 0.25)],
+        "doc_id", seed=_MIX_SEED,
+    ).select("mix_source", "replica", "doc_id")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents laid out in id
+    order and cut into 512-token training chunks; per-doc global
+    token offset and occupied chunk span.  The running count is a
+    two-phase distributed prefix sum (range partition + partial sums
+    + partition-local window), never a global single-partition
+    window; the oracle recomputes it with a SQL window cumsum."""
+    from athena_spark.functions.text import token_count_col
+    from athena_spark.operators.trainprep import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count_col("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", _PACK_MAX_TOKENS)
+
+
 def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-based dedup: one representative (min id) per
     connected component of the near-dup graph (J >= 0.8), after exact
@@ -1948,6 +2005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_parity": q_streaming_neardup_parity,
         "text_input_parity": q_text_input_parity,
         "dedup_corpus_components": q_dedup_corpus_components,
+        "corpus_split": q_corpus_split,
+        "corpus_mix": q_corpus_mix,
+        "sequence_packing": q_sequence_packing,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "sessionization": q_sessionization,
@@ -1967,6 +2027,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from athena_spark.operators.trainprep import (fraction_to_hex,
+                                                  split_thresholds_hex)
+
+    # the exact hex literals the Spark queries compare against
+    _t_train, _t_val = split_thresholds_hex(_SPLIT_SPEC)
+    _mix_half = fraction_to_hex(0.5)
+    _mix_quarter = fraction_to_hex(0.25)
     return {
         "ss_topk_tokens": f"""
             SELECT token, COUNT(*) AS est_count, 0 AS err
@@ -2273,6 +2340,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'naive_within_6_sigma' AS "check", TRUE AS ok
             UNION ALL SELECT 'alias_within_6_sigma', TRUE
             UNION ALL SELECT 'discretization_within_6_sigma', TRUE
+        """,
+        "corpus_split": f"""
+            SELECT doc_id,
+                   CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)
+                                           || ':{_SPLIT_SEED}'), 1, 8)
+                             < '{_t_train}' THEN 'train'
+                        WHEN substr(sha256(CAST(doc_id AS VARCHAR)
+                                           || ':{_SPLIT_SEED}'), 1, 8)
+                             < '{_t_val}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "corpus_mix": f"""
+            SELECT 'even' AS mix_source, 0 AS replica, doc_id
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'even', 1, doc_id
+            FROM documents WHERE doc_id % 2 = 0
+              AND substr(sha256(CAST(doc_id AS VARCHAR)
+                                || ':{_MIX_SEED}:1'), 1, 8)
+                  < '{_mix_half}'
+            UNION ALL
+            SELECT 'odd', 0, doc_id
+            FROM documents WHERE doc_id % 2 = 1
+              AND substr(sha256(CAST(doc_id AS VARCHAR)
+                                || ':{_MIX_SEED}:0'), 1, 8)
+                  < '{_mix_quarter}'
+        """,
+        "sequence_packing": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(
+                               replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                               ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_tokens
+                            AS BIGINT) AS "offset"
+                FROM toks
+            )
+            SELECT doc_id, n_tokens, "offset",
+                   CAST("offset" // {_PACK_MAX_TOKENS} AS BIGINT)
+                       AS first_chunk,
+                   CAST(("offset" + greatest(n_tokens, 1) - 1)
+                        // {_PACK_MAX_TOKENS} AS BIGINT) AS last_chunk
+            FROM cum
         """,
         "text_input_parity": """
             SELECT 'text_reader_counts_match_parquet' AS "check", TRUE AS ok

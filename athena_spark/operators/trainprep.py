@@ -1,0 +1,246 @@
+"""Training-data preparation operators: deterministic corpus
+splitting, weighted dataset mixing, and sequence packing.
+
+These are the standard ops between a curated corpus and a training
+run (reference scope: the reference trains directly from token files,
+`src/_io.cpp:21-76` / `src/spacesaving-word2vec-train.cpp`; batch
+preparation of the corpus itself is out of its scope, so these are
+engine extensions in the LLM-pipeline family, like the dedup and
+curation operators).
+
+Everything here is deterministic and seedable with NO RNG state: all
+randomness is derived from ``sha256(id ':' seed [':' replica])``, so
+
+- results are reproducible across runs, partitionings and cluster
+  sizes (no ``rand()``, whose value depends on row/partition order),
+- any engine can reproduce the assignment exactly (the driver's
+  DuckDB oracles compute the same hex-prefix comparisons),
+- membership of one row can be audited without scanning the corpus.
+
+Scale shape: ``hash_split`` and ``mix_corpora`` are narrow
+projections/filters — no shuffle at all.  ``pack_sequences`` needs a
+global running token count; it uses the textbook two-phase
+distributed prefix sum (range-partition by id, per-partition partial
+sums collected to the driver — one tiny row per partition — then a
+partition-local window cumsum plus the broadcast prefix offsets)
+instead of a single-partition global window, which would serialize
+the corpus through one task at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# fractions are compared as 8-hex-digit prefixes of sha256 output:
+# 32 bits of the hash interpreted as a uniform draw in [0, 1)
+_HEX_BITS = 32
+_HEX_DIGITS = 8
+
+
+def fraction_to_hex(fraction: float) -> str:
+    """[0, 1] → the 8-hex-digit threshold string such that
+    ``substr(sha256(key), 1, 8) < threshold`` holds for ~``fraction``
+    of uniformly hashed keys.  1.0 maps to 'g' (> every hex digit),
+    so a full-weight bucket keeps everything."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return "g" * _HEX_DIGITS  # lexicographically above any hex
+    return format(int(fraction * (1 << _HEX_BITS)), f"0{_HEX_DIGITS}x")
+
+
+def _frac_hex_col(id_col: str, seed: int, replica: int | None = None):
+    """The 8-hex-digit uniform draw for a row: lowercase hex prefix of
+    sha256("<id>:<seed>[:<replica>]") — byte-identical in Spark's
+    ``sha2`` and DuckDB's ``sha256``."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + str(int(seed))))
+    if replica is not None:
+        key = F.concat(key, F.lit(":" + str(int(replica))))
+    # F.concat propagates null ids (like SQL ||), so a null id hashes
+    # to null and falls through to the CASE else / gets filtered —
+    # identical semantics in the DuckDB oracles
+    return F.substring(F.sha2(key, 256), 1, _HEX_DIGITS)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test)
+    by hashed id — deterministic, shuffle-free, and stable under
+    repartitioning (unlike ``randomSplit``, whose assignment depends
+    on partition layout).
+
+    ``splits`` is an ordered list of (name, weight); weights are
+    normalized.  A row lands in the first split whose cumulative
+    hex threshold exceeds its hash draw.
+    """
+    if not splits:
+        raise ValueError("splits must be a non-empty list of (name, weight)")
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    weights = [float(w) for _, w in splits]
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError(f"weights must be >= 0 with a positive sum: {weights}")
+    total = sum(weights)
+    frac = _frac_hex_col(id_col, seed)
+    expr = F.lit(names[-1])  # the last split absorbs rounding slack
+    cum = 0.0
+    thresholds = []
+    for name, w in splits[:-1]:
+        cum += w / total
+        thresholds.append((name, fraction_to_hex(cum)))
+    for name, hx in reversed(thresholds):
+        expr = F.when(frac < F.lit(hx), name).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_thresholds_hex(splits: Sequence[tuple[str, float]]) -> list[str]:
+    """The cumulative hex thresholds ``hash_split`` compares against —
+    exposed so SQL oracles can embed the exact same literals."""
+    total = sum(float(w) for _, w in splits)
+    out, cum = [], 0.0
+    for _, w in splits[:-1]:
+        cum += float(w) / total
+        out.append(fraction_to_hex(cum))
+    return out
+
+
+def mix_corpora(
+    sources: Sequence[tuple[str, DataFrame, float]],
+    id_col: str,
+    seed: int = 0,
+    source_col: str = "mix_source",
+    replica_col: str = "replica",
+    max_weight: float = 64.0,
+) -> DataFrame:
+    """Weighted mixture of corpora — the data-mixing step of a
+    training pipeline.  ``sources`` is (name, df, weight) with weight
+    = expected copies of each row in the mixture:
+
+    - weight 0.25: deterministically keep ~25% of rows,
+    - weight 1.0: keep everything once,
+    - weight 2.5: every row twice, plus a ~50% third copy
+      (oversampling epochs, each replica tagged in ``replica_col``).
+
+    Selection hashes (id, seed, replica), so mixtures are exactly
+    reproducible and independent of row order; schemas must be
+    union-compatible.  No shuffle: each replica is one filtered scan.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    names = [n for n, _, _ in sources]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate source names: {names}")
+    out = None
+    for name, df, weight in sources:
+        weight = float(weight)
+        if not 0 < weight <= max_weight:
+            raise ValueError(
+                f"source {name!r}: weight must be in (0, {max_weight}], "
+                f"got {weight} (each unit of weight is a full pass over "
+                "the source)"
+            )
+        replica = 0
+        while weight > 0:
+            rate = min(1.0, weight)
+            part = df.withColumn(source_col, F.lit(name)).withColumn(
+                replica_col, F.lit(replica)
+            )
+            if rate < 1.0:
+                part = part.where(
+                    _frac_hex_col(id_col, seed, replica)
+                    < F.lit(fraction_to_hex(rate))
+                )
+            out = part if out is None else out.unionByName(part)
+            weight -= rate
+            replica += 1
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    max_tokens: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid out
+    end-to-end in ``id_col`` order and cut into fixed
+    ``max_tokens``-sized training chunks; each doc's global token
+    offset determines the chunk span it occupies:
+
+    (id, n_tokens, offset, first_chunk, last_chunk)
+
+    where ``offset`` is the running token count before the doc,
+    ``first_chunk = offset // max_tokens`` and ``last_chunk =
+    (offset + max(n_tokens, 1) - 1) // max_tokens`` (an empty doc
+    occupies its boundary chunk).  A doc whose span crosses a chunk
+    boundary is split across chunks, exactly like token-level
+    pretraining packing.
+
+    The global running count is a two-phase distributed prefix sum:
+    range-partition by id, collect ONE partial-sum row per partition
+    (bounded driver traffic), then partition-local window cumsum +
+    broadcast prefix offsets.  No global single-partition window.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(id_col, n_tokens_col)
+        .repartitionByRange(p, F.col(id_col))
+        .withColumn("_part", F.spark_partition_id())
+    )
+    # RangePartitioner maps ascending id ranges to ascending partition
+    # ids, so partition p's prefix is the sum of partials 0..p-1.
+    partials = d.groupBy("_part").agg(
+        F.sum(n_tokens_col).alias("_psum")
+    ).collect()
+    if not partials:
+        return d.select(
+            F.col(id_col),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("offset"),
+            F.lit(0).cast("long").alias("first_chunk"),
+            F.lit(0).cast("long").alias("last_chunk"),
+        )
+    prefix: dict[int, int] = {}
+    acc = 0
+    for row in sorted(partials, key=lambda r: r["_part"]):
+        prefix[row["_part"]] = acc
+        acc += int(row["_psum"])
+    prefix_map = F.create_map(
+        *[F.lit(x) for kv in prefix.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy("_part")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(n_tokens_col).cast("long")
+    offset = (
+        prefix_map[F.col("_part")]
+        + F.sum(n).over(w)
+        - n
+    ).alias("offset")
+    out = d.select(F.col(id_col), n.alias("n_tokens"), offset)
+    # integer `div`, not floor(double /): exact at any corpus size
+    # (float division loses integers above 2^53)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "offset",
+        F.expr(f"offset div {int(max_tokens)}").cast("long")
+        .alias("first_chunk"),
+        F.expr(
+            f"(offset + greatest(n_tokens, 1L) - 1) div {int(max_tokens)}"
+        ).cast("long").alias("last_chunk"),
+    )

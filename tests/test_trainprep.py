@@ -1,0 +1,164 @@
+"""Training-prep operator tests: hash splitting, corpus mixing,
+sequence packing — determinism, proportions, local-oracle parity,
+and scale-shape (no global single-partition window)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators.trainprep import (
+    fraction_to_hex,
+    hash_split,
+    mix_corpora,
+    pack_sequences,
+    split_thresholds_hex,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"doc {i} " + "tok " * (i % 37)) for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def local_frac_hex(doc_id, seed, replica=None):
+    key = f"{doc_id}:{seed}" + (f":{replica}" if replica is not None else "")
+    return hashlib.sha256(key.encode()).hexdigest()[:8]
+
+
+def test_fraction_to_hex_bounds():
+    assert fraction_to_hex(0.0) == "00000000"
+    assert fraction_to_hex(0.5) == "80000000"
+    assert fraction_to_hex(1.0) == "gggggggg"
+    assert local_frac_hex(0, 0) < "gggggggg"  # 1.0 keeps everything
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        fraction_to_hex(1.5)
+
+
+def test_hash_split_matches_local_oracle_and_is_deterministic(spark, corpus):
+    splits = [("train", 8.0), ("val", 1.0), ("test", 1.0)]
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(corpus, "doc_id", splits, seed=7).collect()
+    }
+    t_train, t_val = split_thresholds_hex(splits)
+    want = {}
+    for i in range(2000):
+        h = local_frac_hex(i, 7)
+        want[i] = "train" if h < t_train else ("val" if h < t_val else "test")
+    assert got == want
+    # proportions near weights (hash-uniformity at n=2000)
+    counts = {s: sum(1 for v in got.values() if v == s)
+              for s in ("train", "val", "test")}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.04
+    # repartitioning does not change the assignment (unlike randomSplit)
+    re = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(corpus.repartition(17), "doc_id", splits,
+                            seed=7).collect()
+    }
+    assert re == got
+    # different seed → different assignment
+    other = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(corpus, "doc_id", splits, seed=8).collect()
+    }
+    assert other != got
+
+
+def test_hash_split_validation(spark, corpus):
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(corpus, "doc_id", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        hash_split(corpus, "doc_id", [("a", 1.0), ("a", 1.0)])
+    with pytest.raises(ValueError, match="positive sum"):
+        hash_split(corpus, "doc_id", [("a", 0.0), ("b", 0.0)])
+
+
+def test_mix_corpora_rates_and_oversampling(spark, corpus):
+    a = corpus.where(F.col("doc_id") % 2 == 0)
+    b = corpus.where(F.col("doc_id") % 2 == 1)
+    out = mix_corpora(
+        [("a", a, 2.5), ("b", b, 0.25)], "doc_id", seed=3
+    ).collect()
+    got = {(r["mix_source"], r["replica"], r["doc_id"]) for r in out}
+    assert len(got) == len(out)  # (source, replica, id) unique
+    want = set()
+    for i in range(0, 2000, 2):  # source a, weight 2.5
+        want.add(("a", 0, i))
+        want.add(("a", 1, i))
+        if local_frac_hex(i, 3, 2) < fraction_to_hex(0.5):
+            want.add(("a", 2, i))
+    for i in range(1, 2000, 2):  # source b, weight 0.25
+        if local_frac_hex(i, 3, 0) < fraction_to_hex(0.25):
+            want.add(("b", 0, i))
+    assert got == want
+    n_b = sum(1 for s, _, _ in got if s == "b")
+    assert abs(n_b / 1000 - 0.25) < 0.05
+    with pytest.raises(ValueError, match="weight"):
+        mix_corpora([("a", a, 0.0)], "doc_id")
+    with pytest.raises(ValueError, match="duplicate"):
+        mix_corpora([("a", a, 1.0), ("a", b, 1.0)], "doc_id")
+
+
+def test_pack_sequences_matches_sequential_oracle(spark):
+    n_docs, max_tokens = 500, 64
+    lens = [(i * 13 + 5) % 41 for i in range(n_docs)]  # includes 0-token docs
+    df = spark.createDataFrame(
+        [(i, lens[i]) for i in range(n_docs)], "doc_id long, n_tokens long"
+    )
+    for parts in (1, 7, 32):
+        rows = {
+            r["doc_id"]: r
+            for r in pack_sequences(df, "doc_id", "n_tokens", max_tokens,
+                                    num_partitions=parts).collect()
+        }
+        off = 0
+        for i in range(n_docs):
+            r = rows[i]
+            assert r["offset"] == off, (parts, i)
+            assert r["first_chunk"] == off // max_tokens
+            assert r["last_chunk"] == (off + max(lens[i], 1) - 1) // max_tokens
+            off += lens[i]
+        assert len(rows) == n_docs
+
+
+def test_pack_sequences_chunk_spans_tile_the_stream(spark):
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", 100, num_partitions=8)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    # every chunk from 0..last is covered by at least one doc span
+    covered = set()
+    for r in rows:
+        covered.update(range(r["first_chunk"], r["last_chunk"] + 1))
+    assert covered == set(range((100 * 30 + 99) // 100))
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(df, "doc_id", "n_tokens", 0)
+
+
+def test_pack_sequences_plan_has_no_global_single_partition_window(spark):
+    """The scale guarantee: the prefix sum must NOT compile to a
+    global (empty-partition-spec) window, which would serialize the
+    corpus through one task; the window must be partition-local."""
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    plan = pack_sequences(df, "doc_id", "n_tokens", 50,
+                          num_partitions=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_part" in line, f"global window found: {line}"
+
+
+def test_pack_sequences_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", 128)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "offset", "first_chunk", "last_chunk"
+    ]
