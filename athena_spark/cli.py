@@ -15,6 +15,10 @@ Subcommands:
 * ``sketch``     — any mergeable sketch over a column (hll/cms/kll/tdigest/reservoir/bloom)
 * ``train-embeddings`` — E3: streaming SGNS, writes (word, count, vec)
   parquet and optionally a word2vec-format binary dump (E4)
+* ``curate``     — composite corpus curation (quality/langid/dedup)
+* ``split``      — deterministic hash train/val/test split
+* ``mix``        — weighted multi-corpus mixture (oversampling replicas)
+* ``pack``       — sequence packing (global offsets + chunk spans)
 * ``package``    — build the --py-files zip
 """
 
@@ -85,6 +89,29 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-doc-freq", type=int, default=-1,
                    help="Zipf shingle guard; -1 = library default, "
                         "0 = disabled")
+
+    sp = sub.add_parser("split")
+    common(sp)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--splits", default="train=0.8,val=0.1,test=0.1",
+                    help="comma-separated name=weight list (ordered)")
+    sp.add_argument("--seed", type=int, default=0)
+
+    m = sub.add_parser("mix")
+    m.add_argument("--source", action="append", required=True,
+                   dest="sources", metavar="NAME=WEIGHT=PATH",
+                   help="repeatable; weight > 1 oversamples "
+                        "(full replicas + a deterministic partial one)")
+    m.add_argument("--format", default="parquet")
+    m.add_argument("--id-col", default="doc_id")
+    m.add_argument("--output", default=None)
+    m.add_argument("--master", default=None)
+    m.add_argument("--seed", type=int, default=0)
+
+    k = sub.add_parser("pack")
+    common(k)
+    k.add_argument("--id-col", default="doc_id")
+    k.add_argument("--max-tokens", type=int, default=2048)
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -315,6 +342,99 @@ def cmd_curate(args) -> None:
             print(row[args.id_col])
 
 
+def cmd_split(args) -> None:
+    """Deterministic hash split: write split-partitioned parquet (or
+    print assignments); per-split counts go to stderr as JSON."""
+    from athena_spark.operators.trainprep import hash_split
+    from athena_spark.sources.corpus import read_corpus
+
+    try:
+        splits = [(n, float(w)) for n, w in
+                  (part.split("=", 1) for part in args.splits.split(","))]
+    except ValueError as exc:
+        raise SystemExit(f"bad --splits {args.splits!r}: {exc}")
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = hash_split(df, args.id_col, splits, seed=args.seed)
+    if args.output:
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        counts = spark.read.parquet(args.output).groupBy("split").count()
+        rows = None
+    else:
+        counts = out.groupBy("split").count()
+        rows = out.select(args.id_col, "split").collect()
+    print(json.dumps({r["split"]: r["count"] for r in counts.collect()}),
+          file=sys.stderr)
+    if rows is not None:
+        for row in rows:
+            print(f'{row[args.id_col]}\t{row["split"]}')
+
+
+def cmd_mix(args) -> None:
+    """Weighted corpus mixture over several inputs; per-(source,
+    replica) counts go to stderr as JSON."""
+    from athena_spark.operators.trainprep import mix_corpora
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    sources = []
+    for spec in args.sources:
+        try:
+            name, weight, path = spec.split("=", 2)
+            sources.append(
+                (name, read_corpus(spark, path, fmt=args.format),
+                 float(weight))
+            )
+        except ValueError as exc:
+            raise SystemExit(
+                f"bad --source {spec!r} (want NAME=WEIGHT=PATH): {exc}"
+            )
+    out = mix_corpora(sources, args.id_col, seed=args.seed)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+    counts = out.groupBy("mix_source", "replica").count().collect()
+    print(json.dumps(
+        {f'{r["mix_source"]}/{r["replica"]}': r["count"] for r in counts}
+    ), file=sys.stderr)
+    if not args.output:
+        for row in out.select("mix_source", "replica", args.id_col).collect():
+            print(f'{row["mix_source"]}\t{row["replica"]}\t{row[args.id_col]}')
+
+
+def cmd_pack(args) -> None:
+    """Sequence packing: per-doc offsets and chunk spans; the stream
+    summary (docs, tokens, chunks) goes to stderr as JSON."""
+    from athena_spark.functions.text import token_count_col
+    from athena_spark.operators.trainprep import pack_sequences
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    docs = df.select(
+        args.id_col, token_count_col(args.col).alias("n_tokens")
+    )
+    out = pack_sequences(docs, args.id_col, "n_tokens", args.max_tokens,
+                         num_partitions=args.partitions)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+    from pyspark.sql import functions as F
+    summary = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.max("last_chunk") + 1).alias("chunks"),
+    ).collect()[0]
+    print(json.dumps({"docs": summary["docs"],
+                      "tokens": int(summary["tokens"] or 0),
+                      "chunks": int(summary["chunks"] or 0),
+                      "max_tokens": args.max_tokens}), file=sys.stderr)
+    if not args.output:
+        for row in out.orderBy(args.id_col).collect():
+            print(f'{row[args.id_col]}\t{row["offset"]}\t'
+                  f'{row["first_chunk"]}\t{row["last_chunk"]}')
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -335,6 +455,9 @@ def main(argv=None) -> None:
         "print-embeddings": cmd_print_embeddings,
         "train-embeddings": cmd_train_embeddings,
         "curate": cmd_curate,
+        "split": cmd_split,
+        "mix": cmd_mix,
+        "pack": cmd_pack,
         "package": cmd_package,
     }[args.cmd](args)
 

@@ -171,3 +171,82 @@ def test_read_text_corpus_one_row_per_file(spark, tmp_path):
     rows = {r["path"].rsplit("/", 1)[-1]: r["content"]
             for r in df.collect()}
     assert rows == {"x.txt": "alpha beta\ngamma\n", "y.txt": "delta"}
+
+
+def test_cli_split(spark, sf_dir, tmp_path, capsys):
+    """split subcommand: partitioned parquet output matches the
+    library assignment; per-split counts on stderr."""
+    from athena_spark.operators.trainprep import hash_split
+
+    docs_dir = str(tmp_path / "split_in")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.mode("overwrite").parquet(docs_dir)
+    out_dir = str(tmp_path / "split_out")
+    main(["split", "--input", docs_dir, "--splits",
+          "train=8,val=1,test=1", "--seed", "7", "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    want = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id",
+                            [("train", 8.0), ("val", 1.0), ("test", 1.0)],
+                            seed=7).collect()
+    }
+    got = {(r["doc_id"], r["split"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+    assert sum(rep.values()) == docs.count() and rep["train"] > rep["val"]
+    # stdout mode prints id\tsplit lines
+    out = capsys.readouterr().out  # drain
+    main(["split", "--input", docs_dir, "--splits", "a=1,b=1"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == docs.count() and "\t" in lines[0]
+    with pytest.raises(SystemExit, match="bad --splits"):
+        main(["split", "--input", docs_dir, "--splits", "train"])
+
+
+def test_cli_mix_and_pack(spark, sf_dir, tmp_path, capsys):
+    """mix and pack subcommands end-to-end against the library."""
+    from athena_spark.functions.text import token_count_col
+    from athena_spark.operators.trainprep import mix_corpora, pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a_dir, b_dir = str(tmp_path / "mix_a"), str(tmp_path / "mix_b")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(a_dir)
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(b_dir)
+    out_dir = str(tmp_path / "mix_out")
+    main(["mix", "--source", f"a=1.5={a_dir}",
+          "--source", f"b=0.25={b_dir}", "--seed", "3",
+          "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    want = {
+        (r["mix_source"], r["replica"], r["doc_id"])
+        for r in mix_corpora(
+            [("a", docs.where(F.col("doc_id") % 2 == 0), 1.5),
+             ("b", docs.where(F.col("doc_id") % 2 == 1), 0.25)],
+            "doc_id", seed=3).collect()
+    }
+    got = {(r["mix_source"], r["replica"], r["doc_id"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+    assert rep["a/0"] == docs.where(F.col("doc_id") % 2 == 0).count()
+    with pytest.raises(SystemExit, match="bad --source"):
+        main(["mix", "--source", "nope"])
+
+    pack_out = str(tmp_path / "pack_out")
+    main(["pack", "--input", a_dir, "--col", "text",
+          "--max-tokens", "256", "--output", pack_out])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    lib = pack_sequences(
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", token_count_col("text").alias("n_tokens")),
+        "doc_id", "n_tokens", 256)
+    want_rows = {(r["doc_id"], r["offset"], r["first_chunk"],
+                  r["last_chunk"]) for r in lib.collect()}
+    got_rows = {(r["doc_id"], r["offset"], r["first_chunk"],
+                 r["last_chunk"])
+                for r in spark.read.parquet(pack_out).collect()}
+    assert got_rows == want_rows
+    assert rep["docs"] == len(want_rows)
+    total = sum(r["n_tokens"] for r in lib.collect())
+    assert rep["tokens"] == total
+    assert rep["chunks"] == (total + 255) // 256
