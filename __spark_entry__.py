@@ -1479,6 +1479,60 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", _PACK_MAX_TOKENS)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-line fraction, top
+    bigram fraction, duplicate-trigram fraction) over a deterministic
+    multi-line augmentation of the corpus (the synthetic docs are
+    single-line, so duplicated 50-char prefix lines are appended to
+    exercise the line path).  One partition-local Arrow pass — no
+    shuffle; fractions are raw IEEE doubles so the DuckDB oracle
+    compares exactly."""
+    from athena_spark.functions.text import repetition_features
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.substring(F.col("text"), 1, 50), F.lit("\n"),
+            F.substring(F.col("text"), 1, 50),
+        ).alias("text2"),
+    )
+    return repetition_features(aug, "doc_id", "text2")
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4) over a deterministic augmentation
+    of the corpus text (the synthetic docs contain no PII, so
+    id-derived addresses are appended).  The patterns are valid in
+    both Java regex and RE2, so the oracle runs the IDENTICAL
+    pattern and the full redacted strings hash-match."""
+    from athena_spark.functions.text import redact_pii_col
+
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 end"),
+    )
+    return docs.select("doc_id", redact_pii_col(aug).alias("clean"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the 13-gram rule, here n=8 so the
+    synthetic docs trigger it): every corpus doc sharing any word
+    8-gram with the benchmark set (docs with id % 17 == 0, text only
+    — exercising the synthetic-benchmark-id path) is dropped.  The
+    benchmark gram set is broadcast; the oracle rebuilds the string
+    8-grams and recomputes the surviving ids exactly."""
+    from athena_spark.operators.curate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate(docs, bench, "doc_id", "text", n=8) \
+        .select("doc_id")
+
+
 def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-based dedup: one representative (min id) per
     connected component of the near-dup graph (J >= 0.8), after exact
@@ -2008,6 +2062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_mix": q_corpus_mix,
         "sequence_packing": q_sequence_packing,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
+        "decontaminate": q_decontaminate,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "sessionization": q_sessionization,
@@ -2030,10 +2087,16 @@ def oracle_sql() -> dict[str, str]:
     from athena_spark.operators.trainprep import (fraction_to_hex,
                                                   split_thresholds_hex)
 
+    from athena_spark.functions.text import PII_PATTERNS
+
     # the exact hex literals the Spark queries compare against
     _t_train, _t_val = split_thresholds_hex(_SPLIT_SPEC)
     _mix_half = fraction_to_hex(0.5)
     _mix_quarter = fraction_to_hex(0.25)
+    # identical regex source in both engines (Java regex == RE2 here)
+    _email_re = PII_PATTERNS[0][1]
+    _ipv4_re = PII_PATTERNS[1][1]
+    _gram8 = " || ' ' || ".join(f"ts[i+{j}]" for j in range(8))
     return {
         "ss_topk_tokens": f"""
             SELECT token, COUNT(*) AS est_count, 0 AS err
@@ -2391,6 +2454,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(("offset" + greatest(n_tokens, 1) - 1)
                         // {_PACK_MAX_TOKENS} AS BIGINT) AS last_chunk
             FROM cum
+        """,
+        "repetition_stats": """
+            WITH base AS (
+                SELECT doc_id,
+                       replace(text || chr(10) || substr(text, 1, 50)
+                               || chr(10) || substr(text, 1, 50),
+                               chr(13), '') AS txt
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(txt, chr(10)),
+                                   l -> l <> '') AS ls
+                FROM base
+            ), line_stats AS (
+                SELECT doc_id,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(ls))::DOUBLE
+                                       / len(ls) END AS dup_line_frac
+                FROM lines
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(txt, '[ \\t\\n]+'),
+                                   t -> t <> '') AS ts
+                FROM base
+            ), bi AS (
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                     AS u(i)
+            ), bc AS (
+                SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2
+            ), bs AS (
+                SELECT doc_id, MAX(c)::DOUBLE / SUM(c)::DOUBLE
+                           AS top_bigram_frac
+                FROM bc GROUP BY doc_id
+            ), tri AS (
+                SELECT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 0)))
+                     AS u(i)
+            ), tc AS (
+                SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2
+            ), tstats AS (
+                SELECT doc_id, 1.0 - COUNT(*)::DOUBLE / SUM(c)::DOUBLE
+                           AS dup_trigram_frac
+                FROM tc GROUP BY doc_id
+            )
+            SELECT b.doc_id, ls.dup_line_frac,
+                   COALESCE(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   COALESCE(tstats.dup_trigram_frac, 0.0)
+                       AS dup_trigram_frac
+            FROM base b
+            JOIN line_stats ls USING (doc_id)
+            LEFT JOIN bs USING (doc_id)
+            LEFT JOIN tstats USING (doc_id)
+        """,
+        "pii_redaction": f"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' contact user'
+                                || CAST(doc_id AS VARCHAR)
+                                || '@example.com from 10.0.'
+                                || CAST(doc_id % 256 AS VARCHAR) || '.7 end',
+                           '{_email_re}', '<EMAIL>', 'g'),
+                       '{_ipv4_re}', '<IP>', 'g') AS clean
+            FROM documents
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, {_gram8} AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 7, 0)))
+                     AS u(i)
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0
+            ), contaminated AS (
+                SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+            )
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL
         """,
         "text_input_parity": """
             SELECT 'text_reader_counts_match_parquet' AS "check", TRUE AS ok

@@ -295,3 +295,149 @@ def fingerprint_batch(pdf: pd.DataFrame, id_col: str, text_col: str,
     return pd.DataFrame(
         {id_col: ids_np[doc_all], "fingerprint": fp_all}
     )
+
+
+# -- repetition signals + PII redaction (curation extensions) ---------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — patterns restricted to syntax
+    # that means the same thing in Java regex (Spark) and RE2
+    # (DuckDB), so the driver oracle runs the IDENTICAL pattern
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii_col(col) -> Column:
+    """Chained ``regexp_replace`` over :data:`PII_PATTERNS` (emails
+    first, then IPv4 — order matters: an address inside an email's
+    domain must already be gone).  Pure JVM codegen, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def redact_pii(df: DataFrame, col: str, out_col: str | None = None
+               ) -> DataFrame:
+    """Replace PII spans in ``col`` with typed placeholder tokens."""
+    return df.withColumn(out_col or col, redact_pii_col(col))
+
+
+def _line_dup_fracs(arr, n_docs: int) -> np.ndarray:
+    """Per-doc duplicate-line fraction: 1 - distinct/total over the
+    non-empty ``\\n``-separated lines (0.0 for docs with <= 1 line).
+    Lines are compared verbatim (no trimming) so the DuckDB oracle's
+    ``regexp_split_to_array(txt, '\\n')`` filter is bit-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    split = pc.split_pattern(arr, "\n")
+    flat = split.flatten()
+    off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    cum = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(keep_np, dtype=np.int64)]
+    )
+    counts = cum[off[1:]] - cum[off[:-1]]
+    out = np.zeros(n_docs, np.float64)
+    mask = counts > 0
+    if not mask.any():
+        return out
+    lh = hash64_arrow(flat.filter(keep))
+    l_counts = counts[mask]
+    l_starts = np.cumsum(l_counts) - l_counts
+    l_ends = l_starts + l_counts
+    first = segment_sort_unique_mask(lh, l_starts, l_ends)
+    cs = np.cumsum(first, dtype=np.int64)
+    distinct = cs[l_ends - 1] - cs[l_starts] + first[l_starts]
+    out[mask] = 1.0 - distinct / l_counts
+    return out
+
+
+def _gram_repetition(th: np.ndarray, t: np.ndarray, n: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (top-gram fraction, duplicate-gram fraction) over word
+    n-gram hashes: occurrences of the most frequent n-gram / total
+    n-grams, and 1 - distinct/total.  Docs with < n tokens → (0, 0).
+    Same flat-array gram fold as the MinHash kernel; per-segment
+    sorts give distinct counts AND run lengths in one pass."""
+    n_docs = len(t)
+    top = np.zeros(n_docs, np.float64)
+    dup = np.zeros(n_docs, np.float64)
+    mask = t >= n
+    if not mask.any():
+        return top, dup
+    L = len(th)
+    m = L - n + 1
+    g = np.empty(m, np.uint64)
+    tmp = np.empty(m, np.uint64)
+    splitmix64_seed_into(th[:m], np.uint64(n), g, tmp)
+    for j in range(1, n):
+        np.bitwise_xor(g, th[j : j + m], out=g)
+        splitmix64_inplace(g, tmp)
+    starts_tok = np.cumsum(t) - t
+    pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts_tok, t)
+    valid = pos_in_doc[:m] <= np.repeat(t - n, t)[:m]
+    grams = g[valid]
+    g_counts = t[mask] - n + 1
+    g_starts = np.cumsum(g_counts) - g_counts
+    g_ends = g_starts + g_counts
+    first = segment_sort_unique_mask(grams, g_starts, g_ends)
+    cs = np.cumsum(first, dtype=np.int64)
+    distinct = cs[g_ends - 1] - cs[g_starts] + first[g_starts]
+    # run lengths: runs never span segments (first[g_starts] is True)
+    run_starts = np.nonzero(first)[0]
+    run_len = np.diff(np.append(run_starts, len(grams)))
+    seg_first_run = cs[g_starts] - 1  # 0-based index of the doc's first run
+    max_run = np.maximum.reduceat(run_len, seg_first_run)
+    top[mask] = max_run / g_counts
+    dup[mask] = 1.0 - distinct / g_counts
+    return top, dup
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str
+                        ) -> DataFrame:
+    """Gopher-style repetition signals (token-count analogues of the
+    Rae et al. 2021 repetition filters): per doc
+
+    * ``dup_line_frac``     — 1 - distinct/total non-empty lines,
+    * ``top_bigram_frac``   — most frequent word 2-gram / total 2-grams,
+    * ``dup_trigram_frac``  — 1 - distinct/total word 3-grams.
+
+    Repetition is a per-document property, so the whole computation is
+    one partition-local Arrow pass (``mapInArrow``) — NO shuffle at
+    any scale, unlike an explode→groupBy formulation which would
+    shuffle every gram.  Fractions are raw IEEE doubles from the
+    identical division both engines perform, so the oracle compares
+    exactly (no rounding step to disagree over)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from athena_spark.functions.tokenize import _strip_cr, arrow_tokenize_batch
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            arr = _strip_cr(pc.fill_null(texts, ""))
+            dup_line = _line_dup_fracs(arr, len(arr))
+            tokens, t = arrow_tokenize_batch(arr)
+            th = hash64_arrow(tokens)
+            top2, _ = _gram_repetition(th, t, 2)
+            _, dup3 = _gram_repetition(th, t, 3)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(dup_line), pa.array(top2), pa.array(dup3)],
+                names=[id_col, "dup_line_frac", "top_bigram_frac",
+                       "dup_trigram_frac"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        kernel,
+        f"`{id_col}` {id_type}, dup_line_frac double, "
+        "top_bigram_frac double, dup_trigram_frac double",
+    )

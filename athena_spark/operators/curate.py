@@ -99,3 +99,68 @@ def curate_corpus(
     return feats.select(id_col, "q_score", "pred_lang").join(
         keep, id_col, "left_semi"
     )
+
+
+def _gram_hash_table(df: DataFrame, id_col: str, text_col: str, n: int
+                     ) -> DataFrame:
+    """(id, gram) rows of DISTINCT word-n-gram hashes per doc, from
+    one Arrow tokenize pass (the shared signature kernel with
+    signatures switched off) — text never leaves the scan."""
+    from athena_spark.operators.dedup import _minhash_kernel
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    grams = df.select(id_col, text_col).mapInArrow(
+        _minhash_kernel(id_col, text_col, n, 2, with_sig=False,
+                        with_grams=True),
+        f"`{id_col}` {id_type}, grams array<long>",
+    )
+    return grams.select(
+        id_col, F.explode("grams").alias("gram")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus doc sharing ANY
+    word ``n``-gram with the benchmark/eval set (the standard 13-gram
+    rule for keeping evaluation data out of pretraining corpora).
+
+    Both sides emit distinct gram HASHES from the shared Arrow
+    signature kernel (one tokenize pass each; document text never
+    shuffles).  The benchmark gram set is broadcast — eval sets are
+    tiny next to a pretraining corpus — so contamination detection is
+    a map-side semi join over the corpus grams, a distinct over the
+    contaminated ids, and an id anti-join.  Pass
+    ``broadcast_benchmark=False`` for outsized benchmarks (the gram
+    semi join shuffles instead).
+
+    Docs (on either side) with fewer than ``n`` tokens contribute no
+    grams and therefore never match — same convention as
+    ``shingles_col``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bcol = bench_text_col or text_col
+    corpus_grams = _gram_hash_table(corpus, id_col, text_col, n)
+    # the benchmark needs no real id — give it a synthetic one so a
+    # bare single-column eval set works too
+    bench = benchmark.select(
+        F.monotonically_increasing_id().alias("_bench_id"), F.col(bcol)
+    )
+    bench_grams = _gram_hash_table(
+        bench, "_bench_id", bcol, n
+    ).select("gram").distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    contaminated = (
+        corpus_grams.join(bench_grams, "gram", "left_semi")
+        .select(id_col).distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

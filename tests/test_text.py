@@ -167,3 +167,100 @@ def test_fingerprint_docs_gram_count_equals_window_boundary(spark):
         want = set(text.winnow_fingerprints(
             t.split(), k=k, window=window).tolist())
         assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_repetition_features_local_oracle(spark):
+    """Repetition fractions match a hand-computed Counter oracle,
+    including line duplication, n-gram repetition, and degenerate
+    docs (empty, single-token, single-line)."""
+    from collections import Counter
+
+    from athena_spark.functions.text import repetition_features
+
+    rows = [
+        (0, "a b a b a b"),            # heavy bigram repetition
+        (1, "x\ny\nx\nz\n\nx"),        # duplicated lines (x three times)
+        (2, ""),                       # empty
+        (3, "solo"),                   # one token, one line
+        (4, "p q r s t u v w"),        # all distinct
+        (5, "m m m m"),                # one token repeated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition_features(df, "doc_id", "text").collect()}
+
+    def oracle(text):
+        lines = [l for l in text.replace("\r", "").split("\n") if l != ""]
+        dup_line = 0.0 if not lines else 1 - len(set(lines)) / len(lines)
+        toks = text.split()
+        bi = Counter(zip(toks, toks[1:]))
+        top_bi = max(bi.values()) / sum(bi.values()) if bi else 0.0
+        tri = Counter(zip(toks, toks[1:], toks[2:]))
+        dup_tri = 1 - len(tri) / sum(tri.values()) if tri else 0.0
+        return dup_line, top_bi, dup_tri
+
+    for i, text in rows:
+        dl, tb, dt = oracle(text)
+        r = got[i]
+        assert r["dup_line_frac"] == pytest.approx(dl), (i, "line")
+        assert r["top_bigram_frac"] == pytest.approx(tb), (i, "bigram")
+        assert r["dup_trigram_frac"] == pytest.approx(dt), (i, "trigram")
+    # sanity on the interesting rows
+    assert got[0]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert got[1]["dup_line_frac"] == pytest.approx(1 - 3 / 5)
+    assert got[5]["dup_trigram_frac"] == pytest.approx(0.5)
+
+
+def test_redact_pii_patterns(spark):
+    from athena_spark.functions.text import redact_pii
+
+    rows = [
+        (0, "mail bob.smith+x@sub.example.org now"),
+        (1, "host 192.168.0.1 and 10.0.0.255 up"),
+        (2, "both a@b.co via 8.8.8.8"),
+        (3, "clean text with no personal data 1.5 and @ alone"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["text"] for r in redact_pii(df, "text").collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "host <IP> and <IP> up"
+    assert got[2] == "both <EMAIL> via <IP>"
+    assert got[3] == rows[3][1]  # untouched
+    # idempotent: placeholders are not themselves PII
+    again = {r["id"]: r["text"]
+             for r in redact_pii(redact_pii(df, "text"), "text").collect()}
+    assert again == got
+
+
+def test_decontaminate_ngram_rule(spark):
+    from athena_spark.operators.curate import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "a completely different document about spark engines"),
+            (2, "prefix words then the quick brown fox jumps over the "
+                "lazy dog tonight and more"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog tonight",)],
+        "text string",
+    )
+    # n=5: docs 0 and 2 share 5-grams with the benchmark; 1 and 3 do not
+    out = {r["doc_id"] for r in
+           decontaminate(corpus, bench, "doc_id", "text", n=5).collect()}
+    assert out == {1, 3}
+    # n larger than every doc: nothing contaminated
+    out = {r["doc_id"] for r in
+           decontaminate(corpus, bench, "doc_id", "text", n=50).collect()}
+    assert out == {0, 1, 2, 3}
+    # shuffle-join path agrees with the broadcast path
+    out = {r["doc_id"] for r in
+           decontaminate(corpus, bench, "doc_id", "text", n=5,
+                         broadcast_benchmark=False).collect()}
+    assert out == {1, 3}
+    with pytest.raises(ValueError, match="n must be"):
+        decontaminate(corpus, bench, n=0)
