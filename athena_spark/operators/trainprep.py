@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
 
 # fractions are compared as 8-hex-digit prefixes of sha256 output:
 # 32 bits of the hash interpreted as a uniform draw in [0, 1)
@@ -170,6 +171,7 @@ def pack_sequences(
     n_tokens_col: str,
     max_tokens: int,
     num_partitions: int | None = None,
+    materialize: str = "local",
 ) -> DataFrame:
     """Concat-and-split sequence packing: documents are laid out
     end-to-end in ``id_col`` order and cut into fixed
@@ -186,61 +188,68 @@ def pack_sequences(
     pretraining packing.
 
     The global running count is a two-phase distributed prefix sum:
-    range-partition by id, collect ONE partial-sum row per partition
-    (bounded driver traffic), then partition-local window cumsum +
-    broadcast prefix offsets.  No global single-partition window.
+    range-partition by id (locally sorted, materialized once so the
+    shuffle is not re-executed), collect ONE partial-sum row per
+    partition (bounded driver traffic), then a partition-local Arrow
+    cumsum carrying the broadcast prefix offsets.  ONE exchange
+    total: a partitionBy("_part") window would add a second
+    hash-partition exchange because Catalyst cannot know the column
+    already matches the physical partitioning, plus a JVM Sort+Window
+    — the Arrow kernel needs neither.
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    import pyarrow as pa
+
+    from athena_spark.operators.dedup import _materialize
+
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     d = (
-        df.select(id_col, n_tokens_col)
+        df.select(
+            F.col(id_col),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        )
         .repartitionByRange(p, F.col(id_col))
+        .sortWithinPartitions(id_col)
         .withColumn("_part", F.spark_partition_id())
     )
+    d = _materialize(d, materialize)
     # RangePartitioner maps ascending id ranges to ascending partition
     # ids, so partition p's prefix is the sum of partials 0..p-1.
     partials = d.groupBy("_part").agg(
-        F.sum(n_tokens_col).alias("_psum")
+        F.sum("n_tokens").alias("_psum")
     ).collect()
-    if not partials:
-        return d.select(
-            F.col(id_col),
-            F.col(n_tokens_col).cast("long").alias("n_tokens"),
-            F.lit(0).cast("long").alias("offset"),
-            F.lit(0).cast("long").alias("first_chunk"),
-            F.lit(0).cast("long").alias("last_chunk"),
-        )
     prefix: dict[int, int] = {}
     acc = 0
     for row in sorted(partials, key=lambda r: r["_part"]):
         prefix[row["_part"]] = acc
         acc += int(row["_psum"])
-    prefix_map = F.create_map(
-        *[F.lit(x) for kv in prefix.items() for x in kv]
-    )
-    w = (
-        Window.partitionBy("_part")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    n = F.col(n_tokens_col).cast("long")
-    offset = (
-        prefix_map[F.col("_part")]
-        + F.sum(n).over(w)
-        - n
-    ).alias("offset")
-    out = d.select(F.col(id_col), n.alias("n_tokens"), offset)
-    # integer `div`, not floor(double /): exact at any corpus size
-    # (float division loses integers above 2^53)
-    return out.select(
-        id_col,
-        "n_tokens",
-        "offset",
-        F.expr(f"offset div {int(max_tokens)}").cast("long")
-        .alias("first_chunk"),
-        F.expr(
-            f"(offset + greatest(n_tokens, 1L) - 1) div {int(max_tokens)}"
-        ).cast("long").alias("last_chunk"),
+    mt = int(max_tokens)
+
+    def kernel(batches):
+        run = 0  # running token total within this task's partition
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            part = batch.column(2)[0].as_py()
+            n = batch.column(1).to_numpy(zero_copy_only=False)
+            cum = np.cumsum(n, dtype=np.int64)
+            offs = prefix[part] + run + cum - n
+            run += int(cum[-1])
+            span = offs + np.maximum(n, 1) - 1
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.array(offs, type=pa.int64()),
+                 pa.array(offs // mt, type=pa.int64()),
+                 pa.array(span // mt, type=pa.int64())],
+                names=[id_col, "n_tokens", "offset", "first_chunk",
+                       "last_chunk"],
+            )
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    return d.mapInArrow(
+        kernel,
+        f"`{id_col}` {id_type}, n_tokens long, offset long, "
+        "first_chunk long, last_chunk long",
     )

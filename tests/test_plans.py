@@ -178,3 +178,51 @@ def test_curate_pipeline_never_shuffles_text(spark, sf_dir):
         first = block.split("\n")[0] if block else ""
         if "Exchange" in first:
             assert "text#" not in block, block
+
+
+def test_repetition_features_single_pass_no_shuffle(spark, sf_dir):
+    """Repetition stats are per-document, so the plan must be scan →
+    project → one ArrowEvalPython/MapInArrow with NO Exchange at all
+    (an explode/groupBy formulation would shuffle every gram)."""
+    from athena_spark.functions.text import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(repetition_features(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan or "ArrowEval" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_and_never_shuffles_text(
+        spark, sf_dir):
+    """The benchmark gram set must arrive at the corpus grams via a
+    broadcast join (eval sets are tiny next to a pretraining corpus),
+    and document text must never appear in any Exchange."""
+    from athena_spark.operators.curate import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    plan = plan_of(decontaminate(docs, bench, "doc_id", "text", n=8))
+    assert "BroadcastExchange" in plan, plan
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "text#" not in block, block
+
+
+def test_pack_sequences_one_exchange_no_window(spark, sf_dir):
+    """Sequence packing's only exchange is the range partitioning
+    (hidden behind the materialization boundary); the cumsum is a
+    partition-local Arrow kernel, so the final plan must contain NO
+    Window and NO hash-partition exchange (the window formulation
+    re-shuffled by _part because Catalyst cannot know the column
+    matches the physical partitioning)."""
+    from athena_spark.functions.text import token_count_col
+    from athena_spark.operators.trainprep import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count_col("text").alias("n_tokens")
+    )
+    plan = plan_of(pack_sequences(docs, "doc_id", "n_tokens", 512))
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "MapInArrow" in plan or "ArrowEval" in plan, plan

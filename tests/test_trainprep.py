@@ -140,19 +140,20 @@ def test_pack_sequences_chunk_spans_tile_the_stream(spark):
         pack_sequences(df, "doc_id", "n_tokens", 0)
 
 
-def test_pack_sequences_plan_has_no_global_single_partition_window(spark):
-    """The scale guarantee: the prefix sum must NOT compile to a
-    global (empty-partition-spec) window, which would serialize the
-    corpus through one task; the window must be partition-local."""
+def test_pack_sequences_plan_has_no_window_at_all(spark):
+    """The scale guarantee: the prefix sum must NOT compile to any
+    window (a global one would serialize the corpus through one task;
+    even a partition-local one costs a second hash exchange) — the
+    cumsum is a partition-local Arrow kernel over the materialized
+    range partitioning."""
     df = spark.createDataFrame(
         [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
     )
     plan = pack_sequences(df, "doc_id", "n_tokens", 50,
                           num_partitions=8)._jdf.queryExecution() \
         .executedPlan().toString()
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line:
-            assert "_part" in line, f"global window found: {line}"
+    assert "windowspecdefinition" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
 
 
 def test_pack_sequences_empty_input(spark):
