@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from athena_spark.functions.tokenize import tokens_col
 from athena_spark.sketch.hashing import (
+    fold_gram_hashes,
     hash64,
     hash64_arrow,
     segment_sort_unique_mask,
@@ -329,24 +330,14 @@ def _line_dup_fracs(arr, n_docs: int) -> np.ndarray:
     non-empty ``\\n``-separated lines (0.0 for docs with <= 1 line).
     Lines are compared verbatim (no trimming) so the DuckDB oracle's
     ``regexp_split_to_array(txt, '\\n')`` filter is bit-identical."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    from athena_spark.functions.tokenize import flat_split_nonempty
 
-    split = pc.split_pattern(arr, "\n")
-    flat = split.flatten()
-    off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    off = off - off[0]
-    keep = pc.not_equal(flat, "")
-    keep_np = keep.to_numpy(zero_copy_only=False)
-    cum = np.concatenate(
-        [np.zeros(1, np.int64), np.cumsum(keep_np, dtype=np.int64)]
-    )
-    counts = cum[off[1:]] - cum[off[:-1]]
+    flat_lines, counts = flat_split_nonempty(arr, "\n")
     out = np.zeros(n_docs, np.float64)
     mask = counts > 0
     if not mask.any():
         return out
-    lh = hash64_arrow(flat.filter(keep))
+    lh = hash64_arrow(flat_lines)
     l_counts = counts[mask]
     l_starts = np.cumsum(l_counts) - l_counts
     l_ends = l_starts + l_counts
@@ -370,19 +361,7 @@ def _gram_repetition(th: np.ndarray, t: np.ndarray, n: int
     mask = t >= n
     if not mask.any():
         return top, dup
-    L = len(th)
-    m = L - n + 1
-    g = np.empty(m, np.uint64)
-    tmp = np.empty(m, np.uint64)
-    splitmix64_seed_into(th[:m], np.uint64(n), g, tmp)
-    for j in range(1, n):
-        np.bitwise_xor(g, th[j : j + m], out=g)
-        splitmix64_inplace(g, tmp)
-    starts_tok = np.cumsum(t) - t
-    pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts_tok, t)
-    valid = pos_in_doc[:m] <= np.repeat(t - n, t)[:m]
-    grams = g[valid]
-    g_counts = t[mask] - n + 1
+    grams, g_counts = fold_gram_hashes(th, t, n, seed=n)
     g_starts = np.cumsum(g_counts) - g_counts
     g_ends = g_starts + g_counts
     first = segment_sort_unique_mask(grams, g_starts, g_ends)

@@ -133,7 +133,20 @@ def arrow_tokenize_batch(texts) -> tuple[pa.Array, np.ndarray]:
         arr = arr.combine_chunks()
     arr = pc.fill_null(arr, "")
     arr = _strip_cr(arr)
-    split = pc.ascii_split_whitespace(arr)
+    return flat_split_nonempty(arr)
+
+
+def flat_split_nonempty(arr, pattern: str | None = None
+                        ) -> tuple[pa.Array, np.ndarray]:
+    """Split every string of ``arr`` and drop empty pieces, returning
+    (flat kept pieces, per-row counts) in the doc-major flat layout.
+    ``pattern=None`` splits on ascii whitespace (the token path);
+    otherwise ``pc.split_pattern`` (e.g. ``"\\n"`` for the line path).
+    Shared by :func:`arrow_tokenize_batch` and the repetition
+    kernel's line statistics so the offset-rebase subtlety lives in
+    one place."""
+    split = (pc.ascii_split_whitespace(arr) if pattern is None
+             else pc.split_pattern(arr, pattern))
     flat = split.flatten()
     off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     # flatten() rebases to position 0; rebase the offsets to match in

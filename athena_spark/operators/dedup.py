@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 from athena_spark.functions.text import shingles_col
 from athena_spark.functions.tokenize import arrow_tokenize_batch
 from athena_spark.sketch.hashing import (
+    fold_gram_hashes,
     hash64,
     hash64_arrow,
     segment_sort_unique_mask,
@@ -225,6 +226,9 @@ def _minhash_kernel(
             f"({band_count})"
         )
     seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    # grams-only callers (decontamination) must not pay for signature
+    # mixing they immediately discard
+    need_sig = with_sig or band_count is not None
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -232,64 +236,53 @@ def _minhash_kernel(
             texts = batch.column(batch.schema.get_field_index(text_col))
             tokens, t = arrow_tokenize_batch(texts)
             n_docs = len(t)
-            sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+            sig = (np.empty((n_docs, num_perm), dtype=np.uint64)
+                   if need_sig else None)
             th = hash64_arrow(tokens)
-            L = len(th)
             ends = np.cumsum(t)
-            starts = ends - t
             long_mask = t >= n
             gram_vals = np.empty(0, np.uint64)
             gram_counts = np.zeros(n_docs, np.int64)
             if long_mask.any():
-                m = L - n + 1  # candidate gram positions in the flat array
-                # pre-mix the first hash: folding the RAW hash would
-                # make grams (a,a,x) and (b,b,x) collide structurally
-                # (h^h = 0 in the first XOR regardless of the token)
-                g = np.empty(m, np.uint64)
-                fold_tmp = np.empty(m, np.uint64)
-                splitmix64_seed_into(th[:m], np.uint64(0), g, fold_tmp)
-                for j in range(1, n):
-                    np.bitwise_xor(g, th[j : j + m], out=g)
-                    splitmix64_inplace(g, fold_tmp)
-                # position p is a real gram iff its n tokens stay
-                # inside one document: offset-in-doc <= doc_len - n
-                pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
-                valid = pos_in_doc[:m] <= np.repeat(t - n, t)[:m]
-                grams = g[valid]
-                g_counts = t[long_mask] - n + 1
+                # shared flat-array gram fold (pre-mixed first hash;
+                # see hashing.fold_gram_hashes)
+                grams, g_counts = fold_gram_hashes(th, t, n)
                 g_starts = np.cumsum(g_counts) - g_counts
                 long_idx = np.nonzero(long_mask)[0]
                 nseg = len(long_idx)
-                # cache-blocked seed passes: mix a 32K-gram slice with
-                # all num_perm seeds while it is L2-resident (allocation
-                # -free via the in-place splitmix helpers), min-merging
-                # segments that span slice borders.  Transposed (seed-
-                # major) accumulation keeps every reduceat write
-                # contiguous.  3.7x over the naive per-seed full-array
-                # pass at 2.2M grams; bit-identical output.
-                sigT = np.full(
-                    (num_perm, nseg), np.iinfo(np.uint64).max, np.uint64
-                )
-                M = len(grams)
-                chunk = 1 << 15
-                mix_buf = np.empty(min(chunk, M), np.uint64)
-                mix_tmp = np.empty(min(chunk, M), np.uint64)
-                for lo in range(0, M, chunk):
-                    hi = min(lo + chunk, M)
-                    gsl = grams[lo:hi]
-                    o = mix_buf[: hi - lo]
-                    tbuf = mix_tmp[: hi - lo]
-                    s0 = np.searchsorted(g_starts, lo, side="right") - 1
-                    s1 = np.searchsorted(g_starts, hi, side="left")
-                    local_starts = np.maximum(g_starts[s0:s1] - lo, 0)
-                    for i, s in enumerate(seeds):
-                        splitmix64_seed_into(gsl, s, o, tbuf)
-                        np.minimum(
-                            sigT[i, s0:s1],
-                            np.minimum.reduceat(o, local_starts),
-                            out=sigT[i, s0:s1],
-                        )
-                sig[long_mask] = sigT.T
+                if need_sig:
+                    # cache-blocked seed passes: mix a 32K-gram slice
+                    # with all num_perm seeds while it is L2-resident
+                    # (allocation-free via the in-place splitmix
+                    # helpers), min-merging segments that span slice
+                    # borders.  Transposed (seed-major) accumulation
+                    # keeps every reduceat write contiguous.  3.7x over
+                    # the naive per-seed full-array pass at 2.2M grams;
+                    # bit-identical output.
+                    sigT = np.full(
+                        (num_perm, nseg), np.iinfo(np.uint64).max,
+                        np.uint64
+                    )
+                    M = len(grams)
+                    chunk = 1 << 15
+                    mix_buf = np.empty(min(chunk, M), np.uint64)
+                    mix_tmp = np.empty(min(chunk, M), np.uint64)
+                    for lo in range(0, M, chunk):
+                        hi = min(lo + chunk, M)
+                        gsl = grams[lo:hi]
+                        o = mix_buf[: hi - lo]
+                        tbuf = mix_tmp[: hi - lo]
+                        s0 = np.searchsorted(g_starts, lo, side="right") - 1
+                        s1 = np.searchsorted(g_starts, hi, side="left")
+                        local_starts = np.maximum(g_starts[s0:s1] - lo, 0)
+                        for i, s in enumerate(seeds):
+                            splitmix64_seed_into(gsl, s, o, tbuf)
+                            np.minimum(
+                                sigT[i, s0:s1],
+                                np.minimum.reduceat(o, local_starts),
+                                out=sigT[i, s0:s1],
+                            )
+                    sig[long_mask] = sigT.T
                 if with_grams:
                     # distinct gram hashes per doc.  grams is already
                     # doc-contiguous and is a fresh boolean-mask copy,
@@ -305,7 +298,7 @@ def _minhash_kernel(
                     gram_counts[long_idx] = (
                         cs[g_ends - 1] - cs[g_starts] + first[g_starts]
                     )
-            if not long_mask.all():
+            if need_sig and not long_mask.all():
                 offs = np.concatenate([np.zeros(1, np.int64), ends])
                 lists = pa.ListArray.from_arrays(
                     pa.array(offs, type=pa.int32()), tokens

@@ -149,7 +149,10 @@ def mix_corpora(
                 "the source)"
             )
         replica = 0
-        while weight > 0:
+        # epsilon guard: float residue from upstream weight arithmetic
+        # (e.g. 2.0000000000000004) must not emit a phantom replica
+        # whose match-nothing filter still scans the whole source
+        while weight > 1e-9:
             rate = min(1.0, weight)
             part = df.withColumn(source_col, F.lit(name)).withColumn(
                 replica_col, F.lit(replica)
@@ -208,7 +211,10 @@ def pack_sequences(
     d = (
         df.select(
             F.col(id_col),
-            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+            # null counts (e.g. token_count_col over a null text) must
+            # not poison the cumsum — a null doc packs as 0 tokens
+            F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+            .alias("n_tokens"),
         )
         .repartitionByRange(p, F.col(id_col))
         .sortWithinPartitions(id_col)

@@ -139,3 +139,34 @@ def segment_sort_unique_mask(values: np.ndarray, seg_starts: np.ndarray,
     np.not_equal(values[1:], values[:-1], out=first[1:])
     first[seg_starts] = True
     return first
+
+
+def fold_gram_hashes(th: np.ndarray, t: np.ndarray, n: int,
+                     seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Flat word-``n``-gram hashes over a doc-major flat token-hash
+    array: returns ``(grams, g_counts)`` — the gram hashes in
+    doc-major order and per-doc gram counts for docs with ``t >= n``
+    (shorter docs contribute nothing).  Requires ``len(th) >= n``
+    (callers guard with a ``t >= n`` any-mask first).
+
+    The first hash is PRE-MIXED with the seed before the XOR fold:
+    folding the raw hash would make grams (a,a,x) and (b,b,x) collide
+    structurally (h^h = 0 in the first XOR regardless of the token).
+    Shared by the MinHash signature kernel and the repetition kernel
+    so the fold can never diverge between them.
+    """
+    L = len(th)
+    m = L - n + 1
+    g = np.empty(m, _U64)
+    tmp = np.empty(m, _U64)
+    splitmix64_seed_into(th[:m], np.uint64(seed), g, tmp)
+    for j in range(1, n):
+        np.bitwise_xor(g, th[j : j + m], out=g)
+        splitmix64_inplace(g, tmp)
+    # position p is a real gram iff its n tokens stay inside one
+    # document: offset-in-doc <= doc_len - n
+    starts = np.cumsum(t) - t
+    pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
+    valid = pos_in_doc[:m] <= np.repeat(t - n, t)[:m]
+    mask = t >= n
+    return g[valid], (t[mask] - n + 1).astype(np.int64)

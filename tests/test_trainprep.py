@@ -163,3 +163,18 @@ def test_pack_sequences_empty_input(spark):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_tokens", "offset", "first_chunk", "last_chunk"
     ]
+
+
+def test_pack_sequences_null_counts_pack_as_zero(spark):
+    """A null token count (e.g. token_count_col over a null text row)
+    must pack as a 0-token doc, not poison the cumsum with NaN."""
+    df = spark.createDataFrame(
+        [(0, 5), (1, None), (2, 7)], "doc_id long, n_tokens long"
+    )
+    rows = {r["doc_id"]: r
+            for r in pack_sequences(df, "doc_id", "n_tokens", 4,
+                                    num_partitions=2).collect()}
+    assert rows[0]["offset"] == 0 and rows[0]["n_tokens"] == 5
+    assert rows[1]["offset"] == 5 and rows[1]["n_tokens"] == 0
+    assert rows[1]["first_chunk"] == rows[1]["last_chunk"] == 1
+    assert rows[2]["offset"] == 5 and rows[2]["last_chunk"] == 2
