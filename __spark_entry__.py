@@ -1533,6 +1533,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
 
 
+# bigram-LM gate caps: both BELOW the corpus cardinalities (31 vocab /
+# 916 bigrams at sf0.01) so the deterministic top-k truncation with
+# (count desc, token asc) tie-breaks is actually exercised
+_LM_VOCAB = 24
+_LM_BIGRAMS = 500
+_LM_ALPHA = 0.1
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM scoring: train the interpolated count
+    model on the corpus (truncated vocab + bigram tables), score
+    every doc.  The gate certifies (n_trans, p_nano) — sums of
+    floor(p * 1e9) over the smoothed transition probabilities, pure
+    rational double arithmetic reproduced bit-exactly by the DuckDB
+    oracle (the log-space avg_nll is pytest-covered instead: libm ln
+    differs from DuckDB's by 1 ulp)."""
+    from athena_spark.operators.lmscore import (score_perplexity,
+                                                train_bigram_lm)
+
+    docs = _docs(spark, sf_dir)
+    lm = train_bigram_lm(docs, "text", max_vocab=_LM_VOCAB,
+                         max_bigrams=_LM_BIGRAMS, alpha=_LM_ALPHA)
+    return score_perplexity(docs, "doc_id", "text", lm) \
+        .select("doc_id", "n_trans", "p_nano")
+
+
 def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-based dedup: one representative (min id) per
     connected component of the near-dup graph (J >= 0.8), after exact
@@ -2065,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
         "decontaminate": q_decontaminate,
+        "lm_perplexity": q_lm_perplexity,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "sessionization": q_sessionization,
@@ -2097,6 +2124,9 @@ def oracle_sql() -> dict[str, str]:
     _email_re = PII_PATTERNS[0][1]
     _ipv4_re = PII_PATTERNS[1][1]
     _gram8 = " || ' ' || ".join(f"ts[i+{j}]" for j in range(8))
+    # bit-exact double literals for the LM mixture (repr round-trips)
+    _lm_alpha = repr(float(_LM_ALPHA))
+    _lm_oma = repr(1.0 - float(_LM_ALPHA))
     return {
         "ss_topk_tokens": f"""
             SELECT token, COUNT(*) AS est_count, 0 AS err
@@ -2543,6 +2573,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             LEFT JOIN contaminated c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL
+        """,
+        "lm_perplexity": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), words AS (
+                SELECT unnest(ts) AS w FROM toks
+            ), uni AS (
+                SELECT w, COUNT(*) AS c FROM words
+                GROUP BY w ORDER BY c DESC, w ASC LIMIT {_LM_VOCAB}
+            ), stats AS (
+                SELECT CAST(SUM(c) AS BIGINT) + COUNT(*) + 1 AS denom
+                FROM uni
+            ), rawpairs AS (
+                SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                     AS u(i)
+            ), bi AS (
+                SELECT p.w1, p.w2, COUNT(*) AS c FROM rawpairs p
+                JOIN uni u1 ON p.w1 = u1.w
+                JOIN uni u2 ON p.w2 = u2.w
+                GROUP BY p.w1, p.w2
+                ORDER BY c DESC, p.w1 ASC, p.w2 ASC LIMIT {_LM_BIGRAMS}
+            ), trans AS (
+                SELECT p.doc_id,
+                       COALESCE(b.c, 0)::DOUBLE AS cb,
+                       COALESCE(u1.c, 0)::DOUBLE AS c1,
+                       COALESCE(u2.c, 0)::DOUBLE AS c2
+                FROM rawpairs p
+                LEFT JOIN uni u1 ON p.w1 = u1.w
+                LEFT JOIN uni u2 ON p.w2 = u2.w
+                LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(FLOOR((
+                           {_lm_oma} * (CASE WHEN c1 > 0 THEN cb / c1
+                                             ELSE 0.0 END)
+                           + {_lm_alpha} * ((c2 + 1.0)
+                               / (SELECT denom FROM stats))
+                       ) * 1000000000.0) AS BIGINT) AS pn
+                FROM trans
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n, CAST(SUM(pn) AS BIGINT) AS s
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_trans,
+                   CAST(COALESCE(a.s, 0) AS BIGINT) AS p_nano
+            FROM documents d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "text_input_parity": """
             SELECT 'text_reader_counts_match_parquet' AS "check", TRUE AS ok

@@ -1,0 +1,217 @@
+"""Count-based bigram language-model scoring — the CCNet-style
+perplexity quality filter for corpus curation.
+
+Train a small interpolated bigram LM on a (clean, reference) corpus,
+broadcast it, and score every document by average negative log
+probability of its token transitions; low-probability documents are
+gibberish/boilerplate candidates.  The reference engine's LM family
+(naive/SpaceSaving counts, `src/_lm.cpp`) stops at unigram counting;
+this is the curation-side extension built on the same exact-count
+machinery.
+
+Scale shape: training runs on the REFERENCE corpus (small by
+construction — CCNet trains on Wikipedia-class data) with
+TakeOrdered top-k truncation, so the collected model is bounded by
+``max_vocab + max_bigrams`` regardless of input size.  Scoring is
+one partition-local Arrow pass over the target corpus with the
+broadcast model — no shuffle, no per-row Python (Arrow ``index_in``
+vocab lookup + ``searchsorted`` bigram lookup).
+
+Numeric contract: the smoothed probability
+``p = (1-alpha) * mle + alpha * p_uni`` is pure rational double
+arithmetic, bit-identical between NumPy and the DuckDB oracle, so
+the driver gate certifies ``floor(p * 1e9)`` sums exactly.  The NLL
+itself goes through ``log``, whose last-ulp bits differ between
+libms — it is covered by pytest against a local oracle instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.tokenize import tokens_col
+
+
+@dataclass
+class BigramLM:
+    """Broadcastable count model.  ``vocab`` keeps selection order
+    (count desc, token asc); ``bi_keys`` are ``i1 * (V+1) + i2``
+    composite keys over vocab indices, sorted for searchsorted."""
+
+    vocab: list[str]
+    uni_counts: np.ndarray  # int64, aligned to vocab
+    total: int              # sum of vocab token counts
+    bi_keys: np.ndarray     # int64, sorted
+    bi_counts: np.ndarray   # int64, aligned to bi_keys
+    alpha: float
+
+    @property
+    def v(self) -> int:
+        return len(self.vocab)
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str,
+    max_vocab: int = 65536,
+    max_bigrams: int = 1_000_000,
+    alpha: float = 0.1,
+) -> BigramLM:
+    """Exact-count interpolated bigram LM from a reference corpus.
+
+    Vocab = top ``max_vocab`` tokens (count desc, token asc — a total
+    order, so truncation is deterministic); bigram table = top
+    ``max_bigrams`` transitions BETWEEN vocab tokens (count desc,
+    (w1, w2) asc).  Both arrive via TakeOrdered, so driver traffic is
+    bounded by the caps, not the corpus.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    toks = df.select(tokens_col(text_col).alias("ts"))
+    uni_rows = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w").count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab = [r["w"] for r in uni_rows]
+    uni_counts = np.array([r["count"] for r in uni_rows], np.int64)
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame([(w,) for w in vocab], "w string")
+    pair_expr = F.expr(
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+    )
+    pairs = (
+        toks.where(F.size("ts") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .join(F.broadcast(vocab_df.withColumnRenamed("w", "w1")), "w1")
+        .join(F.broadcast(vocab_df.withColumnRenamed("w", "w2")), "w2")
+    )
+    bi_rows = (
+        pairs.groupBy("w1", "w2").count()
+        .orderBy(F.col("count").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(max_bigrams)
+        .collect()
+    )
+    idx = {w: i for i, w in enumerate(vocab)}
+    v1 = len(vocab) + 1
+    keys = np.array(
+        [idx[r["w1"]] * v1 + idx[r["w2"]] for r in bi_rows], np.int64
+    )
+    counts = np.array([r["count"] for r in bi_rows], np.int64)
+    order = np.argsort(keys, kind="stable")
+    return BigramLM(
+        vocab=vocab,
+        uni_counts=uni_counts,
+        total=int(uni_counts.sum()),
+        bi_keys=keys[order],
+        bi_counts=counts[order],
+        alpha=float(alpha),
+    )
+
+
+def _transition_probs(tokens, t: np.ndarray, lm: BigramLM
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(per-transition smoothed probability, per-doc transition
+    counts) over a doc-major flat token array.  Fully vectorized:
+    Arrow hash lookup into the vocab, searchsorted into the bigram
+    keys, rational double mixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_docs = len(t)
+    n_trans = np.maximum(t - 1, 0)
+    if len(tokens) == 0 or not n_trans.any():
+        return np.empty(0, np.float64), n_trans
+    ids = pc.fill_null(
+        pc.index_in(tokens, value_set=pa.array(lm.vocab, pa.string())), -1
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    # transitions = adjacent positions within one doc
+    starts = np.cumsum(t) - t
+    L = len(ids)
+    pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
+    valid = pos_in_doc[: L - 1] <= np.repeat(t - 2, t)[: L - 1]
+    i1 = ids[:-1][valid]
+    i2 = ids[1:][valid]
+    both = (i1 >= 0) & (i2 >= 0)
+    v1 = lm.v + 1
+    cb = np.zeros(len(i1), np.float64)
+    if both.any() and len(lm.bi_keys):
+        key = i1[both] * v1 + i2[both]
+        pos = np.searchsorted(lm.bi_keys, key)
+        pos = np.minimum(pos, len(lm.bi_keys) - 1)
+        hit = lm.bi_keys[pos] == key
+        found = np.zeros(both.sum(), np.float64)
+        found[hit] = lm.bi_counts[pos[hit]]
+        cb[both] = found
+    c1 = np.where(i1 >= 0, lm.uni_counts[np.maximum(i1, 0)], 0).astype(np.float64)
+    c2 = np.where(i2 >= 0, lm.uni_counts[np.maximum(i2, 0)], 0).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mle = np.where(c1 > 0, cb / c1, 0.0)
+    denom = float(lm.total + lm.v + 1)
+    pu = (c2 + 1.0) / denom
+    p = (1.0 - lm.alpha) * mle + lm.alpha * pu
+    return p, n_trans
+
+
+def score_perplexity(df: DataFrame, id_col: str, text_col: str,
+                     lm: BigramLM) -> DataFrame:
+    """Per-doc LM score: (id, n_trans, p_nano, avg_nll) where
+
+    * ``n_trans`` — number of token transitions (0 for docs with < 2
+      tokens; their ``p_nano`` is 0 and ``avg_nll`` null),
+    * ``p_nano`` — sum over transitions of ``floor(p * 1e9)`` — the
+      exactly-reproducible certification value (pure rational
+      arithmetic, no log, no rounding-mode ties),
+    * ``avg_nll`` — mean ``-ln p`` (the CCNet-style filter signal;
+      lower = more natural under the reference LM).
+
+    One partition-local Arrow pass with the broadcast model — no
+    shuffle at any scale.
+    """
+    import pyarrow as pa
+
+    from athena_spark.functions.tokenize import arrow_tokenize_batch
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    sc = df.sparkSession.sparkContext
+    blm = sc.broadcast(lm)
+
+    def kernel(batches):
+        model = blm.value
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            tokens, t = arrow_tokenize_batch(texts)
+            p, n_trans = _transition_probs(tokens, t, model)
+            seg = np.cumsum(n_trans) - n_trans
+            nano = np.zeros(len(t), np.int64)
+            nll = np.full(len(t), np.nan, np.float64)
+            if len(p):
+                pn = np.floor(p * 1e9).astype(np.int64)
+                mask = n_trans > 0
+                ends = seg + n_trans
+                cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(pn)])
+                nano[mask] = cs[ends[mask]] - cs[seg[mask]]
+                logs = -np.log(p)
+                cl = np.concatenate([np.zeros(1), np.cumsum(logs)])
+                nll[mask] = (cl[ends[mask]] - cl[seg[mask]]) / n_trans[mask]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n_trans.astype(np.int64)),
+                 pa.array(nano),
+                 # from_pandas=True maps the NaN of 0-transition docs
+                 # to a real null
+                 pa.array(nll, type=pa.float64(), from_pandas=True)],
+                names=[id_col, "n_trans", "p_nano", "avg_nll"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        kernel,
+        f"`{id_col}` {id_type}, n_trans long, p_nano long, avg_nll double",
+    )

@@ -264,3 +264,67 @@ def test_decontaminate_ngram_rule(spark):
     assert out == {1, 3}
     with pytest.raises(ValueError, match="n must be"):
         decontaminate(corpus, bench, n=0)
+
+
+def test_bigram_lm_scoring_matches_local_oracle(spark):
+    """Train + score against a pure-Python Counter oracle: smoothed
+    probabilities (the p_nano certification value), avg_nll, vocab /
+    bigram truncation with deterministic tie-breaks, OOV tokens, and
+    degenerate docs."""
+    import math
+    from collections import Counter
+
+    from athena_spark.operators.lmscore import (score_perplexity,
+                                                train_bigram_lm)
+
+    rows = [
+        (0, "a b a b c"),
+        (1, "b c b a a a"),
+        (2, "zz a yy b"),           # zz/yy fall out of a truncated vocab
+        (3, "solo"),                # no transitions
+        (4, ""),                    # empty
+        (5, "c c c c c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    alpha, mv, mb = 0.1, 3, 4      # truncate: vocab {a,b,c}, top-4 bigrams
+    lm = train_bigram_lm(df, "text", max_vocab=mv, max_bigrams=mb,
+                         alpha=alpha)
+
+    toks = {i: t.split() for i, t in rows}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    vocab = sorted(uni, key=lambda w: (-uni[w], w))[:mv]
+    vset = set(vocab)
+    assert lm.vocab == vocab
+    bi = Counter(
+        p for ws in toks.values() for p in zip(ws, ws[1:])
+        if p[0] in vset and p[1] in vset
+    )
+    top_bi = sorted(bi, key=lambda p: (-bi[p], p))[:mb]
+    total = sum(uni[w] for w in vocab)
+    assert lm.total == total and len(lm.bi_keys) == len(top_bi)
+
+    got = {r["doc_id"]: r for r in
+           score_perplexity(df, "doc_id", "text", lm).collect()}
+    denom = float(total + len(vocab) + 1)
+    for i, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        nano, nll = 0, []
+        for w1, w2 in pairs:
+            cb = bi[(w1, w2)] if (w1, w2) in set(top_bi) else 0
+            c1 = uni[w1] if w1 in vset else 0
+            mle = cb / c1 if c1 > 0 else 0.0
+            c2 = uni[w2] if w2 in vset else 0
+            p = (1.0 - alpha) * mle + alpha * ((c2 + 1.0) / denom)
+            nano += math.floor(p * 1e9)
+            nll.append(-math.log(p))
+        r = got[i]
+        assert r["n_trans"] == len(pairs), i
+        assert r["p_nano"] == nano, i
+        if pairs:
+            assert r["avg_nll"] == pytest.approx(sum(nll) / len(nll)), i
+        else:
+            assert r["avg_nll"] is None, i
+    # natural text scores better than OOV-heavy text under this LM
+    assert got[0]["avg_nll"] < got[2]["avg_nll"]
+    with pytest.raises(ValueError, match="alpha"):
+        train_bigram_lm(df, "text", alpha=1.5)
