@@ -19,6 +19,8 @@ Subcommands:
 * ``split``      — deterministic hash train/val/test split
 * ``mix``        — weighted multi-corpus mixture (oversampling replicas)
 * ``pack``       — sequence packing (global offsets + chunk spans)
+* ``decontaminate`` — n-gram benchmark decontamination
+* ``lm-score``   — bigram-LM perplexity quality scoring
 * ``package``    — build the --py-files zip
 """
 
@@ -112,6 +114,25 @@ def _build_parser() -> argparse.ArgumentParser:
     common(k)
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--max-tokens", type=int, default=2048)
+
+    dc = sub.add_parser("decontaminate")
+    common(dc)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--benchmark", required=True,
+                    help="eval-set input dir (same --format)")
+    dc.add_argument("--benchmark-col", default=None,
+                    help="benchmark text column (default: --col)")
+    dc.add_argument("--ngram", type=int, default=13)
+
+    lm = sub.add_parser("lm-score")
+    common(lm)
+    lm.add_argument("--id-col", default="doc_id")
+    lm.add_argument("--reference", default=None,
+                    help="clean reference corpus to train on "
+                         "(default: the input itself)")
+    lm.add_argument("--max-vocab", type=int, default=65536)
+    lm.add_argument("--max-bigrams", type=int, default=1_000_000)
+    lm.add_argument("--alpha", type=float, default=0.1)
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -435,6 +456,60 @@ def cmd_pack(args) -> None:
                   f'{row["first_chunk"]}\t{row["last_chunk"]}')
 
 
+def cmd_decontaminate(args) -> None:
+    """Drop corpus docs sharing any word n-gram with the benchmark;
+    survivor counts go to stderr as JSON."""
+    from athena_spark.operators.curate import decontaminate
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    corpus = read_corpus(spark, args.input, fmt=args.format)
+    bench = read_corpus(spark, args.benchmark, fmt=args.format)
+    out = decontaminate(
+        corpus, bench, id_col=args.id_col, text_col=args.col,
+        bench_text_col=args.benchmark_col, n=args.ngram,
+    )
+    n_in = corpus.count()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        rows = None
+    else:
+        rows = out.select(args.id_col).collect()
+        n_out = len(rows)
+    print(json.dumps({"rows_in": n_in, "rows_kept": n_out,
+                      "rows_contaminated": n_in - n_out,
+                      "ngram": args.ngram}), file=sys.stderr)
+    if rows is not None:
+        for row in rows:
+            print(row[args.id_col])
+
+
+def cmd_lm_score(args) -> None:
+    """Bigram-LM perplexity scoring; model stats go to stderr."""
+    from athena_spark.operators.lmscore import (score_perplexity,
+                                                train_bigram_lm)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    corpus = read_corpus(spark, args.input, fmt=args.format)
+    ref = (read_corpus(spark, args.reference, fmt=args.format)
+           if args.reference else corpus)
+    model = train_bigram_lm(ref, args.col, max_vocab=args.max_vocab,
+                            max_bigrams=args.max_bigrams,
+                            alpha=args.alpha)
+    out = score_perplexity(corpus, args.id_col, args.col, model)
+    print(json.dumps({"vocab": model.v, "bigrams": len(model.bi_keys),
+                      "total_tokens": model.total,
+                      "alpha": model.alpha}), file=sys.stderr)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in out.orderBy(args.id_col).collect():
+            nll = "" if row["avg_nll"] is None else f'{row["avg_nll"]:.6f}'
+            print(f'{row[args.id_col]}\t{row["n_trans"]}\t{nll}')
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -458,6 +533,8 @@ def main(argv=None) -> None:
         "split": cmd_split,
         "mix": cmd_mix,
         "pack": cmd_pack,
+        "decontaminate": cmd_decontaminate,
+        "lm-score": cmd_lm_score,
         "package": cmd_package,
     }[args.cmd](args)
 

@@ -250,3 +250,43 @@ def test_cli_mix_and_pack(spark, sf_dir, tmp_path, capsys):
     total = sum(r["n_tokens"] for r in lib.collect())
     assert rep["tokens"] == total
     assert rep["chunks"] == (total + 255) // 256
+
+
+def test_cli_decontaminate_and_lm_score(spark, sf_dir, tmp_path, capsys):
+    """decontaminate and lm-score subcommands end-to-end against the
+    library results."""
+    from athena_spark.operators.curate import decontaminate
+    from athena_spark.operators.lmscore import (score_perplexity,
+                                                train_bigram_lm)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_dir = str(tmp_path / "dc_in")
+    docs.write.parquet(docs_dir)
+    bench_dir = str(tmp_path / "dc_bench")
+    docs.where(F.col("doc_id") % 17 == 0).select("text") \
+        .write.parquet(bench_dir)
+    out_dir = str(tmp_path / "dc_out")
+    main(["decontaminate", "--input", docs_dir, "--col", "text",
+          "--benchmark", bench_dir, "--ngram", "8",
+          "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    want = {r["doc_id"] for r in decontaminate(
+        docs, docs.where(F.col("doc_id") % 17 == 0).select("text"),
+        "doc_id", "text", n=8).collect()}
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+    assert rep["rows_kept"] == len(want) and rep["rows_contaminated"] > 0
+
+    lm_out = str(tmp_path / "lm_out")
+    main(["lm-score", "--input", docs_dir, "--col", "text",
+          "--max-vocab", "24", "--max-bigrams", "500",
+          "--output", lm_out])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert rep["vocab"] == 24 and rep["bigrams"] <= 500
+    lm = train_bigram_lm(docs, "text", max_vocab=24, max_bigrams=500)
+    want_rows = {(r["doc_id"], r["n_trans"], r["p_nano"])
+                 for r in score_perplexity(docs, "doc_id", "text",
+                                           lm).collect()}
+    got_rows = {(r["doc_id"], r["n_trans"], r["p_nano"])
+                for r in spark.read.parquet(lm_out).collect()}
+    assert got_rows == want_rows
