@@ -70,7 +70,15 @@ def train_bigram_lm(
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    toks = df.select(tokens_col(text_col).alias("ts"))
+    # normalize \v/\f to spaces so TRAINING tokenization matches the
+    # Arrow SCORING tokenizer exactly (ascii_split_whitespace splits
+    # on them; the JVM [ \t\n]+ pattern alone would keep them inside
+    # tokens, making that bigram mass unreachable at scoring time)
+    norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
+    # persist the tokenized reference: the unigram and bigram top-k
+    # passes are separate Spark jobs and would otherwise re-read and
+    # re-tokenize the corpus twice
+    toks = df.select(tokens_col(norm).alias("ts")).persist()
     uni_rows = (
         toks.select(F.explode("ts").alias("w"))
         .groupBy("w").count()
@@ -99,6 +107,7 @@ def train_bigram_lm(
         .limit(max_bigrams)
         .collect()
     )
+    toks.unpersist()
     idx = {w: i for i, w in enumerate(vocab)}
     v1 = len(vocab) + 1
     keys = np.array(
@@ -132,11 +141,12 @@ def _transition_probs(tokens, t: np.ndarray, lm: BigramLM
     ids = pc.fill_null(
         pc.index_in(tokens, value_set=pa.array(lm.vocab, pa.string())), -1
     ).to_numpy(zero_copy_only=False).astype(np.int64)
-    # transitions = adjacent positions within one doc
+    # transitions = adjacent positions within one doc: (j, j+1) is
+    # intra-doc exactly when token j+1 is not a doc start
     starts = np.cumsum(t) - t
     L = len(ids)
     pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
-    valid = pos_in_doc[: L - 1] <= np.repeat(t - 2, t)[: L - 1]
+    valid = pos_in_doc[1:] != 0
     i1 = ids[:-1][valid]
     i2 = ids[1:][valid]
     both = (i1 >= 0) & (i2 >= 0)
@@ -150,8 +160,12 @@ def _transition_probs(tokens, t: np.ndarray, lm: BigramLM
         found = np.zeros(both.sum(), np.float64)
         found[hit] = lm.bi_counts[pos[hit]]
         cb[both] = found
-    c1 = np.where(i1 >= 0, lm.uni_counts[np.maximum(i1, 0)], 0).astype(np.float64)
-    c2 = np.where(i2 >= 0, lm.uni_counts[np.maximum(i2, 0)], 0).astype(np.float64)
+    # pad so the eager fancy index survives an empty vocab (empty
+    # reference corpus → every token OOV, every count 0)
+    uni_safe = (lm.uni_counts if len(lm.uni_counts)
+                else np.zeros(1, np.int64))
+    c1 = np.where(i1 >= 0, uni_safe[np.maximum(i1, 0)], 0).astype(np.float64)
+    c2 = np.where(i2 >= 0, uni_safe[np.maximum(i2, 0)], 0).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         mle = np.where(c1 > 0, cb / c1, 0.0)
     denom = float(lm.total + lm.v + 1)

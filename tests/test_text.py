@@ -328,3 +328,35 @@ def test_bigram_lm_scoring_matches_local_oracle(spark):
     assert got[0]["avg_nll"] < got[2]["avg_nll"]
     with pytest.raises(ValueError, match="alpha"):
         train_bigram_lm(df, "text", alpha=1.5)
+
+
+def test_bigram_lm_edge_cases(spark):
+    """An empty reference corpus trains an empty LM that scores
+    everything as OOV (no executor crash); \\v/\\f-containing text is
+    tokenized IDENTICALLY at train and score time (both split)."""
+    import math
+
+    from athena_spark.operators.lmscore import (score_perplexity,
+                                                train_bigram_lm)
+
+    empty_ref = spark.createDataFrame(
+        [(0, ""), (1, "   ")], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(empty_ref, "text", max_vocab=8)
+    assert lm.v == 0 and lm.total == 0
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    (r,) = score_perplexity(docs, "doc_id", "text", lm).collect()
+    # all OOV: p = alpha * (0 + 1) / (0 + 0 + 1) = alpha, per transition
+    assert r["n_trans"] == 2
+    assert r["p_nano"] == 2 * math.floor(0.1 * 1e9)
+    assert r["avg_nll"] == pytest.approx(-math.log(0.1))
+
+    vtab = spark.createDataFrame(
+        [(0, "a\x0bb a\x0bb c c")], "doc_id long, text string"
+    )
+    lm2 = train_bigram_lm(vtab, "text", max_vocab=8)
+    # \v splits in training just like the Arrow scoring tokenizer
+    assert sorted(lm2.vocab) == ["a", "b", "c"]
+    (r2,) = score_perplexity(vtab, "doc_id", "text", lm2).collect()
+    assert r2["n_trans"] == 5  # a b a b c c
+    assert r2["avg_nll"] < -math.log(0.1)  # in-vocab mass found
