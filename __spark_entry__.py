@@ -1559,6 +1559,73 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_trans", "p_nano")
 
 
+def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified BPE tokenizer-training gate (iterative merge
+    learning is not SQL-expressible, so like the other certified
+    gates the Spark side computes REAL invariants and the oracle pins
+    the expected TRUE rows):
+
+    * training is partitioning-independent (same merge list from a
+      repartitioned corpus),
+    * vocab arithmetic holds (base symbols + one new symbol per
+      merge),
+    * encode∘decode is the identity on EVERY document (checked
+      corpus-wide in Spark: joining subwords == joining tokens with
+      the terminal marker),
+    * per-doc subword counts sit in [n_words, n_chars + n_words],
+    * every emitted subword is in the learned vocab.
+    """
+    from athena_spark.functions.bpe import bpe_encode, train_bpe
+    from athena_spark.functions.tokenize import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    m1 = train_bpe(docs, "text", num_merges=40)
+    m2 = train_bpe(docs.repartition(13), "text", num_merges=40)
+    deterministic = m1.merges == m2.merges
+    base = {s for s in m1.vocab if s not in
+            {a + b for a, b in m1.merges}}
+    vocab_ok = len(m1.vocab) == len(base) + len(m1.merges) and \
+        len(m1.merges) <= 40
+    enc = bpe_encode(docs, "doc_id", "text", m1)
+    joined = enc.join(
+        docs.select(
+            "doc_id", tokens_col("text").alias("toks"),
+            F.length(F.regexp_replace(
+                F.col("text"), "[ \\t\\n\\r]", "")).alias("n_chars"),
+        ),
+        "doc_id",
+    )
+    vocab_lit = F.array(*[F.lit(s) for s in m1.vocab])
+    stats = joined.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(
+            F.array_join("subwords", "")
+            == F.when(F.size("toks") > 0,
+                      F.concat(F.array_join("toks", "</w>"),
+                               F.lit("</w>"))).otherwise(F.lit("")),
+            1).otherwise(0)).alias("roundtrip_ok"),
+        F.sum(F.when(
+            (F.col("n_subwords") >= F.col("n_words"))
+            & (F.col("n_subwords") <= F.col("n_chars") + F.col("n_words")),
+            1).otherwise(0)).alias("bounds_ok"),
+        F.sum(F.when(
+            F.size(F.array_except("subwords", vocab_lit)) == 0,
+            1).otherwise(0)).alias("vocab_member_ok"),
+    ).collect()[0]
+    n = stats["docs"]
+    rows = [
+        ("training_deterministic_across_partitionings",
+         bool(deterministic)),
+        ("vocab_is_base_plus_merges", bool(vocab_ok)),
+        ("roundtrip_identity_all_docs",
+         bool(stats["roundtrip_ok"] == n and n > 0)),
+        ("subword_counts_within_bounds", bool(stats["bounds_ok"] == n)),
+        ("all_subwords_in_vocab", bool(stats["vocab_member_ok"] == n)),
+        ("merges_nonempty", bool(len(m1.merges) > 0)),
+    ]
+    return spark.createDataFrame(rows, "`check` string, ok boolean")
+
+
 def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-based dedup: one representative (min id) per
     connected component of the near-dup graph (J >= 0.8), after exact
@@ -2092,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "decontaminate": q_decontaminate,
         "lm_perplexity": q_lm_perplexity,
+        "bpe_tokenizer": q_bpe_tokenizer,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "sessionization": q_sessionization,
@@ -2627,6 +2695,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.s, 0) AS BIGINT) AS p_nano
             FROM documents d
             LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "bpe_tokenizer": """
+            SELECT 'training_deterministic_across_partitionings'
+                       AS "check", TRUE AS ok
+            UNION ALL SELECT 'vocab_is_base_plus_merges', TRUE
+            UNION ALL SELECT 'roundtrip_identity_all_docs', TRUE
+            UNION ALL SELECT 'subword_counts_within_bounds', TRUE
+            UNION ALL SELECT 'all_subwords_in_vocab', TRUE
+            UNION ALL SELECT 'merges_nonempty', TRUE
         """,
         "text_input_parity": """
             SELECT 'text_reader_counts_match_parquet' AS "check", TRUE AS ok

@@ -21,6 +21,7 @@ Subcommands:
 * ``pack``       — sequence packing (global offsets + chunk spans)
 * ``decontaminate`` — n-gram benchmark decontamination
 * ``lm-score``   — bigram-LM perplexity quality scoring
+* ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
 * ``package``    — build the --py-files zip
 """
 
@@ -133,6 +134,15 @@ def _build_parser() -> argparse.ArgumentParser:
     lm.add_argument("--max-vocab", type=int, default=65536)
     lm.add_argument("--max-bigrams", type=int, default=1_000_000)
     lm.add_argument("--alpha", type=float, default=0.1)
+
+    tb = sub.add_parser("train-bpe")
+    common(tb)
+    tb.add_argument("--id-col", default="doc_id")
+    tb.add_argument("--num-merges", type=int, default=32000)
+    tb.add_argument("--max-words", type=int, default=1 << 20)
+    tb.add_argument("--apply", default=None, metavar="ENC_DIR",
+                    help="also encode the corpus and write parquet "
+                         "(doc id, n_words, n_subwords, subwords)")
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -510,6 +520,30 @@ def cmd_lm_score(args) -> None:
             print(f'{row[args.id_col]}\t{row["n_trans"]}\t{nll}')
 
 
+def cmd_train_bpe(args) -> None:
+    """Learn a BPE merge list from the corpus; optionally encode the
+    corpus with it.  Merges go to --output (one 'a b' pair per line,
+    training order) or stdout; model stats go to stderr."""
+    from athena_spark.functions.bpe import bpe_encode, train_bpe
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    model = train_bpe(df, args.col, num_merges=args.num_merges,
+                      max_words=args.max_words)
+    print(json.dumps({"merges": len(model.merges),
+                      "vocab": len(model.vocab)}), file=sys.stderr)
+    lines = "".join(f"{a} {b}\n" for a, b in model.merges)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(lines)
+    else:
+        sys.stdout.write(lines)
+    if args.apply:
+        bpe_encode(df, args.id_col, args.col, model) \
+            .write.mode("overwrite").parquet(args.apply)
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -535,6 +569,7 @@ def main(argv=None) -> None:
         "pack": cmd_pack,
         "decontaminate": cmd_decontaminate,
         "lm-score": cmd_lm_score,
+        "train-bpe": cmd_train_bpe,
         "package": cmd_package,
     }[args.cmd](args)
 

@@ -1,0 +1,204 @@
+"""Byte-pair-encoding tokenizer training and encoding.
+
+The last step of a training-data pipeline the engine was missing:
+learn a subword vocabulary FROM the corpus (Sennrich et al. 2016)
+and encode documents with it.
+
+Scale shape (the standard trick real BPE trainers use): the corpus
+is touched ONCE — a Spark pass aggregates the word histogram
+(exact groupBy, truncated to ``max_words`` by TakeOrdered, so driver
+traffic is bounded) — and the merge loop runs driver-side over that
+bounded histogram, never over the corpus.  Encoding cost is likewise
+bounded by UNIQUE tokens per batch, not corpus length: each batch
+dictionary-encodes its tokens (Arrow), encodes each unique word once
+through the merge ranks, and fans the results back out.
+
+Determinism: ties in the merge loop break by lexicographically
+smallest pair, so the learned merge list is a pure function of the
+histogram (itself deterministic), independent of partitioning.
+
+Reference scope: the reference tokenizes by whitespace only
+(src/_io.cpp:21-76); subword learning is an engine extension in the
+LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.tokenize import tokens_col
+
+END = "</w>"  # word-terminal symbol (kept distinct from any char)
+
+
+@dataclass
+class BPEModel:
+    """Learned merge list (training order = rank order) + the final
+    symbol vocabulary.  Picklable/broadcastable."""
+
+    merges: list[tuple[str, str]]
+    vocab: list[str]
+
+    @property
+    def ranks(self) -> dict[tuple[str, str], int]:
+        return {pair: i for i, pair in enumerate(self.merges)}
+
+
+def _merge_histogram(words: list[tuple[tuple[str, ...], int]],
+                     pair: tuple[str, str]
+                     ) -> list[tuple[tuple[str, ...], int]]:
+    a, b = pair
+    ab = a + b
+    out = []
+    for syms, cnt in words:
+        merged = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                merged.append(ab)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        out.append((tuple(merged), cnt))
+    return out
+
+
+def train_bpe(df: DataFrame, text_col: str, num_merges: int,
+              max_words: int = 1 << 20) -> BPEModel:
+    """Learn ``num_merges`` BPE merges from the corpus word
+    histogram.  One Spark pass (word counts, top ``max_words`` by
+    count desc / word asc — a total order, so truncation is
+    deterministic); the merge loop is driver-side over the bounded
+    histogram.  Stops early if no pair occurs twice."""
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    rows = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w").count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    words = [(tuple(r["w"]) + (END,), int(r["count"])) for r in rows]
+    base = sorted({s for syms, _ in words for s in syms})
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        # max count, ties by lexicographically smallest pair —
+        # a total order, so training is partitioning-independent
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        words = _merge_histogram(words, best)
+    vocab = base + [a + b for a, b in merges]
+    return BPEModel(merges=merges, vocab=vocab)
+
+
+def bpe_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word: start from characters + END, repeatedly apply
+    the lowest-rank applicable merge (the classic greedy-by-rank
+    loop, equivalent to replaying training order)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(df: DataFrame, id_col: str, text_col: str,
+               model: BPEModel) -> DataFrame:
+    """Encode documents: (id, n_words, n_subwords, subwords) where
+    ``subwords`` is the flat subword sequence (END-terminated per
+    word, so decoding is concatenation + split on END).
+
+    Per-batch cost is bounded by UNIQUE tokens, not token count:
+    Arrow dictionary-encodes the batch's tokens, each unique word is
+    encoded once through the merge ranks, and per-token subword
+    counts fan back out through the dictionary indices.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from athena_spark.functions.tokenize import arrow_tokenize_batch
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    sc = df.sparkSession.sparkContext
+    bmodel = sc.broadcast(model)
+
+    def kernel(batches):
+        ranks = bmodel.value.ranks
+        cache: dict[str, list[str]] = {}
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            tokens, t = arrow_tokenize_batch(texts)
+            dic = pc.dictionary_encode(tokens)
+            uniq = dic.dictionary.to_pylist() if len(tokens) else []
+            enc = []
+            for w in uniq:
+                e = cache.get(w)
+                if e is None:
+                    e = bpe_word(w, ranks)
+                    cache[w] = e
+                enc.append(e)
+            idx = (dic.indices.to_numpy(zero_copy_only=False)
+                   .astype(np.int64) if len(tokens)
+                   else np.empty(0, np.int64))
+            lens = np.array([len(e) for e in enc], np.int64)
+            per_token = lens[idx] if len(idx) else np.empty(0, np.int64)
+            # per-doc subword counts via token segments
+            ends = np.cumsum(t)
+            cs = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(per_token)]
+            )
+            starts = ends - t
+            n_sub = cs[ends] - cs[starts]
+            # flat doc-major subword stream, no per-token Python: fan
+            # the unique encodings out through the dictionary indices
+            # (Arrow take) and flatten; doc boundaries come from the
+            # per-token subword-count cumsum
+            if len(idx):
+                uniq_list = pa.array(enc, type=pa.list_(pa.string()))
+                flat_arr = uniq_list.take(pa.array(idx)).flatten()
+            else:
+                flat_arr = pa.array([], type=pa.string())
+            doc_offsets = np.concatenate(
+                [np.zeros(1, np.int64), cs[ends]]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(t.astype(np.int64)),
+                 pa.array(n_sub),
+                 pa.ListArray.from_arrays(
+                     pa.array(doc_offsets, type=pa.int32()),
+                     flat_arr)],
+                names=[id_col, "n_words", "n_subwords", "subwords"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        kernel,
+        f"`{id_col}` {id_type}, n_words long, n_subwords long, "
+        "subwords array<string>",
+    )
+
+
+def bpe_decode_subwords(subwords: list[str]) -> list[str]:
+    """Inverse of encoding: concatenate and split on END."""
+    return [w for w in "".join(subwords).split(END) if w != ""]

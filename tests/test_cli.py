@@ -290,3 +290,33 @@ def test_cli_decontaminate_and_lm_score(spark, sf_dir, tmp_path, capsys):
     got_rows = {(r["doc_id"], r["n_trans"], r["p_nano"])
                 for r in spark.read.parquet(lm_out).collect()}
     assert got_rows == want_rows
+
+
+def test_cli_train_bpe(spark, sf_dir, tmp_path, capsys):
+    """train-bpe subcommand: merge list matches the library; --apply
+    writes an encoded corpus that round-trips."""
+    from athena_spark.functions.bpe import (bpe_decode_subwords,
+                                            train_bpe)
+    from athena_spark.functions.tokenize import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_dir = str(tmp_path / "bpe_in")
+    docs.write.parquet(docs_dir)
+    merges_path = str(tmp_path / "merges.txt")
+    enc_dir = str(tmp_path / "bpe_enc")
+    main(["train-bpe", "--input", docs_dir, "--col", "text",
+          "--num-merges", "30", "--output", merges_path,
+          "--apply", enc_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    model = train_bpe(docs, "text", num_merges=30)
+    with open(merges_path) as fh:
+        got_merges = [tuple(l.split(" ", 1)) for l in
+                      fh.read().splitlines()]
+    assert got_merges == model.merges
+    assert rep["merges"] == len(model.merges)
+    enc = {r["doc_id"]: r for r in spark.read.parquet(enc_dir).collect()}
+    toks = {r["doc_id"]: r["ts"] for r in
+            docs.select("doc_id", tokens_col("text").alias("ts"))
+            .collect()}
+    for i, ts in list(toks.items())[:50]:
+        assert bpe_decode_subwords(enc[i]["subwords"]) == ts, i

@@ -360,3 +360,89 @@ def test_bigram_lm_edge_cases(spark):
     (r2,) = score_perplexity(vtab, "doc_id", "text", lm2).collect()
     assert r2["n_trans"] == 5  # a b a b c c
     assert r2["avg_nll"] < -math.log(0.1)  # in-vocab mass found
+
+
+def _ref_bpe_train(word_counts, num_merges):
+    """Independent reference BPE (Sennrich alg. 1) over a word
+    histogram — dict-based, same tie rule, for oracle comparison."""
+    words = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        new = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = c
+        words = new
+    return merges
+
+
+def test_bpe_train_encode_roundtrip(spark):
+    """Training matches an independent reference implementation on
+    the classic low/lower/newest/widest histogram; encoding is
+    deterministic under repartitioning and round-trips exactly."""
+    from collections import Counter
+
+    from athena_spark.functions.bpe import (bpe_decode_subwords,
+                                            bpe_encode, train_bpe)
+
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+             + ["widest"] * 3)
+    rows = [(i, " ".join(texts[: i + 1])) for i in range(len(texts))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = Counter(w for _, t in rows for w in t.split())
+    model = train_bpe(df, "text", num_merges=10)
+    assert model.merges == _ref_bpe_train(wc, 10)
+    assert len(model.vocab) == len(
+        {c for w in wc for c in w} | {"</w>"}) + len(model.merges)
+    # deterministic under repartitioning
+    model2 = train_bpe(df.repartition(7), "text", num_merges=10)
+    assert model2.merges == model.merges
+
+    enc = {r["doc_id"]: r for r in
+           bpe_encode(df, "doc_id", "text", model).collect()}
+    for i, text in rows:
+        toks = text.split()
+        r = enc[i]
+        assert r["n_words"] == len(toks)
+        assert bpe_decode_subwords(r["subwords"]) == toks, i
+        assert r["n_subwords"] == len(r["subwords"])
+        assert len(toks) <= r["n_subwords"] <= sum(
+            len(w) + 1 for w in toks)
+    # early stop: more merges than pairs exist
+    big = train_bpe(df, "text", num_merges=10_000)
+    assert len(big.merges) < 10_000
+    with pytest.raises(ValueError, match="num_merges"):
+        train_bpe(df, "text", num_merges=-1)
+
+
+def test_bpe_encode_empty_and_degenerate(spark):
+    from athena_spark.functions.bpe import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, ""), (2, "   "), (3, "x")],
+        "doc_id long, text string",
+    )
+    model = train_bpe(df, "text", num_merges=5)
+    got = {r["doc_id"]: r for r in
+           bpe_encode(df, "doc_id", "text", model).collect()}
+    assert got[1]["n_words"] == 0 and got[1]["subwords"] == []
+    assert got[2]["n_words"] == 0
+    assert got[3]["n_words"] == 1 and got[3]["n_subwords"] >= 1
