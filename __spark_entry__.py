@@ -1582,10 +1582,13 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = train_bpe(docs, "text", num_merges=40)
     m2 = train_bpe(docs.repartition(13), "text", num_merges=40)
     deterministic = m1.merges == m2.merges
-    base = {s for s in m1.vocab if s not in
-            {a + b for a, b in m1.merges}}
-    vocab_ok = len(m1.vocab) == len(base) + len(m1.merges) and \
-        len(m1.merges) <= 40
+    merged_syms = {a + b for a, b in m1.merges}
+    base = {s for s in m1.vocab if s not in merged_syms}
+    vocab_ok = (
+        len(set(m1.vocab)) == len(m1.vocab)  # no duplicate entries
+        and set(m1.vocab) == base | merged_syms
+        and len(m1.merges) <= 40
+    )
     enc = bpe_encode(docs, "doc_id", "text", m1)
     joined = enc.join(
         docs.select(

@@ -38,14 +38,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="athena-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp):
+    def common(sp, output_help="output parquet dir"):
         sp.add_argument("--input", required=True, help="input dir/table")
         sp.add_argument("--format", default="parquet",
                         help="input format: parquet (default), text "
                              "(the reference's raw token files), "
                              "json/orc/csv, or iceberg (catalog table)")
         sp.add_argument("--col", default="content")
-        sp.add_argument("--output", default=None, help="output parquet dir")
+        sp.add_argument("--output", default=None, help=output_help)
         sp.add_argument("--master", default=None)
         sp.add_argument("--partitions", type=int, default=None)
         sp.add_argument("--checkpoint-dir", default=None)
@@ -136,7 +136,8 @@ def _build_parser() -> argparse.ArgumentParser:
     lm.add_argument("--alpha", type=float, default=0.1)
 
     tb = sub.add_parser("train-bpe")
-    common(tb)
+    common(tb, output_help="merges text file to write ('a b' per "
+                           "line, training order); stdout if omitted")
     tb.add_argument("--id-col", default="doc_id")
     tb.add_argument("--num-merges", type=int, default=32000)
     tb.add_argument("--max-words", type=int, default=1 << 20)

@@ -29,9 +29,15 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from athena_spark.functions.tokenize import tokens_col
+from athena_spark.functions.tokenize import exploded_tokens
 
-END = "</w>"  # word-terminal symbol (kept distinct from any char)
+# Word-terminal sentinel.  It is a distinct SYMBOL during the merge
+# loop, but decoding works on joined strings, so tokens whose TEXT
+# contains this substring would decode ambiguously — train/encode
+# reject them loudly (see _check_sentinel) rather than corrupt
+# silently, matching the original Sennrich pre-tokenization
+# assumption.
+END = "</w>"
 
 
 @dataclass
@@ -47,23 +53,33 @@ class BPEModel:
         return {pair: i for i, pair in enumerate(self.merges)}
 
 
-def _merge_histogram(words: list[tuple[tuple[str, ...], int]],
-                     pair: tuple[str, str]
-                     ) -> list[tuple[tuple[str, ...], int]]:
-    a, b = pair
-    ab = a + b
-    out = []
-    for syms, cnt in words:
-        merged = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                merged.append(ab)
-                i += 2
-            else:
-                merged.append(syms[i])
-                i += 1
-        out.append((tuple(merged), cnt))
+def _check_sentinel(word: str) -> None:
+    if END in word:
+        raise ValueError(
+            f"token {word!r} contains the BPE word-terminal sentinel "
+            f"{END!r} — decoding would be ambiguous; strip or escape "
+            "such tokens before BPE (original-Sennrich "
+            "pre-tokenization assumption)"
+        )
+
+
+def _merge_word(syms: tuple[str, ...], a: str, b: str
+                ) -> tuple[str, ...]:
+    merged, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            merged.append(a + b)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return tuple(merged)
+
+
+def _word_pairs(syms: tuple[str, ...]) -> dict[tuple[str, str], int]:
+    out: dict[tuple[str, str], int] = {}
+    for p in zip(syms, syms[1:]):
+        out[p] = out.get(p, 0) + 1
     return out
 
 
@@ -73,25 +89,37 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int,
     histogram.  One Spark pass (word counts, top ``max_words`` by
     count desc / word asc — a total order, so truncation is
     deterministic); the merge loop is driver-side over the bounded
-    histogram.  Stops early if no pair occurs twice."""
+    histogram, INCREMENTAL in the standard Sennrich-trainer way:
+    global pair counts plus a pair→words index are maintained across
+    iterations, so each merge touches only the words that contain
+    the chosen pair — not the whole histogram.  Stops early if no
+    pair occurs twice."""
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    # \v/\f → space so training tokenization matches the Arrow
+    # scoring/encoding tokenizer exactly (same rule as the LM scorer)
+    norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
     rows = (
-        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        exploded_tokens(df, norm, out="w")
         .groupBy("w").count()
         .orderBy(F.col("count").desc(), F.col("w").asc())
         .limit(max_words)
         .collect()
     )
-    words = [(tuple(r["w"]) + (END,), int(r["count"])) for r in rows]
-    base = sorted({s for syms, _ in words for s in syms})
+    for r in rows:
+        _check_sentinel(r["w"])
+    words: list[tuple[str, ...]] = [tuple(r["w"]) + (END,) for r in rows]
+    counts = [int(r["count"]) for r in rows]
+    base = sorted({s for syms in words for s in syms})
+    # global pair counts + inverted index, maintained incrementally
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        for p, k in _word_pairs(syms).items():
+            pair_counts[p] = pair_counts.get(p, 0) + k * counts[wi]
+            pair_words.setdefault(p, set()).add(wi)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for syms, cnt in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + cnt
         if not pair_counts:
             break
         # max count, ties by lexicographically smallest pair —
@@ -100,8 +128,32 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int,
         if pair_counts[best] < 2:
             break
         merges.append(best)
-        words = _merge_histogram(words, best)
-    vocab = base + [a + b for a, b in merges]
+        for wi in sorted(pair_words.get(best, ())):
+            old = words[wi]
+            new = _merge_word(old, *best)
+            if new == old:
+                continue
+            c = counts[wi]
+            for p, k in _word_pairs(old).items():
+                left = pair_counts[p] - k * c
+                if left:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
+                s = pair_words[p]
+                s.discard(wi)
+                if not s:
+                    del pair_words[p]
+            for p, k in _word_pairs(new).items():
+                pair_counts[p] = pair_counts.get(p, 0) + k * c
+                pair_words.setdefault(p, set()).add(wi)
+            words[wi] = new
+    seen = set(base)
+    vocab = list(base)
+    for a, b in merges:
+        if a + b not in seen:  # two merges can concatenate equal
+            seen.add(a + b)
+            vocab.append(a + b)
     return BPEModel(merges=merges, vocab=vocab)
 
 
@@ -155,6 +207,7 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
             for w in uniq:
                 e = cache.get(w)
                 if e is None:
+                    _check_sentinel(w)
                     e = bpe_word(w, ranks)
                     cache[w] = e
                 enc.append(e)

@@ -446,3 +446,31 @@ def test_bpe_encode_empty_and_degenerate(spark):
     assert got[1]["n_words"] == 0 and got[1]["subwords"] == []
     assert got[2]["n_words"] == 0
     assert got[3]["n_words"] == 1 and got[3]["n_subwords"] >= 1
+
+
+def test_bpe_sentinel_and_vtab_handling(spark):
+    """Tokens containing the word-terminal sentinel are rejected
+    loudly (silent decode corruption otherwise); \\v/\\f split
+    identically at train and encode time; duplicate merge products
+    appear once in the vocab."""
+    from athena_spark.functions.bpe import bpe_encode, train_bpe
+
+    bad = spark.createDataFrame(
+        [(0, "ok a</w>b ok")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="sentinel"):
+        train_bpe(bad, "text", num_merges=2)
+    good_model = train_bpe(
+        spark.createDataFrame([(0, "aa aa")], "doc_id long, text string"),
+        "text", num_merges=2,
+    )
+    with pytest.raises(Exception, match="sentinel"):
+        bpe_encode(bad, "doc_id", "text", good_model).collect()
+
+    vtab = spark.createDataFrame(
+        [(0, "a\x0bb a\x0bb c")], "doc_id long, text string"
+    )
+    m = train_bpe(vtab, "text", num_merges=4)
+    enc = bpe_encode(vtab, "doc_id", "text", m).collect()[0]
+    assert enc["n_words"] == 5  # \v splits in BOTH halves
+    assert len(m.vocab) == len(set(m.vocab))
