@@ -81,7 +81,10 @@ def grouped_sketch_report(
     def apply_report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            # per-key iteration is inherent (one sketch deserialized
+            # per row); to_dict("records") just avoids the iterrows
+            # Series-construction overhead
+            for row in pdf.to_dict("records"):
                 rep = report_fn(load_summary(row["state"]))
                 out.append({**{k: row[k] for k in keys}, **rep})
             if out:

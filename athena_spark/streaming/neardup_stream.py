@@ -156,6 +156,12 @@ class StreamingNearDupDedup:
                             band_count=self.bands),
             f"`{id_col}` {id_type}, grams array<long>, bands array<long>",
         ).withColumnRenamed(id_col, "doc").localCheckpoint(eager=True)
+        # fault-tolerance note: this localCheckpoint lives only for
+        # the current micro-batch — if an executor dies mid-batch the
+        # foreachBatch invocation fails and Structured Streaming
+        # replays the batch from the checkpointed source offsets, so
+        # unlike the batch dedup paths no reliable checkpoint is
+        # needed here
 
         store = self._read_store(before_epoch=int(epoch_id))
         blocked: set = set()
