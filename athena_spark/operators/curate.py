@@ -38,6 +38,9 @@ def curate_corpus(
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     with_features: bool = False,
     materialize: str = "local",
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    max_dup_trigram_frac: float | None = None,
 ) -> DataFrame:
     """Surviving document ids after the four curation stages.
 
@@ -67,6 +70,26 @@ def curate_corpus(
        band buckets + verification gram hashes from a single Arrow
        tokenize pass (``minhash_dedup_pairs``).
     """
+    rep_thresholds = [
+        ("dup_line_frac", max_dup_line_frac),
+        ("top_bigram_frac", max_top_bigram_frac),
+        ("dup_trigram_frac", max_dup_trigram_frac),
+    ]
+    if any(v is not None for _, v in rep_thresholds):
+        # opt-in Gopher-style repetition gate: one extra
+        # partition-local Arrow read of the text (the pipeline's
+        # read count becomes 3 with this gate on), ids-only semi
+        # join back — text still never shuffles
+        from athena_spark.functions.text import repetition_features
+
+        rep = repetition_features(
+            df.select(id_col, text_col), id_col, text_col
+        )
+        cond = F.lit(True)
+        for col_name, v in rep_thresholds:
+            if v is not None:
+                cond = cond & (F.col(col_name) <= float(v))
+        df = df.join(rep.where(cond).select(id_col), id_col, "left_semi")
     feats = curation_features(
         df.select(id_col, text_col), text_col
     ).where(F.col("q_score") >= min_quality)

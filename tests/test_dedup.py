@@ -454,3 +454,28 @@ def test_reliable_materialization_mode(spark, docs, tmp_path):
                                            threshold=0.5, bands=64,
                                            materialize="reliable")
     assert key(comp_l) == key(comp_r)
+
+
+def test_curate_corpus_repetition_gate(spark):
+    """Opt-in repetition thresholds drop repetitive docs before the
+    quality/dedup stages; defaults leave behavior unchanged."""
+    from athena_spark.functions.text import repetition_features
+    from athena_spark.operators.curate import curate_corpus
+
+    rows = [
+        (0, "spark engines process large corpora with care and rigor"),
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "mixed text here then tok tok tok tok tok tok padding"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"] for r in curate_corpus(
+        df, min_quality=0.0, near_dup_threshold=0.99,
+        max_doc_freq=None).collect()}
+    assert base == {0, 1, 2}
+    gated = {r["doc_id"] for r in curate_corpus(
+        df, min_quality=0.0, near_dup_threshold=0.99,
+        max_doc_freq=None, max_top_bigram_frac=0.5).collect()}
+    rep = {r["doc_id"]: r["top_bigram_frac"] for r in
+           repetition_features(df, "doc_id", "text").collect()}
+    assert gated == {i for i in base if rep[i] <= 0.5}
+    assert 1 not in gated  # the all-spam doc is gone
