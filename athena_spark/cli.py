@@ -92,6 +92,9 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-doc-freq", type=int, default=-1,
                    help="Zipf shingle guard; -1 = library default, "
                         "0 = disabled")
+    c.add_argument("--max-dup-line-frac", type=float, default=None)
+    c.add_argument("--max-top-bigram-frac", type=float, default=None)
+    c.add_argument("--max-dup-trigram-frac", type=float, default=None)
 
     sp = sub.add_parser("split")
     common(sp)
@@ -356,6 +359,9 @@ def cmd_curate(args) -> None:
         df, id_col=args.id_col, text_col=args.col,
         min_quality=args.min_quality, keep_langs=keep,
         near_dup_threshold=args.near_dup_threshold, max_doc_freq=mdf,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        max_dup_trigram_frac=args.max_dup_trigram_frac,
     )
     n_in = df.count()
     # run the (expensive) pipeline exactly once: count the written
