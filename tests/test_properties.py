@@ -286,3 +286,47 @@ def test_simhash_batch_matches_scalar_definition(docs):
     for d, toks in enumerate(docs):
         toks = [t for t in toks if t]
         assert got[d] == scalar_simhash(toks), f"doc {d}"
+
+
+rep_text = st.text(alphabet="abk \n\t\r\x0b", max_size=60)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(rep_text, min_size=1, max_size=12),
+       st.integers(min_value=2, max_value=4))
+def test_repetition_kernels_match_counter_oracle(texts, n):
+    """The flat-array repetition kernels (gram top/dup fractions,
+    line dup fraction) equal per-doc Counter oracles on arbitrary
+    text including \\r deletion, \\v splitting, blank lines and
+    repeated tokens."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from athena_spark.functions.text import (_gram_repetition,
+                                             _line_dup_fracs)
+    from athena_spark.functions.tokenize import (_strip_cr,
+                                                 arrow_tokenize_batch)
+    from athena_spark.sketch.hashing import hash64_arrow
+
+    arr = _strip_cr(pc.fill_null(pa.array(texts, pa.string()), ""))
+    dup_line = _line_dup_fracs(arr, len(texts))
+    tokens, t = arrow_tokenize_batch(arr)
+    th = hash64_arrow(tokens)
+    top, dup = _gram_repetition(th, t, n)
+    for d, text in enumerate(texts):
+        clean = text.replace("\r", "")
+        toks = clean.split()
+        grams = list(zip(*[toks[i:] for i in range(n)]))
+        if grams:
+            c = Counter(grams)
+            want_top = max(c.values()) / len(grams)
+            want_dup = 1.0 - len(c) / len(grams)
+        else:
+            want_top = want_dup = 0.0
+        assert top[d] == want_top, (d, text)
+        assert dup[d] == want_dup, (d, text)
+        lines = [l for l in clean.split("\n") if l != ""]
+        want_line = (1.0 - len(set(lines)) / len(lines)) if lines else 0.0
+        assert dup_line[d] == want_line, (d, text)
