@@ -178,3 +178,16 @@ def test_pack_sequences_null_counts_pack_as_zero(spark):
     assert rows[1]["offset"] == 5 and rows[1]["n_tokens"] == 0
     assert rows[1]["first_chunk"] == rows[1]["last_chunk"] == 1
     assert rows[2]["offset"] == 5 and rows[2]["last_chunk"] == 2
+
+
+def test_mix_corpora_float_residue_no_phantom_replica(spark):
+    """Float residue barely above an integer weight (e.g.
+    2.0000000000000004) must not emit a third, match-nothing replica
+    that still scans the source."""
+    df = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long"
+    )
+    out = mix_corpora([("a", df, 2.0000000000000004)], "doc_id")
+    rows = out.collect()
+    assert {r["replica"] for r in rows} == {0, 1}
+    assert len(rows) == 100  # two full passes, nothing else
