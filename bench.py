@@ -195,12 +195,29 @@ def run_kernels(corpus_path: str) -> dict:
     def winnow():
         fingerprint_batch(pdf, "doc_id", "text")
 
+    import pyarrow.compute as pc
+
+    from athena_spark.functions.text import (_gram_repetition,
+                                             _line_dup_fracs)
+    from athena_spark.functions.tokenize import (_strip_cr,
+                                                 arrow_tokenize_batch)
+    from athena_spark.sketch.hashing import hash64_arrow
+
+    def repetition():
+        a = _strip_cr(pc.fill_null(arr, ""))
+        _line_dup_fracs(a, len(a))
+        tokens, t = arrow_tokenize_batch(a)
+        th = hash64_arrow(tokens)
+        _gram_repetition(th, t, 2)
+        _gram_repetition(th, t, 3)
+
     return {
         "tokens_per_file": n_tokens,
         "read_fold_tokens_per_sec": round(n_tokens / med(read_fold)),
         "tokenize_count_tokens_per_sec": round(n_tokens / med(tok_count)),
         "minhash_tokens_per_sec": round(n_tokens / med(minhash)),
         "winnow_tokens_per_sec": round(n_tokens / med(winnow)),
+        "repetition_tokens_per_sec": round(n_tokens / med(repetition)),
     }
 
 
