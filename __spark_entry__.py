@@ -1559,6 +1559,40 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_trans", "p_nano")
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified product-quantization ANN (the memory-compression
+    scale path: 64-dim float32 vectors → 16 uint8 codes, 16x):
+    ADC-only candidate recall@5 vs brute force >= 0.3 (measured
+    0.43 — lossy by design), the standard exact re-rank stage
+    >= 0.7 (measured 0.97 at factor 8), every code exactly m bytes,
+    and re-rank never hurts ADC recall."""
+    from athena_spark.operators.similarity import (ann_topk_bruteforce,
+                                                   ann_topk_pq,
+                                                   pq_encode, train_pq)
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, q, k=5).collect()}
+    cb = train_pq(emb, m=16, n_codes=16)
+    codes = pq_encode(emb, codebook=cb)
+    code_lens = {len(r["code"]) for r in codes.collect()}
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_pq(codes, q, cb, k=5).collect()}
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_pq(codes, q, cb, k=5,
+                               rerank_df=emb).collect()}
+    adc_recall = len(bf & adc) / len(bf)
+    rr_recall = len(bf & rr) / len(bf)
+    rows = [
+        ("adc_recall_at_5_ge_0.3", bool(adc_recall >= 0.3)),
+        ("reranked_recall_at_5_ge_0.7", bool(rr_recall >= 0.7)),
+        ("rerank_not_worse_than_adc", bool(rr_recall >= adc_recall)),
+        ("codes_exactly_16_bytes", bool(code_lens == {16})),
+    ]
+    return spark.createDataFrame(rows, "`check` string, ok boolean")
+
+
 def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified BPE tokenizer-training gate (iterative merge
     learning is not SQL-expressible, so like the other certified
@@ -2163,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "lm_perplexity": q_lm_perplexity,
         "bpe_tokenizer": q_bpe_tokenizer,
+        "ann_pq_recall": q_ann_pq_recall,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "sessionization": q_sessionization,
@@ -2698,6 +2733,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.s, 0) AS BIGINT) AS p_nano
             FROM documents d
             LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "ann_pq_recall": """
+            SELECT 'adc_recall_at_5_ge_0.3' AS "check", TRUE AS ok
+            UNION ALL SELECT 'reranked_recall_at_5_ge_0.7', TRUE
+            UNION ALL SELECT 'rerank_not_worse_than_adc', TRUE
+            UNION ALL SELECT 'codes_exactly_16_bytes', TRUE
         """,
         "bpe_tokenizer": """
             SELECT 'training_deterministic_across_partitionings'

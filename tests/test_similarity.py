@@ -246,3 +246,56 @@ def test_ivf_empty_query_set_returns_empty(spark, sf_dir, tmp_path):
     sim.write_ivf_bucketed(emb, cents, path)
     out2 = sim.ann_topk_ivf_bucketed(spark, path, cents, none, k=3)
     assert out2.count() == 0
+
+
+def test_pq_encode_topk_and_rerank(spark, sf_dir):
+    """Product quantization: 16-byte codes (16x over the 256-byte
+    float vectors), ADC candidate retrieval, and the standard exact
+    re-rank stage recovering near-brute-force recall."""
+    import numpy as np
+
+    from athena_spark.operators.similarity import (ann_topk_bruteforce,
+                                                   ann_topk_pq,
+                                                   pq_encode, train_pq)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, q, k=5).collect()}
+    cb = train_pq(emb, m=16, n_codes=16)
+    assert cb.shape == (16, 16, 4)
+    # deterministic training
+    assert np.array_equal(cb, train_pq(emb, m=16, n_codes=16))
+    codes = pq_encode(emb, codebook=cb)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["code"]) == 16 for r in rows)
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_pq(codes, q, cb, k=5).collect()}
+    adc_recall = len(bf & adc) / len(bf)
+    assert adc_recall >= 0.3  # measured 0.43 — lossy by design
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_pq(codes, q, cb, k=5,
+                               rerank_df=emb).collect()}
+    rr_recall = len(bf & rr) / len(bf)
+    assert rr_recall >= 0.8  # measured 0.97
+    assert rr_recall >= adc_recall
+
+
+def test_pq_validation_and_empty_queries(spark, sf_dir):
+    import pytest
+
+    from athena_spark.operators.similarity import (ann_topk_pq,
+                                                   pq_encode, train_pq)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq(emb, m=7)
+    with pytest.raises(ValueError, match="n_codes"):
+        train_pq(emb, n_codes=1000)
+    with pytest.raises(ValueError, match="codebook"):
+        pq_encode(emb)
+    cb = train_pq(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, codebook=cb)
+    out = ann_topk_pq(codes, emb.where("vec_id < 0"), cb, k=3)
+    assert out.collect() == []
