@@ -1575,13 +1575,17 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = {(r["query_id"], r["neighbor_id"])
           for r in ann_topk_bruteforce(emb, q, k=5).collect()}
     cb = train_pq(emb, m=16, n_codes=16)
-    codes = pq_encode(emb, codebook=cb)
-    code_lens = {len(r["code"]) for r in codes.collect()}
+    # persist: the length check, the ADC pass and the rerank's
+    # internal ADC pass would otherwise re-run the encode job 3x
+    codes = pq_encode(emb, codebook=cb).persist()
+    code_lens = {r[0] for r in
+                 codes.select(F.length("code")).distinct().collect()}
     adc = {(r["query_id"], r["neighbor_id"])
            for r in ann_topk_pq(codes, q, cb, k=5).collect()}
     rr = {(r["query_id"], r["neighbor_id"])
           for r in ann_topk_pq(codes, q, cb, k=5,
                                rerank_df=emb).collect()}
+    codes.unpersist()
     adc_recall = len(bf & adc) / len(bf)
     rr_recall = len(bf & rr) / len(bf)
     rows = [

@@ -578,11 +578,16 @@ def train_pq(
         raise ValueError(
             f"n_codes must be in [1, 256] (codes are uint8), got {n_codes}"
         )
-    mat = _sample_matrix(df, vec_col, max_train_rows, seed,
-                         sample_fraction)
-    d = mat.shape[1]
+    # validate the dimension from ONE row before paying for the
+    # distributed sampling pass
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot train a PQ codebook on an empty corpus")
+    d = len(first[0])
     if d % m != 0:
         raise ValueError(f"vector dim {d} not divisible by m={m}")
+    mat = _sample_matrix(df, vec_col, max_train_rows, seed,
+                         sample_fraction)
     dsub = d // m
     n_codes = min(n_codes, mat.shape[0])
     rng = np.random.default_rng(seed)
@@ -641,7 +646,23 @@ def pq_encode(
             n = batch.num_rows
             if n == 0:
                 continue
-            mat = np.stack(batch.column(1).to_pylist()).astype(np.float64)
+            # zero-copy flat values, not a per-element Python list:
+            # every row must have exactly the codebook's m*dsub dims
+            # (checked per row — batches can split arbitrarily, so a
+            # rectangular-batch check alone would miss ragged input)
+            col = batch.column(1)
+            d = cb.shape[0] * cb.shape[2]
+            offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if not np.all(offs == d):
+                bad = sorted(set(offs.tolist()) - {d})
+                raise ValueError(
+                    f"pq_encode expects fixed-dimension {d}-dim vectors "
+                    f"(codebook m x dsub); got row lengths {bad[:4]}"
+                )
+            mat = np.asarray(
+                col.flatten().to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            ).reshape(n, d)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             codes = _pq_assign(mat, cb)
             offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
@@ -684,6 +705,11 @@ def ann_topk_pq(
     Same partial-top-k shape as the other ANN paths; recall is
     certified against brute force (quantization error bounds it
     below 1.0 by construction)."""
+    spark = codes_df.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    id_type = codes_df.select(id_col).schema[0].dataType.simpleString()
+    if len(q_ids) == 0:  # before the rerank branch: no no-op jobs
+        return _empty_topk(spark, id_type)
     if rerank_df is not None:
         cand = ann_topk_pq(codes_df, queries, codebook, id_col,
                            vec_col, k=k * rerank_factor)
@@ -692,11 +718,6 @@ def ann_topk_pq(
         ).distinct()
         vecs = rerank_df.join(cand_ids, id_col, "left_semi")
         return ann_topk_bruteforce(vecs, queries, id_col, vec_col, k)
-    spark = codes_df.sparkSession
-    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
-    id_type = codes_df.select(id_col).schema[0].dataType.simpleString()
-    if len(q_ids) == 0:
-        return _empty_topk(spark, id_type)
     m, n_codes, dsub = codebook.shape
     # tables[q, j, c] = q_sub_j · codebook[j, c]
     tables = np.einsum(
@@ -717,6 +738,12 @@ def ann_topk_pq(
             codes = np.frombuffer(
                 b"".join(pdf["code"].to_numpy()), np.uint8
             ).reshape(n, -1)
+            if codes.shape[1] != tables_.shape[1]:
+                raise ValueError(
+                    f"stored codes are {codes.shape[1]} bytes but the "
+                    f"codebook has m={tables_.shape[1]} subspaces — "
+                    "encode and score must use the same codebook"
+                )
             sims = np.zeros((nq, n), np.float64)
             for j in range(codes.shape[1]):
                 sims += tables_[:, j, codes[:, j]]

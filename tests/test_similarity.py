@@ -299,3 +299,31 @@ def test_pq_validation_and_empty_queries(spark, sf_dir):
     codes = pq_encode(emb, codebook=cb)
     out = ann_topk_pq(codes, emb.where("vec_id < 0"), cb, k=3)
     assert out.collect() == []
+
+
+def test_pq_codebook_mismatch_and_ragged_vectors_fail_loudly(spark, sf_dir):
+    """Scoring codes with a different-m codebook must raise a clear
+    error, not return silently-wrong neighbors; ragged vector rows
+    must be rejected at encode time."""
+    import pytest
+
+    from athena_spark.operators.similarity import (ann_topk_pq,
+                                                   pq_encode, train_pq)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    cb8 = train_pq(emb, m=8, n_codes=16)
+    cb16 = train_pq(emb, m=16, n_codes=16)
+    codes8 = pq_encode(emb, codebook=cb8)
+    with pytest.raises(Exception, match="same codebook"):
+        ann_topk_pq(codes8, q, cb16, k=3).collect()
+
+    ragged = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.2] * 32)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="fixed-dimension"):
+        pq_encode(ragged, codebook=cb8).collect()
+    # empty corpus trains nothing, loudly
+    with pytest.raises(ValueError, match="empty"):
+        train_pq(emb.where("vec_id < 0"))
