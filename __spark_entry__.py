@@ -1597,6 +1597,54 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "`check` string, ok boolean")
 
 
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified IVF-PQ ANN (the canonical 100 TB composition: cell
+    pruning bounds ROWS touched, PQ bounds BYTES per row): one encode
+    pass emits (cell, 16-byte code); probed-ADC recall@5 vs brute
+    force >= 0.25 (measured 0.41 — doubly approximate), the exact
+    re-rank stage >= 0.6 (measured 0.95), structure checks on the
+    index."""
+    from athena_spark.operators.similarity import (ann_topk_bruteforce,
+                                                   ann_topk_ivfpq,
+                                                   ivfpq_encode,
+                                                   train_centroids,
+                                                   train_pq)
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, q, k=5).collect()}
+    cents = train_centroids(emb, n_centroids=8)
+    cb = train_pq(emb, m=16, n_codes=16)
+    index = ivfpq_encode(emb, cents, cb).persist()
+    struct_rows = index.select(
+        F.length("code").alias("lc"), "cell"
+    ).agg(
+        F.min("lc"), F.max("lc"), F.min("cell"), F.max("cell"),
+        F.count("*"),
+    ).collect()[0]
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_ivfpq(index, q, cents, cb, k=5,
+                                   n_probe=4).collect()}
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_ivfpq(index, q, cents, cb, k=5, n_probe=4,
+                                  rerank_df=emb).collect()}
+    index.unpersist()
+    adc_recall = len(bf & adc) / len(bf)
+    rr_recall = len(bf & rr) / len(bf)
+    n_emb = emb.count()
+    rows = [
+        ("adc_recall_at_5_ge_0.25", bool(adc_recall >= 0.25)),
+        ("reranked_recall_at_5_ge_0.6", bool(rr_recall >= 0.6)),
+        ("rerank_not_worse_than_adc", bool(rr_recall >= adc_recall)),
+        ("index_structure_valid", bool(
+            struct_rows[0] == 16 and struct_rows[1] == 16
+            and 0 <= struct_rows[2] and struct_rows[3] < 8
+            and struct_rows[4] == n_emb)),
+    ]
+    return spark.createDataFrame(rows, "`check` string, ok boolean")
+
+
 def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified BPE tokenizer-training gate (iterative merge
     learning is not SQL-expressible, so like the other certified
@@ -2202,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "bpe_tokenizer": q_bpe_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "sessionization": q_sessionization,
@@ -2743,6 +2792,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'reranked_recall_at_5_ge_0.7', TRUE
             UNION ALL SELECT 'rerank_not_worse_than_adc', TRUE
             UNION ALL SELECT 'codes_exactly_16_bytes', TRUE
+        """,
+        "ann_ivfpq_recall": """
+            SELECT 'adc_recall_at_5_ge_0.25' AS "check", TRUE AS ok
+            UNION ALL SELECT 'reranked_recall_at_5_ge_0.6', TRUE
+            UNION ALL SELECT 'rerank_not_worse_than_adc', TRUE
+            UNION ALL SELECT 'index_structure_valid', TRUE
         """,
         "bpe_tokenizer": """
             SELECT 'training_deterministic_across_partitionings'

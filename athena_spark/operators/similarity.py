@@ -759,3 +759,147 @@ def ann_topk_pq(
         score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
     )
     return _topk_of_partials(partial, k)
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, code) — IVF cell assignment AND PQ code from ONE
+    normalize pass over the corpus (the FAISS-style IVFPQ index
+    layout: write this table bucketed by ``cell`` and a probe reads
+    only its cells' compressed codes)."""
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebook))
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def kernel(batches):
+        cents, cb = bc.value
+        m = cb.shape[0]
+        d = cb.shape[0] * cb.shape[2]
+        for batch in batches:
+            ids = batch.column(0)
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(1)
+            offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if not np.all(offs == d):
+                bad = sorted(set(offs.tolist()) - {d})
+                raise ValueError(
+                    f"ivfpq_encode expects fixed-dimension {d}-dim "
+                    f"vectors; got row lengths {bad[:4]}"
+                )
+            mat = np.asarray(
+                col.flatten().to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            ).reshape(n, d)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = (mat @ cents.T).argmax(axis=1).astype(np.int32)
+            codes = _pq_assign(mat, cb)
+            offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
+            code_arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(codes.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cells), code_arr],
+                names=[id_col, "cell", "code"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        kernel, f"`{id_col}` {id_type}, cell int, code binary"
+    )
+
+
+def ann_topk_ivfpq(
+    index_df: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_df: DataFrame | None = None,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """IVF-PQ ANN (the canonical 100 TB architecture): each query
+    probes its ``n_probe`` nearest cells and ADC-scores ONLY the
+    compressed codes in them — cell pruning bounds the rows touched,
+    PQ bounds the bytes per row, and the optional exact re-rank
+    (ids-only candidate union) recovers near-brute-force recall.
+    ``index_df`` is :func:`ivfpq_encode` output."""
+    spark = index_df.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    id_type = index_df.select(id_col).schema[0].dataType.simpleString()
+    if len(q_ids) == 0:
+        return _empty_topk(spark, id_type)
+    if rerank_df is not None:
+        cand = ann_topk_ivfpq(index_df, queries, centroids, codebook,
+                              id_col, vec_col, k=k * rerank_factor,
+                              n_probe=n_probe)
+        cand_ids = cand.select(
+            F.col("neighbor_id").alias(id_col)
+        ).distinct()
+        vecs = rerank_df.join(cand_ids, id_col, "left_semi")
+        return ann_topk_bruteforce(vecs, queries, id_col, vec_col, k)
+    m, n_codes, dsub = codebook.shape
+    tables = np.einsum(
+        "qjd,jcd->qjc",
+        q_mat.reshape(len(q_ids), m, dsub),
+        codebook,
+    )
+    probe_sets = _probe_sets(q_mat, centroids, n_probe)
+    bc = spark.sparkContext.broadcast((q_ids, tables, probe_sets))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, tables_, probes_ = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.frombuffer(
+                b"".join(pdf["code"].to_numpy()), np.uint8
+            ).reshape(n, -1)
+            if codes.shape[1] != tables_.shape[1]:
+                raise ValueError(
+                    f"stored codes are {codes.shape[1]} bytes but the "
+                    f"codebook has m={tables_.shape[1]} subspaces — "
+                    "encode and score must use the same codebook"
+                )
+            out_q, out_n, out_s = [], [], []
+            for cell in np.unique(cells):
+                qis = probes_.get(int(cell))
+                if not qis:
+                    continue
+                rows = cells == cell
+                sub = codes[rows]
+                tq = tables_[qis]  # hoist the fancy-index copy
+                sims = np.zeros((len(qis), sub.shape[0]), np.float64)
+                for j in range(sub.shape[1]):
+                    sims += tq[:, j, sub[:, j]]
+                topn = min(k + 1, sims.shape[1])
+                part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+                out_q.append(np.repeat(q_ids_[qis], topn))
+                out_n.append(ids[rows][part.ravel()])
+                out_s.append(np.take_along_axis(sims, part, axis=1).ravel())
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                })
+
+    partial = index_df.select(id_col, "cell", "code").mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    )
+    return _topk_of_partials(partial, k)

@@ -327,3 +327,40 @@ def test_pq_codebook_mismatch_and_ragged_vectors_fail_loudly(spark, sf_dir):
     # empty corpus trains nothing, loudly
     with pytest.raises(ValueError, match="empty"):
         train_pq(emb.where("vec_id < 0"))
+
+
+def test_ivfpq_index_and_recall(spark, sf_dir):
+    """IVF-PQ composition: one encode pass emits (cell, code); probed
+    ADC scoring beats nothing it shouldn't, and the reranked pipeline
+    recovers high recall while touching only probed cells' codes."""
+    from athena_spark.operators.similarity import (ann_topk_bruteforce,
+                                                   ann_topk_ivfpq,
+                                                   ivfpq_encode,
+                                                   train_centroids,
+                                                   train_pq)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, q, k=5).collect()}
+    cents = train_centroids(emb, n_centroids=8)
+    cb = train_pq(emb, m=16, n_codes=16)
+    index = ivfpq_encode(emb, cents, cb).persist()
+    rows = index.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["code"]) == 16 and 0 <= r["cell"] < 8 for r in rows)
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_ivfpq(index, q, cents, cb, k=5,
+                                   n_probe=4).collect()}
+    adc_recall = len(bf & adc) / len(bf)
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_ivfpq(index, q, cents, cb, k=5, n_probe=4,
+                                  rerank_df=emb).collect()}
+    rr_recall = len(bf & rr) / len(bf)
+    index.unpersist()
+    assert adc_recall >= 0.2  # double-approximate (cells AND codes)
+    assert rr_recall >= 0.6
+    assert rr_recall >= adc_recall
+    # empty queries short-circuit
+    assert ann_topk_ivfpq(index, emb.where("vec_id < 0"), cents, cb,
+                          k=3).collect() == []
