@@ -1645,6 +1645,67 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "`check` string, ok boolean")
 
 
+def q_ann_ivfpq_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified PERSISTED IVF-PQ index (completes the 100 TB ANN
+    story: the on-disk store bounds rows via cell pruning AND bytes
+    via PQ codes — the persisted full-precision IVF store bounds only
+    rows).  Checks: (a) the probe's parquet scan is partition-pruned
+    to the probed cell directories, (b) the disk probe equals the
+    in-memory :func:`ann_topk_ivfpq` result at the same centroids +
+    codebook, (c) the store holds compressed codes only (16 bytes a
+    row, no vector column), (d) reranked recall@5 vs brute force
+    >= 0.6."""
+    import io
+    import re
+    import shutil
+    import tempfile
+    from contextlib import redirect_stdout
+
+    from athena_spark.operators import similarity as sim
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 10")
+    cents = sim.train_centroids(emb, n_centroids=8)
+    cb = sim.train_pq(emb, m=16, n_codes=16)
+    d = tempfile.mkdtemp(prefix="athena_ivfpq_")  # local-mode shared fs
+    try:
+        sim.write_ivfpq_bucketed(emb, cents, cb, d)
+        stored = spark.read.parquet(d)
+        store_compressed = sorted(stored.columns) == [
+            "cell", "code", "vec_id"
+        ]
+        out = sim.ann_topk_ivfpq_bucketed(spark, d, cents, cb, q,
+                                          k=5, n_probe=3)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        pruned = re.search(
+            r"PartitionFilters: \[cell#\d+ (IN \(|INSET )", buf.getvalue()
+        ) is not None
+        got = {(r["query_id"], r["neighbor_id"], r["rn"])
+               for r in out.collect()}
+        mem = {(r["query_id"], r["neighbor_id"], r["rn"])
+               for r in sim.ann_topk_ivfpq(
+                   sim.ivfpq_encode(emb, cents, cb), q, cents, cb,
+                   k=5, n_probe=3).collect()}
+        bf = {(r["query_id"], r["neighbor_id"])
+              for r in sim.ann_topk_bruteforce(emb, q, k=5).collect()}
+        rr = {(r["query_id"], r["neighbor_id"])
+              for r in sim.ann_topk_ivfpq_bucketed(
+                  spark, d, cents, cb, q, k=5, n_probe=4,
+                  rerank_df=emb).collect()}
+        rr_recall = len(bf & rr) / max(len(bf), 1)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    rows = [
+        ("scan_partition_pruned", pruned),
+        ("disk_equals_in_memory_index", got == mem),
+        ("store_is_codes_only", store_compressed),
+        ("reranked_recall_at_5_ge_0.6", bool(rr_recall >= 0.6)),
+    ]
+    return spark.createDataFrame(rows, "`check` string, ok boolean")
+
+
 def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified BPE tokenizer-training gate (iterative merge
     learning is not SQL-expressible, so like the other certified
@@ -2202,8 +2263,47 @@ def q_word2vec_parity_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-dup statistics (Lee et al. 2022): per
+    doc, how many 8-token windows occur >= 2 times corpus-wide and
+    how many token positions those duplicated windows cover.  All
+    outputs are exact integers — the DuckDB oracle rebuilds the same
+    quantities from unnested token arrays with STRING grams (the
+    Spark side uses 64-bit gram hashes; a collision changing a count
+    would fail this gate)."""
+    from athena_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(_docs(spark, sf_dir), "doc_id", "text",
+                               min_len=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Board ORDER is part of the driver contract discipline
+    # (VERDICT r3 items #1/#7): if the driver grades under a budget,
+    # a cutoff must clip gates RE-certified in the previous round,
+    # never gates that went ungraded.  So: (a) the 12 queries the r3
+    # driver did not reach come FIRST, cheap before heavy; (b) the
+    # two gates new this round follow; (c) the 50 r3-green gates
+    # close the board, roughly cheap -> heavy with the streaming /
+    # training heavyweights at the very end.
     return {
+        # -- ungraded in r3 (green in r02 + pytest) — grade these first
+        "bpe_token_count": q_bpe_token_count,
+        "vocab_file_counts": q_vocab_file_counts,
+        "word2vec_roundtrip": q_word2vec_roundtrip,
+        "reservoir_sample": q_reservoir_sample,
+        "sampler_stats": q_sampler_stats,
+        "grouped_value_quantiles": q_grouped_value_quantiles,
+        "skew_distinct_tokens": q_skew_distinct_tokens,
+        "skew_salted_join": q_skew_salted_join,
+        "checkpoint_resume": q_checkpoint_resume,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "word2vec_parity_train": q_word2vec_parity_train,
+        "stateful_topk_stream": q_stateful_topk_stream,
+        # -- new in r4
+        "substring_dup_stats": q_substring_dup_stats,
+        "ann_ivfpq_bucketed": q_ann_ivfpq_bucketed,
+        # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
         "exact_token_counts": q_exact_token_counts,
         "naive_truncate_top5": q_naive_truncate_top5,
@@ -2231,14 +2331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "quality_features": q_quality_features,
         "doc_fingerprints": q_doc_fingerprints,
-        "sgns_embeddings": q_sgns_embeddings,
-        "events_hourly_streaming": q_events_hourly_streaming,
         "topk_tokens_by_lang": q_topk_tokens_by_lang,
         "subsample_rate": q_subsample_rate,
         "dedup_corpus": q_dedup_corpus,
         "curate_corpus": q_curate_corpus,
         "curate_corpus_features": q_curate_corpus_features,
-        "streaming_neardup_parity": q_streaming_neardup_parity,
         "text_input_parity": q_text_input_parity,
         "dedup_corpus_components": q_dedup_corpus_components,
         "corpus_split": q_corpus_split,
@@ -2251,21 +2348,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenizer": q_bpe_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
+        "sessionization": q_sessionization,
+        "sgns_embeddings": q_sgns_embeddings,
+        # -- heavyweights: streams / training loops, last on purpose
+        "events_hourly_streaming": q_events_hourly_streaming,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
-        "sessionization": q_sessionization,
-        "bpe_token_count": q_bpe_token_count,
-        "vocab_file_counts": q_vocab_file_counts,
-        "word2vec_roundtrip": q_word2vec_roundtrip,
-        "reservoir_sample": q_reservoir_sample,
-        "sampler_stats": q_sampler_stats,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "grouped_value_quantiles": q_grouped_value_quantiles,
-        "checkpoint_resume": q_checkpoint_resume,
-        "skew_distinct_tokens": q_skew_distinct_tokens,
-        "skew_salted_join": q_skew_salted_join,
-        "word2vec_parity_train": q_word2vec_parity_train,
-        "stateful_topk_stream": q_stateful_topk_stream,
+        "streaming_neardup_parity": q_streaming_neardup_parity,
     }
 
 
@@ -2408,6 +2497,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'scan_partition_pruned' AS "check", TRUE AS ok
             UNION ALL SELECT 'full_probe_equals_bruteforce', TRUE
             UNION ALL SELECT 'pruned_recall_ge_0.6', TRUE
+        """,
+        "ann_ivfpq_bucketed": """
+            SELECT 'scan_partition_pruned' AS "check", TRUE AS ok
+            UNION ALL SELECT 'disk_equals_in_memory_index', TRUE
+            UNION ALL SELECT 'store_is_codes_only', TRUE
+            UNION ALL SELECT 'reranked_recall_at_5_ge_0.6', TRUE
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2711,6 +2806,41 @@ def oracle_sql() -> dict[str, str]:
                            '{_email_re}', '<EMAIL>', 'g'),
                        '{_ipv4_re}', '<IP>', 'g') AS clean
             FROM documents
+        """,
+        "substring_dup_stats": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), wins AS (
+                SELECT doc_id, i AS pos, {_gram8} AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 7, 0)))
+                     AS u(i)
+            ), dup AS (
+                SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2
+            ), dupw AS (
+                SELECT w.doc_id, w.pos,
+                       LEAD(w.pos) OVER (PARTITION BY w.doc_id
+                                         ORDER BY w.pos) AS nxt
+                FROM wins w JOIN dup USING (g)
+            ), cov AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS dup_windows,
+                       CAST(SUM(LEAST(COALESCE(nxt - pos, 8), 8))
+                            AS BIGINT) AS covered_tokens
+                FROM dupw GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(greatest(len(t.ts) - 7, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(c.dup_windows, 0) AS BIGINT)
+                       AS dup_windows,
+                   CAST(COALESCE(c.covered_tokens, 0) AS BIGINT)
+                       AS covered_tokens
+            FROM toks t LEFT JOIN cov c USING (doc_id)
         """,
         "decontaminate": f"""
             WITH toks AS (

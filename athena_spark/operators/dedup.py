@@ -367,6 +367,13 @@ def minhash_lsh_candidates(
     ``bands`` rows-per-band groups, bucket on (band_idx, band hash),
     pair up within buckets.  Join volume is bucket-local — no
     all-pairs blow-up."""
+    if num_perm % bands != 0:
+        # same contract as the fused kernel path (_minhash_kernel):
+        # slicing would silently drop the trailing num_perm % bands
+        # permutations, quietly changing recall — fail at call time
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_perm // bands
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig_df.select(F.col(id_col).alias("doc"), "sig").select(
@@ -407,7 +414,17 @@ def minhash_dedup_pairs(
     J = 0.5 — when the query threshold sits that low, pass more bands
     (e.g. ``bands=64`` → r=2: catch probability at J = 0.5 is
     1 - 0.75^64 ≈ 1 - 1e-8; more candidates, all cheaply rejected by
-    the exact verification)."""
+    the exact verification).
+
+    Tokenizer note (same caveat as USE_ASCII_WHITESPACE,
+    functions/tokenize.py): verification Jaccard here is computed on
+    the Arrow kernel's grams, whose ``ascii_split_whitespace``
+    tokenizer also splits on ``\\v``/``\\f`` — a superset of the
+    ``[ \\t\\n]+`` regex used by :func:`ngram_jaccard_pairs` and the
+    DuckDB oracles.  On text containing vertical-tab/form-feed the
+    two paths can report different Jaccard values; they coincide on
+    all other input (asserted for the test tables in
+    tests/test_dedup.py)."""
     if max_doc_freq is not None and max_doc_freq < 1:
         raise ValueError(
             f"max_doc_freq must be None (guard off) or >= 1, got "
@@ -720,3 +737,134 @@ def simhash_pairs(
         .distinct()
     )
     return pairs
+
+
+def substring_windows(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 8
+) -> DataFrame:
+    """(id, n_tokens, grams) — ALL ``min_len``-token window hashes per
+    document, in position order (index ``i`` of ``grams`` is the
+    window starting at token ``i``; NOT distinct, unlike the MinHash
+    kernel's gram sets).  One Arrow tokenize pass per batch, the
+    shared pre-mixed XOR fold (:func:`fold_gram_hashes`); document
+    text never leaves the kernel.  Docs shorter than ``min_len``
+    tokens get an empty array."""
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            tokens, t = arrow_tokenize_batch(texts)
+            n_docs = len(t)
+            counts = np.zeros(n_docs, np.int64)
+            gram_vals = np.empty(0, np.uint64)
+            mask = t >= min_len
+            if mask.any():
+                th = hash64_arrow(tokens)
+                gram_vals, g_counts = fold_gram_hashes(
+                    th, t, min_len, seed=min_len
+                )
+                counts[mask] = g_counts
+            yield pa.RecordBatch.from_pydict({
+                id_col: ids,
+                "n_tokens": pa.array(t.astype(np.int64), type=pa.int64()),
+                "grams": _list_array(gram_vals, counts),
+            })
+
+    return df.select(id_col, text_col).mapInArrow(
+        kernel, f"`{id_col}` {id_type}, n_tokens long, grams array<long>"
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    min_count: int = 2,
+    materialize: str = "local",
+) -> DataFrame:
+    """Substring-level duplicate statistics per document — the
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") signal the document-level families miss: a
+    ``min_len``-token window is *duplicated* when its token sequence
+    occurs at least ``min_count`` times across the whole corpus
+    (including within one document), and the per-doc fraction of
+    token positions covered by duplicated windows is the filter
+    signal (like ``repetition_features``, but corpus-global).
+
+    Output (all exact integers, so the gate's DuckDB oracle over
+    unnested gram arrays hashes bit-identically):
+
+    * ``n_tokens`` — whitespace tokens in the doc;
+    * ``n_windows`` — ``max(n_tokens - min_len + 1, 0)``;
+    * ``dup_windows`` — windows whose gram is corpus-duplicated;
+    * ``covered_tokens`` — size of the union of the duplicated
+      windows' ``[start, start + min_len)`` token intervals (the
+      "duplicated span" length; divide by ``n_tokens`` downstream).
+
+    Scale shape (the Spark-idiomatic equivalent of the paper's
+    suffix-array pass): the only wide exchanges carry
+    (int64 gram hash) and (id, int32 position) rows — text never
+    shuffles.  Duplicate detection is a partial-aggregating
+    ``groupBy(gram)``; the join back to window positions ships the
+    (typically tiny) duplicated-gram set.  Coverage is a per-doc
+    sorted-gap sum over *duplicated* windows only: with starts
+    sorted, ``covered = Σ min(L, next_start - start)`` (last window
+    contributes L; window i's interval always ends by start_{i+1} +
+    L, so gaps telescope exactly).  64-bit gram hashing stands in
+    for string equality — two distinct ``min_len``-grams colliding
+    would need ~2^32 distinct grams per the birthday bound.
+
+    No Zipf guard here (unlike the inverted-index Jaccard join):
+    dup detection needs exact global counts, and the gram join ships
+    one int64 row per window occurrence, not per candidate pair —
+    a hot gram costs O(occurrences), never O(occurrences^2)."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pyspark.sql import Window
+
+    L = min_len
+    base = substring_windows(df, id_col, text_col, L).cache()
+    wins = base.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode("grams").alias("pos", "gram"),
+    )
+    dup = (
+        wins.groupBy("gram").agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("gram")
+    )
+    dupw = wins.join(dup, "gram").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    gap = F.lead("pos").over(w) - F.col("pos")
+    cov = (
+        dupw.select("doc", F.least(F.coalesce(gap, F.lit(L)), F.lit(L))
+                    .alias("cover"))
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.sum("cover").alias("covered_tokens"),
+        )
+    )
+    out = (
+        base.select(
+            F.col(id_col), "n_tokens",
+            F.greatest(F.col("n_tokens") - L + 1, F.lit(0))
+            .cast("long").alias("n_windows"),
+        )
+        .join(cov.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col, "n_tokens", "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).cast("long")
+            .alias("dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+    out = _materialize(out, materialize)
+    base.unpersist()
+    return out

@@ -735,15 +735,23 @@ def ann_topk_pq(
             if n == 0:
                 continue
             ids = pdf[id_col].to_numpy()
+            m_ = tables_.shape[1]
+            # per-row width check: mixed-length codes whose TOTAL is
+            # divisible by n would survive a reshape(n, -1) silently
+            # misaligned, so validate each row before concatenating
+            # (mirror of pq_encode's write-side offsets check)
+            lens = pdf["code"].str.len().to_numpy()
+            if not (lens == m_).all():
+                bad = sorted(set(lens.tolist()) - {m_})
+                raise ValueError(
+                    f"stored codes must be exactly m={m_} bytes per row "
+                    f"(the codebook's subspace count); got row lengths "
+                    f"{bad[:4]} — encode and score must use the same "
+                    "codebook"
+                )
             codes = np.frombuffer(
                 b"".join(pdf["code"].to_numpy()), np.uint8
-            ).reshape(n, -1)
-            if codes.shape[1] != tables_.shape[1]:
-                raise ValueError(
-                    f"stored codes are {codes.shape[1]} bytes but the "
-                    f"codebook has m={tables_.shape[1]} subspaces — "
-                    "encode and score must use the same codebook"
-                )
+            ).reshape(n, m_)
             sims = np.zeros((nq, n), np.float64)
             for j in range(codes.shape[1]):
                 sims += tables_[:, j, codes[:, j]]
@@ -867,15 +875,21 @@ def ann_topk_ivfpq(
                 continue
             ids = pdf[id_col].to_numpy()
             cells = pdf["cell"].to_numpy()
+            m_ = tables_.shape[1]
+            # per-row width check, same rationale as ann_topk_pq:
+            # ragged codes can survive a reshape(n, -1) misaligned
+            lens = pdf["code"].str.len().to_numpy()
+            if not (lens == m_).all():
+                bad = sorted(set(lens.tolist()) - {m_})
+                raise ValueError(
+                    f"stored codes must be exactly m={m_} bytes per row "
+                    f"(the codebook's subspace count); got row lengths "
+                    f"{bad[:4]} — encode and score must use the same "
+                    "codebook"
+                )
             codes = np.frombuffer(
                 b"".join(pdf["code"].to_numpy()), np.uint8
-            ).reshape(n, -1)
-            if codes.shape[1] != tables_.shape[1]:
-                raise ValueError(
-                    f"stored codes are {codes.shape[1]} bytes but the "
-                    f"codebook has m={tables_.shape[1]} subspaces — "
-                    "encode and score must use the same codebook"
-                )
+            ).reshape(n, m_)
             out_q, out_n, out_s = [], [], []
             for cell in np.unique(cells):
                 qis = probes_.get(int(cell))
@@ -903,3 +917,60 @@ def ann_topk_ivfpq(
         score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
     )
     return _topk_of_partials(partial, k)
+
+
+def write_ivfpq_bucketed(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index on disk: :func:`ivfpq_encode`
+    output written ``partitionBy(cell)`` — one directory per coarse
+    cell holding (id, code) rows only.  This completes the 100 TB ANN
+    story: the persisted :func:`write_ivf_bucketed` store prunes the
+    scan but carries full-precision vectors (bytes unbounded), while
+    this store bounds BOTH dimensions — cell pruning bounds the rows
+    a probe reads, PQ bounds the bytes per row (m bytes vs dim*8).
+    Probe with :func:`ann_topk_ivfpq_bucketed`."""
+    index = ivfpq_encode(df, centroids, codebook, id_col, vec_col)
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ann_topk_ivfpq_bucketed(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_df: DataFrame | None = None,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """Partition-pruned probe over a :func:`write_ivfpq_bucketed`
+    store: the parquet scan is filtered to the union of the queries'
+    probe cells (directory-level pruning, shows ``PartitionFilters``
+    — asserted in tests with the corrupted-non-probed-cell proof),
+    then scoring delegates to :func:`ann_topk_ivfpq`, so for the same
+    centroids + codebook the results are identical to the in-memory
+    index while the scan touches only the probed cells' compressed
+    codes."""
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
+        return _empty_topk(
+            spark,
+            queries.select(id_col).schema[0].dataType.simpleString(),
+        )
+    probe_sets = _probe_sets(q_mat, centroids, n_probe)
+    all_cells = sorted(probe_sets)
+    index = spark.read.parquet(path).where(F.col("cell").isin(all_cells))
+    return ann_topk_ivfpq(
+        index, queries, centroids, codebook, id_col, vec_col,
+        k=k, n_probe=n_probe, rerank_df=rerank_df,
+        rerank_factor=rerank_factor,
+    )

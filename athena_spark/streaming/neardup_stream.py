@@ -167,9 +167,21 @@ class StreamingNearDupDedup:
         blocked: set = set()
         batch_sg = sg
         if store is not None:
+            # a doc RE-INGESTED in a later epoch with an id already
+            # admitted is an exact duplicate of its stored copy, but
+            # the pair filter below excludes id_a == id_b — drop such
+            # ids outright so they are never re-admitted (duplicate
+            # ids across output epochs).  Ids-only semi join, bounded
+            # by the batch size.
+            blocked = {
+                r["doc"]
+                for r in sg.select("doc")
+                .join(store.select("doc"), "doc", "left_semi")
+                .collect()
+            }
             # docs near-duplicate to an ADMITTED store doc: dropped
-            blocked = {a for a, _b in
-                       self._verified_pairs(sg, store, ordered=False)}
+            blocked |= {a for a, _b in
+                        self._verified_pairs(sg, store, ordered=False)}
         if blocked:
             # anti-join, not isin: a dup-heavy batch can block
             # thousands of ids, and a literal IN list that long breaks

@@ -244,6 +244,12 @@ def test_minhash_rejects_indivisible_bands(spark):
     with pytest.raises(ValueError, match="divisible"):
         dedup.minhash_dedup_pairs(docs, "doc_id", "text",
                                   num_perm=120, bands=32)
+    # the standalone entry point has the same contract (it used to
+    # silently drop the trailing num_perm % bands permutations)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=120)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_candidates(sigs, "doc_id",
+                                     num_perm=120, bands=32)
 
 
 def test_gram_fold_repeated_tokens_do_not_cancel(spark):
@@ -479,3 +485,74 @@ def test_curate_corpus_repetition_gate(spark):
            repetition_features(df, "doc_id", "text").collect()}
     assert gated == {i for i in base if rep[i] <= 0.5}
     assert 1 not in gated  # the all-spam doc is gone
+
+
+def _substr_oracle(texts: dict, L: int, min_count: int = 2) -> dict:
+    """Scalar oracle for substring_dup_stats: token-tuple grams,
+    global occurrence counts, interval-union coverage."""
+    toks = {i: t.replace("\r", "").split() for i, t in texts.items()}
+    wins = {i: [tuple(ts[p:p + L]) for p in range(len(ts) - L + 1)]
+            for i, ts in toks.items()}
+    from collections import Counter
+
+    occ = Counter(g for ws in wins.values() for g in ws)
+    out = {}
+    for i, ts in toks.items():
+        dup_pos = [p for p, g in enumerate(wins[i])
+                   if occ[g] >= min_count]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + L))
+        out[i] = (len(ts), max(len(ts) - L + 1, 0), len(dup_pos),
+                  len(covered))
+    return out
+
+
+def test_substring_dup_stats_matches_scalar_oracle(spark):
+    """Exact parity with a tuple-based scalar oracle on a corpus with
+    within-doc repeats, cross-doc shared spans, overlapping dup
+    windows, short docs, and an empty doc."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    texts = {
+        1: f"intro words here {span} and then unique tail one",
+        2: f"other leading text {span} closing words two here now",
+        3: "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 w1 w2 w3 w4 w5",  # self-repeat
+        4: "totally unrelated content nothing shared with any peer doc",
+        5: "short doc",  # < L tokens
+        6: "",
+    }
+    L = 5
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_windows"], r["dup_windows"],
+                         r["covered_tokens"])
+           for r in dedup.substring_dup_stats(df, "doc_id", "text",
+                                              min_len=L).collect()}
+    assert got == _substr_oracle(texts, L)
+    # partitioning invariance: global dup counts, not per-partition
+    got16 = {r["doc_id"]: (r["n_tokens"], r["n_windows"],
+                           r["dup_windows"], r["covered_tokens"])
+             for r in dedup.substring_dup_stats(
+                 df.repartition(16), "doc_id", "text", min_len=L
+             ).collect()}
+    assert got16 == got
+
+
+def test_substring_dup_stats_min_count_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    # the shared 5-gram occurs 3x: min_count=4 finds nothing
+    rows = dedup.substring_dup_stats(df, "doc_id", "text", min_len=5,
+                                     min_count=4).collect()
+    assert all(r["dup_windows"] == 0 and r["covered_tokens"] == 0
+               for r in rows)
+    rows3 = dedup.substring_dup_stats(df, "doc_id", "text", min_len=5,
+                                      min_count=3).collect()
+    assert all(r["dup_windows"] == 1 and r["covered_tokens"] == 5
+               for r in rows3)
+    with pytest.raises(ValueError, match="min_len"):
+        dedup.substring_dup_stats(df, "doc_id", "text", min_len=0)
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.substring_dup_stats(df, "doc_id", "text", min_count=1)

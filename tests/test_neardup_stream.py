@@ -78,6 +78,22 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out, "epoch=1")).count() == 0
 
 
+def test_reingested_admitted_id_not_duplicated(spark, tmp_path):
+    """A doc re-ingested in a LATER epoch with an id the store already
+    admitted is an exact copy of its stored self; the pair filter
+    excludes id_a == id_b, so without the explicit store-id drop it
+    would be re-admitted, duplicating the id across output epochs."""
+    dedup, store, out = _setup(tmp_path, spark)
+    dedup(_mk(spark, [(1, _A), (4, _FAR)]), 0)
+    dedup(_mk(spark, [(1, _A),
+                      (5, "unrelated fresh words nothing like before")]),
+          1)  # id 1 again
+    assert _admitted(spark, out) == [1, 4, 5]  # id 1 exactly once
+    assert spark.read.parquet(
+        os.path.join(out, "epoch=1")
+    ).where("doc_id = 1").count() == 0
+
+
 def test_short_and_empty_docs_always_admitted(spark, tmp_path):
     """Docs with < n tokens have empty gram sets: never near-dup,
     always admitted (exact dedup upstream owns byte-identical

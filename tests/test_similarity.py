@@ -233,6 +233,87 @@ def test_ivf_bucketed_store_prunes_partitions_and_matches(spark, sf_dir, tmp_pat
         spark.read.parquet(path).select("vec_id").collect()
 
 
+def test_ivfpq_bucketed_store_prunes_and_matches_in_memory(
+    spark, sf_dir, tmp_path
+):
+    """The persisted IVF-PQ index: writing partitionBy(cell) and
+    probing must (a) show directory-level PartitionFilters, (b) never
+    open non-probed cell directories (corruption proof), and
+    (c) return exactly the in-memory ann_topk_ivfpq result for the
+    same centroids + codebook, including the reranked pipeline."""
+    import glob as globmod
+    import io
+    import os
+    import re
+    from contextlib import redirect_stdout
+
+    import pytest as pytestmod
+
+    from athena_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = sim.train_centroids(emb, n_centroids=8, seed=7)
+    cb = sim.train_pq(emb, m=16, n_codes=16)
+    path = str(tmp_path / "ivfpq_store")
+    sim.write_ivfpq_bucketed(emb, centroids, cb, path)
+    # store holds (id, code) only inside cell directories — no
+    # full-precision vectors on disk
+    stored = spark.read.parquet(path)
+    assert sorted(stored.columns) == ["cell", "code", "vec_id"]
+
+    queries = emb.where("vec_id < 2")
+    out = sim.ann_topk_ivfpq_bucketed(spark, path, centroids, cb,
+                                      queries, k=5, n_probe=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert re.search(r"PartitionFilters: \[cell#\d+ (IN \(|INSET )",
+                     buf.getvalue()), buf.getvalue()
+    got = {(r["query_id"], r["neighbor_id"], r["rn"])
+           for r in out.collect()}
+
+    # equality with the in-memory index at the same centroids/codebook
+    mem = sim.ivfpq_encode(emb, centroids, cb)
+    want = {(r["query_id"], r["neighbor_id"], r["rn"])
+            for r in sim.ann_topk_ivfpq(mem, queries, centroids, cb,
+                                        k=5, n_probe=3).collect()}
+    assert got == want
+    # reranked pipeline agrees too (rank/sim compare: boundary ties)
+    rr_disk = {(r["query_id"], r["rn"], round(r["sim"], 9))
+               for r in sim.ann_topk_ivfpq_bucketed(
+                   spark, path, centroids, cb, queries, k=5, n_probe=3,
+                   rerank_df=emb).collect()}
+    rr_mem = {(r["query_id"], r["rn"], round(r["sim"], 9))
+              for r in sim.ann_topk_ivfpq(
+                  mem, queries, centroids, cb, k=5, n_probe=3,
+                  rerank_df=emb).collect()}
+    assert rr_disk == rr_mem
+
+    # behavioral pruning proof: corrupt every parquet file in one
+    # non-probed cell — the pruned probe must still succeed while a
+    # full-store scan trips over the corruption
+    q_ids, q_mat = sim._collect_matrix(queries, "vec_id", "embedding")
+    want_cells = set(sim._probe_sets(q_mat, centroids, 3))
+    stored_cells = {int(d.split("=")[1])
+                    for d in os.listdir(path) if d.startswith("cell=")}
+    victims = sorted(stored_cells - want_cells)
+    assert victims
+    for f in globmod.glob(os.path.join(path, f"cell={victims[0]}",
+                                       "*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    again = sim.ann_topk_ivfpq_bucketed(spark, path, centroids, cb,
+                                        queries, k=5, n_probe=3)
+    assert {(r["query_id"], r["neighbor_id"], r["rn"])
+            for r in again.collect()} == got
+    with pytestmod.raises(Exception):
+        spark.read.parquet(path).select("vec_id").collect()
+    # empty query set short-circuits without scanning
+    none = emb.where("vec_id < 0")
+    assert sim.ann_topk_ivfpq_bucketed(
+        spark, path, centroids, cb, none, k=3).count() == 0
+
+
 def test_ivf_empty_query_set_returns_empty(spark, sf_dir, tmp_path):
     from athena_spark.operators import similarity as sim
 
@@ -327,6 +408,29 @@ def test_pq_codebook_mismatch_and_ragged_vectors_fail_loudly(spark, sf_dir):
     # empty corpus trains nothing, loudly
     with pytest.raises(ValueError, match="empty"):
         train_pq(emb.where("vec_id < 0"))
+
+
+def test_pq_scoring_rejects_ragged_stored_codes(spark, sf_dir):
+    """Mixed-length stored codes whose TOTAL bytes happen to be
+    divisible by the row count used to survive reshape(n, -1)
+    silently misaligned (e.g. one 8-byte + one 24-byte row passing an
+    m=16 width check); the scorer must validate per-row widths."""
+    import numpy as np
+    import pytest
+
+    from athena_spark.operators.similarity import ann_topk_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 2")
+    dim = len(q.first()["embedding"])
+    assert dim % 16 == 0
+    cb = np.zeros((16, 16, dim // 16))  # m=16 codebook
+    ragged = spark.createDataFrame(
+        [(0, bytearray(8)), (1, bytearray(24))],  # total 32 = 2 x 16
+        "vec_id long, code binary",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="exactly m=16 bytes"):
+        ann_topk_pq(ragged, q, cb, k=1).collect()
 
 
 def test_ivfpq_index_and_recall(spark, sf_dir):
