@@ -33,6 +33,18 @@ CORPUS_ROWS = 480_000
 CORPUS_TOKENS_PER_ROW = 300
 SKETCH_K = 16_000  # reference default, src/_core.h:23
 
+# Calm-host reference rate for the read_fold kernel (pyarrow parquet
+# read + fused tokenize/count/Space-Saving fold — the exact per-task
+# inner loop of the throughput job), measured as the median of
+# repeated single-thread runs during a documented calm phase
+# (BASELINE.md "Host-phase normalization").  Each headline run
+# re-measures the same kernel in the same process immediately before
+# the throughput jobs; host_factor = measured / reference, and the
+# normalized numbers answer "what would this wall/throughput be on
+# the calm host" — the round-over-round comparable figures on a VM
+# whose bandwidth wanders 2-3x between rounds.
+REFERENCE_READ_FOLD_TOKENS_PER_SEC = 9_300_000
+
 
 def _session(master: str, shuffle_partitions: int):
     from athena_spark.session import build_session
@@ -221,6 +233,33 @@ def run_kernels(corpus_path: str) -> dict:
     }
 
 
+def _read_fold_probe(corpus_path: str, n: int = 3) -> float:
+    """Median single-thread read_fold rate (tokens/s) — the cheap
+    (~0.4 s/sample) host-phase probe taken immediately before each
+    throughput row so its normalization factor reflects the phase
+    that row actually ran in."""
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    from athena_spark.functions.tokenize import arrow_token_counts
+    from athena_spark.sketch import SpaceSaving
+
+    fpath = sorted(
+        os.path.join(corpus_path, f) for f in os.listdir(corpus_path)
+        if f.endswith(".parquet")
+    )[0]
+    rates = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        a = pq.read_table(fpath, columns=["content"]).column("content")
+        sk = SpaceSaving(k=SKETCH_K)
+        w, c, n_tok = arrow_token_counts(a.combine_chunks())
+        sk.update_counts(w, c)
+        rates.append(n_tok / (time.perf_counter() - t0))
+    return statistics.median(rates)
+
+
 def run_headline() -> dict:
     import __spark_entry__ as entrymod
 
@@ -269,11 +308,18 @@ def run_headline() -> dict:
     queries_median = dict(timings)
 
     corpus_path = _ensure_corpus(spark)
+    # kernel block in the same process before the throughput jobs
+    # (the stable round-over-round signal), then a dedicated cheap
+    # read_fold probe IMMEDIATELY before each throughput row so the
+    # per-row normalization factor matches the host phase that row
+    # actually ran in (VERDICT r3 #2)
+    kernels = run_kernels(corpus_path)
     # warm-up then best-of-2 — cold page cache + JIT otherwise
     # understate capability by 3-5x.  repeat=2 / 32 task groups: the
     # 288M-token job amortizes task-launch and final-merge fixed
     # costs the way a long job on a real cluster would
     _sketch_job(spark, corpus_path)
+    probe_16k = _read_fold_probe(corpus_path)
     t0 = time.perf_counter()
     tp = max((_sketch_job(spark, corpus_path, repeat=2, tasks=32)
               for _ in range(2)),
@@ -283,14 +329,15 @@ def run_headline() -> dict:
     # operating point with the same best-of-2 protocol (a single
     # sample confounds the operating point with the host phase; the
     # k=1e5 fold itself is no slower — fewer evictions than k=16000)
+    probe_1e5 = _read_fold_probe(corpus_path)
     t0 = time.perf_counter()
     tp_1e5 = max((_sketch_job(spark, corpus_path, repeat=2, tasks=32,
                               k=100_000)
                   for _ in range(2)),
                  key=lambda r: r["tokens_per_sec"])
     timings["ss_throughput_corpus_k1e5"] = round(time.perf_counter() - t0, 3)
-
-    kernels = run_kernels(corpus_path)
+    f_16k = probe_16k / REFERENCE_READ_FOLD_TOKENS_PER_SEC
+    f_1e5 = probe_1e5 / REFERENCE_READ_FOLD_TOKENS_PER_SEC
 
     result = {
         "metric": "headline_suite_plus_sketch_throughput",
@@ -312,6 +359,27 @@ def run_headline() -> dict:
         # wanders (BASELINE.md): compare these first, suite walls
         # second
         "kernels": kernels,
+        # host-phase normalization (VERDICT r3 #2): the read_fold
+        # kernel rate measured in THIS process immediately before the
+        # throughput jobs, divided by the documented calm-host
+        # reference.  *_normalized answer "on the calm host, this
+        # run's code would have measured ..." — compare THESE across
+        # rounds; the raw rows above also carry the host lottery.
+        "normalized": {
+            "reference_read_fold_tokens_per_sec":
+                REFERENCE_READ_FOLD_TOKENS_PER_SEC,
+            "probe_read_fold_tokens_per_sec":
+                [round(probe_16k), round(probe_1e5)],
+            "host_factor": [round(f_16k, 3), round(f_1e5, 3)],
+            "ss_throughput_corpus_wall":
+                round(timings["ss_throughput_corpus"] * f_16k, 3),
+            "ss_throughput_corpus_tokens_per_sec":
+                round(tp["tokens_per_sec"] / f_16k),
+            "ss_throughput_corpus_k1e5_wall":
+                round(timings["ss_throughput_corpus_k1e5"] * f_1e5, 3),
+            "ss_throughput_corpus_k1e5_tokens_per_sec":
+                round(tp_1e5["tokens_per_sec"] / f_1e5),
+        },
     }
     spark.stop()
     return result

@@ -311,3 +311,35 @@ def test_batched_mode_roundtrips_flag():
     back = sgns.SpaceSavingWord2Vec.from_bytes(tr.to_bytes())
     assert back.sentence_learner.batched is True
     back.train_sentence("a b c d".split())  # keeps training batched
+
+
+def test_hogwild_averaging_separation_across_parallelism(spark):
+    """The count-weighted Hogwild-averaging claim, certified at THREE
+    parallelism levels: planted-topic separation must hold when the
+    same corpus is trained on 1, 4, and 16 partitions — each level
+    averages a different number of independent per-partition models
+    (1 = the sequential trainer; 16 = ~38 sentences per partial)."""
+    rng = np.random.default_rng(13)
+    rows = [(s,) for s in planted_corpus(rng, n_sent=600)]
+    df = spark.createDataFrame(rows, "content string")
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    for parts in (1, 4, 16):
+        emb = {r["word"]: np.array(r["vec"], dtype=np.float64)
+               for r in sgns.train_embeddings(
+                   df.repartition(parts), "content", vocab_dim=16,
+                   embedding_dim=16, symm_context=3, neg_samples=4,
+                   subsample_threshold=1e6, reservoir_size=1024,
+                   tau=2e4, kappa=5e-2,
+               ).collect()}
+        within = np.mean([cos(emb["spark"], emb["shuffle"]),
+                          cos(emb["piano"], emb["violin"]),
+                          cos(emb["partition"], emb["executor"]),
+                          cos(emb["sonata"], emb["tempo"])])
+        across = np.mean([cos(emb["spark"], emb["piano"]),
+                          cos(emb["shuffle"], emb["sonata"]),
+                          cos(emb["executor"], emb["tempo"]),
+                          cos(emb["partition"], emb["violin"])])
+        assert within > across, (parts, within, across)
