@@ -2277,6 +2277,19 @@ def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                min_len=8)
 
 
+def q_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level span REMOVAL (Lee et al. 2022 ExactSubstr
+    style): every duplicated 8-token window is cut except its
+    globally-first (doc, pos) occurrence; the gate hash-compares the
+    reconstructed TEXT byte-for-byte against the DuckDB
+    reconstruction (string grams, indexed list_filter), plus the
+    exact token/removal counts."""
+    from athena_spark.operators.dedup import substring_dedup_corpus
+
+    return substring_dedup_corpus(_docs(spark, sf_dir), "doc_id", "text",
+                                  min_len=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
@@ -2302,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_topk_stream": q_stateful_topk_stream,
         # -- new in r4
         "substring_dup_stats": q_substring_dup_stats,
+        "substring_dedup_corpus": q_substring_dedup_corpus,
         "ann_ivfpq_bucketed": q_ann_ivfpq_bucketed,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -2841,6 +2855,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.covered_tokens, 0) AS BIGINT)
                        AS covered_tokens
             FROM toks t LEFT JOIN cov c USING (doc_id)
+        """,
+        "substring_dedup_corpus": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), wins AS (
+                SELECT doc_id, i AS pos, {_gram8} AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 7, 0)))
+                     AS u(i)
+            ), marked AS (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY g) AS occ,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                                          ORDER BY doc_id, pos) AS rn
+                FROM wins
+            ), removedpos AS (
+                SELECT m.doc_id, v.rp
+                FROM marked m,
+                     unnest(generate_series(m.pos, m.pos + 7)) AS v(rp)
+                WHERE m.occ >= 2 AND m.rn > 1
+            ), rem AS (
+                SELECT doc_id, list(DISTINCT rp) AS removed
+                FROM removedpos GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(len(r.removed), 0) AS BIGINT)
+                       AS removed_tokens,
+                   -- DuckDB array_to_string([]) is NULL, Spark
+                   -- concat_ws over an empty array is '' — coalesce
+                   COALESCE(array_to_string(
+                       list_filter(t.ts, (x, i) -> NOT list_contains(
+                           COALESCE(r.removed, CAST([] AS BIGINT[])),
+                           i)),
+                       ' '), '') AS text
+            FROM toks t LEFT JOIN rem r USING (doc_id)
         """,
         "decontaminate": f"""
             WITH toks AS (

@@ -868,3 +868,123 @@ def substring_dup_stats(
     out = _materialize(out, materialize)
     base.unpersist()
     return out
+
+
+def substring_dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+    min_count: int = 2,
+    materialize: str = "local",
+) -> DataFrame:
+    """Substring-level span REMOVAL (the transformation
+    :func:`substring_dup_stats` is the signal for — Lee et al. 2022
+    ExactSubstr dedup, re-expressed over token windows): every
+    ``min_len``-token window whose token sequence occurs at least
+    ``min_count`` times corpus-wide is removed from the text EXCEPT
+    its globally-first occurrence (minimum ``(id, position)``), and
+    each doc's surviving tokens are re-joined with single spaces.
+
+    Output: (id, n_tokens, removed_tokens, text) — ``text`` is the
+    deduped document, ``removed_tokens`` the number of token
+    positions cut (the union of the non-canonical duplicated
+    windows' intervals).  Removal is token-granular and overlapping
+    windows union cleanly; a canonical window's tokens can still be
+    cut when a DIFFERENT duplicated window covering them is removed
+    (the same ambiguity the suffix-array formulation has; the rule
+    here is deterministic).  Not idempotent by construction: removal
+    splices new token adjacencies, which can create or destroy
+    duplicate windows — run to a fixed point downstream if needed.
+
+    Tokenizer note: unlike the hash-kernel stats operator, this uses
+    the JVM ``[ \\t\\n]+`` split (post ``\\r``-delete) — the exact
+    tokenizer of :func:`ngram_jaccard_pairs` and the DuckDB oracles,
+    so the gate compares reconstructed TEXT byte-for-byte.  Grams are
+    shuffled as ``xxhash64`` of the gram string (int64, never the
+    gram text); a collision merging two distinct grams would fail the
+    text-equality gate.
+
+    Scale shape: token arrays stay doc-local (one shuffle-free
+    projection feeds both the window pass and the reconstruction
+    join); the wide exchanges carry (int64 gram, id, int pos) rows
+    for the per-gram window function, then (id, int pos) rows for
+    the covered-position union — text never shuffles.  At corpus
+    scale, pre-filter with :func:`substring_dup_stats` (Arrow-kernel
+    hashes) so only docs with a duplicated span enter this pass."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pyspark.sql import Window
+
+    L = min_len
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.regexp_replace(F.col(text_col), "\r", ""),
+                    "[ \t\n]+"),
+            lambda x: x != "",
+        ).alias("ts"),
+    ).cache()
+    wins = (
+        toks.where(F.size("ts") >= L)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - L + 1)
+            ).alias("p"),
+            "ts",
+        )
+        .select(
+            id_col, "p",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("ts", F.col("p"), L))
+            ).alias("gram"),
+        )
+    )
+    w_occ = Window.partitionBy("gram")
+    w_rn = Window.partitionBy("gram").orderBy(id_col, "p")
+    removal = (
+        wins.select(
+            id_col, "p",
+            F.count("*").over(w_occ).alias("occ"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .where((F.col("occ") >= min_count) & (F.col("rn") > 1))
+    )
+    removed = (
+        removal.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + L - 1)
+            ).alias("rp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("rp").alias("removed"))
+    )
+    empty_int_arr = F.array().cast("array<int>")
+    out = (
+        toks.join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("removed"), F.lit(0)).cast("long")
+            .alias("removed_tokens"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "ts",
+                    # Spark's filter index is 0-based; window
+                    # positions are 1-based
+                    lambda x, i: ~F.array_contains(
+                        F.coalesce(F.col("removed"), empty_int_arr),
+                        i + 1,
+                    ),
+                ),
+            ).alias(text_col),
+        )
+    )
+    out = _materialize(out, materialize)
+    toks.unpersist()
+    return out

@@ -556,3 +556,68 @@ def test_substring_dup_stats_min_count_and_validation(spark):
         dedup.substring_dup_stats(df, "doc_id", "text", min_len=0)
     with pytest.raises(ValueError, match="min_count"):
         dedup.substring_dup_stats(df, "doc_id", "text", min_count=1)
+
+
+def _substr_removal_oracle(texts: dict, L: int, min_count: int = 2) -> dict:
+    """Scalar oracle for substring_dedup_corpus: string-tuple grams,
+    canonical = globally-first (doc, pos), token-granular removal."""
+    from collections import Counter
+
+    toks = {i: t.replace("\r", "").split() for i, t in texts.items()}
+    wins = []  # (doc, pos0, gram)
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - L + 1):
+            wins.append((i, p, tuple(ts[p:p + L])))
+    occ = Counter(g for _, _, g in wins)
+    seen = set()
+    removed: dict = {i: set() for i in toks}
+    for i, p, g in sorted(wins):  # (doc, pos) order == canonical order
+        if occ[g] >= min_count:
+            if g in seen:
+                removed[i].update(range(p, p + L))
+            else:
+                seen.add(g)
+    return {
+        i: (len(ts), len(removed[i]),
+            " ".join(t for j, t in enumerate(ts) if j not in removed[i]))
+        for i, ts in toks.items()
+    }
+
+
+def test_substring_dedup_corpus_matches_scalar_oracle(spark):
+    """Span removal keeps exactly the globally-first occurrence of
+    every duplicated window; reconstructed text matches the scalar
+    oracle byte-for-byte, including within-doc repeats, overlapping
+    windows, and untouched docs."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    texts = {
+        1: f"intro words here {span} and then unique tail one",
+        2: f"other leading text {span} closing words two here now",
+        3: "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 w1 w2 w3 w4 w5",
+        4: "totally unrelated content nothing shared with any peer doc",
+        5: "short doc",
+        6: "",
+    }
+    L = 5
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text"])
+           for r in dedup.substring_dedup_corpus(
+               df, "doc_id", "text", min_len=L).collect()}
+    want = _substr_removal_oracle(texts, L)
+    assert got == want
+    # doc 1 holds the canonical span (lowest id): kept intact there,
+    # cut from doc 2
+    assert span in got[1][2]
+    assert span not in got[2][2]
+    # partitioning invariance
+    got16 = {r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text"])
+             for r in dedup.substring_dedup_corpus(
+                 df.repartition(16), "doc_id", "text", min_len=L
+             ).collect()}
+    assert got16 == got
+    with pytest.raises(ValueError, match="min_len"):
+        dedup.substring_dedup_corpus(df, "doc_id", "text", min_len=0)
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.substring_dedup_corpus(df, "doc_id", "text", min_count=1)
