@@ -877,6 +877,7 @@ def substring_dedup_corpus(
     min_len: int = 8,
     min_count: int = 2,
     materialize: str = "local",
+    broadcast_removed: bool = False,
 ) -> DataFrame:
     """Substring-level span REMOVAL (the transformation
     :func:`substring_dup_stats` is the signal for — Lee et al. 2022
@@ -905,13 +906,17 @@ def substring_dedup_corpus(
     gram text); a collision merging two distinct grams would fail the
     text-equality gate.
 
-    Scale shape: token arrays stay doc-local (one shuffle-free
-    projection feeds both the window pass and the reconstruction
-    join); the wide exchanges carry (int64 gram, id, int pos) rows
-    for the per-gram window function, then (id, int pos) rows for
-    the covered-position union — text never shuffles.  At corpus
-    scale, pre-filter with :func:`substring_dup_stats` (Arrow-kernel
-    hashes) so only docs with a duplicated span enter this pass."""
+    Scale shape: the gram exchanges carry (int64 gram, id, int pos)
+    rows and the coverage union (id, int pos) rows — never text.  The
+    RECONSTRUCTION join is the one text-weight exchange any rewrite
+    operator has: joining the per-doc removed-position arrays back to
+    the token arrays shuffles the tokens on id, UNLESS
+    ``broadcast_removed=True`` forces the (typically much smaller)
+    removal table to broadcast — then token arrays never leave their
+    partition.  At corpus scale, pre-filter with
+    :func:`substring_dup_stats` (Arrow-kernel hashes) so only docs
+    with a duplicated span enter this pass, which also keeps the
+    removal table broadcastable."""
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     if min_count < 2:
@@ -963,6 +968,8 @@ def substring_dedup_corpus(
         .groupBy(id_col)
         .agg(F.collect_set("rp").alias("removed"))
     )
+    if broadcast_removed:
+        removed = F.broadcast(removed)
     empty_int_arr = F.array().cast("array<int>")
     out = (
         toks.join(removed, id_col, "left")

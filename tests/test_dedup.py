@@ -617,6 +617,12 @@ def test_substring_dedup_corpus_matches_scalar_oracle(spark):
                  df.repartition(16), "doc_id", "text", min_len=L
              ).collect()}
     assert got16 == got
+    # the broadcast reconstruction path is a pure plan change
+    got_bc = {r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text"])
+              for r in dedup.substring_dedup_corpus(
+                  df, "doc_id", "text", min_len=L, broadcast_removed=True
+              ).collect()}
+    assert got_bc == got
     with pytest.raises(ValueError, match="min_len"):
         dedup.substring_dedup_corpus(df, "doc_id", "text", min_len=0)
     with pytest.raises(ValueError, match="min_count"):

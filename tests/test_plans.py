@@ -226,3 +226,38 @@ def test_pack_sequences_one_exchange_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "MapInArrow" in plan or "ArrowEval" in plan, plan
+
+
+def test_substring_stats_text_never_shuffles(spark, sf_dir, monkeypatch):
+    """substring_dup_stats shuffles int64 gram hashes and (id, pos)
+    rows only — document text must not appear in any Exchange.  The
+    operator materializes eagerly (truncating the plan), so the
+    materializer is stubbed to identity for this plan inspection."""
+    from athena_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_materialize", lambda df, mode: df)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(dedup.substring_dup_stats(docs, "doc_id", "text"))
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first:
+            assert "text#" not in block, block
+
+
+def test_substring_removal_broadcast_keeps_tokens_local(
+        spark, sf_dir, monkeypatch):
+    """substring_dedup_corpus(broadcast_removed=True): the removal
+    table broadcasts, so neither the text column nor the token arrays
+    appear in any shuffle Exchange — the gram/window exchanges carry
+    int64 hashes and int positions only."""
+    from athena_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_materialize", lambda df, mode: df)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(dedup.substring_dedup_corpus(
+        docs, "doc_id", "text", broadcast_removed=True))
+    assert "BroadcastExchange" in plan, plan
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "text#" not in block and "ts#" not in block, block
