@@ -148,6 +148,21 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="also encode the corpus and write parquet "
                          "(doc id, n_words, n_subwords, subwords)")
 
+    sd = sub.add_parser("substring-dedup")
+    common(sd)
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--mode", choices=("stats", "remove"),
+                    default="stats",
+                    help="stats: per-doc duplicated-window counts and "
+                         "covered-token spans; remove: cut every "
+                         "duplicated span except its globally-first "
+                         "occurrence and write the rewritten text")
+    sd.add_argument("--min-len", type=int, default=8,
+                    help="window length in tokens")
+    sd.add_argument("--min-count", type=int, default=2,
+                    help="corpus-wide occurrences for a window to "
+                         "count as duplicated")
+
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
     return p
@@ -551,6 +566,49 @@ def cmd_train_bpe(args) -> None:
             .write.mode("overwrite").parquet(args.apply)
 
 
+def cmd_substring_dedup(args) -> None:
+    """Substring-level dedup: per-doc dup-span stats, or the rewrite
+    that keeps only each duplicated span's first occurrence.  Summary
+    JSON goes to stderr; rows to --output parquet or stdout."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.dedup import (substring_dedup_corpus,
+                                              substring_dup_stats)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    if args.mode == "stats":
+        out = substring_dup_stats(df, args.id_col, args.col,
+                                  min_len=args.min_len,
+                                  min_count=args.min_count)
+        summary = out.agg(
+            F.sum("n_windows").alias("windows"),
+            F.sum("dup_windows").alias("dup_windows"),
+            F.sum("covered_tokens").alias("covered_tokens"),
+            F.sum("n_tokens").alias("tokens"),
+        ).collect()[0]
+        print(json.dumps({k: int(summary[k] or 0)
+                          for k in ("tokens", "windows", "dup_windows",
+                                    "covered_tokens")}), file=sys.stderr)
+    else:
+        out = substring_dedup_corpus(df, args.id_col, args.col,
+                                     min_len=args.min_len,
+                                     min_count=args.min_count)
+        summary = out.agg(
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("removed_tokens").alias("removed_tokens"),
+        ).collect()[0]
+        print(json.dumps({k: int(summary[k] or 0)
+                          for k in ("tokens", "removed_tokens")}),
+              file=sys.stderr)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in out.limit(100).collect():
+            print(json.dumps(row.asDict()))
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -577,6 +635,7 @@ def main(argv=None) -> None:
         "decontaminate": cmd_decontaminate,
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,
+        "substring-dedup": cmd_substring_dedup,
         "package": cmd_package,
     }[args.cmd](args)
 

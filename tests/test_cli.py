@@ -320,3 +320,34 @@ def test_cli_train_bpe(spark, sf_dir, tmp_path, capsys):
             .collect()}
     for i, ts in list(toks.items())[:50]:
         assert bpe_decode_subwords(enc[i]["subwords"]) == ts, i
+
+
+def test_cli_substring_dedup(spark, sf_dir, tmp_path, capsys):
+    """substring-dedup subcommand: stats mode summary matches the
+    library aggregate; remove mode writes the rewritten corpus and
+    its summary accounts for every removed token."""
+    from athena_spark.operators.dedup import (substring_dedup_corpus,
+                                              substring_dup_stats)
+
+    docs_dir = str(tmp_path / "ssd_in")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.mode("overwrite").parquet(docs_dir)
+
+    out_dir = str(tmp_path / "ssd_stats")
+    main(["substring-dedup", "--input", docs_dir, "--col", "text",
+          "--mode", "stats", "--min-len", "8", "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    want = {r["doc_id"]: r["dup_windows"] for r in substring_dup_stats(
+        docs, "doc_id", "text", min_len=8).collect()}
+    got_rows = spark.read.parquet(out_dir).collect()
+    assert {r["doc_id"]: r["dup_windows"] for r in got_rows} == want
+    assert rep["dup_windows"] == sum(want.values())
+
+    out2 = str(tmp_path / "ssd_removed")
+    main(["substring-dedup", "--input", docs_dir, "--col", "text",
+          "--mode", "remove", "--min-len", "8", "--output", out2])
+    rep2 = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    lib = substring_dedup_corpus(docs, "doc_id", "text", min_len=8)
+    lib_removed = lib.agg(F.sum("removed_tokens")).collect()[0][0]
+    assert rep2["removed_tokens"] == lib_removed
+    assert spark.read.parquet(out2).count() == docs.count()
