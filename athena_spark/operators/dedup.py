@@ -921,8 +921,6 @@ def substring_dedup_corpus(
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    from pyspark.sql import Window
-
     L = min_len
     toks = df.select(
         F.col(id_col),
@@ -948,15 +946,28 @@ def substring_dedup_corpus(
             ).alias("gram"),
         )
     )
-    w_occ = Window.partitionBy("gram")
-    w_rn = Window.partitionBy("gram").orderBy(id_col, "p")
-    removal = (
-        wins.select(
-            id_col, "p",
-            F.count("*").over(w_occ).alias("occ"),
-            F.row_number().over(w_rn).alias("rn"),
+    # canonical occurrence per gram via min(struct(id, p)) — a
+    # partially-aggregating groupBy (map-side combine), NOT a
+    # row_number window: a corpus-boilerplate hot gram would force a
+    # single-task sort of all its occurrences under the window
+    # formulation, while the min-struct partials stay one row per
+    # (task, gram).  The 1:1 join back to occurrences ships only
+    # (gram, first) rows.
+    canon = (
+        wins.groupBy("gram").agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct(F.col(id_col), F.col("p"))).alias("first"),
         )
-        .where((F.col("occ") >= min_count) & (F.col("rn") > 1))
+        .where(F.col("occ") >= min_count)
+        .select("gram", "first")
+    )
+    removal = (
+        wins.join(canon, "gram")
+        .where(
+            (F.col(id_col) != F.col(f"first.{id_col}"))
+            | (F.col("p") != F.col("first.p"))
+        )
+        .select(id_col, "p")
     )
     removed = (
         removal.select(

@@ -261,3 +261,8 @@ def test_substring_removal_broadcast_keeps_tokens_local(
         first = block.split("\n")[0] if block else ""
         if "Exchange" in first and "Broadcast" not in first:
             assert "text#" not in block and "ts#" not in block, block
+    # canonical-occurrence detection must be the partially-aggregating
+    # min(struct) groupBy, never a per-gram row_number Window (a hot
+    # boilerplate gram would serialize into one sort task)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
