@@ -740,6 +740,80 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup gate knobs: tau=0.3 matches the embedding_neardup gates
+# (the synthetic embeddings are weakly clustered — max pairwise
+# cosine ~0.51, so the paper's 0.95 would remove nothing); k=8 keeps
+# the O(C^2) within-cluster kernel ~60-row clusters at sf0.01
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.3
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-example verdicts (Abbas et al. 2023): cluster,
+    then within each cluster drop any example whose cosine to a
+    farther-from-centroid member is >= 0.3, keeping the farthest
+    members as representatives.  The gate pins the quantizer to the
+    8 lowest-id embeddings (`lowest_id_centroids`) so the DuckDB
+    oracle rebuilds the identical assignment; the k-means production
+    path is certified by `semantic_dedup_kmeans` + pytest."""
+    from athena_spark.operators.semdedup import (lowest_id_centroids,
+                                                 semantic_dedup)
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = lowest_id_centroids(emb, _SEMDEDUP_K)
+    return semantic_dedup(emb, threshold=_SEMDEDUP_TAU, centroids=cents)
+
+
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified k-means SemDeDup (the production path): the
+    distributed result must equal a driver-side NumPy replication at
+    the same centroids, be stable across input partitionings, keep
+    at least one member per non-empty cluster, and actually remove
+    something at this threshold."""
+    import numpy as np
+
+    from athena_spark.operators.semdedup import semantic_dedup
+    from athena_spark.operators.similarity import train_centroids
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, seed=7)
+    got = {(r["vec_id"], r["cluster"], r["kept"])
+           for r in semantic_dedup(
+               emb, threshold=_SEMDEDUP_TAU, centroids=cents).collect()}
+    again = {(r["vec_id"], r["cluster"], r["kept"])
+             for r in semantic_dedup(
+                 emb.repartition(13), threshold=_SEMDEDUP_TAU,
+                 centroids=cents).collect()}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cu = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = (unit @ cu.T).argmax(axis=1)
+    from athena_spark.operators.semdedup import keep_flags_kernel
+    want = set()
+    for c in range(len(cents)):
+        members = np.where(assign == c)[0]
+        if not len(members):
+            continue
+        kept = keep_flags_kernel(ids[members], mat[members], cents[c],
+                                 _SEMDEDUP_TAU)
+        want |= {(int(ids[i]), c, bool(k))
+                 for i, k in zip(members, kept)}
+    clusters = {c for _, c, _ in got}
+    kept_clusters = {c for _, c, k in got if k}
+    rows = [
+        ("matches_driver_replication", got == want),
+        ("deterministic_across_partitionings", got == again),
+        ("every_cluster_keeps_a_representative",
+         clusters == kept_clusters),
+        ("removes_some_examples", any(not k for _, _, k in got)),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows], schema="check string, ok boolean"
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic marker-scoring language-ID (argmax, ties by code
     asc) — the oracle replicates the same function in SQL."""
@@ -2319,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_stats": q_substring_dup_stats,
         "substring_dedup_corpus": q_substring_dedup_corpus,
         "ann_ivfpq_bucketed": q_ann_ivfpq_bucketed,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
         "exact_token_counts": q_exact_token_counts,
@@ -2533,6 +2609,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'recall_ge_0.95' AS "check", TRUE AS ok
             UNION ALL SELECT 'no_false_positives', TRUE
             UNION ALL SELECT 'nonempty', TRUE
+        """,
+        "semantic_dedup": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), cents AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cnum,
+                       v AS cv
+                FROM emb ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+            ), scored AS (
+                SELECT e.vec_id, c.cnum,
+                       list_cosine_similarity(e.v, c.cv) AS sim
+                FROM emb e CROSS JOIN cents c
+            ), asg AS (
+                SELECT vec_id, cnum AS cluster FROM (
+                    SELECT vec_id, cnum,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY sim DESC, cnum ASC) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ), csim AS (
+                SELECT a.vec_id, a.cluster, s.sim AS csim
+                FROM asg a JOIN scored s
+                  ON s.vec_id = a.vec_id AND s.cnum = a.cluster
+            )
+            SELECT x.vec_id, CAST(x.cluster AS INTEGER) AS cluster,
+                   NOT EXISTS (
+                       SELECT 1 FROM csim y
+                       JOIN emb ex ON ex.vec_id = x.vec_id
+                       JOIN emb ey ON ey.vec_id = y.vec_id
+                       WHERE y.cluster = x.cluster
+                         AND (y.csim < x.csim OR
+                              (y.csim = x.csim AND y.vec_id < x.vec_id))
+                         AND list_cosine_similarity(ex.v, ey.v)
+                                 >= {_SEMDEDUP_TAU}
+                   ) AS kept
+            FROM csim x
+        """,
+        "semantic_dedup_kmeans": """
+            SELECT 'matches_driver_replication' AS "check", TRUE AS ok
+            UNION ALL SELECT 'deterministic_across_partitionings', TRUE
+            UNION ALL SELECT 'every_cluster_keeps_a_representative', TRUE
+            UNION ALL SELECT 'removes_some_examples', TRUE
         """,
         "langid": _LANGID_SQL,
         "quality_features": _QUALITY_SQL,

@@ -163,6 +163,18 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="corpus-wide occurrences for a window to "
                          "count as duplicated")
 
+    sm = sub.add_parser("semantic-dedup")
+    common(sm, output_help="surviving rows parquet dir")
+    sm.add_argument("--id-col", default="vec_id")
+    sm.add_argument("--vec-col", default="embedding")
+    sm.add_argument("--threshold", type=float, default=0.95,
+                    help="within-cluster cosine above which an "
+                         "example counts as a semantic duplicate")
+    sm.add_argument("--n-clusters", type=int, default=1024)
+    sm.add_argument("--flags-only", action="store_true",
+                    help="write (id, cluster, kept) verdicts instead "
+                         "of the surviving rows")
+
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
     return p
@@ -609,6 +621,36 @@ def cmd_substring_dedup(args) -> None:
             print(json.dumps(row.asDict()))
 
 
+def cmd_semantic_dedup(args) -> None:
+    """SemDeDup over an embedding table: k-means clusters, then
+    within-cluster cosine dedup keeping the farthest-from-centroid
+    representatives.  Summary JSON to stderr; rows to --output
+    parquet or stdout."""
+    from athena_spark.operators.semdedup import semantic_dedup
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    kw = dict(threshold=args.threshold, n_clusters=args.n_clusters)
+    flags = semantic_dedup(df, args.id_col, args.vec_col, **kw)
+    flags.persist()
+    total = flags.count()
+    kept = flags.where("kept").count()
+    print(json.dumps({"rows": total, "kept": kept,
+                      "removed": total - kept}), file=sys.stderr)
+    out = flags if args.flags_only else df.join(
+        flags.where("kept").select(args.id_col), args.id_col,
+        "left_semi")
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in out.limit(100).collect():
+            d = row.asDict()
+            d.pop(args.vec_col, None)  # vectors are noise on stdout
+            print(json.dumps(d))
+    flags.unpersist()
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -636,6 +678,7 @@ def main(argv=None) -> None:
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,
         "substring-dedup": cmd_substring_dedup,
+        "semantic-dedup": cmd_semantic_dedup,
         "package": cmd_package,
     }[args.cmd](args)
 

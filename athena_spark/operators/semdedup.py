@@ -1,0 +1,186 @@
+"""Semantic deduplication (SemDeDup) over an embedding column.
+
+Clusters the corpus embeddings, then removes *semantic* duplicates
+within each cluster: examples whose cosine similarity to another
+cluster member exceeds a threshold, keeping the member farthest from
+the cluster centroid as the representative (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540 — the within-cluster rule follows
+the public reference implementation: order members by similarity to
+the centroid ascending, drop an example iff some *earlier* member is
+within the threshold).
+
+This extends the reference's embedding toolkit (cosine similarity /
+nearest neighbour, /root/reference/src/_sgns.h:156-192) with the
+standard LLM-pipeline semantic-dedup stage; the exact/near-dup
+counterparts over text live in ``operators/dedup.py``.
+
+Scale shape (100 TB): the centroid matrix is tiny (k x dim) and is
+broadcast; cluster assignment is a partition-local argmax (no
+shuffle); the vectors then shuffle exactly once, keyed by cluster,
+and the per-cluster kernel is O(C^2) in the cluster size C — bounded
+by ``max_cluster_rows`` (raise ``n_clusters`` so C stays bounded; the
+paper uses k = 50,000 for a 5B-example corpus for the same reason).
+Only ids, cluster numbers and kept flags come back out.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.operators.similarity import train_centroids
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0, 1.0, norms)
+
+
+def lowest_id_centroids(
+    df: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The embeddings of the ``n_clusters`` smallest ids, as a
+    centroid matrix.
+
+    A deterministic, SQL-reproducible quantizer: no RNG, no Lloyd
+    iterations, so a DuckDB oracle can rebuild the identical
+    assignment (``ORDER BY id LIMIT k``).  Quality is data-order
+    dependent — use :func:`athena_spark.operators.similarity.
+    train_centroids` (k-means) for the production path and this one
+    where end-to-end exact verifiability matters more."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot take centroids from an empty DataFrame")
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def keep_flags_kernel(
+    ids: np.ndarray, mat: np.ndarray, centroid: np.ndarray, threshold: float
+) -> np.ndarray:
+    """SemDeDup keep flags for ONE cluster, vectorized.
+
+    Members are ordered by cosine-to-centroid ascending (ties by id
+    ascending); member i is dropped iff max_{j earlier} cos(i, j) >=
+    threshold.  Returns a boolean array aligned with ``ids``."""
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    unit = _unit(mat.astype(np.float64))
+    c = centroid.astype(np.float64)
+    cn = np.linalg.norm(c)
+    csim = unit @ (c / (cn if cn else 1.0))
+    order = np.lexsort((ids, csim))  # csim asc, then id asc
+    sims = unit[order] @ unit[order].T
+    # max cosine to any strictly-earlier member, -inf for the first
+    earlier = np.tril(np.ones((n, n), dtype=bool), k=-1)
+    best_earlier = np.where(earlier, sims, -np.inf).max(axis=1)
+    kept_ord = best_earlier < threshold
+    kept = np.empty(n, dtype=bool)
+    kept[order] = kept_ord
+    return kept
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    centroids: np.ndarray | None = None,
+    n_iters: int = 10,
+    seed: int = 7,
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """Per-example SemDeDup verdicts: ``(id, cluster, kept)``.
+
+    ``centroids=None`` trains a k-means quantizer on a deterministic
+    sample (:func:`train_centroids`); pass a matrix (e.g. from
+    :func:`lowest_id_centroids`) to pin the clustering.  ``kept``
+    rows are the semantic representatives; filter on it (or use
+    :func:`semantic_dedup_corpus`) to materialize the survivors.
+
+    The cluster shuffle ships ``(id, vector)`` once; clusters larger
+    than ``max_cluster_rows`` raise rather than silently running an
+    O(C^2) kernel that can't fit — raise ``n_clusters`` instead."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if centroids is None:
+        centroids = train_centroids(
+            df, vec_col=vec_col, n_centroids=n_clusters,
+            n_iters=n_iters, seed=seed,
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or not len(cents):
+        raise ValueError("centroids must be a non-empty (k, dim) matrix")
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # cosine argmax == dot argmax against unit centroids; ties
+        # break to the lowest cluster number (argmax's first hit)
+        cu = _unit(bc.value)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col].to_numpy(),
+                "cluster": (_unit(mat) @ cu.T).argmax(axis=1)
+                .astype(np.int32),
+            })
+
+    vec_type = df.select(vec_col).schema[0].dataType.simpleString()
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign,
+        f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, cluster int",
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"cluster {int(pdf['cluster'].iat[0])} has {n} rows > "
+                f"max_cluster_rows={max_cluster_rows}; raise n_clusters "
+                "so the O(C^2) within-cluster kernel stays bounded"
+            )
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy())
+        centroid = bc.value[int(pdf["cluster"].iat[0])]
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": pdf["cluster"].to_numpy(),
+            "kept": keep_flags_kernel(ids, mat, centroid, threshold),
+        })
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_cluster, f"`{id_col}` {id_type}, cluster int, kept boolean"
+    )
+
+
+def semantic_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """The surviving rows of ``df`` after :func:`semantic_dedup`
+    (ids-only semi join — full-width rows never shuffle)."""
+    flags = semantic_dedup(df, id_col, vec_col, **kwargs)
+    return df.join(
+        flags.where("kept").select(id_col), id_col, "left_semi"
+    )

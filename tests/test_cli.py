@@ -351,3 +351,34 @@ def test_cli_substring_dedup(spark, sf_dir, tmp_path, capsys):
     lib_removed = lib.agg(F.sum("removed_tokens")).collect()[0][0]
     assert rep2["removed_tokens"] == lib_removed
     assert spark.read.parquet(out2).count() == docs.count()
+
+
+def test_cli_semantic_dedup(spark, sf_dir, tmp_path, capsys):
+    """semantic-dedup subcommand: survivor parquet matches the
+    library path at the same knobs, and the summary accounts for
+    every row."""
+    from athena_spark.operators.semdedup import semantic_dedup
+
+    emb_dir = str(tmp_path / "semd_in")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(emb_dir)
+
+    out_dir = str(tmp_path / "semd_out")
+    main(["semantic-dedup", "--input", emb_dir, "--threshold", "0.3",
+          "--n-clusters", "8", "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    flags = semantic_dedup(emb, threshold=0.3, n_clusters=8)
+    want_kept = {r["vec_id"] for r in flags.where("kept").collect()}
+    got = spark.read.parquet(out_dir)
+    assert {r["vec_id"] for r in got.collect()} == want_kept
+    assert got.columns == emb.columns
+    assert rep == {"rows": 500, "kept": len(want_kept),
+                   "removed": 500 - len(want_kept)}
+
+    flags_dir = str(tmp_path / "semd_flags")
+    main(["semantic-dedup", "--input", emb_dir, "--threshold", "0.3",
+          "--n-clusters", "8", "--flags-only", "--output", flags_dir])
+    capsys.readouterr()
+    fl = spark.read.parquet(flags_dir)
+    assert sorted(fl.columns) == ["cluster", "kept", "vec_id"]
+    assert fl.where("kept").count() == len(want_kept)

@@ -266,3 +266,21 @@ def test_substring_removal_broadcast_keeps_tokens_local(
     # boilerplate gram would serialize into one sort task)
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_semantic_dedup_vectors_shuffle_exactly_once(spark, sf_dir):
+    """SemDeDup plan shape: assignment is a partition-local map
+    (broadcast centroids), then the ONLY Exchange is the cluster
+    shuffle feeding the within-cluster kernel."""
+    from athena_spark.operators.semdedup import (lowest_id_centroids,
+                                                 semantic_dedup)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = lowest_id_centroids(emb, 8)
+    plan = plan_of(semantic_dedup(emb, threshold=0.3, centroids=cents))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "hashpartitioning(cluster" in plan
+    # scan prunes to the two columns the operator touches
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" \
+        in plan

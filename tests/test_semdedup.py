@@ -1,0 +1,167 @@
+"""Semantic dedup (SemDeDup) — kernel oracle, distributed parity,
+determinism, and edge cases."""
+
+import numpy as np
+import pytest
+
+from athena_spark.operators.semdedup import (
+    keep_flags_kernel,
+    lowest_id_centroids,
+    semantic_dedup,
+    semantic_dedup_corpus,
+)
+from athena_spark.operators.similarity import train_centroids
+
+
+def _scalar_oracle(ids, mat, centroid, threshold):
+    """The paper's rule, scalar: order by centroid-sim asc (ties by
+    id), drop iff any earlier member has cosine >= threshold."""
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    c = centroid / np.linalg.norm(centroid)
+    csim = unit @ c
+    order = sorted(range(len(ids)), key=lambda i: (csim[i], ids[i]))
+    kept = {}
+    for pos, i in enumerate(order):
+        kept[i] = all(
+            float(unit[i] @ unit[j]) < threshold for j in order[:pos]
+        )
+    return np.array([kept[i] for i in range(len(ids))])
+
+
+def _clustered(rng, n, dim, n_topics=4, noise=0.15):
+    topics = rng.normal(size=(n_topics, dim))
+    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+    base = topics[rng.integers(0, n_topics, n)]
+    return base + noise * rng.normal(size=(n, dim))
+
+
+def test_kernel_matches_scalar_oracle_fuzz():
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 40))
+        dim = int(rng.integers(2, 16))
+        mat = _clustered(rng, n, dim)
+        ids = rng.permutation(n * 3)[:n]
+        centroid = rng.normal(size=dim)
+        thr = float(rng.uniform(0.3, 0.99))
+        got = keep_flags_kernel(ids, mat, centroid, thr)
+        want = _scalar_oracle(ids, mat, centroid, thr)
+        assert (got == want).all(), f"trial {trial}"
+
+
+def test_kernel_keeps_farthest_from_centroid():
+    # two exact duplicates: the one farther from the centroid stays
+    centroid = np.array([1.0, 0.0])
+    far = np.array([0.0, 1.0])
+    near = np.array([1.0, 0.1])
+    mat = np.stack([near, far, far])
+    kept = keep_flags_kernel(np.array([1, 2, 3]), mat, centroid, 0.99)
+    assert kept.tolist() == [True, True, False]  # id 2 (earlier) kept
+
+
+def test_kernel_identical_vectors_tie_break_by_id():
+    mat = np.ones((3, 4))
+    kept = keep_flags_kernel(np.array([30, 10, 20]), mat,
+                             np.ones(4), 0.5)
+    assert kept.tolist() == [False, True, False]  # lowest id survives
+
+
+def test_distributed_matches_driver_oracle(spark):
+    rng = np.random.default_rng(5)
+    n, dim, k = 300, 8, 6
+    mat = _clustered(rng, n, dim)
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids(df, n_centroids=k, seed=7)
+    got = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semantic_dedup(
+            df, threshold=0.9, centroids=cents
+        ).collect()
+    }
+    # driver-side replication
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cu = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = (unit @ cu.T).argmax(axis=1)
+    want = set()
+    for c in range(k):
+        members = np.where(assign == c)[0]
+        if not len(members):
+            continue
+        kept = _scalar_oracle(members, mat[members], cents[c], 0.9)
+        want |= {(int(i), c, bool(kk))
+                 for i, kk in zip(members, kept)}
+    assert got == want
+
+
+def test_deterministic_across_partitionings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = lowest_id_centroids(emb, 8)
+    a = semantic_dedup(emb.repartition(1), threshold=0.3,
+                       centroids=cents)
+    b = semantic_dedup(emb.repartition(13), threshold=0.3,
+                       centroids=cents)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert len(ra) == emb.count()
+    kept = sum(1 for r in ra if r[2])
+    assert 0 < kept < len(ra)  # the threshold actually removes some
+
+
+def test_corpus_survivors_are_kept_rows(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = lowest_id_centroids(emb, 8)
+    flags = semantic_dedup(emb, threshold=0.3, centroids=cents)
+    kept_ids = {r[0] for r in flags.where("kept").collect()}
+    out = semantic_dedup_corpus(emb, threshold=0.3, centroids=cents)
+    assert {r["vec_id"] for r in out.collect()} == kept_ids
+    assert out.columns == emb.columns
+
+
+def test_every_removed_doc_has_earlier_witness(spark, sf_dir):
+    """Soundness on real data: each dropped example has a
+    farther-from-centroid cluster member within the threshold."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = lowest_id_centroids(emb, 8)
+    flags = semantic_dedup(emb, threshold=0.3, centroids=cents)
+    pdf = flags.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cu = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for c in sorted(pdf["cluster"].unique()):
+        sel = pdf["cluster"] == c
+        ids = pdf.loc[sel, "vec_id"].to_numpy()
+        kept = pdf.loc[sel, "kept"].to_numpy()
+        u = unit[sel.to_numpy()]
+        csim = u @ cu[c]
+        for i in np.where(~kept)[0]:
+            earlier = (csim < csim[i]) | ((csim == csim[i]) & (ids < ids[i]))
+            assert (u[earlier] @ u[i] >= 0.3).any()
+
+
+def test_kmeans_default_path_runs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    flags = semantic_dedup(emb, threshold=0.3, n_clusters=8, seed=7)
+    assert flags.count() == emb.count()
+    assert flags.where("kept").count() > 0
+
+
+def test_max_cluster_rows_guard(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = lowest_id_centroids(emb, 2)
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(emb, threshold=0.3, centroids=cents,
+                       max_cluster_rows=10).collect()
+
+
+def test_bad_inputs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(emb, threshold=0.0)
+    with pytest.raises(ValueError, match="centroids"):
+        semantic_dedup(emb, centroids=np.zeros((0, 4)))
+    with pytest.raises(ValueError, match="empty"):
+        lowest_id_centroids(emb.where("vec_id < 0"), 4)
