@@ -814,6 +814,40 @@ def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR gate: target = the English documents, raw = the whole corpus,
+# select the 100 most target-like docs by the integer-certifiable
+# nano scoring (the log-space weight is pytest-certified — libm ln
+# differs from DuckDB's by 1 ulp, same split as lm_perplexity)
+_DSIR_TOP_N = 100
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted selection (Xie et al. 2023): hashed
+    uni+bigram bucket models on target (lang='en') vs raw corpora;
+    per-doc certified columns are exact integer sums of
+    floor(1e9 * smoothed bucket probability), and `selected` marks
+    the top-100 by (tgt_nano - raw_nano, doc_id) — pure integer
+    ordering the DuckDB oracle reproduces bit-exactly."""
+    from athena_spark.operators.dsir import importance_weights
+
+    docs = _docs(spark, sf_dir)
+    w = importance_weights(
+        docs, docs.where("lang = 'en'"), "doc_id", "text"
+    ).localCheckpoint(eager=True)  # two consumers below, one compute
+    picked = (
+        w.orderBy((F.col("tgt_nano") - F.col("raw_nano")).desc(),
+                  F.col("doc_id").asc())
+        .limit(_DSIR_TOP_N)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return (
+        w.select("doc_id", "n_grams", "tgt_nano", "raw_nano")
+        .join(F.broadcast(picked), "doc_id", "left")
+        .select("doc_id", "n_grams", "tgt_nano", "raw_nano",
+                F.coalesce("sel", F.lit(False)).alias("selected"))
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic marker-scoring language-ID (argmax, ties by code
     asc) — the oracle replicates the same function in SQL."""
@@ -2395,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_bucketed": q_ann_ivfpq_bucketed,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+        "dsir_select": q_dsir_select,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
         "exact_token_counts": q_exact_token_counts,
@@ -2653,6 +2688,73 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'deterministic_across_partitionings', TRUE
             UNION ALL SELECT 'every_cluster_keeps_a_representative', TRUE
             UNION ALL SELECT 'removes_some_examples', TRUE
+        """,
+        "dsir_select": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(ts) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                     AS u(i)
+            ), bgrams AS (
+                SELECT doc_id, substr(sha256(g), 1, 3) AS bucket
+                FROM grams
+            ), domain AS (
+                SELECT printf('%03x', i) AS bucket
+                FROM generate_series(0, 4095) t(i)
+            ), tcnt AS (
+                SELECT b.bucket, COUNT(*) AS c
+                FROM bgrams b JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en' GROUP BY b.bucket
+            ), rcnt AS (
+                SELECT bucket, COUNT(*) AS c FROM bgrams GROUP BY bucket
+            ), tstat AS (
+                SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) + 4096.0
+                           AS denom
+                FROM tcnt
+            ), rstat AS (
+                SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) + 4096.0
+                           AS denom
+                FROM rcnt
+            ), model AS (
+                SELECT dm.bucket,
+                       CAST(FLOOR((CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+                           / (SELECT denom FROM tstat))
+                           * 1000000000.0) AS BIGINT) AS t_nano,
+                       CAST(FLOOR((CAST(COALESCE(r.c, 0) + 1 AS DOUBLE)
+                           / (SELECT denom FROM rstat))
+                           * 1000000000.0) AS BIGINT) AS r_nano
+                FROM domain dm
+                LEFT JOIN tcnt t ON dm.bucket = t.bucket
+                LEFT JOIN rcnt r ON dm.bucket = r.bucket
+            ), per AS (
+                SELECT b.doc_id, COUNT(*) AS n,
+                       CAST(SUM(m.t_nano) AS BIGINT) AS tn,
+                       CAST(SUM(m.r_nano) AS BIGINT) AS rn
+                FROM bgrams b JOIN model m USING (bucket)
+                GROUP BY b.doc_id
+            ), feat AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_grams,
+                       CAST(COALESCE(p.tn, 0) AS BIGINT) AS tgt_nano,
+                       CAST(COALESCE(p.rn, 0) AS BIGINT) AS raw_nano
+                FROM documents d LEFT JOIN per p USING (doc_id)
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    ORDER BY (tgt_nano - raw_nano) DESC, doc_id ASC
+                ) AS rnk
+                FROM feat
+            )
+            SELECT doc_id, n_grams, tgt_nano, raw_nano,
+                   (rnk <= {_DSIR_TOP_N}) AS selected
+            FROM ranked
         """,
         "langid": _LANGID_SQL,
         "quality_features": _QUALITY_SQL,

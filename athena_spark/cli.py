@@ -175,6 +175,17 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="write (id, cluster, kept) verdicts instead "
                          "of the surviving rows")
 
+    ds = sub.add_parser("dsir-select")
+    common(ds, output_help="selected rows parquet dir")
+    ds.add_argument("--target", required=True,
+                    help="target corpus dir/table (same format)")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--top-n", type=int, required=True,
+                    help="how many of the most target-like docs to keep")
+    ds.add_argument("--scoring", choices=("log", "nano"), default="log",
+                    help="log: the paper's importance log-ratio; "
+                         "nano: integer-certifiable surrogate ordering")
+
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
     return p
@@ -651,6 +662,30 @@ def cmd_semantic_dedup(args) -> None:
     flags.unpersist()
 
 
+def cmd_dsir_select(args) -> None:
+    """DSIR importance selection: keep the --top-n raw docs most
+    distributionally similar to the --target corpus.  Summary JSON
+    to stderr; rows to --output parquet or stdout."""
+    from athena_spark.operators.dsir import importance_select
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    raw = read_corpus(spark, args.input, fmt=args.format)
+    target = read_corpus(spark, args.target, fmt=args.format)
+    out = importance_select(raw, target, args.id_col, args.col,
+                            top_n=args.top_n, scoring=args.scoring)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        rows = out.collect()
+        n = len(rows)
+        for row in rows[:100]:
+            print(json.dumps(row.asDict()))
+    print(json.dumps({"raw_rows": raw.count(), "selected": n}),
+          file=sys.stderr)
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -679,6 +714,7 @@ def main(argv=None) -> None:
         "train-bpe": cmd_train_bpe,
         "substring-dedup": cmd_substring_dedup,
         "semantic-dedup": cmd_semantic_dedup,
+        "dsir-select": cmd_dsir_select,
         "package": cmd_package,
     }[args.cmd](args)
 

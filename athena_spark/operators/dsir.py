@@ -1,0 +1,193 @@
+"""DSIR-style importance-weighted data selection.
+
+Selects from a raw corpus the documents most distributionally similar
+to a small high-quality target corpus (Xie et al. 2023, "Data
+Selection for Language Models via Importance Resampling",
+arXiv:2302.03169): hash word uni+bigrams into a bounded bucket space,
+fit smoothed bucket unigram models on the target and the raw corpus,
+and score each raw document with the importance log-ratio
+
+    log w(doc) = sum_g [ log p_target(bucket(g)) - log p_raw(bucket(g)) ].
+
+The reference trains directly on token files (src/_io.cpp:21-76);
+corpus selection is out of its scope, so this is an engine extension
+in the LLM-pipeline family alongside the dedup/curation operators.
+
+Determinism/portability: the default bucket hash is a hex prefix of
+sha256(gram) — byte-identical in Spark ``sha2`` and DuckDB
+``sha256``, so the driver oracle can rebuild the identical buckets
+(same philosophy as ``trainprep.hash_split``).  Like the
+``lm_perplexity`` gate, the *certified* quantities are integer-scaled
+rationals (``floor(1e9 * p)`` sums — pure double arithmetic both
+engines reproduce bit-exactly); the log-space weight itself is
+pytest-certified (libm ``ln`` differs from DuckDB's by 1 ulp).
+
+Scale shape (100 TB): the bucket models are bounded (16^n_hex rows),
+collected once and broadcast; gram explosion stays partition-local
+(a doc's grams never leave its partition), so the per-doc aggregation
+partial-reduces to ONE narrow row per doc before the only shuffle;
+text never shuffles.  Selection of the top-n is a TakeOrdered over
+(weight, id), not a global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.tokenize import tokens_col
+
+#: hex digits of the sha256 prefix used as the bucket id — 3 gives
+#: 16^3 = 4096 buckets, the ballpark of the paper's 10k hashed dims
+DSIR_HEX_DIGITS = 3
+_NANO = 1_000_000_000.0
+
+
+def gram_col(text_col):
+    """Word uni+bigram array (JVM-side): the tokenizer's tokens plus
+    space-joined adjacent pairs."""
+    ts = tokens_col(text_col)
+    n = F.size(ts)
+    bigrams = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(ts, bigrams)
+
+
+def _bucket_col(gram, n_hex: int, hash_fn: str):
+    if hash_fn == "sha256":
+        return F.substring(F.sha2(gram, 256), 1, n_hex)
+    if hash_fn == "xxhash64":
+        # the fast non-oracle path: same bucket count, int64 keys
+        return F.pmod(F.xxhash64(gram), F.lit(16 ** n_hex))
+    raise ValueError(f"hash_fn must be sha256 or xxhash64, got {hash_fn!r}")
+
+
+def bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    n_hex: int = DSIR_HEX_DIGITS,
+    hash_fn: str = "sha256",
+) -> DataFrame:
+    """(bucket, cnt) over the corpus' uni+bigrams — at most 16^n_hex
+    rows (map-side combine collapses the gram explosion)."""
+    return (
+        df.select(F.explode(gram_col(text_col)).alias("g"))
+        .select(_bucket_col(F.col("g"), n_hex, hash_fn).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _bucket_model(df, text_col, n_hex, hash_fn, alpha):
+    """Driver-side smoothed bucket model: {bucket: (cnt, p, nano)}
+    over the FULL bucket domain (unseen buckets get the smoothing
+    floor).  p = (cnt + alpha) / (total + alpha * n_buckets); nano =
+    floor(1e9 * p) — with integer-representable alpha both are exact
+    double expressions any engine reproduces bit-identically."""
+    n_buckets = 16 ** n_hex
+    counts = {r["bucket"]: r["cnt"]
+              for r in bucket_counts(df, text_col, n_hex, hash_fn).collect()}
+    total = sum(counts.values())
+    denom = float(total + alpha * n_buckets)
+    if denom <= 0:
+        raise ValueError("empty corpus with alpha=0: model undefined")
+    if hash_fn == "sha256":
+        domain = [format(i, f"0{n_hex}x") for i in range(n_buckets)]
+    else:
+        domain = list(range(n_buckets))
+    out = {}
+    for b in domain:
+        p = (counts.get(b, 0) + alpha) / denom
+        out[b] = (counts.get(b, 0), p, int(math.floor(p * _NANO)))
+    return out
+
+
+def importance_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_hex: int = DSIR_HEX_DIGITS,
+    hash_fn: str = "sha256",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR features and weights:
+
+    ``(id, n_grams, tgt_nano, raw_nano, log_weight)`` where the nano
+    columns are sums of ``floor(1e9 * p)`` over the doc's grams (the
+    exact-certifiable surface) and ``log_weight`` is the paper's
+    importance log-ratio.  Empty docs score 0 everywhere."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    spark = raw_df.sparkSession
+    tgt = _bucket_model(target_df, text_col, n_hex, hash_fn, alpha)
+    raw = _bucket_model(raw_df, text_col, n_hex, hash_fn, alpha)
+    key_type = "string" if hash_fn == "sha256" else "long"
+    model = spark.createDataFrame(
+        [(b, tgt[b][2], raw[b][2],
+          float(math.log(tgt[b][1]) - math.log(raw[b][1])))
+         for b in tgt],
+        f"bucket {key_type}, t_nano long, r_nano long, lw double",
+    )
+    grams = raw_df.select(
+        id_col, F.explode(gram_col(text_col)).alias("g")
+    ).select(id_col, _bucket_col(F.col("g"), n_hex, hash_fn)
+             .alias("bucket"))
+    scored = grams.join(F.broadcast(model), "bucket").groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("t_nano").alias("tgt_nano"),
+        F.sum("r_nano").alias("raw_nano"),
+        F.sum("lw").alias("log_weight"),
+    )
+    # docs with no tokens still get a row (score 0), like lm scoring
+    return (
+        raw_df.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("tgt_nano", F.lit(0)).alias("tgt_nano"),
+            F.coalesce("raw_nano", F.lit(0)).alias("raw_nano"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def importance_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int,
+    n_hex: int = DSIR_HEX_DIGITS,
+    hash_fn: str = "sha256",
+    alpha: float = 1.0,
+    scoring: str = "log",
+) -> DataFrame:
+    """The ``top_n`` most target-like raw documents (full rows).
+
+    ``scoring="log"`` ranks by the paper's log-ratio weight;
+    ``scoring="nano"`` ranks by the integer surrogate
+    ``tgt_nano - raw_nano`` — same pipeline, but the ordering is
+    exact integer arithmetic any engine reproduces bit-identically
+    (the driver gate uses it).  Ties break by id ascending; the
+    ranking compiles to TakeOrdered, not a global sort."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    if scoring not in ("log", "nano"):
+        raise ValueError(f"scoring must be log or nano, got {scoring!r}")
+    w = importance_weights(raw_df, target_df, id_col, text_col,
+                           n_hex=n_hex, hash_fn=hash_fn, alpha=alpha)
+    score = (F.col("log_weight") if scoring == "log"
+             else (F.col("tgt_nano") - F.col("raw_nano")))
+    picked = (
+        w.orderBy(score.desc(), F.col(id_col).asc())
+        .limit(top_n)
+        .select(id_col)
+    )
+    return raw_df.join(picked, id_col, "left_semi")

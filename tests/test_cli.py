@@ -382,3 +382,26 @@ def test_cli_semantic_dedup(spark, sf_dir, tmp_path, capsys):
     fl = spark.read.parquet(flags_dir)
     assert sorted(fl.columns) == ["cluster", "kept", "vec_id"]
     assert fl.where("kept").count() == len(want_kept)
+
+
+def test_cli_dsir_select(spark, sf_dir, tmp_path, capsys):
+    """dsir-select subcommand: selected parquet matches the library
+    path at the same knobs."""
+    from athena_spark.operators.dsir import importance_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw_dir = str(tmp_path / "dsir_raw")
+    tgt_dir = str(tmp_path / "dsir_tgt")
+    docs.write.mode("overwrite").parquet(raw_dir)
+    docs.where("lang = 'en'").write.mode("overwrite").parquet(tgt_dir)
+
+    out_dir = str(tmp_path / "dsir_out")
+    main(["dsir-select", "--input", raw_dir, "--target", tgt_dir,
+          "--col", "text", "--top-n", "50", "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    want = {r["doc_id"] for r in importance_select(
+        docs, docs.where("lang = 'en'"), top_n=50).collect()}
+    got = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in got.collect()} == want
+    assert got.columns == docs.columns
+    assert rep == {"raw_rows": 500, "selected": 50}

@@ -1,0 +1,160 @@
+"""DSIR importance selection — scalar oracle parity, determinism,
+selection semantics, and edge cases."""
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from athena_spark.operators.dsir import (
+    DSIR_HEX_DIGITS,
+    bucket_counts,
+    importance_select,
+    importance_weights,
+)
+
+N_BUCKETS = 16 ** DSIR_HEX_DIGITS
+
+
+def _grams(text):
+    ts = [t for t in re.split(r"[ \t\n]+", text.replace("\r", "")) if t]
+    return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+
+def _bucket(g):
+    return hashlib.sha256(g.encode()).hexdigest()[:DSIR_HEX_DIGITS]
+
+
+def _model(texts, alpha=1.0):
+    counts = {}
+    for t in texts:
+        for g in _grams(t):
+            b = _bucket(g)
+            counts[b] = counts.get(b, 0) + 1
+    denom = float(sum(counts.values()) + alpha * N_BUCKETS)
+    return {f"{i:03x}": ((counts.get(f"{i:03x}", 0) + alpha) / denom)
+            for i in range(N_BUCKETS)}
+
+
+def _scalar_weights(raw, target, alpha=1.0):
+    """{doc_id: (n_grams, tgt_nano, raw_nano, log_weight)}"""
+    pt = _model([t for _, t in target], alpha)
+    pr = _model([t for _, t in raw], alpha)
+    out = {}
+    for i, t in raw:
+        gs = _grams(t)
+        bs = [_bucket(g) for g in gs]
+        out[i] = (
+            len(gs),
+            sum(int(math.floor(pt[b] * 1e9)) for b in bs),
+            sum(int(math.floor(pr[b] * 1e9)) for b in bs),
+            sum(math.log(pt[b]) - math.log(pr[b]) for b in bs),
+        )
+    return out
+
+
+RAW = [
+    (1, "the cat sat on the mat"),
+    (2, "stock prices fell sharply on tuesday"),
+    (3, "the dog sat on the log"),
+    (4, "quantum flux capacitor overload imminent"),
+    (5, ""),
+    (6, "the cat and the dog sat together"),
+]
+TARGET = [(10, "the cat sat"), (11, "the dog sat on the mat")]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    return raw, tgt
+
+
+def test_weights_match_scalar_oracle(spark, frames):
+    raw, tgt = frames
+    got = {r["doc_id"]: (r["n_grams"], r["tgt_nano"], r["raw_nano"],
+                         r["log_weight"])
+           for r in importance_weights(raw, tgt).collect()}
+    want = _scalar_weights(RAW, TARGET)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][:3] == want[i][:3], i
+        assert got[i][3] == pytest.approx(want[i][3], rel=1e-12), i
+
+
+def test_bucket_counts_bounded_and_exact(spark, frames):
+    raw, _ = frames
+    rows = bucket_counts(raw, "text").collect()
+    want = {}
+    for _, t in RAW:
+        for g in _grams(t):
+            b = _bucket(g)
+            want[b] = want.get(b, 0) + 1
+    assert {r["bucket"]: r["cnt"] for r in rows} == want
+    assert len(rows) <= N_BUCKETS
+
+
+def test_deterministic_across_partitionings(spark, frames):
+    raw, tgt = frames
+    a = sorted(map(tuple,
+                   importance_weights(raw.repartition(1), tgt).collect()))
+    b = sorted(map(tuple,
+                   importance_weights(raw.repartition(7), tgt).collect()))
+    assert a == b
+
+
+def test_select_top_n_by_log_weight(spark, frames):
+    raw, tgt = frames
+    want = _scalar_weights(RAW, TARGET)
+    order = sorted(want, key=lambda i: (-want[i][3], i))
+    got = {r["doc_id"]
+           for r in importance_select(raw, tgt, top_n=3).collect()}
+    assert got == set(order[:3])
+    # target-like docs (cat/dog/sat/the) outrank the off-topic ones
+    assert {2, 4} & got == set()
+
+
+def test_select_nano_scoring_is_integer_rank(spark, frames):
+    raw, tgt = frames
+    want = _scalar_weights(RAW, TARGET)
+    order = sorted(want, key=lambda i: (-(want[i][1] - want[i][2]), i))
+    got = {r["doc_id"]
+           for r in importance_select(raw, tgt, top_n=3,
+                                      scoring="nano").collect()}
+    assert got == set(order[:3])
+
+
+def test_empty_doc_scores_zero(spark, frames):
+    raw, tgt = frames
+    row = {r["doc_id"]: r for r in
+           importance_weights(raw, tgt).collect()}[5]
+    assert (row["n_grams"], row["tgt_nano"], row["raw_nano"],
+            row["log_weight"]) == (0, 0, 0, 0.0)
+
+
+def test_xxhash_path_runs_and_agrees_on_counts(spark, frames):
+    raw, tgt = frames
+    sha = {r["doc_id"]: r["n_grams"] for r in
+           importance_weights(raw, tgt).collect()}
+    xxh_rows = importance_weights(raw, tgt, hash_fn="xxhash64").collect()
+    assert {r["doc_id"]: r["n_grams"] for r in xxh_rows} == sha
+    a = sorted(map(tuple, xxh_rows))
+    b = sorted(map(tuple, importance_weights(
+        raw.repartition(5), tgt, hash_fn="xxhash64").collect()))
+    assert a == b
+
+
+def test_bad_inputs(spark, frames):
+    raw, tgt = frames
+    with pytest.raises(ValueError, match="alpha"):
+        importance_weights(raw, tgt, alpha=-1.0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        importance_weights(raw, tgt, hash_fn="md5")
+    with pytest.raises(ValueError, match="top_n"):
+        importance_select(raw, tgt, top_n=0)
+    with pytest.raises(ValueError, match="scoring"):
+        importance_select(raw, tgt, top_n=1, scoring="exp")
+    with pytest.raises(ValueError, match="empty corpus"):
+        importance_weights(raw, tgt.where("doc_id < 0"), alpha=0.0)

@@ -284,3 +284,21 @@ def test_semantic_dedup_vectors_shuffle_exactly_once(spark, sf_dir):
     # scan prunes to the two columns the operator touches
     assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" \
         in plan
+
+
+def test_dsir_weights_never_shuffle_text_or_grams(spark, sf_dir):
+    """DSIR weights: the gram explosion stays partition-local (a
+    doc's grams partial-reduce to one narrow row before the shuffle),
+    the bucket model joins as a BroadcastExchange, and document text
+    never enters a shuffle."""
+    from athena_spark.operators.dsir import importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(importance_weights(docs, docs.where("lang = 'en'")))
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "text#" not in block, block
+            assert "bucket#" not in block, block  # grams pre-reduced
