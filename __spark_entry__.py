@@ -848,6 +848,51 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified GPT-3-style quality classifier (logistic regression
+    on the DSIR hashed-gram buckets, deterministic full-batch GD):
+    a marker phrase planted on the positive copies must be recovered
+    with a clean score margin (the synthetic table's labels are not
+    text-correlated, so the planted task is the honest separable
+    one); scoring must be bit-stable across partitionings, bounded
+    in (0,1), and an empty doc must score exactly the prior."""
+    import math
+
+    from athena_spark.operators.qualityfilter import (
+        score_quality, train_quality_classifier)
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.withColumn("text", F.concat(
+        "text", F.lit(" encyclopedia reference citation bibliography")))
+    # gate knobs: xxhash64 (no SQL twin to match — this is a checks
+    # gate), 200-doc samples and 600 GD iters keep the wall ~9s while
+    # the margin stays clean (0.61 vs 0.24 at sf0.01)
+    m = train_quality_classifier(pos, docs, n_iters=600,
+                                 max_train_rows=200,
+                                 hash_fn="xxhash64")
+    sp = [r["quality_score"] for r in score_quality(pos, m).collect()]
+    rows_a = sorted(map(tuple, score_quality(docs, m).collect()))
+    rows_b = sorted(map(tuple, score_quality(
+        docs.repartition(11), m).collect()))
+    sn = [r[2] for r in rows_a]
+    empty = score_quality(
+        spark.createDataFrame([(-1, "")], "doc_id long, text string"), m
+    ).collect()[0]
+    prior = 1.0 / (1.0 + math.exp(-m.b))
+    checks = [
+        ("planted_marker_separates", min(sp) > max(sn)),
+        ("deterministic_across_partitionings", rows_a == rows_b),
+        ("scores_in_unit_interval",
+         all(0.0 < s < 1.0 for s in sp + sn)),
+        ("empty_doc_scores_prior",
+         empty["n_grams"] == 0 and empty["quality_score"] == prior),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in checks],
+        schema="check string, ok boolean",
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic marker-scoring language-ID (argmax, ties by code
     asc) — the oracle replicates the same function in SQL."""
@@ -2430,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "dsir_select": q_dsir_select,
+        "quality_classifier": q_quality_classifier,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
         "exact_token_counts": q_exact_token_counts,
@@ -2688,6 +2734,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'deterministic_across_partitionings', TRUE
             UNION ALL SELECT 'every_cluster_keeps_a_representative', TRUE
             UNION ALL SELECT 'removes_some_examples', TRUE
+        """,
+        "quality_classifier": """
+            SELECT 'planted_marker_separates' AS "check", TRUE AS ok
+            UNION ALL SELECT 'deterministic_across_partitionings', TRUE
+            UNION ALL SELECT 'scores_in_unit_interval', TRUE
+            UNION ALL SELECT 'empty_doc_scores_prior', TRUE
         """,
         "dsir_select": f"""
             WITH toks AS (

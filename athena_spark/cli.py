@@ -186,6 +186,19 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="log: the paper's importance log-ratio; "
                          "nano: integer-certifiable surrogate ordering")
 
+    qf = sub.add_parser("quality-filter")
+    common(qf, output_help="passing rows parquet dir")
+    qf.add_argument("--pos", required=True,
+                    help="high-quality positive corpus dir/table "
+                         "(same format); the input corpus is the "
+                         "negative side unless --neg is given")
+    qf.add_argument("--neg", default=None)
+    qf.add_argument("--id-col", default="doc_id")
+    qf.add_argument("--min-score", type=float, default=0.5)
+    qf.add_argument("--scores-only", action="store_true",
+                    help="write (id, n_grams, quality_score) instead "
+                         "of the filtered rows")
+
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
     return p
@@ -686,6 +699,39 @@ def cmd_dsir_select(args) -> None:
           file=sys.stderr)
 
 
+def cmd_quality_filter(args) -> None:
+    """GPT-3-style quality filter: train pos-vs-neg on hashed-gram
+    buckets, score the input corpus, keep rows >= --min-score.
+    Summary JSON to stderr; rows to --output parquet or stdout."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.qualityfilter import (
+        quality_filter, score_quality, train_quality_classifier)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    raw = read_corpus(spark, args.input, fmt=args.format)
+    pos = read_corpus(spark, args.pos, fmt=args.format)
+    neg = read_corpus(spark, args.neg, fmt=args.format) \
+        if args.neg else raw
+    model = train_quality_classifier(pos, neg, args.id_col, args.col)
+    if args.scores_only:
+        out = score_quality(raw, model, args.id_col, args.col)
+        passing = out.where(
+            F.col("quality_score") >= args.min_score).count()
+    else:
+        out = quality_filter(raw, model, args.id_col, args.col,
+                             min_score=args.min_score)
+        passing = out.count()
+    print(json.dumps({"raw_rows": raw.count(), "passing": passing,
+                      "min_score": args.min_score}), file=sys.stderr)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in out.limit(100).collect():
+            print(json.dumps(row.asDict()))
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -715,6 +761,7 @@ def main(argv=None) -> None:
         "substring-dedup": cmd_substring_dedup,
         "semantic-dedup": cmd_semantic_dedup,
         "dsir-select": cmd_dsir_select,
+        "quality-filter": cmd_quality_filter,
         "package": cmd_package,
     }[args.cmd](args)
 

@@ -1,0 +1,181 @@
+"""Supervised quality filtering: a logistic classifier over hashed
+n-gram features.
+
+The GPT-3-style quality filter (Brown et al. 2020 §A; also LLaMA's
+Wikipedia-reference classifier): train a linear classifier to
+distinguish a high-quality positive corpus from the raw negative
+corpus, then score every raw document and keep the most
+positive-looking ones.  The discriminative sibling of the generative
+importance ratio in :mod:`athena_spark.operators.dsir` — both share
+the hashed uni+bigram bucket feature space (`gram_col`).
+
+Training is DRIVER-SIDE and fully deterministic: features for a
+bounded, deterministically-chosen sample of docs are aggregated by
+Spark (one explode → groupBy pass, ids+buckets only), then full-batch
+gradient descent from a zero init — no RNG anywhere, so the learned
+weights are identical across runs, partitionings and cluster sizes.
+
+Scoring is distributed and shuffle-light: the weight table (16^n_hex
+rows) joins as a broadcast; a doc's grams stay partition-local and
+partial-reduce to one narrow row before the only shuffle; text never
+shuffles; the sigmoid is a JVM column expression.
+
+The reference has no corpus-selection stage (it trains straight from
+token files, src/_io.cpp:21-76) — this is an engine extension in the
+LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.operators.dsir import (DSIR_HEX_DIGITS, _bucket_col,
+                                         gram_col)
+
+
+@dataclass(frozen=True)
+class QualityClassifier:
+    """Learned weights: score(doc) = sigmoid(b + mean_g w[bucket(g)])."""
+
+    w: np.ndarray          # (16^n_hex,) float64
+    b: float
+    n_hex: int
+    hash_fn: str
+
+
+def _bucket_index_col(gram, n_hex: int, hash_fn: str):
+    """Bucket as an INT index into the weight vector (hex prefixes
+    parse base-16; xxhash64 buckets already are ints)."""
+    b = _bucket_col(gram, n_hex, hash_fn)
+    if hash_fn == "sha256":
+        return F.conv(b, 16, 10).cast("long")
+    return b
+
+
+def _doc_features(df, id_col, text_col, n_hex, hash_fn, limit, seed):
+    """Dense (n_docs, n_buckets) mean-of-one-hot feature matrix for a
+    deterministic sample: docs ordered by sha2(id:seed), features
+    aggregated by Spark (ids + bucket indices only leave the executors)."""
+    sample = (
+        df.select(id_col, text_col)
+        .orderBy(F.sha2(F.concat(F.col(id_col).cast("string"),
+                                 F.lit(f":{seed}")), 256))
+        .limit(limit)
+    )
+    rows = (
+        sample.select(id_col,
+                      F.explode(gram_col(text_col)).alias("g"))
+        .select(id_col,
+                _bucket_index_col(F.col("g"), n_hex, hash_fn).alias("bi"))
+        .groupBy(id_col, "bi").agg(F.count("*").alias("c"))
+        .collect()
+    )
+    ids = sorted({r[0] for r in rows})
+    pos = {i: k for k, i in enumerate(ids)}
+    x = np.zeros((len(ids), 16 ** n_hex))
+    for r in rows:
+        x[pos[r[0]], r["bi"]] += r["c"]
+    totals = x.sum(axis=1, keepdims=True)
+    return x / np.where(totals == 0, 1.0, totals)
+
+
+def train_quality_classifier(
+    pos_df: DataFrame,
+    neg_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_hex: int = DSIR_HEX_DIGITS,
+    hash_fn: str = "sha256",
+    max_train_rows: int = 4_000,
+    n_iters: int = 2_000,
+    lr: float = 4.0,
+    l2: float = 0.0,
+    seed: int = 7,
+) -> QualityClassifier:
+    """Fit the logistic quality classifier on up to ``max_train_rows``
+    docs from each side (deterministic hash-ordered sample).  Zero
+    init + full-batch gradient descent: no RNG, bit-reproducible.
+
+    ``lr`` is scale-free: the effective step is
+    ``lr / mean(||x_i||^2)`` — mean-of-one-hot features have squared
+    row norms ~1/distinct-grams, so a fixed step would need
+    per-corpus tuning; dividing by the data's own smoothness scale
+    makes the default work from 10-gram spam snippets to 1000-gram
+    documents."""
+    if max_train_rows < 1:
+        raise ValueError(f"max_train_rows must be >= 1, got {max_train_rows}")
+    xp = _doc_features(pos_df, id_col, text_col, n_hex, hash_fn,
+                       max_train_rows, seed)
+    xn = _doc_features(neg_df, id_col, text_col, n_hex, hash_fn,
+                       max_train_rows, seed)
+    if not len(xp) or not len(xn):
+        raise ValueError("both corpora must contribute at least one doc")
+    x = np.vstack([xp, xn])
+    y = np.concatenate([np.ones(len(xp)), np.zeros(len(xn))])
+    w = np.zeros(x.shape[1])
+    b = 0.0
+    n = len(y)
+    # weights and bias live at different smoothness scales: rows are
+    # mean-of-one-hot (||x||^2 ~ 1/distinct-grams) while the implicit
+    # bias feature is 1 — one shared step either crawls on w or
+    # oscillates on b, so each gets lr over its own scale
+    w_step = lr / max(float(np.mean((x * x).sum(axis=1))), 1e-12)
+    for _ in range(n_iters):
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        err = p - y
+        w -= w_step * ((x.T @ err) / n + l2 * w)
+        b -= lr * float(err.mean())
+    return QualityClassifier(w=w, b=b, n_hex=n_hex, hash_fn=hash_fn)
+
+
+def score_quality(
+    df: DataFrame,
+    model: QualityClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document ``(id, n_grams, quality_score)`` with score =
+    sigmoid(b + mean over grams of w[bucket]).  Empty docs score the
+    prior sigmoid(b)."""
+    spark = df.sparkSession
+    weights = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(model.w)],
+        "bi long, w double",
+    )
+    grams = df.select(
+        id_col, F.explode(gram_col(text_col)).alias("g")
+    ).select(id_col, _bucket_index_col(F.col("g"), model.n_hex,
+                                       model.hash_fn).alias("bi"))
+    agg = grams.join(F.broadcast(weights), "bi").groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("w").alias("sw"),
+    )
+    logit = F.lit(model.b) + F.coalesce(
+        F.col("sw") / F.col("n_grams"), F.lit(0.0))
+    return (
+        df.select(id_col).join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
+            .alias("quality_score"),
+        )
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    model: QualityClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_score: float = 0.5,
+) -> DataFrame:
+    """The rows of ``df`` scoring >= min_score (ids-only semi join)."""
+    keep = score_quality(df, model, id_col, text_col) \
+        .where(F.col("quality_score") >= min_score).select(id_col)
+    return df.join(keep, id_col, "left_semi")

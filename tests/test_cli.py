@@ -405,3 +405,40 @@ def test_cli_dsir_select(spark, sf_dir, tmp_path, capsys):
     assert {r["doc_id"] for r in got.collect()} == want
     assert got.columns == docs.columns
     assert rep == {"raw_rows": 500, "selected": 50}
+
+
+def test_cli_quality_filter(spark, sf_dir, tmp_path, capsys):
+    """quality-filter subcommand: filtered parquet matches the
+    library path trained on the same pos/neg corpora."""
+    from athena_spark.operators.qualityfilter import (
+        quality_filter, train_quality_classifier)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = docs.withColumn("text", F.concat(
+        "text", F.lit(" encyclopedia reference citation bibliography")))
+    raw_dir = str(tmp_path / "qf_raw")
+    pos_dir = str(tmp_path / "qf_pos")
+    mixed = pos.where("doc_id % 2 = 0").unionByName(
+        docs.where("doc_id % 2 = 1"))
+    mixed.write.mode("overwrite").parquet(raw_dir)
+    pos.write.mode("overwrite").parquet(pos_dir)
+
+    out_dir = str(tmp_path / "qf_out")
+    main(["quality-filter", "--input", raw_dir, "--pos", pos_dir,
+          "--col", "text", "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    mixed_disk = spark.read.parquet(raw_dir)
+    model = train_quality_classifier(
+        spark.read.parquet(pos_dir), mixed_disk)
+    want = {r["doc_id"] for r in
+            quality_filter(mixed_disk, model).collect()}
+    got = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in got.collect()} == want
+    assert rep["raw_rows"] == 500 and rep["passing"] == len(want)
+    # the negative side is the 50%-contaminated input itself, so the
+    # boundary is soft — but no UNMARKED doc may pass, and the
+    # marked half must pass at a clear majority
+    evens = {r["doc_id"]
+             for r in mixed_disk.where("doc_id % 2 = 0").collect()}
+    assert want <= evens
+    assert len(want) > len(evens) // 2

@@ -1,0 +1,140 @@
+"""Quality classifier — scalar scoring oracle, planted separation,
+determinism, and edge cases."""
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+
+from athena_spark.operators.dsir import DSIR_HEX_DIGITS
+from athena_spark.operators.qualityfilter import (
+    QualityClassifier,
+    quality_filter,
+    score_quality,
+    train_quality_classifier,
+)
+
+
+def _grams(text):
+    ts = [t for t in re.split(r"[ \t\n]+", text.replace("\r", "")) if t]
+    return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+
+def _bucket_idx(g):
+    return int(hashlib.sha256(g.encode()).hexdigest()[:DSIR_HEX_DIGITS], 16)
+
+
+def _scalar_score(text, model):
+    gs = _grams(text)
+    if not gs:
+        return 1.0 / (1.0 + math.exp(-model.b))
+    logit = model.b + sum(model.w[_bucket_idx(g)] for g in gs) / len(gs)
+    return 1.0 / (1.0 + math.exp(-logit))
+
+
+POS = [(i, "clear prose about science history and careful analysis")
+       for i in range(20)]
+NEG = [(100 + i, "buy now click here spam spam lottery winner !!!")
+       for i in range(20)]
+MIXED = POS[:5] + NEG[:5] + [(200, ""), (201, "science analysis"),
+                             (202, "spam lottery")]
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    pos = spark.createDataFrame(POS, "doc_id long, text string")
+    neg = spark.createDataFrame(NEG, "doc_id long, text string")
+    return train_quality_classifier(pos, neg, n_iters=100)
+
+
+def test_scoring_matches_scalar_oracle(spark, model):
+    df = spark.createDataFrame(MIXED, "doc_id long, text string")
+    got = {r["doc_id"]: r["quality_score"]
+           for r in score_quality(df, model).collect()}
+    for i, t in MIXED:
+        assert got[i] == pytest.approx(_scalar_score(t, model),
+                                       rel=1e-12), i
+
+
+def test_classifier_separates_planted_quality(spark, model):
+    df = spark.createDataFrame(MIXED[:10], "doc_id long, text string")
+    s = {r["doc_id"]: r["quality_score"]
+         for r in score_quality(df, model).collect()}
+    assert min(s[i] for i, _ in POS[:5]) > max(s[i] for i, _ in NEG[:5])
+    assert all(0.0 < v < 1.0 for v in s.values())
+
+
+def test_training_deterministic_across_partitionings(spark):
+    pos = spark.createDataFrame(POS, "doc_id long, text string")
+    neg = spark.createDataFrame(NEG, "doc_id long, text string")
+    m1 = train_quality_classifier(pos.repartition(1), neg, n_iters=50)
+    m2 = train_quality_classifier(pos.repartition(7),
+                                  neg.repartition(3), n_iters=50)
+    assert (m1.w == m2.w).all() and m1.b == m2.b
+
+
+def test_scoring_deterministic_across_partitionings(spark, model, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple,
+                   score_quality(docs.repartition(1), model).collect()))
+    b = sorted(map(tuple,
+                   score_quality(docs.repartition(9), model).collect()))
+    assert a == b
+
+
+def test_empty_doc_scores_prior(spark, model):
+    df = spark.createDataFrame([(200, "")], "doc_id long, text string")
+    row = score_quality(df, model).collect()[0]
+    assert row["n_grams"] == 0
+    assert row["quality_score"] == pytest.approx(
+        1.0 / (1.0 + math.exp(-model.b)), rel=1e-12)
+
+
+def test_quality_filter_threshold(spark, model):
+    df = spark.createDataFrame(MIXED, "doc_id long, text string")
+    scores = {r["doc_id"]: r["quality_score"]
+              for r in score_quality(df, model).collect()}
+    kept = {r["doc_id"]
+            for r in quality_filter(df, model, min_score=0.5).collect()}
+    assert kept == {i for i, v in scores.items() if v >= 0.5}
+
+
+def test_xxhash_path_runs_and_is_deterministic(spark):
+    pos = spark.createDataFrame(POS, "doc_id long, text string")
+    neg = spark.createDataFrame(NEG, "doc_id long, text string")
+    m = train_quality_classifier(pos, neg, hash_fn="xxhash64",
+                                 n_iters=50)
+    df = spark.createDataFrame(MIXED, "doc_id long, text string")
+    a = sorted(map(tuple, score_quality(df.repartition(1), m).collect()))
+    b = sorted(map(tuple, score_quality(df.repartition(5), m).collect()))
+    assert a == b
+
+
+def test_planted_marker_separates_on_real_corpus(spark, sf_dir):
+    """Canary on the real documents table: a marker phrase appended
+    to the positive copies must be recovered by training.  (The
+    synthetic table's lang/source labels are NOT text-correlated —
+    every lang shares the same 31-word vocabulary — so a planted
+    marker is the honest separable task here.)"""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = docs.withColumn("text", F.concat(
+        "text", F.lit(" encyclopedia reference citation bibliography")))
+    m = train_quality_classifier(pos, docs)
+    sp = np.array([r["quality_score"]
+                   for r in score_quality(pos, m).collect()])
+    sn = np.array([r["quality_score"]
+                   for r in score_quality(docs, m).collect()])
+    assert sp.min() > sn.max()  # clean margin, not just mean gap
+
+
+def test_bad_inputs(spark):
+    pos = spark.createDataFrame(POS, "doc_id long, text string")
+    neg = spark.createDataFrame(NEG, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_train_rows"):
+        train_quality_classifier(pos, neg, max_train_rows=0)
+    with pytest.raises(ValueError, match="at least one doc"):
+        train_quality_classifier(pos.where("doc_id < 0"), neg)
