@@ -302,3 +302,24 @@ def test_dsir_weights_never_shuffle_text_or_grams(spark, sf_dir):
         if "Exchange" in first and "Broadcast" not in first:
             assert "text#" not in block, block
             assert "bucket#" not in block, block  # grams pre-reduced
+
+
+def test_quality_scoring_never_shuffles_text(spark, sf_dir):
+    """Classifier scoring shares the DSIR plan shape: weight table as
+    BroadcastExchange, grams partial-reduced per doc before the
+    shuffle, document text absent from every exchange."""
+    from athena_spark.operators.dsir import DSIR_HEX_DIGITS
+    from athena_spark.operators.qualityfilter import (QualityClassifier,
+                                                      score_quality)
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = QualityClassifier(w=np.zeros(16 ** DSIR_HEX_DIGITS), b=0.0,
+                              n_hex=DSIR_HEX_DIGITS, hash_fn="sha256")
+    plan = plan_of(score_quality(docs, model))
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "text#" not in block, block
