@@ -57,6 +57,13 @@ def gram_col(text_col):
     return F.concat(ts, bigrams)
 
 
+def _check_n_hex(n_hex: int) -> None:
+    # the bucket domain (16^n_hex rows) is materialized driver-side
+    # and broadcast — 5 hex digits is already a 1M-row model table
+    if not 1 <= n_hex <= 5:
+        raise ValueError(f"n_hex must be in [1, 5], got {n_hex}")
+
+
 def _bucket_col(gram, n_hex: int, hash_fn: str):
     if hash_fn == "sha256":
         return F.substring(F.sha2(gram, 256), 1, n_hex)
@@ -74,6 +81,7 @@ def bucket_counts(
 ) -> DataFrame:
     """(bucket, cnt) over the corpus' uni+bigrams — at most 16^n_hex
     rows (map-side combine collapses the gram explosion)."""
+    _check_n_hex(n_hex)
     return (
         df.select(F.explode(gram_col(text_col)).alias("g"))
         .select(_bucket_col(F.col("g"), n_hex, hash_fn).alias("bucket"))
@@ -122,6 +130,7 @@ def importance_weights(
     columns are sums of ``floor(1e9 * p)`` over the doc's grams (the
     exact-certifiable surface) and ``log_weight`` is the paper's
     importance log-ratio.  Empty docs score 0 everywhere."""
+    _check_n_hex(n_hex)
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     spark = raw_df.sparkSession

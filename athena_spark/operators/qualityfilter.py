@@ -106,6 +106,9 @@ def train_quality_classifier(
     per-corpus tuning; dividing by the data's own smoothness scale
     makes the default work from 10-gram spam snippets to 1000-gram
     documents."""
+    from athena_spark.operators.dsir import _check_n_hex
+
+    _check_n_hex(n_hex)
     if max_train_rows < 1:
         raise ValueError(f"max_train_rows must be >= 1, got {max_train_rows}")
     xp = _doc_features(pos_df, id_col, text_col, n_hex, hash_fn,

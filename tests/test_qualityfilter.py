@@ -138,3 +138,5 @@ def test_bad_inputs(spark):
         train_quality_classifier(pos, neg, max_train_rows=0)
     with pytest.raises(ValueError, match="at least one doc"):
         train_quality_classifier(pos.where("doc_id < 0"), neg)
+    with pytest.raises(ValueError, match="n_hex"):
+        train_quality_classifier(pos, neg, n_hex=0)
