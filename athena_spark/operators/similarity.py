@@ -213,24 +213,30 @@ def _sample_matrix(
     """Bounded, positionally-unbiased training sample as a unit-
     normalized float64 matrix (shared by the IVF and PQ trainers —
     at 100 TB the sample keeps training bounded; the corpus itself
-    is never collected)."""
-    if sample_fraction is None:
-        # a plain limit() would train on the corpus PREFIX — heavily
-        # biased when storage order correlates with the clusters.
-        # One cheap count sizes a uniform sample instead.
-        n_total = df.count()
-        if n_total > max_train_rows:
-            sample_fraction = min(1.0, 1.2 * max_train_rows / n_total)
+    is never collected).
+
+    The draw is a HASH of the vector's own rendered values (seed
+    folded in), not ``sample()``/``rand()`` — those seed per
+    partition, so the sample (and thus the trained centroids) would
+    change whenever the input repartitions.  Ranking by the hash and
+    taking the smallest ``max_train_rows`` compiles to TakeOrdered:
+    uniform, partitioning-independent, and no extra count job.
+    ``sample_fraction`` additionally pre-filters to the hash prefix
+    below the fraction threshold (same draw, cheaper sort input)."""
+    key = F.sha2(
+        F.concat_ws(",", F.lit(str(int(seed))),
+                    F.col(vec_col).cast("array<string>")), 256)
+    sampled = df.select(F.col(vec_col), key.alias("_k"))
     if sample_fraction is not None:
-        sampled = df.select(vec_col).sample(fraction=sample_fraction, seed=seed)
-    else:
-        sampled = df.select(vec_col)
-    # the cap must not reintroduce positional bias: shuffle the
-    # (already bounded) sample by rand(seed) before limiting, so the
-    # truncation drops random rows, not the tail of partition order.
-    # The sort touches only ~1.2x max_train_rows sampled rows.
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        if sample_fraction < 1.0:
+            thresh = format(int(sample_fraction * (1 << 32)), "08x")
+            sampled = sampled.where(F.substring("_k", 1, 8) < thresh)
     pdf = (
-        sampled.orderBy(F.rand(seed)).limit(max_train_rows).toPandas()
+        sampled.orderBy("_k").limit(max_train_rows)
+        .select(vec_col).toPandas()
     )
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)

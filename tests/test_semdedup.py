@@ -165,3 +165,18 @@ def test_bad_inputs(spark, sf_dir):
         semantic_dedup(emb, centroids=np.zeros((0, 4)))
     with pytest.raises(ValueError, match="empty"):
         lowest_id_centroids(emb.where("vec_id < 0"), 4)
+
+
+def test_kmeans_training_partitioning_independent(spark, sf_dir):
+    """The training sample (and therefore the centroids and the
+    default-path verdicts) must not change when the input
+    repartitions — the hash-draw sample contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = train_centroids(emb.repartition(1), n_centroids=8, seed=7)
+    c2 = train_centroids(emb.repartition(13), n_centroids=8, seed=7)
+    assert (c1 == c2).all()
+    a = sorted(map(tuple, semantic_dedup(
+        emb.repartition(1), threshold=0.3, n_clusters=8).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        emb.repartition(13), threshold=0.3, n_clusters=8).collect()))
+    assert a == b
