@@ -67,13 +67,22 @@ def lowest_id_centroids(
 
 
 def keep_flags_kernel(
-    ids: np.ndarray, mat: np.ndarray, centroid: np.ndarray, threshold: float
+    ids: np.ndarray,
+    mat: np.ndarray,
+    centroid: np.ndarray,
+    threshold: float,
+    block_size: int = 2048,
 ) -> np.ndarray:
-    """SemDeDup keep flags for ONE cluster, vectorized.
+    """SemDeDup keep flags for ONE cluster, vectorized and blocked.
 
     Members are ordered by cosine-to-centroid ascending (ties by id
     ascending); member i is dropped iff max_{j earlier} cos(i, j) >=
-    threshold.  Returns a boolean array aligned with ``ids``."""
+    threshold.  Returns a boolean array aligned with ``ids``.
+
+    The pairwise max runs in ``block_size``-row strips against the
+    ordered prefix, so peak memory is block_size x C doubles rather
+    than a full C x C similarity matrix (20k rows: 0.3 GB per strip
+    vs 3.2 GB dense)."""
     n = len(ids)
     if n == 0:
         return np.zeros(0, dtype=bool)
@@ -82,10 +91,15 @@ def keep_flags_kernel(
     cn = np.linalg.norm(c)
     csim = unit @ (c / (cn if cn else 1.0))
     order = np.lexsort((ids, csim))  # csim asc, then id asc
-    sims = unit[order] @ unit[order].T
-    # max cosine to any strictly-earlier member, -inf for the first
-    earlier = np.tril(np.ones((n, n), dtype=bool), k=-1)
-    best_earlier = np.where(earlier, sims, -np.inf).max(axis=1)
+    u = unit[order]
+    best_earlier = np.empty(n)
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        sims = u[s:e] @ u[:e].T          # strip vs ordered prefix
+        b = e - s
+        # mask self and later-in-order members within the strip
+        sims[:, s:e][np.triu_indices(b)] = -np.inf
+        best_earlier[s:e] = sims.max(axis=1)
     kept_ord = best_earlier < threshold
     kept = np.empty(n, dtype=bool)
     kept[order] = kept_ord
@@ -102,7 +116,7 @@ def semantic_dedup(
     centroids: np.ndarray | None = None,
     n_iters: int = 10,
     seed: int = 7,
-    max_cluster_rows: int = 100_000,
+    max_cluster_rows: int = 20_000,
 ) -> DataFrame:
     """Per-example SemDeDup verdicts: ``(id, cluster, kept)``.
 

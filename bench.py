@@ -223,6 +223,20 @@ def run_kernels(corpus_path: str) -> dict:
         _gram_repetition(th, t, 2)
         _gram_repetition(th, t, 3)
 
+    import numpy as np
+
+    from athena_spark.operators.semdedup import keep_flags_kernel
+
+    # one synthetic 4096 x 64 cluster (deterministic), vectors/sec
+    sd_rng = np.random.default_rng(7)
+    sd_n = 4096
+    sd_mat = sd_rng.normal(size=(sd_n, 64))
+    sd_ids = np.arange(sd_n)
+    sd_centroid = sd_rng.normal(size=64)
+
+    def semdedup():
+        keep_flags_kernel(sd_ids, sd_mat, sd_centroid, 0.8)
+
     return {
         "tokens_per_file": n_tokens,
         "read_fold_tokens_per_sec": round(n_tokens / med(read_fold)),
@@ -230,6 +244,7 @@ def run_kernels(corpus_path: str) -> dict:
         "minhash_tokens_per_sec": round(n_tokens / med(minhash)),
         "winnow_tokens_per_sec": round(n_tokens / med(winnow)),
         "repetition_tokens_per_sec": round(n_tokens / med(repetition)),
+        "semdedup_vectors_per_sec": round(sd_n / med(semdedup)),
     }
 
 

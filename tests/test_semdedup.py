@@ -44,9 +44,11 @@ def test_kernel_matches_scalar_oracle_fuzz():
         ids = rng.permutation(n * 3)[:n]
         centroid = rng.normal(size=dim)
         thr = float(rng.uniform(0.3, 0.99))
-        got = keep_flags_kernel(ids, mat, centroid, thr)
+        # tiny strips exercise the blocked path's boundary handling
+        bs = int(rng.integers(1, 8))
+        got = keep_flags_kernel(ids, mat, centroid, thr, block_size=bs)
         want = _scalar_oracle(ids, mat, centroid, thr)
-        assert (got == want).all(), f"trial {trial}"
+        assert (got == want).all(), f"trial {trial} bs={bs}"
 
 
 def test_kernel_keeps_farthest_from_centroid():
