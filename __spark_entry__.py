@@ -893,6 +893,33 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join result parity: orders and customer written
+    `bucketBy(custkey)` then merge-joined WITHOUT any Exchange (the
+    persisted-partitioning scale path; plan pinned in
+    tests/test_plans.py) — the per-customer aggregate must equal the
+    plain SQL join.  Price cents via per-row floor(x*100): exact
+    integer certification, no float-sum ordering exposure."""
+    from athena_spark.operators.bucketed import (colocated_join,
+                                                 write_bucketed_table)
+
+    write_bucketed_table(_table(spark, sf_dir, "orders"),
+                         "gate_orders_bkt", "o_custkey", 8,
+                         sort_col="o_custkey")
+    write_bucketed_table(_table(spark, sf_dir, "customer"),
+                         "gate_cust_bkt", "c_custkey", 8,
+                         sort_col="c_custkey")
+    return (
+        colocated_join(spark, "gate_orders_bkt", "gate_cust_bkt",
+                       "o_custkey", "c_custkey")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.floor(F.col("o_totalprice") * 100))
+             .alias("cents"))
+        .select("c_custkey", "n_orders", "cents")
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic marker-scoring language-ID (argmax, ties by code
     asc) — the oracle replicates the same function in SQL."""
@@ -2476,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
+        "bucketed_join_orders": q_bucketed_join,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
         "exact_token_counts": q_exact_token_counts,
@@ -2734,6 +2762,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'deterministic_across_partitionings', TRUE
             UNION ALL SELECT 'every_cluster_keeps_a_representative', TRUE
             UNION ALL SELECT 'removes_some_examples', TRUE
+        """,
+        "bucketed_join_orders": """
+            SELECT c.c_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
         """,
         "quality_classifier": """
             SELECT 'planted_marker_separates' AS "check", TRUE AS ok

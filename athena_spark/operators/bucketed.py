@@ -1,0 +1,73 @@
+"""Bucketed (co-located) joins: pre-shuffle a table once at write
+time, join it forever shuffle-free.
+
+At 100 TB the dominant cost of a repeated fact-to-fact join (orders
+x customer, candidates x corpus, ...) is re-shuffling both sides on
+every run.  Spark's `bucketBy` persists the hash partitioning INTO
+the table layout: every write bucket b of the left table holds
+exactly the keys that hash to b, so a SortMergeJoin of two tables
+bucketed the same way needs NO Exchange at all — the plan goes
+scan → sort → merge-join per bucket (pinned in
+`tests/test_plans.py::test_bucketed_join_is_exchange_free`).
+
+The reference has no joins at all (`SURVEY.md §2.2`); this is the
+engine-side capability a pipeline needs once dimension tables stop
+fitting in a broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _warehouse_path(spark: SparkSession, table_name: str) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return os.path.join(wh.removeprefix("file:"), table_name.lower())
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a managed parquet table bucketed (and
+    optionally sorted) by ``bucket_col``.  Replaces any previous
+    table of that name, including a stale location left by a dropped
+    catalog (the session catalog is in-memory; the warehouse files
+    are not)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    stale = _warehouse_path(spark, table_name)
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
+    writer = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.mode("overwrite").saveAsTable(table_name)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables previously written by
+    :func:`write_bucketed_table` with the SAME bucket count on their
+    join keys.  The merge hint steers the planner off broadcast (the
+    point is the persisted partitioning); with matching bucket specs
+    the SortMergeJoin runs exchange-free."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.hint("merge").join(
+        right, left[left_on] == right[right_on], how
+    )

@@ -1,0 +1,72 @@
+"""Bucketed co-located joins — result parity with plain joins,
+rewrite robustness, and bad inputs.  (The exchange-free plan shape
+is pinned in test_plans.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.operators.bucketed import (
+    colocated_join,
+    write_bucketed_table,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed_table(orders, "t_orders_bkt", "o_custkey", 8,
+                         sort_col="o_custkey")
+    write_bucketed_table(cust, "t_cust_bkt", "c_custkey", 8,
+                         sort_col="c_custkey")
+    return orders, cust
+
+
+def test_colocated_join_matches_plain_join(spark, tables):
+    orders, cust = tables
+    got = (
+        colocated_join(spark, "t_orders_bkt", "t_cust_bkt",
+                       "o_custkey", "c_custkey")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.floor(F.col("o_totalprice") * 100))
+             .alias("cents"))
+    )
+    want = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.floor(F.col("o_totalprice") * 100))
+             .alias("cents"))
+    )
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_rewrite_replaces_table_and_stale_location(spark, tables):
+    orders, _ = tables
+    half = orders.where("o_orderkey % 2 = 0")
+    write_bucketed_table(half, "t_orders_bkt", "o_custkey", 8)
+    assert spark.table("t_orders_bkt").count() == half.count()
+    # drop only the catalog entry, leaving the warehouse dir stale —
+    # the next write must still succeed (in-memory catalog reality)
+    spark.sql("DROP TABLE t_orders_bkt")
+    write_bucketed_table(orders, "t_orders_bkt", "o_custkey", 8,
+                         sort_col="o_custkey")
+    assert spark.table("t_orders_bkt").count() == orders.count()
+
+
+def test_outer_join_kind_passes_through(spark, tables):
+    orders, cust = tables
+    got = colocated_join(spark, "t_orders_bkt", "t_cust_bkt",
+                         "o_custkey", "c_custkey", how="right") \
+        .where("o_orderkey IS NULL").count()
+    want = orders.join(cust, orders.o_custkey == cust.c_custkey,
+                       "right").where("o_orderkey IS NULL").count()
+    assert got == want
+
+
+def test_bad_inputs(spark, tables):
+    orders, _ = tables
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_bucketed_table(orders, "t_bad", "o_custkey", 0)

@@ -323,3 +323,27 @@ def test_quality_scoring_never_shuffles_text(spark, sf_dir):
         first = block.split("\n")[0] if block else ""
         if "Exchange" in first and "Broadcast" not in first:
             assert "text#" not in block, block
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """The whole point of write-time bucketing: the SortMergeJoin of
+    two same-bucketed tables plans with ZERO Exchange (the identical
+    unbucketed join needs two)."""
+    from athena_spark.operators.bucketed import (colocated_join,
+                                                 write_bucketed_table)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed_table(orders, "t_orders_plan", "o_custkey", 8,
+                         sort_col="o_custkey")
+    write_bucketed_table(cust, "t_cust_plan", "c_custkey", 8,
+                         sort_col="c_custkey")
+    plan = plan_of(colocated_join(spark, "t_orders_plan",
+                                  "t_cust_plan",
+                                  "o_custkey", "c_custkey"))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree, tree
+    assert tree.count("Exchange") == 0, tree
+    unbucketed = plan_of(orders.hint("merge").join(
+        cust, orders.o_custkey == cust.c_custkey))
+    assert unbucketed.split("\n\n")[0].count("Exchange") == 2
