@@ -755,7 +755,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     members as representatives.  The gate pins the quantizer to the
     8 lowest-id embeddings (`lowest_id_centroids`) so the DuckDB
     oracle rebuilds the identical assignment; the k-means production
-    path is certified by `semantic_dedup_kmeans` + pytest."""
+    path is certified by `semantic_dedup_kmeans` + pytest.
+
+    Float-boundary note: the verdicts hinge on comparisons of cosines
+    computed by NumPy here and `list_cosine_similarity` in the oracle
+    (ulp-level differences).  Measured decision margins on the gate
+    data: argmax assignment gap >= 1.2e-4, |cosine - 0.3| >= 5.8e-5,
+    distinct-csim gap >= 2.2e-6 — all >= 10 orders above cross-engine
+    rounding noise, so no verdict can flip."""
     from athena_spark.operators.semdedup import (lowest_id_centroids,
                                                  semantic_dedup)
 
@@ -884,8 +891,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("deterministic_across_partitionings", rows_a == rows_b),
         ("scores_in_unit_interval",
          all(0.0 < s < 1.0 for s in sp + sn)),
+        # tolerance, not ==: the score's exp is JVM Math.exp (1-ulp
+        # spec), the prior's is libm — never gate transcendental
+        # values on exact equality
         ("empty_doc_scores_prior",
-         empty["n_grams"] == 0 and empty["quality_score"] == prior),
+         empty["n_grams"] == 0
+         and abs(empty["quality_score"] - prior) < 1e-9),
     ]
     return spark.createDataFrame(
         [(c, bool(ok)) for c, ok in checks],

@@ -655,6 +655,8 @@ def cmd_semantic_dedup(args) -> None:
 
     spark = _spark(args)
     df = read_corpus(spark, args.input, fmt=args.format)
+    if args.partitions:
+        df = df.repartition(args.partitions)
     kw = dict(threshold=args.threshold, n_clusters=args.n_clusters)
     flags = semantic_dedup(df, args.id_col, args.vec_col, **kw)
     flags.persist()
@@ -684,6 +686,8 @@ def cmd_dsir_select(args) -> None:
 
     spark = _spark(args)
     raw = read_corpus(spark, args.input, fmt=args.format)
+    if args.partitions:
+        raw = raw.repartition(args.partitions)
     target = read_corpus(spark, args.target, fmt=args.format)
     out = importance_select(raw, target, args.id_col, args.col,
                             top_n=args.top_n, scoring=args.scoring)
@@ -711,17 +715,24 @@ def cmd_quality_filter(args) -> None:
 
     spark = _spark(args)
     raw = read_corpus(spark, args.input, fmt=args.format)
+    if args.partitions:
+        raw = raw.repartition(args.partitions)
     pos = read_corpus(spark, args.pos, fmt=args.format)
     neg = read_corpus(spark, args.neg, fmt=args.format) \
         if args.neg else raw
     model = train_quality_classifier(pos, neg, args.id_col, args.col)
     if args.scores_only:
         out = score_quality(raw, model, args.id_col, args.col)
-        passing = out.where(
-            F.col("quality_score") >= args.min_score).count()
     else:
         out = quality_filter(raw, model, args.id_col, args.col,
                              min_score=args.min_score)
+    # persist: the summary count and the write/print below would
+    # otherwise each re-run the whole scoring pipeline
+    out.persist()
+    if args.scores_only:
+        passing = out.where(
+            F.col("quality_score") >= args.min_score).count()
+    else:
         passing = out.count()
     print(json.dumps({"raw_rows": raw.count(), "passing": passing,
                       "min_score": args.min_score}), file=sys.stderr)
@@ -730,6 +741,7 @@ def cmd_quality_filter(args) -> None:
     else:
         for row in out.limit(100).collect():
             print(json.dumps(row.asDict()))
+    out.unpersist()
 
 
 def cmd_package(args) -> None:

@@ -23,9 +23,20 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _warehouse_path(spark: SparkSession, table_name: str) -> str:
+def _warehouse_path(spark: SparkSession, table_name: str) -> str | None:
+    """Local filesystem path of a managed table's warehouse location,
+    or None when the warehouse is not file-backed (hdfs/s3a — the
+    stale-location cleanup then has to be a no-op; Spark itself
+    manages those on overwrite)."""
+    from urllib.parse import unquote, urlparse
+
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    return os.path.join(wh.removeprefix("file:"), table_name.lower())
+    parsed = urlparse(wh)
+    if parsed.scheme not in ("", "file"):
+        return None
+    # percent-decode: the conf value is a URI, so e.g. spaces arrive
+    # as %20 and a raw os.path.exists would silently miss the dir
+    return os.path.join(unquote(parsed.path), table_name.lower())
 
 
 def write_bucketed_table(
@@ -45,7 +56,7 @@ def write_bucketed_table(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     stale = _warehouse_path(spark, table_name)
-    if os.path.exists(stale):
+    if stale is not None and os.path.exists(stale):
         shutil.rmtree(stale)
     writer = df.write.bucketBy(n_buckets, bucket_col)
     if sort_col is not None:

@@ -131,8 +131,10 @@ def importance_weights(
     exact-certifiable surface) and ``log_weight`` is the paper's
     importance log-ratio.  Empty docs score 0 everywhere."""
     _check_n_hex(n_hex)
-    if alpha < 0:
-        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if alpha <= 0:
+        # alpha=0 leaves every unseen bucket (essentially all real
+        # corpora: 16^n_hex buckets) with p=0 and log p undefined
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     spark = raw_df.sparkSession
     tgt = _bucket_model(target_df, text_col, n_hex, hash_fn, alpha)
     raw = _bucket_model(raw_df, text_col, n_hex, hash_fn, alpha)

@@ -156,7 +156,8 @@ def test_bad_inputs(spark, frames):
         importance_select(raw, tgt, top_n=0)
     with pytest.raises(ValueError, match="scoring"):
         importance_select(raw, tgt, top_n=1, scoring="exp")
-    with pytest.raises(ValueError, match="empty corpus"):
-        importance_weights(raw, tgt.where("doc_id < 0"), alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        # alpha=0 would leave unseen buckets with log(0) — rejected
+        importance_weights(raw, tgt, alpha=0.0)
     with pytest.raises(ValueError, match="n_hex"):
         importance_weights(raw, tgt, n_hex=8)
