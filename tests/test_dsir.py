@@ -161,3 +161,35 @@ def test_bad_inputs(spark, frames):
         importance_weights(raw, tgt, alpha=0.0)
     with pytest.raises(ValueError, match="n_hex"):
         importance_weights(raw, tgt, n_hex=8)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_weights_match_scalar_oracle_random_corpus(spark, seed):
+    """Randomized corpora with adversarial whitespace and unicode:
+    the distributed pipeline must match the scalar oracle exactly on
+    the integer surface and to 1e-12 on the log weights."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["the", "cat", "naïve", "東京", "a-b", "x0", "ß", "#!?"]
+    seps = [" ", "  ", "\t", "\n", " \r", "\r\n"]
+
+    def doc():
+        n = rng.randint(0, 12)
+        return "".join(
+            rng.choice(words) + rng.choice(seps) for _ in range(n)
+        )
+
+    raw = [(i, doc()) for i in range(15)]
+    tgt = [(100 + i, doc()) for i in range(5)]
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(tgt, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["tgt_nano"], r["raw_nano"],
+                         r["log_weight"])
+           for r in importance_weights(raw_df, tgt_df).collect()}
+    want = _scalar_weights(raw, tgt)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][:3] == want[i][:3], (seed, i)
+        assert got[i][3] == pytest.approx(want[i][3], rel=1e-12,
+                                          abs=1e-15), (seed, i)
