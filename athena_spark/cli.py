@@ -22,6 +22,10 @@ Subcommands:
 * ``decontaminate`` — n-gram benchmark decontamination
 * ``lm-score``   — bigram-LM perplexity quality scoring
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
+* ``substring-dedup`` — duplicated-span stats / keep-first-occurrence rewrite
+* ``semantic-dedup``  — SemDeDup over an embedding table
+* ``dsir-select``     — DSIR importance-weighted top-n selection
+* ``quality-filter``  — supervised quality classifier filter
 * ``package``    — build the --py-files zip
 """
 
@@ -156,7 +160,12 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="stats: per-doc duplicated-window counts and "
                          "covered-token spans; remove: cut every "
                          "duplicated span except its globally-first "
-                         "occurrence and write the rewritten text")
+                         "occurrence and write the rewritten text. "
+                         "Tokenizer caveat: stats uses the Arrow "
+                         "ascii-whitespace split (also \\v/\\f), "
+                         "remove the strict [ \\t\\n]+ split — on "
+                         "text containing vertical-tab/form-feed the "
+                         "two modes count windows differently")
     sd.add_argument("--min-len", type=int, default=8,
                     help="window length in tokens")
     sd.add_argument("--min-count", type=int, default=2,

@@ -953,6 +953,11 @@ def substring_dedup_corpus(
     # formulation, while the min-struct partials stay one row per
     # (task, gram).  The 1:1 join back to occurrences ships only
     # (gram, first) rows.
+    # cache: canon (groupBy) and removal (join) both consume wins —
+    # without this the window slice+hash pass, the operator's
+    # dominant CPU cost, runs twice (the exchanges differ, so
+    # ReuseExchange cannot dedupe it)
+    wins = wins.cache()
     canon = (
         wins.groupBy("gram").agg(
             F.count("*").alias("occ"),
@@ -1004,5 +1009,6 @@ def substring_dedup_corpus(
         )
     )
     out = _materialize(out, materialize)
+    wins.unpersist()
     toks.unpersist()
     return out

@@ -561,9 +561,16 @@ def test_substring_dup_stats_min_count_and_validation(spark):
 def _substr_removal_oracle(texts: dict, L: int, min_count: int = 2) -> dict:
     """Scalar oracle for substring_dedup_corpus: string-tuple grams,
     canonical = globally-first (doc, pos), token-granular removal."""
+    import re
     from collections import Counter
 
-    toks = {i: t.replace("\r", "").split() for i, t in texts.items()}
+    # the operator's exact tokenizer ([ \t\n]+ after \r-delete) — a
+    # bare .split() would also split on \f/\v/unicode whitespace and
+    # silently diverge on such fixtures
+    toks = {
+        i: [w for w in re.split(r"[ \t\n]+", t.replace("\r", "")) if w]
+        for i, t in texts.items()
+    }
     wins = []  # (doc, pos0, gram)
     for i in sorted(toks):
         ts = toks[i]
