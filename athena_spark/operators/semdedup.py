@@ -127,8 +127,9 @@ def semantic_dedup(
     :func:`semantic_dedup_corpus`) to materialize the survivors.
 
     The cluster shuffle ships ``(id, vector)`` once; clusters larger
-    than ``max_cluster_rows`` raise rather than silently running an
-    O(C^2) kernel that can't fit — raise ``n_clusters`` instead."""
+    than ``max_cluster_rows`` raise rather than silently burning
+    O(C^2) compute in one task (memory is strip-bounded, time is
+    not) — raise ``n_clusters`` instead."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if centroids is None:
