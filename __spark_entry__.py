@@ -2290,6 +2290,63 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_curate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified continuous curation (the ingestion-time composition:
+    quality gate + cross-batch exact dedup per micro-batch): over a
+    bounded replay with planted duplicates, the admitted set must
+    hold exactly one doc per distinct surviving content (the batch
+    twin's count), emit no duplicate contents, and admit nothing
+    below the quality gate."""
+    import shutil
+    import tempfile
+
+    from athena_spark.functions.text import curation_features
+    from athena_spark.streaming.curate_stream import CurateStream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").limit(200)
+    dupes = docs.limit(30).withColumn("doc_id",
+                                      F.col("doc_id") + 1_000_000)
+    full = docs.unionByName(dupes)
+    src = tempfile.mkdtemp(prefix="athena_scur_src_")
+    out = tempfile.mkdtemp(prefix="athena_scur_out_")
+    store = tempfile.mkdtemp(prefix="athena_scur_store_")
+    ck = tempfile.mkdtemp(prefix="athena_scur_ck_")
+    try:
+        full.repartition(3).write.mode("overwrite").parquet(src)
+        disk = spark.read.parquet(src)
+        want = (
+            curation_features(disk, "text")
+            .where(F.col("q_score") >= 0.25)
+            .select(F.sha2("text", 256).alias("s")).distinct().count()
+        )
+        cs = CurateStream(spark, out, store, min_quality=0.25)
+        q = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .writeStream.foreachBatch(cs)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        adm = cs.admitted()
+        texts = [r["text"] for r in adm.select("text").collect()]
+        low_q = adm.where("q_score < 0.25").count()
+    finally:
+        for p in (src, out, store, ck):
+            shutil.rmtree(p, ignore_errors=True)
+    rows = [
+        ("one_doc_per_distinct_content", len(texts) == want),
+        ("no_duplicate_contents", len(texts) == len(set(texts))),
+        ("quality_gate_enforced", low_q == 0),
+        ("duplicates_planted", full.count() > want),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows],
+        schema="check string, ok boolean",
+    )
+
+
 def q_sgns_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified E3 (streaming SGNS over a Space-Saving vocabulary,
     arXiv:1704.07463): deterministic planted-topic corpus — two topic
@@ -2567,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_neardup_parity": q_streaming_neardup_parity,
+        "streaming_curate_parity": q_streaming_curate_parity,
     }
 
 
@@ -3326,6 +3384,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'dropped_have_admitted_witness', TRUE
             UNION ALL SELECT 'admitted_dropped_partition_input', TRUE
             UNION ALL SELECT 'some_near_dups_dropped', TRUE
+        """,
+        "streaming_curate_parity": """
+            SELECT 'one_doc_per_distinct_content' AS "check", TRUE AS ok
+            UNION ALL SELECT 'no_duplicate_contents', TRUE
+            UNION ALL SELECT 'quality_gate_enforced', TRUE
+            UNION ALL SELECT 'duplicates_planted', TRUE
         """,
         "multimodal_pipeline": """
             SELECT 'bmp_real_decode_features_exact' AS "check", TRUE AS ok

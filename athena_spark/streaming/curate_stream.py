@@ -1,0 +1,120 @@
+"""Continuous curation: the ingestion-time composition of the batch
+curation stages.
+
+A production training-data pipeline curates AS data arrives — every
+micro-batch is quality-gated, language-gated, optionally scored by
+the supervised quality classifier, and exact-deduplicated against
+everything already admitted, so nothing expensive downstream ever
+touches a rejected or duplicate document.  This composes the engine's
+existing pieces (``functions.text.curation_features``,
+``operators.qualityfilter.score_quality``, the digest-store idiom of
+``streaming/neardup_stream.py``) behind one ``foreachBatch`` handler:
+
+1. stateless gates — quality score and predicted language are pure
+   JVM column expressions, evaluated in one fused projection;
+2. classifier gate (optional) — batch ``score_quality`` with the
+   broadcast weight table, threshold on the sigmoid score;
+3. cross-batch exact dedup — sha2 digests of admitted docs persist
+   under ``store_dir/epoch=N``; a batch doc whose digest appears in
+   any EARLIER epoch (or earlier in this batch, min-id first) is
+   dropped.  The store holds 64-hex digests, never text.
+
+Per-epoch overwrite of both the store and the output makes batch
+replay idempotent (Structured Streaming's effectively-once
+foreachBatch contract).  At 100 TB the only cross-batch state is the
+digest store — O(admitted docs) hash rows, partition-prunable by
+epoch.
+
+Batch parity: over a bounded replay (availableNow) the admitted set
+equals ``curate_corpus``-style stateless gates + exact-dedup-min-id —
+certified by the ``streaming_curate_parity`` gate and pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from athena_spark.functions.text import curation_features
+
+
+class CurateStream:
+    """``foreachBatch`` handler: call it from
+    ``stream.writeStream.foreachBatch(CurateStream(...))``.
+
+    Surviving rows (original columns + ``q_score``/``pred_lang``,
+    plus ``quality_score`` when a classifier is given) land in
+    ``output_dir/epoch=N``; read the union with :meth:`admitted`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_dir: str,
+        store_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        min_quality: float = 0.25,
+        keep_langs: tuple[str, ...] | None = None,
+        classifier=None,
+        min_score: float = 0.5,
+    ) -> None:
+        self.spark = spark
+        self.output_dir = output_dir
+        self.store_dir = store_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.min_quality = min_quality
+        self.keep_langs = tuple(keep_langs) if keep_langs else None
+        self.classifier = classifier
+        self.min_score = min_score
+        os.makedirs(store_dir, exist_ok=True)
+
+    def _read_store(self, before_epoch: int) -> DataFrame | None:
+        dirs = [
+            os.path.join(self.store_dir, d)
+            for d in os.listdir(self.store_dir)
+            if d.startswith("epoch=")
+            and int(d.split("=", 1)[1]) < before_epoch
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        id_col, text_col = self.id_col, self.text_col
+        gated = curation_features(batch_df, text_col).where(
+            F.col("q_score") >= self.min_quality
+        )
+        if self.keep_langs is not None:
+            gated = gated.where(F.col("pred_lang").isin(*self.keep_langs))
+        if self.classifier is not None:
+            from athena_spark.operators.qualityfilter import score_quality
+
+            scores = score_quality(
+                gated, self.classifier, id_col, text_col
+            ).where(F.col("quality_score") >= self.min_score) \
+                .select(id_col, "quality_score")
+            gated = gated.join(scores, id_col)
+        # within-batch exact dedup: min id per digest wins (arrival
+        # order inside one micro-batch is not contractual; ids are)
+        hashed = gated.withColumn("_sha", F.sha2(F.col(text_col), 256))
+        first = hashed.groupBy("_sha").agg(F.min(id_col).alias(id_col))
+        batch_unique = hashed.join(first, [id_col, "_sha"], "left_semi") \
+            .localCheckpoint(eager=True)  # one compute for store + anti-join + write
+        store = self._read_store(before_epoch=int(epoch_id))
+        out = batch_unique
+        if store is not None:
+            out = out.join(store.select("_sha"), "_sha", "left_anti")
+        out.select("_sha").write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, f"epoch={int(epoch_id)}")
+        )
+        out.drop("_sha").write.mode("overwrite").parquet(
+            os.path.join(self.output_dir, f"epoch={int(epoch_id)}")
+        )
+
+    def admitted(self) -> DataFrame:
+        """All curated rows admitted so far (union of epochs)."""
+        return self.spark.read.parquet(
+            os.path.join(self.output_dir, "epoch=*")
+        )

@@ -1,0 +1,117 @@
+"""Continuous curation stream — batch parity, cross-batch dedup,
+classifier gate, and store hygiene."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.functions.text import curation_features
+from athena_spark.streaming.curate_stream import CurateStream
+
+
+def _drive(spark, src, schema, handler, ckpt):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    # plant exact duplicates under fresh ids: they must be dropped
+    dupes = docs.limit(40).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    return docs.unionByName(dupes)
+
+
+def _batch_twin(full, min_quality):
+    gated = curation_features(full, "text").where(
+        F.col("q_score") >= min_quality)
+    hashed = gated.withColumn("_sha", F.sha2(F.col("text"), 256))
+    first = hashed.groupBy("_sha").agg(F.min("doc_id").alias("doc_id"))
+    return {r["doc_id"] for r in first.collect()}
+
+
+def test_stream_matches_batch_twin(spark, corpus, tmp_path):
+    src = str(tmp_path / "cs_src")
+    corpus.repartition(4).write.mode("overwrite").parquet(src)
+    cs = CurateStream(spark, str(tmp_path / "cs_out"),
+                      str(tmp_path / "cs_store"), min_quality=0.25)
+    _drive(spark, src, corpus.schema, cs, str(tmp_path / "cs_ck"))
+    got = {r["doc_id"] for r in cs.admitted().select("doc_id").collect()}
+    want = _batch_twin(spark.read.parquet(src), 0.25)
+    # the batch twin keeps the min id per digest; the stream keeps the
+    # FIRST-EPOCH occurrence (min id within its batch) — both admit
+    # exactly one doc per distinct surviving content
+    assert len(got) == len(want)
+    texts = [r["text"] for r in cs.admitted().select("text").collect()]
+    assert len(texts) == len(set(texts))  # no duplicate contents
+    # every admitted doc passes the quality gate
+    assert cs.admitted().where("q_score < 0.25").count() == 0
+
+
+def test_cross_batch_duplicates_dropped(spark, corpus, tmp_path):
+    """A duplicate arriving in a later file must be blocked by the
+    digest store even though dropDuplicates never sees both."""
+    docs = corpus.where("doc_id < 1000000").limit(20)
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 500)
+    src = str(tmp_path / "cb_src")
+    # two files: originals first, duplicates second (separate epochs)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+    cs = CurateStream(spark, str(tmp_path / "cb_out"),
+                      str(tmp_path / "cb_store"), min_quality=0.0)
+    _drive(spark, src, docs.schema, cs, str(tmp_path / "cb_ck"))
+    texts = [r["text"] for r in cs.admitted().select("text").collect()]
+    assert len(texts) == len(set(texts))
+    assert len(texts) == docs.select("text").distinct().count()
+
+
+def test_classifier_gate_filters(spark, corpus, tmp_path):
+    from athena_spark.operators.qualityfilter import (
+        score_quality, train_quality_classifier)
+
+    docs = corpus.where("doc_id < 1000000")
+    pos = docs.withColumn("text", F.concat(
+        "text", F.lit(" encyclopedia reference citation bibliography")))
+    model = train_quality_classifier(pos, docs, n_iters=300,
+                                     max_train_rows=150,
+                                     hash_fn="xxhash64")
+    mixed = pos.where("doc_id % 2 = 0").unionByName(
+        docs.where("doc_id % 2 = 1"))
+    src = str(tmp_path / "qc_src")
+    mixed.repartition(2).write.mode("overwrite").parquet(src)
+    cs = CurateStream(spark, str(tmp_path / "qc_out"),
+                      str(tmp_path / "qc_store"), min_quality=0.0,
+                      classifier=model, min_score=0.5)
+    _drive(spark, src, mixed.schema, cs, str(tmp_path / "qc_ck"))
+    adm = cs.admitted()
+    assert "quality_score" in adm.columns
+    assert adm.where("quality_score < 0.5").count() == 0
+    # only marked (even-id) docs can clear the classifier at 0.5
+    assert adm.where("doc_id % 2 = 1").count() == 0
+    assert adm.count() > 0
+
+
+def test_store_holds_digests_only(spark, corpus, tmp_path):
+    docs = corpus.where("doc_id < 1000000").limit(10)
+    src = str(tmp_path / "sh_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    store = str(tmp_path / "sh_store")
+    cs = CurateStream(spark, str(tmp_path / "sh_out"), store,
+                      min_quality=0.0)
+    _drive(spark, src, docs.schema, cs, str(tmp_path / "sh_ck"))
+    epochs = [d for d in os.listdir(store) if d.startswith("epoch=")]
+    assert epochs
+    st = spark.read.parquet(os.path.join(store, epochs[0]))
+    assert st.columns == ["_sha"]
