@@ -26,6 +26,7 @@ Subcommands:
 * ``semantic-dedup``  — SemDeDup over an embedding table
 * ``dsir-select``     — DSIR importance-weighted top-n selection
 * ``quality-filter``  — supervised quality classifier filter
+* ``curate-stream``   — continuous curation replay over a directory
 * ``package``    — build the --py-files zip
 """
 
@@ -207,6 +208,20 @@ def _build_parser() -> argparse.ArgumentParser:
     qf.add_argument("--scores-only", action="store_true",
                     help="write (id, n_grams, quality_score) instead "
                          "of the filtered rows")
+
+    cst = sub.add_parser("curate-stream")
+    common(cst, output_help="admitted rows root (epoch=N subdirs)")
+    cst.add_argument("--id-col", default="doc_id")
+    cst.add_argument("--store-dir", required=True,
+                     help="digest-store root (persists across runs; "
+                          "re-runs dedup against everything already "
+                          "admitted)")
+    cst.add_argument("--checkpoint", required=True,
+                     help="Structured Streaming checkpoint dir")
+    cst.add_argument("--min-quality", type=float, default=0.25)
+    cst.add_argument("--keep-langs", default=None,
+                     help="comma-separated predicted-language allowlist")
+    cst.add_argument("--max-files-per-trigger", type=int, default=16)
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -753,6 +768,40 @@ def cmd_quality_filter(args) -> None:
     out.unpersist()
 
 
+def cmd_curate_stream(args) -> None:
+    """Continuous curation over a parquet directory: bounded replay
+    (availableNow) of whatever is there now — re-running after new
+    files arrive curates only the new epochs, deduping against the
+    persistent digest store.  Summary JSON to stderr."""
+    from athena_spark.streaming.curate_stream import CurateStream
+
+    if args.format != "parquet":
+        raise SystemExit("curate-stream reads parquet directories")
+    if not args.output:
+        raise SystemExit("curate-stream requires --output")
+    spark = _spark(args)
+    schema = spark.read.parquet(args.input).schema
+    cs = CurateStream(
+        spark, args.output, args.store_dir,
+        id_col=args.id_col, text_col=args.col,
+        min_quality=args.min_quality,
+        keep_langs=tuple(args.keep_langs.split(","))
+        if args.keep_langs else None,
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.input)
+        .writeStream.foreachBatch(cs)
+        .option("checkpointLocation", args.checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    admitted = cs.admitted().count()
+    print(json.dumps({"admitted_total": admitted}), file=sys.stderr)
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -783,6 +832,7 @@ def main(argv=None) -> None:
         "semantic-dedup": cmd_semantic_dedup,
         "dsir-select": cmd_dsir_select,
         "quality-filter": cmd_quality_filter,
+        "curate-stream": cmd_curate_stream,
         "package": cmd_package,
     }[args.cmd](args)
 

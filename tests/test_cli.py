@@ -442,3 +442,36 @@ def test_cli_quality_filter(spark, sf_dir, tmp_path, capsys):
              for r in mixed_disk.where("doc_id % 2 = 0").collect()}
     assert want <= evens
     assert len(want) > len(evens) // 2
+
+
+def test_cli_curate_stream_incremental(spark, sf_dir, tmp_path, capsys):
+    """curate-stream: first run curates the initial files; a second
+    run after new files arrive (including re-sent duplicates) admits
+    only genuinely-new content, deduping against the store."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").where("doc_id < 60")
+    src = str(tmp_path / "cst_src")
+    out = str(tmp_path / "cst_out")
+    store = str(tmp_path / "cst_store")
+    ck = str(tmp_path / "cst_ck")
+    first = docs.where("doc_id < 40")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    args = ["curate-stream", "--input", src, "--col", "text",
+            "--store-dir", store, "--checkpoint", ck,
+            "--min-quality", "0.0", "--output", out]
+    main(args)
+    rep1 = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    n1 = rep1["admitted_total"]
+    assert n1 == first.select("text").distinct().count()
+
+    # new files: 20 new docs + 10 exact duplicates of admitted ones
+    newdocs = docs.where("doc_id >= 40")
+    dups = first.limit(10).withColumn("doc_id", F.col("doc_id") + 9000)
+    newdocs.unionByName(dups).coalesce(1).write.mode("append").parquet(src)
+    main(args)
+    rep2 = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    admitted = spark.read.parquet(out + "/epoch=*")
+    texts = [r["text"] for r in admitted.select("text").collect()]
+    assert len(texts) == len(set(texts))  # dups blocked across runs
+    assert rep2["admitted_total"] == docs.select("text").distinct().count()
