@@ -2546,7 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a cutoff must clip gates RE-certified in the previous round,
     # never gates that went ungraded.  So: (a) the 12 queries the r3
     # driver did not reach come FIRST, cheap before heavy; (b) the
-    # two gates new this round follow; (c) the 50 r3-green gates
+    # nine gates new this round follow; (c) the 50 r3-green gates
     # close the board, roughly cheap -> heavy with the streaming /
     # training heavyweights at the very end.
     return {
@@ -2572,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
         "bucketed_join_orders": q_bucketed_join,
+        "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
         "exact_token_counts": q_exact_token_counts,
@@ -2624,7 +2625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_neardup_parity": q_streaming_neardup_parity,
-        "streaming_curate_parity": q_streaming_curate_parity,
     }
 
 
