@@ -23,6 +23,7 @@ Subcommands:
 * ``lm-score``   — bigram-LM perplexity quality scoring
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
 * ``substring-dedup`` — duplicated-span stats / keep-first-occurrence rewrite
+* ``paragraph-dedup`` — CCNet paragraph-hash boilerplate removal
 * ``semantic-dedup``  — SemDeDup over an embedding table
 * ``dsir-select``     — DSIR importance-weighted top-n selection
 * ``quality-filter``  — supervised quality classifier filter
@@ -172,6 +173,20 @@ def _build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--min-count", type=int, default=2,
                     help="corpus-wide occurrences for a window to "
                          "count as duplicated")
+
+    pd_ = sub.add_parser("paragraph-dedup")
+    common(pd_, output_help="rewritten rows parquet dir")
+    pd_.add_argument("--id-col", default="doc_id")
+    pd_.add_argument("--sep", default="\n",
+                     help="literal paragraph separator (split and "
+                          "re-join)")
+    pd_.add_argument("--min-count", type=int, default=2,
+                     help="corpus-wide occurrences for a paragraph "
+                          "key to count as duplicated")
+    pd_.add_argument("--no-normalize", action="store_true",
+                     help="key on the raw paragraph instead of the "
+                          "CCNet normalization (lower / strip digits "
+                          "/ collapse spaces / trim)")
 
     sm = sub.add_parser("semantic-dedup")
     common(sm, output_help="surviving rows parquet dir")
@@ -669,6 +684,36 @@ def cmd_substring_dedup(args) -> None:
             print(json.dumps(row.asDict()))
 
 
+def cmd_paragraph_dedup(args) -> None:
+    """CCNet paragraph-hash dedup: remove every corpus-duplicated
+    paragraph except its globally-first occurrence and rewrite the
+    text.  Summary JSON to stderr; rows to --output parquet or
+    stdout."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.dedup import paragraph_dedup_corpus
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = paragraph_dedup_corpus(df, args.id_col, args.col,
+                                 sep=args.sep,
+                                 min_count=args.min_count,
+                                 normalize=not args.no_normalize)
+    summary = out.agg(
+        F.sum("n_paragraphs").alias("paragraphs"),
+        F.sum("removed_paragraphs").alias("removed_paragraphs"),
+    ).collect()[0]
+    print(json.dumps({k: int(summary[k] or 0)
+                      for k in ("paragraphs", "removed_paragraphs")}),
+          file=sys.stderr)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for row in out.limit(100).collect():
+            print(json.dumps(row.asDict()))
+
+
 def cmd_semantic_dedup(args) -> None:
     """SemDeDup over an embedding table: k-means clusters, then
     within-cluster cosine dedup keeping the farthest-from-centroid
@@ -829,6 +874,7 @@ def main(argv=None) -> None:
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,
         "substring-dedup": cmd_substring_dedup,
+        "paragraph-dedup": cmd_paragraph_dedup,
         "semantic-dedup": cmd_semantic_dedup,
         "dsir-select": cmd_dsir_select,
         "quality-filter": cmd_quality_filter,

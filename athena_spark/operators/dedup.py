@@ -1012,3 +1012,130 @@ def substring_dedup_corpus(
     wins.unpersist()
     toks.unpersist()
     return out
+
+
+def paragraph_norm_key(col):
+    """The CCNet-style paragraph normalization key (Wenzek et al.
+    2019, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", §3 deduplication): lowercase, strip digits,
+    collapse runs of spaces, trim.  Two paragraphs that differ only
+    in case, numbers, or spacing dedup together (the paper's rule for
+    catching near-identical boilerplate like dates and counters).
+    Expressible identically in DuckDB (``lower`` /
+    ``regexp_replace(.., 'g')`` / ``trim``), so gates compare the
+    keyed behavior exactly."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[0-9]", ""), " +", " "
+        )
+    )
+
+
+def paragraph_dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_count: int = 2,
+    normalize: bool = True,
+    materialize: str = "local",
+    broadcast_removed: bool = False,
+) -> DataFrame:
+    """Paragraph-level exact dedup — CCNet's first pipeline stage
+    (Wenzek et al. 2019 §3; also RefinedWeb's line-dedup): split each
+    document into paragraphs on ``sep``, hash each paragraph's
+    normalization key, and remove every paragraph whose key occurs at
+    least ``min_count`` times corpus-wide EXCEPT its globally-first
+    ``(id, position)`` occurrence.  This is the unit-granularity
+    between document-level exact dedup (:func:`exact_dup_groups`) and
+    token-window span removal (:func:`substring_dedup_corpus`): it
+    kills cross-document boilerplate (headers, footers, cookie
+    banners) that neither full-document hashing nor a fixed token
+    window cleanly captures.
+
+    Output: ``(id, n_paragraphs, removed_paragraphs, text)`` —
+    ``text`` is the surviving paragraphs re-joined with ``sep``.
+    Paragraphs whose normalization key is EMPTY (blank lines,
+    all-digit lines under ``normalize=True``) are always kept: they
+    are separators/structure, not content, and dedup-removing every
+    blank line in a corpus except one would be an unwanted global
+    rewrite.  With ``normalize=False`` the key is the raw paragraph
+    (still empty-key-exempt).
+
+    ``sep`` is a literal string (regex-escaped for the split and
+    reused verbatim as the joiner).
+
+    Scale shape: paragraph text is dropped before the wide exchange —
+    the dedup shuffle carries ``(xxhash64(key) int64, id, int32 pos)``
+    rows only.  Canonical occurrence per key is a min-struct
+    partial-aggregating ``groupBy`` (map-side combine; a hot
+    boilerplate key costs one row per task partial, never a
+    single-task window sort — same rationale as
+    :func:`substring_dedup_corpus`).  The reconstruction join is the
+    one text-weight exchange (paragraph arrays keyed by id);
+    ``broadcast_removed=True`` broadcasts the removal table instead so
+    paragraph arrays never leave their partition — at corpus scale the
+    removal table is bounded by the boilerplate occurrence count, far
+    below corpus size.  A 64-bit key collision merging two distinct
+    paragraphs would change reconstructed text and fail the
+    byte-exact gate."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if not sep:
+        raise ValueError("sep must be a non-empty literal string")
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col), F.split(F.col(text_col), _re.escape(sep)).alias("ps")
+    ).cache()
+    exploded = paras.select(
+        id_col, F.posexplode("ps").alias("p", "para")
+    )
+    key = paragraph_norm_key(F.col("para")) if normalize else F.col("para")
+    # paragraph text is projected away HERE — only (k, id, p) shuffles
+    keyed = exploded.select(
+        id_col, "p", F.xxhash64(key).alias("k"), (key == "").alias("blank")
+    ).where(~F.col("blank")).drop("blank")
+    keyed = keyed.cache()
+    canon = (
+        keyed.groupBy("k").agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct(F.col(id_col), F.col("p"))).alias("first"),
+        )
+        .where(F.col("occ") >= min_count)
+        .select("k", "first")
+    )
+    removed = (
+        keyed.join(canon, "k")
+        .where(
+            (F.col(id_col) != F.col(f"first.{id_col}"))
+            | (F.col("p") != F.col("first.p"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("removed"))
+    )
+    if broadcast_removed:
+        removed = F.broadcast(removed)
+    empty_int_arr = F.array().cast("array<int>")
+    out = (
+        paras.join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("ps").cast("long").alias("n_paragraphs"),
+            F.coalesce(F.size("removed"), F.lit(0)).cast("long")
+            .alias("removed_paragraphs"),
+            F.concat_ws(
+                sep,
+                F.filter(
+                    "ps",
+                    lambda x, i: ~F.array_contains(
+                        F.coalesce(F.col("removed"), empty_int_arr), i
+                    ),
+                ),
+            ).alias(text_col),
+        )
+    )
+    out = _materialize(out, materialize)
+    keyed.unpersist()
+    paras.unpersist()
+    return out

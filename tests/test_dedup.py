@@ -634,3 +634,127 @@ def test_substring_dedup_corpus_matches_scalar_oracle(spark):
         dedup.substring_dedup_corpus(df, "doc_id", "text", min_len=0)
     with pytest.raises(ValueError, match="min_count"):
         dedup.substring_dedup_corpus(df, "doc_id", "text", min_count=1)
+
+
+def _para_removal_oracle(texts: dict, min_count: int = 2,
+                         normalize: bool = True, sep: str = "\n") -> dict:
+    """Scalar oracle for paragraph_dedup_corpus: CCNet normalization
+    key, empty-key paragraphs exempt, keep = globally-first (doc,
+    pos), reconstruct with sep."""
+    import re
+    from collections import Counter
+
+    def key(p: str) -> str:
+        if not normalize:
+            return p
+        return re.sub(" +", " ", re.sub("[0-9]", "", p.lower())).strip()
+
+    paras = {i: t.split(sep) for i, t in texts.items()}
+    occ = Counter(
+        key(p) for ps in paras.values() for p in ps if key(p) != ""
+    )
+    seen: set = set()
+    removed: dict = {i: set() for i in paras}
+    for i in sorted(paras):
+        for pos, p in enumerate(paras[i]):
+            k = key(p)
+            if k == "" or occ[k] < min_count:
+                continue
+            if k in seen:
+                removed[i].add(pos)
+            else:
+                seen.add(k)
+    return {
+        i: (len(ps), len(removed[i]),
+            sep.join(p for j, p in enumerate(ps) if j not in removed[i]))
+        for i, ps in paras.items()
+    }
+
+
+def test_paragraph_dedup_corpus_matches_scalar_oracle(spark):
+    """CCNet paragraph dedup: boilerplate lines survive only at their
+    globally-first (doc, pos); the normalization key merges case /
+    digit / spacing variants; blank and all-digit lines are never
+    removed; reconstruction is byte-exact vs the scalar oracle."""
+    texts = {
+        1: "Shared Cookie Banner\nunique body of the first document\n"
+           "Copyright 2021 Example",
+        2: "shared   cookie banner\nsecond document distinct content\n"
+           "copyright 2024 example",
+        3: "no boilerplate here at all\n\nafter a blank line",
+        4: "1234\nrepeated inner line\nrepeated inner line\n1234",
+        5: "unique body of the first document",
+        6: "",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_paragraphs"], r["removed_paragraphs"],
+                         r["text"])
+           for r in dedup.paragraph_dedup_corpus(
+               df, "doc_id", "text").collect()}
+    want = _para_removal_oracle(texts)
+    assert got == want
+    # the banner + copyright keys survive only in doc 1 (lowest id),
+    # with doc 2's case/digit/spacing variants removed
+    assert got[1][2] == texts[1]
+    assert got[2][2] == "second document distinct content"
+    # blank line kept (doc 3 untouched)
+    assert got[3] == (3, 0, texts[3])
+    # all-digit lines normalize to "" -> exempt; the within-doc
+    # repeated line loses its second occurrence only
+    assert got[4] == (4, 1, "1234\nrepeated inner line\n1234")
+    # doc 5's body duplicates doc 1's second paragraph -> removed
+    assert got[5] == (1, 1, "")
+    assert got[6] == (1, 0, "")
+    # partitioning invariance
+    got16 = {r["doc_id"]: (r["n_paragraphs"], r["removed_paragraphs"],
+                           r["text"])
+             for r in dedup.paragraph_dedup_corpus(
+                 df.repartition(16), "doc_id", "text").collect()}
+    assert got16 == got
+    # the broadcast reconstruction path is a pure plan change
+    got_bc = {r["doc_id"]: (r["n_paragraphs"], r["removed_paragraphs"],
+                            r["text"])
+              for r in dedup.paragraph_dedup_corpus(
+                  df, "doc_id", "text", broadcast_removed=True).collect()}
+    assert got_bc == got
+
+
+def test_paragraph_dedup_normalize_off_and_params(spark):
+    """normalize=False keys on the raw paragraph: case/digit variants
+    no longer dedup; min_count raises the duplication bar; parameter
+    validation errors are descriptive."""
+    texts = {
+        1: "Header Line\nbody one",
+        2: "header line\nbody two",
+        3: "Header Line\nbody three",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    raw = {r["doc_id"]: r["text"]
+           for r in dedup.paragraph_dedup_corpus(
+               df, "doc_id", "text", normalize=False).collect()}
+    # raw key: only the exact "Header Line" repeats (docs 1, 3)
+    assert raw == {i: t for i, (_, _, t) in
+                   _para_removal_oracle(texts, normalize=False).items()}
+    assert raw == {1: texts[1], 2: texts[2], 3: "body three"}
+    # min_count=3: the normalized header appears 3 times -> still
+    # deduped, but a would-be pair below the bar is kept
+    mc3 = {r["doc_id"]: r["text"]
+           for r in dedup.paragraph_dedup_corpus(
+               df, "doc_id", "text", min_count=3).collect()}
+    assert mc3 == {i: t for i, (_, _, t) in
+                   _para_removal_oracle(texts, min_count=3).items()}
+    assert mc3[2] == "body two" and mc3[3] == "body three"
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.paragraph_dedup_corpus(df, "doc_id", "text", min_count=1)
+    with pytest.raises(ValueError, match="sep"):
+        dedup.paragraph_dedup_corpus(df, "doc_id", "text", sep="")
+    # a regex-metacharacter separator is treated literally
+    pipe = {r["doc_id"]: r["text"]
+            for r in dedup.paragraph_dedup_corpus(
+                spark.createDataFrame(
+                    [(1, "shared|unique a"), (2, "shared|unique b")],
+                    "doc_id long, text string"),
+                "doc_id", "text", sep="|").collect()}
+    assert pipe == {1: "shared|unique a", 2: "unique b"}

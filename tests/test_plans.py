@@ -347,3 +347,26 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     unbucketed = plan_of(orders.hint("merge").join(
         cust, orders.o_custkey == cust.c_custkey))
     assert unbucketed.split("\n\n")[0].count("Exchange") == 2
+
+
+def test_paragraph_dedup_broadcast_keeps_paragraphs_local(
+        spark, sf_dir, monkeypatch):
+    """paragraph_dedup_corpus(broadcast_removed=True): paragraph text
+    is projected away before the dedup shuffle — no Exchange other
+    than the broadcast carries the text column or the paragraph
+    arrays; canonical-occurrence detection is the min(struct) partial
+    groupBy, never a per-key row_number Window."""
+    from athena_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_materialize", lambda df, mode: df)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(dedup.paragraph_dedup_corpus(
+        docs, "doc_id", "text", broadcast_removed=True))
+    assert "BroadcastExchange" in plan, plan
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "text#" not in block and "ps#" not in block \
+                and "para#" not in block, block
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
