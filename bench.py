@@ -290,6 +290,7 @@ def run_headline() -> dict:
         "bloom_orders_custkeys",
         "events_hourly",
         "minhash_dedup_pairs",
+        "paragraph_dedup",
         "curate_corpus",
         "ann_topk_cosine",
         "langid",
