@@ -179,7 +179,8 @@ def _build_parser() -> argparse.ArgumentParser:
     pd_.add_argument("--id-col", default="doc_id")
     pd_.add_argument("--sep", default="\n",
                      help="literal paragraph separator (split and "
-                          "re-join)")
+                          "re-join); standard escapes are decoded, "
+                          "so --sep '\\n' means a real newline")
     pd_.add_argument("--min-count", type=int, default=2,
                      help="corpus-wide occurrences for a paragraph "
                           "key to count as duplicated")
@@ -696,8 +697,13 @@ def cmd_paragraph_dedup(args) -> None:
 
     spark = _spark(args)
     df = read_corpus(spark, args.input, fmt=args.format)
+    # shells deliver --sep '\n' as the two characters backslash+n;
+    # decode standard escapes so it means a real newline (a literal
+    # backslash separator would need '\\\\')
+    sep = args.sep.encode("latin-1", "backslashreplace").decode(
+        "unicode_escape")
     out = paragraph_dedup_corpus(df, args.id_col, args.col,
-                                 sep=args.sep,
+                                 sep=sep,
                                  min_count=args.min_count,
                                  normalize=not args.no_normalize)
     summary = out.agg(

@@ -870,6 +870,87 @@ def substring_dup_stats(
     return out
 
 
+def _keep_first_removal_positions(
+    occ: DataFrame, id_col: str, pos_col: str, key_col: str,
+    min_count: int,
+) -> DataFrame:
+    """``(id, pos)`` rows of every occurrence of a corpus-duplicated
+    key EXCEPT its globally-first ``(id, pos)`` occurrence — the
+    keep-first rule shared by :func:`substring_dedup_corpus` (keys =
+    window gram hashes) and :func:`paragraph_dedup_corpus` (keys =
+    normalized paragraph hashes).
+
+    Canonical occurrence per key is a min(struct(id, pos))
+    partial-aggregating ``groupBy`` (map-side combine), NOT a
+    row_number window: a corpus-boilerplate hot key would force a
+    single-task sort of all its occurrences under the window
+    formulation, while the min-struct partials stay one row per
+    (task, key).  The 1:1 join back to occurrences ships only
+    (key, first) rows."""
+    canon = (
+        occ.groupBy(key_col).agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("first"),
+        )
+        .where(F.col("occ") >= min_count)
+        .select(key_col, "first")
+    )
+    return (
+        occ.join(canon, key_col)
+        .where(
+            (F.col(id_col) != F.col(f"first.{id_col}"))
+            | (F.col(pos_col) != F.col(f"first.{pos_col}"))
+        )
+        .select(id_col, pos_col)
+    )
+
+
+def _rebuild_without_positions(
+    parts: DataFrame, removal_pos: DataFrame, id_col: str, arr_col: str,
+    n_name: str, removed_name: str, joiner: str, one_based: bool,
+    broadcast_removed: bool, out_col: str,
+) -> DataFrame:
+    """Reconstruct text from the per-doc unit arrays in ``parts``
+    minus the ``(id, p)`` positions in ``removal_pos`` (``one_based``
+    selects the position convention), re-joined with ``joiner``.
+    Shared by the substring and paragraph removal operators.
+
+    The reconstruction join is the one text-weight exchange any
+    rewrite operator has: joining the per-doc removed-position sets
+    back to the unit arrays shuffles the arrays on id, UNLESS
+    ``broadcast_removed=True`` forces the (typically much smaller)
+    removal table to broadcast — then unit arrays never leave their
+    partition."""
+    removed = removal_pos.groupBy(id_col).agg(
+        F.collect_set("p").alias("removed")
+    )
+    if broadcast_removed:
+        removed = F.broadcast(removed)
+    empty_int_arr = F.array().cast("array<int>")
+    off = 1 if one_based else 0
+    return (
+        parts.join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(arr_col).cast("long").alias(n_name),
+            F.coalesce(F.size("removed"), F.lit(0)).cast("long")
+            .alias(removed_name),
+            F.concat_ws(
+                joiner,
+                F.filter(
+                    arr_col,
+                    # Spark's filter index is 0-based; `off` maps it
+                    # to the operator's position convention
+                    lambda x, i: ~F.array_contains(
+                        F.coalesce(F.col("removed"), empty_int_arr),
+                        i + off,
+                    ),
+                ),
+            ).alias(out_col),
+        )
+    )
+
+
 def substring_dedup_corpus(
     df: DataFrame,
     id_col: str,
@@ -922,10 +1003,14 @@ def substring_dedup_corpus(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     L = min_len
+    # coalesce: a NULL text row is treated as the empty document
+    # (0 tokens, text "") rather than silently propagating NULL
+    # counts through the rebuild
     toks = df.select(
         F.col(id_col),
         F.filter(
-            F.split(F.regexp_replace(F.col(text_col), "\r", ""),
+            F.split(F.regexp_replace(F.coalesce(F.col(text_col),
+                                                F.lit("")), "\r", ""),
                     "[ \t\n]+"),
             lambda x: x != "",
         ).alias("ts"),
@@ -946,67 +1031,24 @@ def substring_dedup_corpus(
             ).alias("gram"),
         )
     )
-    # canonical occurrence per gram via min(struct(id, p)) — a
-    # partially-aggregating groupBy (map-side combine), NOT a
-    # row_number window: a corpus-boilerplate hot gram would force a
-    # single-task sort of all its occurrences under the window
-    # formulation, while the min-struct partials stay one row per
-    # (task, gram).  The 1:1 join back to occurrences ships only
-    # (gram, first) rows.
-    # cache: canon (groupBy) and removal (join) both consume wins —
-    # without this the window slice+hash pass, the operator's
-    # dominant CPU cost, runs twice (the exchanges differ, so
-    # ReuseExchange cannot dedupe it)
+    # cache: canon (groupBy) and removal (join) inside the keep-first
+    # helper both consume wins — without this the window slice+hash
+    # pass, the operator's dominant CPU cost, runs twice (the
+    # exchanges differ, so ReuseExchange cannot dedupe it)
     wins = wins.cache()
-    canon = (
-        wins.groupBy("gram").agg(
-            F.count("*").alias("occ"),
-            F.min(F.struct(F.col(id_col), F.col("p"))).alias("first"),
-        )
-        .where(F.col("occ") >= min_count)
-        .select("gram", "first")
+    removal = _keep_first_removal_positions(
+        wins, id_col, "p", "gram", min_count
     )
-    removal = (
-        wins.join(canon, "gram")
-        .where(
-            (F.col(id_col) != F.col(f"first.{id_col}"))
-            | (F.col("p") != F.col("first.p"))
-        )
-        .select(id_col, "p")
+    # expand each removed window start into its L token positions
+    # before the per-doc union
+    removed_pos = removal.select(
+        id_col,
+        F.explode(F.sequence(F.col("p"), F.col("p") + L - 1)).alias("p"),
     )
-    removed = (
-        removal.select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("p"), F.col("p") + L - 1)
-            ).alias("rp"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("rp").alias("removed"))
-    )
-    if broadcast_removed:
-        removed = F.broadcast(removed)
-    empty_int_arr = F.array().cast("array<int>")
-    out = (
-        toks.join(removed, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.size("ts").cast("long").alias("n_tokens"),
-            F.coalesce(F.size("removed"), F.lit(0)).cast("long")
-            .alias("removed_tokens"),
-            F.concat_ws(
-                " ",
-                F.filter(
-                    "ts",
-                    # Spark's filter index is 0-based; window
-                    # positions are 1-based
-                    lambda x, i: ~F.array_contains(
-                        F.coalesce(F.col("removed"), empty_int_arr),
-                        i + 1,
-                    ),
-                ),
-            ).alias(text_col),
-        )
+    out = _rebuild_without_positions(
+        toks, removed_pos, id_col, "ts", "n_tokens", "removed_tokens",
+        " ", one_based=True, broadcast_removed=broadcast_removed,
+        out_col=text_col,
     )
     out = _materialize(out, materialize)
     wins.unpersist()
@@ -1085,8 +1127,13 @@ def paragraph_dedup_corpus(
         raise ValueError("sep must be a non-empty literal string")
     import re as _re
 
+    # coalesce: a NULL text row is treated as the empty document
+    # (one empty — key-exempt — paragraph, text "") rather than
+    # silently propagating NULL counts through the rebuild
     paras = df.select(
-        F.col(id_col), F.split(F.col(text_col), _re.escape(sep)).alias("ps")
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")),
+                _re.escape(sep)).alias("ps"),
     ).cache()
     exploded = paras.select(
         id_col, F.posexplode("ps").alias("p", "para")
@@ -1097,43 +1144,13 @@ def paragraph_dedup_corpus(
         id_col, "p", F.xxhash64(key).alias("k"), (key == "").alias("blank")
     ).where(~F.col("blank")).drop("blank")
     keyed = keyed.cache()
-    canon = (
-        keyed.groupBy("k").agg(
-            F.count("*").alias("occ"),
-            F.min(F.struct(F.col(id_col), F.col("p"))).alias("first"),
-        )
-        .where(F.col("occ") >= min_count)
-        .select("k", "first")
+    removal = _keep_first_removal_positions(
+        keyed, id_col, "p", "k", min_count
     )
-    removed = (
-        keyed.join(canon, "k")
-        .where(
-            (F.col(id_col) != F.col(f"first.{id_col}"))
-            | (F.col("p") != F.col("first.p"))
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("p").alias("removed"))
-    )
-    if broadcast_removed:
-        removed = F.broadcast(removed)
-    empty_int_arr = F.array().cast("array<int>")
-    out = (
-        paras.join(removed, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.size("ps").cast("long").alias("n_paragraphs"),
-            F.coalesce(F.size("removed"), F.lit(0)).cast("long")
-            .alias("removed_paragraphs"),
-            F.concat_ws(
-                sep,
-                F.filter(
-                    "ps",
-                    lambda x, i: ~F.array_contains(
-                        F.coalesce(F.col("removed"), empty_int_arr), i
-                    ),
-                ),
-            ).alias(text_col),
-        )
+    out = _rebuild_without_positions(
+        paras, removal, id_col, "ps", "n_paragraphs",
+        "removed_paragraphs", sep, one_based=False,
+        broadcast_removed=broadcast_removed, out_col=text_col,
     )
     out = _materialize(out, materialize)
     keyed.unpersist()

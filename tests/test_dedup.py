@@ -758,3 +758,18 @@ def test_paragraph_dedup_normalize_off_and_params(spark):
                     "doc_id long, text string"),
                 "doc_id", "text", sep="|").collect()}
     assert pipe == {1: "shared|unique a", 2: "unique b"}
+    # NULL text is the empty document, not NULL-propagated counts
+    nulls = dedup.paragraph_dedup_corpus(
+        spark.createDataFrame([(1, None), (2, "body")],
+                              "doc_id long, text string"),
+        "doc_id", "text").collect()
+    byid = {r["doc_id"]: (r["n_paragraphs"], r["removed_paragraphs"],
+                          r["text"]) for r in nulls}
+    assert byid == {1: (1, 0, ""), 2: (1, 0, "body")}
+    nulls_ss = dedup.substring_dedup_corpus(
+        spark.createDataFrame([(1, None), (2, "a b c")],
+                              "doc_id long, text string"),
+        "doc_id", "text", min_len=2).collect()
+    byid_ss = {r["doc_id"]: (r["n_tokens"], r["removed_tokens"],
+                             r["text"]) for r in nulls_ss}
+    assert byid_ss == {1: (0, 0, ""), 2: (3, 0, "a b c")}
