@@ -1050,7 +1050,10 @@ def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out on a slow host: stop the query so the
+            # teardown below never races a still-running stream
+            q.stop()
         # the memory sink holds results in driver memory; materialize
         # before the source dir disappears
         rows = spark.table(name).collect()
@@ -2117,7 +2120,10 @@ def q_streaming_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", os.path.join(base, "ck"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out on a slow host: stop the query so the
+            # teardown below never races a still-running stream
+            q.stop()
         admitted = {
             r["doc_id"]
             for r in spark.read.parquet(
@@ -2208,7 +2214,10 @@ def q_streaming_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out on a slow host: stop the query so the
+            # teardown below never races a still-running stream
+            q.stop()
         got = ss.current()
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -2271,7 +2280,10 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                # timed out on a slow host: stop the query so the
+                # teardown below never races a still-running stream
+                q.stop()
             texts = [r["text"] for r in rows]
             results[name] = (len(texts), len(set(texts)))
     finally:
@@ -2319,7 +2331,8 @@ def q_streaming_curate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("q_score") >= 0.25)
             .select(F.sha2("text", 256).alias("s")).distinct().count()
         )
-        cs = CurateStream(spark, out, store, min_quality=0.25)
+        cs = CurateStream(spark, out, store, min_quality=0.25,
+                          checkpoint_dir=ck)
         q = (
             spark.readStream.schema(full.schema)
             .option("maxFilesPerTrigger", 1).parquet(src)
@@ -2328,10 +2341,14 @@ def q_streaming_curate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out on a slow host: stop the query so the
+            # teardown below never races a still-running stream
+            q.stop()
         adm = cs.admitted()
-        texts = [r["text"] for r in adm.select("text").collect()]
-        low_q = adm.where("q_score < 0.25").count()
+        texts = ([] if adm is None
+                 else [r["text"] for r in adm.select("text").collect()])
+        low_q = 0 if adm is None else adm.where("q_score < 0.25").count()
     finally:
         for p in (src, out, store, ck):
             shutil.rmtree(p, ignore_errors=True)
@@ -2441,7 +2458,10 @@ def q_stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out on a slow host: stop the query so the
+            # teardown below never races a still-running stream
+            q.stop()
         rows = spark.table(name).collect()
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -231,7 +231,10 @@ def _build_parser() -> argparse.ArgumentParser:
     cst.add_argument("--store-dir", required=True,
                      help="digest-store root (persists across runs; "
                           "re-runs dedup against everything already "
-                          "admitted)")
+                          "admitted). Bound to --checkpoint on first "
+                          "use: epoch ids come from the checkpoint's "
+                          "batch counter, so continuing a store with "
+                          "a different checkpoint is refused")
     cst.add_argument("--checkpoint", required=True,
                      help="Structured Streaming checkpoint dir")
     cst.add_argument("--min-quality", type=float, default=0.25)
@@ -838,6 +841,7 @@ def cmd_curate_stream(args) -> None:
         min_quality=args.min_quality,
         keep_langs=tuple(args.keep_langs.split(","))
         if args.keep_langs else None,
+        checkpoint_dir=args.checkpoint,
     )
     q = (
         spark.readStream.schema(schema)
@@ -849,7 +853,8 @@ def cmd_curate_stream(args) -> None:
         .start()
     )
     q.awaitTermination()
-    admitted = cs.admitted().count()
+    adm = cs.admitted()
+    admitted = 0 if adm is None else adm.count()
     print(json.dumps({"admitted_total": admitted}), file=sys.stderr)
 
 

@@ -37,6 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from athena_spark.functions.text import curation_features
+from athena_spark.streaming.store import bind_checkpoint, read_epoch_store
 
 
 class CurateStream:
@@ -58,6 +59,7 @@ class CurateStream:
         keep_langs: tuple[str, ...] | None = None,
         classifier=None,
         min_score: float = 0.5,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.output_dir = output_dir
@@ -69,17 +71,13 @@ class CurateStream:
         self.classifier = classifier
         self.min_score = min_score
         os.makedirs(store_dir, exist_ok=True)
-
-    def _read_store(self, before_epoch: int) -> DataFrame | None:
-        dirs = [
-            os.path.join(self.store_dir, d)
-            for d in os.listdir(self.store_dir)
-            if d.startswith("epoch=")
-            and int(d.split("=", 1)[1]) < before_epoch
-        ]
-        if not dirs:
-            return None
-        return self.spark.read.parquet(*dirs)
+        # epoch ids come from the checkpoint's batch counter; binding
+        # the store to its checkpoint turns the silent
+        # restart-overwrite / dedup-bypass path into a descriptive
+        # error (streaming/store.py).  Pass the same --checkpoint the
+        # writeStream uses; None skips the guard (ephemeral stores).
+        if checkpoint_dir is not None:
+            bind_checkpoint(store_dir, checkpoint_dir)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         id_col, text_col = self.id_col, self.text_col
@@ -97,15 +95,34 @@ class CurateStream:
                 .select(id_col, "quality_score")
             gated = gated.join(scores, id_col)
         # within-batch exact dedup: min id per digest wins (arrival
-        # order inside one micro-batch is not contractual; ids are)
+        # order inside one micro-batch is not contractual; ids are).
+        # The null-safe id match keeps a NULL-id row whose content is
+        # unique (min() skips NULLs, so an all-NULL-id group yields a
+        # NULL winner that a plain equi-join would never match); the
+        # dropDuplicates collapses byte-identical (id, content) rows
+        # (upstream double-writes), which a semi join alone admits
+        # twice — ties among such fully-duplicate rows keep one
+        # arbitrary copy, so the admitted (id, content) SET is still
+        # replay-deterministic.
         hashed = gated.withColumn("_sha", F.sha2(F.col(text_col), 256))
-        first = hashed.groupBy("_sha").agg(F.min(id_col).alias(id_col))
-        batch_unique = hashed.join(first, [id_col, "_sha"], "left_semi") \
-            .localCheckpoint(eager=True)  # one compute for store + anti-join + write
-        store = self._read_store(before_epoch=int(epoch_id))
+        first = hashed.groupBy("_sha").agg(
+            F.min(id_col).alias("_first_id")
+        ).withColumnRenamed("_sha", "_fsha")
+        batch_unique = hashed.join(
+            first,
+            (F.col("_sha") == F.col("_fsha"))
+            & F.col(id_col).eqNullSafe(F.col("_first_id")),
+            "left_semi",
+        ).dropDuplicates([id_col, "_sha"])
+        store = read_epoch_store(self.spark, self.store_dir,
+                                 before_epoch=int(epoch_id))
         out = batch_unique
         if store is not None:
             out = out.join(store.select("_sha"), "_sha", "left_anti")
+        # one compute for the gates + both dedups + the store
+        # anti-join; the two writes below read the materialized
+        # result instead of re-scanning every earlier store epoch
+        out = out.localCheckpoint(eager=True)
         out.select("_sha").write.mode("overwrite").parquet(
             os.path.join(self.store_dir, f"epoch={int(epoch_id)}")
         )
@@ -113,8 +130,15 @@ class CurateStream:
             os.path.join(self.output_dir, f"epoch={int(epoch_id)}")
         )
 
-    def admitted(self) -> DataFrame:
-        """All curated rows admitted so far (union of epochs)."""
-        return self.spark.read.parquet(
-            os.path.join(self.output_dir, "epoch=*")
-        )
+    def admitted(self) -> DataFrame | None:
+        """All curated rows admitted so far (union of epochs), or
+        ``None`` when no epoch has been written yet (a replay over an
+        already-consumed source produces zero micro-batches)."""
+        dirs = [
+            os.path.join(self.output_dir, d)
+            for d in os.listdir(self.output_dir)
+            if d.startswith("epoch=")
+        ] if os.path.isdir(self.output_dir) else []
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*sorted(dirs))

@@ -45,6 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from athena_spark.operators.dedup import _minhash_kernel
+from athena_spark.streaming.store import bind_checkpoint, read_epoch_store
 
 
 class StreamingNearDupDedup:
@@ -75,6 +76,7 @@ class StreamingNearDupDedup:
         threshold: float = 0.8,
         num_perm: int = 128,
         bands: int = 32,
+        checkpoint_dir: str | None = None,
     ):
         self.spark = spark
         self.store_dir = store_dir
@@ -87,6 +89,11 @@ class StreamingNearDupDedup:
         self.bands = bands
         os.makedirs(store_dir, exist_ok=True)
         os.makedirs(output_dir, exist_ok=True)
+        # see streaming/store.py: refuse to continue a persistent
+        # store under a checkpoint other than the one that assigned
+        # its epoch ids (None skips the guard for ephemeral stores)
+        if checkpoint_dir is not None:
+            bind_checkpoint(store_dir, checkpoint_dir)
 
     # -- store ---------------------------------------------------------------
 
@@ -94,14 +101,7 @@ class StreamingNearDupDedup:
         """Admitted (id, grams, bands) rows from epochs strictly
         before ``before_epoch`` (exclude the current epoch so a batch
         replay never sees its own earlier attempt)."""
-        dirs = [
-            os.path.join(self.store_dir, d)
-            for d in os.listdir(self.store_dir)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < before_epoch
-        ]
-        if not dirs:
-            return None
-        return self.spark.read.parquet(*sorted(dirs))
+        return read_epoch_store(self.spark, self.store_dir, before_epoch)
 
     # -- pair verification ---------------------------------------------------
 

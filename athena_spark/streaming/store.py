@@ -1,0 +1,70 @@
+"""Shared epoch-partitioned parquet store for the streaming handlers.
+
+Both cross-batch dedup handlers (`neardup_stream.StreamingNearDupDedup`
+and `curate_stream.CurateStream`) persist per-epoch state under
+``store_dir/epoch=N`` where ``N`` is the Structured Streaming batch id.
+Two invariants make that layout correct:
+
+* **Replay idempotence** — a store read for batch ``N`` includes only
+  epochs strictly below ``N``, so a replayed batch never sees its own
+  earlier (possibly partial) attempt, and the per-epoch
+  ``mode("overwrite")`` write replaces it deterministically.
+* **Checkpoint binding** — epoch ids come from the CHECKPOINT's batch
+  counter, so a persistent store is only coherent with the checkpoint
+  that produced it.  Re-using a store with a fresh checkpoint restarts
+  epoch ids at 0: earlier epochs would be silently overwritten AND the
+  ``before_epoch`` read would skip them, disabling cross-run dedup.
+  :func:`bind_checkpoint` turns that silent-data-loss path into a
+  descriptive error by recording the owning checkpoint in a marker
+  file inside the store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MARKER = "_bound_checkpoint"
+
+
+def read_epoch_store(
+    spark: SparkSession, store_dir: str, before_epoch: int
+) -> DataFrame | None:
+    """Rows from ``store_dir/epoch=K`` for all ``K < before_epoch``
+    (the current epoch is excluded so a batch replay never sees its
+    own earlier attempt), or ``None`` when no such epoch exists."""
+    dirs = [
+        os.path.join(store_dir, d)
+        for d in os.listdir(store_dir)
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) < before_epoch
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*sorted(dirs))
+
+
+def bind_checkpoint(store_dir: str, checkpoint_dir: str) -> None:
+    """Bind ``store_dir`` to the streaming checkpoint that drives its
+    epoch ids.  First call records the checkpoint path in a marker
+    file; later calls verify it and raise a descriptive error on a
+    mismatch instead of letting a fresh checkpoint's restarted batch
+    ids overwrite earlier epochs and bypass cross-run dedup."""
+    path = os.path.join(store_dir, _MARKER)
+    cp = os.path.abspath(checkpoint_dir)
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            bound = fh.read().strip()
+        if bound != cp:
+            raise ValueError(
+                f"store {store_dir!r} is bound to checkpoint {bound!r} "
+                f"but this stream uses {cp!r}: epoch ids are assigned "
+                "by the checkpoint's batch counter, so a different "
+                "checkpoint would silently overwrite earlier epochs "
+                "and skip them during dedup. Reuse the original "
+                "checkpoint to continue this store, or start a fresh "
+                "store for the new checkpoint."
+            )
+        return
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(cp)

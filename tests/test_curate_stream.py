@@ -115,3 +115,53 @@ def test_store_holds_digests_only(spark, corpus, tmp_path):
     assert epochs
     st = spark.read.parquet(os.path.join(store, epochs[0]))
     assert st.columns == ["_sha"]
+
+
+def test_within_batch_identical_rows_and_null_ids(spark, tmp_path):
+    """A byte-identical (id, text) row duplicated inside one
+    micro-batch collapses to one admitted copy, and a NULL-id row
+    with unique content survives the null-safe dedup join."""
+    rows = [(1, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),   # upstream double-write
+            (2, "epsilon zeta eta theta"),
+            (None, "iota kappa lambda mu")]  # unique content, no id
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "nb_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    cs = CurateStream(spark, str(tmp_path / "nb_out"),
+                      str(tmp_path / "nb_store"), min_quality=0.0)
+    _drive(spark, src, docs.schema, cs, str(tmp_path / "nb_ck"))
+    adm = cs.admitted().select("doc_id", "text").collect()
+    got = {(r["doc_id"], r["text"]) for r in adm}
+    assert len(adm) == 3  # the double-write admitted exactly once
+    assert got == {(1, "alpha beta gamma delta"),
+                   (2, "epsilon zeta eta theta"),
+                   (None, "iota kappa lambda mu")}
+
+
+def test_store_checkpoint_binding(spark, corpus, tmp_path):
+    """A persistent store refuses a different checkpoint: epoch ids
+    restart at 0 under a fresh checkpoint, which would silently
+    overwrite earlier epochs and bypass cross-run dedup."""
+    docs = corpus.where("doc_id < 1000000").limit(5)
+    src = str(tmp_path / "bk_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    store = str(tmp_path / "bk_store")
+    cs = CurateStream(spark, str(tmp_path / "bk_out"), store,
+                      min_quality=0.0,
+                      checkpoint_dir=str(tmp_path / "bk_ck"))
+    _drive(spark, src, docs.schema, cs, str(tmp_path / "bk_ck"))
+    # same checkpoint: fine (restart / continuation)
+    CurateStream(spark, str(tmp_path / "bk_out"), store,
+                 min_quality=0.0,
+                 checkpoint_dir=str(tmp_path / "bk_ck"))
+    # different checkpoint: descriptive refusal
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        CurateStream(spark, str(tmp_path / "bk_out"), store,
+                     min_quality=0.0,
+                     checkpoint_dir=str(tmp_path / "bk_ck2"))
+    # no admitted epochs yet -> None, not an AnalysisException
+    empty = CurateStream(spark, str(tmp_path / "bk_out_fresh"),
+                         str(tmp_path / "bk_store_fresh"),
+                         min_quality=0.0)
+    assert empty.admitted() is None
