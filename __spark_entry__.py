@@ -2586,13 +2586,33 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_corpus(wrapped, "doc_id", "text")
 
 
+def q_paragraph_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc paragraph-duplication counts (the CCNet filter signal;
+    stats twin of the paragraph_dedup rewrite): same planted
+    header/footer structure, exact integer outputs, full DuckDB
+    rebuild of the normalized-key occurrence counts."""
+    from athena_spark.operators.dedup import paragraph_dup_stats
+
+    wrapped = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Shared Corpus Header"),
+            F.col("text"),
+            F.concat(F.lit("footer "),
+                     (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    return paragraph_dup_stats(wrapped, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
     # a cutoff must clip gates RE-certified in the previous round,
     # never gates that went ungraded.  So: (a) the 12 queries the r3
     # driver did not reach come FIRST, cheap before heavy; (b) the
-    # ten gates new this round follow; (c) the 50 r3-green gates
+    # eleven gates new this round follow; (c) the 50 r3-green gates
     # close the board, roughly cheap -> heavy with the streaming /
     # training heavyweights at the very end.
     return {
@@ -2613,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_stats": q_substring_dup_stats,
         "substring_dedup_corpus": q_substring_dedup_corpus,
         "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_dup_stats": q_paragraph_dup_stats,
         "ann_ivfpq_bucketed": q_ann_ivfpq_bucketed,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
@@ -3365,6 +3386,43 @@ def oracle_sql() -> dict[str, str]:
                            i)),
                        chr(10)), '') AS text
             FROM splitp s LEFT JOIN rem r USING (doc_id)
+        """,
+        "paragraph_dup_stats": """
+            WITH base AS (
+                SELECT doc_id,
+                       'Shared Corpus Header' || chr(10) || text ||
+                       chr(10) || 'footer ' ||
+                       CAST(doc_id % 7 AS VARCHAR) AS t2
+                FROM documents
+            ), splitp AS (
+                SELECT doc_id, string_split(t2, chr(10)) AS ps
+                FROM base
+            ), keyed AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                           lower(ps[i]), '[0-9]', '', 'g'),
+                           ' +', ' ', 'g')) AS k
+                FROM splitp,
+                     unnest(generate_series(1, len(ps))) AS u(i)
+            ), nonblank AS (
+                SELECT doc_id, k FROM keyed WHERE k <> ''
+            ), occ AS (
+                SELECT k, COUNT(*) AS c FROM nonblank GROUP BY k
+            ), per_doc AS (
+                SELECT n.doc_id,
+                       COUNT(*) AS keyed_paragraphs,
+                       SUM(CASE WHEN o.c >= 2 THEN 1 ELSE 0 END)
+                           AS dup_paragraphs
+                FROM nonblank n JOIN occ o USING (k)
+                GROUP BY n.doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(len(s.ps) AS BIGINT) AS n_paragraphs,
+                   CAST(COALESCE(p.keyed_paragraphs, 0) AS BIGINT)
+                       AS keyed_paragraphs,
+                   CAST(COALESCE(p.dup_paragraphs, 0) AS BIGINT)
+                       AS dup_paragraphs
+            FROM splitp s LEFT JOIN per_doc p USING (doc_id)
         """,
         "decontaminate": f"""
             WITH toks AS (

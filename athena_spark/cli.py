@@ -177,6 +177,12 @@ def _build_parser() -> argparse.ArgumentParser:
     pd_ = sub.add_parser("paragraph-dedup")
     common(pd_, output_help="rewritten rows parquet dir")
     pd_.add_argument("--id-col", default="doc_id")
+    pd_.add_argument("--mode", choices=("remove", "stats"),
+                     default="remove",
+                     help="remove: keep-first boilerplate removal, "
+                          "write the rewritten text; stats: per-doc "
+                          "duplicated-paragraph counts only (the "
+                          "curation filter signal)")
     pd_.add_argument("--sep", default="\n",
                      help="literal paragraph separator (split and "
                           "re-join); standard escapes are decoded, "
@@ -689,13 +695,14 @@ def cmd_substring_dedup(args) -> None:
 
 
 def cmd_paragraph_dedup(args) -> None:
-    """CCNet paragraph-hash dedup: remove every corpus-duplicated
-    paragraph except its globally-first occurrence and rewrite the
-    text.  Summary JSON to stderr; rows to --output parquet or
-    stdout."""
+    """CCNet paragraph-hash dedup: per-doc duplicated-paragraph stats,
+    or the rewrite removing every corpus-duplicated paragraph except
+    its globally-first occurrence.  Summary JSON to stderr; rows to
+    --output parquet or stdout."""
     from pyspark.sql import functions as F
 
-    from athena_spark.operators.dedup import paragraph_dedup_corpus
+    from athena_spark.operators.dedup import (paragraph_dedup_corpus,
+                                              paragraph_dup_stats)
     from athena_spark.sources.corpus import read_corpus
 
     spark = _spark(args)
@@ -705,16 +712,16 @@ def cmd_paragraph_dedup(args) -> None:
     # backslash separator would need '\\\\')
     sep = args.sep.encode("latin-1", "backslashreplace").decode(
         "unicode_escape")
-    out = paragraph_dedup_corpus(df, args.id_col, args.col,
-                                 sep=sep,
-                                 min_count=args.min_count,
-                                 normalize=not args.no_normalize)
-    summary = out.agg(
-        F.sum("n_paragraphs").alias("paragraphs"),
-        F.sum("removed_paragraphs").alias("removed_paragraphs"),
-    ).collect()[0]
-    print(json.dumps({k: int(summary[k] or 0)
-                      for k in ("paragraphs", "removed_paragraphs")}),
+    kw = dict(sep=sep, min_count=args.min_count,
+              normalize=not args.no_normalize)
+    if args.mode == "stats":
+        out = paragraph_dup_stats(df, args.id_col, args.col, **kw)
+        cols = ("n_paragraphs", "keyed_paragraphs", "dup_paragraphs")
+    else:
+        out = paragraph_dedup_corpus(df, args.id_col, args.col, **kw)
+        cols = ("n_paragraphs", "removed_paragraphs")
+    summary = out.agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
+    print(json.dumps({k: int(summary[k] or 0) for k in cols}),
           file=sys.stderr)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)

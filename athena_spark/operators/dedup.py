@@ -1121,15 +1121,38 @@ def paragraph_dedup_corpus(
     below corpus size.  A 64-bit key collision merging two distinct
     paragraphs would change reconstructed text and fail the
     byte-exact gate."""
+    paras, keyed = _paragraph_keyed(df, id_col, text_col, sep, normalize,
+                                    min_count)
+    removal = _keep_first_removal_positions(
+        keyed, id_col, "p", "k", min_count
+    )
+    out = _rebuild_without_positions(
+        paras, removal, id_col, "ps", "n_paragraphs",
+        "removed_paragraphs", sep, one_based=False,
+        broadcast_removed=broadcast_removed, out_col=text_col,
+    )
+    out = _materialize(out, materialize)
+    keyed.unpersist()
+    paras.unpersist()
+    return out
+
+
+def _paragraph_keyed(
+    df: DataFrame, id_col: str, text_col: str, sep: str,
+    normalize: bool, min_count: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front end of the paragraph operators: validate params,
+    split into per-doc paragraph arrays (``paras``: id, ps) and the
+    keyed occurrence table (``keyed``: id, p, k) with empty-key
+    paragraphs dropped.  Both returned frames are CACHED — callers
+    unpersist after materializing.  A NULL text row becomes the empty
+    document (one empty, key-exempt paragraph)."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     if not sep:
         raise ValueError("sep must be a non-empty literal string")
     import re as _re
 
-    # coalesce: a NULL text row is treated as the empty document
-    # (one empty — key-exempt — paragraph, text "") rather than
-    # silently propagating NULL counts through the rebuild
     paras = df.select(
         F.col(id_col),
         F.split(F.coalesce(F.col(text_col), F.lit("")),
@@ -1143,14 +1166,65 @@ def paragraph_dedup_corpus(
     keyed = exploded.select(
         id_col, "p", F.xxhash64(key).alias("k"), (key == "").alias("blank")
     ).where(~F.col("blank")).drop("blank")
-    keyed = keyed.cache()
-    removal = _keep_first_removal_positions(
-        keyed, id_col, "p", "k", min_count
+    return paras, keyed.cache()
+
+
+def paragraph_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_count: int = 2,
+    normalize: bool = True,
+    materialize: str = "local",
+) -> DataFrame:
+    """Per-document paragraph-duplication signal — the stats twin of
+    :func:`paragraph_dedup_corpus` (like :func:`substring_dup_stats`
+    is to :func:`substring_dedup_corpus`): instead of rewriting text,
+    report how much of each document is corpus-duplicated boilerplate
+    at paragraph granularity, for use as a curation filter feature
+    (CCNet keeps the fraction of removed paragraphs as a quality
+    signal; RefinedWeb filters on duplicated-line fractions).
+
+    Output (exact integers — the gate's DuckDB oracle rebuilds them
+    bit-identically):
+
+    * ``n_paragraphs`` — paragraphs after the ``sep`` split;
+    * ``keyed_paragraphs`` — paragraphs with a non-empty
+      normalization key (the dedupable ones);
+    * ``dup_paragraphs`` — keyed paragraphs whose key occurs at
+      least ``min_count`` times corpus-wide (including this one;
+      divide by ``keyed_paragraphs`` downstream for the boilerplate
+      fraction).
+
+    Scale shape: identical to the rewrite's front end — paragraph
+    text never shuffles (int64 keys + (id, pos) only), duplicate
+    detection is a partial-aggregating ``groupBy(k)``, and the join
+    back ships only the (typically tiny) duplicated-key set."""
+    paras, keyed = _paragraph_keyed(df, id_col, text_col, sep, normalize,
+                                    min_count)
+    dup_keys = (
+        keyed.groupBy("k").agg(F.count("*").alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("k")
     )
-    out = _rebuild_without_positions(
-        paras, removal, id_col, "ps", "n_paragraphs",
-        "removed_paragraphs", sep, one_based=False,
-        broadcast_removed=broadcast_removed, out_col=text_col,
+    per_doc = keyed.groupBy(id_col).agg(
+        F.count("*").alias("keyed_paragraphs")
+    )
+    dup_per_doc = keyed.join(dup_keys, "k").groupBy(id_col).agg(
+        F.count("*").alias("dup_paragraphs")
+    )
+    out = (
+        paras.select(id_col, F.size("ps").cast("long").alias("n_paragraphs"))
+        .join(per_doc, id_col, "left")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col, "n_paragraphs",
+            F.coalesce("keyed_paragraphs", F.lit(0)).cast("long")
+            .alias("keyed_paragraphs"),
+            F.coalesce("dup_paragraphs", F.lit(0)).cast("long")
+            .alias("dup_paragraphs"),
+        )
     )
     out = _materialize(out, materialize)
     keyed.unpersist()

@@ -773,3 +773,53 @@ def test_paragraph_dedup_normalize_off_and_params(spark):
     byid_ss = {r["doc_id"]: (r["n_tokens"], r["removed_tokens"],
                              r["text"]) for r in nulls_ss}
     assert byid_ss == {1: (0, 0, ""), 2: (3, 0, "a b c")}
+
+
+def test_paragraph_dup_stats_matches_scalar_oracle(spark):
+    """The stats twin reports exact per-doc counts: total paragraphs,
+    non-empty-key (dedupable) paragraphs, and corpus-duplicated
+    paragraphs — consistent with what the rewrite would remove plus
+    the kept first occurrences."""
+    import re
+    from collections import Counter
+
+    texts = {
+        1: "Shared Banner\nunique body one\n1234",
+        2: "shared banner\nunique body two\n\nrepeated line\n"
+           "repeated line",
+        3: "no duplicates at all here",
+        4: "",
+    }
+
+    def key(p):
+        return re.sub(" +", " ", re.sub("[0-9]", "", p.lower())).strip()
+
+    paras = {i: t.split("\n") for i, t in texts.items()}
+    occ = Counter(key(p) for ps in paras.values() for p in ps
+                  if key(p) != "")
+    want = {}
+    for i, ps in paras.items():
+        keyed = [p for p in ps if key(p) != ""]
+        dups = sum(1 for p in keyed if occ[key(p)] >= 2)
+        want[i] = (len(ps), len(keyed), dups)
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_paragraphs"], r["keyed_paragraphs"],
+                         r["dup_paragraphs"])
+           for r in dedup.paragraph_dup_stats(
+               df, "doc_id", "text").collect()}
+    assert got == want
+    # spot checks: banner dup in docs 1+2; within-doc repeats in 2;
+    # all-digit and blank lines excluded from keyed counts
+    assert got[1] == (3, 2, 1)
+    assert got[2] == (5, 4, 3)
+    assert got[3] == (1, 1, 0)
+    assert got[4] == (1, 0, 0)
+    # consistency with the rewrite: removed == dup - distinct dup keys
+    # summed corpus-wide (each duplicated key keeps exactly one copy)
+    removed_total = sum(
+        r["removed_paragraphs"] for r in dedup.paragraph_dedup_corpus(
+            df, "doc_id", "text").collect())
+    dup_total = sum(v[2] for v in want.values())
+    distinct_dup_keys = sum(1 for c in occ.values() if c >= 2)
+    assert removed_total == dup_total - distinct_dup_keys
