@@ -2109,6 +2109,7 @@ def q_streaming_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup = StreamingNearDupDedup(
             spark, os.path.join(base, "store"), os.path.join(base, "out"),
             threshold=threshold, bands=64,  # r=2: ~1 recall at J=0.5
+            checkpoint_dir=os.path.join(base, "ck"),  # exercise binding
         )
         stream = (
             spark.readStream.schema(surv.schema)
@@ -2124,12 +2125,16 @@ def q_streaming_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             # timed out on a slow host: stop the query so the
             # teardown below never races a still-running stream
             q.stop()
-        admitted = {
-            r["doc_id"]
-            for r in spark.read.parquet(
-                os.path.join(base, "out", "epoch=*")
-            ).select("doc_id").collect()
-        }
+        # guard the no-epoch case (timeout before batch 0 completed)
+        # so the gate reports failing checks instead of erroring
+        from athena_spark.streaming.store import read_epoch_store
+
+        adm_df = read_epoch_store(spark, os.path.join(base, "out"))
+        admitted = (
+            set()
+            if adm_df is None
+            else {r["doc_id"] for r in adm_df.select("doc_id").collect()}
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     # independent batch twin: exact string-shingle Jaccard (JVM

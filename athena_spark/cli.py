@@ -710,8 +710,14 @@ def cmd_paragraph_dedup(args) -> None:
     # shells deliver --sep '\n' as the two characters backslash+n;
     # decode standard escapes so it means a real newline (a literal
     # backslash separator would need '\\\\')
-    sep = args.sep.encode("latin-1", "backslashreplace").decode(
-        "unicode_escape")
+    try:
+        sep = args.sep.encode("latin-1", "backslashreplace").decode(
+            "unicode_escape")
+    except UnicodeDecodeError as exc:
+        raise SystemExit(
+            f"paragraph-dedup: --sep {args.sep!r} has an invalid "
+            f"escape sequence ({exc}); a literal backslash is '\\\\'"
+        ) from None
     kw = dict(sep=sep, min_count=args.min_count,
               normalize=not args.no_normalize)
     if args.mode == "stats":

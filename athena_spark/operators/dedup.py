@@ -1206,18 +1206,18 @@ def paragraph_dup_stats(
     dup_keys = (
         keyed.groupBy("k").agg(F.count("*").alias("occ"))
         .where(F.col("occ") >= min_count)
-        .select("k")
+        .select("k", F.lit(1).alias("_dup"))
     )
-    per_doc = keyed.groupBy(id_col).agg(
-        F.count("*").alias("keyed_paragraphs")
-    )
-    dup_per_doc = keyed.join(dup_keys, "k").groupBy(id_col).agg(
-        F.count("*").alias("dup_paragraphs")
+    # one left join flags duplicated occurrences, then ONE groupBy(id)
+    # yields both per-doc counters (count("*") vs count of non-null
+    # flags) — the duplicated-key set stays the only re-shuffled data
+    per_doc = keyed.join(dup_keys, "k", "left").groupBy(id_col).agg(
+        F.count("*").alias("keyed_paragraphs"),
+        F.count("_dup").alias("dup_paragraphs"),
     )
     out = (
         paras.select(id_col, F.size("ps").cast("long").alias("n_paragraphs"))
         .join(per_doc, id_col, "left")
-        .join(dup_per_doc, id_col, "left")
         .select(
             id_col, "n_paragraphs",
             F.coalesce("keyed_paragraphs", F.lit(0)).cast("long")

@@ -89,22 +89,37 @@ class CurateStream:
         if self.classifier is not None:
             from athena_spark.operators.qualityfilter import score_quality
 
+            # null-safe id match so a NULL-id row that clears the
+            # classifier threshold survives (same convention as the
+            # dedup stage below); scores are per-id (score_quality
+            # groups by id), so dropDuplicates keeps the join 1:1
+            # even when upstream double-writes repeat an id
             scores = score_quality(
                 gated, self.classifier, id_col, text_col
             ).where(F.col("quality_score") >= self.min_score) \
-                .select(id_col, "quality_score")
-            gated = gated.join(scores, id_col)
+                .select(F.col(id_col).alias("_score_id"), "quality_score") \
+                .dropDuplicates(["_score_id"])
+            gated = gated.join(
+                scores, F.col(id_col).eqNullSafe(F.col("_score_id"))
+            ).drop("_score_id")
         # within-batch exact dedup: min id per digest wins (arrival
         # order inside one micro-batch is not contractual; ids are).
-        # The null-safe id match keeps a NULL-id row whose content is
-        # unique (min() skips NULLs, so an all-NULL-id group yields a
-        # NULL winner that a plain equi-join would never match); the
-        # dropDuplicates collapses byte-identical (id, content) rows
-        # (upstream double-writes), which a semi join alone admits
-        # twice — ties among such fully-duplicate rows keep one
-        # arbitrary copy, so the admitted (id, content) SET is still
+        # NULL text is the empty document (the dedup.py convention),
+        # so _sha is never NULL and the digest equi-joins below (and
+        # the store anti-join) see NULL-text rows as empty docs
+        # instead of silently dropping them.  The null-safe id match
+        # keeps a NULL-id row whose content is unique (min() skips
+        # NULLs, so an all-NULL-id group yields a NULL winner that a
+        # plain equi-join would never match); the dropDuplicates
+        # collapses byte-identical (id, content) rows (upstream
+        # double-writes), which a semi join alone admits twice — ties
+        # among such fully-duplicate rows keep one arbitrary copy, so
+        # the admitted (id, content) SET is still
         # replay-deterministic.
-        hashed = gated.withColumn("_sha", F.sha2(F.col(text_col), 256))
+        hashed = gated.withColumn(
+            "_sha",
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256),
+        )
         first = hashed.groupBy("_sha").agg(
             F.min(id_col).alias("_first_id")
         ).withColumnRenamed("_sha", "_fsha")
@@ -134,11 +149,4 @@ class CurateStream:
         """All curated rows admitted so far (union of epochs), or
         ``None`` when no epoch has been written yet (a replay over an
         already-consumed source produces zero micro-batches)."""
-        dirs = [
-            os.path.join(self.output_dir, d)
-            for d in os.listdir(self.output_dir)
-            if d.startswith("epoch=")
-        ] if os.path.isdir(self.output_dir) else []
-        if not dirs:
-            return None
-        return self.spark.read.parquet(*sorted(dirs))
+        return read_epoch_store(self.spark, self.output_dir)

@@ -26,18 +26,27 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 _MARKER = "_bound_checkpoint"
+# token file written INSIDE the checkpoint dir; Structured Streaming
+# ignores unknown files there, and its presence distinguishes the
+# original checkpoint from one recreated at the same path
+_CP_TOKEN = "_athena_store_token"
 
 
 def read_epoch_store(
-    spark: SparkSession, store_dir: str, before_epoch: int
+    spark: SparkSession, store_dir: str, before_epoch: int | None = None
 ) -> DataFrame | None:
     """Rows from ``store_dir/epoch=K`` for all ``K < before_epoch``
     (the current epoch is excluded so a batch replay never sees its
-    own earlier attempt), or ``None`` when no such epoch exists."""
+    own earlier attempt), or all epochs when ``before_epoch`` is
+    ``None``; ``None`` result when no such epoch exists (including a
+    store directory that was never created)."""
+    if not os.path.isdir(store_dir):
+        return None
     dirs = [
         os.path.join(store_dir, d)
         for d in os.listdir(store_dir)
-        if d.startswith("epoch=") and int(d.split("=", 1)[1]) < before_epoch
+        if d.startswith("epoch=")
+        and (before_epoch is None or int(d.split("=", 1)[1]) < before_epoch)
     ]
     if not dirs:
         return None
@@ -46,25 +55,43 @@ def read_epoch_store(
 
 def bind_checkpoint(store_dir: str, checkpoint_dir: str) -> None:
     """Bind ``store_dir`` to the streaming checkpoint that drives its
-    epoch ids.  First call records the checkpoint path in a marker
-    file; later calls verify it and raise a descriptive error on a
-    mismatch instead of letting a fresh checkpoint's restarted batch
-    ids overwrite earlier epochs and bypass cross-run dedup."""
-    path = os.path.join(store_dir, _MARKER)
+    epoch ids.  The binding records BOTH the checkpoint path and a
+    random token written inside the checkpoint directory itself, so a
+    checkpoint that is deleted and recreated at the same path (tmp
+    cleanup, CI workspace reset) — whose batch counter restarts at
+    0 — fails the guard too, instead of silently overwriting earlier
+    epochs and bypassing cross-run dedup.  First call records; later
+    calls verify and raise a descriptive :class:`ValueError` on any
+    mismatch."""
     cp = os.path.abspath(checkpoint_dir)
+    os.makedirs(cp, exist_ok=True)
+    cp_marker = os.path.join(cp, _CP_TOKEN)
+    if os.path.exists(cp_marker):
+        with open(cp_marker, encoding="utf-8") as fh:
+            token = fh.read().strip()
+    else:
+        token = os.urandom(16).hex()
+        with open(cp_marker, "w", encoding="utf-8") as fh:
+            fh.write(token)
+    path = os.path.join(store_dir, _MARKER)
     if os.path.exists(path):
         with open(path, encoding="utf-8") as fh:
-            bound = fh.read().strip()
-        if bound != cp:
+            bound_path, _, bound_token = fh.read().strip().partition("\n")
+        if bound_path != cp or bound_token.strip() != token:
+            what = (
+                "a recreated checkpoint at the same path"
+                if bound_path == cp else f"checkpoint {bound_path!r}"
+            )
             raise ValueError(
-                f"store {store_dir!r} is bound to checkpoint {bound!r} "
+                f"store {store_dir!r} is bound to {what} "
                 f"but this stream uses {cp!r}: epoch ids are assigned "
-                "by the checkpoint's batch counter, so a different "
-                "checkpoint would silently overwrite earlier epochs "
-                "and skip them during dedup. Reuse the original "
-                "checkpoint to continue this store, or start a fresh "
-                "store for the new checkpoint."
+                "by the checkpoint's batch counter, so a different or "
+                "recreated checkpoint restarts them at 0 and would "
+                "silently overwrite earlier epochs and skip them "
+                "during dedup. Reuse the original checkpoint to "
+                "continue this store, or start a fresh store for the "
+                "new checkpoint."
             )
         return
     with open(path, "w", encoding="utf-8") as fh:
-        fh.write(cp)
+        fh.write(f"{cp}\n{token}")

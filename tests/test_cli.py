@@ -475,3 +475,19 @@ def test_cli_curate_stream_incremental(spark, sf_dir, tmp_path, capsys):
     texts = [r["text"] for r in admitted.select("text").collect()]
     assert len(texts) == len(set(texts))  # dups blocked across runs
     assert rep2["admitted_total"] == docs.select("text").distinct().count()
+
+
+def test_cli_paragraph_dedup_and_bad_sep(spark, sf_dir, tmp_path, capsys):
+    """paragraph-dedup stats mode emits a summary; a --sep ending in
+    a lone backslash is a clean argparse-style error, not a raw
+    UnicodeDecodeError traceback."""
+    out = str(tmp_path / "pd_out")
+    main(["paragraph-dedup", "--input", f"{sf_dir}/documents.parquet",
+          "--col", "text", "--mode", "stats", "--output", out])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert rep["n_paragraphs"] >= rep["keyed_paragraphs"] >= \
+        rep["dup_paragraphs"] >= 0
+    with pytest.raises(SystemExit, match="invalid escape"):
+        main(["paragraph-dedup", "--input",
+              f"{sf_dir}/documents.parquet", "--col", "text",
+              "--mode", "stats", "--sep", "\\"])

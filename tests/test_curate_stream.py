@@ -165,3 +165,63 @@ def test_store_checkpoint_binding(spark, corpus, tmp_path):
                          str(tmp_path / "bk_store_fresh"),
                          min_quality=0.0)
     assert empty.admitted() is None
+
+
+def test_null_text_is_empty_document(spark, tmp_path):
+    """NULL text rows dedup as the empty document (the dedup.py
+    convention): a unique NULL-text row is admitted (not silently
+    dropped at the digest join), and a later empty-text row is its
+    duplicate."""
+    rows = [(1, None), (2, ""), (3, "nu xi omicron pi")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "nt_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    cs = CurateStream(spark, str(tmp_path / "nt_out"),
+                      str(tmp_path / "nt_store"), min_quality=0.0)
+    _drive(spark, src, docs.schema, cs, str(tmp_path / "nt_ck"))
+    got = {r["doc_id"] for r in cs.admitted().select("doc_id").collect()}
+    # min id per digest: NULL-text (id 1) beats ""-text (id 2)
+    assert got == {1, 3}
+
+
+def test_classifier_mode_keeps_null_id(spark, tmp_path):
+    """With a classifier configured, a NULL-id row that clears the
+    threshold is still admitted (the score join is null-safe, like
+    the dedup stage)."""
+    import numpy as np
+
+    from athena_spark.operators.qualityfilter import QualityClassifier
+
+    admit_all = QualityClassifier(
+        w=np.zeros(256), b=10.0, n_hex=2, hash_fn="xxhash64")
+    rows = [(1, "alpha beta gamma delta"),
+            (None, "rho sigma tau upsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "cn_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    cs = CurateStream(spark, str(tmp_path / "cn_out"),
+                      str(tmp_path / "cn_store"), min_quality=0.0,
+                      classifier=admit_all, min_score=0.5)
+    _drive(spark, src, docs.schema, cs, str(tmp_path / "cn_ck"))
+    got = {r["doc_id"] for r in cs.admitted().select("doc_id").collect()}
+    assert got == {1, None}
+
+
+def test_recreated_checkpoint_is_refused(spark, corpus, tmp_path):
+    """A checkpoint deleted and recreated at the SAME path restarts
+    its batch counter at 0 — the binding token detects it where a
+    path-string compare cannot."""
+    import shutil
+
+    docs = corpus.where("doc_id < 1000000").limit(5)
+    src = str(tmp_path / "rc_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    store = str(tmp_path / "rc_store")
+    ck = str(tmp_path / "rc_ck")
+    cs = CurateStream(spark, str(tmp_path / "rc_out"), store,
+                      min_quality=0.0, checkpoint_dir=ck)
+    _drive(spark, src, docs.schema, cs, ck)
+    shutil.rmtree(ck)  # tmp cleanup / CI workspace reset
+    with pytest.raises(ValueError, match="recreated checkpoint"):
+        CurateStream(spark, str(tmp_path / "rc_out"), store,
+                     min_quality=0.0, checkpoint_dir=ck)

@@ -136,3 +136,23 @@ def test_streaming_neardup_end_to_end(spark, tmp_path):
         admitted.add(d)
     assert got == sorted(admitted)
     assert len(got) < docs.count()  # some near-dups actually dropped
+
+
+def test_neardup_checkpoint_binding(spark, tmp_path):
+    """StreamingNearDupDedup shares the store-binding guard: a second
+    handler over the same store with a different checkpoint is
+    refused with a descriptive error."""
+    import pytest
+
+    from athena_spark.streaming.neardup_stream import StreamingNearDupDedup
+
+    store = str(tmp_path / "bb_store")
+    out = str(tmp_path / "bb_out")
+    StreamingNearDupDedup(spark, store, out,
+                          checkpoint_dir=str(tmp_path / "bb_ck"))
+    # same checkpoint: continuation is fine
+    StreamingNearDupDedup(spark, store, out,
+                          checkpoint_dir=str(tmp_path / "bb_ck"))
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        StreamingNearDupDedup(spark, store, out,
+                              checkpoint_dir=str(tmp_path / "bb_ck2"))
