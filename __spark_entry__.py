@@ -1624,6 +1624,9 @@ _SPLIT_SPEC = [("train", 8.0), ("val", 1.0), ("test", 1.0)]
 _SPLIT_SEED = 7
 _MIX_SEED = 3
 _PACK_MAX_TOKENS = 512
+_SHUFFLE_SEED = 11
+_QUOTA_SEED = 5
+_QUOTA_N = 50
 
 
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1673,6 +1676,33 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count_col("text").alias("n_tokens")
     )
     return pack_sequences(docs, "doc_id", "n_tokens", _PACK_MAX_TOKENS)
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a
+    position 0..n-1 in sha256("<id>:<seed>") draw order (ties by id).
+    The rank is a two-phase distributed prefix count over a range
+    partitioning of the draw (the terasort idiom) — never a global
+    single-partition window; the oracle recomputes the permutation
+    with a SQL ROW_NUMBER over the identical draw."""
+    from athena_spark.operators.trainprep import shuffle_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return shuffle_corpus(docs, "doc_id", seed=_SHUFFLE_SEED)
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quota sampling: the 50 docs per lang with the
+    smallest sha256("<id>:<seed>") draw (ties by id), rank 0-based in
+    draw order — 'exactly n docs per language', RNG-free and
+    partitioning-independent.  Only (lang, draw, id) rows enter the
+    window shuffle; full rows come back via an id join."""
+    from athena_spark.operators.trainprep import sample_per_group
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sample_per_group(
+        docs, "lang", _QUOTA_N, id_col="doc_id", seed=_QUOTA_SEED
+    ).select("doc_id", "lang", "rank")
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2645,6 +2675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
         "bucketed_join_orders": q_bucketed_join,
+        "corpus_shuffle": q_corpus_shuffle,
+        "sample_per_group": q_sample_per_group,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3166,6 +3198,25 @@ def oracle_sql() -> dict[str, str]:
                              < '{_t_val}' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "corpus_shuffle": f"""
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)
+                                              || ':{_SHUFFLE_SEED}'), 1, 8),
+                                doc_id) - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
+        "sample_per_group": f"""
+            SELECT doc_id, lang, rank FROM (
+                SELECT doc_id, lang,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)
+                                                  || ':{_QUOTA_SEED}'), 1, 8),
+                                    doc_id) - 1 AS BIGINT) AS rank
+                FROM documents
+            ) WHERE rank < {_QUOTA_N}
         """,
         "corpus_mix": f"""
             SELECT 'even' AS mix_source, 0 AS replica, doc_id

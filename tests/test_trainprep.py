@@ -191,3 +191,91 @@ def test_mix_corpora_float_residue_no_phantom_replica(spark):
     rows = out.collect()
     assert {r["replica"] for r in rows} == {0, 1}
     assert len(rows) == 100  # two full passes, nothing else
+
+
+def test_shuffle_corpus_is_exact_permutation(spark, corpus):
+    from athena_spark.operators.trainprep import shuffle_corpus
+
+    got = {r["doc_id"]: r["pos"]
+           for r in shuffle_corpus(corpus, "doc_id", seed=11).collect()}
+    n = corpus.count()
+    # a permutation: every position 0..n-1 exactly once
+    assert sorted(got.values()) == list(range(n))
+    # scalar oracle: rank in (sha-draw, id) order
+    order = sorted(got, key=lambda i: (local_frac_hex(i, 11), i))
+    want = {i: p for p, i in enumerate(order)}
+    assert got == want
+
+
+def test_shuffle_corpus_partitioning_independent(spark, corpus):
+    from athena_spark.operators.trainprep import shuffle_corpus
+
+    a = {(r["doc_id"], r["pos"])
+         for r in shuffle_corpus(corpus.repartition(7), "doc_id",
+                                 seed=4).collect()}
+    b = {(r["doc_id"], r["pos"])
+         for r in shuffle_corpus(corpus.coalesce(1), "doc_id",
+                                 seed=4).collect()}
+    c = {(r["doc_id"], r["pos"])
+         for r in shuffle_corpus(corpus, "doc_id", seed=5).collect()}
+    assert a == b          # layout-independent
+    assert a != c          # a new seed is a fresh permutation
+
+
+def test_shuffle_corpus_no_global_window(spark, corpus):
+    """The rank comes from range partitioning (behind the
+    materialization boundary) + an Arrow prefix enumeration — the
+    final plan must contain no Window (a global ROW_NUMBER would
+    sort on one partition) and no hash-partition exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from athena_spark.operators.trainprep import shuffle_corpus
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        shuffle_corpus(corpus, "doc_id", seed=1).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "MapInArrow" in plan or "ArrowEval" in plan, plan
+
+
+def test_sample_per_group_quota_and_determinism(spark):
+    from athena_spark.operators.trainprep import sample_per_group
+
+    rows = [(i, ("a", "b", "c")[i % 3], f"text {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    out = sample_per_group(df, "g", 10, id_col="doc_id", seed=2).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    assert set(by_g) == {"a", "b", "c"}
+    for g, picked in by_g.items():
+        assert len(picked) == 10
+        assert sorted(r["rank"] for r in picked) == list(range(10))
+        # scalar oracle: the 10 smallest (draw, id) of the group
+        members = [i for i in range(300) if ("a", "b", "c")[i % 3] == g]
+        want = sorted(members, key=lambda i: (local_frac_hex(i, 2), i))[:10]
+        got = [r["doc_id"] for r in
+               sorted(picked, key=lambda r: r["rank"])]
+        assert got == want
+        # full input rows come back (text survives the id join)
+        assert all(r["text"] == f"text {r['doc_id']}" for r in picked)
+    # repartitioning does not change the sample
+    again = {(r["doc_id"], r["rank"]) for r in sample_per_group(
+        df.repartition(11), "g", 10, id_col="doc_id", seed=2).collect()}
+    assert again == {(r["doc_id"], r["rank"]) for r in out}
+
+
+def test_sample_per_group_small_group_and_validation(spark):
+    from athena_spark.operators.trainprep import sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, g string")
+    out = sample_per_group(df, "g", 5, id_col="doc_id", seed=0).collect()
+    # a group smaller than the quota keeps all its rows
+    assert sorted((r["g"], r["doc_id"]) for r in out) == [
+        ("a", 1), ("a", 2), ("b", 3)]
+    with pytest.raises(ValueError, match=">= 1"):
+        sample_per_group(df, "g", 0)
