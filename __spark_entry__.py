@@ -1705,6 +1705,65 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "rank")
 
 
+def q_theta_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified theta-sketch corpus overlap (Dasgupta et al. 2016):
+    for every lang pair, the sketch's distinct-trigram intersection,
+    union and per-side estimates must sit within the 3σ
+    binomial-thinning bound of the exact values (each distinct gram
+    survives below theta independently with probability theta_frac;
+    k=512 forces estimation mode at sf0.01 — 3k-9k distinct trigrams
+    per lang).  All invariants are computed Spark-side; the oracle
+    pins the expected TRUE row per pair."""
+    from athena_spark.operators.overlap import (
+        corpus_overlap,
+        group_shingles_exact,
+    )
+
+    docs = _docs(spark, sf_dir)
+    est = corpus_overlap(docs, "lang", "text", n=3, k=512)
+    exact = group_shingles_exact(docs, "lang", "text", n=3)
+    sides = exact.groupBy("lang").agg(F.count("*").alias("exact_n"))
+    inter = (
+        exact.alias("x")
+        .join(
+            exact.alias("y"),
+            (F.col("x.gram") == F.col("y.gram"))
+            & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(
+            F.col("x.lang").alias("g_a"), F.col("y.lang").alias("g_b")
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+
+    def tol(n_col):  # 3σ of Binomial(n, θ)/θ + additive floor
+        th = F.col("theta_frac")
+        return 3.0 * F.sqrt(n_col * (1.0 - th) / th) + F.lit(3.0)
+
+    rse_tol = 3.0 / (512 - 1) ** 0.5
+    joined = (
+        est.join(inter, ["g_a", "g_b"])
+        .join(sides.withColumnRenamed("lang", "g_a")
+                   .withColumnRenamed("exact_n", "exact_a"), "g_a")
+        .join(sides.withColumnRenamed("lang", "g_b")
+                   .withColumnRenamed("exact_n", "exact_b"), "g_b")
+        .withColumn("exact_union",
+                    F.col("exact_a") + F.col("exact_b")
+                    - F.col("exact_inter"))
+    )
+    ok = (
+        (F.abs(F.col("est_inter") - F.col("exact_inter"))
+         <= tol(F.col("exact_inter")))
+        & (F.abs(F.col("est_union") - F.col("exact_union"))
+           <= tol(F.col("exact_union")))
+        & (F.abs(F.col("est_a") - F.col("exact_a"))
+           <= rse_tol * F.col("exact_a") + F.lit(3.0))
+        & (F.abs(F.col("est_b") - F.col("exact_b"))
+           <= rse_tol * F.col("exact_b") + F.lit(3.0))
+    )
+    return joined.select("g_a", "g_b", ok.alias("ok"))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (duplicate-line fraction, top
     bigram fraction, duplicate-trigram fraction) over a deterministic
@@ -2677,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_orders": q_bucketed_join,
         "corpus_shuffle": q_corpus_shuffle,
         "sample_per_group": q_sample_per_group,
+        "theta_overlap_langs": q_theta_overlap_langs,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3217,6 +3277,12 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) - 1 AS BIGINT) AS rank
                 FROM documents
             ) WHERE rank < {_QUOTA_N}
+        """,
+        "theta_overlap_langs": """
+            SELECT a.lang AS g_a, b.lang AS g_b, TRUE AS ok
+            FROM (SELECT DISTINCT lang FROM documents) a
+            JOIN (SELECT DISTINCT lang FROM documents) b
+              ON a.lang < b.lang
         """,
         "corpus_mix": f"""
             SELECT 'even' AS mix_source, 0 AS replica, doc_id

@@ -21,6 +21,7 @@ Subcommands:
 * ``pack``       — sequence packing (global offsets + chunk spans)
 * ``shuffle``    — deterministic global training shuffle (id, pos)
 * ``quota-sample`` — exact per-group quota sampling (n rows/group)
+* ``overlap``    — theta-sketch pairwise corpus overlap (Jaccard)
 * ``decontaminate`` — n-gram benchmark decontamination
 * ``lm-score``   — bigram-LM perplexity quality scoring
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
@@ -141,6 +142,16 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="exact rows kept per group (fewer if the "
                          "group is smaller)")
     qs.add_argument("--seed", type=int, default=0)
+
+    ov = sub.add_parser("overlap")
+    common(ov, output_help="pairwise overlap report parquet dir")
+    ov.add_argument("--group-col", required=True,
+                    help="column defining the corpora to compare "
+                         "(shard, source, lang, snapshot)")
+    ov.add_argument("--ngram", type=int, default=3,
+                    help="shingle width in words")
+    ov.add_argument("--k", type=int, default=4096,
+                    help="theta sketch size (RSE ~ 1/sqrt(k-1))")
 
     dc = sub.add_parser("decontaminate")
     common(dc)
@@ -634,6 +645,29 @@ def cmd_quota_sample(args) -> None:
                   f'{row[args.id_col]}')
 
 
+def cmd_overlap(args) -> None:
+    """Pairwise distinct-shingle overlap between the values of
+    --group-col via theta sketches; the pair table goes to stdout
+    (or --output parquet), a summary JSON to stderr."""
+    from athena_spark.operators.overlap import corpus_overlap
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = corpus_overlap(df, args.group_col, args.col,
+                         n=args.ngram, k=args.k)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+    rows = out.orderBy("g_a", "g_b").collect()
+    print(json.dumps({"pairs": len(rows), "k": args.k,
+                      "ngram": args.ngram}), file=sys.stderr)
+    if not args.output:
+        for r in rows:
+            print(f'{r["g_a"]}\t{r["g_b"]}\t{r["est_inter"]:.1f}\t'
+                  f'{r["est_union"]:.1f}\t{r["jaccard"]:.4f}')
+
+
 def cmd_decontaminate(args) -> None:
     """Drop corpus docs sharing any word n-gram with the benchmark;
     survivor counts go to stderr as JSON."""
@@ -957,6 +991,7 @@ def main(argv=None) -> None:
         "pack": cmd_pack,
         "shuffle": cmd_shuffle,
         "quota-sample": cmd_quota_sample,
+        "overlap": cmd_overlap,
         "decontaminate": cmd_decontaminate,
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,

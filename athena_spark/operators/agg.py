@@ -40,6 +40,7 @@ from athena_spark.sketch import (
     KLL,
     SpaceSaving,
     TDigest,
+    ThetaSketch,
 )
 from athena_spark.sketch.serialization import loads as _loads_summary
 
@@ -61,6 +62,7 @@ _LOADERS = {
     "tdigest": TDigest.from_bytes,
     "bloom": BloomFilter.from_bytes,
     "reservoir": _reservoir_from_bytes,
+    "theta": ThetaSketch.from_bytes,
 }
 
 

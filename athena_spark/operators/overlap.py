@@ -1,0 +1,172 @@
+"""Corpus-overlap estimation from per-group theta sketches.
+
+Answers the shard-bookkeeping questions a 100 TB corpus build asks
+constantly — "how much content do CommonCrawl snapshot A and snapshot
+B share?", "is this new source already covered?" — WITHOUT an exact
+distinct-join over the data: each group (shard, source, language,
+snapshot) folds its distinct word-``n``-gram shingle hashes into one
+``O(k)``-byte :class:`~athena_spark.sketch.theta.ThetaSketch`, and
+every pairwise intersection / union / Jaccard estimate is then pure
+summary algebra.  The exact twin of the pairwise step is a distinct
+self-join whose shuffle grows with the corpus; the sketch path's
+pairwise stage is O(G² × k) for G groups, independent of data volume.
+
+No reference counterpart (athena has no set-expression operator);
+theta set algebra follows Dasgupta et al. 2016 (see
+``sketch/theta.py``).  The shingle fold is the shared pre-mixed XOR
+kernel (``hashing.fold_gram_hashes``) — bit-identical grams to the
+MinHash/decontamination paths, so overlap numbers are directly
+comparable with near-dup candidates.
+
+Scale shape: the only wide stage is ``grouped_sketch_agg``'s
+``(group, summary)`` shuffle — O(G × P × k) bytes for P partitions;
+text never shuffles.  The pair stage cross-joins the G summary rows
+(bounded by group cardinality, not rows) and evaluates each pair's
+set algebra in a distributed ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.tokenize import arrow_tokenize_batch
+from athena_spark.operators.agg import load_summary
+from athena_spark.operators.grouped import grouped_sketch_agg
+from athena_spark.sketch.hashing import fold_gram_hashes, hash64_arrow
+from athena_spark.sketch.theta import ThetaSketch
+
+PAIR_SCHEMA = (
+    "est_a double, est_b double, est_inter double, est_union double, "
+    "jaccard double, theta_frac double"
+)
+
+
+def gram_hash_updater(n: int):
+    """Updater for distinct-shingle sketches: Arrow-tokenize the text
+    batch, fold word-``n``-gram hashes over the flat token-hash array
+    (shared kernel with MinHash), and feed them to the sketch's
+    ``update_hashes``.  Duplicate grams are set-semantics no-ops, so
+    no per-doc dedup is needed.  Returns the token count processed."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def updater(sketch, col: pa.Array) -> int:
+        tokens, t = arrow_tokenize_batch(col)
+        if len(t) == 0:
+            return 0
+        th = hash64_arrow(tokens)
+        if bool((t >= n).any()):
+            grams, _ = fold_gram_hashes(th, t, n)
+            sketch.update_hashes(grams)
+        return int(t.sum())
+
+    return updater
+
+
+def group_shingle_sketches(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 4096,
+) -> DataFrame:
+    """One theta summary of the distinct word-``n``-gram shingles per
+    group: ``(group, state binary, n_values long)``."""
+    return grouped_sketch_agg(
+        df, [group_col], text_col,
+        lambda: ThetaSketch(k), gram_hash_updater(n),
+    )
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 4096,
+) -> DataFrame:
+    """Pairwise distinct-shingle overlap estimates between groups.
+
+    Returns one row per unordered group pair (``g_a < g_b``):
+    per-side distinct estimates, intersection, union (untrimmed, the
+    tighter form), Jaccard, and the pair's effective sampling fraction
+    ``theta_frac`` (min of the two sketches') from which callers can
+    derive binomial error bounds.
+    """
+    grouped = group_shingle_sketches(df, group_col, text_col, n=n, k=k)
+    a = grouped.select(
+        F.col(group_col).alias("g_a"), F.col("state").alias("state_a")
+    )
+    b = grouped.select(
+        F.col(group_col).alias("g_b"), F.col("state").alias("state_b")
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+
+    group_type = df.select(group_col).schema[0].dataType.simpleString()
+    out_schema = f"g_a {group_type}, g_b {group_type}, {PAIR_SCHEMA}"
+
+    def report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.to_dict("records"):
+                sa = load_summary(row["state_a"])
+                sb = load_summary(row["state_b"])
+                inter = sa.intersect(sb)
+                rows.append({
+                    "g_a": row["g_a"],
+                    "g_b": row["g_b"],
+                    "est_a": float(sa.estimate()),
+                    "est_b": float(sb.estimate()),
+                    "est_inter": float(inter.estimate()),
+                    "est_union": float(sa.union_estimate(sb)),
+                    "jaccard": float(sa.jaccard(sb)),
+                    "theta_frac": float(inter.theta_frac),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return pairs.mapInPandas(report, out_schema)
+
+
+def group_shingles_exact(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact twin for cross-checks: the distinct ``(group, gram)``
+    hash rows (gram hashes bit-identical to the sketch path's, cast
+    to signed long for Spark).  The downstream distinct/self-join
+    shuffle grows with the corpus — certification tooling, not the
+    100 TB path; that is :func:`corpus_overlap`'s job."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_g: list[np.ndarray] = []
+            out_keys: list[np.ndarray] = []
+            for key, grp in pdf.groupby(group_col, sort=False):
+                texts = pa.Array.from_pandas(grp[text_col])
+                tokens, t = arrow_tokenize_batch(texts)
+                if len(t) == 0 or not bool((t >= n).any()):
+                    continue
+                th = hash64_arrow(tokens)
+                grams, _ = fold_gram_hashes(th, t, n)
+                uniq = np.unique(grams)
+                out_g.append(uniq.view(np.int64))
+                out_keys.append(np.full(uniq.size, key, dtype=object))
+            if out_g:
+                yield pd.DataFrame({
+                    group_col: np.concatenate(out_keys),
+                    "gram": np.concatenate(out_g),
+                })
+
+    group_type = df.select(group_col).schema[0].dataType.simpleString()
+    batch_distinct = df.select(group_col, text_col).mapInPandas(
+        kernel, f"`{group_col}` {group_type}, gram long"
+    )
+    return batch_distinct.distinct()

@@ -6,6 +6,7 @@ from athena_spark.sketch.kll import KLL
 from athena_spark.sketch.tdigest import TDigest
 from athena_spark.sketch.bloom import BloomFilter
 from athena_spark.sketch.reservoir import ReservoirSampler
+from athena_spark.sketch.theta import ThetaSketch
 from athena_spark.sketch.normalizer import ExponentCountNormalizer
 
 __all__ = [
@@ -18,5 +19,6 @@ __all__ = [
     "TDigest",
     "BloomFilter",
     "ReservoirSampler",
+    "ThetaSketch",
     "ExponentCountNormalizer",
 ]

@@ -1,0 +1,207 @@
+"""Theta sketch — mergeable distinct-count summary with SET ALGEBRA.
+
+Not in the reference (athena has no distinct-count or set-expression
+operator); added under the north rule's mergeable-summaries family.
+Follows the Theta Sketch Framework (Dasgupta, Lang, Rhodes, Thaler,
+2016, "A Framework for Estimating Stream Expression Cardinalities")
+as the QuickSelect/KMV instance: hash values uniformly into
+``[0, 2**64)``, retain every distinct hash below a threshold ``theta``
+(initially the full space — exact mode), and when more than ``k``
+hashes are retained shrink ``theta`` to the ``(k+1)``-th smallest so
+exactly the ``k`` smallest survive.  ``|retained| / (theta / 2**64)``
+is then an unbiased cardinality estimate with relative standard error
+``1/sqrt(k-1)``.
+
+What HLL cannot do and theta can: retained hashes are a uniform
+SAMPLE of the distinct items, so sketches compose under set algebra —
+union (min-theta + merged retained), INTERSECTION, and difference
+(A-not-B) — giving corpus-overlap estimates (shared-shingle counts,
+Jaccard between shards) from per-shard summaries alone.  HLL registers
+only union.
+
+Distributive shape: per-partition sketches merge associatively and
+commutatively (the union of partials is byte-identical to a single
+bulk build for the same ``k``, asserted in tests), so the operator
+rides the existing ``sketch_partials`` → ``tree_merge`` /
+``grouped_sketch_agg`` machinery; a summary is ``O(k)`` bytes
+regardless of data volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+from athena_spark.sketch.hashing import hash64
+
+_FULL = 1 << 64  # exclusive upper bound of the hash space
+
+
+class ThetaSketch:
+    """QuickSelect theta sketch over 64-bit hashes.
+
+    ``_theta`` is a Python int in ``(0, 2**64]`` (the full-space value
+    does not fit uint64); ``_hashes`` is a sorted, distinct uint64
+    array, every element strictly below ``_theta``.
+    """
+
+    __slots__ = ("k", "_theta", "_hashes")
+
+    def __init__(self, k: int = 4096):
+        if k < 16:
+            raise ValueError("k must be >= 16")
+        self.k = int(k)
+        self._theta = _FULL
+        self._hashes = np.empty(0, dtype=np.uint64)
+
+    # -- properties --------------------------------------------------------
+
+    @property
+    def theta_frac(self) -> float:
+        """Sampling fraction theta / 2**64 (1.0 in exact mode)."""
+        return self._theta / float(_FULL)
+
+    @property
+    def is_estimation_mode(self) -> bool:
+        return self._theta < _FULL
+
+    @property
+    def relative_error(self) -> float:
+        """RSE of :meth:`estimate`; 0 while still exact."""
+        if not self.is_estimation_mode:
+            return 0.0
+        return 1.0 / float(np.sqrt(self.k - 1))
+
+    @property
+    def retained(self) -> int:
+        return int(self._hashes.size)
+
+    # -- updates -----------------------------------------------------------
+
+    def _below_theta(self, h: np.ndarray) -> np.ndarray:
+        if self._theta >= _FULL:
+            return h
+        return h[h < np.uint64(self._theta)]
+
+    def _absorb(self, h: np.ndarray) -> None:
+        if h.size == 0:
+            return
+        self._hashes = np.union1d(self._hashes, h)
+        self._trim()
+
+    def _trim(self) -> None:
+        if self._hashes.size > self.k:
+            # QuickSelect step: theta becomes the (k+1)-th smallest,
+            # the k smaller hashes survive — all strictly below theta
+            # because the array is distinct and sorted
+            self._theta = int(self._hashes[self.k])
+            self._hashes = self._hashes[: self.k].copy()
+
+    def update(self, values) -> None:
+        """Fold an array-like of strings (vectorized SipHash)."""
+        self.update_hashes(hash64(values))
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        """Fold precomputed uniform 64-bit hashes (shared hashing
+        pass with the MinHash/gram kernels); duplicates are no-ops."""
+        self._absorb(self._below_theta(np.asarray(h, dtype=np.uint64)))
+
+    # -- set algebra ---------------------------------------------------------
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Union-fold ``other`` into the RECEIVER (mirrors
+        ``SpaceSaving.merge``); associative and commutative."""
+        if other.k != self.k:
+            raise ValueError(
+                f"cannot merge theta sketches with different k "
+                f"({self.k} != {other.k})"
+            )
+        self._theta = min(self._theta, other._theta)
+        self._hashes = self._below_theta(self._hashes)
+        self._absorb(self._below_theta(other._hashes))
+        return self
+
+    @classmethod
+    def merge_many(cls, sketches: list["ThetaSketch"]) -> "ThetaSketch":
+        """Single-pass n-way union (no pairwise intermediate trims
+        are observable: the result is byte-identical to the chain)."""
+        first = sketches[0]
+        if any(s.k != first.k for s in sketches):
+            raise ValueError("cannot merge theta sketches with different k")
+        out = cls(first.k)
+        out._theta = min(s._theta for s in sketches)
+        t = np.uint64(out._theta) if out._theta < _FULL else None
+        parts = [
+            s._hashes if t is None else s._hashes[s._hashes < t]
+            for s in sketches
+        ]
+        out._hashes = np.unique(np.concatenate(parts))
+        out._trim()
+        return out
+
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """A ∩ B summary: min-theta, retained-hash intersection.
+
+        Returns a NEW sketch (neither input mutates).  Retained size
+        is bounded by ``min(k_a, k_b)`` so no trim is needed; the
+        estimate's error grows when the true intersection is small
+        relative to the union (binomial thinning at rate theta)."""
+        out = ThetaSketch(min(self.k, other.k))
+        out._theta = min(self._theta, other._theta)
+        out._hashes = np.intersect1d(
+            out._below_theta(self._hashes),
+            out._below_theta(other._hashes),
+        )
+        return out
+
+    def a_not_b(self, other: "ThetaSketch") -> "ThetaSketch":
+        """A \\ B summary: hashes of A below min-theta absent from B."""
+        out = ThetaSketch(self.k)
+        out._theta = min(self._theta, other._theta)
+        out._hashes = np.setdiff1d(
+            out._below_theta(self._hashes),
+            out._below_theta(other._hashes),
+        )
+        return out
+
+    def union_estimate(self, other: "ThetaSketch") -> float:
+        """|A ∪ B| estimate WITHOUT trimming to k: every retained hash
+        below min-theta is a valid sample point, so using all of them
+        (up to 2k) strictly tightens the estimate versus merge+trim."""
+        theta = min(self._theta, other._theta)
+        t = np.uint64(theta) if theta < _FULL else None
+        a = self._hashes if t is None else self._hashes[self._hashes < t]
+        b = other._hashes if t is None else other._hashes[other._hashes < t]
+        n = np.union1d(a, b).size
+        return n / (theta / float(_FULL))
+
+    def jaccard(self, other: "ThetaSketch") -> float:
+        """Estimated |A ∩ B| / |A ∪ B| (0.0 when both are empty)."""
+        u = self.union_estimate(other)
+        if u == 0.0:
+            return 0.0
+        return self.intersect(other).estimate() / u
+
+    # -- estimate ------------------------------------------------------------
+
+    def estimate(self) -> float:
+        """Distinct-count estimate; exact while theta is untouched."""
+        return self._hashes.size / (self._theta / float(_FULL))
+
+    # -- serialization -------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return serialization.dumps(
+            {"algo": "theta", "k": self.k, "theta": str(self._theta)},
+            {"hashes": self._hashes},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ThetaSketch":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "theta":
+            raise ValueError("not a theta summary")
+        sk = cls(scalars["k"])
+        sk._theta = int(scalars["theta"])
+        sk._hashes = np.asarray(arrays["hashes"], dtype=np.uint64)
+        return sk

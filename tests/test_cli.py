@@ -568,3 +568,21 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     sk, _ = aggregate_sketch(docs, "text", lambda pid: SpaceSaving(k=4096))
     want = [(t, int(c)) for t, c, _ in sk.items()[:5]]
     assert [tuple(x) for x in got] == want
+
+
+def test_cli_overlap(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "overlap_out")
+    main(["overlap", "--input", f"{sf_dir}/documents.parquet",
+          "--group-col", "lang", "--col", "text", "--k", "512",
+          "--output", out])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    assert rep["pairs"] == got.count()
+    langs = {r["lang"] for r in
+             spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("lang").distinct().collect()}
+    n = len(langs)
+    assert rep["pairs"] == n * (n - 1) // 2
+    row = got.collect()[0]
+    assert 0.0 <= row["jaccard"] <= 1.0
+    assert row["est_inter"] <= row["est_union"] + 1e-9

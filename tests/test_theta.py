@@ -1,0 +1,223 @@
+"""Theta sketch (KMV/QuickSelect) and corpus-overlap operator tests.
+
+Scalar-oracle strategy: exact mode must be EXACT; estimation mode is
+held to the analytic bounds — 3×RSE (1/sqrt(k-1)) for plain
+cardinality, and a 3σ binomial-thinning bound (each distinct item of
+the true set survives below theta independently with probability
+theta_frac) for intersections / unions / differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.sketch.hashing import hash64
+from athena_spark.sketch.theta import ThetaSketch
+
+
+def _items(lo: int, hi: int) -> list[str]:
+    return [f"item-{i}" for i in range(lo, hi)]
+
+
+def _binom_tol(n_true: int, theta_frac: float) -> float:
+    # 3 sigma of Binomial(n_true, theta) scaled back by 1/theta, plus
+    # a small additive floor for tiny sets
+    return 3.0 * np.sqrt(n_true * (1.0 - theta_frac) / theta_frac) + 3.0
+
+
+def test_exact_mode_is_exact():
+    sk = ThetaSketch(k=1024)
+    sk.update(_items(0, 500))
+    sk.update(_items(0, 500))  # duplicates are no-ops
+    assert not sk.is_estimation_mode
+    assert sk.theta_frac == 1.0
+    assert sk.relative_error == 0.0
+    assert sk.estimate() == 500.0
+    assert sk.retained == 500
+
+
+def test_estimation_mode_bound_and_k_retained():
+    n, k = 50_000, 1024
+    sk = ThetaSketch(k=k)
+    sk.update(_items(0, n))
+    assert sk.is_estimation_mode
+    assert sk.retained == k
+    rse = 1.0 / np.sqrt(k - 1)
+    assert abs(sk.estimate() - n) <= 3 * rse * n
+
+
+def test_update_hashes_matches_update():
+    vals = _items(0, 3000)
+    a, b = ThetaSketch(k=256), ThetaSketch(k=256)
+    a.update(vals)
+    b.update_hashes(hash64(vals))
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_merge_is_order_free_and_equals_bulk():
+    n, k = 60_000, 512
+    items = _items(0, n)
+    bulk = ThetaSketch(k=k)
+    bulk.update(items)
+    chunks = [items[i::4] for i in range(4)]
+    parts = []
+    for c in chunks:
+        s = ThetaSketch(k=k)
+        s.update(c)
+        parts.append(s)
+    many = ThetaSketch.merge_many(
+        [ThetaSketch.from_bytes(p.to_bytes()) for p in parts]
+    )
+    chain = ThetaSketch.from_bytes(parts[2].to_bytes())
+    for p in (parts[0], parts[3], parts[1]):
+        chain.merge(ThetaSketch.from_bytes(p.to_bytes()))
+    # the union keeps the k smallest distinct hashes overall, so any
+    # merge order — and the single-pass bulk build — is byte-identical
+    assert many.to_bytes() == bulk.to_bytes()
+    assert chain.to_bytes() == bulk.to_bytes()
+
+
+def test_merge_k_mismatch_raises():
+    with pytest.raises(ValueError, match="different k"):
+        ThetaSketch(k=64).merge(ThetaSketch(k=128))
+    with pytest.raises(ValueError, match="different k"):
+        ThetaSketch.merge_many([ThetaSketch(k=64), ThetaSketch(k=128)])
+
+
+def test_set_algebra_exact_mode():
+    a, b = ThetaSketch(k=4096), ThetaSketch(k=4096)
+    a.update(_items(0, 300))
+    b.update(_items(200, 500))
+    inter = a.intersect(b)
+    assert inter.estimate() == 100.0
+    assert a.a_not_b(b).estimate() == 200.0
+    assert b.a_not_b(a).estimate() == 200.0
+    assert a.union_estimate(b) == 500.0
+    assert a.jaccard(b) == pytest.approx(100.0 / 500.0)
+
+
+def test_set_algebra_estimation_mode_bounds():
+    k = 2048
+    a, b = ThetaSketch(k=k), ThetaSketch(k=k)
+    a.update(_items(0, 40_000))
+    b.update(_items(20_000, 60_000))
+    inter = a.intersect(b)
+    theta = inter.theta_frac
+    assert theta < 1.0
+    assert abs(inter.estimate() - 20_000) <= _binom_tol(20_000, theta)
+    assert abs(a.union_estimate(b) - 60_000) <= _binom_tol(60_000, theta)
+    assert abs(a.a_not_b(b).estimate() - 20_000) <= _binom_tol(20_000, theta)
+    assert abs(a.jaccard(b) - 1.0 / 3.0) <= 0.05
+    # inputs must not mutate
+    assert abs(a.estimate() - 40_000) <= 3 * 40_000 / np.sqrt(k - 1)
+
+
+def test_empty_and_validation():
+    sk = ThetaSketch(k=64)
+    assert sk.estimate() == 0.0
+    assert sk.jaccard(ThetaSketch(k=64)) == 0.0
+    sk.update_hashes(np.empty(0, np.uint64))
+    assert sk.retained == 0
+    with pytest.raises(ValueError, match=">= 16"):
+        ThetaSketch(k=8)
+
+
+def test_serialization_roundtrip_estimation_mode():
+    sk = ThetaSketch(k=128)
+    sk.update(_items(0, 10_000))
+    clone = ThetaSketch.from_bytes(sk.to_bytes())
+    assert clone.k == sk.k
+    assert clone._theta == sk._theta
+    assert np.array_equal(clone._hashes, sk._hashes)
+    assert clone.to_bytes() == sk.to_bytes()
+    with pytest.raises(ValueError, match="not a theta"):
+        from athena_spark.sketch.hll import HyperLogLog
+
+        ThetaSketch.from_bytes(HyperLogLog(p=4).to_bytes())
+
+
+def test_load_summary_dispatches_theta():
+    from athena_spark.operators.agg import load_summary
+
+    sk = ThetaSketch(k=64)
+    sk.update(_items(0, 10))
+    back = load_summary(sk.to_bytes())
+    assert isinstance(back, ThetaSketch)
+    assert back.estimate() == 10.0
+
+
+# -- Spark operator ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def overlap_df(spark):
+    # two shards sharing exactly the docs 100..149 (50 shared bodies);
+    # doc text is word-unique per id so trigram sets are disjoint
+    # across non-shared docs
+    def doc(i: int) -> str:
+        return " ".join(f"w{i}t{j}" for j in range(12))
+
+    rows = [(f"a{i}", "shard_a", doc(i)) for i in range(0, 150)]
+    rows += [(f"b{i}", "shard_b", doc(i)) for i in range(100, 250)]
+    return spark.createDataFrame(
+        rows, "doc_id string, shard string, text string"
+    )
+
+
+def test_corpus_overlap_exact_mode_matches_exact_join(spark, overlap_df):
+    from athena_spark.operators.overlap import (
+        corpus_overlap,
+        group_shingles_exact,
+    )
+
+    out = corpus_overlap(
+        overlap_df, "shard", "text", n=3, k=8192
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["g_a"], row["g_b"]) == ("shard_a", "shard_b")
+    assert row["theta_frac"] == 1.0  # k above distinct count: exact
+
+    exact = group_shingles_exact(overlap_df, "shard", "text", n=3)
+    per_side = {r["shard"]: r["cnt"] for r in exact.groupBy("shard")
+                .agg(F.count("*").alias("cnt")).collect()}
+    e = exact.collect()
+    a_set = {r["gram"] for r in e if r["shard"] == "shard_a"}
+    b_set = {r["gram"] for r in e if r["shard"] == "shard_b"}
+    assert row["est_a"] == float(len(a_set)) == float(per_side["shard_a"])
+    assert row["est_b"] == float(len(b_set)) == float(per_side["shard_b"])
+    assert row["est_inter"] == float(len(a_set & b_set))
+    assert row["est_union"] == float(len(a_set | b_set))
+    assert row["jaccard"] == pytest.approx(
+        len(a_set & b_set) / len(a_set | b_set)
+    )
+    # 50 shared 12-token docs, 10 trigrams each, all distinct
+    assert row["est_inter"] == 500.0
+
+
+def test_corpus_overlap_partitioning_independent(spark, overlap_df):
+    from athena_spark.operators.overlap import corpus_overlap
+
+    a = corpus_overlap(
+        overlap_df.repartition(7), "shard", "text", n=3, k=64
+    ).collect()[0]
+    b = corpus_overlap(
+        overlap_df.coalesce(1), "shard", "text", n=3, k=64
+    ).collect()[0]
+    assert a.asDict() == b.asDict()
+    assert a["theta_frac"] < 1.0  # k=64 forces estimation mode
+
+
+def test_gram_hash_updater_short_docs_and_validation():
+    import pyarrow as pa
+
+    from athena_spark.operators.overlap import gram_hash_updater
+
+    sk = ThetaSketch(k=64)
+    n_tok = gram_hash_updater(5)(sk, pa.array(["one two", "three"]))
+    assert n_tok == 3          # tokens counted
+    assert sk.retained == 0    # no doc reaches 5 tokens: no grams
+    with pytest.raises(ValueError, match=">= 1"):
+        gram_hash_updater(0)
