@@ -1720,7 +1720,8 @@ def q_theta_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    est = corpus_overlap(docs, "lang", "text", n=3, k=512)
+    k = 512  # shared by the sketch build and the RSE tolerance below
+    est = corpus_overlap(docs, "lang", "text", n=3, k=k)
     exact = group_shingles_exact(docs, "lang", "text", n=3)
     sides = exact.groupBy("lang").agg(F.count("*").alias("exact_n"))
     inter = (
@@ -1740,13 +1741,18 @@ def q_theta_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         th = F.col("theta_frac")
         return 3.0 * F.sqrt(n_col * (1.0 - th) / th) + F.lit(3.0)
 
-    rse_tol = 3.0 / (512 - 1) ** 0.5
+    rse_tol = 3.0 / (k - 1) ** 0.5
+    # left joins + zero fill: a pair with no shared trigram has no
+    # `inter` row, and a lang whose docs are all shorter than n has
+    # no `sides` row — the gate must still emit those pairs (the
+    # oracle pins one row per lang pair)
     joined = (
-        est.join(inter, ["g_a", "g_b"])
+        est.join(inter, ["g_a", "g_b"], "left")
         .join(sides.withColumnRenamed("lang", "g_a")
-                   .withColumnRenamed("exact_n", "exact_a"), "g_a")
+                   .withColumnRenamed("exact_n", "exact_a"), "g_a", "left")
         .join(sides.withColumnRenamed("lang", "g_b")
-                   .withColumnRenamed("exact_n", "exact_b"), "g_b")
+                   .withColumnRenamed("exact_n", "exact_b"), "g_b", "left")
+        .fillna(0, ["exact_inter", "exact_a", "exact_b"])
         .withColumn("exact_union",
                     F.col("exact_a") + F.col("exact_b")
                     - F.col("exact_inter"))

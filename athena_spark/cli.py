@@ -657,10 +657,13 @@ def cmd_overlap(args) -> None:
     out = corpus_overlap(df, args.group_col, args.col,
                          n=args.ngram, k=args.k)
     if args.output:
+        # never collect the O(G^2) pair table when it goes to parquet
         out.write.mode("overwrite").parquet(args.output)
-        out = spark.read.parquet(args.output)
-    rows = out.orderBy("g_a", "g_b").collect()
-    print(json.dumps({"pairs": len(rows), "k": args.k,
+        n_pairs = spark.read.parquet(args.output).count()
+    else:
+        rows = out.orderBy("g_a", "g_b").collect()
+        n_pairs = len(rows)
+    print(json.dumps({"pairs": n_pairs, "k": args.k,
                       "ngram": args.ngram}), file=sys.stderr)
     if not args.output:
         for r in rows:

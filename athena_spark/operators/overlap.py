@@ -117,14 +117,20 @@ def corpus_overlap(
                 sa = load_summary(row["state_a"])
                 sb = load_summary(row["state_b"])
                 inter = sa.intersect(sb)
+                est_inter = float(inter.estimate())
+                est_union = float(sa.union_estimate(sb))
                 rows.append({
                     "g_a": row["g_a"],
                     "g_b": row["g_b"],
                     "est_a": float(sa.estimate()),
                     "est_b": float(sb.estimate()),
-                    "est_inter": float(inter.estimate()),
-                    "est_union": float(sa.union_estimate(sb)),
-                    "jaccard": float(sa.jaccard(sb)),
+                    "est_inter": est_inter,
+                    "est_union": est_union,
+                    # definitionally intersect/union at min-theta
+                    # (ThetaSketch.jaccard recomputes both sets) —
+                    # derive from the values above so the columns
+                    # can never drift apart
+                    "jaccard": est_inter / est_union if est_union else 0.0,
                     "theta_frac": float(inter.theta_frac),
                 })
             if rows:

@@ -221,3 +221,28 @@ def test_gram_hash_updater_short_docs_and_validation():
     assert sk.retained == 0    # no doc reaches 5 tokens: no grams
     with pytest.raises(ValueError, match=">= 1"):
         gram_hash_updater(0)
+
+
+def test_corpus_overlap_disjoint_and_sub_n_groups(spark):
+    """Groups sharing zero shingles (and a group whose docs are all
+    shorter than n) still yield one row per pair with jaccard 0 —
+    the shape the theta_overlap_langs gate's left joins rely on."""
+    from athena_spark.operators.overlap import corpus_overlap
+
+    rows = [(i, "aa", " ".join(f"tok{i}_{j}" for j in range(12)))
+            for i in range(5)]
+    rows += [(50 + i, "bb", " ".join(f"zz{i}_{j}" for j in range(12)))
+             for i in range(5)]
+    rows += [(99, "cc", "x y")]  # < n tokens: empty sketch
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string")
+    got = {(r["g_a"], r["g_b"]): r
+           for r in corpus_overlap(df, "lang", "text", n=3, k=64)
+           .collect()}
+    assert set(got) == {("aa", "bb"), ("aa", "cc"), ("bb", "cc")}
+    for r in got.values():
+        assert r["est_inter"] == 0.0
+        assert r["jaccard"] == 0.0
+    assert got[("aa", "bb")]["est_union"] == 100.0  # 2 x 5 x 10 grams
+    assert got[("aa", "cc")]["est_a"] == 50.0
+    assert got[("aa", "cc")]["est_b"] == 0.0
