@@ -1770,6 +1770,53 @@ def q_theta_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("g_a", "g_b", ok.alias("ok"))
 
 
+def q_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified Frequent Directions covariance sketch (Liberty 2013 /
+    GLPW16): the distributed ell=16 sketch of the 64-dim embedding
+    table (8 partitions -> real shrinking, then tree merge) must
+    satisfy FD's DETERMINISTIC guarantees against the exact Gram
+    computed distributed: A'A - B'B is PSD, its spectral norm is
+    within the sketch's own shrink certificate, the certificate is
+    within ||A||_F^2/ell, absorbed mass/row counts are exact, the top
+    eigenvalue estimate sits in [exact - certificate, exact], and the
+    bound survives a different partitioning (the bytes differ across
+    merge trees; the BOUND is the invariant)."""
+    from athena_spark.operators.matrixsketch import (
+        embedding_fd_sketch,
+        exact_gram,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    G, sq_frob, n = exact_gram(emb, "embedding")
+    sk, _ = embedding_fd_sketch(emb, "embedding", ell=16,
+                                num_partitions=8)
+    E = G - sk.cov()
+    eig_min = float(np.linalg.eigvalsh(E).min())
+    spec = float(np.linalg.norm(E, 2))
+    exact_top = float(np.linalg.eigvalsh(G).max())
+    top_val = float(sk.top_directions(1)[0][0])
+    sk2, _ = embedding_fd_sketch(emb, "embedding", ell=16,
+                                 num_partitions=2)
+    spec2 = float(np.linalg.norm(G - sk2.cov(), 2))
+    eps = 1e-8 * sq_frob
+    rows = [
+        ("underestimate_is_psd", bool(eig_min >= -eps)),
+        ("error_within_certificate",
+         bool(spec <= sk.shrink_total + eps)),
+        ("certificate_within_frob_over_ell",
+         bool(sk.shrink_total <= sq_frob / sk.ell + 1e-9)),
+        ("mass_and_rows_exact",
+         bool(sk.n_rows == n
+              and abs(sk.sq_frobenius - sq_frob) <= 1e-9 * sq_frob)),
+        ("top_eigenvalue_within_bound",
+         bool(exact_top - sk.shrink_total - eps
+              <= top_val <= exact_top + eps)),
+        ("bound_partitioning_independent",
+         bool(spec2 <= sk2.shrink_total + eps)),
+    ]
+    return spark.createDataFrame(rows, "`check` string, ok boolean")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (duplicate-line fraction, top
     bigram fraction, duplicate-trigram fraction) over a deterministic
@@ -2743,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "sample_per_group": q_sample_per_group,
         "theta_overlap_langs": q_theta_overlap_langs,
+        "fd_covariance": q_fd_covariance,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3289,6 +3337,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT lang FROM documents) a
             JOIN (SELECT DISTINCT lang FROM documents) b
               ON a.lang < b.lang
+        """,
+        "fd_covariance": """
+            SELECT 'underestimate_is_psd' AS "check", TRUE AS ok
+            UNION ALL SELECT 'error_within_certificate', TRUE
+            UNION ALL SELECT 'certificate_within_frob_over_ell', TRUE
+            UNION ALL SELECT 'mass_and_rows_exact', TRUE
+            UNION ALL SELECT 'top_eigenvalue_within_bound', TRUE
+            UNION ALL SELECT 'bound_partitioning_independent', TRUE
         """,
         "corpus_mix": f"""
             SELECT 'even' AS mix_source, 0 AS replica, doc_id

@@ -22,6 +22,7 @@ Subcommands:
 * ``shuffle``    — deterministic global training shuffle (id, pos)
 * ``quota-sample`` — exact per-group quota sampling (n rows/group)
 * ``overlap``    — theta-sketch pairwise corpus overlap (Jaccard)
+* ``fd``         — Frequent Directions covariance/PCA sketch report
 * ``decontaminate`` — n-gram benchmark decontamination
 * ``lm-score``   — bigram-LM perplexity quality scoring
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
@@ -152,6 +153,13 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="shingle width in words")
     ov.add_argument("--k", type=int, default=4096,
                     help="theta sketch size (RSE ~ 1/sqrt(k-1))")
+
+    fd = sub.add_parser("fd")
+    common(fd, output_help="dir for the serialized sketch (fd.bin)")
+    fd.add_argument("--ell", type=int, default=64,
+                    help="sketch rows; spectral error <= ||A||_F^2/ell")
+    fd.add_argument("--top", type=int, default=8,
+                    help="principal directions to report")
 
     dc = sub.add_parser("decontaminate")
     common(dc)
@@ -671,6 +679,36 @@ def cmd_overlap(args) -> None:
                   f'{r["est_union"]:.1f}\t{r["jaccard"]:.4f}')
 
 
+def cmd_fd(args) -> None:
+    """Frequent Directions sketch of a vector column: top-direction
+    spectrum report (JSON) to stdout; optional serialized sketch to
+    --output/fd.bin for later merges."""
+    from athena_spark.operators.matrixsketch import fd_spectrum_report
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    rows, sk, metrics = fd_spectrum_report(
+        df, args.col, ell=args.ell, top=args.top,
+        num_partitions=args.partitions,
+    )
+    print(json.dumps({
+        "ell": args.ell,
+        "d": sk.d,
+        "n_rows": sk.n_rows,
+        "sq_frobenius": sk.sq_frobenius,
+        "shrink_total": sk.shrink_total,
+        "worst_case_bound": (sk.worst_case_bound()
+                             if sk.n_rows else 0.0),
+        "spectrum": rows,
+        **{k: metrics[k] for k in ("n_partials", "wall_secs")},
+    }))
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "fd.bin"), "wb") as fh:
+            fh.write(sk.to_bytes())
+
+
 def cmd_decontaminate(args) -> None:
     """Drop corpus docs sharing any word n-gram with the benchmark;
     survivor counts go to stderr as JSON."""
@@ -995,6 +1033,7 @@ def main(argv=None) -> None:
         "shuffle": cmd_shuffle,
         "quota-sample": cmd_quota_sample,
         "overlap": cmd_overlap,
+        "fd": cmd_fd,
         "decontaminate": cmd_decontaminate,
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,

@@ -36,6 +36,7 @@ from athena_spark.functions.tokenize import arrow_token_counts
 from athena_spark.sketch import (
     BloomFilter,
     CountMinSketch,
+    FrequentDirections,
     HyperLogLog,
     KLL,
     SpaceSaving,
@@ -63,6 +64,7 @@ _LOADERS = {
     "bloom": BloomFilter.from_bytes,
     "reservoir": _reservoir_from_bytes,
     "theta": ThetaSketch.from_bytes,
+    "fd": FrequentDirections.from_bytes,
 }
 
 

@@ -1,0 +1,167 @@
+"""Distributed covariance/PCA over embedding columns via Frequent
+Directions.
+
+The question a 100 TB embedding store asks: "what are the principal
+directions (and how much mass do they explain)" — without shuffling a
+single vector.  Per-partition :class:`~athena_spark.sketch.fd.
+FrequentDirections` partials ride the existing ``sketch_partials`` →
+``tree_merge`` machinery (each summary is O(ell x d) floats regardless
+of row count), and the final (2*ell x d) SVD happens once on the
+driver.  The deterministic guarantee — ``A'A - B'B`` PSD with spectral
+norm at most ``||A||_F^2 / ell`` — survives any merge tree (GLPW16
+mergeability), so the estimate is partitioning-robust even though the
+sketch bytes are not bit-identical across merge orders (unlike theta:
+certify the BOUND, not the bytes).
+
+The exact twin :func:`exact_gram` computes ``A'A`` distributed —
+one d x d partial per partition, summed on the driver (the documented
+treeAggregate final-reduce shape, bounded by partitions x d^2
+doubles).  It is the certification oracle and the right tool when
+d is small; FD is the tool when d^2 outgrows a summary row or the
+top directions are wanted without a second eigen-pass.
+
+No reference counterpart (athena has no matrix operator); public
+basis: Liberty 2013 (KDD), Ghashami-Liberty-Phillips-Woodruff 2016
+(SIAM J. Comput.).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+
+from athena_spark.operators.agg import aggregate_sketch
+from athena_spark.sketch.fd import FrequentDirections
+
+
+def vectors_from_arrow(col: pa.Array) -> np.ndarray:
+    """Arrow ``list<float>`` column chunk → (n, d) float64 matrix.
+
+    Null rows are dropped (a missing vector contributes nothing to a
+    covariance); ragged widths raise — a covariance over mixed
+    dimensions is meaningless."""
+    if col.null_count:
+        col = col.drop_null()
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    lengths = pc.list_value_length(col).to_numpy()
+    d = int(lengths[0])
+    if (lengths != d).any():
+        raise ValueError(
+            f"ragged vector column: widths {sorted(set(lengths))[:4]}"
+        )
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(col), d)
+
+
+def fd_vector_updater(sketch: FrequentDirections, col: pa.Array) -> int:
+    """Updater for the ``sketch_partials`` contract: fold the batch's
+    vectors into the FD sketch; returns vectors absorbed."""
+    X = vectors_from_arrow(col)
+    sketch.absorb(X)
+    return int(X.shape[0])
+
+
+def embedding_fd_sketch(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    ell: int = 64,
+    num_partitions: int | None = None,
+    fanout: int = 32,
+):
+    """Distributed FD sketch of an embedding column.
+
+    Returns ``(FrequentDirections, metrics)`` — the metrics dict is
+    ``aggregate_sketch``'s (partials, rows, wall)."""
+    return aggregate_sketch(
+        df,
+        vec_col,
+        lambda pid: FrequentDirections(ell),
+        updater=fd_vector_updater,
+        fanout=fanout,
+        num_partitions=num_partitions,
+    )
+
+
+def exact_gram(df: DataFrame, vec_col: str = "embedding"):
+    """Exact ``A'A`` plus ``(||A||_F^2, n_rows)``, distributed.
+
+    One flattened d x d partial per partition; the final reduce sums
+    the bounded partials on the driver (partitions x d^2 doubles) —
+    certification tooling and the small-d exact path."""
+    col_name = vec_col
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        G = None
+        n = 0
+        for batch in batches:
+            X = vectors_from_arrow(
+                batch.column(batch.schema.get_field_index(col_name))
+            )
+            if X.shape[0] == 0:
+                continue
+            if G is None:
+                G = np.zeros((X.shape[1], X.shape[1]), dtype=np.float64)
+            elif X.shape[1] != G.shape[0]:
+                raise ValueError(
+                    f"vector width changed across batches: "
+                    f"{X.shape[1]} != {G.shape[0]}"
+                )
+            G += X.T @ X
+            n += X.shape[0]
+        if G is not None:
+            yield pa.RecordBatch.from_pydict({
+                "d": pa.array([G.shape[0]], pa.int64()),
+                "gram": pa.array([G.ravel()], pa.list_(pa.float64())),
+                "n_rows": pa.array([n], pa.int64()),
+            })
+
+    partials = df.select(col_name).mapInArrow(
+        fold, "d long, gram array<double>, n_rows long"
+    ).collect()
+    if not partials:
+        return np.zeros((0, 0), dtype=np.float64), 0.0, 0
+    d = partials[0]["d"]
+    if any(r["d"] != d for r in partials):
+        raise ValueError("vector width differs across partitions")
+    G = np.zeros((d, d), dtype=np.float64)
+    n_rows = 0
+    for r in partials:
+        G += np.asarray(r["gram"], dtype=np.float64).reshape(d, d)
+        n_rows += r["n_rows"]
+    return G, float(np.trace(G)), n_rows
+
+
+def fd_spectrum_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    ell: int = 64,
+    top: int = 8,
+    num_partitions: int | None = None,
+):
+    """Top-``top`` approximate principal directions of the embedding
+    column: list of dicts (rank, sq_singular_value, explained_frac,
+    bound_frac) plus the sketch itself.  ``explained_frac`` is the
+    direction's share of total squared mass; ``bound_frac`` the
+    worst-case underestimate share (``1/ell``) for calibration."""
+    sk, metrics = embedding_fd_sketch(
+        df, vec_col, ell=ell, num_partitions=num_partitions
+    )
+    if sk.n_rows == 0:
+        return [], sk, metrics
+    vals, _ = sk.top_directions(top)
+    total = sk.sq_frobenius
+    rows = [
+        {
+            "rank": i,
+            "sq_singular_value": float(v),
+            "explained_frac": float(v / total) if total else 0.0,
+            "bound_frac": 1.0 / sk.ell,
+        }
+        for i, v in enumerate(vals)
+    ]
+    return rows, sk, metrics

@@ -7,6 +7,7 @@ from athena_spark.sketch.tdigest import TDigest
 from athena_spark.sketch.bloom import BloomFilter
 from athena_spark.sketch.reservoir import ReservoirSampler
 from athena_spark.sketch.theta import ThetaSketch
+from athena_spark.sketch.fd import FrequentDirections
 from athena_spark.sketch.normalizer import ExponentCountNormalizer
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "BloomFilter",
     "ReservoirSampler",
     "ThetaSketch",
+    "FrequentDirections",
     "ExponentCountNormalizer",
 ]

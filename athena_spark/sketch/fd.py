@@ -1,0 +1,237 @@
+"""Frequent Directions — mergeable MATRIX sketch (covariance/PCA).
+
+Not in the reference (athena has no matrix/covariance operator); added
+under the north rule's mergeable-summaries family as its matrix
+member.  Follows Liberty 2013 ("Simple and Deterministic Matrix
+Sketching", KDD) with the mergeability and error analysis of
+Ghashami, Liberty, Phillips, Woodruff 2016 ("Frequent Directions:
+Simple and Deterministic Matrix Sketching", SIAM J. Comput.): maintain
+``ell`` orthogonal-ish rows ``B`` such that for the row stream ``A``
+
+    0  <=  x' (A'A - B'B) x  <=  ||A||_F^2 / ell     for unit x,
+
+i.e. ``B'B`` underestimates the Gram/covariance matrix by at most the
+average squared row mass — a DETERMINISTIC bound, no randomness, no
+failure probability.  Tightened form (their Thm 1.1, any k < ell):
+``||A'A - B'B||_2 <= ||A - A_k||_F^2 / (ell - k)``, so a spectrum
+with a strong top-k component is captured nearly exactly.
+
+This is the analytics primitive for "what are the principal
+directions of 10^12 embedding vectors": per-partition sketches are
+O(ell x d) floats regardless of row count, merge associatively by
+absorbing the other sketch's rows (the shrink potential argument is
+oblivious to whether a row came from data or from a partial sketch —
+GLPW16 §3), and the final ``cov()``/``top_directions()`` come from one
+(2*ell x d) SVD on the driver.  The exact twin shuffles a d x d Gram
+per partition; FD keeps the same shape but bounds the summary by
+``ell`` even when d is large, and unlike the exact Gram it directly
+yields the top singular vectors without a second pass.
+
+Shrink step: with buffer 2*ell full, SVD, subtract
+``delta = s[ell]^2`` (the (ell+1)-th squared singular value) from
+every squared singular value, keep the ``ell`` largest — each shrink
+charges ``delta`` to the bound certificate ``shrink_total`` while
+removing ``>= (ell+1) * delta`` of Frobenius mass, which is what
+proves ``shrink_total <= ||A||_F^2 / (ell + 1)``.  ``shrink_total``
+(the sketch's own, tighter certificate) and the worst-case
+``sq_frobenius / ell`` are both exposed; tests and the driver gate
+certify against BOTH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+
+
+class FrequentDirections:
+    """Liberty's FD sketch over rows of a tall matrix.
+
+    ``d`` may be ``None`` (lazy): fixed by the first absorbed batch —
+    convenient for factories that cannot see the data's width.
+    """
+
+    __slots__ = ("ell", "d", "_B", "_m", "_sq_frob", "_n_rows",
+                 "_shrink_total")
+
+    def __init__(self, ell: int = 64, d: int | None = None):
+        if ell < 2:
+            raise ValueError("ell must be >= 2")
+        self.ell = int(ell)
+        self.d = None if d is None else int(d)
+        self._B = (
+            None if self.d is None
+            else np.zeros((2 * self.ell, self.d), dtype=np.float64)
+        )
+        self._m = 0              # buffer rows in use
+        self._sq_frob = 0.0      # total ||A||_F^2 absorbed
+        self._n_rows = 0
+        self._shrink_total = 0.0  # sum of shrink deltas (bound cert.)
+
+    # -- properties --------------------------------------------------------
+
+    @property
+    def n_rows(self) -> int:
+        return self._n_rows
+
+    @property
+    def sq_frobenius(self) -> float:
+        """Exact ``||A||_F^2`` of everything absorbed (additive)."""
+        return self._sq_frob
+
+    @property
+    def shrink_total(self) -> float:
+        """The sketch's own bound certificate: ``A'A - B'B`` is PSD
+        with spectral norm at most this (sum of shrink deltas)."""
+        return self._shrink_total
+
+    def worst_case_bound(self) -> float:
+        """Data-oblivious bound ``||A||_F^2 / ell``; ``shrink_total``
+        is always at least as tight (``<= sq_frobenius/(ell+1)``)."""
+        return self._sq_frob / self.ell
+
+    # -- updates -----------------------------------------------------------
+
+    def _init_width(self, d: int) -> None:
+        self.d = int(d)
+        self._B = np.zeros((2 * self.ell, self.d), dtype=np.float64)
+
+    def absorb(self, rows: np.ndarray) -> None:
+        """Fold a batch of rows (2-D float array, one vector each)."""
+        X = np.ascontiguousarray(rows, dtype=np.float64)
+        if X.ndim != 2:
+            raise ValueError(f"expected 2-D row batch, got {X.ndim}-D")
+        if X.shape[0] == 0:
+            return
+        if self.d is None:
+            self._init_width(X.shape[1])
+        if X.shape[1] != self.d:
+            raise ValueError(
+                f"row width {X.shape[1]} != sketch width {self.d}"
+            )
+        self._sq_frob += float(np.einsum("ij,ij->", X, X))
+        self._n_rows += int(X.shape[0])
+        cap = self._B.shape[0]
+        pos = 0
+        while pos < X.shape[0]:
+            take = min(cap - self._m, X.shape[0] - pos)
+            self._B[self._m : self._m + take] = X[pos : pos + take]
+            self._m += take
+            pos += take
+            if self._m == cap:
+                self._shrink()
+
+    def _shrink(self) -> None:
+        """SVD the buffer, subtract the (ell+1)-th squared singular
+        value from the spectrum, keep the top ``ell`` rows."""
+        s, Vt = np.linalg.svd(
+            self._B[: self._m], full_matrices=False
+        )[1:]
+        if s.size <= self.ell:
+            # width-limited (d <= ell): spectrum already fits, just
+            # re-pack the buffer as diag(s) Vt with no mass loss
+            self._B[: s.size] = s[:, None] * Vt
+            self._B[s.size : self._m] = 0.0
+            self._m = int(s.size)
+            return
+        delta = float(s[self.ell] ** 2)
+        kept = np.sqrt(np.maximum(s[: self.ell] ** 2 - delta, 0.0))
+        self._B[: self.ell] = kept[:, None] * Vt[: self.ell]
+        self._B[self.ell : self._m] = 0.0
+        self._m = self.ell
+        self._shrink_total += delta
+
+    # -- merge -------------------------------------------------------------
+
+    def merge(self, other: "FrequentDirections") -> "FrequentDirections":
+        """Fold ``other`` into the RECEIVER (mirrors
+        ``SpaceSaving.merge``).  The result's deterministic bound is
+        the sum of the inputs' certificates plus any new shrinks —
+        still ``<= (||A1||_F^2 + ||A2||_F^2) / ell`` (GLPW16 §3
+        mergeability: sketch rows are as good as data rows)."""
+        if other.ell != self.ell:
+            raise ValueError(
+                f"cannot merge FD sketches with different ell "
+                f"({self.ell} != {other.ell})"
+            )
+        if other.d is None:
+            return self
+        if self.d is None:
+            self._init_width(other.d)
+        if other.d != self.d:
+            raise ValueError(
+                f"cannot merge FD sketches with different d "
+                f"({self.d} != {other.d})"
+            )
+        # other's ORIGINAL absorbed mass/rows carry over, not its
+        # sketch rows' (absorb() would count the compressed buffer)
+        sq = self._sq_frob + other._sq_frob
+        nr = self._n_rows + other._n_rows
+        self.absorb(other._B[: other._m])
+        self._sq_frob = sq
+        self._n_rows = nr
+        self._shrink_total += other._shrink_total
+        return self
+
+    # -- estimates ---------------------------------------------------------
+
+    def rows(self) -> np.ndarray:
+        """The current sketch rows (<= 2*ell x d)."""
+        if self._B is None:
+            return np.zeros((0, 0), dtype=np.float64)
+        return self._B[: self._m].copy()
+
+    def cov(self) -> np.ndarray:
+        """``B'B`` — the Gram/scatter estimate (d x d, PSD,
+        underestimates ``A'A`` by at most ``shrink_total`` per unit
+        direction)."""
+        if self._B is None:
+            raise ValueError("empty sketch has no width yet")
+        B = self._B[: self._m]
+        return B.T @ B
+
+    def top_directions(self, r: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-``r`` (squared singular values, right singular vectors)
+        of the sketch — the approximate principal directions of the
+        absorbed rows (not mean-centered; center upstream for PCA
+        proper)."""
+        if self._B is None:
+            raise ValueError("empty sketch has no width yet")
+        s, Vt = np.linalg.svd(
+            self._B[: self._m], full_matrices=False
+        )[1:]
+        r = min(int(r), s.size)
+        return (s[:r] ** 2).copy(), Vt[:r].copy()
+
+    # -- serialization -----------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return serialization.dumps(
+            {
+                "algo": "fd",
+                "ell": self.ell,
+                "d": -1 if self.d is None else self.d,
+                "sq_frob": self._sq_frob,
+                "n_rows": self._n_rows,
+                "shrink_total": self._shrink_total,
+            },
+            {"B": (np.zeros((0, 0)) if self._B is None
+                   else self._B[: self._m])},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "FrequentDirections":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "fd":
+            raise ValueError("not a frequent-directions summary")
+        d = None if scalars["d"] < 0 else int(scalars["d"])
+        sk = cls(scalars["ell"], d=d)
+        B = np.asarray(arrays["B"], dtype=np.float64)
+        if d is not None and B.size:
+            sk._B[: B.shape[0]] = B
+            sk._m = int(B.shape[0])
+        sk._sq_frob = float(scalars["sq_frob"])
+        sk._n_rows = int(scalars["n_rows"])
+        sk._shrink_total = float(scalars["shrink_total"])
+        return sk

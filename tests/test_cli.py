@@ -586,3 +586,21 @@ def test_cli_overlap(spark, sf_dir, tmp_path, capsys):
     row = got.collect()[0]
     assert 0.0 <= row["jaccard"] <= 1.0
     assert row["est_inter"] <= row["est_union"] + 1e-9
+
+
+def test_cli_fd(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "fd_out")
+    main(["fd", "--input", f"{sf_dir}/embeddings.parquet",
+          "--col", "embedding", "--ell", "16", "--top", "4",
+          "--output", out])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["d"] == 64
+    assert rep["n_rows"] > 0
+    assert len(rep["spectrum"]) == 4
+    assert rep["shrink_total"] <= rep["worst_case_bound"] + 1e-9
+    from athena_spark.operators.agg import load_summary
+
+    with open(f"{out}/fd.bin", "rb") as fh:
+        sk = load_summary(fh.read())
+    assert sk.n_rows == rep["n_rows"]
+    assert sk.ell == 16

@@ -1,0 +1,209 @@
+"""Frequent Directions matrix sketch: exact mode, deterministic error
+bound, spiked-spectrum recovery, mergeability, serialization, and the
+distributed operator (Liberty 2013 / GLPW16)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from athena_spark.sketch.fd import FrequentDirections
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def _spec_norm(M):
+    return float(np.linalg.norm(M, 2))
+
+
+# -- exact mode ------------------------------------------------------------
+
+
+def test_exact_when_rows_fit_buffer():
+    X = _rng(1).normal(size=(20, 6))
+    sk = FrequentDirections(ell=16)
+    sk.absorb(X)
+    # 20 rows < 2*ell: no shrink ever ran, B'B is exactly A'A
+    assert sk.shrink_total == 0.0
+    np.testing.assert_allclose(sk.cov(), X.T @ X, rtol=1e-12)
+    assert sk.n_rows == 20
+    assert sk.sq_frobenius == pytest.approx(float((X * X).sum()))
+
+
+def test_width_limited_shrink_is_lossless():
+    # d <= ell: the SVD re-pack never discards mass
+    X = _rng(2).normal(size=(500, 4))
+    sk = FrequentDirections(ell=8)
+    sk.absorb(X)
+    assert sk.shrink_total == 0.0
+    np.testing.assert_allclose(sk.cov(), X.T @ X, rtol=1e-9, atol=1e-9)
+
+
+# -- error bound -----------------------------------------------------------
+
+
+def test_deterministic_error_bound_random_matrix():
+    X = _rng(3).normal(size=(2000, 32))
+    sk = FrequentDirections(ell=8)
+    for i in range(0, 2000, 64):  # uneven batching
+        sk.absorb(X[i : i + 64])
+    E = X.T @ X - sk.cov()
+    sq_frob = float((X * X).sum())
+    # heavy compression actually happened
+    assert sk.shrink_total > 0.0
+    # A'A - B'B is PSD ...
+    assert float(np.linalg.eigvalsh(E).min()) >= -1e-8 * sq_frob
+    # ... with spectral norm under BOTH certificates
+    assert _spec_norm(E) <= sk.shrink_total + 1e-8 * sq_frob
+    assert sk.shrink_total <= sq_frob / (sk.ell + 1) + 1e-9
+    assert sk.worst_case_bound() == pytest.approx(sq_frob / 8)
+    # Frobenius mass only shrinks
+    assert float(np.trace(sk.cov())) <= sq_frob + 1e-9
+
+
+def test_spiked_spectrum_top_direction_recovered():
+    rng = _rng(4)
+    u = rng.normal(size=16)
+    u /= np.linalg.norm(u)
+    # strong rank-1 spike + small noise: ||A - A_1||_F^2 is tiny, so
+    # the (ell-k) bound makes the top direction near-exact
+    X = 10.0 * rng.normal(size=(3000, 1))[:, 0:1] * u[None, :]
+    X = X + 0.1 * rng.normal(size=(3000, 16))
+    sk = FrequentDirections(ell=4)
+    sk.absorb(X)
+    vals, vecs = sk.top_directions(1)
+    align = abs(float(vecs[0] @ u))
+    assert align > 0.999
+    exact_top = float(np.linalg.eigvalsh(X.T @ X).max())
+    assert vals[0] == pytest.approx(exact_top, rel=0.05)
+
+
+# -- merge -----------------------------------------------------------------
+
+
+def test_merge_bound_and_scalars():
+    X = _rng(5).normal(size=(1200, 24))
+    parts = np.array_split(X, 7)
+    sketches = []
+    for p in parts:
+        s = FrequentDirections(ell=10)
+        s.absorb(p)
+        sketches.append(s)
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.merge(s)
+    sq_frob = float((X * X).sum())
+    assert merged.n_rows == 1200
+    assert merged.sq_frobenius == pytest.approx(sq_frob, rel=1e-12)
+    E = X.T @ X - merged.cov()
+    assert float(np.linalg.eigvalsh(E).min()) >= -1e-8 * sq_frob
+    assert _spec_norm(E) <= merged.shrink_total + 1e-8 * sq_frob
+    assert merged.shrink_total <= merged.worst_case_bound() + 1e-9
+
+
+def test_merge_empty_and_mismatch():
+    a = FrequentDirections(ell=8)
+    b = FrequentDirections(ell=8)
+    b.absorb(_rng(6).normal(size=(5, 3)))
+    # empty receiver adopts the donor's width
+    a.merge(b)
+    assert a.d == 3 and a.n_rows == 5
+    # empty donor is a no-op
+    n = a.n_rows
+    a.merge(FrequentDirections(ell=8))
+    assert a.n_rows == n
+    with pytest.raises(ValueError, match="different ell"):
+        a.merge(FrequentDirections(ell=16))
+    c = FrequentDirections(ell=8)
+    c.absorb(_rng(7).normal(size=(2, 9)))
+    with pytest.raises(ValueError, match="different d"):
+        a.merge(c)
+
+
+# -- validation / serialization -------------------------------------------
+
+
+def test_validation():
+    with pytest.raises(ValueError, match=">= 2"):
+        FrequentDirections(ell=1)
+    sk = FrequentDirections(ell=4, d=3)
+    with pytest.raises(ValueError, match="2-D"):
+        sk.absorb(np.zeros(3))
+    with pytest.raises(ValueError, match="width"):
+        sk.absorb(np.zeros((2, 5)))
+    empty = FrequentDirections(ell=4)
+    with pytest.raises(ValueError, match="no width"):
+        empty.cov()
+
+
+def test_serialization_roundtrip():
+    from athena_spark.operators.agg import load_summary
+
+    sk = FrequentDirections(ell=6)
+    sk.absorb(_rng(8).normal(size=(200, 12)))
+    back = load_summary(sk.to_bytes())
+    assert isinstance(back, FrequentDirections)
+    np.testing.assert_array_equal(back.rows(), sk.rows())
+    assert back.sq_frobenius == sk.sq_frobenius
+    assert back.n_rows == sk.n_rows
+    assert back.shrink_total == sk.shrink_total
+    # empty sketch round-trips too (no width yet)
+    e = load_summary(FrequentDirections(ell=6).to_bytes())
+    assert e.d is None and e.n_rows == 0
+
+
+# -- arrow conversion ------------------------------------------------------
+
+
+def test_vectors_from_arrow():
+    from athena_spark.operators.matrixsketch import vectors_from_arrow
+
+    col = pa.array([[1.0, 2.0], [3.0, 4.0], None], pa.list_(pa.float32()))
+    X = vectors_from_arrow(col)
+    np.testing.assert_allclose(X, [[1, 2], [3, 4]])
+    assert X.dtype == np.float64
+    with pytest.raises(ValueError, match="ragged"):
+        vectors_from_arrow(pa.array([[1.0], [1.0, 2.0]]))
+    assert vectors_from_arrow(pa.array([], pa.list_(pa.float32()))).size == 0
+
+
+# -- distributed operator --------------------------------------------------
+
+
+def test_embedding_fd_sketch_distributed(spark, sf_dir):
+    from athena_spark.operators.matrixsketch import (
+        embedding_fd_sketch,
+        exact_gram,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    G, sq_frob, n = exact_gram(emb, "embedding")
+    sk, metrics = embedding_fd_sketch(
+        emb, "embedding", ell=16, num_partitions=8
+    )
+    assert sk.n_rows == n == metrics["n_values"]
+    assert sk.sq_frobenius == pytest.approx(sq_frob, rel=1e-9)
+    E = G - sk.cov()
+    assert float(np.linalg.eigvalsh(E).min()) >= -1e-8 * sq_frob
+    assert _spec_norm(E) <= sk.shrink_total + 1e-8 * sq_frob
+    assert sk.shrink_total <= sk.worst_case_bound() + 1e-9
+
+    # the BOUND is partitioning-independent (the bytes need not be)
+    sk2, _ = embedding_fd_sketch(
+        emb, "embedding", ell=16, num_partitions=2
+    )
+    E2 = G - sk2.cov()
+    assert _spec_norm(E2) <= sk2.worst_case_bound() + 1e-8 * sq_frob
+
+
+def test_fd_spectrum_report(spark, sf_dir):
+    from athena_spark.operators.matrixsketch import fd_spectrum_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows, sk, _ = fd_spectrum_report(emb, "embedding", ell=32, top=4)
+    assert [r["rank"] for r in rows] == [0, 1, 2, 3]
+    vals = [r["sq_singular_value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(0.0 <= r["explained_frac"] <= 1.0 for r in rows)
+    assert rows[0]["bound_frac"] == pytest.approx(1 / 32)
