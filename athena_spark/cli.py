@@ -156,6 +156,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     fd = sub.add_parser("fd")
     common(fd, output_help="dir for the serialized sketch (fd.bin)")
+    fd.set_defaults(col="embedding")  # common()'s "content" is text
     fd.add_argument("--ell", type=int, default=64,
                     help="sketch rows; spectral error <= ||A||_F^2/ell")
     fd.add_argument("--top", type=int, default=8,
@@ -698,8 +699,7 @@ def cmd_fd(args) -> None:
         "n_rows": sk.n_rows,
         "sq_frobenius": sk.sq_frobenius,
         "shrink_total": sk.shrink_total,
-        "worst_case_bound": (sk.worst_case_bound()
-                             if sk.n_rows else 0.0),
+        "worst_case_bound": sk.worst_case_bound(),
         "spectrum": rows,
         **{k: metrics[k] for k in ("n_partials", "wall_secs")},
     }))

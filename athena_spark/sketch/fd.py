@@ -165,10 +165,12 @@ class FrequentDirections:
                 f"({self.d} != {other.d})"
             )
         # other's ORIGINAL absorbed mass/rows carry over, not its
-        # sketch rows' (absorb() would count the compressed buffer)
+        # sketch rows' (absorb() would count the compressed buffer).
+        # Copy the donor rows: a self-merge (or buffer-sharing view)
+        # would otherwise read rows a mid-absorb shrink just rewrote.
         sq = self._sq_frob + other._sq_frob
         nr = self._n_rows + other._n_rows
-        self.absorb(other._B[: other._m])
+        self.absorb(other._B[: other._m].copy())
         self._sq_frob = sq
         self._n_rows = nr
         self._shrink_total += other._shrink_total

@@ -207,3 +207,17 @@ def test_fd_spectrum_report(spark, sf_dir):
     assert vals == sorted(vals, reverse=True)
     assert all(0.0 <= r["explained_frac"] <= 1.0 for r in rows)
     assert rows[0]["bound_frac"] == pytest.approx(1 / 32)
+
+
+def test_self_merge_matches_independent_clone_merge():
+    # merge() must copy the donor's rows: a self-merge would
+    # otherwise read buffer rows a mid-absorb shrink just rewrote
+    X = _rng(9).normal(size=(100, 32))
+    a = FrequentDirections(ell=8)
+    a.absorb(X)
+    clone = FrequentDirections.from_bytes(a.to_bytes())
+    want = FrequentDirections.from_bytes(a.to_bytes()).merge(clone)
+    a.merge(a)
+    np.testing.assert_allclose(a.cov(), want.cov(), rtol=1e-12)
+    assert a.n_rows == want.n_rows == 200
+    assert a.sq_frobenius == pytest.approx(want.sq_frobenius)
