@@ -1770,6 +1770,63 @@ def q_theta_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("g_a", "g_b", ok.alias("ok"))
 
 
+def q_countsketch_lang_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified count-sketch distribution similarity (Charikar et
+    al. 2002 / AMS 1996): for every lang pair, the sketch's
+    inner-product and second-moment estimates of the token-count
+    vectors must sit within 4 per-row standard errors
+    (sqrt(2/width), median of depth=7 rows — a generous 4-sigma on
+    an already-concentrated estimator) of the exact values computed
+    from the JVM-tokenized counts.  All invariants Spark-side; the
+    oracle pins the expected TRUE row per pair."""
+    from athena_spark.functions.tokenize import tokens_col
+    from athena_spark.operators.overlap import distribution_similarity
+
+    docs = _docs(spark, sf_dir)
+    width = 1024
+    est = distribution_similarity(docs, "lang", "text",
+                                  depth=7, width=width)
+    counts = (
+        docs.select("lang", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sides = counts.groupBy("lang").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"))
+    inner = (
+        counts.alias("x")
+        .join(
+            counts.alias("y"),
+            (F.col("x.token") == F.col("y.token"))
+            & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(F.col("x.lang").alias("g_a"),
+                 F.col("y.lang").alias("g_b"))
+        .agg(F.sum(F.col("x.cnt") * F.col("y.cnt")).alias("exact_inner"))
+    )
+    tol = 4.0 * (2.0 / width) ** 0.5
+    joined = (
+        est.join(inner, ["g_a", "g_b"], "left")
+        .join(sides.withColumnRenamed("lang", "g_a")
+                   .withColumnRenamed("exact_f2", "exact_f2_a"),
+              "g_a", "left")
+        .join(sides.withColumnRenamed("lang", "g_b")
+                   .withColumnRenamed("exact_f2", "exact_f2_b"),
+              "g_b", "left")
+        .fillna(0, ["exact_inner", "exact_f2_a", "exact_f2_b"])
+    )
+    ok = (
+        (F.abs(F.col("est_inner") - F.col("exact_inner"))
+         <= tol * F.sqrt(F.col("exact_f2_a") * F.col("exact_f2_b"))
+         + F.lit(1.0))
+        & (F.abs(F.col("est_f2_a") - F.col("exact_f2_a"))
+           <= tol * F.col("exact_f2_a") + F.lit(1.0))
+        & (F.abs(F.col("est_f2_b") - F.col("exact_f2_b"))
+           <= tol * F.col("exact_f2_b") + F.lit(1.0))
+    )
+    return joined.select("g_a", "g_b", ok.alias("ok"))
+
+
 def q_fd_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified Frequent Directions covariance sketch (Liberty 2013 /
     GLPW16): the distributed ell=16 sketch of the 64-dim embedding
@@ -2791,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "theta_overlap_langs": q_theta_overlap_langs,
         "fd_covariance": q_fd_covariance,
+        "countsketch_lang_cosine": q_countsketch_lang_cosine,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3333,6 +3391,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank < {_QUOTA_N}
         """,
         "theta_overlap_langs": """
+            SELECT a.lang AS g_a, b.lang AS g_b, TRUE AS ok
+            FROM (SELECT DISTINCT lang FROM documents) a
+            JOIN (SELECT DISTINCT lang FROM documents) b
+              ON a.lang < b.lang
+        """,
+        "countsketch_lang_cosine": """
             SELECT a.lang AS g_a, b.lang AS g_b, TRUE AS ok
             FROM (SELECT DISTINCT lang FROM documents) a
             JOIN (SELECT DISTINCT lang FROM documents) b

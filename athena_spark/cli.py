@@ -153,6 +153,15 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="shingle width in words")
     ov.add_argument("--k", type=int, default=4096,
                     help="theta sketch size (RSE ~ 1/sqrt(k-1))")
+    ov.add_argument("--freq", action="store_true",
+                    help="frequency-weighted (count-sketch) cosine of "
+                         "token-count profiles instead of "
+                         "distinct-shingle (theta) overlap")
+    ov.add_argument("--depth", type=int, default=7,
+                    help="count-sketch rows (--freq mode)")
+    ov.add_argument("--width", type=int, default=4096,
+                    help="count-sketch columns (--freq mode); "
+                         "per-row RSE ~ sqrt(2/width)")
 
     fd = sub.add_parser("fd")
     common(fd, output_help="dir for the serialized sketch (fd.bin)")
@@ -655,16 +664,25 @@ def cmd_quota_sample(args) -> None:
 
 
 def cmd_overlap(args) -> None:
-    """Pairwise distinct-shingle overlap between the values of
-    --group-col via theta sketches; the pair table goes to stdout
-    (or --output parquet), a summary JSON to stderr."""
-    from athena_spark.operators.overlap import corpus_overlap
+    """Pairwise overlap between the values of --group-col: theta
+    distinct-shingle overlap by default, count-sketch token-profile
+    cosine with --freq; the pair table goes to stdout (or --output
+    parquet), a summary JSON to stderr."""
+    from athena_spark.operators.overlap import (corpus_overlap,
+                                                distribution_similarity)
     from athena_spark.sources.corpus import read_corpus
 
     spark = _spark(args)
     df = read_corpus(spark, args.input, fmt=args.format)
-    out = corpus_overlap(df, args.group_col, args.col,
-                         n=args.ngram, k=args.k)
+    if args.freq:
+        out = distribution_similarity(df, args.group_col, args.col,
+                                      depth=args.depth, width=args.width)
+        report = {"mode": "freq", "depth": args.depth,
+                  "width": args.width}
+    else:
+        out = corpus_overlap(df, args.group_col, args.col,
+                             n=args.ngram, k=args.k)
+        report = {"mode": "set", "k": args.k, "ngram": args.ngram}
     if args.output:
         # never collect the O(G^2) pair table when it goes to parquet
         out.write.mode("overwrite").parquet(args.output)
@@ -672,12 +690,15 @@ def cmd_overlap(args) -> None:
     else:
         rows = out.orderBy("g_a", "g_b").collect()
         n_pairs = len(rows)
-    print(json.dumps({"pairs": n_pairs, "k": args.k,
-                      "ngram": args.ngram}), file=sys.stderr)
+    print(json.dumps({"pairs": n_pairs, **report}), file=sys.stderr)
     if not args.output:
         for r in rows:
-            print(f'{r["g_a"]}\t{r["g_b"]}\t{r["est_inter"]:.1f}\t'
-                  f'{r["est_union"]:.1f}\t{r["jaccard"]:.4f}')
+            if args.freq:
+                print(f'{r["g_a"]}\t{r["g_b"]}\t{r["est_inner"]:.1f}\t'
+                      f'{r["cosine"]:.4f}')
+            else:
+                print(f'{r["g_a"]}\t{r["g_b"]}\t{r["est_inter"]:.1f}\t'
+                      f'{r["est_union"]:.1f}\t{r["jaccard"]:.4f}')
 
 
 def cmd_fd(args) -> None:

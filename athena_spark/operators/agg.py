@@ -36,6 +36,7 @@ from athena_spark.functions.tokenize import arrow_token_counts
 from athena_spark.sketch import (
     BloomFilter,
     CountMinSketch,
+    CountSketch,
     FrequentDirections,
     HyperLogLog,
     KLL,
@@ -65,6 +66,7 @@ _LOADERS = {
     "reservoir": _reservoir_from_bytes,
     "theta": ThetaSketch.from_bytes,
     "fd": FrequentDirections.from_bytes,
+    "countsketch": CountSketch.from_bytes,
 }
 
 

@@ -13,7 +13,10 @@ pairwise stage is O(G² × k) for G groups, independent of data volume.
 
 No reference counterpart (athena has no set-expression operator);
 theta set algebra follows Dasgupta et al. 2016 (see
-``sketch/theta.py``).  The shingle fold is the shared pre-mixed XOR
+``sketch/theta.py``).  :func:`distribution_similarity` is the
+frequency-weighted twin (count-sketch inner products, see
+``sketch/countsketch.py``): same grouped-summary shape, but it
+compares token-count PROFILES where theta compares distinct SETS.  The shingle fold is the shared pre-mixed XOR
 kernel (``hashing.fold_gram_hashes``) — bit-identical grams to the
 MinHash/decontamination paths, so overlap numbers are directly
 comparable with near-dup candidates.
@@ -132,6 +135,96 @@ def corpus_overlap(
                     # can never drift apart
                     "jaccard": est_inter / est_union if est_union else 0.0,
                     "theta_frac": float(inter.theta_frac),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return pairs.mapInPandas(report, out_schema)
+
+
+DIST_PAIR_SCHEMA = (
+    "est_inner double, est_f2_a double, est_f2_b double, "
+    "cosine double, rse double"
+)
+
+
+def group_count_sketches(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    depth: int = 7,
+    width: int = 4096,
+) -> DataFrame:
+    """One count sketch of the token-frequency vector per group:
+    ``(group, state binary, n_values long)``."""
+    from athena_spark.operators.agg import token_counts_updater
+    from athena_spark.sketch.countsketch import CountSketch
+
+    return grouped_sketch_agg(
+        df, [group_col], text_col,
+        lambda: CountSketch(depth, width), token_counts_updater,
+    )
+
+
+def distribution_similarity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    depth: int = 7,
+    width: int = 4096,
+) -> DataFrame:
+    """Frequency-WEIGHTED pairwise similarity between groups — the
+    distributional twin of :func:`corpus_overlap`.
+
+    One row per unordered group pair: the unbiased inner-product
+    estimate of the two token-count vectors, each side's second
+    moment (``||a||_2^2``), the cosine, and the per-row RSE
+    ``sqrt(2/width)`` for error bars.  Theta answers "how many
+    distinct shingles do A and B share"; this answers "how similar
+    are their token frequency PROFILES" — a shard dominated by one
+    duplicated document and a diverse shard can have identical
+    distinct sets but very different profiles.
+
+    Scale shape identical to ``corpus_overlap``: grouped summaries
+    are the only wide stage (O(G x P x depth x width) bytes), the
+    pair stage is O(G^2) summary algebra, text never shuffles.  The
+    count sketch is linear, so the grouped merge is byte-identical
+    across any merge tree.
+    """
+    grouped = group_count_sketches(
+        df, group_col, text_col, depth=depth, width=width
+    )
+    a = grouped.select(
+        F.col(group_col).alias("g_a"), F.col("state").alias("state_a")
+    )
+    b = grouped.select(
+        F.col(group_col).alias("g_b"), F.col("state").alias("state_b")
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+
+    group_type = df.select(group_col).schema[0].dataType.simpleString()
+    out_schema = f"g_a {group_type}, g_b {group_type}, {DIST_PAIR_SCHEMA}"
+
+    def report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.to_dict("records"):
+                sa = load_summary(row["state_a"])
+                sb = load_summary(row["state_b"])
+                est_inner = sa.inner(sb)
+                f2a, f2b = sa.f2(), sb.f2()
+                denom = f2a * f2b
+                rows.append({
+                    "g_a": row["g_a"],
+                    "g_b": row["g_b"],
+                    "est_inner": est_inner,
+                    "est_f2_a": f2a,
+                    "est_f2_b": f2b,
+                    "cosine": (
+                        float(np.clip(est_inner / np.sqrt(denom), -1, 1))
+                        if denom > 0 else 0.0
+                    ),
+                    "rse": sa.rse,
                 })
             if rows:
                 yield pd.DataFrame(rows)

@@ -8,6 +8,7 @@ from athena_spark.sketch.bloom import BloomFilter
 from athena_spark.sketch.reservoir import ReservoirSampler
 from athena_spark.sketch.theta import ThetaSketch
 from athena_spark.sketch.fd import FrequentDirections
+from athena_spark.sketch.countsketch import CountSketch
 from athena_spark.sketch.normalizer import ExponentCountNormalizer
 
 __all__ = [
@@ -22,5 +23,6 @@ __all__ = [
     "ReservoirSampler",
     "ThetaSketch",
     "FrequentDirections",
+    "CountSketch",
     "ExponentCountNormalizer",
 ]

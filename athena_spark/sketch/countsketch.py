@@ -1,0 +1,175 @@
+"""Count sketch / AMS — linear frequency sketch with INNER PRODUCTS.
+
+Not in the reference; added under the north rule's mergeable-summaries
+family.  Charikar, Chen, Farach-Colton 2002 ("Finding Frequent Items
+in Data Streams") for the depth x width signed table; Alon, Matias,
+Szegedy 1996 for the F2 / inner-product estimator it generalizes.
+
+What count-min cannot do and count sketch can: the table is LINEAR in
+the input frequency vector (update adds ``sign * count``; merge is
+element-wise addition — exactly associative and commutative, so
+distributed merges are byte-identical across any merge tree).
+Row ``r`` of two sketches built with the same (depth, width) gives an
+unbiased estimate of the inner product ``<a, b>`` of the underlying
+count vectors, with variance ``<= 2 ||a||_2^2 ||b||_2^2 / width``;
+the median over the ``depth`` rows concentrates it.  That yields
+frequency-WEIGHTED corpus similarity (cosine of token-count vectors)
+between shards from O(depth x width) summaries — the distributional
+twin of the theta sketch's set-overlap estimates (``operators/
+overlap.py``): theta answers "how many distinct shingles do A and B
+share", count sketch answers "how similar are A's and B's token
+frequency profiles".  Point queries (``query``) are unbiased with
+``|est - true| <= 3 ||a||_2 / sqrt(width)`` per row w.h.p. — a
+two-sided guarantee where CMS only overestimates.
+
+Scale shape: fixed-size int64 table regardless of data volume; rides
+``grouped_sketch_agg`` / ``sketch_partials`` unmodified via
+``update_counts``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+from athena_spark.sketch.hashing import hash64, hash_family
+
+
+class CountSketch:
+    """Signed depth x width counter table over string items.
+
+    Row hashes use independent ``hash_family`` seeds for the column
+    (seed ``2r``) and the +/-1 sign (seed ``2r+1``), so sign and
+    bucket are pairwise independent as the estimator requires.
+    """
+
+    __slots__ = ("depth", "width", "total", "_table")
+
+    def __init__(self, depth: int = 7, width: int = 4096):
+        if depth < 1 or width < 2:
+            raise ValueError("need depth >= 1 and width >= 2")
+        self.depth = int(depth)
+        self.width = int(width)
+        self.total = 0
+        self._table = np.zeros((self.depth, self.width), dtype=np.int64)
+
+    @property
+    def rse(self) -> float:
+        """Per-row relative standard error of :meth:`inner` /
+        :meth:`f2` against ``||a||_2 ||b||_2``: ``sqrt(2/width)``."""
+        return float(np.sqrt(2.0 / self.width))
+
+    def _cols_signs(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        cols = np.empty((self.depth, h.size), dtype=np.int64)
+        signs = np.empty((self.depth, h.size), dtype=np.int64)
+        for r in range(self.depth):
+            cols[r] = (
+                hash_family(h, 2 * r) % np.uint64(self.width)
+            ).astype(np.int64)
+            signs[r] = 1 - 2 * (
+                (hash_family(h, 2 * r + 1) >> np.uint64(63))
+            ).astype(np.int64)
+        return cols, signs
+
+    def update(self, values, counts=None) -> None:
+        """Fold a batch; ``counts`` allows pre-aggregated pairs."""
+        values = np.asarray(values, dtype=object)
+        if values.size == 0:
+            return
+        if counts is None:
+            values, counts = np.unique(values, return_counts=True)
+        counts = np.asarray(counts, dtype=np.int64)
+        self.total += int(counts.sum())
+        cols, signs = self._cols_signs(hash64(values))
+        for r in range(self.depth):
+            np.add.at(self._table[r], cols[r], signs[r] * counts)
+
+    def update_counts(self, words, counts) -> None:
+        """Uniform sketch-updater interface (pre-aggregated pairs)."""
+        self.update(words, counts)
+
+    # -- estimates ---------------------------------------------------------
+
+    def query(self, values) -> np.ndarray:
+        """Unbiased per-item frequency estimates (median over rows)."""
+        values = np.asarray(values, dtype=object)
+        if values.size == 0:
+            return np.zeros(0, dtype=np.float64)
+        cols, signs = self._cols_signs(hash64(values))
+        ests = np.stack(
+            [signs[r] * self._table[r][cols[r]] for r in range(self.depth)]
+        )
+        return np.median(ests, axis=0)
+
+    def f2(self) -> float:
+        """AMS second-moment estimate ``||a||_2^2`` (median of
+        per-row sums of squares; per-row RSE ``sqrt(2/width)``)."""
+        return float(np.median((self._table.astype(np.float64) ** 2)
+                               .sum(axis=1)))
+
+    def inner(self, other: "CountSketch") -> float:
+        """Unbiased ``<a, b>`` estimate between two same-shaped
+        sketches (median of per-row dot products)."""
+        self._check_shape(other)
+        dots = np.einsum(
+            "rw,rw->r",
+            self._table.astype(np.float64),
+            other._table.astype(np.float64),
+        )
+        return float(np.median(dots))
+
+    def cosine(self, other: "CountSketch") -> float:
+        """Estimated cosine of the two count vectors, clipped to
+        [-1, 1]; 0.0 when either side is empty."""
+        denom = self.f2() * other.f2()
+        if denom <= 0.0:
+            return 0.0
+        return float(np.clip(self.inner(other) / np.sqrt(denom), -1.0, 1.0))
+
+    # -- merge -------------------------------------------------------------
+
+    def _check_shape(self, other: "CountSketch") -> None:
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError(
+                f"count sketch shape mismatch: "
+                f"{(self.depth, self.width)} != {(other.depth, other.width)}"
+            )
+
+    def merge(self, other: "CountSketch") -> "CountSketch":
+        """Element-wise sum (the sketch is linear): exactly
+        associative/commutative, byte-identical over any merge tree."""
+        self._check_shape(other)
+        self._table += other._table
+        self.total += other.total
+        return self
+
+    @classmethod
+    def merge_many(cls, sketches: list["CountSketch"]) -> "CountSketch":
+        first = sketches[0]
+        for s in sketches[1:]:
+            first._check_shape(s)
+        out = cls(first.depth, first.width)
+        out._table = np.sum([s._table for s in sketches], axis=0)
+        out.total = sum(s.total for s in sketches)
+        return out
+
+    # -- serialization -----------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return serialization.dumps(
+            {"algo": "countsketch", "depth": self.depth,
+             "width": self.width, "total": self.total},
+            {"table": self._table},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountSketch":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "countsketch":
+            raise ValueError("not a countsketch summary")
+        sk = cls(scalars["depth"], scalars["width"])
+        sk.total = int(scalars["total"])
+        sk._table = np.asarray(arrays["table"], dtype=np.int64).reshape(
+            sk.depth, sk.width
+        )
+        return sk

@@ -604,3 +604,17 @@ def test_cli_fd(spark, sf_dir, tmp_path, capsys):
         sk = load_summary(fh.read())
     assert sk.n_rows == rep["n_rows"]
     assert sk.ell == 16
+
+
+def test_cli_overlap_freq(spark, sf_dir, capsys):
+    main(["overlap", "--input", f"{sf_dir}/documents.parquet",
+          "--group-col", "lang", "--col", "text", "--freq",
+          "--width", "1024"])
+    err, out_lines = capsys.readouterr(), None
+    rep = json.loads(err.err.strip().splitlines()[-1])
+    assert rep["mode"] == "freq" and rep["width"] == 1024
+    lines = [ln.split("\t") for ln in err.out.strip().splitlines()]
+    assert len(lines) == rep["pairs"]
+    for parts in lines:
+        assert len(parts) == 4
+        assert -1.0 <= float(parts[3]) <= 1.0

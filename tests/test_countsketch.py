@@ -1,0 +1,145 @@
+"""Count sketch / AMS: point queries, F2 and inner-product accuracy,
+exact linearity under merges, serialization, and the distributed
+distribution-similarity operator (Charikar et al. 2002 / AMS 1996)."""
+
+import numpy as np
+import pytest
+
+from athena_spark.sketch.countsketch import CountSketch
+
+
+def _zipf_counts(n_items, seed):
+    rng = np.random.default_rng(seed)
+    words = np.array([f"tok{i}" for i in range(n_items)], dtype=object)
+    counts = np.maximum(
+        1, (2000 / np.arange(1, n_items + 1)) ** 1.1
+    ).astype(np.int64)
+    rng.shuffle(counts)
+    return words, counts
+
+
+def test_point_query_wide_table_is_exact():
+    # width >> items and median-of-rows: collisions cannot shift the
+    # median, so estimates equal true counts exactly
+    words, counts = _zipf_counts(50, 1)
+    sk = CountSketch(depth=7, width=8192)
+    sk.update_counts(words, counts)
+    np.testing.assert_array_equal(sk.query(words), counts.astype(float))
+    assert sk.total == int(counts.sum())
+
+
+def test_f2_and_inner_within_bounds():
+    words, ca = _zipf_counts(500, 2)
+    _, cb = _zipf_counts(500, 3)
+    a = CountSketch(depth=7, width=1024)
+    b = CountSketch(depth=7, width=1024)
+    a.update_counts(words, ca)
+    b.update_counts(words, cb)
+    f2a = float((ca.astype(float) ** 2).sum())
+    f2b = float((cb.astype(float) ** 2).sum())
+    true_inner = float((ca.astype(float) * cb).sum())
+    tol = 4.0 * np.sqrt(2.0 / 1024)
+    assert abs(a.f2() - f2a) <= tol * f2a
+    assert abs(b.f2() - f2b) <= tol * f2b
+    assert abs(a.inner(b) - true_inner) <= tol * np.sqrt(f2a * f2b)
+    true_cos = true_inner / np.sqrt(f2a * f2b)
+    assert a.cosine(b) == pytest.approx(true_cos, abs=3 * tol)
+    assert a.rse == pytest.approx(np.sqrt(2.0 / 1024))
+
+
+def test_inner_is_symmetric_and_self_is_f2():
+    words, ca = _zipf_counts(200, 4)
+    a = CountSketch(depth=5, width=512)
+    a.update_counts(words, ca)
+    assert a.inner(a) == pytest.approx(a.f2())
+    b = CountSketch(depth=5, width=512)
+    b.update_counts(words[:100], ca[:100])
+    assert a.inner(b) == pytest.approx(b.inner(a))
+
+
+def test_linearity_merge_byte_identical_any_split():
+    words, counts = _zipf_counts(300, 5)
+    bulk = CountSketch(depth=5, width=256)
+    bulk.update_counts(words, counts)
+    parts = []
+    for lo, hi in [(0, 70), (70, 180), (180, 300)]:
+        s = CountSketch(depth=5, width=256)
+        s.update_counts(words[lo:hi], counts[lo:hi])
+        parts.append(s)
+    chain = CountSketch.from_bytes(parts[2].to_bytes())
+    chain.merge(parts[0]).merge(parts[1])
+    many = CountSketch.merge_many(parts)
+    # linear sketch: ANY merge order reproduces the bulk build exactly
+    assert chain.to_bytes() == bulk.to_bytes()
+    assert many.to_bytes() == bulk.to_bytes()
+
+
+def test_shape_validation_and_empty():
+    with pytest.raises(ValueError, match="depth"):
+        CountSketch(depth=0, width=16)
+    a = CountSketch(depth=3, width=64)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        a.merge(CountSketch(depth=3, width=128))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        a.inner(CountSketch(depth=5, width=64))
+    assert a.cosine(CountSketch(depth=3, width=64)) == 0.0
+    assert a.f2() == 0.0
+    assert a.query(np.array([], dtype=object)).size == 0
+    a.update(np.array([], dtype=object))
+    assert a.total == 0
+
+
+def test_serialization_roundtrip():
+    from athena_spark.operators.agg import load_summary
+
+    words, counts = _zipf_counts(100, 6)
+    sk = CountSketch(depth=3, width=128)
+    sk.update_counts(words, counts)
+    back = load_summary(sk.to_bytes())
+    assert isinstance(back, CountSketch)
+    assert back.to_bytes() == sk.to_bytes()
+    assert back.total == sk.total
+
+
+def test_update_without_counts_aggregates():
+    sk = CountSketch(depth=5, width=256)
+    sk.update(np.array(["a", "b", "a", "a"], dtype=object))
+    got = sk.query(np.array(["a", "b"], dtype=object))
+    np.testing.assert_array_equal(got, [3.0, 1.0])
+
+
+# -- distributed operator --------------------------------------------------
+
+
+def test_distribution_similarity_spark(spark):
+    from athena_spark.operators.overlap import distribution_similarity
+
+    # aa and bb share the same token SET but very different profiles;
+    # cc is aa with mild count noise -> cosine(aa,cc) >> cosine(aa,bb)
+    vocab = [f"w{i}" for i in range(40)]
+    def doc(weights, seed):
+        rng = np.random.default_rng(seed)
+        toks = rng.choice(vocab, p=weights / weights.sum(), size=400)
+        return " ".join(toks)
+
+    flat = np.ones(40)
+    spiked = np.array([1000.0] * 2 + [1.0] * 38)
+    rows = [(i, "aa", doc(spiked, i)) for i in range(5)]
+    rows += [(10 + i, "bb", doc(flat, 50 + i)) for i in range(5)]
+    rows += [(20 + i, "cc", doc(spiked, 100 + i)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string")
+    got = {(r["g_a"], r["g_b"]): r
+           for r in distribution_similarity(
+               df.repartition(4), "lang", "text",
+               depth=7, width=2048).collect()}
+    assert set(got) == {("aa", "bb"), ("aa", "cc"), ("bb", "cc")}
+    assert got[("aa", "cc")]["cosine"] > 0.95
+    assert got[("aa", "bb")]["cosine"] < 0.5
+    # linearity: partitioning cannot change a single byte
+    again = {(r["g_a"], r["g_b"]): r
+             for r in distribution_similarity(
+                 df.coalesce(1), "lang", "text",
+                 depth=7, width=2048).collect()}
+    for k in got:
+        assert got[k].asDict() == again[k].asDict()

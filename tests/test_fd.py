@@ -221,3 +221,34 @@ def test_self_merge_matches_independent_clone_merge():
     np.testing.assert_allclose(a.cov(), want.cov(), rtol=1e-12)
     assert a.n_rows == want.n_rows == 200
     assert a.sq_frobenius == pytest.approx(want.sq_frobenius)
+
+
+def test_grouped_fd_per_label(spark, sf_dir):
+    """Per-group covariance sketches ride grouped_sketch_agg
+    unmodified: each label's FD summary obeys the deterministic
+    bound against that label's exact Gram."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.agg import load_summary
+    from athena_spark.operators.grouped import grouped_sketch_agg
+    from athena_spark.operators.matrixsketch import (
+        exact_gram,
+        fd_vector_updater,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {r["label"]: r for r in grouped_sketch_agg(
+        emb, ["label"], "embedding",
+        lambda: FrequentDirections(8), fd_vector_updater,
+    ).collect()}
+    labels = {r["label"] for r in
+              emb.select("label").distinct().collect()}
+    assert set(out) == labels
+    for label in sorted(labels)[:3]:
+        sk = load_summary(out[label]["state"])
+        G, sq, n = exact_gram(
+            emb.where(F.col("label") == label), "embedding")
+        assert sk.n_rows == n == out[label]["n_values"]
+        E = G - sk.cov()
+        assert float(np.linalg.eigvalsh(E).min()) >= -1e-8 * sq
+        assert _spec_norm(E) <= sk.shrink_total + 1e-8 * sq
