@@ -38,8 +38,9 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from athena_spark.functions.tokenize import arrow_tokenize_batch
-from athena_spark.operators.agg import load_summary
+from athena_spark.operators.agg import load_summary, token_counts_updater
 from athena_spark.operators.grouped import grouped_sketch_agg
+from athena_spark.sketch.countsketch import CountSketch
 from athena_spark.sketch.hashing import fold_gram_hashes, hash64_arrow
 from athena_spark.sketch.theta import ThetaSketch
 
@@ -102,6 +103,38 @@ def corpus_overlap(
     derive binomial error bounds.
     """
     grouped = group_shingle_sketches(df, group_col, text_col, n=n, k=k)
+
+    def pair_fn(sa: ThetaSketch, sb: ThetaSketch) -> dict:
+        inter = sa.intersect(sb)
+        est_inter = float(inter.estimate())
+        est_union = float(sa.union_estimate(sb))
+        return {
+            "est_a": float(sa.estimate()),
+            "est_b": float(sb.estimate()),
+            "est_inter": est_inter,
+            "est_union": est_union,
+            # definitionally intersect/union at min-theta
+            # (ThetaSketch.jaccard recomputes both sets) — derive
+            # from the values above so the columns can never drift
+            "jaccard": est_inter / est_union if est_union else 0.0,
+            "theta_frac": float(inter.theta_frac),
+        }
+
+    return _pairwise_report(df, grouped, group_col, PAIR_SCHEMA, pair_fn)
+
+
+def _pairwise_report(
+    df: DataFrame,
+    grouped: DataFrame,
+    group_col: str,
+    pair_schema: str,
+    pair_fn,
+) -> DataFrame:
+    """Shared pair stage for the summary-algebra reports: self-join
+    the ``(group, state)`` rows on ``g_a < g_b`` and evaluate
+    ``pair_fn(sketch_a, sketch_b) -> dict`` per unordered pair in a
+    distributed ``mapInPandas`` (O(G^2) rows, data-volume
+    independent)."""
     a = grouped.select(
         F.col(group_col).alias("g_a"), F.col("state").alias("state_a")
     )
@@ -111,7 +144,7 @@ def corpus_overlap(
     pairs = a.join(b, F.col("g_a") < F.col("g_b"))
 
     group_type = df.select(group_col).schema[0].dataType.simpleString()
-    out_schema = f"g_a {group_type}, g_b {group_type}, {PAIR_SCHEMA}"
+    out_schema = f"g_a {group_type}, g_b {group_type}, {pair_schema}"
 
     def report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,23 +152,8 @@ def corpus_overlap(
             for row in pdf.to_dict("records"):
                 sa = load_summary(row["state_a"])
                 sb = load_summary(row["state_b"])
-                inter = sa.intersect(sb)
-                est_inter = float(inter.estimate())
-                est_union = float(sa.union_estimate(sb))
-                rows.append({
-                    "g_a": row["g_a"],
-                    "g_b": row["g_b"],
-                    "est_a": float(sa.estimate()),
-                    "est_b": float(sb.estimate()),
-                    "est_inter": est_inter,
-                    "est_union": est_union,
-                    # definitionally intersect/union at min-theta
-                    # (ThetaSketch.jaccard recomputes both sets) —
-                    # derive from the values above so the columns
-                    # can never drift apart
-                    "jaccard": est_inter / est_union if est_union else 0.0,
-                    "theta_frac": float(inter.theta_frac),
-                })
+                rows.append({"g_a": row["g_a"], "g_b": row["g_b"],
+                             **pair_fn(sa, sb)})
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -157,9 +175,6 @@ def group_count_sketches(
 ) -> DataFrame:
     """One count sketch of the token-frequency vector per group:
     ``(group, state binary, n_values long)``."""
-    from athena_spark.operators.agg import token_counts_updater
-    from athena_spark.sketch.countsketch import CountSketch
-
     return grouped_sketch_agg(
         df, [group_col], text_col,
         lambda: CountSketch(depth, width), token_counts_updater,
@@ -194,42 +209,25 @@ def distribution_similarity(
     grouped = group_count_sketches(
         df, group_col, text_col, depth=depth, width=width
     )
-    a = grouped.select(
-        F.col(group_col).alias("g_a"), F.col("state").alias("state_a")
+
+    def pair_fn(sa: CountSketch, sb: CountSketch) -> dict:
+        est_inner = sa.inner(sb)
+        f2a, f2b = sa.f2(), sb.f2()
+        denom = f2a * f2b
+        return {
+            "est_inner": est_inner,
+            "est_f2_a": f2a,
+            "est_f2_b": f2b,
+            "cosine": (
+                float(np.clip(est_inner / np.sqrt(denom), -1, 1))
+                if denom > 0 else 0.0
+            ),
+            "rse": sa.rse,
+        }
+
+    return _pairwise_report(
+        df, grouped, group_col, DIST_PAIR_SCHEMA, pair_fn
     )
-    b = grouped.select(
-        F.col(group_col).alias("g_b"), F.col("state").alias("state_b")
-    )
-    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
-
-    group_type = df.select(group_col).schema[0].dataType.simpleString()
-    out_schema = f"g_a {group_type}, g_b {group_type}, {DIST_PAIR_SCHEMA}"
-
-    def report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for row in pdf.to_dict("records"):
-                sa = load_summary(row["state_a"])
-                sb = load_summary(row["state_b"])
-                est_inner = sa.inner(sb)
-                f2a, f2b = sa.f2(), sb.f2()
-                denom = f2a * f2b
-                rows.append({
-                    "g_a": row["g_a"],
-                    "g_b": row["g_b"],
-                    "est_inner": est_inner,
-                    "est_f2_a": f2a,
-                    "est_f2_b": f2b,
-                    "cosine": (
-                        float(np.clip(est_inner / np.sqrt(denom), -1, 1))
-                        if denom > 0 else 0.0
-                    ),
-                    "rse": sa.rse,
-                })
-            if rows:
-                yield pd.DataFrame(rows)
-
-    return pairs.mapInPandas(report, out_schema)
 
 
 def group_shingles_exact(

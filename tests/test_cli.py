@@ -610,10 +610,10 @@ def test_cli_overlap_freq(spark, sf_dir, capsys):
     main(["overlap", "--input", f"{sf_dir}/documents.parquet",
           "--group-col", "lang", "--col", "text", "--freq",
           "--width", "1024"])
-    err, out_lines = capsys.readouterr(), None
-    rep = json.loads(err.err.strip().splitlines()[-1])
+    cap = capsys.readouterr()
+    rep = json.loads(cap.err.strip().splitlines()[-1])
     assert rep["mode"] == "freq" and rep["width"] == 1024
-    lines = [ln.split("\t") for ln in err.out.strip().splitlines()]
+    lines = [ln.split("\t") for ln in cap.out.strip().splitlines()]
     assert len(lines) == rep["pairs"]
     for parts in lines:
         assert len(parts) == 4
