@@ -1627,6 +1627,8 @@ _PACK_MAX_TOKENS = 512
 _SHUFFLE_SEED = 11
 _QUOTA_SEED = 5
 _QUOTA_N = 50
+_WSAMPLE_SEED = 13
+_WSAMPLE_N = 200
 
 
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,6 +1705,22 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_per_group(
         docs, "lang", _QUOTA_N, id_col="doc_id", seed=_QUOTA_SEED
     ).select("doc_id", "lang", "rank")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006): the 200 docs with the smallest exponential race time
+    -ln(u)/n_chars, u the 52-bit sha256("<id>:<seed>") draw — longer
+    docs proportionally likelier, RNG-free, partitioning-independent.
+    The float race key never leaves the plan (ln may differ by 1 ulp
+    across engines); the oracle recomputes the identical race and
+    compares the selected id SET."""
+    from athena_spark.operators.trainprep import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", _WSAMPLE_N, seed=_WSAMPLE_SEED
+    ).select("doc_id", "lang")
 
 
 def q_theta_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2846,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_orders": q_bucketed_join,
         "corpus_shuffle": q_corpus_shuffle,
         "sample_per_group": q_sample_per_group,
+        "weighted_sample": q_weighted_sample,
         "theta_overlap_langs": q_theta_overlap_langs,
         "fd_covariance": q_fd_covariance,
         "countsketch_lang_cosine": q_countsketch_lang_cosine,
@@ -3389,6 +3408,24 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) - 1 AS BIGINT) AS rank
                 FROM documents
             ) WHERE rank < {_QUOTA_N}
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id IN (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           -LN((CAST(('0x' || substr(sha256(
+                                    CAST(doc_id AS VARCHAR)
+                                    || ':{_WSAMPLE_SEED}'), 1, 13))
+                                AS BIGINT) + 1.0)
+                               / 4503599627370496.0)
+                           / CAST(n_chars AS DOUBLE) AS race
+                    FROM documents
+                    WHERE CAST(n_chars AS DOUBLE) > 0
+                    ORDER BY race, doc_id
+                    LIMIT {_WSAMPLE_N}
+                )
+            )
         """,
         "theta_overlap_langs": """
             SELECT a.lang AS g_a, b.lang AS g_b, TRUE AS ok

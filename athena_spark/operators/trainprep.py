@@ -326,6 +326,90 @@ def shuffle_corpus(
     return d.mapInArrow(kernel, f"`{id_col}` {id_type}, pos long")
 
 
+# 13 hex digits = 52 bits: the widest sha prefix whose integer value
+# is exactly representable in a double, so (v + 1) / 2^52 is computed
+# identically (one correctly-rounded division) by every IEEE engine
+_DRAW_HEX_DIGITS = 13
+_DRAW_SCALE = float(1 << 52)
+
+
+def exp_race_key(id_col: str, weight, seed: int = 0):
+    """The Efraimidis–Spirakis exponential race time for a row,
+
+        E_i = -ln(u_i) / w_i
+
+    with ``u_i`` a deterministic uniform draw in (0, 1] from the
+    52-bit sha256 prefix of ``"<id>:<seed>"``.  Selecting the n
+    SMALLEST E_i samples n rows without replacement with inclusion
+    probability proportional to weight (Efraimidis & Spirakis 2006,
+    IPL 97(5), "Weighted random sampling with a reservoir" — the
+    k_i = u_i^(1/w_i) max-key form, log-transformed so huge weights
+    cannot underflow k_i to 1.0 ties).
+
+    Cross-engine parity: hex→int and the two divisions are exact /
+    correctly rounded everywhere; only ``ln`` may differ by 1 ulp
+    between JVM and DuckDB, which can flip a comparison only when two
+    race times collide within ~1e-16 relative — never output E_i
+    itself, only the selected ids (see [[oracle-float-parity]]).
+    """
+    draw = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(F.col(id_col).cast("string"),
+                         F.lit(":" + str(int(seed)))),
+                256,
+            ),
+            1,
+            _DRAW_HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (draw + F.lit(1.0)) / F.lit(_DRAW_SCALE)
+    return -F.log(u) / weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep the ``n`` rows
+    with the smallest :func:`exp_race_key` (ties — measure-zero for
+    distinct ids — break by id).  The weighted complement of
+    :func:`sample_per_group`'s uniform quotas: "sample 100k docs
+    proportional to quality score", deterministic, RNG-free, and
+    independent of partitioning (unlike ``df.sample``, whose output
+    depends on partition layout and supports only uniform rates).
+
+    Rows with null or non-positive weight are excluded (a weight-0
+    row must never be drawn; exponential race time would be +inf).
+    Returns the input rows (all columns) of the selected sample.
+
+    Scale shape: only (id, weight, key) rows enter the top-n —
+    ``orderBy(key).limit(n)`` compiles to TakeOrderedAndProject
+    (per-partition heap top-n, driver merges p·n NARROW rows — no
+    global sort exchange), then full rows are recovered by a semi
+    join on id, so text and payload columns never move.  n is a
+    sample size (bounded by driver memory at ~n·40 bytes); for
+    corpus-sized n, range-partition on the key instead.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col).cast("double")
+    picked = (
+        df.select(F.col(id_col), w.alias("_w"))
+        .where(w > 0)
+        .withColumn("_key", exp_race_key(id_col, F.col("_w"), seed))
+        .orderBy("_key", id_col)
+        .limit(n)
+        .select(id_col)
+    )
+    return df.join(picked, id_col, "left_semi")
+
+
 def sample_per_group(
     df: DataFrame,
     group_col: str,

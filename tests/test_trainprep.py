@@ -279,3 +279,83 @@ def test_sample_per_group_small_group_and_validation(spark):
         ("a", 1), ("a", 2), ("b", 3)]
     with pytest.raises(ValueError, match=">= 1"):
         sample_per_group(df, "g", 0)
+
+
+def local_race_key(doc_id, weight, seed):
+    """Scalar oracle for exp_race_key: same 52-bit draw, same
+    float ops in the same order (numpy doubles == IEEE doubles)."""
+    import math
+
+    h = hashlib.sha256(f"{doc_id}:{seed}".encode()).hexdigest()[:13]
+    u = (int(h, 16) + 1.0) / float(1 << 52)
+    return -math.log(u) / weight
+
+
+def test_weighted_sample_matches_scalar_oracle(spark):
+    from athena_spark.operators.trainprep import weighted_sample
+
+    rows = [(i, 1 + (i * 7) % 50, f"text {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long, text string")
+    out = weighted_sample(df, "doc_id", "w", 40, seed=3).collect()
+    want = sorted(
+        rows, key=lambda r: (local_race_key(r[0], float(r[1]), 3), r[0])
+    )[:40]
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in want)
+    # full input rows come back (text survives the semi join)
+    assert all(r["text"] == f"text {r['doc_id']}" for r in out)
+    # partitioning-independent: same sample at a different layout
+    again = {r["doc_id"] for r in
+             weighted_sample(df.repartition(13), "doc_id", "w", 40,
+                             seed=3).collect()}
+    assert again == {r["doc_id"] for r in out}
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Statistical sanity: with weights 1 vs 9 the heavy half must
+    dominate the sample (binomial 5-sigma bound, deterministic since
+    the draw is a fixed hash)."""
+    from athena_spark.operators.trainprep import weighted_sample
+
+    rows = [(i, 9 if i < 1000 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, "doc_id", "w", 200, seed=0).collect()
+    heavy = sum(1 for r in out if r["doc_id"] < 1000)
+    # per-draw P(heavy) = 0.9 ⇒ E=180, sigma≈4.2; 5 sigma ≈ 21
+    assert heavy > 159, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from athena_spark.operators.trainprep import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 2)],
+        "doc_id long, w long",
+    )
+    out = weighted_sample(df, "doc_id", "w", 10, seed=0).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 5]
+    with pytest.raises(ValueError, match=">= 1"):
+        weighted_sample(df, "doc_id", "w", 0)
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Scale-shape pin: the top-n must compile to
+    TakeOrderedAndProject (per-partition heaps, no global sort
+    exchange), and the text column must not pass through it."""
+    from athena_spark.operators.trainprep import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1, "payload " * 10) for i in range(100)],
+        "doc_id long, w long, text string",
+    )
+    plan = weighted_sample(df, "doc_id", "w", 5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the top-n emits ids only, and the Project feeding it already
+    # dropped text (it reappears only in the unprunable ExistingRDD
+    # scan line and on the probe side of the semi join)
+    topn = next(l for l in plan.splitlines()
+                if "TakeOrderedAndProject" in l)
+    assert "output=[doc_id" in topn
+    feed = next(l for l in plan.splitlines()
+                if "Project [doc_id" in l and "_key" in l)
+    assert "text" not in feed
