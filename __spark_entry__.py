@@ -2828,6 +2828,82 @@ def q_paragraph_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dup_stats(wrapped, "doc_id", "text")
 
 
+def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click picks up the user's latest
+    purchase within 24h (union-tag + window plan — one shuffle on
+    user_id, no theta-join; see operators/temporal.py).  Oracle is the
+    nested-loop semantics as a correlated LATERAL subquery."""
+    from athena_spark.operators.temporal import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        tie_col="event_id",
+        tolerance_seconds=86400.0,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.col("event_id_right").alias("purchase_id"),
+        F.round(F.col("value_right"), 4).alias("purchase_value"),
+    )
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join via time-axis binning: every error event
+    falling inside ANY purchase's 2-hour window (no equi-key — the bin
+    id is manufactured so Catalyst gets a hash join instead of a
+    BroadcastNestedLoopJoin; see operators/temporal.py)."""
+    from athena_spark.operators.temporal import range_join_binned
+
+    ev = _table(spark, sf_dir, "events")
+    points = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("point_id"), "ts"
+    )
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 2 HOURS").alias("end_ts"),
+    )
+    return range_join_binned(points, intervals).select(
+        "point_id", "interval_id"
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (hour/day/week) per event
+    type: raw events are scanned ONCE into hourly partials; day and
+    week re-aggregate the partials (see operators/temporal.py).  The
+    oracle aggregates raw three times — same answer, 3x the scan.
+
+    Values are quantized to multiples of 2^-10 before summing so the
+    sums are EXACT (binary fractions, magnitude << 2^53) and therefore
+    independent of addition order — Spark's partial-then-reaggregated
+    sum and DuckDB's direct sum land on the identical double, making
+    the rounded average hash-stable (raw double sums disagree at 1e-12
+    and flip the 4th decimal on round-boundary groups)."""
+    from athena_spark.operators.temporal import time_rollup
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 1024, 0) / 1024
+    )
+    return time_rollup(
+        ev, "ts", "value", group_cols=["event_type"],
+        granularities=("hour", "day", "week"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
@@ -2868,6 +2944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_overlap_langs": q_theta_overlap_langs,
         "fd_covariance": q_fd_covariance,
         "countsketch_lang_cosine": q_countsketch_lang_cosine,
+        "asof_join_clicks": q_asof_join_clicks,
+        "range_join_events": q_range_join_events,
+        "events_rollup": q_events_rollup,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3438,6 +3517,59 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT lang FROM documents) a
             JOIN (SELECT DISTINCT lang FROM documents) b
               ON a.lang < b.lang
+        """,
+        "asof_join_clicks": """
+            SELECT c.event_id,
+                   c.user_id,
+                   CAST(c.ts AS VARCHAR) AS ts,
+                   m.purchase_id,
+                   m.purchase_value
+            FROM events c
+            LEFT JOIN LATERAL (
+                SELECT p.event_id AS purchase_id,
+                       ROUND(p.value, 4) AS purchase_value
+                FROM events p
+                WHERE p.user_id = c.user_id
+                  AND p.event_type = 'purchase'
+                  AND p.ts <= c.ts
+                  AND p.ts >= c.ts - INTERVAL 24 HOURS
+                ORDER BY p.ts DESC, p.event_id DESC
+                LIMIT 1
+            ) m ON TRUE
+            WHERE c.event_type = 'click'
+        """,
+        "range_join_events": """
+            SELECT e.event_id AS point_id, p.event_id AS interval_id
+            FROM events e
+            JOIN events p
+              ON e.event_type = 'error'
+             AND p.event_type = 'purchase'
+             AND e.ts >= p.ts
+             AND e.ts < p.ts + INTERVAL 2 HOURS
+        """,
+        "events_rollup": """
+            WITH q AS (
+                SELECT ts, event_type, ROUND(value * 1024) / 1024 AS value
+                FROM events
+            )
+            SELECT 'hour' AS granularity,
+                   CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+            FROM q GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day',
+                   CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR),
+                   event_type, COUNT(*),
+                   ROUND(SUM(value) / COUNT(*), 4)
+            FROM q GROUP BY 2, 3
+            UNION ALL
+            SELECT 'week',
+                   CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR),
+                   event_type, COUNT(*),
+                   ROUND(SUM(value) / COUNT(*), 4)
+            FROM q GROUP BY 2, 3
         """,
         "fd_covariance": """
             SELECT 'underestimate_is_psd' AS "check", TRUE AS ok

@@ -1,0 +1,224 @@
+"""Temporal relational operators Spark lacks natively: as-of join,
+binned range join, and hypertable-style multi-granularity rollup.
+
+The reference engine has no relational layer at all (SURVEY.md §2.2 —
+its data model is a token stream); these are the time-series operators
+a training-data/event pipeline needs on the ``events`` table, each
+expressed as a composition of built-in DataFrame ops so Catalyst keeps
+whole-stage codegen and AQE in play.
+
+Scale design, per operator:
+
+* :func:`asof_join` — the union-tag + window plan (one shuffle on the
+  equi-keys, a per-key sort, zero broadcast, zero per-key loops).  A
+  naive ``left.ts >= right.ts`` theta-join explodes quadratically per
+  key; the union plan is linear in rows and is how kdb/QuestDB/Flink
+  implement as-of internally.
+* :func:`range_join_binned` — interval joins with NO equi-key are
+  cartesian for Catalyst (BroadcastNestedLoopJoin).  Binning the time
+  axis at ``bin >= max interval length`` manufactures an equi-key:
+  each point falls in exactly one bin, each interval explodes into
+  the (<= 2 for bin>=len) bins it covers, so the equi-join on bin
+  yields every candidate pair exactly once — no dedup pass — and the
+  exact containment predicate runs as a codegen filter after the
+  hash join.
+* :func:`time_rollup` — the TimescaleDB continuous-aggregate trick:
+  scan raw events ONCE into the finest-granularity partial (count +
+  sum), then re-aggregate the tiny partial table for each coarser
+  level.  At 100 TB the raw scan dominates; day/week levels cost one
+  extra pass over ~1e5 hourly rows instead of 1e12 events.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_US_PER_SECOND = 1_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    right_cols: Sequence[str],
+    tie_col: str,
+    tolerance_seconds: Optional[float] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the latest right
+    row of the same ``by`` keys with ``right.on <= left.on`` (and, when
+    ``tolerance_seconds`` is set, within that many seconds).
+
+    ``tie_col`` breaks ties among right rows sharing a timestamp — the
+    row with the greatest ``tie_col`` wins — so the result is fully
+    deterministic (DuckDB's ASOF JOIN leaves same-timestamp ties
+    unspecified; a correlated ``ORDER BY ts DESC, tie DESC LIMIT 1``
+    subquery is the exact oracle).
+
+    Plan: tag left rows side=1 and right rows side=0, union by name,
+    one window ``partitionBy(by) orderBy(on, side, tie)`` carrying
+    ``last(struct(right_cols), ignorenulls=True)`` — right rows sort
+    before left rows at equal timestamps, so "<=" is inclusive, and
+    packing the payload in ONE struct guarantees all matched columns
+    come from the same right row even when some are null in the data.
+    """
+    by = list(by)
+    right_cols = list(right_cols)
+    for c in right_cols:
+        if c in by or c == on:
+            raise ValueError(f"right_cols entry {c!r} collides with join keys")
+
+    payload = F.struct(
+        F.col(on).cast("timestamp").alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).cast("timestamp").alias(on),
+        F.col(tie_col).cast("long").alias("__tie"),
+        payload.alias("__payload"),
+        F.lit(0).alias("__side"),
+    )
+    l = left.withColumn(on, F.col(on).cast("timestamp")).withColumn(
+        "__side", F.lit(1)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__payload", ignorenulls=True).over(w)
+    out = u.withColumn("__m", matched).where(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col(on).cast("double") - F.col("__m.__ts").cast("double")
+        ) <= float(tolerance_seconds)
+        out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
+
+    keep = [c for c in left.columns]
+    proj = [F.col(c) for c in keep] + [
+        F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols
+    ]
+    return out.select(*proj)
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_seconds: Optional[int] = None,
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``start <= point_ts < end`` (half-open), WITHOUT requiring an
+    equi-key, via time-axis binning.
+
+    ``bin_seconds`` must be >= the longest interval; when omitted it is
+    computed with one tiny aggregate over ``intervals`` (cheap — the
+    interval side is the small side by construction; the POINT side is
+    never scanned twice).  Each point maps to exactly one bin and each
+    interval explodes to every bin it overlaps, so the equi-join on the
+    bin id produces each qualifying (point, interval) pair exactly
+    once — the exact containment filter only discards, never dedups.
+    """
+    pt_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    # one tiny aggregate over the (small) interval side, used both to
+    # derive a default bin width and to validate a caller-provided one
+    max_len_us = intervals.select(F.max(e_us - s_us).alias("l")).first()["l"]
+    if max_len_us is None or max_len_us <= 0:
+        max_len_us = _US_PER_SECOND
+    if bin_seconds is None:
+        bin_seconds = max(1, -(-max_len_us // _US_PER_SECOND))
+    bin_us = int(bin_seconds) * _US_PER_SECOND
+    if max_len_us > bin_us:
+        raise ValueError(
+            f"bin_seconds={bin_seconds} is shorter than the longest "
+            f"interval ({max_len_us / _US_PER_SECOND:.1f}s); pairs would "
+            "be silently dropped"
+        )
+
+    # `div` (integer division) rather than floor(double /): epoch-micros
+    # quotients near a bin boundary can misround in binary64 for very
+    # wide bins, and bin ids must be exact — they are the join key.
+    p = points.withColumn("__us", pt_us).withColumn(
+        "__bin", F.expr(f"__us div {bin_us}")
+    )
+    # half-open [s, e): the last covered bin is (e-1) div bin
+    iv = (
+        intervals.withColumn("__s_us", s_us)
+        .withColumn("__e_us", e_us)
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__s_us div {bin_us}"),
+                    F.expr(f"(__e_us - 1) div {bin_us}"),
+                )
+            ),
+        )
+    )
+    joined = p.join(iv, on="__bin", how="inner").where(
+        (F.col("__us") >= F.col("__s_us")) & (F.col("__us") < F.col("__e_us"))
+    )
+    return joined.drop("__bin", "__us", "__s_us", "__e_us")
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: Sequence[str] = (),
+    granularities: Sequence[str] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: (granularity, bucket,
+    *group_cols) -> count / sum / avg, computed by aggregating the raw
+    table ONCE at the finest granularity and re-aggregating those
+    partials for each coarser level (count and sum re-aggregate
+    exactly; avg is derived sum/count at the end).
+
+    ``granularities`` must be ordered finest -> coarsest and each must
+    be a valid ``date_trunc`` unit that nests into the next (hour ->
+    day -> week nest; day -> month also nests).
+    """
+    grans = list(granularities)
+    if not grans:
+        raise ValueError("granularities must be non-empty")
+    gcols = list(group_cols)
+
+    finest = events.groupBy(
+        F.date_trunc(grans[0], F.col(ts_col).cast("timestamp")).alias("__bucket"),
+        *gcols,
+    ).agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col(value_col).cast("double")).alias("__sum"),
+    )
+    finest = finest.persist()
+
+    levels = []
+    partial = finest
+    for g in grans:
+        partial = partial.groupBy(
+            F.date_trunc(g, F.col("__bucket")).alias("__bucket"), *gcols
+        ).agg(F.sum("__n").alias("__n"), F.sum("__sum").alias("__sum"))
+        levels.append(partial.select(F.lit(g).alias("granularity"), "*"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "granularity",
+        F.col("__bucket").cast("string").alias("bucket"),
+        *gcols,
+        F.col("__n").alias("n_events"),
+        F.round(F.col("__sum") / F.col("__n"), 4).alias("avg_value"),
+    )

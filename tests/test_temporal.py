@@ -1,0 +1,269 @@
+"""Temporal operators: as-of join, binned range join, time rollup.
+
+Each Spark result is checked against a brute-force Python oracle built
+from the same rows (the nested-loop semantics the operator re-expresses
+scalably), plus plan-shape assertions where the scale claim is
+structural.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from athena_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+    time_rollup,
+)
+
+
+def _ts(minutes, seconds=0):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(
+        minutes=minutes, seconds=seconds
+    )
+
+
+# ---------------------------------------------------------------- asof
+
+
+@pytest.fixture(scope="module")
+def asof_data(spark):
+    left = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(10), event_id=100),
+            Row(user_id=1, ts=_ts(20), event_id=101),
+            Row(user_id=1, ts=_ts(5), event_id=102),   # before any right
+            Row(user_id=2, ts=_ts(30), event_id=103),
+            Row(user_id=3, ts=_ts(30), event_id=104),  # key with no right rows
+            Row(user_id=1, ts=_ts(15), event_id=105),  # exact tie with right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(8), event_id=200, value=8.0),
+            Row(user_id=1, ts=_ts(15), event_id=201, value=15.0),
+            Row(user_id=1, ts=_ts(15), event_id=202, value=16.0),  # ts tie
+            Row(user_id=2, ts=_ts(25), event_id=203, value=25.0),
+        ]
+    )
+    return left, right
+
+
+def _brute_asof(left_rows, right_rows, tolerance_s=None):
+    out = {}
+    for l in left_rows:
+        best = None
+        for r in right_rows:
+            if r.user_id != l.user_id or r.ts > l.ts:
+                continue
+            if tolerance_s is not None and (l.ts - r.ts).total_seconds() > tolerance_s:
+                continue
+            if best is None or (r.ts, r.event_id) > (best.ts, best.event_id):
+                best = r
+        out[l.event_id] = None if best is None else (best.value, best.event_id)
+    return out
+
+
+def test_asof_join_matches_bruteforce(spark, asof_data):
+    left, right = asof_data
+    got = asof_join(
+        left,
+        right,
+        on="ts",
+        by=["user_id"],
+        right_cols=["value", "event_id"],
+        tie_col="event_id",
+    ).collect()
+    expect = _brute_asof(left.collect(), right.collect())
+    assert len(got) == left.count()
+    for row in got:
+        want = expect[row.event_id]
+        if want is None:
+            assert row.value_right is None and row.event_id_right is None
+        else:
+            assert (row.value_right, row.event_id_right) == want
+
+
+def test_asof_join_tie_prefers_max_tie_col(spark, asof_data):
+    left, right = asof_data
+    got = {
+        r.event_id: r.event_id_right
+        for r in asof_join(
+            left, right, on="ts", by=["user_id"],
+            right_cols=["event_id"], tie_col="event_id",
+        ).collect()
+    }
+    # left event 105 at ts=15 ties two right rows at ts=15 -> 202 (max id)
+    assert got[105] == 202
+    # left event 101 at ts=20 also sees both ts=15 rows -> 202
+    assert got[101] == 202
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark, asof_data):
+    left, right = asof_data
+    got = {
+        r.event_id: r.value_right
+        for r in asof_join(
+            left, right, on="ts", by=["user_id"],
+            right_cols=["value"], tie_col="event_id",
+            tolerance_seconds=120.0,
+        ).collect()
+    }
+    expect = _brute_asof(left.collect(), right.collect(), tolerance_s=120.0)
+    for eid, want in expect.items():
+        assert got[eid] == (None if want is None else want[0])
+    # event 100 at ts=10: nearest right is ts=8 (120s) -> inside tolerance
+    assert got[100] == 8.0
+    # event 101 at ts=20: nearest right is ts=15 (300s) -> nulled
+    assert got[101] is None
+
+
+def test_asof_join_rejects_colliding_right_cols(spark, asof_data):
+    left, right = asof_data
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, on="ts", by=["user_id"],
+                  right_cols=["user_id"], tie_col="event_id")
+
+
+def test_asof_join_single_shuffle_no_broadcast(spark, asof_data):
+    left, right = asof_data
+    plan = asof_join(
+        left, right, on="ts", by=["user_id"],
+        right_cols=["value"], tie_col="event_id",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # union + window: the only exchanges are the hashpartitioning on the
+    # by-keys feeding the window sort (one per union leg pre-AQE)
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+# ---------------------------------------------------------- range join
+
+
+@pytest.fixture(scope="module")
+def range_data(spark):
+    points = spark.createDataFrame(
+        [Row(pid=i, ts=_ts(i)) for i in range(0, 60, 3)]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(iid=1, start_ts=_ts(0), end_ts=_ts(10)),
+            Row(iid=2, start_ts=_ts(9), end_ts=_ts(21)),    # overlaps iid=1
+            Row(iid=3, start_ts=_ts(30), end_ts=_ts(30)),   # empty interval
+            Row(iid=4, start_ts=_ts(45), end_ts=_ts(59)),
+        ]
+    )
+    return points, intervals
+
+
+def _brute_range(points, intervals):
+    return sorted(
+        (p.pid, i.iid)
+        for p in points
+        for i in intervals
+        if i.start_ts <= p.ts < i.end_ts
+    )
+
+
+def test_range_join_matches_bruteforce(spark, range_data):
+    points, intervals = range_data
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join_binned(points, intervals).select("pid", "iid").collect()
+    )
+    assert got == _brute_range(points.collect(), intervals.collect())
+    assert got  # non-trivial
+
+
+def test_range_join_no_duplicate_pairs_across_bins(spark, range_data):
+    points, intervals = range_data
+    # explicit bin exactly the longest interval (14 min): every interval
+    # still explodes across a bin boundary, exercising the no-dup claim
+    got = [
+        (r.pid, r.iid)
+        for r in range_join_binned(points, intervals, bin_seconds=14 * 60)
+        .select("pid", "iid")
+        .collect()
+    ]
+    assert len(got) == len(set(got))
+    assert sorted(got) == _brute_range(points.collect(), intervals.collect())
+
+
+def test_range_join_rejects_too_small_bin(spark, range_data):
+    points, intervals = range_data
+    with pytest.raises(ValueError, match="longest"):
+        range_join_binned(points, intervals, bin_seconds=60)
+
+
+def test_range_join_is_equi_join(spark, range_data):
+    points, intervals = range_data
+    plan = (
+        range_join_binned(points, intervals)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------------- rollup
+
+
+def test_time_rollup_matches_direct_aggregation(spark):
+    rows = [
+        Row(ts=_ts(h * 60 + m, s), value=float(h * 100 + m + s) / 7.0)
+        for h in range(0, 50, 7)
+        for m in (0, 13, 59)
+        for s in (0, 30)
+    ]
+    ev = spark.createDataFrame(rows)
+    got = time_rollup(ev, "ts", "value").collect()
+
+    for gran in ("hour", "day", "week"):
+        direct = {
+            (r["bucket"], r["n"], r["avg"])
+            for r in ev.groupBy(
+                F.date_trunc(gran, "ts").cast("string").alias("bucket")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("value"), 4).alias("avg"),
+            )
+            .collect()
+        }
+        ours = {
+            (r.bucket, r.n_events, r.avg_value)
+            for r in got
+            if r.granularity == gran
+        }
+        assert ours == direct, gran
+
+    # totals reconcile across levels
+    n_by_gran = {}
+    for r in got:
+        n_by_gran[r.granularity] = n_by_gran.get(r.granularity, 0) + r.n_events
+    assert len(set(n_by_gran.values())) == 1
+
+
+def test_time_rollup_group_cols(spark):
+    rows = [
+        Row(ts=_ts(i * 30), value=float(i), kind="a" if i % 2 else "b")
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(rows)
+    got = time_rollup(ev, "ts", "value", group_cols=["kind"],
+                      granularities=("hour", "day")).collect()
+    day_a = [r for r in got if r.granularity == "day" and r.kind == "a"]
+    assert sum(r.n_events for r in day_a) == 10
+
+
+def test_time_rollup_scans_raw_once(spark):
+    ev = spark.createDataFrame([Row(ts=_ts(i), value=1.0) for i in range(10)])
+    plan = (
+        time_rollup(ev, "ts", "value")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # coarser levels re-aggregate the persisted finest partial: the raw
+    # relation appears in ONE branch, the others read the cached partial
+    assert plan.count("LogicalRDD") <= 1 or "InMemoryRelation" in plan
