@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 TOKEN_SQL_SOURCE = """
     SELECT token FROM (
@@ -2904,6 +2904,64 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("join", "hash", "filter", "nosuchtokenxyz")
+
+
+def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered rolling analytics (lag / trailing-4 moving avg
+    / cumulative sum / sequence rank) — the moving-window family of the
+    engine's window surface.  Values quantized to 2^-10 multiples so
+    every frame sum is exact regardless of the engine's sliding-window
+    algorithm (DuckDB uses segment trees, Spark running adds — raw
+    doubles differ at 1e-12 and flip rounded decimals).  (user_id, ts)
+    is unique at every test scale, so the ordering is total."""
+    from athena_spark.operators.temporal import rolling_stats
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 1024, 0) / 1024
+    )
+    r = rolling_stats(ev, "user_id", "ts", "value", preceding_rows=3)
+    return r.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "value",
+        "prev_value",
+        F.round(F.col("moving_avg"), 4).alias("moving_avg"),
+        "cum_sum",
+        "seq",
+    )
+
+
+def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query term, top-10 documents by the rational (pre-idf) BM25
+    component — for a single term that ranking IS the BM25 ranking
+    (idf is a positive per-term constant), and the rational part is a
+    fixed arithmetic tree over exact integers, hash-comparable across
+    engines (the log-idf composition is pytest-certified per the
+    repo-wide transcendental rule; see functions/relevance.py)."""
+    from athena_spark.functions.relevance import bm25_tf_norm
+
+    tfn = bm25_tf_norm(_docs(spark, sf_dir), list(_BM25_TERMS))
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf_norm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        tfn.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("term", "doc_id", "tf", "dl", "tf_norm", "rank")
+    )
+
+
+def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by corpus count with exact
+    unigram/bigram counts and the rational PMI argument (ln is
+    monotone, so any PMI ordering is the rational ordering; see
+    functions/relevance.py)."""
+    from athena_spark.functions.relevance import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), min_count=2, topk=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
@@ -2947,6 +3005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_clicks": q_asof_join_clicks,
         "range_join_events": q_range_join_events,
         "events_rollup": q_events_rollup,
+        "bm25_term_topk": q_bm25_term_topk,
+        "pmi_topk": q_pmi_topk,
+        "rolling_user_stats": q_rolling_user_stats,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3570,6 +3631,99 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*),
                    ROUND(SUM(value) / COUNT(*), 4)
             FROM q GROUP BY 2, 3
+        """,
+        "rolling_user_stats": """
+            WITH q AS (
+                SELECT user_id, ts, ROUND(value * 1024) / 1024 AS value
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(ts AS VARCHAR) AS ts,
+                   value,
+                   LAG(value) OVER w AS prev_value,
+                   ROUND(AVG(value) OVER (
+                       w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+                       AS moving_avg,
+                   SUM(value) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_sum,
+                   ROW_NUMBER() OVER w AS seq
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        """,
+        "bm25_term_topk": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \t\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), dls AS (
+                SELECT doc_id, len(ts) AS dl, ts FROM toks
+            ), stats AS (
+                SELECT CAST(SUM(dl) AS DOUBLE) AS total,
+                       CAST(COUNT(*) AS DOUBLE) AS n
+                FROM dls
+            ), tf AS (
+                SELECT doc_id, dl, token, COUNT(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ts) AS token FROM dls)
+                WHERE token IN {repr(tuple(_BM25_TERMS))}
+                GROUP BY 1, 2, 3
+            ), scored AS (
+                SELECT token AS term, doc_id, tf, dl,
+                       (CAST(tf AS DOUBLE) * CAST({1.2 + 1.0!r} AS DOUBLE))
+                       / (CAST(tf AS DOUBLE)
+                          + CAST({1.2!r} AS DOUBLE)
+                            * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                               + CAST({0.75!r} AS DOUBLE)
+                                 * CAST(dl AS DOUBLE)
+                                 / (stats.total / stats.n))) AS tf_norm
+                FROM tf, stats
+            )
+            SELECT term, doc_id, tf, dl, tf_norm, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY term
+                    ORDER BY tf_norm DESC, doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        "pmi_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \t\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), bic AS (
+                SELECT ts[i] AS tok_a, ts[i + 1] AS tok_b, COUNT(*) AS c_ab
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                     AS g(i)
+                GROUP BY 1, 2
+            ), unic AS (
+                SELECT tok, COUNT(*) AS c
+                FROM (SELECT unnest(ts) AS tok FROM toks)
+                GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS u FROM unic
+            ), btot AS (
+                SELECT CAST(SUM(c_ab) AS BIGINT) AS b FROM bic
+            )
+            SELECT tok_a, tok_b, c_ab, c_a, c_b, pmi_rational, rank FROM (
+                SELECT bic.tok_a, bic.tok_b, bic.c_ab,
+                       ua.c AS c_a, ub.c AS c_b,
+                       (CAST(bic.c_ab AS DOUBLE) * tot.u * tot.u)
+                       / (CAST(btot.b AS DOUBLE) * ua.c * ub.c)
+                           AS pmi_rational,
+                       ROW_NUMBER() OVER (
+                           ORDER BY bic.c_ab DESC,
+                                    bic.tok_a ASC, bic.tok_b ASC) AS rank
+                FROM bic
+                JOIN unic ua ON ua.tok = bic.tok_a
+                JOIN unic ub ON ub.tok = bic.tok_b
+                CROSS JOIN tot CROSS JOIN btot
+                WHERE bic.c_ab >= 2
+            ) WHERE rank <= 50
         """,
         "fd_covariance": """
             SELECT 'underestimate_is_psd' AS "check", TRUE AS ok

@@ -1,0 +1,275 @@
+"""Keyword relevance (BM25) and collocation (PMI) over the corpus.
+
+The reference engine scores tokens by frequency sketches only
+(SURVEY.md §2.2); a training-data pipeline also needs lexical
+*relevance* — query a 100 TB corpus for the documents that match a term
+list (quality probes, targeted decontamination, topic slicing) — and
+collocation mining for tokenizer/phrase vocabularies.  Both are
+classical IR (Robertson & Sparck Jones BM25; Church & Hanks 1990 PMI),
+expressed Spark-first:
+
+* Term statistics are ONE explode + hash-aggregate pass; the per-term
+  posting table for a bounded query term list is tiny (|terms| x docs
+  containing them) and every downstream join against it broadcasts.
+* Document length and the global average length are exact integer
+  aggregates — their double quotients are bit-identical across engines,
+  which the correctness gate exploits (see ``bm25_term_topk`` in
+  ``__spark_entry__``): the *pre-log* rational part of BM25 is certified
+  by hash against DuckDB, the log-idf composition is pytest-certified
+  against a NumPy oracle (libm-vs-DuckDB ``ln`` differs by 1 ulp, the
+  repo-wide rule for transcendentals).
+* Nothing collects except bounded per-term tables and final top-k.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from athena_spark.functions.tokenize import tokens_col
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def doc_term_freqs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: Sequence[str] | None = None,
+) -> DataFrame:
+    """(id, token, tf, dl): term frequency per document plus the
+    document token length.  With ``terms`` given, the explode is
+    filtered to the query terms BEFORE the aggregate — the shuffle
+    carries only matching (id, token) pairs, not the corpus."""
+    toks = docs.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("token"),
+    )
+    if terms is not None:
+        toks = toks.where(F.col("token").isin(list(terms)))
+    return toks.groupBy(id_col, "dl", "token").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def avg_doc_len(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[int, int]:
+    """(total_tokens, n_docs) as exact integers; ``total/n`` computed
+    as a double by the CALLER so both engines of a parity gate divide
+    the identical integers."""
+    row = docs.select(
+        F.sum(F.size(tokens_col(text_col))).alias("total"),
+        F.count("*").alias("n"),
+    ).first()
+    return int(row["total"] or 0), int(row["n"] or 0)
+
+
+def bm25_tf_norm(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Per (term, doc): the rational (pre-idf) BM25 component
+
+        tf_norm = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    with avgdl derived in-plan (exact integer sums -> one double
+    division), so the whole expression is a deterministic function of
+    integers — hash-comparable across engines.  Ranking documents for
+    a SINGLE term by ``tf_norm`` is identical to ranking by the full
+    BM25 term score (idf is a per-term positive constant)."""
+    tf = doc_term_freqs(docs, id_col, text_col, terms=terms)
+    totals = docs.select(
+        F.sum(F.size(tokens_col(text_col))).cast("double").alias("__total"),
+        F.count("*").cast("double").alias("__n"),
+    )
+    scored = tf.crossJoin(F.broadcast(totals)).withColumn(
+        "avgdl", F.col("__total") / F.col("__n")
+    )
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    norm = (F.col("tf") * (k1l + F.lit(1.0))) / (
+        F.col("tf")
+        + k1l * (F.lit(1.0) - bl + bl * F.col("dl") / F.col("avgdl"))
+    )
+    return scored.select(
+        F.col("token").alias("term"),
+        F.col(id_col),
+        "tf",
+        "dl",
+        norm.alias("tf_norm"),
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    topk: int = 10,
+) -> DataFrame:
+    """Full BM25 ranking of the corpus for a bag-of-terms query:
+
+        score(d) = sum_t idf(t) * tf_norm(t, d)
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))    (RSJ smooth)
+
+    Per-term df is a tiny aggregate over the posting table; the idf
+    map broadcasts; the global top-k compiles to TakeOrdered (no full
+    sort).  Ties break by ascending id for determinism."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tfn = bm25_tf_norm(docs, terms, id_col, text_col, k1=k1, b=b)
+    n_docs = docs.count()
+    df_tab = (
+        tfn.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = tfn.join(F.broadcast(df_tab.withColumn("idf", idf)), "term")
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("idf") * F.col("tf_norm")).alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )
+    return out
+
+
+def bm25_reference(texts, query_terms, k1=K1_DEFAULT, b=B_DEFAULT):
+    """Scalar oracle for :func:`bm25_search` (whitespace tokens, same
+    \\r-deletion), used by the pytest parity suite."""
+    import re
+
+    toks = [
+        [t for t in re.split(r"[ \t\n]+", s.replace("\r", "")) if t]
+        for s in texts
+    ]
+    n = len(toks)
+    avgdl = (sum(len(t) for t in toks) / n) if n else 0.0
+    terms = list(dict.fromkeys(query_terms))
+    dfs = {
+        q: sum(1 for t in toks if q in t) for q in terms
+    }
+    scores = []
+    for i, t in enumerate(toks):
+        s = 0.0
+        matched = 0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+        scores.append((i, s, matched))
+    return scores
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    topk: int = 50,
+) -> DataFrame:
+    """Adjacent-bigram collocations ranked by corpus frequency with
+    their pointwise mutual information
+
+        pmi = ln(pmi_rational),
+        pmi_rational = (c_ab / B) / ((c_a / U) * (c_b / U))
+
+    where U/B are total unigram/bigram counts.  ``pmi_rational`` is a
+    fixed arithmetic tree over exact integer counts — the engine-
+    portable quantity (the gate hashes it; ``ln`` is monotone so any
+    PMI ranking is the rational ranking).  One tokenize pass feeds both
+    unigram and bigram aggregates; only (token, count) pairs shuffle."""
+    toks = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("__toks")
+    )
+    toks = toks.persist()
+
+    uni = (
+        toks.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    u_total = F.broadcast(uni.select(F.sum("c").alias("__u")))
+
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        "__toks", 1,
+                        F.greatest(F.size("__toks") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        "__toks", 2,
+                        F.greatest(F.size("__toks") - 1, F.lit(0)),
+                    ),
+                    lambda a, b2: F.struct(
+                        a.alias("tok_a"), b2.alias("tok_b")
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.tok_a", "bg.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    b_total = F.broadcast(bi.select(F.sum("c_ab").alias("__b")))
+
+    joined = (
+        bi.where(F.col("c_ab") >= int(min_count))
+        .join(
+            F.broadcast(uni.selectExpr("tok AS tok_a", "c AS c_a")), "tok_a"
+        )
+        .join(
+            F.broadcast(uni.selectExpr("tok AS tok_b", "c AS c_b")), "tok_b"
+        )
+        .crossJoin(u_total)
+        .crossJoin(b_total)
+    )
+    rational = (
+        F.col("c_ab").cast("double") * F.col("__u") * F.col("__u")
+    ) / (
+        F.col("__b").cast("double") * F.col("c_a") * F.col("c_b")
+    )
+    # top-k via sort+limit FIRST (compiles to TakeOrdered — no global
+    # single-partition sort of the full bigram table), then rank the
+    # <= topk surviving rows with a window (bounded input)
+    top = (
+        joined.select(
+            "tok_a", "tok_b", "c_ab", "c_a", "c_b",
+            rational.alias("pmi_rational"),
+        )
+        .orderBy(
+            F.col("c_ab").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+        )
+        .limit(int(topk))
+    )
+    w = Window.orderBy(
+        F.col("c_ab").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w))

@@ -173,6 +173,38 @@ def range_join_binned(
     return joined.drop("__bin", "__us", "__s_us", "__e_us")
 
 
+def rolling_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+    preceding_rows: int = 3,
+) -> DataFrame:
+    """Per-key ordered rolling analytics: previous value (lag), moving
+    average over the trailing ``preceding_rows + 1`` rows, running
+    cumulative sum, and the row's rank within its key.
+
+    One shuffle (the per-key window partitioning), whole-stage-codegen
+    JVM expressions throughout.  Contract: ``order_col`` must be unique
+    per key (true for microsecond event timestamps per user) — with
+    ties the ROWS-frame results depend on tie order; callers needing a
+    tiebreak pass a struct column as ``order_col``.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    wrows = w.rowsBetween(-int(preceding_rows), Window.currentRow)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col(value_col).cast("double")
+    return df.select(
+        F.col(key_col),
+        F.col(order_col),
+        v.alias(value_col),
+        F.lag(v).over(w).alias("prev_value"),
+        F.avg(v).over(wrows).alias("moving_avg"),
+        F.sum(v).over(wcum).alias("cum_sum"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
 def time_rollup(
     events: DataFrame,
     ts_col: str = "ts",

@@ -1,0 +1,131 @@
+"""BM25 relevance and PMI collocations vs scalar oracles."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from athena_spark.functions.relevance import (
+    bm25_reference,
+    bm25_search,
+    bm25_tf_norm,
+    doc_term_freqs,
+    pmi_bigrams,
+)
+
+TEXTS = [
+    "join hash join merge\tjoin scan",
+    "hash hash hash",
+    "scan filter scan\r\nfilter scan scan",
+    "",                       # empty doc keeps N honest
+    "merge only once",
+    "join scan join scan join scan join scan",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)]
+    )
+
+
+def test_doc_term_freqs_counts(spark, docs):
+    rows = {
+        (r.doc_id, r.token): (r.tf, r.dl)
+        for r in doc_term_freqs(docs, terms=["join", "hash"]).collect()
+    }
+    assert rows[(0, "join")] == (3, 6)
+    assert rows[(1, "hash")] == (3, 3)
+    assert (3, "join") not in rows  # empty doc
+    assert rows[(5, "join")] == (4, 8)
+
+
+def test_bm25_tf_norm_matches_scalar(spark, docs):
+    k1, b = 1.2, 0.75
+    got = {
+        (r.term, r.doc_id): r.tf_norm
+        for r in bm25_tf_norm(docs, ["join", "hash"], k1=k1, b=b).collect()
+    }
+    toks = [t.replace("\r", "").split() for t in TEXTS]
+    avgdl = sum(len(t) for t in toks) / len(toks)
+    for (term, did), v in got.items():
+        tf = toks[did].count(term)
+        dl = len(toks[did])
+        want = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert v == pytest.approx(want, rel=1e-12)
+
+
+def test_bm25_search_matches_reference(spark, docs):
+    got = bm25_search(docs, ["join", "hash", "merge"], topk=6).collect()
+    ref = bm25_reference(TEXTS, ["join", "hash", "merge"])
+    ref = sorted(
+        [r for r in ref if r[1] > 0],
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert [r.doc_id for r in got] == [r[0] for r in ref]
+    for g, (_, want, matched) in zip(got, ref):
+        assert g.score == pytest.approx(want, rel=1e-9)
+        assert g.n_terms_matched == matched
+
+
+def test_bm25_search_duplicate_terms_and_missing(spark, docs):
+    # duplicated query terms dedup; unseen terms contribute nothing
+    a = bm25_search(docs, ["join", "join", "zzz"], topk=3).collect()
+    b = bm25_search(docs, ["join"], topk=3).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+
+def test_bm25_search_rejects_empty_query(spark, docs):
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search(docs, [])
+
+
+def test_bm25_topk_plan_is_take_ordered(spark, docs):
+    plan = (
+        bm25_search(docs, ["join"], topk=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def _scalar_bigrams(texts):
+    toks = [t.replace("\r", "").split() for t in texts]
+    uni, bi = {}, {}
+    for t in toks:
+        for x in t:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    return uni, bi
+
+
+def test_pmi_bigrams_counts_and_rational(spark, docs):
+    uni, bi = _scalar_bigrams(TEXTS)
+    U = sum(uni.values())
+    B = sum(bi.values())
+    got = pmi_bigrams(docs, min_count=2, topk=100).collect()
+    want_keys = {k for k, c in bi.items() if c >= 2}
+    assert {(r.tok_a, r.tok_b) for r in got} == want_keys
+    for r in got:
+        assert r.c_ab == bi[(r.tok_a, r.tok_b)]
+        assert r.c_a == uni[r.tok_a]
+        assert r.c_b == uni[r.tok_b]
+        want = (r.c_ab * U * U) / (B * r.c_a * r.c_b)
+        assert r.pmi_rational == pytest.approx(want, rel=1e-12)
+    # rank is 1-based, dense over the result, ordered by count desc
+    ranks = sorted(r.rank for r in got)
+    assert ranks == list(range(1, len(got) + 1))
+    by_rank = sorted(got, key=lambda r: r.rank)
+    counts = [r.c_ab for r in by_rank]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_pmi_ranking_matches_log_pmi(spark, docs):
+    # ln is monotone: ordering by pmi_rational == ordering by true PMI
+    got = pmi_bigrams(docs, min_count=1, topk=100).collect()
+    rat = [(r.pmi_rational, (r.tok_a, r.tok_b)) for r in got]
+    logs = [(math.log(r.pmi_rational), (r.tok_a, r.tok_b)) for r in got]
+    assert [k for _, k in sorted(rat, reverse=True)] == [
+        k for _, k in sorted(logs, reverse=True)
+    ]

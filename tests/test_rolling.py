@@ -1,0 +1,45 @@
+"""rolling_stats vs a scalar oracle."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from athena_spark.operators.temporal import rolling_stats
+
+
+def _rows():
+    t0 = dt.datetime(2024, 1, 1)
+    out = []
+    vals = {1: [5.0, 3.0, 8.0, 1.0, 4.0, 9.0], 2: [2.0, 7.0]}
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            out.append(Row(user_id=uid, ts=t0 + dt.timedelta(minutes=i), value=v))
+    return out, vals
+
+
+def test_rolling_stats_matches_scalar(spark):
+    rows, vals = _rows()
+    got = rolling_stats(
+        spark.createDataFrame(rows), "user_id", "ts", "value", preceding_rows=2
+    ).collect()
+    by_key = {(r.user_id, r.seq): r for r in got}
+    for uid, vs in vals.items():
+        cum = 0.0
+        for i, v in enumerate(vs):
+            r = by_key[(uid, i + 1)]
+            cum += v
+            window = vs[max(0, i - 2): i + 1]
+            assert r.value == v
+            assert r.prev_value == (vs[i - 1] if i else None)
+            assert r.moving_avg == sum(window) / len(window)
+            assert r.cum_sum == cum
+    assert len(got) == sum(len(v) for v in vals.values())
+
+
+def test_rolling_stats_single_shuffle(spark):
+    rows, _ = _rows()
+    plan = (
+        rolling_stats(spark.createDataFrame(rows))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1
