@@ -32,6 +32,8 @@ Subcommands:
 * ``dsir-select``     — DSIR importance-weighted top-n selection
 * ``quality-filter``  — supervised quality classifier filter
 * ``curate-stream``   — continuous curation replay over a directory
+* ``search``     — BM25 bag-of-words relevance top-k over a text column
+* ``rollup``     — hypertable-style hour/day/week continuous aggregate
 * ``package``    — build the --py-files zip
 """
 
@@ -293,6 +295,25 @@ def _build_parser() -> argparse.ArgumentParser:
     cst.add_argument("--keep-langs", default=None,
                      help="comma-separated predicted-language allowlist")
     cst.add_argument("--max-files-per-trigger", type=int, default=16)
+
+    se = sub.add_parser("search")
+    common(se, output_help="scored hits parquet dir")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--terms", required=True,
+                    help="comma-separated query terms (bag of words)")
+    se.add_argument("--topk", type=int, default=10)
+    se.add_argument("--k1", type=float, default=1.2)
+    se.add_argument("--b", type=float, default=0.75)
+
+    ru = sub.add_parser("rollup")
+    common(ru, output_help="multi-granularity aggregate parquet dir")
+    ru.set_defaults(col="value")  # common()'s "content" is text
+    ru.add_argument("--ts-col", default="ts")
+    ru.add_argument("--group-col", default=None,
+                    help="optional extra grouping column")
+    ru.add_argument("--granularities", default="hour,day,week",
+                    help="comma-separated date_trunc units, finest "
+                         "first, each nesting into the next")
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -1028,6 +1049,51 @@ def cmd_curate_stream(args) -> None:
     print(json.dumps({"admitted_total": admitted}), file=sys.stderr)
 
 
+def cmd_search(args) -> None:
+    """BM25 bag-of-words relevance search over a text column; top-k
+    (id, score, n_terms_matched) to stdout or --output parquet."""
+    from athena_spark.functions.relevance import bm25_search
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    terms = [t for t in args.terms.split(",") if t]
+    out = bm25_search(df, terms, id_col=args.id_col, text_col=args.col,
+                      k1=args.k1, b=args.b, topk=args.topk)
+    rows = out.collect()  # bounded: topk rows
+    print(json.dumps({"terms": terms, "hits": len(rows)}), file=sys.stderr)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for r in rows:
+            print(f'{r[args.id_col]}\t{r["score"]:.6f}\t'
+                  f'{r["n_terms_matched"]}')
+
+
+def cmd_rollup(args) -> None:
+    """Hypertable-style continuous aggregate: one raw scan into the
+    finest granularity, coarser levels re-aggregate the partials."""
+    from athena_spark.operators.temporal import time_rollup
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    grans = tuple(g for g in args.granularities.split(",") if g)
+    out = time_rollup(df, ts_col=args.ts_col, value_col=args.col,
+                      group_cols=[args.group_col] if args.group_col else [],
+                      granularities=grans)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        rows = out.orderBy("granularity", "bucket").collect()
+        n = len(rows)
+        for r in rows[:200]:
+            print("\t".join(str(v) for v in r))
+    print(json.dumps({"granularities": list(grans), "rows": n}),
+          file=sys.stderr)
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -1064,6 +1130,8 @@ def main(argv=None) -> None:
         "dsir-select": cmd_dsir_select,
         "quality-filter": cmd_quality_filter,
         "curate-stream": cmd_curate_stream,
+        "search": cmd_search,
+        "rollup": cmd_rollup,
         "package": cmd_package,
     }[args.cmd](args)
 

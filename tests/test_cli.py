@@ -618,3 +618,33 @@ def test_cli_overlap_freq(spark, sf_dir, capsys):
     for parts in lines:
         assert len(parts) == 4
         assert -1.0 <= float(parts[3]) <= 1.0
+
+
+def test_cli_search(spark, sf_dir, capsys):
+    out = run_cli(capsys, ["search", "--input",
+                           f"{sf_dir}/documents.parquet",
+                           "--col", "text", "--terms", "join,hash",
+                           "--topk", "5"])
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    assert 0 < len(lines) <= 5
+    scores = [float(s) for _, s, _ in lines]
+    assert scores == sorted(scores, reverse=True)
+    from athena_spark.functions.relevance import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = bm25_search(docs, ["join", "hash"], topk=5).collect()
+    assert [int(i) for i, _, _ in lines] == [r.doc_id for r in want]
+
+
+def test_cli_rollup(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "rollup")
+    run_cli(capsys, ["rollup", "--input", f"{sf_dir}/events.parquet",
+                     "--group-col", "event_type",
+                     "--output", out_dir])
+    got = spark.read.parquet(out_dir)
+    grans = {r.granularity for r in got.select("granularity").distinct().collect()}
+    assert grans == {"hour", "day", "week"}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.count()
+    per_gran = got.groupBy("granularity").agg(F.sum("n_events").alias("n")).collect()
+    assert all(r.n == total for r in per_gran)
