@@ -2907,6 +2907,76 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("join", "hash", "filter", "nosuchtokenxyz")
 
 
+def q_revenue_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-table join: top-10 undelivered BUILDING-segment
+    orders by revenue.  The selective customer dim broadcasts (no
+    shuffle of the fact side on the dim key), the orders<->lineitem join
+    shuffles on orderkey, the global top-10 compiles to TakeOrdered —
+    the plan shape is pinned in tests/test_plans_relational.py.
+    Per-row revenue is quantized to 2^-10 multiples before summing so
+    the aggregate is order-independent and hash-identical in DuckDB."""
+    cust = _table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-01-01"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-01-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1024,
+        0,
+    ) / 1024
+    return (
+        li.join(
+            orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary per (returnflag, linestatus):
+    one scan, one shuffle on the 6-row grouping key, partial (map-side)
+    aggregation does the heavy lifting.  Derived per-row prices are
+    quantized to 2^-10 multiples before summing (order-independent
+    exact sums; quantities are integer-valued so their sums are exact
+    as-is)."""
+    li = _table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    q1024 = lambda c: F.round(c * 1024, 0) / 1024
+    disc_price = q1024(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    charge = q1024(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(q1024(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / F.count("*"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered rolling analytics (lag / trailing-4 moving avg
     / cumulative sum / sequence rank) — the moving-window family of the
@@ -3008,6 +3078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_topk": q_bm25_term_topk,
         "pmi_topk": q_pmi_topk,
         "rolling_user_stats": q_rolling_user_stats,
+        "revenue_topk_join": q_revenue_topk_join,
+        "pricing_summary": q_pricing_summary,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3631,6 +3703,38 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*),
                    ROUND(SUM(value) / COUNT(*), 4)
             FROM q GROUP BY 2, 3
+        """,
+        "revenue_topk_join": """
+            SELECT l.l_orderkey,
+                   CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+                   o.o_orderpriority,
+                   SUM(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                             * 1024) / 1024) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag,
+                   l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(ROUND(l_extendedprice * 1024) / 1024)
+                       AS sum_base_price,
+                   SUM(ROUND(l_extendedprice * (1 - l_discount)
+                             * 1024) / 1024) AS sum_disc_price,
+                   SUM(ROUND(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 1024) / 1024) AS sum_charge,
+                   ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY 1, 2
         """,
         "rolling_user_stats": """
             WITH q AS (

@@ -370,3 +370,30 @@ def test_paragraph_dedup_broadcast_keeps_paragraphs_local(
                 and "para#" not in block, block
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_revenue_topk_broadcasts_dim_and_take_ordered(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_revenue_topk_join(spark, sf_dir)
+    plan = plan_of(df)
+    # the selective customer dim must broadcast (no fact-side shuffle
+    # on the dim key) and the global top-10 must be TakeOrdered, not a
+    # full sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # predicates reach the parquet scans
+    assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan or \
+        "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_pricing_summary_single_shuffle_partial_agg(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_pricing_summary(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(l_returnflag") == 1
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "LessThanOrEqual(l_shipdate" in plan
