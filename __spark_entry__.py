@@ -2912,7 +2912,7 @@ def q_revenue_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders by revenue.  The selective customer dim broadcasts (no
     shuffle of the fact side on the dim key), the orders<->lineitem join
     shuffles on orderkey, the global top-10 compiles to TakeOrdered —
-    the plan shape is pinned in tests/test_plans_relational.py.
+    the plan shape is pinned in tests/test_plans.py.
     Per-row revenue is quantized to 2^-10 multiples before summing so
     the aggregate is order-independent and hash-identical in DuckDB."""
     cust = _table(spark, sf_dir, "customer").where(
@@ -3038,7 +3038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a cutoff must clip gates RE-certified in the previous round,
     # never gates that went ungraded.  So: (a) the 12 queries the r3
     # driver did not reach come FIRST, cheap before heavy; (b) the
-    # eleven gates new this round follow; (c) the 50 r3-green gates
+    # gates new this round follow (temporal / relevance / relational
+    # additions at the end of that block); (c) the 50 r3-green gates
     # close the board, roughly cheap -> heavy with the streaming /
     # training heavyweights at the very end.
     return {
