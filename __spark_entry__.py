@@ -2904,6 +2904,57 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_extendedprice,
+    l_quantity), 8 bits per column — the layout key behind
+    write_zordered's row-group pruning (operators/layout.py; the
+    pruning win itself is asserted behaviorally in
+    tests/test_layout.py).  The key is a pure integer expression after
+    a double quantization whose arithmetic tree the SQL oracle
+    reproduces bit-for-bit, with min/max derived in-plan on both
+    sides so the gate is scale-portable."""
+    from athena_spark.operators.layout import column_ranges, zorder_key
+
+    li = _table(spark, sf_dir, "lineitem")
+    ranges = column_ranges(li, ["l_extendedprice", "l_quantity"])
+    z = zorder_key(li, ["l_extendedprice", "l_quantity"], bits=8,
+                   ranges=ranges)
+    return li.select("l_orderkey", "l_linenumber", z.alias("zkey"))
+
+
+def _zorder_oracle_sql() -> str:
+    """SQL twin of q_zorder_key with min/max from a CTE (same doubles
+    as column_ranges since both are exact min/max of the same column),
+    then the identical binning tree and exact integer bit ops."""
+    bits, levels, cols = 8, 256, ["l_extendedprice", "l_quantity"]
+    bins = {}
+    for k, c in enumerate(cols, start=1):
+        bins[c] = (
+            f"LEAST(CAST(FLOOR((CAST({c} AS DOUBLE) - r.lo{k}) "
+            f"/ (r.hi{k} - r.lo{k}) "
+            f"* CAST({float(levels)!r} AS DOUBLE)) AS BIGINT), "
+            f"{levels - 1})"
+        )
+    n = len(cols)
+    parts = [
+        f"((({bins[c]} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    z = " | ".join(parts)
+    return f"""
+        WITH r AS (
+            SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo1,
+                   MAX(CAST(l_extendedprice AS DOUBLE)) AS hi1,
+                   MIN(CAST(l_quantity AS DOUBLE)) AS lo2,
+                   MAX(CAST(l_quantity AS DOUBLE)) AS hi2
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, {z} AS zkey
+        FROM lineitem, r
+    """
+
+
 _BM25_TERMS = ("join", "hash", "filter", "nosuchtokenxyz")
 
 
@@ -3081,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_stats": q_rolling_user_stats,
         "revenue_topk_join": q_revenue_topk_join,
         "pricing_summary": q_pricing_summary,
+        "zorder_key": q_zorder_key,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3705,6 +3757,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value) / COUNT(*), 4)
             FROM q GROUP BY 2, 3
         """,
+        "zorder_key": _zorder_oracle_sql(),
         "revenue_topk_join": """
             SELECT l.l_orderkey,
                    CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
