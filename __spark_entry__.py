@@ -2201,6 +2201,21 @@ def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component dedup keeping the highest-quality member per cluster
+    (quality = n_chars, ties min id) — the production keeper rule
+    (keep the longest copy, drop the truncated mirror).  Oracle
+    recomputes clusters with a recursive CTE and picks keepers with a
+    row_number window."""
+    from athena_spark.operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(
+        _docs(spark, sf_dir), "doc_id", "text", "n_chars",
+        n=3, threshold=0.8,
+        max_doc_freq=None,  # oracle parity: no doc-freq cutoff in SQL
+    ).select("doc_id")
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation pipeline (quality gate >= 0.25, langid in
     {en, fr}, exact dedup min-id, MinHash-LSH near-dup removal at
@@ -3133,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_topk_join": q_revenue_topk_join,
         "pricing_summary": q_pricing_summary,
         "zorder_key": q_zorder_key,
+        "dedup_keep_best": q_dedup_keep_best,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3566,6 +3582,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM surv
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "dedup_keep_best": r"""
+            WITH RECURSIVE keep_exact AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, ROW_NUMBER() OVER (
+                        PARTITION BY sha256(text)
+                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM documents
+                ) WHERE rn = 1
+            ), surv AS (
+                SELECT d.doc_id, d.text, d.n_chars FROM documents d
+                JOIN keep_exact k ON d.doc_id = k.doc_id
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
+                                   t -> t <> '') AS ts
+                FROM surv
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.8
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), comp AS (
+                SELECT a AS node, LEAST(a, MIN(b)) AS component
+                FROM reach GROUP BY a
+            ), keepers AS (
+                SELECT node FROM (
+                    SELECT c.node, ROW_NUMBER() OVER (
+                        PARTITION BY c.component
+                        ORDER BY s.n_chars DESC, c.node ASC) AS rn
+                    FROM comp c JOIN surv s ON s.doc_id = c.node
+                ) WHERE rn = 1
+            )
+            SELECT s.doc_id FROM surv s
+            LEFT JOIN comp c ON s.doc_id = c.node
+            WHERE c.node IS NULL
+               OR s.doc_id IN (SELECT node FROM keepers)
         """,
         "dedup_corpus_components": r"""
             WITH RECURSIVE keep_exact AS (

@@ -654,6 +654,60 @@ def dedup_corpus_components(
     return survivors.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
+) -> DataFrame:
+    """Component dedup keeping the HIGHEST-QUALITY member of every
+    duplicate cluster (ties broken by min id) instead of the min id —
+    the keeper rule production curation pipelines use (keep the
+    longest / best-scored copy, drop the truncated mirror).
+
+    Same plan shape as :func:`dedup_corpus_components` — exact phase,
+    MinHash-LSH pairs, label-propagation components — with the keeper
+    chosen by a ``max_by(id, struct(quality, -id))`` aggregate (one
+    map-side-combined shuffle of (key, quality, id) triples; no
+    per-group sort, no text in any shuffle)."""
+    keeper = F.expr(
+        f"max_by({id_col}, struct({quality_col}, -{id_col}))"
+    ).alias(id_col)
+    exact_keep = (
+        df.select(
+            F.col(id_col), F.col(quality_col),
+            F.sha2(F.col(text_col), 256).alias("_sha"),
+        )
+        .groupBy("_sha").agg(keeper).select(id_col)
+    )
+    survivors = df.join(exact_keep, id_col, "left_semi")
+    near_pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, n=n, threshold=threshold,
+        num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
+        materialize=materialize,
+    )
+    comps = dup_components(near_pairs, materialize=materialize)
+    members = comps.join(
+        survivors.select(F.col(id_col).alias("node"), F.col(quality_col)),
+        "node",
+    )
+    keepers = members.groupBy("component").agg(
+        F.expr(f"max_by(node, struct({quality_col}, -node))").alias("_keep")
+    )
+    losers = (
+        members.join(keepers, "component")
+        .where(F.col("node") != F.col("_keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return survivors.join(losers, id_col, "left_anti")
+
+
 # -- SimHash -----------------------------------------------------------------
 
 def simhash_batch(pdf: pd.DataFrame, id_col: str, text_col: str

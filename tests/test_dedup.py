@@ -823,3 +823,38 @@ def test_paragraph_dup_stats_matches_scalar_oracle(spark):
     dup_total = sum(v[2] for v in want.values())
     distinct_dup_keys = sum(1 for c in occ.values() if c >= 2)
     assert removed_total == dup_total - distinct_dup_keys
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    from athena_spark.operators.dedup import (dedup_corpus_components,
+                                              dedup_keep_best)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        # near-dup cluster: 3 variants, the LONGEST has the max id
+        (1, base, len(base)),
+        (2, base + " phi", len(base) + 4),
+        (3, base + " phi chi", len(base) + 8),
+        # exact-dup pair with differing quality metadata: keep id 11
+        (10, "totally different words here completely", 10),
+        (11, "totally different words here completely", 99),
+        # singleton
+        (20, "the quick brown fox jumps over the lazy dog", 44),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    best = {
+        r.doc_id
+        for r in dedup_keep_best(
+            df, "doc_id", "text", "n_chars", threshold=0.5,
+            max_doc_freq=None,
+        ).collect()
+    }
+    assert best == {3, 11, 20}
+    minid = {
+        r.doc_id
+        for r in dedup_corpus_components(
+            df, "doc_id", "text", threshold=0.5, max_doc_freq=None
+        ).collect()
+    }
+    assert minid == {1, 10, 20}
