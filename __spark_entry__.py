@@ -2216,6 +2216,22 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget fill (1500 tokens/source, best
+    quality first, quality = n_chars): the mixture-building selection
+    step.  Exact-integer cumsum, exact SQL oracle."""
+    from athena_spark.functions.tokenize import tokens_col
+    from athena_spark.operators.trainprep import select_token_budget
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tok", F.size(tokens_col("text")).cast("long")
+    )
+    return select_token_budget(
+        docs, "source", "doc_id", "n_tok", budget=1500,
+        quality_col="n_chars",
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation pipeline (quality gate >= 0.25, langid in
     {en, fr}, exact dedup min-id, MinHash-LSH near-dup removal at
@@ -3149,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "zorder_key": q_zorder_key,
         "dedup_keep_best": q_dedup_keep_best,
+        "token_budget_select": q_token_budget_select,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3582,6 +3599,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM surv
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "token_budget_select": """
+            WITH toks AS (
+                SELECT source, doc_id, n_chars,
+                       CAST(len(list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \t\n]+'),
+                           t -> t <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), cum AS (
+                SELECT source, doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                FROM toks
+            )
+            SELECT source, doc_id, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens - n_tokens < 1500
         """,
         "dedup_keep_best": r"""
             WITH RECURSIVE keep_exact AS (

@@ -451,3 +451,55 @@ def sample_per_group(
         .select(id_col, "rank")
     )
     return df.join(picked, id_col)
+
+
+def select_token_budget(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Greedy token-budget fill per group: order each group's docs by
+    (quality desc, id asc) — id-only when ``quality_col`` is None —
+    and keep docs while the budget is not yet exhausted BEFORE the
+    doc, i.e. keep iff ``cum_tokens - n_tokens < budget`` (the doc
+    that crosses the boundary is kept, so the selection may overflow
+    by at most one doc — the standard greedy mixture fill).
+
+    Output: (group, id, n_tokens, cum_tokens) for kept docs.
+
+    Plan: one shuffle on the group key, a per-group sorted window over
+    narrow (group, quality, id, n_tokens) rows — text and payload
+    columns never enter the window; recover full rows by semi-join on
+    id.  Skew note: a mega-group sorts its narrow rows in one task;
+    pre-aggregate or shard the group upstream if that exceeds task
+    memory.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    narrow = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        *([F.col(quality_col)] if quality_col is not None else []),
+        n.alias("n_tokens"),
+    )
+    return (
+        narrow.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < int(budget))
+        .select(group_col, id_col, "n_tokens", "cum_tokens")
+    )

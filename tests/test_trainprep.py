@@ -359,3 +359,41 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     feed = next(l for l in plan.splitlines()
                 if "Project [doc_id" in l and "_key" in l)
     assert "text" not in feed
+
+
+def test_select_token_budget_greedy_fill(spark):
+    from athena_spark.operators.trainprep import select_token_budget
+
+    rows = [
+        # group a: quality order -> id 3 (q9, 40 tok), id 1 (q5, 50),
+        # id 2 (q5, 30); budget 80: keep 3 (cum 40), keep 1 (cum 90,
+        # starts at 40 < 80 -> overflow doc kept), drop 2 (starts 90)
+        ("a", 1, 50, 5),
+        ("a", 2, 30, 5),
+        ("a", 3, 40, 9),
+        # group b: single doc larger than the budget is still kept
+        ("b", 4, 500, 1),
+        # group c: null token count packs as 0
+        ("c", 5, None, 2),
+        ("c", 6, 70, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, id long, n long, q long"
+    )
+    got = {
+        (r.g, r.id): (r.n_tokens, r.cum_tokens)
+        for r in select_token_budget(
+            df, "g", "id", "n", budget=80, quality_col="q"
+        ).collect()
+    }
+    assert got == {
+        ("a", 3): (40, 40),
+        ("a", 1): (50, 90),
+        ("b", 4): (500, 500),
+        ("c", 5): (0, 0),
+        ("c", 6): (70, 70),
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        select_token_budget(df, "g", "id", "n", budget=0)
