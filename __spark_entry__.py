@@ -2232,6 +2232,23 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size training-shard manifest over the deterministic
+    corpus shuffle (64 rows/shard): per-shard row count, position
+    range, contiguity flag.  The checksum column is excluded (xxhash64
+    has no DuckDB twin; its determinism is pytest-certified in
+    test_trainprep.py)."""
+    from athena_spark.operators.trainprep import (shard_assignments,
+                                                  shard_manifest,
+                                                  shuffle_corpus)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pos = shuffle_corpus(docs, "doc_id", seed=_SHUFFLE_SEED)
+    return shard_manifest(
+        shard_assignments(pos, rows_per_shard=64)
+    ).drop("checksum")
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation pipeline (quality gate >= 0.25, langid in
     {en, fr}, exact dedup min-id, MinHash-LSH near-dup removal at
@@ -3166,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "dedup_keep_best": q_dedup_keep_best,
         "token_budget_select": q_token_budget_select,
+        "training_shards_manifest": q_training_shards_manifest,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3599,6 +3617,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM surv
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "training_shards_manifest": f"""
+            WITH pos AS (
+                SELECT CAST(ROW_NUMBER() OVER (
+                           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)
+                                                  || ':{_SHUFFLE_SEED}'),
+                                           1, 8),
+                                    doc_id) - 1 AS BIGINT) AS pos
+                FROM documents
+            )
+            SELECT pos // 64 AS shard,
+                   COUNT(*) AS n_rows,
+                   MIN(pos) AS min_pos,
+                   MAX(pos) AS max_pos,
+                   MAX(pos) - MIN(pos) + 1 = COUNT(*) AS contiguous
+            FROM pos GROUP BY 1
         """,
         "token_budget_select": """
             WITH toks AS (

@@ -503,3 +503,71 @@ def select_token_budget(
         .where(F.col("cum_tokens") - F.col("n_tokens") < int(budget))
         .select(group_col, id_col, "n_tokens", "cum_tokens")
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    pos_col: str = "pos",
+    rows_per_shard: int = 65536,
+) -> DataFrame:
+    """Add ``shard = pos div rows_per_shard`` — fixed-size contiguous
+    shards over a :func:`shuffle_corpus` position column."""
+    if rows_per_shard < 1:
+        raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
+    return df.withColumn(
+        "shard", F.expr(f"{pos_col} div {int(rows_per_shard)}")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Per-shard manifest over a sharded (id, pos, shard) table:
+    row count, position range, a contiguity flag (positions form an
+    unbroken run — the property training loaders rely on), and an
+    order-independent content checksum (bit_xor of xxhash64(id, pos):
+    no overflow, any row change flips it)."""
+    return df.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.min(pos_col).alias("min_pos"),
+        F.max(pos_col).alias("max_pos"),
+        (
+            F.max(pos_col) - F.min(pos_col) + F.lit(1) == F.count("*")
+        ).alias("contiguous"),
+        F.expr(f"bit_xor(xxhash64({id_col}, {pos_col}))").alias("checksum"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    rows_per_shard: int = 65536,
+) -> DataFrame:
+    """Write the shuffled corpus as fixed-size training shards:
+    ``shard=N/`` parquet directories, rows sorted by position within
+    each shard, ONE file per shard (each shard's rows hash to one
+    task; distinct shards in a task split into per-directory files).
+    Returns the manifest of what was WRITTEN (read back from disk, so
+    the manifest certifies the sink, not the plan).
+
+    Scale shape: one hash exchange on the shard id (narrow rows if the
+    caller pre-joined only the columns to ship), a per-task sort, no
+    driver involvement; rows_per_shard bounds file size regardless of
+    corpus size.
+    """
+    sharded = shard_assignments(df, pos_col, rows_per_shard)
+    n_shards = sharded.select(F.max("shard")).first()[0]
+    n_shards = int(n_shards or 0) + 1
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", pos_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = df.sparkSession.read.parquet(path)
+    return shard_manifest(back, id_col, pos_col)

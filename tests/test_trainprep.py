@@ -397,3 +397,41 @@ def test_select_token_budget_greedy_fill(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="budget"):
         select_token_budget(df, "g", "id", "n", budget=0)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from athena_spark.operators.trainprep import (shard_manifest,
+                                                  shuffle_corpus,
+                                                  write_training_shards)
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    pos = shuffle_corpus(df, "doc_id", seed=3)
+    out = str(tmp_path / "shards")
+    manifest = {
+        r.shard: r
+        for r in write_training_shards(
+            pos, out, rows_per_shard=7
+        ).collect()
+    }
+    assert set(manifest) == set(range(8))
+    for s, r in manifest.items():
+        assert r.contiguous
+        assert r.min_pos == s * 7 and r.n_rows == (7 if s < 7 else 1)
+    # one file per shard, rows sorted by pos inside the file
+    for s in range(8):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, (s, files)
+        tbl = pq.read_table(files[0])
+        ps = tbl.column("pos").to_pylist()
+        assert ps == sorted(ps)
+    # checksum flips when content changes
+    m1 = shard_manifest(
+        spark.read.parquet(out)).orderBy("shard").collect()
+    altered = spark.read.parquet(out).withColumn(
+        "doc_id", F.col("doc_id") + 1)
+    m2 = shard_manifest(altered).orderBy("shard").collect()
+    assert [r.checksum for r in m1] != [r.checksum for r in m2]
+    assert [r.n_rows for r in m1] == [r.n_rows for r in m2]
