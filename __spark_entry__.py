@@ -2249,6 +2249,84 @@ def q_training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("checksum")
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the orders table (ANALYZE-style
+    data-quality report; operators/profile.py).  Means are computed
+    over 2^-10-quantized values so the report is deterministic under
+    any partial-aggregation order."""
+    from athena_spark.operators.profile import profile_table
+
+    return profile_table(_table(spark, sf_dir, "orders"))
+
+
+def _profile_oracle_sql() -> str:
+    """Long-form SQL twin of q_table_profile over orders."""
+    numeric = ["o_orderkey", "o_custkey", "o_totalprice"]
+    strings = ["o_orderstatus", "o_orderpriority"]
+    other = ["o_orderdate"]
+    blocks = []
+    for c in numeric + strings + other:
+        blocks += [
+            f"SELECT '{c}' AS \"column\", 'n_rows' AS stat, "
+            f"CAST(COUNT(*) AS DOUBLE) AS value FROM orders",
+            f"SELECT '{c}', 'n_nulls', "
+            f"CAST(COUNT(*) - COUNT({c}) AS DOUBLE) FROM orders",
+            f"SELECT '{c}', 'n_distinct', "
+            f"CAST(COUNT(DISTINCT {c}) AS DOUBLE) FROM orders",
+        ]
+        if c in numeric:
+            blocks += [
+                f"SELECT '{c}', 'min', MIN(CAST({c} AS DOUBLE)) FROM orders",
+                f"SELECT '{c}', 'max', MAX(CAST({c} AS DOUBLE)) FROM orders",
+                f"SELECT '{c}', 'mean', "
+                f"SUM(ROUND(CAST({c} AS DOUBLE) * 1024) / 1024) "
+                f"/ COUNT({c}) FROM orders",
+            ]
+        elif c in strings:
+            blocks += [
+                f"SELECT '{c}', 'min_length', "
+                f"CAST(MIN(LENGTH({c})) AS DOUBLE) FROM orders",
+                f"SELECT '{c}', 'max_length', "
+                f"CAST(MAX(LENGTH({c})) AS DOUBLE) FROM orders",
+            ]
+    return " UNION ALL ".join(blocks)
+
+
+def q_merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot MERGE: apply a deterministic change set (revise ids
+    %10==0, delete ids %10==3, insert clones of ids %10==7 at
+    id+1000000) to the documents base and emit the surviving rows'
+    content hashes.  One full-outer equi-join (operators/merge.py);
+    the oracle recomputes the merge with NOT IN + UNION ALL."""
+    from athena_spark.operators.merge import merge_upsert
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir)
+    changes = (
+        d.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id",
+            F.concat(F.lit("REVISED "), F.col("text")).alias("text"),
+            F.lit("upsert").alias("op"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 10 == 3).select(
+                "doc_id", F.lit(None).cast("string").alias("text"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text", F.lit("upsert").alias("op"),
+            )
+        )
+    )
+    merged = merge_upsert(base, changes, ["doc_id"])
+    return merged.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation pipeline (quality gate >= 0.25, langid in
     {en, fr}, exact dedup min-id, MinHash-LSH near-dup removal at
@@ -3184,6 +3262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "token_budget_select": q_token_budget_select,
         "training_shards_manifest": q_training_shards_manifest,
+        "merge_upsert_docs": q_merge_upsert_docs,
+        "table_profile": q_table_profile,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3617,6 +3697,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM surv
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "table_profile": _profile_oracle_sql(),
+        "merge_upsert_docs": """
+            WITH changes AS (
+                SELECT doc_id, 'REVISED ' || text AS text, 'upsert' AS op
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, NULL, 'delete'
+                FROM documents WHERE doc_id % 10 = 3
+                UNION ALL
+                SELECT doc_id + 1000000, text, 'upsert'
+                FROM documents WHERE doc_id % 10 = 7
+            )
+            SELECT d.doc_id, sha256(d.text) AS text_sha
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
+            UNION ALL
+            SELECT doc_id, sha256(text)
+            FROM changes WHERE op = 'upsert'
         """,
         "training_shards_manifest": f"""
             WITH pos AS (

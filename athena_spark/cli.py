@@ -34,6 +34,8 @@ Subcommands:
 * ``curate-stream``   — continuous curation replay over a directory
 * ``search``     — BM25 bag-of-words relevance top-k over a text column
 * ``rollup``     — hypertable-style hour/day/week continuous aggregate
+* ``profile``    — one-pass per-column table profile (ANALYZE report)
+* ``merge``      — snapshot MERGE upsert/delete (optional CDC compact)
 * ``package``    — build the --py-files zip
 """
 
@@ -314,6 +316,27 @@ def _build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--granularities", default="hour,day,week",
                     help="comma-separated date_trunc units, finest "
                          "first, each nesting into the next")
+
+    pr = sub.add_parser("profile")
+    common(pr, output_help="long-form profile parquet dir")
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all)")
+    pr.add_argument("--approx", action="store_true",
+                    help="HLL distinct counts instead of exact "
+                         "(keeps the profile a single bounded pass "
+                         "at scale)")
+
+    mg = sub.add_parser("merge")
+    common(mg, output_help="merged snapshot parquet dir (required)")
+    mg.add_argument("--changes", required=True,
+                    help="change-set dir: base schema + an op column "
+                         "in {upsert, delete}")
+    mg.add_argument("--key", required=True,
+                    help="comma-separated merge key columns")
+    mg.add_argument("--op-col", default="op")
+    mg.add_argument("--version-col", default=None,
+                    help="CDC mode: compact the change log to the "
+                         "latest version per key before merging")
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -1094,6 +1117,52 @@ def cmd_rollup(args) -> None:
           file=sys.stderr)
 
 
+def cmd_profile(args) -> None:
+    """One-pass per-column table profile; TSV to stdout or --output
+    parquet, row/column counts as JSON to stderr."""
+    from athena_spark.operators.profile import profile_table
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    cols = args.columns.split(",") if args.columns else None
+    out = profile_table(df, columns=cols, approx=args.approx)
+    rows = out.collect()  # bounded: stats x columns
+    print(json.dumps({"columns": len({r.column for r in rows}),
+                      "stats": len(rows), "approx": args.approx}),
+          file=sys.stderr)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for r in sorted(rows, key=lambda r: (r.column, r.stat)):
+            v = "" if r.value is None else f"{r.value:.6g}"
+            print(f"{r.column}\t{r.stat}\t{v}")
+
+
+def cmd_merge(args) -> None:
+    """Snapshot MERGE (upsert/delete change set, optionally CDC-
+    compacted by --version-col) written to --output."""
+    from athena_spark.operators.merge import compact_changes, merge_upsert
+    from athena_spark.sources.corpus import read_corpus
+
+    if not args.output:
+        raise SystemExit("merge requires --output (the next snapshot)")
+    spark = _spark(args)
+    base = read_corpus(spark, args.input, fmt=args.format)
+    changes = spark.read.parquet(args.changes)
+    keys = [k for k in args.key.split(",") if k]
+    if args.version_col:
+        changes = compact_changes(changes, keys, args.version_col,
+                                  op_col=args.op_col).drop(args.version_col)
+    merged = merge_upsert(base, changes, keys, op_col=args.op_col)
+    merged.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "base_rows": base.count(),
+        "change_rows": changes.count(),
+        "merged_rows": spark.read.parquet(args.output).count(),
+    }), file=sys.stderr)
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -1132,6 +1201,8 @@ def main(argv=None) -> None:
         "curate-stream": cmd_curate_stream,
         "search": cmd_search,
         "rollup": cmd_rollup,
+        "profile": cmd_profile,
+        "merge": cmd_merge,
         "package": cmd_package,
     }[args.cmd](args)
 

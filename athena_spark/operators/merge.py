@@ -1,0 +1,105 @@
+"""Snapshot maintenance: MERGE-style upsert and CDC compaction.
+
+The engine's tables are immutable parquet snapshots (like the
+reference's token files, which are never rewritten —
+/root/reference/src/_io.cpp reads, never writes).  Real corpora get
+revisions: re-crawls update documents, takedowns delete them, new
+crawls insert.  Without a table format (Delta/Iceberg) the idiom is
+snapshot rewrite: read base, apply a change set, write the next
+snapshot.  These operators express that as one full-outer join — the
+same physical shape `MERGE INTO` lowers to in Delta/Spark SQL.
+
+Scale shape: ONE shuffle of each side on the merge key (or zero for
+the base side if both are bucketed on the key — compose with
+operators/bucketed.py), payload columns ride the join untouched, no
+driver involvement.  ``compact_changes`` pre-shrinks a CDC log to one
+final action per key with a map-side-combined ``max_by`` — the log,
+not the base, is usually the small side, so the merge join can
+broadcast it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_OPS = ("upsert", "delete")
+
+
+def compact_changes(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a CDC log to the LATEST change per key (max version;
+    ties are an error upstream — versions must be unique per key, e.g.
+    a log sequence number).  One map-side-combined aggregate; output
+    columns = the winning row's, unchanged."""
+    keys = list(key_cols)
+    others = [c for c in changes.columns if c not in keys]
+    packed = changes.groupBy(*keys).agg(
+        F.expr(
+            "max_by(struct(" + ", ".join(others) + f"), {version_col})"
+        ).alias("_row"),
+        F.count("*").alias("_n"),
+        F.countDistinct(version_col).alias("_nv"),
+    )
+    # duplicate versions per key make "latest" ambiguous — fail loudly
+    bad = packed.where(F.col("_n") != F.col("_nv")).count()
+    if bad:
+        raise ValueError(
+            f"{bad} key(s) carry duplicate {version_col} values; CDC "
+            "compaction needs a unique per-key version"
+        )
+    return packed.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE: apply a compacted change set to a base snapshot.
+
+    ``changes`` rows carry ``op_col`` in {'upsert', 'delete'} and the
+    full payload schema of ``base``:
+
+    - matched + upsert  -> the change row replaces the base row
+    - matched + delete  -> the key disappears
+    - unmatched upsert  -> inserted
+    - unmatched delete  -> no-op (idempotent replays)
+
+    One full-outer join on the key; the winner is picked per column
+    group with ``when`` — whole-stage codegen, no UDF."""
+    keys = list(key_cols)
+    payload = [c for c in base.columns if c not in keys]
+    missing = [c for c in keys + payload if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+    ch = changes.select(
+        *[F.col(c).alias(f"_ch_{c}") for c in keys + payload],
+        F.col(op_col).alias("_op"),
+    )
+    bad = ch.where(~F.col("_op").isin(*_OPS)).count()
+    if bad:
+        raise ValueError(
+            f"{bad} change row(s) have {op_col} outside {_OPS}"
+        )
+    cond = [base[k] == ch[f"_ch_{k}"] for k in keys]
+    j = base.join(ch, cond, "full_outer")
+    has_change = F.col("_op").isNotNull()
+    keep = ~has_change | (F.col("_op") == "upsert")
+    out = j.where(keep).select(
+        *[
+            F.when(has_change, F.col(f"_ch_{k}")).otherwise(base[k]).alias(k)
+            for k in keys
+        ],
+        *[
+            F.when(has_change, F.col(f"_ch_{c}")).otherwise(base[c]).alias(c)
+            for c in payload
+        ],
+    )
+    return out

@@ -1,0 +1,101 @@
+"""Table profiling: per-column statistics in one pass (the
+ANALYZE / data-quality report surface, deequ/TFDV-style).
+
+One scan computes every column's profile simultaneously (a single
+wide aggregate — Catalyst evaluates all aggregates in one
+whole-stage-codegen pass, partial/map-side combined), so the cost at
+100 TB is one read of the table regardless of column count:
+
+- all types: row count, null count, exact distinct count
+  (``approx=True`` swaps in HLL ``approx_count_distinct`` — at scale
+  the exact distinct per column is the one expensive aggregate, since
+  each distinct needs its own shuffle of that column's values; the
+  HLL variant keeps the whole profile a single pass with bounded
+  state)
+- numeric columns: min / max / mean (mean over values quantized to
+  2^-10 multiples so the report is deterministic under any partial-
+  aggregation order — profiles are diffed across snapshots, and a
+  flapping 12th decimal is a false alarm)
+- string columns: min / max length
+
+Output is long-form (column, stat, value DOUBLE) so new stats never
+change the schema.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Long-form per-column profile: (column, stat, value) with value
+    cast to DOUBLE.  Stats per type are documented in the module
+    docstring; the whole profile is ONE aggregate pass."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns is not None else list(fields)
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+
+    aggs: list = [F.count(F.lit(1)).alias("__n_rows")]
+    stats_per_col: dict[str, list[str]] = {}
+    for c in cols:
+        dt = fields[c]
+        distinct = (
+            F.approx_count_distinct(c) if approx else F.countDistinct(c)
+        )
+        aggs.append(F.count(c).alias(f"__nn__{c}"))
+        aggs.append(distinct.alias(f"__dist__{c}"))
+        stats = ["n_nonnull", "n_distinct"]
+        if isinstance(dt, _NUMERIC):
+            q = F.round(F.col(c).cast("double") * 1024, 0) / 1024
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__min__{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max__{c}"),
+                F.sum(q).alias(f"__qsum__{c}"),
+            ]
+            stats += ["min", "max", "mean"]
+        elif isinstance(dt, T.StringType):
+            aggs += [
+                F.min(F.length(c)).alias(f"__minlen__{c}"),
+                F.max(F.length(c)).alias(f"__maxlen__{c}"),
+            ]
+            stats += ["min_length", "max_length"]
+        stats_per_col[c] = stats
+
+    row = df.agg(*aggs).first()
+    n_rows = row["__n_rows"]
+    out_rows = []
+    for c in cols:
+        nn = row[f"__nn__{c}"]
+        out_rows.append((c, "n_rows", float(n_rows)))
+        out_rows.append((c, "n_nulls", float(n_rows - nn)))
+        out_rows.append((c, "n_distinct", float(row[f"__dist__{c}"])))
+        if "min" in stats_per_col[c]:
+            mn, mx = row[f"__min__{c}"], row[f"__max__{c}"]
+            qs = row[f"__qsum__{c}"]
+            out_rows.append((c, "min", None if mn is None else float(mn)))
+            out_rows.append((c, "max", None if mx is None else float(mx)))
+            mean = None if (qs is None or nn == 0) else qs / nn
+            out_rows.append((c, "mean", mean))
+        if "min_length" in stats_per_col[c]:
+            ml, xl = row[f"__minlen__{c}"], row[f"__maxlen__{c}"]
+            out_rows.append(
+                (c, "min_length", None if ml is None else float(ml)))
+            out_rows.append(
+                (c, "max_length", None if xl is None else float(xl)))
+    return df.sparkSession.createDataFrame(
+        out_rows, "column string, stat string, value double"
+    )

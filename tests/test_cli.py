@@ -648,3 +648,31 @@ def test_cli_rollup(spark, sf_dir, tmp_path, capsys):
     total = ev.count()
     per_gran = got.groupBy("granularity").agg(F.sum("n_events").alias("n")).collect()
     assert all(r.n == total for r in per_gran)
+
+
+def test_cli_profile(spark, sf_dir, capsys):
+    out = run_cli(capsys, ["profile", "--input",
+                           f"{sf_dir}/orders.parquet"])
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    stats = {(c, s): v for c, s, v in lines}
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert float(stats[("o_orderkey", "n_rows")]) == n
+    assert float(stats[("o_orderkey", "n_distinct")]) == n
+    assert ("o_orderstatus", "max_length") in stats
+
+
+def test_cli_merge_cdc(spark, sf_dir, tmp_path, capsys):
+    changes_dir = str(tmp_path / "changes")
+    out_dir = str(tmp_path / "merged")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = docs.where("doc_id % 5 = 0").selectExpr(
+        "doc_id", "text", "lang", "source", "n_chars",
+        "CAST(1 AS LONG) AS lsn", "'delete' AS op",
+    )
+    ch.write.mode("overwrite").parquet(changes_dir)
+    run_cli(capsys, ["merge", "--input", f"{sf_dir}/documents.parquet",
+                     "--changes", changes_dir, "--key", "doc_id",
+                     "--version-col", "lsn", "--output", out_dir])
+    merged = spark.read.parquet(out_dir)
+    assert merged.where("doc_id % 5 = 0").count() == 0
+    assert merged.count() == docs.where("doc_id % 5 != 0").count()

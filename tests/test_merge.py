@@ -1,0 +1,109 @@
+"""MERGE upsert and CDC compaction."""
+
+import pytest
+
+from athena_spark.operators.merge import compact_changes, merge_upsert
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, text string, score long",
+    )
+
+
+def test_merge_upsert_semantics(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (2, "B2", 22, "upsert"),    # matched update
+            (3, None, 0, "delete"),     # matched delete
+            (9, "new", 90, "upsert"),   # insert
+            (77, None, 0, "delete"),    # unmatched delete -> no-op
+        ],
+        "id long, text string, score long, op string",
+    )
+    got = {r.id: (r.text, r.score)
+           for r in merge_upsert(base, changes, ["id"]).collect()}
+    assert got == {
+        1: ("a", 10),
+        2: ("B2", 22),
+        4: ("d", 40),
+        9: ("new", 90),
+    }
+
+
+def test_merge_upsert_is_idempotent_on_replay(spark, base):
+    changes = spark.createDataFrame(
+        [(3, None, 0, "delete"), (9, "new", 90, "upsert")],
+        "id long, text string, score long, op string",
+    )
+    once = merge_upsert(base, changes, ["id"])
+    twice = merge_upsert(once, changes, ["id"])
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
+
+
+def test_merge_upsert_validates(spark, base):
+    bad_op = spark.createDataFrame(
+        [(1, "x", 1, "replace")], "id long, text string, score long, op string"
+    )
+    with pytest.raises(ValueError, match="outside"):
+        merge_upsert(base, bad_op, ["id"])
+    missing = spark.createDataFrame([(1, "upsert")], "id long, op string")
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_upsert(base, missing, ["id"])
+
+
+def test_merge_plan_is_equi_join(spark, base):
+    changes = spark.createDataFrame(
+        [(2, "B2", 22, "upsert")], "id long, text string, score long, op string"
+    )
+    plan = (
+        merge_upsert(base, changes, ["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compact_changes_latest_wins(spark):
+    log = spark.createDataFrame(
+        [
+            (1, "v1", 100, "upsert"),
+            (1, "v3", 300, "delete"),
+            (1, "v2", 200, "upsert"),
+            (2, "w1", 101, "upsert"),
+        ],
+        "id long, text string, lsn long, op string",
+    )
+    got = {r.id: (r.text, r.lsn, r.op)
+           for r in compact_changes(log, ["id"], "lsn").collect()}
+    assert got == {1: ("v3", 300, "delete"), 2: ("w1", 101, "upsert")}
+
+
+def test_compact_changes_rejects_duplicate_versions(spark):
+    log = spark.createDataFrame(
+        [(1, "a", 100, "upsert"), (1, "b", 100, "upsert")],
+        "id long, text string, lsn long, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        compact_changes(log, ["id"], "lsn")
+
+
+def test_cdc_end_to_end(spark, base):
+    log = spark.createDataFrame(
+        [
+            (2, "first", 0, 1, "upsert"),
+            (2, "final", 22, 5, "upsert"),
+            (4, None, 0, 2, "delete"),
+            (4, "resurrected", 44, 7, "upsert"),
+            (5, "new5", 50, 3, "upsert"),
+            (5, None, 0, 9, "delete"),
+        ],
+        "id long, text string, score long, lsn long, op string",
+    )
+    compacted = compact_changes(log, ["id"], "lsn").drop("lsn")
+    got = {r.id: r.text
+           for r in merge_upsert(base, compacted, ["id"]).collect()}
+    assert got == {1: "a", 2: "final", 3: "c", 4: "resurrected"}

@@ -1,0 +1,66 @@
+"""profile_table vs hand-computed expectations."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from athena_spark.operators.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, name="aa", x=1.5),
+            Row(id=2, name="bbbb", x=None),
+            Row(id=3, name=None, x=2.5),
+            Row(id=3, name="aa", x=-4.0),
+        ]
+    )
+
+
+def _stats(rows):
+    return {(r.column, r.stat): r.value for r in rows}
+
+
+def test_profile_exact(spark, table):
+    got = _stats(profile_table(table).collect())
+    assert got[("id", "n_rows")] == 4.0
+    assert got[("id", "n_nulls")] == 0.0
+    assert got[("id", "n_distinct")] == 3.0
+    assert got[("id", "min")] == 1.0 and got[("id", "max")] == 3.0
+    assert got[("id", "mean")] == pytest.approx(9 / 4)
+    assert got[("x", "n_nulls")] == 1.0
+    assert got[("x", "mean")] == pytest.approx(0.0)
+    assert got[("x", "min")] == -4.0 and got[("x", "max")] == 2.5
+    assert got[("name", "n_nulls")] == 1.0
+    assert got[("name", "min_length")] == 2.0
+    assert got[("name", "max_length")] == 4.0
+
+
+def test_profile_approx_mode_close(spark, table):
+    exact = _stats(profile_table(table).collect())
+    approx = _stats(profile_table(table, approx=True).collect())
+    for (c, s), v in exact.items():
+        if s == "n_distinct":
+            assert approx[(c, s)] == pytest.approx(v, rel=0.1)
+        else:
+            a = approx[(c, s)]
+            assert (a is None and v is None) or a == v or (
+                math.isclose(a, v)
+            )
+
+
+def test_profile_column_subset_and_unknown(spark, table):
+    got = _stats(profile_table(table, columns=["x"]).collect())
+    assert set(c for c, _ in got) == {"x"}
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(table, columns=["nope"])
+
+
+def test_profile_empty_table(spark, table):
+    got = _stats(profile_table(table.where("id < 0")).collect())
+    assert got[("id", "n_rows")] == 0.0
+    assert got[("id", "min")] is None
+    assert got[("id", "mean")] is None
