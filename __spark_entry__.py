@@ -2292,6 +2292,49 @@ def _profile_oracle_sql() -> str:
     return " UNION ALL ".join(blocks)
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of o_totalprice — the profiling
+    companion (operators/profile.py), sharing the Z-order quantizer's
+    engine-portable binning tree."""
+    from athena_spark.operators.profile import column_histogram
+
+    return column_histogram(_table(spark, sf_dir, "orders"),
+                            "o_totalprice", n_bins=20)
+
+
+def q_join_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-planning cardinality: distinct-key overlap of
+    lineitem.l_orderkey vs orders.o_orderkey estimated from two theta
+    sketches (k=1024 -> estimation mode at sf0.01) WITHOUT executing
+    the join, certified within 5x the one-sigma RSE against the exact
+    distinct counts computed Spark-side (real invariants; the oracle
+    pins the expected TRUE rows — log/hash-free certified-boolean
+    pattern)."""
+    from athena_spark.operators.overlap import join_key_overlap
+
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    res = join_key_overlap(li, orders, "l_orderkey", "o_orderkey", k=1024)
+    exact_l = li.select("l_orderkey").distinct().count()
+    exact_r = orders.select("o_orderkey").distinct().count()
+    exact_c = (
+        li.select(F.col("l_orderkey").alias("k")).distinct()
+        .join(orders.select(F.col("o_orderkey").alias("k")).distinct(), "k")
+        .count()
+    )
+    tol = 5.0 * res["rel_err_bound"]
+    checks = [
+        ("left_within_bound",
+         abs(res["est_left"] - exact_l) <= tol * exact_l),
+        ("right_within_bound",
+         abs(res["est_right"] - exact_r) <= tol * exact_r),
+        ("common_within_bound",
+         abs(res["est_common"] - exact_c) <= tol * max(exact_c, 1)),
+        ("estimation_mode_engaged", res["rel_err_bound"] > 0.0),
+    ]
+    return spark.createDataFrame(checks, "check string, ok boolean")
+
+
 def q_merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot MERGE: apply a deterministic change set (revise ids
     %10==0, delete ids %10==3, insert clones of ids %10==7 at
@@ -3264,6 +3307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards_manifest": q_training_shards_manifest,
         "merge_upsert_docs": q_merge_upsert_docs,
         "table_profile": q_table_profile,
+        "price_histogram": q_price_histogram,
+        "join_key_overlap": q_join_key_overlap,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3699,6 +3744,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
         """,
         "table_profile": _profile_oracle_sql(),
+        "price_histogram": """
+            WITH r AS (
+                SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+                       MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+                FROM orders
+            )
+            SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - r.lo)
+                                    / (r.hi - r.lo)
+                                    * CAST(20.0 AS DOUBLE)) AS BIGINT),
+                         19) AS bin,
+                   COUNT(*) AS n
+            FROM orders, r
+            GROUP BY 1
+        """,
+        "join_key_overlap": """
+            SELECT 'left_within_bound' AS "check", TRUE AS ok
+            UNION ALL SELECT 'right_within_bound', TRUE
+            UNION ALL SELECT 'common_within_bound', TRUE
+            UNION ALL SELECT 'estimation_mode_engaged', TRUE
+        """,
         "merge_upsert_docs": """
             WITH changes AS (
                 SELECT doc_id, 'REVISED ' || text AS text, 'upsert' AS op

@@ -267,3 +267,55 @@ def group_shingles_exact(
         kernel, f"`{group_col}` {group_type}, gram long"
     )
     return batch_distinct.distinct()
+
+
+def key_hash_updater(sketch, col: pa.Array) -> int:
+    """Theta updater over a KEY column (any scalar type): values are
+    cast to their string form and hashed — both join sides must cast
+    identically, which integer keys do trivially."""
+    import pyarrow.compute as pc
+
+    vals = col.drop_null()
+    if len(vals) == 0:
+        return 0
+    s = pc.cast(vals, pa.string())
+    sketch.update(s.to_numpy(zero_copy_only=False))
+    return len(vals)
+
+
+def join_key_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    k: int = 4096,
+) -> dict:
+    """Distinct-join-key overlap estimate — the cardinality input a
+    join planner needs (semi/anti-join selectivity, broadcast-side
+    choice) WITHOUT executing the join: one theta sketch per side
+    (each a partial-aggregate scan of just the key column), then
+    set-algebra on the two k-bounded summaries at the driver.
+
+    Returns {est_left, est_right, est_common, rel_err_bound} where
+    ``rel_err_bound`` is the one-sigma theta RSE 1/sqrt(k-1) of the
+    WORST participating sketch (exact-mode sketches contribute 0)."""
+    from athena_spark.operators.agg import aggregate_sketch
+
+    sk_l, _ = aggregate_sketch(
+        left.select(left_key), left_key,
+        lambda pid: ThetaSketch(k), key_hash_updater,
+    )
+    sk_r, _ = aggregate_sketch(
+        right.select(right_key), right_key,
+        lambda pid: ThetaSketch(k), key_hash_updater,
+    )
+    inter = sk_l.intersect(sk_r)
+    rse = max(
+        sk_l.relative_error, sk_r.relative_error, inter.relative_error
+    )
+    return {
+        "est_left": sk_l.estimate(),
+        "est_right": sk_r.estimate(),
+        "est_common": inter.estimate(),
+        "rel_err_bound": rse,
+    }

@@ -35,6 +35,46 @@ _NUMERIC = (
 )
 
 
+def column_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, n) for bins
+    0..n_bins-1 over [lo, hi] (data min/max when omitted — one tiny
+    aggregate), the max value landing in the last bin.  The binning is
+    the same engine-portable arithmetic tree as the Z-order quantizer
+    (operators/layout.py), so an exact SQL twin exists.  Empty bins
+    are omitted (a 100 TB profile job should not densify; callers
+    needing dense output left-join a range)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    from athena_spark.operators.layout import _bin_expr
+
+    if lo is None or hi is None:
+        row = df.select(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).first()
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None:  # empty input
+        return df.sparkSession.createDataFrame([], "bin long, n long")
+    return (
+        df.where(F.col(col).isNotNull())
+        .where(
+            (F.col(col).cast("double") >= float(lo))
+            & (F.col(col).cast("double") <= float(hi))
+        )
+        .select(_bin_expr(col, float(lo), float(hi), int(n_bins))
+                .alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def profile_table(
     df: DataFrame,
     columns: Sequence[str] | None = None,

@@ -64,3 +64,25 @@ def test_profile_empty_table(spark, table):
     assert got[("id", "n_rows")] == 0.0
     assert got[("id", "min")] is None
     assert got[("id", "mean")] is None
+
+
+def test_column_histogram_matches_scalar(spark):
+    vals = [float(v) for v in [0, 1, 2, 3, 4, 5, 5, 5, 9, 10]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.bin: r.n for r in
+           __import__("athena_spark.operators.profile",
+                      fromlist=["column_histogram"])
+           .column_histogram(df, "x", n_bins=5).collect()}
+    # lo=0, hi=10, width 2: bins [0,2):2 [2,4):2 [4,6):4 [8,10]:2
+    assert got == {0: 2, 1: 2, 2: 4, 4: 2}
+    assert sum(got.values()) == len(vals)
+
+
+def test_column_histogram_explicit_range_filters(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "x double")
+    got = {r.bin: r.n for r in
+           __import__("athena_spark.operators.profile",
+                      fromlist=["column_histogram"])
+           .column_histogram(df, "x", n_bins=2, lo=2.0, hi=5.0).collect()}
+    # only values in [2, 5] participate: 2,3 -> bin 0; 4,5 -> bin 1
+    assert got == {0: 2, 1: 2}

@@ -246,3 +246,28 @@ def test_corpus_overlap_disjoint_and_sub_n_groups(spark):
     assert got[("aa", "bb")]["est_union"] == 100.0  # 2 x 5 x 10 grams
     assert got[("aa", "cc")]["est_a"] == 50.0
     assert got[("aa", "cc")]["est_b"] == 0.0
+
+
+def test_join_key_overlap_bounds(spark):
+    from athena_spark.operators.overlap import join_key_overlap
+
+    left = spark.createDataFrame(
+        [(i,) for i in range(3000)], "k long")
+    right = spark.createDataFrame(
+        [(i,) for i in range(1500, 4500)], "k long")
+    res = join_key_overlap(left, right, "k", "k", k=512)
+    assert res["rel_err_bound"] > 0  # estimation mode
+    tol = 5 * res["rel_err_bound"]
+    assert abs(res["est_left"] - 3000) <= tol * 3000
+    assert abs(res["est_right"] - 3000) <= tol * 3000
+    assert abs(res["est_common"] - 1500) <= tol * 1500
+
+
+def test_join_key_overlap_exact_mode(spark):
+    from athena_spark.operators.overlap import join_key_overlap
+
+    left = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(50, 150)], "k long")
+    res = join_key_overlap(left, right, "k", "k", k=4096)
+    assert res["est_left"] == 100.0
+    assert res["est_common"] == 50.0
