@@ -83,10 +83,22 @@ def merge_upsert(
         *[F.col(c).alias(f"_ch_{c}") for c in keys + payload],
         F.col(op_col).alias("_op"),
     )
-    bad = ch.where(~F.col("_op").isin(*_OPS)).count()
-    if bad:
+    # one validation pass: op values legal AND keys unique (duplicate
+    # change keys would silently fan out base rows through the join —
+    # compact_changes first)
+    v = ch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(f"_ch_{k}") for k in keys]).alias("nk"),
+        F.sum((~F.col("_op").isin(*_OPS)).cast("int")).alias("bad"),
+    ).first()
+    if v["bad"]:
         raise ValueError(
-            f"{bad} change row(s) have {op_col} outside {_OPS}"
+            f"{v['bad']} change row(s) have {op_col} outside {_OPS}"
+        )
+    if v["n"] != v["nk"]:
+        raise ValueError(
+            f"{v['n'] - v['nk']} duplicate change key(s); run "
+            "compact_changes first so 'latest' is well-defined"
         )
     cond = [base[k] == ch[f"_ch_{k}"] for k in keys]
     j = base.join(ch, cond, "full_outer")

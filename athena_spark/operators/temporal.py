@@ -70,6 +70,10 @@ def asof_join(
     for c in right_cols:
         if c in by or c == on:
             raise ValueError(f"right_cols entry {c!r} collides with join keys")
+    reserved = {"__tie", "__payload", "__side", "__m"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with internals: {sorted(clash)}")
 
     payload = F.struct(
         F.col(on).cast("timestamp").alias("__ts"),
@@ -128,6 +132,12 @@ def range_join_binned(
     bin id produces each qualifying (point, interval) pair exactly
     once — the exact containment filter only discards, never dedups.
     """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share column names {sorted(overlap)}; "
+            "alias one side before joining"
+        )
     pt_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))

@@ -107,3 +107,12 @@ def test_cdc_end_to_end(spark, base):
     got = {r.id: r.text
            for r in merge_upsert(base, compacted, ["id"]).collect()}
     assert got == {1: "a", 2: "final", 3: "c", 4: "resurrected"}
+
+
+def test_merge_upsert_rejects_duplicate_change_keys(spark, base):
+    dup = spark.createDataFrame(
+        [(2, "x", 1, "upsert"), (2, "y", 2, "upsert")],
+        "id long, text string, score long, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate change key"):
+        merge_upsert(base, dup, ["id"])

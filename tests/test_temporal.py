@@ -267,3 +267,17 @@ def test_time_rollup_scans_raw_once(spark):
     # coarser levels re-aggregate the persisted finest partial: the raw
     # relation appears in ONE branch, the others read the cached partial
     assert plan.count("LogicalRDD") <= 1 or "InMemoryRelation" in plan
+
+
+def test_asof_join_rejects_reserved_columns(spark, asof_data):
+    left, right = asof_data
+    bad = left.withColumn("__side", F.lit(1))
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(bad, right, on="ts", by=["user_id"],
+                  right_cols=["value"], tie_col="event_id")
+
+
+def test_range_join_rejects_shared_column_names(spark, range_data):
+    points, intervals = range_data
+    with pytest.raises(ValueError, match="share column names"):
+        range_join_binned(points.withColumnRenamed("pid", "iid"), intervals)
