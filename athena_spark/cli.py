@@ -1083,11 +1083,15 @@ def cmd_search(args) -> None:
     terms = [t for t in args.terms.split(",") if t]
     out = bm25_search(df, terms, id_col=args.id_col, text_col=args.col,
                       k1=args.k1, b=args.b, topk=args.topk)
-    rows = out.collect()  # bounded: topk rows
-    print(json.dumps({"terms": terms, "hits": len(rows)}), file=sys.stderr)
     if args.output:
+        # write once, report from the (topk-bounded) written result —
+        # never execute the scoring pipeline twice
         out.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).collect()
     else:
+        rows = out.collect()  # bounded: topk rows
+    print(json.dumps({"terms": terms, "hits": len(rows)}), file=sys.stderr)
+    if not args.output:
         for r in rows:
             print(f'{r[args.id_col]}\t{r["score"]:.6f}\t'
                   f'{r["n_terms_matched"]}')

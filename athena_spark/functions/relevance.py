@@ -59,19 +59,6 @@ def doc_term_freqs(
     )
 
 
-def avg_doc_len(
-    docs: DataFrame, text_col: str = "text"
-) -> tuple[int, int]:
-    """(total_tokens, n_docs) as exact integers; ``total/n`` computed
-    as a double by the CALLER so both engines of a parity gate divide
-    the identical integers."""
-    row = docs.select(
-        F.sum(F.size(tokens_col(text_col))).alias("total"),
-        F.count("*").alias("n"),
-    ).first()
-    return int(row["total"] or 0), int(row["n"] or 0)
-
-
 def bm25_tf_norm(
     docs: DataFrame,
     terms: Sequence[str],
@@ -108,6 +95,9 @@ def bm25_tf_norm(
         "tf",
         "dl",
         norm.alias("tf_norm"),
+        # corpus doc count, already aggregated for avgdl — callers
+        # (bm25_search) reuse it instead of re-scanning for count()
+        F.col("__n").alias("__n_docs"),
     )
 
 
@@ -132,16 +122,20 @@ def bm25_search(
     if not terms:
         raise ValueError("query_terms must be non-empty")
     tfn = bm25_tf_norm(docs, terms, id_col, text_col, k1=k1, b=b)
-    n_docs = docs.count()
-    df_tab = (
-        tfn.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    # per-term doc frequency AND the corpus doc count come out of the
+    # posting table — no extra scan of docs for count()
+    df_tab = tfn.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"),
+        F.first("__n_docs").alias("__n_docs"),
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        + (F.col("__n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
-    scored = tfn.join(F.broadcast(df_tab.withColumn("idf", idf)), "term")
+    scored = tfn.drop("__n_docs").join(
+        F.broadcast(df_tab.withColumn("idf", idf).drop("__n_docs")), "term"
+    )
     out = (
         scored.groupBy(id_col)
         .agg(
@@ -209,11 +203,14 @@ def pmi_bigrams(
     )
     toks = toks.persist()
 
+    # uni and bi are vocabulary-bounded; persisting them stops the
+    # totals aggregate and the two broadcast joins from re-running the
+    # corpus-wide explode+aggregate stages
     uni = (
         toks.select(F.explode("__toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-    )
+    ).persist()
     u_total = F.broadcast(uni.select(F.sum("c").alias("__u")))
 
     bi = (
@@ -237,7 +234,7 @@ def pmi_bigrams(
         .select("bg.tok_a", "bg.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("c_ab"))
-    )
+    ).persist()
     b_total = F.broadcast(bi.select(F.sum("c_ab").alias("__b")))
 
     joined = (

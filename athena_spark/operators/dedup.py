@@ -615,6 +615,63 @@ def dup_components(
     return labels
 
 
+def _dedup_by_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    exact_keeper,
+    comp_keeper,
+    extra_cols: tuple[str, ...],
+    n: int,
+    threshold: float,
+    num_perm: int,
+    bands: int,
+    max_doc_freq: int | None,
+    materialize: str,
+) -> DataFrame:
+    """Shared component-dedup scaffold: exact phase (one keeper per
+    sha256 text group), MinHash-LSH pairs over the survivors,
+    label-propagation components, one keeper per component.  The two
+    public rules differ only in the keeper aggregates:
+    ``exact_keeper(id_expr) -> Column`` over the sha group and
+    ``comp_keeper(id_expr) -> Column`` over the component; both are
+    map-side-combined aggregates over narrow (key, extra, id) rows —
+    no per-group sort, no text in any shuffle."""
+    exact_keep = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.sha2(F.col(text_col), 256).alias("_sha"),
+        )
+        .groupBy("_sha")
+        .agg(exact_keeper(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = df.join(exact_keep, id_col, "left_semi")
+    near_pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, n=n, threshold=threshold,
+        num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
+        materialize=materialize,
+    )
+    comps = dup_components(near_pairs, materialize=materialize)
+    members = comps.join(
+        survivors.select(
+            F.col(id_col).alias("node"),
+            *[F.col(c) for c in extra_cols],
+        ),
+        "node",
+    )
+    keepers = members.groupBy("component").agg(
+        comp_keeper("node").alias("_keep")
+    )
+    losers = (
+        members.join(keepers, "component")
+        .where(F.col("node") != F.col("_keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return survivors.join(losers, id_col, "left_anti")
+
+
 def dedup_corpus_components(
     df: DataFrame,
     id_col: str,
@@ -635,23 +692,12 @@ def dedup_corpus_components(
     C are not similar, the component rule keeps one doc per duplicate
     cluster — the standard choice for training-data pipelines.
     """
-    exact_keep = (
-        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_sha"))
-        .groupBy("_sha")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    keeper = lambda ident: F.min(ident)  # noqa: E731
+    return _dedup_by_components(
+        df, id_col, text_col, keeper, keeper, (),
+        n=n, threshold=threshold, num_perm=num_perm, bands=bands,
+        max_doc_freq=max_doc_freq, materialize=materialize,
     )
-    survivors = df.join(exact_keep, id_col, "left_semi")
-    near_pairs = minhash_dedup_pairs(
-        survivors, id_col, text_col, n=n, threshold=threshold,
-        num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
-        materialize=materialize,
-    )
-    comps = dup_components(near_pairs, materialize=materialize)
-    losers = comps.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
-    return survivors.join(losers, id_col, "left_anti")
 
 
 def dedup_keep_best(
@@ -671,41 +717,23 @@ def dedup_keep_best(
     the keeper rule production curation pipelines use (keep the
     longest / best-scored copy, drop the truncated mirror).
 
-    Same plan shape as :func:`dedup_corpus_components` — exact phase,
-    MinHash-LSH pairs, label-propagation components — with the keeper
-    chosen by a ``max_by(id, struct(quality, -id))`` aggregate (one
-    map-side-combined shuffle of (key, quality, id) triples; no
-    per-group sort, no text in any shuffle)."""
-    keeper = F.expr(
-        f"max_by({id_col}, struct({quality_col}, -{id_col}))"
-    ).alias(id_col)
-    exact_keep = (
-        df.select(
-            F.col(id_col), F.col(quality_col),
-            F.sha2(F.col(text_col), 256).alias("_sha"),
+    ``quality_col`` must be numeric (it is negated inside the keeper);
+    ``id_col`` may be any orderable type: the keeper is
+    ``min_by(id, struct(-quality, id))`` — lexicographic min over
+    (-quality, id) = max quality then min id — which never applies
+    arithmetic to the id, unlike a max_by(id, struct(quality, -id))
+    formulation that breaks on string ids.
+    """
+    def keeper(ident: str):
+        return F.expr(
+            f"min_by({ident}, struct(-{quality_col}, {ident}))"
         )
-        .groupBy("_sha").agg(keeper).select(id_col)
+
+    return _dedup_by_components(
+        df, id_col, text_col, keeper, keeper, (quality_col,),
+        n=n, threshold=threshold, num_perm=num_perm, bands=bands,
+        max_doc_freq=max_doc_freq, materialize=materialize,
     )
-    survivors = df.join(exact_keep, id_col, "left_semi")
-    near_pairs = minhash_dedup_pairs(
-        survivors, id_col, text_col, n=n, threshold=threshold,
-        num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
-        materialize=materialize,
-    )
-    comps = dup_components(near_pairs, materialize=materialize)
-    members = comps.join(
-        survivors.select(F.col(id_col).alias("node"), F.col(quality_col)),
-        "node",
-    )
-    keepers = members.groupBy("component").agg(
-        F.expr(f"max_by(node, struct({quality_col}, -node))").alias("_keep")
-    )
-    losers = (
-        members.join(keepers, "component")
-        .where(F.col("node") != F.col("_keep"))
-        .select(F.col("node").alias(id_col))
-    )
-    return survivors.join(losers, id_col, "left_anti")
 
 
 # -- SimHash -----------------------------------------------------------------

@@ -89,7 +89,11 @@ def merge_upsert(
     v = ch.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*[F.col(f"_ch_{k}") for k in keys]).alias("nk"),
-        F.sum((~F.col("_op").isin(*_OPS)).cast("int")).alias("bad"),
+        # coalesce: a NULL op makes isin() NULL, which F.sum would
+        # silently skip — NULL ops are invalid, not invisible
+        F.sum(
+            F.coalesce(~F.col("_op").isin(*_OPS), F.lit(True)).cast("int")
+        ).alias("bad"),
     ).first()
     if v["bad"]:
         raise ValueError(

@@ -60,7 +60,7 @@ def column_histogram(
         ).first()
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
-    if lo is None:  # empty input
+    if lo is None or hi is None:  # empty / all-null input
         return df.sparkSession.createDataFrame([], "bin long, n long")
     return (
         df.where(F.col(col).isNotNull())

@@ -79,7 +79,10 @@ def asof_join(
         F.col(on).cast("timestamp").alias("__ts"),
         *[F.col(c).alias(c) for c in right_cols],
     )
-    r = right.select(
+    # a NULL right timestamp satisfies "<= left.on" for no left row,
+    # but NULLS FIRST ordering would park its payload ahead of every
+    # row in the partition — drop such rows up front
+    r = right.where(F.col(on).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(on).cast("timestamp").alias(on),
         F.col(tie_col).cast("long").alias("__tie"),
@@ -246,9 +249,11 @@ def time_rollup(
     )
     finest = finest.persist()
 
-    levels = []
+    # the finest level IS the finest partial — re-aggregating it by its
+    # own granularity would be an identity shuffle
+    levels = [finest.select(F.lit(grans[0]).alias("granularity"), "*")]
     partial = finest
-    for g in grans:
+    for g in grans[1:]:
         partial = partial.groupBy(
             F.date_trunc(g, F.col("__bucket")).alias("__bucket"), *gcols
         ).agg(F.sum("__n").alias("__n"), F.sum("__sum").alias("__sum"))

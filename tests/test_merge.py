@@ -116,3 +116,12 @@ def test_merge_upsert_rejects_duplicate_change_keys(spark, base):
     )
     with pytest.raises(ValueError, match="duplicate change key"):
         merge_upsert(base, dup, ["id"])
+
+
+def test_merge_upsert_rejects_null_op(spark, base):
+    nul = spark.createDataFrame(
+        [(9, "x", 90, None), (2, "y", 22, None)],
+        "id long, text string, score long, op string",
+    )
+    with pytest.raises(ValueError, match="outside"):
+        merge_upsert(base, nul, ["id"])

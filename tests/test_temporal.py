@@ -281,3 +281,18 @@ def test_range_join_rejects_shared_column_names(spark, range_data):
     points, intervals = range_data
     with pytest.raises(ValueError, match="share column names"):
         range_join_binned(points.withColumnRenamed("pid", "iid"), intervals)
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(10), event_id=1)])
+    right = spark.createDataFrame(
+        [Row(user_id=1, ts=None, event_id=200, value=7.0),
+         Row(user_id=1, ts=_ts(5), event_id=201, value=5.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = asof_join(left, right, on="ts", by=["user_id"],
+                    right_cols=["value"], tie_col="event_id").collect()
+    # the NULL-ts row never satisfies right.ts <= left.ts; the real
+    # ts=5 row must win (not the NULLS-FIRST artifact)
+    assert got[0].value_right == 5.0
