@@ -2335,6 +2335,26 @@ def q_join_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(checks, "check string, ok boolean")
 
 
+_EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide reshape): per-user event-type counts as
+    columns.  The pivot value list is explicit, so the plan is a
+    single hash aggregate with one conditional-count per type — no
+    value-discovery pre-pass, stable schema at any scale."""
+    ev = _table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+    return p.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
 def q_merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot MERGE: apply a deterministic change set (revise ids
     %10==0, delete ids %10==3, insert clones of ids %10==7 at
@@ -3309,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
+        "events_pivot": q_events_pivot,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3757,6 +3778,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM orders, r
             GROUP BY 1
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                       AS n_click,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                       AS n_view,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       AS n_purchase,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                       AS n_error,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                       AS n_signup
+            FROM events GROUP BY 1
         """,
         "join_key_overlap": """
             SELECT 'left_within_bound' AS "check", TRUE AS ok
