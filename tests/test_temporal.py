@@ -296,3 +296,60 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     # the NULL-ts row never satisfies right.ts <= left.ts; the real
     # ts=5 row must win (not the NULLS-FIRST artifact)
     assert got[0].value_right == 5.0
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_asof_join_fuzz_random_streams(spark, seed):
+    """Randomized event streams with ts ties, shared/disjoint keys and
+    tolerance: the union-window plan must match the nested-loop
+    oracle exactly."""
+    import random
+
+    rng = random.Random(seed)
+    users = [1, 2, 3]
+    # coarse minute grid forces plenty of exact-tie timestamps
+    left = [Row(user_id=rng.choice(users), ts=_ts(rng.randint(0, 30)),
+                event_id=i) for i in range(40)]
+    right = [Row(user_id=rng.choice(users + [9]), ts=_ts(rng.randint(0, 30)),
+                 event_id=100 + i, value=float(i)) for i in range(40)]
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    tol = rng.choice([None, 300.0, 600.0])
+    got = {
+        r.event_id: (r.value_right, r.event_id_right)
+        for r in asof_join(
+            ldf, rdf, on="ts", by=["user_id"],
+            right_cols=["value", "event_id"], tie_col="event_id",
+            tolerance_seconds=tol,
+        ).collect()
+    }
+    expect = _brute_asof(left, right, tolerance_s=tol)
+    assert len(got) == len(left)
+    for eid, want in expect.items():
+        assert got[eid] == ((None, None) if want is None else want), (
+            seed, eid)
+
+
+@pytest.mark.parametrize("seed", [4, 5, 6])
+def test_range_join_fuzz_random_intervals(spark, seed):
+    """Randomized overlapping / empty / nested intervals incl. spans
+    crossing many bins: binned equi-join == brute-force containment,
+    no duplicates."""
+    import random
+
+    rng = random.Random(seed)
+    points = [Row(pid=i, ts=_ts(rng.randint(0, 120), rng.randint(0, 59)))
+              for i in range(60)]
+    intervals = []
+    for i in range(25):
+        s = rng.randint(0, 120)
+        e = s + rng.randint(0, 20)  # includes empty (e == s)
+        intervals.append(Row(iid=i, start_ts=_ts(s), end_ts=_ts(e)))
+    pdf_, idf_ = spark.createDataFrame(points), spark.createDataFrame(intervals)
+    bin_s = rng.choice([None, 20 * 60, 37 * 60])
+    got = [
+        (r.pid, r.iid)
+        for r in range_join_binned(pdf_, idf_, bin_seconds=bin_s)
+        .select("pid", "iid").collect()
+    ]
+    assert len(got) == len(set(got)), seed
+    assert sorted(got) == _brute_range(points, intervals), seed
