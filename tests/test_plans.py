@@ -397,3 +397,37 @@ def test_pricing_summary_single_shuffle_partial_agg(spark, sf_dir):
     # map-side combine: two HashAggregate levels around the exchange
     assert plan.count("HashAggregate") >= 2
     assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_merge_upsert_on_bucketed_tables_is_exchange_free(spark, sf_dir):
+    """Snapshot maintenance at scale: base and change set both
+    bucketed on the merge key -> merge_upsert's full-outer
+    SortMergeJoin plans with ZERO Exchange (the change-column aliasing
+    must stay alias-aware so the scan's bucket partitioning survives
+    the projection)."""
+    from athena_spark.operators.bucketed import write_bucketed_table
+    from athena_spark.operators.merge import merge_upsert
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    changes = docs.where("doc_id % 3 = 0").select(
+        "doc_id",
+        F.concat(F.lit("rev "), F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 6 == 0, "upsert").otherwise("delete")
+        .alias("op"),
+    )
+    write_bucketed_table(docs, "t_merge_base", "doc_id", 8,
+                         sort_col="doc_id")
+    write_bucketed_table(changes, "t_merge_ch", "doc_id", 8,
+                         sort_col="doc_id")
+    merged = merge_upsert(
+        spark.table("t_merge_base").hint("merge"),
+        spark.table("t_merge_ch"), ["doc_id"],
+    )
+    tree = plan_of(merged).split("\n\n")[0]
+    assert "SortMergeJoin" in tree, tree
+    assert tree.count("Exchange") == 0, tree
+    # and the merge is still correct
+    got = {r.doc_id for r in merged.collect()}
+    base_ids = {r.doc_id for r in docs.collect()}
+    assert got == {i for i in base_ids if i % 3 != 0 or i % 6 == 0}
