@@ -2713,6 +2713,74 @@ def q_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified stream-stream interval join: errors stream joined to
+    purchases' 2-hour windows while BOTH sides arrive, watermarked
+    time-range condition bounding the join state
+    (streaming/join_stream.py).  Over a bounded replay the emitted
+    pairs must equal the batch binned range join's exactly."""
+    import shutil
+    import tempfile
+
+    from athena_spark.operators.temporal import range_join_binned
+    from athena_spark.streaming.join_stream import streaming_interval_join
+
+    ev = _table(spark, sf_dir, "events")
+    points = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("point_id"), "ts"
+    )
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+    )
+    batch_pairs = {
+        (r.point_id, r.interval_id)
+        for r in range_join_binned(
+            points,
+            intervals.withColumn(
+                "end_ts", F.expr("start_ts + INTERVAL 2 HOURS")
+            ),
+        ).select("point_id", "interval_id").collect()
+    }
+    src_p = tempfile.mkdtemp(prefix="athena_sij_p_")
+    src_i = tempfile.mkdtemp(prefix="athena_sij_i_")
+    ck = tempfile.mkdtemp(prefix="athena_sij_ck_")
+    try:
+        points.repartition(2).write.mode("overwrite").parquet(src_p)
+        intervals.repartition(2).write.mode("overwrite").parquet(src_i)
+        sp = spark.readStream.schema(points.schema).parquet(src_p)
+        si = spark.readStream.schema(intervals.schema).parquet(src_i)
+        joined = streaming_interval_join(
+            sp, si, point_ts="ts", start_col="start_ts",
+            duration_seconds=7200, watermark="1 hour",
+        )
+        rows: list = []
+        q = (
+            joined.select("point_id", "interval_id")
+            .writeStream.foreachBatch(
+                lambda df, _e, rows=rows: rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        stream_pairs = {(r.point_id, r.interval_id) for r in rows}
+    finally:
+        for p in (src_p, src_i, ck):
+            shutil.rmtree(p, ignore_errors=True)
+    checks = [
+        ("pairs_match_batch", stream_pairs == batch_pairs),
+        ("no_duplicate_pairs", len(rows) == len(stream_pairs)),
+        ("nontrivial", len(batch_pairs) > 0),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in checks],
+        schema="check string, ok boolean",
+    )
+
+
 def q_streaming_curate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified continuous curation (the ingestion-time composition:
     quality gate + cross-batch exact dedup per micro-batch): over a
@@ -3330,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
         "events_pivot": q_events_pivot,
+        "streaming_interval_join": q_streaming_interval_join,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3778,6 +3847,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM orders, r
             GROUP BY 1
+        """,
+        "streaming_interval_join": """
+            SELECT 'pairs_match_batch' AS "check", TRUE AS ok
+            UNION ALL SELECT 'no_duplicate_pairs', TRUE
+            UNION ALL SELECT 'nontrivial', TRUE
         """,
         "events_pivot": """
             SELECT user_id,

@@ -1,0 +1,94 @@
+"""Watermarked stream-stream interval join.
+
+The streaming twin of :func:`athena_spark.operators.temporal.
+range_join_binned`: join a stream of points to a stream of intervals
+with ``start <= point_ts < start + duration`` while BOTH sides keep
+arriving.
+
+Structured Streaming refuses stream-stream joins without an equality
+predicate (state would have to be broadcast-replicated), so the SAME
+time-axis binning trick as the batch operator manufactures one: with
+``bin = duration``-sized bins, every point falls in exactly one bin
+and every interval covers at most two, so joining on the bin id plus
+the exact range condition is (a) legal, (b) state-partitioned by bin,
+and (c) duplicate-free (an interval's two bin replicas meet a point
+only in the point's single bin).  The watermarks plus the
+``point_ts`` vs ``start_col`` range constraint let Spark expire
+buffered rows once no future match is possible — state is bounded by
+(watermark + duration) of stream history.
+
+The interval end is a literal duration, not an end column: Spark's
+state-cleanup analysis needs the two event-time columns related by a
+constant range; an arbitrary end column would force unbounded
+buffering.
+
+Parity: for a bounded replay (availableNow) the inner join emits
+exactly the batch containment pairs — certified by the
+``streaming_interval_join`` gate against the batch binned range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_US = 1_000_000
+
+
+def streaming_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    duration_seconds: int = 7200,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Inner-join streaming ``points`` to streaming ``intervals`` with
+    ``start_col <= point_ts < start_col + duration_seconds`` (half-
+    open).  Both inputs must be streaming DataFrames with event-time
+    columns; pick ``watermark`` for the max expected cross-stream
+    arrival skew."""
+    if duration_seconds < 1:
+        raise ValueError(
+            f"duration_seconds must be >= 1, got {duration_seconds}"
+        )
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share column names {sorted(overlap)}; "
+            "alias one side before joining"
+        )
+    bin_us = int(duration_seconds) * _US
+    # watermarks require TIMESTAMP (with timezone); parquet event
+    # times commonly load as TIMESTAMP_NTZ
+    p = (
+        points.withColumn(point_ts, F.col(point_ts).cast("timestamp"))
+        .withWatermark(point_ts, watermark)
+        .withColumn("__p_us", F.unix_micros(F.col(point_ts)))
+        .withColumn("__bin", F.expr(f"__p_us div {bin_us}"))
+    )
+    iv = (
+        intervals.withColumn(start_col, F.col(start_col).cast("timestamp"))
+        .withWatermark(start_col, watermark)
+        .withColumn("__s_us", F.unix_micros(F.col(start_col)))
+        # half-open [s, s+d): covered bins are s div d and (s+d-1) div d
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"__s_us div {bin_us}"),
+                        F.expr(f"(__s_us + {bin_us} - 1) div {bin_us}"),
+                    )
+                )
+            ),
+        )
+    )
+    cond = (
+        (p["__bin"] == iv["__bin"])
+        & (F.col(point_ts) >= F.col(start_col))
+        & (
+            F.col(point_ts)
+            < F.expr(f"{start_col} + INTERVAL {int(duration_seconds)} SECONDS")
+        )
+    )
+    return p.join(iv, cond, "inner").drop("__bin", "__p_us", "__s_us")

@@ -189,3 +189,61 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
         texts = [r["text"] for r in out_rows]
         assert len(texts) == n_distinct, name
         assert len(set(texts)) == n_distinct, name
+
+
+def test_streaming_interval_join_across_microbatches(spark, tmp_path):
+    """Points and intervals arriving in SEPARATE micro-batches must
+    still pair up: the join state buffers each side until the
+    watermark passes — the defining stream-stream property."""
+    import datetime as dt
+
+    from athena_spark.streaming.join_stream import streaming_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    points = spark.createDataFrame(
+        [(1, ts(10)), (2, ts(95)), (3, ts(200))],
+        "point_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, ts(0)), (200, ts(90))],  # 1h windows
+        "interval_id long, start_ts timestamp",
+    )
+    src_p = str(tmp_path / "p"); src_i = str(tmp_path / "i")
+    ck = str(tmp_path / "ck")
+    # one file per row on the point side -> at least 3 micro-batches
+    points.repartition(3).write.parquet(src_p)
+    intervals.repartition(1).write.parquet(src_i)
+    sp = (spark.readStream.schema(points.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src_p))
+    si = spark.readStream.schema(intervals.schema).parquet(src_i)
+    # watermark covers the whole event-time span: the point files
+    # replay in arbitrary order, and a tight watermark would make
+    # earlier-time points late (dropped) depending on that order
+    joined = streaming_interval_join(
+        sp, si, duration_seconds=3600, watermark="4 hours")
+    rows = []
+    q = (joined.select("point_id", "interval_id")
+         .writeStream.foreachBatch(
+             lambda df, _e, rows=rows: rows.extend(df.collect()))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = sorted((r.point_id, r.interval_id) for r in rows)
+    # point 1 in interval 100's [0, 60); point 2 in 200's [90, 150);
+    # point 3 matches nothing
+    assert got == [(1, 100), (2, 200)]
+
+
+def test_streaming_interval_join_validates(spark):
+    from athena_spark.streaming.join_stream import streaming_interval_join
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="duration_seconds"):
+        streaming_interval_join(df, df.selectExpr("x AS y"),
+                                duration_seconds=0)
+    with pytest.raises(ValueError, match="share column"):
+        streaming_interval_join(df, df, duration_seconds=10)
