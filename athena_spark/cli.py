@@ -36,6 +36,8 @@ Subcommands:
 * ``rollup``     — hypertable-style hour/day/week continuous aggregate
 * ``profile``    — one-pass per-column table profile (ANALYZE report)
 * ``merge``      — snapshot MERGE upsert/delete (optional CDC compact)
+* ``zorder``     — Z-order layout rewrite for row-group scan pruning
+* ``shard``      — deterministic shuffle + fixed-size training shards
 * ``package``    — build the --py-files zip
 """
 
@@ -337,6 +339,19 @@ def _build_parser() -> argparse.ArgumentParser:
     mg.add_argument("--version-col", default=None,
                     help="CDC mode: compact the change log to the "
                          "latest version per key before merging")
+
+    zo = sub.add_parser("zorder")
+    common(zo, output_help="z-ordered parquet dir (required)")
+    zo.add_argument("--cols", required=True,
+                    help="comma-separated numeric columns to interleave")
+    zo.add_argument("--bits", type=int, default=16)
+    zo.add_argument("--num-files", type=int, default=8)
+
+    sh2 = sub.add_parser("shard")
+    common(sh2, output_help="shard=N parquet dirs (required)")
+    sh2.add_argument("--id-col", default="doc_id")
+    sh2.add_argument("--rows-per-shard", type=int, default=65536)
+    sh2.add_argument("--seed", type=int, default=0)
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -1167,6 +1182,52 @@ def cmd_merge(args) -> None:
     }), file=sys.stderr)
 
 
+def cmd_zorder(args) -> None:
+    """Rewrite a table clustered on the Z-order curve of --cols so
+    conjunctive range scans prune row groups; the min/max ranges used
+    for the key go to stderr (persist them to rebuild query keys)."""
+    from athena_spark.operators.layout import write_zordered
+    from athena_spark.sources.corpus import read_corpus
+
+    if not args.output:
+        raise SystemExit("zorder requires --output (the rewritten table)")
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    cols = [c for c in args.cols.split(",") if c]
+    ranges = write_zordered(df, args.output, cols, bits=args.bits,
+                            num_files=args.num_files)
+    print(json.dumps({"cols": cols, "bits": args.bits,
+                      "ranges": {c: list(r) for c, r in ranges.items()},
+                      "rows": spark.read.parquet(args.output).count()}),
+          file=sys.stderr)
+
+
+def cmd_shard(args) -> None:
+    """Deterministic training-shard writer: global sha-shuffle, then
+    fixed-size shard=N dirs sorted by position; the read-back manifest
+    goes to stdout as TSV."""
+    from athena_spark.operators.trainprep import (shuffle_corpus,
+                                                  write_training_shards)
+    from athena_spark.sources.corpus import read_corpus
+
+    if not args.output:
+        raise SystemExit("shard requires --output (the shard root)")
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    pos = shuffle_corpus(df.select(args.id_col), args.id_col,
+                         seed=args.seed)
+    manifest = write_training_shards(
+        pos, args.output, id_col=args.id_col,
+        rows_per_shard=args.rows_per_shard,
+    ).orderBy("shard").collect()
+    for r in manifest:
+        print(f"{r.shard}\t{r.n_rows}\t{r.min_pos}\t{r.max_pos}\t"
+              f"{r.contiguous}\t{r.checksum}")
+    print(json.dumps({"shards": len(manifest),
+                      "rows": sum(r.n_rows for r in manifest)}),
+          file=sys.stderr)
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -1207,6 +1268,8 @@ def main(argv=None) -> None:
         "rollup": cmd_rollup,
         "profile": cmd_profile,
         "merge": cmd_merge,
+        "zorder": cmd_zorder,
+        "shard": cmd_shard,
         "package": cmd_package,
     }[args.cmd](args)
 

@@ -676,3 +676,29 @@ def test_cli_merge_cdc(spark, sf_dir, tmp_path, capsys):
     merged = spark.read.parquet(out_dir)
     assert merged.where("doc_id % 5 = 0").count() == 0
     assert merged.count() == docs.where("doc_id % 5 != 0").count()
+
+
+def test_cli_zorder(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "zord")
+    main(["zorder", "--input", f"{sf_dir}/lineitem.parquet",
+          "--cols", "l_extendedprice,l_quantity", "--bits", "8",
+          "--num-files", "2", "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert rep["rows"] == src.count()
+    assert set(rep["ranges"]) == {"l_extendedprice", "l_quantity"}
+    got = spark.read.parquet(out_dir)
+    assert got.count() == src.count()
+    assert set(got.columns) == set(src.columns)  # key column dropped
+
+
+def test_cli_shard(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "shards")
+    out = run_cli(capsys, ["shard", "--input",
+                           f"{sf_dir}/documents.parquet",
+                           "--rows-per-shard", "100",
+                           "--output", out_dir])
+    lines = [l.split("\t") for l in out.strip().splitlines()]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(int(n) for _, n, *_ in lines) == n_docs
+    assert all(c == "True" for *_, c, _ck in lines)  # contiguous
