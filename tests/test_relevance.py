@@ -129,3 +129,62 @@ def test_pmi_ranking_matches_log_pmi(spark, docs):
     assert [k for _, k in sorted(rat, reverse=True)] == [
         k for _, k in sorted(logs, reverse=True)
     ]
+
+
+@pytest.mark.parametrize("seed", [7, 8, 9])
+def test_bm25_fuzz_adversarial_corpus(spark, seed):
+    """Randomized corpora with adversarial whitespace and unicode:
+    distributed BM25 must match the scalar reference to 1e-9."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["the", "cat", "naïve", "東京", "a-b", "x0", "ß", "#!?"]
+    seps = [" ", "  ", "\t", "\n", " \r", "\r\n"]
+
+    def doc():
+        n = rng.randint(0, 12)
+        return "".join(
+            rng.choice(words) + rng.choice(seps) for _ in range(n)
+        )
+
+    texts = [doc() for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    terms = rng.sample(words, 3) + ["missingterm"]
+    got = bm25_search(df, terms, topk=20).collect()
+    ref = sorted(
+        [r for r in bm25_reference(texts, terms) if r[1] > 0],
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert [r.doc_id for r in got] == [r[0] for r in ref], seed
+    for g, (_, want, _) in zip(got, ref):
+        assert g.score == pytest.approx(want, rel=1e-9), seed
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_pmi_fuzz_adversarial_corpus(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    words = ["aa", "bb", "naïve", "東京", "x"]
+    seps = [" ", "\t", "\n", " \r"]
+
+    def doc():
+        return "".join(
+            rng.choice(words) + rng.choice(seps)
+            for _ in range(rng.randint(0, 15))
+        )
+
+    texts = [doc() for _ in range(15)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uni, bi = _scalar_bigrams(texts)
+    U, B = sum(uni.values()), sum(bi.values())
+    got = pmi_bigrams(df, min_count=1, topk=1000).collect()
+    assert {(r.tok_a, r.tok_b) for r in got} == set(bi), seed
+    for r in got:
+        assert r.c_ab == bi[(r.tok_a, r.tok_b)], seed
+        want = (r.c_ab * U * U) / (B * r.c_a * r.c_b)
+        assert r.pmi_rational == pytest.approx(want, rel=1e-12), seed
