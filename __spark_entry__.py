@@ -3215,6 +3215,45 @@ def _zorder_oracle_sql() -> str:
 _BM25_TERMS = ("join", "hash", "filter", "nosuchtokenxyz")
 
 
+_BM25_TOPK_ORACLE = f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \t\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), dls AS (
+                SELECT doc_id, len(ts) AS dl, ts FROM toks
+            ), stats AS (
+                SELECT CAST(SUM(dl) AS DOUBLE) AS total,
+                       CAST(COUNT(*) AS DOUBLE) AS n
+                FROM dls
+            ), tf AS (
+                SELECT doc_id, dl, token, COUNT(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ts) AS token FROM dls)
+                WHERE token IN {repr(tuple(_BM25_TERMS))}
+                GROUP BY 1, 2, 3
+            ), scored AS (
+                SELECT token AS term, doc_id, tf, dl,
+                       (CAST(tf AS DOUBLE) * CAST({1.2 + 1.0!r} AS DOUBLE))
+                       / (CAST(tf AS DOUBLE)
+                          + CAST({1.2!r} AS DOUBLE)
+                            * (CAST({1.0 - 0.75!r} AS DOUBLE)
+                               + CAST({0.75!r} AS DOUBLE)
+                                 * CAST(dl AS DOUBLE)
+                                 / (stats.total / stats.n))) AS tf_norm
+                FROM tf, stats
+            )
+            SELECT term, doc_id, tf, dl, tf_norm, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY term
+                    ORDER BY tf_norm DESC, doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """
+
+
+
 def q_revenue_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-table join: top-10 undelivered BUILDING-segment
     orders by revenue.  The selective customer dim broadcasts (no
@@ -3330,6 +3369,39 @@ def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-term top-10 as bm25_term_topk, served from a
+    PERSISTED inverted index (write once, probe the query terms'
+    bucket directories only — path-level pruning, proven behaviorally
+    in tests/test_relevance.py by corrupting a non-probed bucket).
+    Shares bm25_term_topk's oracle: the served rational components are
+    bit-identical to the in-plan ones."""
+    import shutil
+    import tempfile
+
+    from athena_spark.functions.relevance import (bm25_index_tf_norm,
+                                                  write_bm25_index)
+
+    idx = tempfile.mkdtemp(prefix="athena_bm25_idx_")
+    try:
+        write_bm25_index(_docs(spark, sf_dir), idx, n_buckets=16)
+        tfn = bm25_index_tf_norm(
+            spark, idx, list(_BM25_TERMS), n_buckets=16
+        )
+        w = Window.partitionBy("term").orderBy(
+            F.col("tf_norm").desc(), F.col("doc_id").asc()
+        )
+        out = (
+            tfn.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("term", "doc_id", "tf", "dl", "tf_norm", "rank")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-bigram collocations by corpus count with exact
     unigram/bigram counts and the rational PMI argument (ln is
@@ -3386,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "bm25_term_topk": q_bm25_term_topk,
         "pmi_topk": q_pmi_topk,
+        "bm25_index_topk": q_bm25_index_topk,
         "rolling_user_stats": q_rolling_user_stats,
         "revenue_topk_join": q_revenue_topk_join,
         "pricing_summary": q_pricing_summary,
@@ -4223,42 +4296,8 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
         """,
-        "bm25_term_topk": f"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(
-                           replace(text, chr(13), ''), '[ \t\n]+'),
-                           t -> t <> '') AS ts
-                FROM documents
-            ), dls AS (
-                SELECT doc_id, len(ts) AS dl, ts FROM toks
-            ), stats AS (
-                SELECT CAST(SUM(dl) AS DOUBLE) AS total,
-                       CAST(COUNT(*) AS DOUBLE) AS n
-                FROM dls
-            ), tf AS (
-                SELECT doc_id, dl, token, COUNT(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ts) AS token FROM dls)
-                WHERE token IN {repr(tuple(_BM25_TERMS))}
-                GROUP BY 1, 2, 3
-            ), scored AS (
-                SELECT token AS term, doc_id, tf, dl,
-                       (CAST(tf AS DOUBLE) * CAST({1.2 + 1.0!r} AS DOUBLE))
-                       / (CAST(tf AS DOUBLE)
-                          + CAST({1.2!r} AS DOUBLE)
-                            * (CAST({1.0 - 0.75!r} AS DOUBLE)
-                               + CAST({0.75!r} AS DOUBLE)
-                                 * CAST(dl AS DOUBLE)
-                                 / (stats.total / stats.n))) AS tf_norm
-                FROM tf, stats
-            )
-            SELECT term, doc_id, tf, dl, tf_norm, rank FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY term
-                    ORDER BY tf_norm DESC, doc_id ASC) AS rank
-                FROM scored
-            ) WHERE rank <= 10
-        """,
+        "bm25_term_topk": _BM25_TOPK_ORACLE,
+        "bm25_index_topk": _BM25_TOPK_ORACLE,
         "pmi_topk": """
             WITH toks AS (
                 SELECT doc_id,

@@ -270,3 +270,165 @@ def pmi_bigrams(
         F.col("c_ab").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
     )
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the index's bucket assignment (sha256 hex
+    prefix — byte-identical to the Spark expression)."""
+    import hashlib
+
+    return int(hashlib.sha256(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(token_col: str, n_buckets: int):
+    return (
+        F.conv(F.substring(F.sha2(F.col(token_col), 256), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the corpus as a queryable BM25 inverted index — the
+    index-once / query-many scale path (the relevance twin of the
+    bucketed IVF ANN layout in operators/similarity.py):
+
+    - ``<path>/postings``: (token, id, tf, dl) partitioned by
+      ``bucket = sha256(token) % n_buckets`` — a query touches only
+      its terms' buckets (partition-pruned scan, proven behaviorally
+      in tests by corrupting a non-probed bucket).
+    - ``<path>/terms``: (token, df) per-term doc frequency, same
+      bucketing.
+    - ``<path>/stats``: one row (total_dl, n_docs) for avgdl/idf.
+
+    One tokenize pass feeds postings, term stats and corpus stats.
+    """
+    tf = doc_term_freqs(docs, id_col, text_col).persist()
+    (
+        tf.withColumn("bucket", _term_bucket_col("token", n_buckets))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    (
+        tf.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+        .withColumn("bucket", _term_bucket_col("token", n_buckets))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{path}/terms")
+    )
+    docs.select(
+        F.sum(F.size(tokens_col(text_col))).cast("double").alias("total_dl"),
+        F.count("*").cast("double").alias("n_docs"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    tf.unpersist()
+
+
+def _read_buckets(spark, root: str, buckets: list[int]) -> DataFrame:
+    """Read ONLY the probed ``bucket=`` directories (path-level
+    pruning: non-probed directories are never listed, their footers
+    never opened — stronger than relying on partition-filter pruning,
+    whose schema inference may still read an arbitrary footer).
+    Missing buckets (terms hashing to unpopulated partitions) are
+    skipped.  Existence checks go through the Hadoop FileSystem API so
+    the index can live on any Spark-supported store, not just the
+    local filesystem."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    paths = [
+        p for p in (f"{root}/bucket={b}" for b in buckets)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(p))
+    ]
+    if not paths:
+        return (
+            spark.read.option("basePath", root).parquet(root).limit(0)
+        )
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
+def bm25_index_tf_norm(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Per (term, doc) rational BM25 component served from a persisted
+    index: reads ONLY the query terms' buckets (partition pruning on
+    the ``bucket=`` directories), never re-tokenizes the corpus.
+    Numerically identical to :func:`bm25_tf_norm` over the source
+    docs — same arithmetic tree, avgdl from the stored exact integer
+    totals."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    post = _read_buckets(spark, f"{path}/postings", buckets).where(
+        F.col("token").isin(terms)
+    )
+    stats = F.broadcast(
+        spark.read.parquet(f"{path}/stats").select(
+            F.col("total_dl").alias("__total"), F.col("n_docs").alias("__n")
+        )
+    )
+    scored = post.crossJoin(stats).withColumn(
+        "avgdl", F.col("__total") / F.col("__n")
+    )
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    norm = (F.col("tf") * (k1l + F.lit(1.0))) / (
+        F.col("tf")
+        + k1l * (F.lit(1.0) - bl + bl * F.col("dl") / F.col("avgdl"))
+    )
+    return scored.select(
+        F.col("token").alias("term"),
+        F.col(id_col),
+        "tf",
+        "dl",
+        norm.alias("tf_norm"),
+        F.col("__n").alias("__n_docs"),
+    )
+
+
+def bm25_search_index(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    topk: int = 10,
+) -> DataFrame:
+    """Full BM25 ranking served from the persisted index: pruned
+    postings scan + pruned per-term df lookup (broadcast) + TakeOrdered
+    top-k.  Same scores as :func:`bm25_search` over the source docs."""
+    terms = list(dict.fromkeys(query_terms))
+    tfn = bm25_index_tf_norm(spark, path, terms, id_col, n_buckets,
+                             k1=k1, b=b)
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    df_tab = (
+        _read_buckets(spark, f"{path}/terms", buckets)
+        .where(F.col("token").isin(terms))
+        .select(F.col("token").alias("term"), "df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = tfn.join(F.broadcast(df_tab), "term").withColumn("idf", idf)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("idf") * F.col("tf_norm")).alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(topk))
+    )

@@ -188,3 +188,62 @@ def test_pmi_fuzz_adversarial_corpus(spark, seed):
         assert r.c_ab == bi[(r.tok_a, r.tok_b)], seed
         want = (r.c_ab * U * U) / (B * r.c_a * r.c_b)
         assert r.pmi_rational == pytest.approx(want, rel=1e-12), seed
+
+
+def test_bm25_index_matches_inplan(spark, docs, tmp_path):
+    from athena_spark.functions.relevance import (
+        bm25_index_tf_norm,
+        bm25_search_index,
+        write_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25_idx")
+    write_bm25_index(docs, idx, n_buckets=8)
+    terms = ["join", "hash", "merge", "zzz"]
+    inplan = {
+        (r.term, r.doc_id): (r.tf, r.dl, r.tf_norm)
+        for r in bm25_tf_norm(docs, terms).collect()
+    }
+    served = {
+        (r.term, r.doc_id): (r.tf, r.dl, r.tf_norm)
+        for r in bm25_index_tf_norm(spark, idx, terms,
+                                    n_buckets=8).collect()
+    }
+    assert served == inplan  # bit-identical, including tf_norm doubles
+    a = bm25_search(docs, ["join", "hash"], topk=6).collect()
+    b = bm25_search_index(spark, idx, ["join", "hash"],
+                          n_buckets=8, topk=6).collect()
+    assert [(r.doc_id, r.score, r.n_terms_matched) for r in a] == \
+        [(r.doc_id, r.score, r.n_terms_matched) for r in b]
+
+
+def test_bm25_index_prunes_buckets_behaviorally(spark, docs, tmp_path):
+    """Corrupting a NON-probed bucket directory must not affect a
+    query (its files are never opened); corrupting a probed bucket
+    must fail — the partition-pruning proof."""
+    import glob
+    import os
+
+    from athena_spark.functions.relevance import (
+        _term_bucket_py,
+        bm25_index_tf_norm,
+        write_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25_idx2")
+    write_bm25_index(docs, idx, n_buckets=8)
+    probed = _term_bucket_py("join", 8)
+    others = [b for b in range(8) if b != probed
+              and glob.glob(f"{idx}/postings/bucket={b}/*.parquet")]
+    assert others, "need a populated non-probed bucket"
+    victim = glob.glob(f"{idx}/postings/bucket={others[0]}/*.parquet")[0]
+    with open(victim, "wb") as f:
+        f.write(b"not parquet at all")
+    got = bm25_index_tf_norm(spark, idx, ["join"], n_buckets=8).collect()
+    assert got  # pruned scan never touched the corrupted bucket
+    probed_files = glob.glob(f"{idx}/postings/bucket={probed}/*.parquet")
+    for pf in probed_files:
+        with open(pf, "wb") as f:
+            f.write(b"also corrupt")
+    with pytest.raises(Exception):
+        bm25_index_tf_norm(spark, idx, ["join"], n_buckets=8).collect()
