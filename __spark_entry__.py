@@ -2781,6 +2781,113 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_asof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified streaming as-of enrichment: clicks replayed in three
+    event-time slices pick up the latest prior purchase from the
+    cross-batch latest-right store (streaming/asof_stream.py); the
+    enriched union must equal the batch as-of join exactly, and the
+    store must stay bounded at one row per user."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from athena_spark.operators.temporal import asof_join
+    from athena_spark.streaming.asof_stream import StreamingAsofEnrich
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    batch_want = {
+        (r.event_id, r.event_id_right)
+        for r in asof_join(
+            ev.where("event_type = 'click'")
+            .select("event_id", "user_id", "ts"),
+            ev.where("event_type = 'purchase'")
+            .select("user_id", "ts", "event_id", "value"),
+            on="ts", by=["user_id"],
+            right_cols=["event_id", "value"], tie_col="event_id",
+        ).collect()
+    }
+    src = tempfile.mkdtemp(prefix="athena_sasof_src_")
+    store = tempfile.mkdtemp(prefix="athena_sasof_store_")
+    outd = tempfile.mkdtemp(prefix="athena_sasof_out_")
+    ck = tempfile.mkdtemp(prefix="athena_sasof_ck_")
+    try:
+        # three event-time slices, one file each, mtimes forced so the
+        # file source replays them in slice order (the handler's
+        # in-order contract)
+        bounds = ev.select(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        cut1 = lo + (hi - lo) / 3
+        cut2 = lo + 2 * (hi - lo) / 3
+        slices = [
+            ev.where(F.col("ts") < F.lit(cut1)),
+            ev.where((F.col("ts") >= F.lit(cut1))
+                     & (F.col("ts") < F.lit(cut2))),
+            ev.where(F.col("ts") >= F.lit(cut2)),
+        ]
+        base_t = 1_600_000_000
+        for i, sl in enumerate(slices):
+            tbl = pa.Table.from_pandas(sl.toPandas(), preserve_index=False)
+            f = os.path.join(src, f"slice{i:03d}.parquet")
+            # microsecond NTZ timestamps, matching the Spark read schema
+            # (pandas ns timestamps otherwise land as TIMESTAMP(ns),
+            # which Spark refuses against timestamp_ntz)
+            papq.write_table(tbl, f, coerce_timestamps="us",
+                             allow_truncated_timestamps=True)
+            os.utime(f, (base_t + i * 60, base_t + i * 60))
+        enrich = StreamingAsofEnrich(
+            spark, store, outd,
+            left_predicate="event_type = 'click'",
+            right_predicate="event_type = 'purchase'",
+            by=["user_id"], right_cols=["event_id", "value"],
+            tie_col="event_id", checkpoint_dir=ck,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        got_df = spark.read.option("basePath", outd).parquet(outd)
+        got = {
+            (r.event_id, r.event_id_right) for r in got_df.collect()
+        }
+        epochs = sorted(
+            int(d.split("=")[1]) for d in os.listdir(store)
+            if d.startswith("epoch=")
+        )
+        last_store = spark.read.parquet(
+            f"{store}/epoch={epochs[-1]}"
+        )
+        n_users = ev.select("user_id").distinct().count()
+        checks = [
+            ("enriched_matches_batch", got == batch_want),
+            ("multiple_epochs", len(epochs) >= 3),
+            ("store_bounded_one_row_per_key",
+             last_store.count() <= n_users
+             and last_store.groupBy("user_id").count()
+             .where("count > 1").count() == 0),
+        ]
+    finally:
+        for p in (src, store, outd, ck):
+            shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in checks],
+        schema="check string, ok boolean",
+    )
+
+
 def q_streaming_curate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified continuous curation (the ingestion-time composition:
     quality gate + cross-batch exact dedup per micro-batch): over a
@@ -3472,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_key_overlap": q_join_key_overlap,
         "events_pivot": q_events_pivot,
         "streaming_interval_join": q_streaming_interval_join,
+        "streaming_asof_parity": q_streaming_asof_parity,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -3925,6 +4033,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pairs_match_batch' AS "check", TRUE AS ok
             UNION ALL SELECT 'no_duplicate_pairs', TRUE
             UNION ALL SELECT 'nontrivial', TRUE
+        """,
+        "streaming_asof_parity": """
+            SELECT 'enriched_matches_batch' AS "check", TRUE AS ok
+            UNION ALL SELECT 'multiple_epochs', TRUE
+            UNION ALL SELECT 'store_bounded_one_row_per_key', TRUE
         """,
         "events_pivot": """
             SELECT user_id,

@@ -1,0 +1,133 @@
+"""Streaming as-of enrichment: attach to every left event the latest
+matching right event seen so far.
+
+The streaming twin of :func:`athena_spark.operators.temporal.
+asof_join` for the ingestion-time shape: one event stream carries both
+sides (e.g. clicks and purchases); each micro-batch's left rows are
+enriched with the most recent right row of the same keys — from this
+batch OR any earlier one — via a per-key latest-right store.
+
+Contract: micro-batches arrive in nondecreasing event-time order
+ACROSS batches (log-segment replay: each batch is a later time slice).
+Within a batch, arbitrary order is fine — the batch as-of operator
+resolves it.  An out-of-order left row older than the store's horizon
+would need a right row the store has already superseded; that is the
+deliberate bounded-state trade-off, the same one the watermarked
+dedup stream makes.
+
+State is ONE row per key (the latest right payload), compacted into
+the epoch store every batch — bounded by key cardinality, not stream
+length.  Replay idempotence and checkpoint binding follow the shared
+epoch-store rules (streaming/store.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from athena_spark.operators.temporal import asof_join
+from athena_spark.streaming.store import bind_checkpoint, read_epoch_store
+
+
+class StreamingAsofEnrich:
+    """foreachBatch handler.  Usage::
+
+        enrich = StreamingAsofEnrich(
+            spark, store_dir, output_dir,
+            left_predicate="event_type = 'click'",
+            right_predicate="event_type = 'purchase'",
+            by=["user_id"], right_cols=["event_id", "value"],
+            tie_col="event_id",
+        )
+        (stream_df.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+
+    Enriched left rows land under ``output_dir/epoch=N``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        output_dir: str,
+        left_predicate: str,
+        right_predicate: str,
+        on: str = "ts",
+        by: Sequence[str] = ("user_id",),
+        right_cols: Sequence[str] = ("event_id", "value"),
+        tie_col: str = "event_id",
+        tolerance_seconds: float | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.output_dir = output_dir
+        self.left_predicate = left_predicate
+        self.right_predicate = right_predicate
+        self.on = on
+        self.by = list(by)
+        self.right_cols = list(right_cols)
+        self.tie_col = tie_col
+        self.tolerance_seconds = tolerance_seconds
+        os.makedirs(store_dir, exist_ok=True)
+        os.makedirs(output_dir, exist_ok=True)
+        if checkpoint_dir is not None:
+            bind_checkpoint(store_dir, checkpoint_dir)
+
+    def _store_cols(self) -> list[str]:
+        cols = list(self.by) + [self.on]
+        if self.tie_col not in cols:
+            cols.append(self.tie_col)
+        for c in self.right_cols:
+            if c not in cols:
+                cols.append(c)
+        return cols
+
+    def _compact(self, rights: DataFrame) -> DataFrame:
+        """One row per key: the right row with max (on, tie)."""
+        others = [c for c in rights.columns if c not in self.by]
+        packed = rights.groupBy(*self.by).agg(
+            F.expr(
+                "max_by(struct(" + ", ".join(others) + "), "
+                f"struct({self.on}, {self.tie_col}))"
+            ).alias("_r")
+        )
+        return packed.select(
+            *self.by, *[F.col(f"_r.{c}").alias(c) for c in others]
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        left = batch_df.where(F.expr(self.left_predicate))
+        new_rights = batch_df.where(F.expr(self.right_predicate)).select(
+            *self._store_cols()
+        )
+        prev = read_epoch_store(self.spark, self.store_dir, epoch_id)
+        # the JOIN side keeps every right row of THIS batch (a left row
+        # may match any of them, not just the newest per key) plus the
+        # compacted latest-per-key history; only the STORE write is
+        # compacted (the bounded-state invariant)
+        if prev is None:
+            join_rights = new_rights
+        else:
+            join_rights = self._compact(prev).unionByName(new_rights)
+        # materialize before the two consumers (store write + join) so
+        # the union/compaction runs once
+        join_rights = join_rights.localCheckpoint(eager=True)
+        enriched = asof_join(
+            left,
+            join_rights,
+            on=self.on,
+            by=self.by,
+            right_cols=self.right_cols,
+            tie_col=self.tie_col,
+            tolerance_seconds=self.tolerance_seconds,
+        )
+        enriched.write.mode("overwrite").parquet(
+            f"{self.output_dir}/epoch={int(epoch_id)}"
+        )
+        self._compact(join_rights).write.mode("overwrite").parquet(
+            f"{self.store_dir}/epoch={int(epoch_id)}"
+        )

@@ -247,3 +247,66 @@ def test_streaming_interval_join_validates(spark):
                                 duration_seconds=0)
     with pytest.raises(ValueError, match="share column"):
         streaming_interval_join(df, df, duration_seconds=10)
+
+
+def test_streaming_asof_enrich_cross_batch_store(spark, tmp_path):
+    """A left row whose matching right arrived in an EARLIER
+    micro-batch must be enriched from the latest-right store; a later
+    right must supersede an earlier one for later lefts."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from athena_spark.streaming.asof_stream import StreamingAsofEnrich
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    slices = [
+        # slice 0: purchases only
+        [(100, 1, ts(0), "purchase", 10.0),
+         (101, 1, ts(5), "purchase", 11.0)],
+        # slice 1: click (matches 101, the later purchase) + purchase
+        [(200, 1, ts(20), "click", 0.0),
+         (102, 1, ts(30), "purchase", 12.0)],
+        # slice 2: click matches 102 from slice 1's store epoch
+        [(201, 1, ts(40), "click", 0.0),
+         (202, 2, ts(41), "click", 0.0)],  # user with no purchases
+    ]
+    src = str(tmp_path / "src"); os.makedirs(src)
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    for i, rows in enumerate(slices):
+        pdf = spark.createDataFrame(rows, schema).toPandas()
+        f = f"{src}/s{i:02d}.parquet"
+        papq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                         f, coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+        os.utime(f, (1_600_000_000 + i * 60,) * 2)
+    store = str(tmp_path / "store"); outd = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    enrich = StreamingAsofEnrich(
+        spark, store, outd,
+        left_predicate="event_type = 'click'",
+        right_predicate="event_type = 'purchase'",
+        by=["user_id"], right_cols=["event_id", "value"],
+        tie_col="event_id", checkpoint_dir=ck,
+    )
+    stream = (spark.readStream
+              .schema(spark.createDataFrame([], schema).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(enrich)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = {r.event_id: (r.event_id_right, r.value_right)
+           for r in spark.read.option("basePath", outd)
+           .parquet(outd).collect()}
+    assert got == {
+        200: (101, 11.0),   # latest purchase <= ts from the store
+        201: (102, 12.0),   # superseding purchase from slice 1
+        202: (None, None),  # no purchases for user 2
+    }
