@@ -125,3 +125,33 @@ def test_zordered_layout_prunes_rowgroups(spark, tmp_path):
         (F.col("x").between(0.4, 0.5)) & (F.col("y").between(0.4, 0.5))
     ).count()
     assert a == b > 0
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_zorder_fuzz_random_ranges(spark, seed):
+    """Random data incl. negative values, ties at range edges, and a
+    constant column: Spark key == scalar Morton oracle everywhere."""
+    rng = random.Random(seed)
+    lo_x = rng.uniform(-100, 0)
+    hi_x = lo_x + rng.uniform(1, 200)
+    rows = [
+        Row(pid=i,
+            x=rng.choice([lo_x, hi_x, rng.uniform(lo_x, hi_x)]),
+            y=float(rng.randint(-5, 5)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    bits = rng.choice([4, 8, 12])
+    ranges = column_ranges(df, ["x", "y"])
+    got = df.select(
+        "pid", "x", "y",
+        zorder_key(df, ["x", "y"], bits=bits, ranges=ranges).alias("z"),
+    ).collect()
+    for r in got:
+        want = _scalar_morton(
+            [r.x, r.y],
+            [ranges["x"][0], ranges["y"][0]],
+            [ranges["x"][1], ranges["y"][1]],
+            bits=bits,
+        )
+        assert r.z == want, (seed, bits, r.x, r.y)

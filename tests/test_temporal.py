@@ -353,3 +353,40 @@ def test_range_join_fuzz_random_intervals(spark, seed):
     ]
     assert len(got) == len(set(got)), seed
     assert sorted(got) == _brute_range(points, intervals), seed
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_time_rollup_fuzz_reconciles(spark, seed):
+    """Random timestamps across month boundaries with group columns:
+    every level must reconcile to the same total count and quantized
+    sum, and each level must equal direct aggregation of raw rows."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        Row(ts=_ts(rng.randint(0, 60 * 24 * 70)),  # ~10 weeks
+            value=float(rng.randint(-500, 500)) / 1024,
+            kind=rng.choice(["a", "b"]))
+        for _ in range(400)
+    ]
+    ev = spark.createDataFrame(rows)
+    got = time_rollup(ev, "ts", "value", group_cols=["kind"]).collect()
+    by_gran = {}
+    for r in got:
+        n, s = by_gran.get(r.granularity, (0, 0.0))
+        by_gran[r.granularity] = (n + r.n_events, s)
+    assert len({n for n, _ in by_gran.values()}) == 1, seed
+    for gran in ("hour", "day", "week"):
+        direct = {
+            (r["bucket"], r["kind"]): (r["n"], r["avg"])
+            for r in ev.groupBy(
+                F.date_trunc(gran, "ts").cast("string").alias("bucket"),
+                "kind",
+            ).agg(F.count("*").alias("n"),
+                  F.round(F.avg("value"), 4).alias("avg")).collect()
+        }
+        ours = {
+            (r.bucket, r.kind): (r.n_events, r.avg_value)
+            for r in got if r.granularity == gran
+        }
+        assert ours == direct, (seed, gran)
