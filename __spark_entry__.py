@@ -2355,6 +2355,22 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    pass (Catalyst Expand + single hash aggregate).  Values quantized
+    to 2^-10 multiples so every subtotal is order-independent."""
+    orders = _table(spark, sf_dir, "orders").withColumn(
+        "p", F.round(F.col("o_totalprice") * 1024, 0) / 1024
+    )
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("p") / F.count("*"), 4).alias("avg_price"),
+        )
+    )
+
+
 def q_merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot MERGE: apply a deterministic change set (revise ids
     %10==0, delete ids %10==3, insert clones of ids %10==7 at
@@ -3578,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
         "events_pivot": q_events_pivot,
+        "orders_cube": q_orders_cube,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
         "streaming_curate_parity": q_streaming_curate_parity,
@@ -4033,6 +4050,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pairs_match_batch' AS "check", TRUE AS ok
             UNION ALL SELECT 'no_duplicate_pairs', TRUE
             UNION ALL SELECT 'nontrivial', TRUE
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n,
+                   ROUND(SUM(ROUND(o_totalprice * 1024) / 1024)
+                         / COUNT(*), 4) AS avg_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "streaming_asof_parity": """
             SELECT 'enriched_matches_batch' AS "check", TRUE AS ok
