@@ -2904,6 +2904,50 @@ def q_streaming_asof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate: per-batch finest partials into
+    the epoch store, multi-granularity report from the partials
+    (streaming/rollup_stream.py).  Count/sum partials merge exactly in
+    any order, so this shares the batch events_rollup oracle VERBATIM
+    — the streaming path must produce the identical hash."""
+    import shutil
+    import tempfile
+
+    from athena_spark.streaming.rollup_stream import StreamingRollup
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 1024, 0) / 1024
+    )
+    src = tempfile.mkdtemp(prefix="athena_sroll_src_")
+    store = tempfile.mkdtemp(prefix="athena_sroll_store_")
+    ck = tempfile.mkdtemp(prefix="athena_sroll_ck_")
+    try:
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        roll = StreamingRollup(
+            spark, store, ts_col="ts", value_col="value",
+            group_cols=["event_type"], finest="hour",
+            checkpoint_dir=ck,
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(roll)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        out = roll.rollup(("hour", "day", "week"))
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        for p in (src, store, ck):
+            shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_streaming_curate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified continuous curation (the ingestion-time composition:
     quality gate + cross-batch exact dedup per micro-batch): over a
@@ -3338,6 +3382,33 @@ def _zorder_oracle_sql() -> str:
 _BM25_TERMS = ("join", "hash", "filter", "nosuchtokenxyz")
 
 
+_EVENTS_ROLLUP_ORACLE = """
+            WITH q AS (
+                SELECT ts, event_type, ROUND(value * 1024) / 1024 AS value
+                FROM events
+            )
+            SELECT 'hour' AS granularity,
+                   CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+            FROM q GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day',
+                   CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR),
+                   event_type, COUNT(*),
+                   ROUND(SUM(value) / COUNT(*), 4)
+            FROM q GROUP BY 2, 3
+            UNION ALL
+            SELECT 'week',
+                   CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR),
+                   event_type, COUNT(*),
+                   ROUND(SUM(value) / COUNT(*), 4)
+            FROM q GROUP BY 2, 3
+        """
+
+
+
 _BM25_TOPK_ORACLE = f"""
             WITH toks AS (
                 SELECT doc_id,
@@ -3597,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": q_orders_cube,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
+        "streaming_rollup_parity": q_streaming_rollup_parity,
         "streaming_curate_parity": q_streaming_curate_parity,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
@@ -4358,30 +4430,8 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts < p.ts + INTERVAL 2 HOURS
         """,
-        "events_rollup": """
-            WITH q AS (
-                SELECT ts, event_type, ROUND(value * 1024) / 1024 AS value
-                FROM events
-            )
-            SELECT 'hour' AS granularity,
-                   CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
-                   event_type,
-                   COUNT(*) AS n_events,
-                   ROUND(SUM(value) / COUNT(*), 4) AS avg_value
-            FROM q GROUP BY 2, 3
-            UNION ALL
-            SELECT 'day',
-                   CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR),
-                   event_type, COUNT(*),
-                   ROUND(SUM(value) / COUNT(*), 4)
-            FROM q GROUP BY 2, 3
-            UNION ALL
-            SELECT 'week',
-                   CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR),
-                   event_type, COUNT(*),
-                   ROUND(SUM(value) / COUNT(*), 4)
-            FROM q GROUP BY 2, 3
-        """,
+        "events_rollup": _EVENTS_ROLLUP_ORACLE,
+        "streaming_rollup_parity": _EVENTS_ROLLUP_ORACLE,
         "zorder_key": _zorder_oracle_sql(),
         "revenue_topk_join": """
             SELECT l.l_orderkey,

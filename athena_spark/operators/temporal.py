@@ -248,17 +248,39 @@ def time_rollup(
         F.sum(F.col(value_col).cast("double")).alias("__sum"),
     )
     finest = finest.persist()
+    return rollup_partials(finest, grans, gcols, pre_aggregated=True)
 
-    # the finest level IS the finest partial — re-aggregating it by its
-    # own granularity would be an identity shuffle
-    levels = [finest.select(F.lit(grans[0]).alias("granularity"), "*")]
+
+def rollup_partials(
+    finest: DataFrame,
+    granularities: Sequence[str],
+    group_cols: Sequence[str] = (),
+    pre_aggregated: bool = False,
+) -> DataFrame:
+    """Re-aggregate a finest-granularity partial table
+    ``(__bucket, *group_cols, __n, __sum)`` into the multi-level
+    rollup report.  Shared by :func:`time_rollup` (one-shot batch) and
+    the streaming continuous-aggregate handler, whose per-batch epoch
+    partials union into exactly this shape (count and sum re-aggregate
+    exactly, in any order).
+
+    ``pre_aggregated=True`` promises one row per (bucket, groups) —
+    the batch path — skipping the identity merge at the finest level;
+    the streaming path's epoch union carries one row per epoch per
+    bucket, which the finest-level aggregate merges."""
+    grans = list(granularities)
+    gcols = list(group_cols)
+    levels = []
     partial = finest
-    for g in grans[1:]:
+    for i, g in enumerate(grans):
+        if i == 0 and pre_aggregated:
+            levels.append(
+                partial.select(F.lit(g).alias("granularity"), "*"))
+            continue
         partial = partial.groupBy(
             F.date_trunc(g, F.col("__bucket")).alias("__bucket"), *gcols
         ).agg(F.sum("__n").alias("__n"), F.sum("__sum").alias("__sum"))
         levels.append(partial.select(F.lit(g).alias("granularity"), "*"))
-
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

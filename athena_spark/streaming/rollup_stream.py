@@ -1,0 +1,103 @@
+"""Streaming continuous aggregate (the hypertable rollup's
+maintenance half).
+
+Each micro-batch is aggregated ONCE to finest-granularity partials
+(count + sum per bucket and group) and appended to the epoch store;
+querying any granularity re-aggregates the tiny partial table, never
+the raw stream history.  This is exactly TimescaleDB's continuous-
+aggregate design expressed as foreachBatch + the shared epoch store:
+
+* per-batch work is one partial aggregation of that batch's rows —
+  state never holds raw events;
+* the store is bounded by (#buckets x #groups x #epochs) partial
+  rows, and count/sum partials merge exactly in ANY replay order, so
+  unlike the as-of stream there is NO cross-batch ordering contract;
+* replay idempotence and checkpoint binding follow
+  streaming/store.py (a replayed batch overwrites its own epoch).
+
+Parity: rollup() over the store equals the batch
+:func:`athena_spark.operators.temporal.time_rollup` over the same
+rows — certified by the ``streaming_rollup_parity`` gate against the
+``events_rollup`` oracle verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from athena_spark.operators.temporal import rollup_partials
+from athena_spark.streaming.store import bind_checkpoint, read_epoch_store
+
+
+class StreamingRollup:
+    """foreachBatch handler.  Usage::
+
+        roll = StreamingRollup(spark, store_dir, ts_col="ts",
+                               value_col="value",
+                               group_cols=["event_type"])
+        (stream_df.writeStream.foreachBatch(roll)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+        report = roll.rollup(("hour", "day", "week"))
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        ts_col: str = "ts",
+        value_col: str = "value",
+        group_cols: Sequence[str] = (),
+        finest: str = "hour",
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.group_cols = list(group_cols)
+        self.finest = finest
+        os.makedirs(store_dir, exist_ok=True)
+        if checkpoint_dir is not None:
+            bind_checkpoint(store_dir, checkpoint_dir)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        partial = batch_df.groupBy(
+            F.date_trunc(
+                self.finest, F.col(self.ts_col).cast("timestamp")
+            ).alias("__bucket"),
+            *self.group_cols,
+        ).agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col(self.value_col).cast("double")).alias("__sum"),
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{self.store_dir}/epoch={int(epoch_id)}"
+        )
+
+    def rollup(
+        self, granularities: Sequence[str] = ("hour", "day", "week")
+    ) -> DataFrame:
+        """Multi-granularity report from the stored partials; the
+        finest level must equal ``self.finest`` (coarser levels nest
+        into it)."""
+        grans = list(granularities)
+        if grans[0] != self.finest:
+            raise ValueError(
+                f"granularities must start at the stored finest level "
+                f"{self.finest!r}, got {grans[0]!r}"
+            )
+        partials = read_epoch_store(self.spark, self.store_dir)
+        if partials is None:
+            raise ValueError(
+                f"no partials stored under {self.store_dir!r} yet"
+            )
+        return rollup_partials(
+            partials.drop("epoch") if "epoch" in partials.columns
+            else partials,
+            grans,
+            self.group_cols,
+        )

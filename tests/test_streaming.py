@@ -310,3 +310,36 @@ def test_streaming_asof_enrich_cross_batch_store(spark, tmp_path):
         201: (102, 12.0),   # superseding purchase from slice 1
         202: (None, None),  # no purchases for user 2
     }
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Per-batch finest partials + on-read re-aggregation must equal
+    the one-shot batch rollup exactly; the store holds partial rows,
+    never raw events."""
+    from athena_spark.operators.temporal import time_rollup
+    from athena_spark.streaming.rollup_stream import StreamingRollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value", F.round(F.col("value") * 1024, 0) / 1024
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    roll = StreamingRollup(spark, str(tmp_path / "store"),
+                           group_cols=["event_type"],
+                           checkpoint_dir=str(tmp_path / "ck"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(roll)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = {tuple(r) for r in roll.rollup(("hour", "day", "week")).collect()}
+    want = {tuple(r) for r in time_rollup(
+        ev, "ts", "value", group_cols=["event_type"]).collect()}
+    assert got == want
+    # store is bounded: partial rows <= buckets x groups per epoch
+    store_rows = spark.read.parquet(
+        str(tmp_path / "store") + "/epoch=0").count()
+    assert store_rows <= ev.count()
+    with pytest.raises(ValueError, match="finest"):
+        roll.rollup(("day", "week"))
