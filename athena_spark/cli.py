@@ -15,6 +15,7 @@ Subcommands:
 * ``sketch``     — any mergeable sketch over a column (hll/cms/kll/tdigest/reservoir/bloom)
 * ``train-embeddings`` — E3: streaming SGNS, writes (word, count, vec)
   parquet and optionally a word2vec-format binary dump (E4)
+* ``print-embeddings`` — E7: word/vector report from a word2vec binary
 * ``curate``     — composite corpus curation (quality/langid/dedup)
 * ``split``      — deterministic hash train/val/test split
 * ``mix``        — weighted multi-corpus mixture (oversampling replicas)

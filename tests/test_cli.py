@@ -702,3 +702,17 @@ def test_cli_shard(spark, sf_dir, tmp_path, capsys):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(int(n) for _, n, *_ in lines) == n_docs
     assert all(c == "True" for *_, c, _ck in lines)  # contiguous
+
+
+def test_cli_docstring_lists_every_subcommand():
+    """The module docstring is the CLI's user manual — a subcommand
+    registered without a doc line is invisible to users."""
+    import athena_spark.cli as cli
+
+    parser = cli._build_parser()
+    sub_action = next(
+        a for a in parser._actions
+        if a.__class__.__name__ == "_SubParsersAction"
+    )
+    for name in sub_action.choices:
+        assert f"``{name}``" in cli.__doc__, name
