@@ -2371,6 +2371,25 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user: earliest
+    in-order completion time of each step plus reached depth
+    (operators/temporal.py — k tiny per-user min-ts aggregates, no
+    per-user event sort).  Oracle chains the same min-after-previous
+    constraints through CTEs."""
+    from athena_spark.operators.temporal import funnel_steps
+
+    ev = _table(spark, sf_dir, "events")
+    out = funnel_steps(ev, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.col("t_1").cast("string").alias("t_1"),
+        F.col("t_2").cast("string").alias("t_2"),
+        F.col("t_3").cast("string").alias("t_3"),
+        "depth",
+    )
+
+
 def q_merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot MERGE: apply a deterministic change set (revise ids
     %10==0, delete ids %10==3, insert clones of ids %10==7 at
@@ -3666,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_key_overlap": q_join_key_overlap,
         "events_pivot": q_events_pivot,
         "orders_cube": q_orders_cube,
+        "funnel_steps": q_funnel_steps,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
         "streaming_rollup_parity": q_streaming_rollup_parity,
@@ -4122,6 +4142,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pairs_match_batch' AS "check", TRUE AS ok
             UNION ALL SELECT 'no_duplicate_pairs', TRUE
             UNION ALL SELECT 'nontrivial', TRUE
+        """,
+        "funnel_steps": """
+            WITH u AS (
+                SELECT DISTINCT user_id FROM events
+            ), s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CAST(s1.t1 AS VARCHAR) AS t_1,
+                   CAST(s2.t2 AS VARCHAR) AS t_2,
+                   CAST(s3.t3 AS VARCHAR) AS t_3,
+                   CASE WHEN s3.t3 IS NOT NULL THEN 3
+                        WHEN s2.t2 IS NOT NULL THEN 2
+                        WHEN s1.t1 IS NOT NULL THEN 1
+                        ELSE 0 END AS depth
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "orders_cube": """
             SELECT o_orderstatus, o_orderpriority,

@@ -186,6 +186,55 @@ def range_join_binned(
     return joined.drop("__bin", "__us", "__s_us", "__e_us")
 
 
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for every user, the earliest time each
+    step was completed IN ORDER (step k counts only strictly after the
+    user's step-(k-1) time), plus the reached depth.
+
+    Output: (user, t_1..t_n as timestamps, depth) — one row per user
+    appearing in the events, depth = number of consecutive steps
+    completed from the first.
+
+    Plan: one narrow (user, ts) aggregate per step, each joined back
+    to constrain the next ("earliest step-k after t_{k-1}") — k tiny
+    per-user shuffles of (user, min-ts) rows, never a per-user event
+    sort; the event scan is filtered to the step's type before each
+    aggregate, so every pass reads one step's rows."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("steps must name at least two event types")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate step names: {steps}")
+    ts = F.col(ts_col).cast("timestamp")
+    users = df.select(F.col(user_col)).distinct()
+    out = users
+    prev_t = None
+    for k, step in enumerate(steps, start=1):
+        ev_k = df.where(F.col(type_col) == step).select(
+            F.col(user_col), ts.alias("__ts")
+        )
+        if prev_t is not None:
+            ev_k = ev_k.join(
+                out.select(user_col, F.col(prev_t)), user_col
+            ).where(F.col("__ts") > F.col(prev_t))
+        tk = ev_k.groupBy(user_col).agg(F.min("__ts").alias(f"t_{k}"))
+        out = out.join(tk, user_col, "left")
+        prev_t = f"t_{k}"
+    # deepest step checked first (outermost WHEN): t_k non-null implies
+    # t_{k-1} non-null by construction, so the first non-null from the
+    # deep end is the reached depth
+    depth = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        depth = F.when(F.col(f"t_{k}").isNotNull(), F.lit(k)).otherwise(depth)
+    return out.withColumn("depth", depth)
+
+
 def rolling_stats(
     df: DataFrame,
     key_col: str = "user_id",

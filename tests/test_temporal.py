@@ -390,3 +390,41 @@ def test_time_rollup_fuzz_reconciles(spark, seed):
             for r in got if r.granularity == gran
         }
         assert ours == direct, (seed, gran)
+
+
+def test_funnel_steps_matches_scalar(spark):
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        Row(user_id=1, ts=_ts(0), event_type="view"),
+        Row(user_id=1, ts=_ts(5), event_type="click"),
+        Row(user_id=1, ts=_ts(9), event_type="purchase"),
+        # user 2: click BEFORE the first view doesn't count; no
+        # in-order click afterwards -> depth 1
+        Row(user_id=2, ts=_ts(1), event_type="click"),
+        Row(user_id=2, ts=_ts(2), event_type="view"),
+        # user 3: view + later click, purchase before click -> depth 2
+        Row(user_id=3, ts=_ts(0), event_type="view"),
+        Row(user_id=3, ts=_ts(3), event_type="purchase"),
+        Row(user_id=3, ts=_ts(4), event_type="click"),
+        # user 4: never enters the funnel
+        Row(user_id=4, ts=_ts(0), event_type="error"),
+    ]
+    from athena_spark.operators.temporal import funnel_steps
+
+    got = {
+        r.user_id: (r.depth, r.t_1, r.t_2, r.t_3)
+        for r in funnel_steps(
+            spark.createDataFrame(rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got[1] == (3, _ts(0), _ts(5), _ts(9))
+    assert got[2] == (1, _ts(2), None, None)
+    assert got[3] == (2, _ts(0), _ts(4), None)
+    assert got[4] == (0, None, None, None)
+    assert len(got) == 4
+
+    import pytest as _p
+    with _p.raises(ValueError, match="two event types"):
+        funnel_steps(spark.createDataFrame(rows), ["view"])
+    with _p.raises(ValueError, match="duplicate"):
+        funnel_steps(spark.createDataFrame(rows), ["view", "view"])
