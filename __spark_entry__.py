@@ -2390,6 +2390,92 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks per event type via min_by/max_by on a
+    fixed-width (epoch-micros, event_id) order key — ONE aggregate
+    with map-side partial combine, no per-bucket window
+    (operators/timeseries.py).  Outputs are exact copies of input
+    doubles (no arithmetic), hash-safe; the oracle's arg_min/arg_max
+    uses the identical string key."""
+    from athena_spark.operators.timeseries import ohlc_bars
+
+    ev = _table(spark, sf_dir, "events")
+    out = ohlc_bars(ev, "ts", "value", ["event_type"], "day", "event_id")
+    return out.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "event_type", "open", "high", "low", "close", "n",
+    )
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type with LOCF (TimescaleDB
+    time_bucket_gapfill + locf): densify [first, last] buckets with
+    sequence/explode, carry the latest bucket value forward with a
+    last(ignorenulls) window over the SMALL dense table
+    (operators/timeseries.py).  Values are raw input doubles carried
+    through untouched — hash-safe."""
+    from athena_spark.operators.timeseries import gapfill_locf
+
+    ev = _table(spark, sf_dir, "events")
+    out = gapfill_locf(ev, "ts", "value", ["event_type"], "hour")
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("string").alias("bucket"),
+        "value", "n",
+    )
+
+
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type time-weighted average (TimescaleDB time_weight,
+    LOCF rule): sum(v_i * (t_{i+1} - t_i)) / span.  Durations are
+    integer seconds and values quantized to 2^-10 multiples, so the
+    weighted sum is an exact binary fraction (magnitude ~ avg * span *
+    1024 << 2^53 — it telescopes with the span, independent of row
+    count) and the rounded quotient is hash-stable.  Both engines
+    order by (full-precision ts, event_id); same-second neighbors
+    then pair values and durations identically."""
+    from athena_spark.operators.timeseries import time_weighted_avg
+
+    ev = _table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "ts", "value", ["event_type"])
+
+
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate (2 h windows sliding 1 h) per event
+    type via Spark's native F.window — an Expand node (each row ->
+    duration/slide window copies) into one hash aggregate, map-side
+    combine intact.  The oracle reproduces hop assignment by UNION
+    ALL of the two shifted hour-truncs.  Sums quantized to 2^-10."""
+    from athena_spark.operators.timeseries import sliding_window_counts
+
+    ev = _table(spark, sf_dir, "events")
+    out = sliding_window_counts(
+        ev, "ts", "value", ["event_type"], "2 hours", "1 hour"
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "event_type", "n", "sum_value",
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event; per (cohort week, week offset) the distinct cohort
+    users active that week (operators/timeseries.py — two hash
+    aggregates + one user-key join, (user, week) pairs only in the
+    shuffles).  All-integer outputs; week boundaries are exact
+    604800-second multiples in UTC for both engines."""
+    from athena_spark.operators.timeseries import retention_cohorts
+
+    ev = _table(spark, sf_dir, "events")
+    out = retention_cohorts(ev, "ts", "user_id", "week")
+    return out.select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "offset", "n_users",
+    )
+
+
 def q_merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot MERGE: apply a deterministic change set (revise ids
     %10==0, delete ids %10==3, insert clones of ids %10==7 at
@@ -3686,6 +3772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "orders_cube": q_orders_cube,
         "funnel_steps": q_funnel_steps,
+        "ohlc_bars": q_ohlc_bars,
+        "events_gapfill": q_events_gapfill,
+        "time_weighted_value": q_time_weighted_value,
+        "events_sliding_windows": q_events_sliding_windows,
+        "retention_cohorts": q_retention_cohorts,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
         "streaming_rollup_parity": q_streaming_rollup_parity,
@@ -4172,6 +4263,118 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 USING (user_id)
             LEFT JOIN s2 USING (user_id)
             LEFT JOIN s3 USING (user_id)
+        """,
+        "ohlc_bars": """
+            WITH k AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                       value,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                       lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                FROM events
+            )
+            SELECT CAST(bucket AS VARCHAR) AS bucket,
+                   event_type,
+                   arg_min(value, ok) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   arg_max(value, ok) AS close,
+                   COUNT(*) AS n
+            FROM k GROUP BY 1, 2
+        """,
+        "events_gapfill": """
+            WITH k AS (
+                SELECT event_type,
+                       date_trunc('hour', ts) AS bkt,
+                       value,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                       lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
+                FROM events
+            ), b AS (
+                SELECT event_type, bkt, arg_max(value, ok) AS v,
+                       COUNT(*) AS n
+                FROM k GROUP BY 1, 2
+            ), spans AS (
+                SELECT event_type, MIN(bkt) AS lo, MAX(bkt) AS hi
+                FROM b GROUP BY 1
+            ), dense AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS bkt
+                FROM spans
+            ), j AS (
+                SELECT d.event_type, d.bkt, b.v,
+                       COALESCE(b.n, 0) AS n
+                FROM dense d
+                LEFT JOIN b ON d.event_type = b.event_type
+                           AND d.bkt = b.bkt
+            )
+            SELECT event_type,
+                   CAST(bkt AS VARCHAR) AS bucket,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bkt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   n
+            FROM j
+        """,
+        "time_weighted_value": """
+            WITH s AS (
+                SELECT event_type,
+                       epoch_us(ts) AS eu,
+                       epoch_us(ts) // 1000000 AS e,
+                       ROUND(value * 1024) / 1024 AS q,
+                       event_id
+                FROM events
+            ), d AS (
+                SELECT event_type, e, q,
+                       LEAD(e) OVER (
+                           PARTITION BY event_type
+                           ORDER BY eu, event_id) - e AS dur
+                FROM s
+            )
+            SELECT event_type,
+                   ROUND(SUM(q * dur) / (MAX(e) - MIN(e)), 4) AS twa,
+                   MAX(e) - MIN(e) AS span_s,
+                   COUNT(*) AS n
+            FROM d GROUP BY 1
+            HAVING MAX(e) - MIN(e) > 0
+        """,
+        "events_sliding_windows": """
+            WITH q AS (
+                SELECT event_type,
+                       date_trunc('hour', ts) AS h,
+                       ROUND(value * 1024) / 1024 AS v
+                FROM events
+            ), x AS (
+                SELECT event_type, h AS ws, v FROM q
+                UNION ALL
+                SELECT event_type, h - INTERVAL 1 HOUR, v FROM q
+            )
+            SELECT CAST(ws AS VARCHAR) AS window_start,
+                   CAST(ws + INTERVAL 2 HOUR AS VARCHAR) AS window_end,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(v), 4) AS sum_value
+            FROM x GROUP BY 1, 2, 3
+        """,
+        "retention_cohorts": """
+            WITH f AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+                           AS cohort
+                FROM events GROUP BY 1
+            ), a AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS b
+                FROM events
+            )
+            SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+                   (epoch_us(a.b) - epoch_us(f.cohort))
+                       // 604800000000 AS offset,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "orders_cube": """
             SELECT o_orderstatus, o_orderpriority,

@@ -35,6 +35,8 @@ Subcommands:
 * ``curate-stream``   — continuous curation replay over a directory
 * ``search``     — BM25 bag-of-words relevance top-k over a text column
 * ``rollup``     — hypertable-style hour/day/week continuous aggregate
+* ``timeseries`` — OHLC bars / gap-fill LOCF / time-weighted average /
+  hopping-window counts / cohort retention over an event table
 * ``profile``    — one-pass per-column table profile (ANALYZE report)
 * ``merge``      — snapshot MERGE upsert/delete (optional CDC compact)
 * ``zorder``     — Z-order layout rewrite for row-group scan pruning
@@ -319,6 +321,24 @@ def _build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--granularities", default="hour,day,week",
                     help="comma-separated date_trunc units, finest "
                          "first, each nesting into the next")
+
+    tsr = sub.add_parser("timeseries")
+    common(tsr, output_help="analytics result parquet dir")
+    tsr.set_defaults(col="value")  # common()'s "content" is text
+    tsr.add_argument("--op", required=True,
+                     choices=["ohlc", "gapfill", "twa", "sliding",
+                              "retention"])
+    tsr.add_argument("--ts-col", default="ts")
+    tsr.add_argument("--key-col", default="event_type",
+                     help="series key (retention: the user id column)")
+    tsr.add_argument("--tiebreak-col", default="event_id",
+                     help="unique per-row id breaking timestamp ties")
+    tsr.add_argument("--granularity", default="hour",
+                     help="bucket for ohlc/gapfill/retention")
+    tsr.add_argument("--duration", default="2 hours",
+                     help="sliding: window length")
+    tsr.add_argument("--slide", default="1 hour",
+                     help="sliding: hop interval")
 
     pr = sub.add_parser("profile")
     common(pr, output_help="long-form profile parquet dir")
@@ -1137,6 +1157,48 @@ def cmd_rollup(args) -> None:
           file=sys.stderr)
 
 
+def cmd_timeseries(args) -> None:
+    """Timeseries analytics over an event table: --op picks OHLC
+    candlesticks, gap-filled LOCF series, time-weighted average,
+    hopping-window counts, or cohort retention
+    (operators/timeseries.py)."""
+    from athena_spark.operators import timeseries as tsops
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    keys = [args.key_col]
+    if args.op == "ohlc":
+        out = tsops.ohlc_bars(df, args.ts_col, args.col, keys,
+                              args.granularity, args.tiebreak_col)
+        order = ["bucket", *keys]
+    elif args.op == "gapfill":
+        out = tsops.gapfill_locf(df, args.ts_col, args.col, keys,
+                                 args.granularity, args.tiebreak_col)
+        order = [*keys, "bucket"]
+    elif args.op == "twa":
+        out = tsops.time_weighted_avg(df, args.ts_col, args.col, keys,
+                                      args.tiebreak_col)
+        order = keys
+    elif args.op == "sliding":
+        out = tsops.sliding_window_counts(df, args.ts_col, args.col, keys,
+                                          args.duration, args.slide)
+        order = ["window_start", *keys]
+    else:  # retention: key_col is the user id column
+        out = tsops.retention_cohorts(df, args.ts_col, args.key_col,
+                                      args.granularity)
+        order = ["cohort", "offset"]
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        rows = out.orderBy(*order).collect()
+        n = len(rows)
+        for r in rows[:200]:
+            print("\t".join(str(v) for v in r))
+    print(json.dumps({"op": args.op, "rows": n}), file=sys.stderr)
+
+
 def cmd_profile(args) -> None:
     """One-pass per-column table profile; TSV to stdout or --output
     parquet, row/column counts as JSON to stderr."""
@@ -1267,6 +1329,7 @@ def main(argv=None) -> None:
         "curate-stream": cmd_curate_stream,
         "search": cmd_search,
         "rollup": cmd_rollup,
+        "timeseries": cmd_timeseries,
         "profile": cmd_profile,
         "merge": cmd_merge,
         "zorder": cmd_zorder,

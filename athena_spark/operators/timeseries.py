@@ -1,0 +1,277 @@
+"""Time-series analytics beyond the rollup/as-of family in
+``operators/temporal.py``: OHLC bars, gap-filled LOCF series,
+time-weighted averages, hopping (sliding) window aggregates, and
+cohort retention.
+
+The reference engine has no relational layer (SURVEY.md §2.2 — its
+data model is a token stream); these are the standard hypertable-style
+operations (TimescaleDB's ``candlestick_agg`` / ``time_bucket_gapfill``
++ ``locf`` / ``time_weight``, and product-analytics retention) a
+training-data/event pipeline needs on the ``events`` table, each
+expressed with built-in DataFrame ops so Catalyst keeps whole-stage
+codegen in play.
+
+Scale design, per operator:
+
+* :func:`ohlc_bars` — open/close via ``min_by``/``max_by`` on a
+  fixed-width order key inside ONE aggregate: partial (map-side)
+  combine works and the shuffle carries one partial row per (bucket,
+  key) per partition.  The string order key forces Spark's
+  sort-based aggregate (string buffers are not hash-aggregatable),
+  but that sort is partition-local on the GROUPING key and spillable
+  — unlike the naive window plan (``row_number`` per bucket, filter
+  rank 1/N), which shuffles every raw row and sorts within buckets
+  before any reduction.
+* :func:`gapfill_locf` — aggregate raw rows to one value per (key,
+  bucket) FIRST, densify buckets with ``sequence``/``explode`` (bounded
+  by span/granularity per key, independent of raw row count), then a
+  per-key ``last(ignorenulls)`` window over the small dense table.
+  The window sorts buckets, never events.
+* :func:`time_weighted_avg` — one per-key window pass for the
+  ``lead`` timestamp, then a plain hash aggregate.  Durations are
+  integer seconds and values are quantized to 2^-10 multiples, so the
+  weighted sum is an exact binary fraction — order-independent across
+  partial aggregation (see the FP-parity rules in the repo's verify
+  skill).
+* :func:`sliding_window_counts` — Spark's native hopping
+  ``F.window(ts, duration, slide)``: each row expands to
+  duration/slide rows BEFORE the hash aggregate (an Expand node), so
+  partial aggregation still combines map-side; no self-join.
+* :func:`retention_cohorts` — two hash aggregates (first-seen per
+  user, distinct active buckets per user) joined on the user key;
+  shuffles carry (user, bucket) pairs only, never event rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_SECONDS = {"hour": 3600, "day": 86400, "week": 604800}
+
+
+def _order_key(ts_col: str, tiebreak_col: str):
+    """Fixed-width sortable string key ``(timestamp, tiebreak)``:
+    microsecond epoch then the tiebreak id, both zero-padded so
+    lexicographic order equals numeric order.  A string (rather than a
+    struct) because the exact same key is expressible in ANSI SQL for
+    the oracle (``lpad(epoch_us(ts)...) || lpad(id...)``)."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 20, "0"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("event_type",),
+    granularity: str = "day",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Candlestick aggregation: per (key, time bucket) the first
+    (open), last (close), minimum (low) and maximum (high) value plus
+    the row count, in ONE hash aggregate.
+
+    ``tiebreak_col`` must be unique per row; ties on ``ts_col`` within
+    a bucket resolve by it, making open/close fully deterministic
+    (TimescaleDB's ``candlestick_agg`` has the same contract via its
+    internal sequence number).
+    """
+    key = _order_key(ts_col, tiebreak_col)
+    v = F.col(value_col).cast("double")
+    return (
+        df.groupBy(
+            F.date_trunc(granularity, F.col(ts_col).cast("timestamp")).alias(
+                "bucket"
+            ),
+            *key_cols,
+        )
+        .agg(
+            F.min_by(v, key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, key).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("event_type",),
+    granularity: str = "hour",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-filled per-key time series with last-observation-carried-
+    forward: one row per (key, bucket) for EVERY bucket between the
+    key's first and last observation; empty buckets carry the previous
+    bucket's representative value (``n = 0`` marks them).
+
+    The representative value of a non-empty bucket is its latest row's
+    value (ties by ``tiebreak_col`` — the same deterministic order key
+    as :func:`ohlc_bars`).  Mirrors TimescaleDB
+    ``time_bucket_gapfill + locf`` semantics.
+    """
+    if granularity not in _SECONDS:
+        raise ValueError(
+            f"granularity must be one of {sorted(_SECONDS)}, got {granularity!r}"
+        )
+    step = _SECONDS[granularity]
+    gcols = list(key_cols)
+    bucket = F.date_trunc(granularity, F.col(ts_col).cast("timestamp"))
+    # 1. one value per (key, bucket): latest row wins (hash aggregate,
+    #    raw rows touched once)
+    per_bucket = df.groupBy(bucket.alias("bucket"), *gcols).agg(
+        F.max_by(
+            F.col(value_col).cast("double"), _order_key(ts_col, tiebreak_col)
+        ).alias("__v"),
+        F.count("*").alias("n"),
+    )
+    # 2. densify: sequence over the key's [min, max] bucket range —
+    #    bounded by span/granularity, independent of raw row count
+    spans = per_bucket.groupBy(*gcols).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    dense = spans.select(
+        *gcols,
+        F.explode(
+            F.sequence(
+                "__lo", "__hi", F.expr(f"INTERVAL {step} SECONDS")
+            )
+        ).alias("bucket"),
+    )
+    joined = dense.join(per_bucket, [*gcols, "bucket"], "left")
+    # 3. carry forward over the small dense table
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *gcols,
+        F.col("bucket"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average (TimescaleDB ``time_weight`` with
+    the LOCF interpolation rule): each observation's value holds until
+    the next observation, so the average is
+    ``sum(v_i * (t_{i+1} - t_i)) / (t_n - t_1)``.
+
+    Exactness contract: durations are integer seconds (floored epoch)
+    and values are quantized to 2^-10 multiples before the product, so
+    every partial sum is an exact binary fraction and the result is
+    independent of aggregation order — safe to hash against a SQL
+    oracle.  Keys with a single observation (zero span) are dropped.
+    Ties on ``ts_col`` contribute zero-duration terms and therefore
+    cannot affect the result.
+    """
+    epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    q = F.round(F.col(value_col).cast("double") * 1024, 0) / 1024
+    # order by full-precision time (micros), compute durations on the
+    # floored-seconds epoch — the oracle does the identical split
+    w = Window.partitionBy(*key_cols).orderBy("__eu", tiebreak_col)
+    staged = df.select(
+        *key_cols,
+        epoch_us.alias("__eu"),
+        q.alias("__q"),
+        tiebreak_col,
+    ).withColumn(
+        "__e", F.expr("__eu div 1000000")  # integer division, exact
+    ).withColumn("__dur", F.lead("__e").over(w) - F.col("__e"))
+    return (
+        staged.groupBy(*key_cols)
+        .agg(
+            F.sum(F.col("__q") * F.col("__dur")).alias("__ws"),
+            (F.max("__e") - F.min("__e")).alias("span_s"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("span_s") > 0)
+        .select(
+            *key_cols,
+            F.round(F.col("__ws") / F.col("span_s"), 4).alias("twa"),
+            "span_s",
+            "n",
+        )
+    )
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("event_type",),
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Hopping-window aggregate via Spark's native ``F.window``: count
+    and quantized sum per (key, window).  Each row lands in
+    duration/slide windows through a Catalyst Expand node feeding one
+    hash aggregate — map-side partial combine intact, no self-join.
+
+    Values quantized to 2^-10 multiples so window sums are exact and
+    order-independent."""
+    q = F.round(F.col(value_col).cast("double") * 1024, 0) / 1024
+    win = F.window(F.col(ts_col).cast("timestamp"), duration, slide)
+    return (
+        df.groupBy(win.alias("w"), *key_cols)
+        .agg(F.count("*").alias("n"), F.sum(q).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *key_cols,
+            "n",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by the bucket of their FIRST
+    event; for each (cohort bucket, bucket offset) the count of
+    distinct cohort users active in that later bucket.  Offset 0 is the
+    cohort bucket itself, so ``n_users`` at offset 0 is the cohort
+    size.
+
+    Two hash aggregates + one equi-join on the user key — shuffles
+    carry (user, bucket) pairs only.  All outputs are exact integers.
+    """
+    if granularity not in _SECONDS:
+        raise ValueError(
+            f"granularity must be one of {sorted(_SECONDS)}, got {granularity!r}"
+        )
+    step = _SECONDS[granularity]
+    bucket = F.date_trunc(granularity, F.col(ts_col).cast("timestamp"))
+    firsts = df.groupBy(user_col).agg(
+        F.date_trunc(granularity, F.min(F.col(ts_col).cast("timestamp"))).alias(
+            "cohort"
+        )
+    )
+    active = df.select(F.col(user_col), bucket.alias("b")).distinct()
+    joined = active.join(firsts, user_col)
+    offset = (
+        (F.unix_timestamp("b") - F.unix_timestamp("cohort")) / step
+    ).cast("long")
+    return (
+        joined.groupBy(F.col("cohort"), offset.alias("offset"))
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -1,0 +1,333 @@
+"""Timeseries analytics: OHLC bars, gap-fill + LOCF, time-weighted
+average, hopping windows, retention cohorts.
+
+Each Spark result is checked against a brute-force Python oracle over
+the same rows (the scan-and-sort semantics the operator re-expresses
+scalably), including a randomized fuzz case with timestamp ties, plus
+plan-shape assertions where the scale claim is structural (OHLC must
+compile to ONE hash aggregate, not a window sort).
+"""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from athena_spark.operators.timeseries import (
+    gapfill_locf,
+    ohlc_bars,
+    retention_cohorts,
+    sliding_window_counts,
+    time_weighted_avg,
+)
+
+
+def _ts(hours=0, minutes=0, seconds=0, micros=0):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(
+        hours=hours, minutes=minutes, seconds=seconds, microseconds=micros
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_events(spark):
+    """Deterministic fuzz table: 400 events over 5 days, 3 types,
+    20 users, including exact timestamp ties (every 10th row clones
+    the previous row's ts)."""
+    rng = random.Random(42)
+    rows, prev_ts = [], _ts()
+    for i in range(400):
+        if i % 10 == 9:
+            ts = prev_ts  # exact tie with the previous row
+        else:
+            ts = _ts(
+                hours=rng.randrange(0, 120),
+                minutes=rng.randrange(60),
+                seconds=rng.randrange(60),
+                micros=rng.randrange(1_000_000),
+            )
+        prev_ts = ts
+        rows.append(
+            Row(
+                event_id=i,
+                ts=ts,
+                user_id=rng.randrange(20),
+                event_type=rng.choice(["a", "b", "c"]),
+                value=round(rng.uniform(0, 100), 2),
+            )
+        )
+    return spark.createDataFrame(rows), rows
+
+
+# ---------------------------------------------------------------- ohlc
+
+
+def _brute_ohlc(rows, gran="day"):
+    def bucket(ts):
+        if gran == "day":
+            return ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    groups = {}
+    for r in rows:
+        groups.setdefault((bucket(r.ts), r.event_type), []).append(r)
+    out = {}
+    for k, g in groups.items():
+        g = sorted(g, key=lambda r: (r.ts, r.event_id))
+        out[k] = (
+            g[0].value,
+            max(r.value for r in g),
+            min(r.value for r in g),
+            g[-1].value,
+            len(g),
+        )
+    return out
+
+
+def test_ohlc_matches_brute(spark, fuzz_events):
+    df, rows = fuzz_events
+    got = {
+        (r["bucket"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in ohlc_bars(df).collect()
+    }
+    assert got == _brute_ohlc(rows)
+
+
+def test_ohlc_tie_determinism(spark):
+    """Two rows at the identical timestamp: the smaller event_id is
+    the open, the larger the close."""
+    t = _ts(1)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=2, ts=t, event_type="a", value=20.0),
+            Row(event_id=1, ts=t, event_type="a", value=10.0),
+        ]
+    )
+    row = ohlc_bars(df).collect()[0]
+    assert (row["open"], row["close"]) == (10.0, 20.0)
+
+
+def test_ohlc_is_single_aggregate(spark, fuzz_events):
+    """Scale shape: OHLC compiles to one aggregate with a map-side
+    partial (partial_min_by visible below the single Exchange) — no
+    Window over the raw rows, exactly one shuffle."""
+    df, _ = fuzz_events
+    plan = ohlc_bars(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+    assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------------- gapfill
+
+
+def test_gapfill_locf_dense_and_carried(spark):
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=_ts(0, 30), event_type="a", value=1.0),
+            Row(event_id=2, ts=_ts(0, 40), event_type="a", value=2.0),
+            # hours 1-2 empty
+            Row(event_id=3, ts=_ts(3, 10), event_type="a", value=3.0),
+            Row(event_id=4, ts=_ts(5, 0), event_type="b", value=9.0),
+        ]
+    )
+    out = {
+        (r["event_type"], r["bucket"].hour): (r["value"], r["n"])
+        for r in gapfill_locf(df).collect()
+    }
+    assert out == {
+        ("a", 0): (2.0, 2),  # latest row in the bucket wins
+        ("a", 1): (2.0, 0),  # carried forward
+        ("a", 2): (2.0, 0),
+        ("a", 3): (3.0, 1),
+        ("b", 5): (9.0, 1),  # single-bucket key: no gaps
+    }
+
+
+def test_gapfill_rejects_bad_granularity(spark):
+    df = spark.range(1).selectExpr(
+        "id AS event_id", "timestamp'2024-01-01' AS ts",
+        "'a' AS event_type", "1.0 AS value"
+    )
+    with pytest.raises(ValueError, match="granularity"):
+        gapfill_locf(df, granularity="fortnight")
+
+
+def test_gapfill_fuzz_no_gaps_and_locf(spark, fuzz_events):
+    """On the fuzz table: per key the buckets are contiguous hours,
+    empty buckets have n=0 and carry the previous value, non-empty
+    buckets carry their own latest row's value."""
+    df, rows = fuzz_events
+    got = sorted(
+        gapfill_locf(df).collect(),
+        key=lambda r: (r["event_type"], r["bucket"]),
+    )
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r["event_type"], []).append(r)
+    # brute per-bucket latest value
+    latest = {}
+    counts = {}
+    for r in rows:
+        b = r.ts.replace(minute=0, second=0, microsecond=0)
+        k = (r.event_type, b)
+        counts[k] = counts.get(k, 0) + 1
+        if k not in latest or (r.ts, r.event_id) > latest[k][0]:
+            latest[k] = ((r.ts, r.event_id), r.value)
+    for key, seq in per_key.items():
+        carried = None
+        for i, r in enumerate(seq):
+            if i > 0:
+                assert (
+                    r["bucket"] - seq[i - 1]["bucket"]
+                ).total_seconds() == 3600, "buckets must be contiguous"
+            k = (key, r["bucket"])
+            if k in counts:
+                assert r["n"] == counts[k]
+                carried = latest[k][1]
+            else:
+                assert r["n"] == 0
+            assert r["value"] == carried
+
+
+# ----------------------------------------------------- time-weighted
+
+
+def _brute_twa(rows):
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(r)
+    out = {}
+    for k, g in groups.items():
+        g = sorted(g, key=lambda r: (r.ts, r.event_id))
+        es = [int(r.ts.timestamp()) for r in g]
+        if es[-1] == es[0]:
+            continue
+        q = [round(r.value * 1024) / 1024 for r in g]
+        ws = sum(
+            q[i] * (es[i + 1] - es[i]) for i in range(len(g) - 1)
+        )
+        out[k] = (round(ws / (es[-1] - es[0]), 4), es[-1] - es[0], len(g))
+    return out
+
+
+def test_twa_matches_brute(spark, fuzz_events):
+    df, rows = fuzz_events
+    got = {
+        r["event_type"]: (r["twa"], r["span_s"], r["n"])
+        for r in time_weighted_avg(df).collect()
+    }
+    assert got == _brute_twa(rows)
+
+
+def test_twa_constant_value_is_exact(spark):
+    """A constant series has twa == the constant regardless of
+    spacing."""
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=_ts(hours=h), event_type="a", value=7.25)
+            for i, h in enumerate([0, 1, 5, 50])
+        ]
+    )
+    assert time_weighted_avg(df).collect()[0]["twa"] == 7.25
+
+
+def test_twa_drops_zero_span(spark):
+    t = _ts(1)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=t, event_type="solo", value=1.0),
+            Row(event_id=2, ts=t, event_type="solo", value=2.0),
+        ]
+    )
+    assert time_weighted_avg(df).collect() == []
+
+
+# ------------------------------------------------------------ sliding
+
+
+def test_sliding_windows_match_brute(spark, fuzz_events):
+    df, rows = fuzz_events
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["n"],
+            r["sum_value"],
+        )
+        for r in sliding_window_counts(df).collect()
+    }
+    brute = {}
+    for r in rows:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        q = round(r.value * 1024) / 1024
+        for ws in (h, h - dt.timedelta(hours=1)):
+            k = (ws, r.event_type)
+            n, s = brute.get(k, (0, 0.0))
+            brute[k] = (n + 1, s + q)
+    brute = {k: (n, round(s, 4)) for k, (n, s) in brute.items()}
+    assert got == brute
+
+
+def test_sliding_window_bounds(spark):
+    """window_end - window_start == duration; each event appears in
+    exactly duration/slide windows."""
+    df = spark.createDataFrame(
+        [Row(event_id=1, ts=_ts(3, 30), event_type="a", value=1.0)]
+    )
+    out = sliding_window_counts(df).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (
+            r["window_end"] - r["window_start"]
+        ).total_seconds() == 7200
+        assert r["window_start"] <= _ts(3, 30) < r["window_end"]
+
+
+# ---------------------------------------------------------- retention
+
+
+def _brute_retention(rows):
+    def week(ts):
+        d = ts.date()
+        monday = d - dt.timedelta(days=d.weekday())
+        return dt.datetime(monday.year, monday.month, monday.day)
+
+    first = {}
+    for r in rows:
+        w = week(r.ts)
+        if r.user_id not in first or w < first[r.user_id]:
+            first[r.user_id] = min(first.get(r.user_id, w), week(r.ts))
+    out = {}
+    for r in rows:
+        cohort = first[r.user_id]
+        off = int((week(r.ts) - cohort).total_seconds()) // 604800
+        out.setdefault((cohort, off), set()).add(r.user_id)
+    return {k: len(v) for k, v in out.items()}
+
+
+def test_retention_matches_brute(spark, fuzz_events):
+    df, rows = fuzz_events
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == _brute_retention(rows)
+
+
+def test_retention_offset_zero_is_cohort_size(spark, fuzz_events):
+    """Every user is active in their own first week, so summing
+    offset-0 counts recovers the distinct-user total."""
+    df, rows = fuzz_events
+    zero = [
+        r["n_users"]
+        for r in retention_cohorts(df).collect()
+        if r["offset"] == 0
+    ]
+    assert sum(zero) == len({r.user_id for r in rows})
+
+
+def test_retention_rejects_bad_granularity(spark, fuzz_events):
+    df, _ = fuzz_events
+    with pytest.raises(ValueError, match="granularity"):
+        retention_cohorts(df, granularity="decade")
