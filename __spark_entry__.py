@@ -1606,6 +1606,27 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessions (30-min gap) — Spark's
+    built-in merging-interval aggregate, the operator the streaming
+    sessionizer also uses (operators/sessionize.py).  Session-merge
+    boundaries are inclusive (only a STRICTLY larger gap splits —
+    pinned in tests), so the lag-based oracle breaks sessions at
+    gap > threshold; session_end is last-event ts + gap (Spark's
+    window.end)."""
+    from athena_spark.operators.sessionize import session_windows_native
+
+    out = session_windows_native(
+        _table(spark, sf_dir, "events"), gap_minutes=30.0
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+    )
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data dedup pipeline: exact (sha-group,
     keep min id) then MinHash-LSH near-dup removal (greedy
@@ -3777,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_value": q_time_weighted_value,
         "events_sliding_windows": q_events_sliding_windows,
         "retention_cohorts": q_retention_cohorts,
+        "session_windows": q_session_windows,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
         "streaming_rollup_parity": q_streaming_rollup_parity,
@@ -4357,6 +4379,30 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    ROUND(SUM(v), 4) AS sum_value
             FROM x GROUP BY 1, 2, 3
+        """,
+        "session_windows": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w
+                                    > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   CAST(MIN(ts) AS VARCHAR) AS session_start,
+                   CAST(MAX(ts) + INTERVAL 1800 SECOND AS VARCHAR)
+                       AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "retention_cohorts": """
             WITH f AS (

@@ -55,3 +55,41 @@ def sessionize(
             F.max("_ts").cast("string").alias("session_end"),
         )
     )
+
+
+def session_windows_native(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``F.session_window`` —
+    the built-in merging-interval aggregate (one hash aggregate with
+    session merge, no window-function sort pass; also the streaming
+    path's operator, where it works under a watermark).
+
+    Boundary semantics match :func:`sessionize` exactly (verified by
+    test_session_window_native_gap_semantics): an event arriving
+    EXACTLY ``gap`` after its predecessor extends the session — Spark
+    merges when ``next.ts <= prev.ts + gap``, i.e. only a STRICTLY
+    larger gap starts a new session, the same ``gap > threshold``
+    test the lag-based plan uses.
+
+    Output: (user, session_start = first event ts, session_end = last
+    event ts + gap — Spark's window.end — and the event count).
+    """
+    gap_s = int(gap_minutes * 60)
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        df.groupBy(
+            F.col(user_col),
+            F.session_window(ts, f"{gap_s} seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

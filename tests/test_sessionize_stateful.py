@@ -261,3 +261,54 @@ def test_sessionize_tied_timestamps_match_duckdb(spark):
     """).fetchall():
         want[(u, int(s))] = (n, a, b)
     assert got == want
+
+
+def test_session_window_native_gap_semantics(spark):
+    """Native F.session_window merges INCLUSIVELY at the boundary: an
+    event arriving EXACTLY at the gap extends the session (same
+    strict-> split rule as the lag-based sessionize), and only a
+    strictly larger gap starts a new one."""
+    from athena_spark.operators.sessionize import session_windows_native
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # 10 min gap: same session
+        (1, "2024-01-01 00:40:00"),   # EXACTLY 30 min gap: still same
+        (1, "2024-01-01 01:40:01"),   # 30 min + 1 s: new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"]
+        )
+        for r in session_windows_native(df, gap_minutes=30).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): ("2024-01-01 01:10:00", 3),
+        (1, "2024-01-01 01:40:01"): ("2024-01-01 02:10:01", 1),
+        (2, "2024-01-01 00:00:00"): ("2024-01-01 00:30:00", 1),
+    }
+
+
+def test_session_window_native_matches_lag_plan(spark, sf_dir):
+    """On the events table the native merging-interval plan and the
+    lag-based window plan produce identical session partitions (the
+    split rule is strict > in both)."""
+    from athena_spark.operators.sessionize import session_windows_native
+
+    import datetime as dt
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    native = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_windows_native(ev, gap_minutes=30).collect()
+    }
+    # sessionize returns Spark string casts (trailing zeros trimmed);
+    # parse back to datetimes for a formatting-independent compare
+    lag_based = {
+        (r["user_id"], dt.datetime.fromisoformat(r["session_start"])):
+            r["n_events"]
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert native == lag_based
