@@ -1063,6 +1063,49 @@ def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=spark.table(name).schema)
 
 
+def q_streaming_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_sliding_windows: the same
+    hopping-window (2 h / 1 h) count + quantized sum run through a
+    file-source stream (availableNow, watermarked state) — shares the
+    batch oracle VERBATIM, proving batch/stream parity for
+    overlapping-window state."""
+    import shutil
+    import tempfile
+
+    from athena_spark.streaming.stream_agg import sliding_event_sums
+
+    batch = _table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="athena_slide_src_")
+    ckpt = tempfile.mkdtemp(prefix="athena_slide_ckpt_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet",
+                    f"{src_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = sliding_event_sums(stream)
+        name = "events_sliding_stream_gate"
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        rows = spark.table(name).collect()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=spark.table(name).schema)
+
+
 def q_topk_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped Space-Saving: one sketch per lang (map-side combined,
     summaries shuffle — never tokens), top-5 tokens each.  k >> vocab
@@ -3508,6 +3551,28 @@ def _zorder_oracle_sql() -> str:
 _BM25_TERMS = ("join", "hash", "filter", "nosuchtokenxyz")
 
 
+# shared by events_sliding_windows (batch) and
+# streaming_sliding_parity (availableNow stream) — identical answer,
+# the parity IS the gate
+_SLIDING_WINDOWS_ORACLE = """
+    WITH q AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS h,
+               ROUND(value * 1024) / 1024 AS v
+        FROM events
+    ), x AS (
+        SELECT event_type, h AS ws, v FROM q
+        UNION ALL
+        SELECT event_type, h - INTERVAL 1 HOUR, v FROM q
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start,
+           CAST(ws + INTERVAL 2 HOUR AS VARCHAR) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(v), 4) AS sum_value
+    FROM x GROUP BY 1, 2, 3
+"""
+
 _EVENTS_ROLLUP_ORACLE = """
             WITH q AS (
                 SELECT ts, event_type, ROUND(value * 1024) / 1024 AS value
@@ -3799,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": q_events_sliding_windows,
         "retention_cohorts": q_retention_cohorts,
         "session_windows": q_session_windows,
+        "streaming_sliding_parity": q_streaming_sliding_parity,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
         "streaming_rollup_parity": q_streaming_rollup_parity,
@@ -4362,24 +4428,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY 1
             HAVING MAX(e) - MIN(e) > 0
         """,
-        "events_sliding_windows": """
-            WITH q AS (
-                SELECT event_type,
-                       date_trunc('hour', ts) AS h,
-                       ROUND(value * 1024) / 1024 AS v
-                FROM events
-            ), x AS (
-                SELECT event_type, h AS ws, v FROM q
-                UNION ALL
-                SELECT event_type, h - INTERVAL 1 HOUR, v FROM q
-            )
-            SELECT CAST(ws AS VARCHAR) AS window_start,
-                   CAST(ws + INTERVAL 2 HOUR AS VARCHAR) AS window_end,
-                   event_type,
-                   COUNT(*) AS n,
-                   ROUND(SUM(v), 4) AS sum_value
-            FROM x GROUP BY 1, 2, 3
-        """,
+        "events_sliding_windows": _SLIDING_WINDOWS_ORACLE,
+        "streaming_sliding_parity": _SLIDING_WINDOWS_ORACLE,
         "session_windows": """
             WITH o AS (
                 SELECT user_id, ts,

@@ -82,6 +82,35 @@ class StreamingSketch:
         return self._state
 
 
+def sliding_event_sums(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Watermarked HOPPING-window count + quantized sum — the
+    streaming twin of the batch ``sliding_window_counts``
+    (operators/timeseries.py): each row lands in duration/slide
+    windows via the same Expand-into-hash-aggregate plan, with
+    streaming state keyed by (window, key) and values quantized to
+    2^-10 multiples so the incremental state updates sum exactly."""
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    q = F.round(F.col(value_col).cast("double") * 1024, 0) / 1024
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), key_col)
+        .agg(F.count("*").alias("n"), F.round(F.sum(q), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            F.col("w.end").cast("string").alias("window_end"),
+            key_col, "n", "sum_value",
+        )
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

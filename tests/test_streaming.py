@@ -343,3 +343,39 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     assert store_rows <= ev.count()
     with pytest.raises(ValueError, match="finest"):
         roll.rollup(("day", "week"))
+
+
+def test_sliding_event_sums_matches_batch(spark, sf_dir):
+    """Hopping-window streaming state (overlapping windows, 4 files as
+    micro-batches) lands on the identical counts and quantized sums as
+    the batch sliding_window_counts plan."""
+    from athena_spark.operators.timeseries import sliding_window_counts
+    from athena_spark.streaming.stream_agg import sliding_event_sums
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    truth = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in sliding_window_counts(events).collect()
+    }
+    src = os.path.join(TMP, "slide_stream")
+    shutil.rmtree(src, ignore_errors=True)
+    events.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = sliding_event_sums(stream)
+    ckpt = os.path.join(TMP, "slide_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (out.writeStream.format("memory").queryName("slidesums")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # streaming emits string-cast window bounds; batch emits
+    # timestamps (whole hours, so str() forms agree exactly)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from slidesums").collect()
+    }
+    assert got == truth
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
