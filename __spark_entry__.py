@@ -1649,6 +1649,18 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style passage chunking (64-token windows every 48 tokens,
+    overlapping; functions/text.py chunk_passages): pure JVM
+    projection, no shuffle — exact string parity with the oracle's
+    generate_series + list-slice reconstruction."""
+    from athena_spark.functions.text import chunk_passages
+
+    return chunk_passages(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_size=64, stride=48
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native F.session_window sessions (30-min gap) — Spark's
     built-in merging-interval aggregate, the operator the streaming
@@ -3864,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": q_events_sliding_windows,
         "retention_cohorts": q_retention_cohorts,
         "session_windows": q_session_windows,
+        "passage_chunks": q_passage_chunks,
         "streaming_sliding_parity": q_streaming_sliding_parity,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
@@ -4430,6 +4443,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sliding_windows": _SLIDING_WINDOWS_ORACLE,
         "streaming_sliding_parity": _SLIDING_WINDOWS_ORACLE,
+        "passage_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \t\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), st AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, len(ts), 48)) AS s
+                FROM toks
+                WHERE len(ts) > 0
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+                   CAST(len(ts[s : s + 63]) AS BIGINT) AS n_tokens,
+                   COALESCE(array_to_string(ts[s : s + 63], ' '), '')
+                       AS chunk
+            FROM st
+        """,
         "session_windows": """
             WITH o AS (
                 SELECT user_id, ts,

@@ -420,3 +420,48 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str
         f"`{id_col}` {id_type}, dup_line_frac double, "
         "top_bigram_frac double, dup_trigram_frac double",
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style passage chunking: split each document's token stream
+    into fixed-size windows of ``chunk_size`` tokens starting every
+    ``stride`` tokens (``stride < chunk_size`` gives overlapping
+    passages; the final window may be short).  Output one row per
+    (doc, chunk): 0-based ``chunk_idx``, ``n_tokens``, and the chunk
+    text re-joined with single spaces.
+
+    Pure JVM projection (tokens_col split -> sequence of starts ->
+    posexplode -> slice -> concat_ws), whole-stage codegen, NO shuffle
+    — chunking 100 TB is embarrassingly parallel and this plan keeps
+    it that way.  Documents with zero tokens produce zero chunks.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_size and stride must be >= 1, got "
+            f"{chunk_size}, {stride}"
+        )
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    staged = df.select(
+        F.col(id_col), toks.alias("__toks"), starts.alias("__starts")
+    ).select(
+        id_col,
+        "__toks",
+        F.posexplode("__starts").alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+    return staged.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk"),
+    )

@@ -474,3 +474,49 @@ def test_bpe_sentinel_and_vtab_handling(spark):
     enc = bpe_encode(vtab, "doc_id", "text", m).collect()[0]
     assert enc["n_words"] == 5  # \v splits in BOTH halves
     assert len(m.vocab) == len(set(m.vocab))
+
+
+def test_chunk_passages_matches_brute(spark):
+    from athena_spark.functions.text import chunk_passages
+
+    rows = [
+        (1, "a b c d e f g"),          # 7 tokens
+        (2, "x"),                      # single token
+        (3, ""),                       # empty: no chunks
+        (4, "  \t \n "),               # whitespace only: no chunks
+        (5, "p q\rr s t"),             # \r deleted mid-token: "qr"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk"])
+        for r in chunk_passages(df, chunk_size=3, stride=2).collect()
+    )
+
+    def brute(text, cs, st):
+        toks = [t for t in
+                text.replace("\r", "").replace("\t", " ")
+                .replace("\n", " ").split(" ") if t]
+        return [
+            (i // st, len(toks[i:i + cs]), " ".join(toks[i:i + cs]))
+            for i in range(0, len(toks), st)
+        ]
+
+    want = sorted(
+        (d, idx, n, c)
+        for d, text in rows
+        for idx, n, c in brute(text, 3, 2)
+    )
+    assert got == want
+    # overlap: consecutive chunks share cs - st tokens
+    assert got[0][3] == "a b c" and got[1][3] == "c d e"
+
+
+def test_chunk_passages_rejects_bad_params(spark):
+    from athena_spark.functions.text import chunk_passages
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="chunk_size"):
+        chunk_passages(df, chunk_size=0, stride=1)
+    with _pytest.raises(ValueError, match="chunk_size"):
+        chunk_passages(df, chunk_size=4, stride=0)
