@@ -3509,6 +3509,53 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped per-part threshold query: revenue of lineitems
+    whose quantity is below 0.2x their part's average quantity,
+    reported per brand.  The per-part average is a FIRST aggregate over
+    the fact table re-joined to the facts on partkey — Catalyst's
+    aggregate-then-shuffle-join shape (both sides partitioned on
+    partkey, AQE coalesced); the brand dim broadcasts.  l_quantity is
+    integer-valued (exact), the 0.2*avg threshold is the identical
+    IEEE expression tree in both engines, and revenue is quantized to
+    2^-10 multiples before the order-independent sum."""
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count("*")).alias("__avg_q")
+    )
+    price_q = F.round(F.col("l_extendedprice") * 1024, 0) / 1024
+    return (
+        li.join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_q"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum(price_q), 4).alias("small_revenue"),
+        )
+    )
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution query: how many customers placed
+    exactly k orders (k=0 included via the left outer join).  Two hash
+    aggregates back-to-back — per-customer count, then the count
+    histogram — all-integer outputs, one shuffle each on narrow keys."""
+    cust = _table(spark, sf_dir, "customer").select("c_custkey")
+    orders = _table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_extendedprice,
     l_quantity), 8 bits per column — the layout key behind
@@ -3859,6 +3906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_stats": q_rolling_user_stats,
         "revenue_topk_join": q_revenue_topk_join,
         "pricing_summary": q_pricing_summary,
+        "small_quantity_parts": q_small_quantity_parts,
+        "customer_order_counts": q_customer_order_counts,
         "zorder_key": q_zorder_key,
         "dedup_keep_best": q_dedup_keep_best,
         "token_budget_select": q_token_budget_select,
@@ -4846,6 +4895,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-09-01'
             GROUP BY 1, 2
+        """,
+        "small_quantity_parts": """
+            WITH a AS (
+                SELECT l_partkey,
+                       SUM(l_quantity) / COUNT(*) AS avg_q
+                FROM lineitem GROUP BY 1
+            )
+            SELECT p.p_brand,
+                   COUNT(*) AS n_small,
+                   ROUND(SUM(ROUND(l.l_extendedprice * 1024) / 1024), 4)
+                       AS small_revenue
+            FROM lineitem l
+            JOIN a ON l.l_partkey = a.l_partkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * a.avg_q
+            GROUP BY 1
+        """,
+        "customer_order_counts": """
+            WITH pc AS (
+                SELECT c.c_custkey,
+                       COUNT(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY 1
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM pc GROUP BY 1
         """,
         "rolling_user_stats": """
             WITH q AS (
