@@ -27,6 +27,7 @@ Subcommands:
 * ``decontaminate`` — n-gram benchmark decontamination
 * ``lm-score``   — bigram-LM perplexity quality scoring
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
+* ``chunk``      — RAG-style overlapping passage chunking
 * ``substring-dedup`` — duplicated-span stats / keep-first-occurrence rewrite
 * ``paragraph-dedup`` — CCNet paragraph-hash boilerplate removal
 * ``semantic-dedup``  — SemDeDup over an embedding table
@@ -208,6 +209,15 @@ def _build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--apply", default=None, metavar="ENC_DIR",
                     help="also encode the corpus and write parquet "
                          "(doc id, n_words, n_subwords, subwords)")
+
+    ch = sub.add_parser("chunk")
+    common(ch, output_help="(doc_id, chunk_idx, n_tokens, chunk) parquet dir")
+    ch.add_argument("--id-col", default="doc_id")
+    ch.add_argument("--chunk-size", type=int, default=64,
+                    help="tokens per passage window")
+    ch.add_argument("--stride", type=int, default=48,
+                    help="tokens between window starts (< chunk-size "
+                         "overlaps)")
 
     sd = sub.add_parser("substring-dedup")
     common(sd)
@@ -888,6 +898,30 @@ def cmd_train_bpe(args) -> None:
             .write.mode("overwrite").parquet(args.apply)
 
 
+def cmd_chunk(args) -> None:
+    """RAG-style passage chunking: overlapping fixed-size token
+    windows per document (functions/text.py chunk_passages); TSV to
+    stdout or --output parquet."""
+    from athena_spark.functions.text import chunk_passages
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = chunk_passages(df, args.id_col, args.col,
+                         chunk_size=args.chunk_size, stride=args.stride)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        rows = out.orderBy(args.id_col, "chunk_idx").collect()
+        n = len(rows)
+        for r in rows[:200]:
+            print("\t".join(str(v) for v in r))
+    print(json.dumps({"chunk_size": args.chunk_size,
+                      "stride": args.stride, "chunks": n}),
+          file=sys.stderr)
+
+
 def cmd_substring_dedup(args) -> None:
     """Substring-level dedup: per-doc dup-span stats, or the rewrite
     that keeps only each duplicated span's first occurrence.  Summary
@@ -1328,6 +1362,7 @@ def main(argv=None) -> None:
         "quality-filter": cmd_quality_filter,
         "curate-stream": cmd_curate_stream,
         "search": cmd_search,
+        "chunk": cmd_chunk,
         "rollup": cmd_rollup,
         "timeseries": cmd_timeseries,
         "profile": cmd_profile,

@@ -28,6 +28,11 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime (bloom-filter) join pruning: at 100 TB a selective
+        # dim-side predicate injects a bloom filter into the fact scan,
+        # cutting shuffle input before the join (no-op when the
+        # creation-side stats don't qualify)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.session.timeZone", "UTC")

@@ -331,3 +331,33 @@ def test_retention_rejects_bad_granularity(spark, fuzz_events):
     df, _ = fuzz_events
     with pytest.raises(ValueError, match="granularity"):
         retention_cohorts(df, granularity="decade")
+
+
+# ------------------------------------------------------------- plans
+
+
+def test_plan_shapes(spark, fuzz_events):
+    """Structural scale claims: retention is aggregates + one join
+    (no window sort anywhere); sliding windows are Expand -> hash
+    aggregate (no window, no self-join)."""
+    df, _ = fuzz_events
+    ret = retention_cohorts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in ret and "CartesianProduct" not in ret
+    sli = sliding_window_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in sli and "Window" not in sli
+    assert "Join" not in sli
+
+
+def test_chunk_passages_no_shuffle(spark, fuzz_events):
+    """chunk_passages is a pure projection: zero exchanges in the
+    executed plan — chunking stays embarrassingly parallel."""
+    from athena_spark.functions.text import chunk_passages
+
+    df, _ = fuzz_events
+    df = df.withColumn("text", F.concat_ws(" ", F.lit("a"), F.lit("b")))
+    plan = (
+        chunk_passages(df, "event_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode over window starts
