@@ -2028,6 +2028,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_VOCAB = 24
 _LM_BIGRAMS = 500
 _LM_ALPHA = 0.1
+_KN_D = 0.75  # exact binary fraction — KNBigramLM numeric contract
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2044,6 +2045,24 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     lm = train_bigram_lm(docs, "text", max_vocab=_LM_VOCAB,
                          max_bigrams=_LM_BIGRAMS, alpha=_LM_ALPHA)
+    return score_perplexity(docs, "doc_id", "text", lm) \
+        .select("doc_id", "n_trans", "p_nano")
+
+
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (the KenLM/CCNet
+    smoothing family; operators/lmscore.py KNBigramLM): continuation-
+    type counts from the retained bigram table, discount d = 0.75 (an
+    exact binary fraction), so every probability is pure rational
+    double arithmetic and the gate certifies floor(p * 1e9) sums
+    bit-exactly against the SQL oracle (log-space NLL is
+    pytest-covered, per the repo transcendental rule)."""
+    from athena_spark.operators.lmscore import (score_perplexity,
+                                                train_kn_bigram_lm)
+
+    docs = _docs(spark, sf_dir)
+    lm = train_kn_bigram_lm(docs, "text", max_vocab=_LM_VOCAB,
+                            max_bigrams=_LM_BIGRAMS, d=_KN_D)
     return score_perplexity(docs, "doc_id", "text", lm) \
         .select("doc_id", "n_trans", "p_nano")
 
@@ -3973,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "decontaminate": q_decontaminate,
         "lm_perplexity": q_lm_perplexity,
+        "kn_perplexity": q_kn_perplexity,
         "bpe_tokenizer": q_bpe_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
@@ -4003,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
     # bit-exact double literals for the LM mixture (repr round-trips)
     _lm_alpha = repr(float(_LM_ALPHA))
     _lm_oma = repr(1.0 - float(_LM_ALPHA))
+    _kn_d = f"CAST({float(_KN_D)!r} AS DOUBLE)"
     return {
         "ss_topk_tokens": f"""
             SELECT token, COUNT(*) AS est_count, 0 AS err
@@ -5315,6 +5336,73 @@ def oracle_sql() -> dict[str, str]:
                                              ELSE 0.0 END)
                            + {_lm_alpha} * ((c2 + 1.0)
                                / (SELECT denom FROM stats))
+                       ) * 1000000000.0) AS BIGINT) AS pn
+                FROM trans
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n, CAST(SUM(pn) AS BIGINT) AS s
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_trans,
+                   CAST(COALESCE(a.s, 0) AS BIGINT) AS p_nano
+            FROM documents d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "kn_perplexity": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), words AS (
+                SELECT unnest(ts) AS w FROM toks
+            ), uni AS (
+                SELECT w, COUNT(*) AS c FROM words
+                GROUP BY w ORDER BY c DESC, w ASC LIMIT {_LM_VOCAB}
+            ), rawpairs AS (
+                SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                     AS u(i)
+            ), bi AS (
+                SELECT p.w1, p.w2, COUNT(*) AS c FROM rawpairs p
+                JOIN uni u1 ON p.w1 = u1.w
+                JOIN uni u2 ON p.w2 = u2.w
+                GROUP BY p.w1, p.w2
+                ORDER BY c DESC, p.w1 ASC, p.w2 ASC LIMIT {_LM_BIGRAMS}
+            ), n1l AS (
+                SELECT w1, COUNT(*) AS n FROM bi GROUP BY 1
+            ), n1r AS (
+                SELECT w2, COUNT(*) AS n FROM bi GROUP BY 1
+            ), stats AS (
+                SELECT CAST((SELECT COUNT(*) FROM bi)
+                            + (SELECT COUNT(*) FROM uni) + 1 AS DOUBLE)
+                           AS denom
+            ), trans AS (
+                SELECT p.doc_id,
+                       COALESCE(b.c, 0)::DOUBLE AS cb,
+                       COALESCE(u1.c, 0)::DOUBLE AS c1,
+                       COALESCE(l.n, 0)::DOUBLE AS nl,
+                       COALESCE(r.n, 0)::DOUBLE AS nr
+                FROM rawpairs p
+                LEFT JOIN uni u1 ON p.w1 = u1.w
+                LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+                LEFT JOIN n1l l ON p.w1 = l.w1
+                LEFT JOIN n1r r ON p.w2 = r.w2
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(FLOOR((
+                           CASE WHEN c1 > 0 THEN
+                               (CASE WHEN cb - {_kn_d} > 0.0
+                                     THEN (cb - {_kn_d}) / c1
+                                     ELSE 0.0 END)
+                               + (({_kn_d} * (nl + 1.0)) / c1)
+                                 * ((nr + 1.0)
+                                    / (SELECT denom FROM stats))
+                           ELSE (nr + 1.0)
+                                / (SELECT denom FROM stats)
+                           END
                        ) * 1000000000.0) AS BIGINT) AS pn
                 FROM trans
             ), agg AS (

@@ -25,7 +25,7 @@ Subcommands:
 * ``overlap``    — theta-sketch pairwise corpus overlap (Jaccard)
 * ``fd``         — Frequent Directions covariance/PCA sketch report
 * ``decontaminate`` — n-gram benchmark decontamination
-* ``lm-score``   — bigram-LM perplexity quality scoring
+* ``lm-score``   — bigram-LM perplexity quality scoring (interpolated or Kneser-Ney)
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
 * ``chunk``      — RAG-style overlapping passage chunking
 * ``substring-dedup`` — duplicated-span stats / keep-first-occurrence rewrite
@@ -198,7 +198,14 @@ def _build_parser() -> argparse.ArgumentParser:
                          "(default: the input itself)")
     lm.add_argument("--max-vocab", type=int, default=65536)
     lm.add_argument("--max-bigrams", type=int, default=1_000_000)
-    lm.add_argument("--alpha", type=float, default=0.1)
+    lm.add_argument("--smoothing", choices=("interp", "kn"),
+                    default="interp",
+                    help="interp: add-one interpolated mixture; "
+                         "kn: interpolated Kneser-Ney (KenLM-style)")
+    lm.add_argument("--alpha", type=float, default=0.1,
+                    help="mixture weight (interp only)")
+    lm.add_argument("--discount", type=float, default=0.75,
+                    help="absolute discount d (kn only)")
 
     tb = sub.add_parser("train-bpe")
     common(tb, output_help="merges text file to write ('a b' per "
@@ -850,22 +857,34 @@ def cmd_decontaminate(args) -> None:
 
 
 def cmd_lm_score(args) -> None:
-    """Bigram-LM perplexity scoring; model stats go to stderr."""
+    """Bigram-LM perplexity scoring (interpolated add-one or
+    Kneser-Ney per --smoothing); model stats go to stderr."""
     from athena_spark.operators.lmscore import (score_perplexity,
-                                                train_bigram_lm)
+                                                train_bigram_lm,
+                                                train_kn_bigram_lm)
     from athena_spark.sources.corpus import read_corpus
 
     spark = _spark(args)
     corpus = read_corpus(spark, args.input, fmt=args.format)
     ref = (read_corpus(spark, args.reference, fmt=args.format)
            if args.reference else corpus)
-    model = train_bigram_lm(ref, args.col, max_vocab=args.max_vocab,
-                            max_bigrams=args.max_bigrams,
-                            alpha=args.alpha)
+    if args.smoothing == "kn":
+        model = train_kn_bigram_lm(ref, args.col,
+                                   max_vocab=args.max_vocab,
+                                   max_bigrams=args.max_bigrams,
+                                   d=args.discount)
+        stats = {"smoothing": "kn", "discount": model.d,
+                 "bi_types": model.n_bi_types}
+    else:
+        model = train_bigram_lm(ref, args.col, max_vocab=args.max_vocab,
+                                max_bigrams=args.max_bigrams,
+                                alpha=args.alpha)
+        stats = {"smoothing": "interp", "alpha": model.alpha,
+                 "total_tokens": model.total}
     out = score_perplexity(corpus, args.id_col, args.col, model)
-    print(json.dumps({"vocab": model.v, "bigrams": len(model.bi_keys),
-                      "total_tokens": model.total,
-                      "alpha": model.alpha}), file=sys.stderr)
+    print(json.dumps({"vocab": model.v,
+                      "bigrams": len(model.bi_keys), **stats}),
+          file=sys.stderr)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:

@@ -17,8 +17,14 @@ one partition-local Arrow pass over the target corpus with the
 broadcast model — no shuffle, no per-row Python (Arrow ``index_in``
 vocab lookup + ``searchsorted`` bigram lookup).
 
+Two smoothing families share the count tables and the scoring
+kernel: the add-one interpolated mixture (:class:`BigramLM`) and
+interpolated Kneser-Ney (:class:`KNBigramLM` — the family KenLM, and
+therefore CCNet's actual scorer, uses).
+
 Numeric contract: the smoothed probability
-``p = (1-alpha) * mle + alpha * p_uni`` is pure rational double
+``p = (1-alpha) * mle + alpha * p_uni`` (and the KN analogue with
+its exact-binary-fraction discount) is pure rational double
 arithmetic, bit-identical between NumPy and the DuckDB oracle, so
 the driver gate certifies ``floor(p * 1e9)`` sums exactly.  The NLL
 itself goes through ``log``, whose last-ulp bits differ between
@@ -53,14 +59,83 @@ class BigramLM:
         return len(self.vocab)
 
 
-def train_bigram_lm(
+@dataclass
+class KNBigramLM:
+    """Broadcastable interpolated Kneser-Ney bigram model (the
+    smoothing family KenLM / CCNet's scorer actually uses; Kneser &
+    Ney 1995, Chen & Goodman 1999).  Built from the SAME truncated
+    count tables as :class:`BigramLM`; the continuation-type counts
+    (``n1_left[w1]`` = distinct successors of w1 in the retained
+    bigram table, ``n1_right[w2]`` = distinct predecessors) are
+    derived from the retained table so the model is self-consistent
+    under truncation and exactly reproducible by a SQL oracle.
+
+    Numeric contract: with discount ``d = 0.75`` (an exact binary
+    fraction) every probability is pure rational double arithmetic —
+    ``max(c12-d,0)/c1 + (d*(n1l+1)/c1) * ((n1r+1)/(T+V+1))`` — so
+    ``floor(p * 1e9)`` certifies bit-exactly cross-engine.  The ``+1``
+    on both type counts is add-one continuation smoothing: it keeps
+    the escape mass and the continuation probability strictly
+    positive for every vocab/OOV token under truncation (standard KN
+    assigns zero to tokens never seen ending a bigram, which would
+    put -inf in the NLL); the scorer is therefore a filter signal,
+    not a normalized distribution — same contract as the add-one
+    unigram floor in :class:`BigramLM`."""
+
+    vocab: list[str]
+    uni_counts: np.ndarray  # int64, aligned to vocab
+    bi_keys: np.ndarray     # int64, sorted composite i1*(V+1)+i2
+    bi_counts: np.ndarray   # int64, aligned to bi_keys
+    n1_left: np.ndarray     # int64, aligned to vocab
+    n1_right: np.ndarray    # int64, aligned to vocab
+    n_bi_types: int         # retained bigram-table size (T)
+    d: float                # discount, an exact binary fraction
+
+    @property
+    def v(self) -> int:
+        return len(self.vocab)
+
+
+def train_kn_bigram_lm(
     df: DataFrame,
     text_col: str,
     max_vocab: int = 65536,
     max_bigrams: int = 1_000_000,
-    alpha: float = 0.1,
-) -> BigramLM:
-    """Exact-count interpolated bigram LM from a reference corpus.
+    d: float = 0.75,
+) -> KNBigramLM:
+    """Interpolated Kneser-Ney bigram LM from a reference corpus
+    (truncation contract in :func:`_count_tables`; numeric contract
+    on :class:`KNBigramLM`).  ``d`` must be an exact binary fraction
+    in (0, 1) for cross-engine certification — the default 0.75 is
+    the textbook absolute-discount value."""
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"discount d must be in (0, 1), got {d}")
+    vocab, uni_counts, bi_rows = _count_tables(
+        df, text_col, max_vocab, max_bigrams
+    )
+    bi_keys, bi_counts = _sorted_bi_arrays(vocab, bi_rows)
+    idx = {w: i for i, w in enumerate(vocab)}
+    n1_left = np.zeros(len(vocab), np.int64)
+    n1_right = np.zeros(len(vocab), np.int64)
+    for r in bi_rows:  # bi_rows is unique on (w1, w2) by construction
+        n1_left[idx[r["w1"]]] += 1
+        n1_right[idx[r["w2"]]] += 1
+    return KNBigramLM(
+        vocab=vocab,
+        uni_counts=uni_counts,
+        bi_keys=bi_keys,
+        bi_counts=bi_counts,
+        n1_left=n1_left,
+        n1_right=n1_right,
+        n_bi_types=len(bi_rows),
+        d=float(d),
+    )
+
+
+def _count_tables(df: DataFrame, text_col: str, max_vocab: int,
+                  max_bigrams: int):
+    """Shared exact-count pipeline for the LM trainers: (vocab,
+    uni_counts, bi_rows).
 
     Vocab = top ``max_vocab`` tokens (count desc, token asc — a total
     order, so truncation is deterministic); bigram table = top
@@ -68,8 +143,6 @@ def train_bigram_lm(
     (w1, w2) asc).  Both arrive via TakeOrdered, so driver traffic is
     bounded by the caps, not the corpus.
     """
-    if not 0.0 < alpha < 1.0:
-        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     # normalize \v/\f to spaces so TRAINING tokenization matches the
     # Arrow SCORING tokenizer exactly (ascii_split_whitespace splits
     # on them; the JVM [ \t\n]+ pattern alone would keep them inside
@@ -108,6 +181,10 @@ def train_bigram_lm(
         .collect()
     )
     toks.unpersist()
+    return vocab, uni_counts, bi_rows
+
+
+def _sorted_bi_arrays(vocab: list[str], bi_rows):
     idx = {w: i for i, w in enumerate(vocab)}
     v1 = len(vocab) + 1
     keys = np.array(
@@ -115,12 +192,30 @@ def train_bigram_lm(
     )
     counts = np.array([r["count"] for r in bi_rows], np.int64)
     order = np.argsort(keys, kind="stable")
+    return keys[order], counts[order]
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str,
+    max_vocab: int = 65536,
+    max_bigrams: int = 1_000_000,
+    alpha: float = 0.1,
+) -> BigramLM:
+    """Exact-count interpolated bigram LM from a reference corpus
+    (truncation contract in :func:`_count_tables`)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    vocab, uni_counts, bi_rows = _count_tables(
+        df, text_col, max_vocab, max_bigrams
+    )
+    bi_keys, bi_counts = _sorted_bi_arrays(vocab, bi_rows)
     return BigramLM(
         vocab=vocab,
         uni_counts=uni_counts,
         total=int(uni_counts.sum()),
-        bi_keys=keys[order],
-        bi_counts=counts[order],
+        bi_keys=bi_keys,
+        bi_counts=bi_counts,
         alpha=float(alpha),
     )
 
@@ -130,36 +225,15 @@ def _transition_probs(tokens, t: np.ndarray, lm: BigramLM
     """(per-transition smoothed probability, per-doc transition
     counts) over a doc-major flat token array.  Fully vectorized:
     Arrow hash lookup into the vocab, searchsorted into the bigram
-    keys, rational double mixture."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    n_docs = len(t)
+    keys, rational double mixture.  Transitions = adjacent positions
+    within one doc ((j, j+1) is intra-doc exactly when token j+1 is
+    not a doc start — enforced in :func:`_lookup_ids_and_bigrams`)."""
     n_trans = np.maximum(t - 1, 0)
     if len(tokens) == 0 or not n_trans.any():
         return np.empty(0, np.float64), n_trans
-    ids = pc.fill_null(
-        pc.index_in(tokens, value_set=pa.array(lm.vocab, pa.string())), -1
-    ).to_numpy(zero_copy_only=False).astype(np.int64)
-    # transitions = adjacent positions within one doc: (j, j+1) is
-    # intra-doc exactly when token j+1 is not a doc start
-    starts = np.cumsum(t) - t
-    L = len(ids)
-    pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
-    valid = pos_in_doc[1:] != 0
-    i1 = ids[:-1][valid]
-    i2 = ids[1:][valid]
-    both = (i1 >= 0) & (i2 >= 0)
-    v1 = lm.v + 1
-    cb = np.zeros(len(i1), np.float64)
-    if both.any() and len(lm.bi_keys):
-        key = i1[both] * v1 + i2[both]
-        pos = np.searchsorted(lm.bi_keys, key)
-        pos = np.minimum(pos, len(lm.bi_keys) - 1)
-        hit = lm.bi_keys[pos] == key
-        found = np.zeros(both.sum(), np.float64)
-        found[hit] = lm.bi_counts[pos[hit]]
-        cb[both] = found
+    cb, i1, i2 = _lookup_ids_and_bigrams(
+        tokens, t, lm.vocab, lm.bi_keys, lm.bi_counts, lm.v
+    )
     # pad so the eager fancy index survives an empty vocab (empty
     # reference corpus → every token OOV, every count 0)
     uni_safe = (lm.uni_counts if len(lm.uni_counts)
@@ -171,6 +245,65 @@ def _transition_probs(tokens, t: np.ndarray, lm: BigramLM
     denom = float(lm.total + lm.v + 1)
     pu = (c2 + 1.0) / denom
     p = (1.0 - lm.alpha) * mle + lm.alpha * pu
+    return p, n_trans
+
+
+def _lookup_ids_and_bigrams(tokens, t: np.ndarray, vocab, bi_keys,
+                            bi_counts, v: int):
+    """Shared lookup stage: per-transition (cb, i1, i2) over a
+    doc-major flat token array — Arrow hash lookup into the vocab,
+    searchsorted into the sorted composite bigram keys."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = pc.fill_null(
+        pc.index_in(tokens, value_set=pa.array(vocab, pa.string())), -1
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.cumsum(t) - t
+    L = len(ids)
+    pos_in_doc = np.arange(L, dtype=np.int64) - np.repeat(starts, t)
+    valid = pos_in_doc[1:] != 0
+    i1 = ids[:-1][valid]
+    i2 = ids[1:][valid]
+    both = (i1 >= 0) & (i2 >= 0)
+    v1 = v + 1
+    cb = np.zeros(len(i1), np.float64)
+    if both.any() and len(bi_keys):
+        key = i1[both] * v1 + i2[both]
+        pos = np.searchsorted(bi_keys, key)
+        pos = np.minimum(pos, len(bi_keys) - 1)
+        hit = bi_keys[pos] == key
+        found = np.zeros(both.sum(), np.float64)
+        found[hit] = bi_counts[pos[hit]]
+        cb[both] = found
+    return cb, i1, i2
+
+
+def _kn_transition_probs(tokens, t: np.ndarray, lm: KNBigramLM
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-transition interpolated Kneser-Ney probability (numeric
+    contract on :class:`KNBigramLM` — the SQL oracle reproduces this
+    exact expression tree, so keep the operation ORDER stable)."""
+    n_trans = np.maximum(t - 1, 0)
+    if len(tokens) == 0 or not n_trans.any():
+        return np.empty(0, np.float64), n_trans
+    cb, i1, i2 = _lookup_ids_and_bigrams(
+        tokens, t, lm.vocab, lm.bi_keys, lm.bi_counts, lm.v
+    )
+    uni_safe = (lm.uni_counts if len(lm.uni_counts)
+                else np.zeros(1, np.int64))
+    n1l_safe = (lm.n1_left if len(lm.n1_left) else np.zeros(1, np.int64))
+    n1r_safe = (lm.n1_right if len(lm.n1_right) else np.zeros(1, np.int64))
+    c1 = np.where(i1 >= 0, uni_safe[np.maximum(i1, 0)], 0).astype(np.float64)
+    n1l = np.where(i1 >= 0, n1l_safe[np.maximum(i1, 0)], 0).astype(np.float64)
+    n1r = np.where(i2 >= 0, n1r_safe[np.maximum(i2, 0)], 0).astype(np.float64)
+    d = lm.d
+    denom = float(lm.n_bi_types + lm.v + 1)
+    pc_ = (n1r + 1.0) / denom
+    c1s = np.where(c1 > 0, c1, 1.0)  # safe divisor; branch picked below
+    t1 = np.where(c1 > 0, np.maximum(cb - d, 0.0) / c1s, 0.0)
+    lam = np.where(c1 > 0, (d * (n1l + 1.0)) / c1s, 1.0)
+    p = t1 + lam * pc_
     return p, n_trans
 
 
@@ -187,7 +320,10 @@ def score_perplexity(df: DataFrame, id_col: str, text_col: str,
       lower = more natural under the reference LM).
 
     One partition-local Arrow pass with the broadcast model — no
-    shuffle at any scale.
+    shuffle at any scale.  ``lm`` may be a :class:`BigramLM`
+    (interpolated add-one mixture) or a :class:`KNBigramLM`
+    (interpolated Kneser-Ney) — the probability kernel dispatches on
+    the model type; everything else is shared.
     """
     import pyarrow as pa
 
@@ -196,6 +332,8 @@ def score_perplexity(df: DataFrame, id_col: str, text_col: str,
     id_type = df.select(id_col).schema[0].dataType.simpleString()
     sc = df.sparkSession.sparkContext
     blm = sc.broadcast(lm)
+    prob_fn = (_kn_transition_probs if isinstance(lm, KNBigramLM)
+               else _transition_probs)
 
     def kernel(batches):
         model = blm.value
@@ -203,7 +341,7 @@ def score_perplexity(df: DataFrame, id_col: str, text_col: str,
             ids = batch.column(batch.schema.get_field_index(id_col))
             texts = batch.column(batch.schema.get_field_index(text_col))
             tokens, t = arrow_tokenize_batch(texts)
-            p, n_trans = _transition_probs(tokens, t, model)
+            p, n_trans = prob_fn(tokens, t, model)
             seg = np.cumsum(n_trans) - n_trans
             nano = np.zeros(len(t), np.int64)
             nll = np.full(len(t), np.nan, np.float64)

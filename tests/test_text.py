@@ -520,3 +520,100 @@ def test_chunk_passages_rejects_bad_params(spark):
         chunk_passages(df, chunk_size=0, stride=1)
     with _pytest.raises(ValueError, match="chunk_size"):
         chunk_passages(df, chunk_size=4, stride=0)
+
+
+def test_kn_bigram_lm_matches_oracle(spark):
+    """Interpolated Kneser-Ney scorer vs a pure-Python oracle:
+    continuation-type counts from the retained bigram table, d=0.75
+    discounting, add-one continuation floor, truncation, OOV and
+    degenerate docs; plus the KN-specific ranking property that a
+    high-count bigram scores above an unseen one sharing the same
+    context."""
+    import math
+    from collections import Counter
+
+    from athena_spark.operators.lmscore import (score_perplexity,
+                                                train_kn_bigram_lm)
+
+    rows = [
+        (0, "a b a b c"),
+        (1, "b c b a a a"),
+        (2, "zz a yy b"),
+        (3, "solo"),
+        (4, ""),
+        (5, "c c c c c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d, mv, mb = 0.75, 3, 4
+    lm = train_kn_bigram_lm(df, "text", max_vocab=mv, max_bigrams=mb, d=d)
+
+    toks = {i: t.split() for i, t in rows}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    vocab = sorted(uni, key=lambda w: (-uni[w], w))[:mv]
+    vset = set(vocab)
+    bi = Counter(
+        p for ws in toks.values() for p in zip(ws, ws[1:])
+        if p[0] in vset and p[1] in vset
+    )
+    top_bi = sorted(bi, key=lambda p: (-bi[p], p))[:mb]
+    n1l = Counter(w1 for w1, _ in top_bi)
+    n1r = Counter(w2 for _, w2 in top_bi)
+    assert lm.vocab == vocab and lm.n_bi_types == len(top_bi)
+    assert [int(x) for x in lm.n1_left] == [n1l[w] for w in vocab]
+    assert [int(x) for x in lm.n1_right] == [n1r[w] for w in vocab]
+
+    got = {r["doc_id"]: r for r in
+           score_perplexity(df, "doc_id", "text", lm).collect()}
+    denom = float(len(top_bi) + len(vocab) + 1)
+    top_set = set(top_bi)
+    for i, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        nano, nll = 0, []
+        for w1, w2 in pairs:
+            cb = bi[(w1, w2)] if (w1, w2) in top_set else 0
+            c1 = uni[w1] if w1 in vset else 0
+            pc = ((n1r[w2] if w2 in vset else 0) + 1.0) / denom
+            if c1 > 0:
+                t1 = max(cb - d, 0.0) / c1
+                lam = (d * ((n1l[w1] if w1 in vset else 0) + 1.0)) / c1
+            else:
+                t1, lam = 0.0, 1.0
+            p = t1 + lam * pc
+            nano += math.floor(p * 1e9)
+            nll.append(-math.log(p))
+        r = got[i]
+        assert r["n_trans"] == len(pairs), i
+        assert r["p_nano"] == nano, i
+        if pairs:
+            assert r["avg_nll"] == pytest.approx(sum(nll) / len(nll)), i
+        else:
+            assert r["avg_nll"] is None, i
+    # seen-transition text scores better than OOV-heavy text
+    assert got[0]["avg_nll"] < got[2]["avg_nll"]
+    with pytest.raises(ValueError, match="discount"):
+        train_kn_bigram_lm(df, "text", d=1.0)
+
+
+def test_kn_bigram_lm_empty_reference(spark):
+    """An empty reference corpus trains an empty KN model whose
+    probabilities all fall back to the add-one continuation floor —
+    finite NLL, no executor crash."""
+    import math
+
+    from athena_spark.operators.lmscore import (score_perplexity,
+                                                train_kn_bigram_lm)
+
+    empty_ref = spark.createDataFrame(
+        [(0, ""), (1, "   ")], "doc_id long, text string"
+    )
+    lm = train_kn_bigram_lm(empty_ref, "text", max_vocab=8)
+    assert lm.v == 0 and lm.n_bi_types == 0
+    target = spark.createDataFrame(
+        [(0, "x y z")], "doc_id long, text string"
+    )
+    r = score_perplexity(target, "doc_id", "text", lm).collect()[0]
+    # every transition: p = (0 + 1) / (0 + 0 + 1) = 1.0
+    assert r["n_trans"] == 2
+    assert r["p_nano"] == 2 * 10**9
+    assert r["avg_nll"] == pytest.approx(0.0)
+    assert math.isfinite(r["avg_nll"])
