@@ -1661,6 +1661,24 @@ def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency timeline: each event holds a 30-min
+    half-open interval; one row per distinct change instant with the
+    netted +start/-end delta and the concurrency after it
+    (operators/timeseries.py concurrency_timeline).  The global
+    running sum uses the engine's two-phase distributed prefix sum —
+    never a single-partition window; the oracle is the ANSI running
+    SUM over the netted instants.  All-integer outputs."""
+    from athena_spark.operators.timeseries import concurrency_timeline
+
+    ev = _table(spark, sf_dir, "events")
+    out = concurrency_timeline(ev, "ts", duration_seconds=1800)
+    return out.select(
+        F.col("instant").cast("string").alias("instant"),
+        "net_delta", "concurrency",
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native F.session_window sessions (30-min gap) — Spark's
     built-in merging-interval aggregate, the operator the streaming
@@ -3945,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "session_windows": q_session_windows,
         "passage_chunks": q_passage_chunks,
+        "event_concurrency": q_event_concurrency,
         "streaming_sliding_parity": q_streaming_sliding_parity,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
@@ -4513,6 +4532,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sliding_windows": _SLIDING_WINDOWS_ORACLE,
         "streaming_sliding_parity": _SLIDING_WINDOWS_ORACLE,
+        "event_concurrency": """
+            WITH pts AS (
+                SELECT epoch_us(ts) AS t, 1 AS d FROM events
+                UNION ALL
+                SELECT epoch_us(ts) + 1800000000, -1 FROM events
+            ), net AS (
+                SELECT t, CAST(SUM(d) AS BIGINT) AS net_delta
+                FROM pts GROUP BY 1
+            )
+            SELECT CAST(make_timestamp(t) AS VARCHAR) AS instant,
+                   net_delta,
+                   CAST(SUM(net_delta) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS concurrency
+            FROM net
+        """,
         "passage_chunks": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -40,6 +40,12 @@ Scale design, per operator:
 * :func:`retention_cohorts` — two hash aggregates (first-seen per
   user, distinct active buckets per user) joined on the user key;
   shuffles carry (user, bucket) pairs only, never event rows.
+* :func:`concurrency_timeline` — the sweep-line +1/-1 running sum is
+  a GLOBAL prefix sum; a single ``Window.orderBy`` would serialize
+  every change point through one task, so it reuses the engine's
+  two-phase distributed prefix sum (range-partition by instant, ONE
+  partial-sum row per partition to the driver, partition-local Arrow
+  cumsum + broadcast offsets — the ``pack_sequences`` plan).
 """
 
 from __future__ import annotations
@@ -274,4 +280,84 @@ def retention_cohorts(
     return (
         joined.groupBy(F.col("cohort"), offset.alias("offset"))
         .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def concurrency_timeline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration_seconds: int = 1800,
+    num_partitions: int | None = None,
+    materialize: str = "local",
+) -> DataFrame:
+    """Sweep-line interval concurrency: treat each row as the
+    half-open interval ``[ts, ts + duration_seconds)`` and emit one
+    row per distinct change instant with the net +start/-end delta
+    and the concurrency in force AFTER that instant.  Deltas sharing
+    an instant are netted first, so the output is independent of tie
+    order.
+
+    The running sum is a global prefix sum over change instants —
+    computed with the two-phase distributed plan (module docstring),
+    ONE exchange, never a single-partition window.  ``materialize``
+    as in the dedup operators: "local" (fast, lineage cut locally) or
+    "reliable" (cluster fault tolerance).
+    """
+    if duration_seconds < 1:
+        raise ValueError(
+            f"duration_seconds must be >= 1, got {duration_seconds}"
+        )
+    import numpy as np
+    import pyarrow as pa
+
+    from athena_spark.operators.dedup import _materialize
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    eu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur_us = int(duration_seconds) * 1_000_000
+    starts = df.select(eu.alias("t"), F.lit(1).alias("d"))
+    ends = df.select((eu + F.lit(dur_us)).alias("t"),
+                     F.lit(-1).alias("d"))
+    net = (
+        starts.unionByName(ends)
+        .groupBy("t")
+        .agg(F.sum("d").cast("long").alias("net_delta"))
+        .repartitionByRange(p, F.col("t"))
+        .sortWithinPartitions("t")
+        .withColumn("_part", F.spark_partition_id())
+    )
+    net = _materialize(net, materialize)
+    partials = net.groupBy("_part").agg(
+        F.sum("net_delta").alias("_psum")
+    ).collect()
+    prefix: dict[int, int] = {}
+    acc = 0
+    for row in sorted(partials, key=lambda r: r["_part"]):
+        prefix[row["_part"]] = acc
+        acc += int(row["_psum"])
+
+    def kernel(batches):
+        run = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            part = batch.column(2)[0].as_py()
+            deltas = batch.column(1).to_numpy(zero_copy_only=False)
+            cum = np.cumsum(deltas, dtype=np.int64)
+            conc = prefix[part] + run + cum
+            run += int(cum[-1])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.array(conc, type=pa.int64())],
+                names=["t", "net_delta", "concurrency"],
+            )
+
+    out = net.mapInArrow(
+        kernel, "t long, net_delta long, concurrency long"
+    )
+    return out.select(
+        F.timestamp_micros(F.col("t")).alias("instant"),
+        "net_delta",
+        "concurrency",
     )

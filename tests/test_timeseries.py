@@ -361,3 +361,55 @@ def test_chunk_passages_no_shuffle(spark, fuzz_events):
     )
     assert "Exchange" not in plan
     assert "Generate" in plan  # the posexplode over window starts
+
+
+# --------------------------------------------------------- concurrency
+
+
+def test_concurrency_timeline_matches_brute(spark, fuzz_events):
+    from athena_spark.operators.timeseries import concurrency_timeline
+
+    df, rows = fuzz_events
+    dur = dt.timedelta(seconds=600)
+    deltas = {}
+    for r in rows:
+        deltas[r.ts] = deltas.get(r.ts, 0) + 1
+        deltas[r.ts + dur] = deltas.get(r.ts + dur, 0) - 1
+    acc, want = 0, {}
+    for t in sorted(deltas):
+        acc += deltas[t]
+        want[t] = (deltas[t], acc)
+    got = {
+        r["instant"]: (r["net_delta"], r["concurrency"])
+        for r in concurrency_timeline(df, duration_seconds=600).collect()
+    }
+    assert got == want
+    # sweep-line invariants: ends at zero, never negative
+    assert acc == 0
+    assert all(c >= 0 for _, c in got.values())
+
+
+def test_concurrency_timeline_partition_invariance(spark, fuzz_events):
+    """The two-phase prefix sum gives the identical timeline at any
+    partition count (the broadcast-offsets correctness claim)."""
+    from athena_spark.operators.timeseries import concurrency_timeline
+
+    df, _ = fuzz_events
+    base = sorted(
+        tuple(r) for r in
+        concurrency_timeline(df, num_partitions=1).collect()
+    )
+    for p in (3, 16):
+        got = sorted(
+            tuple(r) for r in
+            concurrency_timeline(df, num_partitions=p).collect()
+        )
+        assert got == base
+
+
+def test_concurrency_timeline_rejects_bad_duration(spark, fuzz_events):
+    from athena_spark.operators.timeseries import concurrency_timeline
+
+    df, _ = fuzz_events
+    with pytest.raises(ValueError, match="duration_seconds"):
+        concurrency_timeline(df, duration_seconds=0)
