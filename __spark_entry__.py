@@ -1661,6 +1661,33 @@ def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein distance + normalized similarity over
+    adjacent-id doc pairs (256-char prefixes bound the O(n*m) DP) —
+    the edit-distance verification surface short-text dedup pipelines
+    use where token Jaccard is too coarse.  JVM built-in, exact
+    integers; the similarity is the identical IEEE tree both sides.
+    Caveat: DuckDB's levenshtein is byte-level, Spark's char-level —
+    they coincide on this corpus (ASCII-only, asserted in pytest)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 256).alias("t")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("t").alias("tb"))
+    dist = F.levenshtein("ta", "tb").cast("long")
+    g = F.greatest(F.length("ta"), F.length("tb")).cast("double")
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a", "doc_b",
+            dist.alias("dist"),
+            (F.lit(1.0) - dist.cast("double") / g).alias("sim"),
+        )
+    )
+
+
 def q_event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line concurrency timeline: each event holds a 30-min
     half-open interval; one row per distinct change instant with the
@@ -3964,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "passage_chunks": q_passage_chunks,
         "event_concurrency": q_event_concurrency,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "streaming_sliding_parity": q_streaming_sliding_parity,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
@@ -4532,6 +4560,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sliding_windows": _SLIDING_WINDOWS_ORACLE,
         "streaming_sliding_parity": _SLIDING_WINDOWS_ORACLE,
+        "edit_distance_pairs": """
+            WITH d AS (
+                SELECT doc_id, substring(text, 1, 256) AS t
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a,
+                   b.doc_id AS doc_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
+                   CAST(1.0 AS DOUBLE)
+                       - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                         / CAST(GREATEST(length(a.t), length(b.t))
+                                AS DOUBLE) AS sim
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        """,
         "event_concurrency": """
             WITH pts AS (
                 SELECT epoch_us(ts) AS t, 1 AS d FROM events

@@ -617,3 +617,37 @@ def test_kn_bigram_lm_empty_reference(spark):
     assert r["p_nano"] == 2 * 10**9
     assert r["avg_nll"] == pytest.approx(0.0)
     assert math.isfinite(r["avg_nll"])
+
+
+def test_edit_distance_gate_preconditions(spark, sf_dir):
+    """The edit_distance_pairs gate's byte-vs-char caveat: Spark's
+    levenshtein counts characters, DuckDB's counts bytes — assert the
+    corpus is ASCII-only so they coincide, and cross-check a handful
+    of pairs against Python's DP."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    non_ascii = docs.where(F.col("text").rlike(r"[^\x00-\x7F]")).count()
+    assert non_ascii == 0
+
+    def dp(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from pyspark.sql import functions as F
+    sample = docs.orderBy("doc_id").limit(4).select(
+        F.substring("text", 1, 64).alias("t")).collect()
+    texts = [r["t"] for r in sample]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in zip(texts, texts[1:])], "a string, b string"
+    )
+    got = [r[0] for r in
+           pairs.select(F.levenshtein("a", "b")).collect()]
+    want = [dp(a, b) for a, b in zip(texts, texts[1:])]
+    assert got == want
