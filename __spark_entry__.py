@@ -3920,6 +3920,141 @@ def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(_docs(spark, sf_dir), min_count=2, topk=50)
 
 
+def _fk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge list of the TPC-H foreign-key reference graph
+    with type-prefixed string node ids: orders cite their customer,
+    line items cite their order's supplier and part, customers and
+    suppliers cite their nation, nations their region.  DISTINCT
+    because an order can hold several lines of the same part/supplier."""
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    c = _table(spark, sf_dir, "customer")
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    tag = lambda p, col: F.concat(F.lit(p), F.col(col).cast("string"))
+    return (
+        o.select(tag("O", "o_orderkey").alias("src"),
+                 tag("C", "o_custkey").alias("dst"))
+        .union(li.select(tag("O", "l_orderkey").alias("src"),
+                         tag("S", "l_suppkey").alias("dst")))
+        .union(li.select(tag("O", "l_orderkey").alias("src"),
+                         tag("P", "l_partkey").alias("dst")))
+        .union(c.select(tag("C", "c_custkey").alias("src"),
+                        tag("N", "c_nationkey").alias("dst")))
+        .union(s.select(tag("S", "s_suppkey").alias("src"),
+                        tag("N", "s_nationkey").alias("dst")))
+        .union(n.select(tag("N", "n_nationkey").alias("src"),
+                        tag("R", "n_regionkey").alias("dst")))
+        .distinct()
+    )
+
+
+def q_pagerank_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 rounds, d=0.85) over the FK reference
+    graph — the engine's iterative-join surface beyond min-label
+    propagation (operators/graph.py).  Every contribution and rank
+    lives on the 2^-20 binary grid, so partial-aggregation order is
+    irrelevant and the unrolled-SQL oracle is bit-exact.  Top 30
+    nodes by rank (ties broken by node id)."""
+    from athena_spark.operators.graph import pagerank
+
+    ranks = pagerank(_fk_edges(spark, sf_dir), iterations=3)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(30)
+        .select("node", "rank")
+    )
+
+
+def q_corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus slices (even vs odd
+    doc_id): top 25 tokens by absolute cross-product divergence
+    ``|cnt_a * total_b - cnt_b * total_a|`` — the integer-exact form
+    of |rate_a - rate_b| (scaled by total_a*total_b), so no division
+    and no floats anywhere.  The standard drift check before mixing a
+    new corpus snapshot into a training blend.  One tokenize pass,
+    one (token, slice) shuffle of longs, totals broadcast as a 1-row
+    cross join.  int64 bound: needs cnt*total < 2^63 (~3e9 tokens per
+    slice); beyond that, pre-aggregate per shard and compare rates on
+    the 2^-20 grid instead."""
+    from athena_spark.functions.tokenize import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens_col("text")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("total_a"), F.sum("cnt_b").alias("total_b")
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "token", "cnt_a", "cnt_b",
+        F.abs(
+            F.col("cnt_a") * F.col("total_b")
+            - F.col("cnt_b") * F.col("total_a")
+        ).alias("drift"),
+    )
+    return scored.orderBy(
+        F.col("drift").desc(), F.col("token").asc()
+    ).limit(25)
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: one filtered scan, one global sum of
+    discount revenue — the canonical predicate-pushdown probe (all
+    three filters reach the parquet reader; map-side partial agg
+    leaves a single double per partition).  Per-row products
+    quantized to 2^-10 so the global sum is order-exact."""
+    li = _table(spark, sf_dir, "lineitem")
+    q1024 = lambda c: F.round(c * 1024, 0) / 1024
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                q1024(F.col("l_extendedprice") * F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 150, joined back to orders — a
+    groupBy-HAVING feeding a key join, with the quantity sum exact
+    (integer-valued doubles) and o_totalprice passed through
+    unmodified (identical raw parquet doubles on both sides).  The
+    HAVING side is tiny after the filter, so Spark broadcasts it
+    into the orders join under AQE."""
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
@@ -3992,6 +4127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_chunks": q_passage_chunks,
         "event_concurrency": q_event_concurrency,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "pagerank_fk": q_pagerank_fk,
+        "corpus_drift_topk": q_corpus_drift_topk,
+        "forecast_revenue": q_forecast_revenue,
+        "large_orders": q_large_orders,
         "streaming_sliding_parity": q_streaming_sliding_parity,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
@@ -4051,6 +4190,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_neardup_parity": q_streaming_neardup_parity,
     }
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE oracle for q_pagerank_fk: the identical quantized
+    recurrence (operators/graph.py docstring) with one CTE per power
+    iteration.  Every arithmetic expression mirrors the Catalyst tree
+    op-for-op — single correctly-rounded IEEE ops plus exact
+    power-of-two scaling — so the grid ranks are bit-identical."""
+    grid = "CAST(1048576 AS DOUBLE)"
+    it = """
+            r{i} AS (
+                SELECT nd.node,
+                       FLOOR(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                                   / (SELECT n FROM nn)
+                               + CAST(0.85 AS DOUBLE)
+                                 * COALESCE(c.s, CAST(0.0 AS DOUBLE)))
+                             * {g}) / {g} AS "rank"
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.dst AS dst,
+                           SUM(FLOOR(r."rank" / d.deg * {g}) / {g}) AS s
+                    FROM edges e
+                    JOIN r{prev} r ON e.src = r.node
+                    JOIN outdeg d ON e.src = d.src
+                    GROUP BY e.dst
+                ) c ON nd.node = c.dst
+            )"""
+    rounds = ",".join(
+        it.format(i=i, prev=i - 1, g=grid) for i in range(1, iterations + 1)
+    )
+    return f"""
+            WITH edges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS src,
+                           'C' || CAST(o_custkey AS VARCHAR) AS dst
+                    FROM orders
+                    UNION ALL
+                    SELECT 'O' || CAST(l_orderkey AS VARCHAR),
+                           'S' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+                    UNION ALL
+                    SELECT 'O' || CAST(l_orderkey AS VARCHAR),
+                           'P' || CAST(l_partkey AS VARCHAR) FROM lineitem
+                    UNION ALL
+                    SELECT 'C' || CAST(c_custkey AS VARCHAR),
+                           'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+                    UNION ALL
+                    SELECT 'S' || CAST(s_suppkey AS VARCHAR),
+                           'N' || CAST(s_nationkey AS VARCHAR) FROM supplier
+                    UNION ALL
+                    SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+                           'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+                )
+            ),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION
+                SELECT dst FROM edges
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            outdeg AS (
+                SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                FROM edges GROUP BY src
+            ),
+            r0 AS (
+                SELECT node,
+                       FLOOR({grid} / (SELECT n FROM nn)) / {grid} AS "rank"
+                FROM nodes
+            ),{rounds}
+            SELECT node, "rank" FROM r{iterations}
+            ORDER BY "rank" DESC, node ASC LIMIT 30
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4573,6 +4782,58 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(GREATEST(length(a.t), length(b.t))
                                 AS DOUBLE) AS sim
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        """,
+        "pagerank_fk": _pagerank_oracle(iterations=3),
+        "corpus_drift_topk": """
+            WITH tok AS (
+                SELECT half, token FROM (
+                    SELECT doc_id % 2 AS half,
+                           unnest(regexp_split_to_array(
+                               replace(text, chr(13), ''),
+                               '[ \\t\\n]+')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            ),
+            counts AS (
+                SELECT token,
+                       CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cnt_a,
+                       CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cnt_b
+                FROM tok GROUP BY token
+            ),
+            totals AS (
+                SELECT CAST(SUM(cnt_a) AS BIGINT) AS total_a,
+                       CAST(SUM(cnt_b) AS BIGINT) AS total_b
+                FROM counts
+            )
+            SELECT token, cnt_a, cnt_b,
+                   ABS(cnt_a * total_b - cnt_b * total_a) AS drift
+            FROM counts, totals
+            ORDER BY drift DESC, token ASC LIMIT 25
+        """,
+        "forecast_revenue": """
+            SELECT SUM(ROUND(l_extendedprice * l_discount
+                             * CAST(1024 AS DOUBLE))
+                       / CAST(1024 AS DOUBLE)) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate < '1997-01-01'
+              AND l_discount >= CAST(0.05 AS DOUBLE)
+              AND l_discount <= CAST(0.07 AS DOUBLE)
+              AND l_quantity < CAST(24 AS DOUBLE)
+        """,
+        "large_orders": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+                   o.o_totalprice, b.sum_qty
+            FROM orders o JOIN (
+                SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 150
+            ) b ON o.o_orderkey = b.l_orderkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20
         """,
         "event_concurrency": """
             WITH pts AS (

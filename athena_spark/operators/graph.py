@@ -1,0 +1,141 @@
+"""Iterative graph analytics as DataFrame joins: quantized PageRank.
+
+The engine already walks the near-dup graph with min-label propagation
+(``operators/dedup.py dup_components``); this module adds the other
+canonical iterative-join algorithm, PageRank, over an arbitrary
+directed edge DataFrame.  The same Spark idioms apply:
+
+* **State is a narrow (node, rank) table** — one shuffle per
+  iteration to join ranks onto edge sources, one to sum contributions
+  by destination.  Text/payload columns never enter the loop.
+* **Lineage is cut every iteration** (``localCheckpoint`` /
+  ``checkpoint`` via the shared ``_materialize`` helper) — without it
+  the plan doubles per round and the driver re-optimizes an
+  exponentially growing tree.
+* **At cluster scale**, bucket ``edges`` by ``src`` (and pre-shuffle
+  the rank table with ``repartition(src)``) so the per-iteration
+  rank→edges join is exchange-free on the big side; the
+  contributions shuffle then moves only (dst, grid-double) pairs.
+  AQE handles destination skew (celebrity nodes) by splitting
+  oversized reduce partitions.
+
+Cross-engine determinism (the repo's oracle-gate discipline): plain
+floating-point PageRank is order-dependent — Spark's partial
+aggregation and DuckDB's single-threaded sums disagree at 1e-12 and
+diverge further every iteration.  Instead every per-edge contribution
+and every new rank is floored onto the 2^-quant_bits binary grid:
+
+    contrib(e) = floor(rank(src) / outdeg(src) * 2^Q) / 2^Q
+    rank'(v)   = floor(((1-d)/N + d * sum(contrib)) * 2^Q) / 2^Q
+
+Sums of exact multiples of 2^-Q below 2^(52-Q) are exact in IEEE
+double regardless of association, so the result is bit-identical
+across engines, partitionings, and plans (pinned by a
+repartition-invariance test).  The divisions and the single
+multiply/add per expression are correctly-rounded IEEE ops that both
+engines evaluate identically.  Dangling nodes (no out-edges) leak
+their mass — the "no dangling redistribution" PageRank variant —
+which keeps the recurrence local (no global dangling-mass scalar per
+iteration) and therefore exactly expressible in unrolled SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.operators.dedup import _materialize
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    quant_bits: int = 20,
+    materialize: str = "local",
+) -> DataFrame:
+    """Quantized-grid PageRank over a directed edge DataFrame.
+
+    Returns (node, rank) for every node appearing as a source or
+    destination.  Fixed ``iterations`` (no convergence test) so the
+    result is a pure function of the edge set — the oracle unrolls the
+    same number of rounds in SQL.
+
+    Args:
+        edges: DataFrame with ``src``/``dst`` columns (any orderable
+            type; duplicate edges should be de-duplicated by the
+            caller if parallel edges are not intended).
+        iterations: number of power-iteration rounds (>= 1).
+        damping: d in the recurrence; teleport mass is ``1 - d``
+            computed in IEEE double (write the oracle as
+            ``(1.0 - d)`` too, not a folded literal).
+        quant_bits: Q of the 2^-Q rank grid.  Sums stay exact while
+            N * max_rank < 2^(52-Q); Q=20 is safe beyond 2^32 nodes
+            since ranks are < 1.
+        materialize: "local" (localCheckpoint) or "reliable"
+            (checkpoint dir) — see ``dedup._materialize``.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if not (1 <= quant_bits <= 40):
+        raise ValueError(f"quant_bits must be in [1, 40], got {quant_bits}")
+    grid = float(1 << quant_bits)
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = _materialize(nodes, materialize)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    # static per-iteration join input: every edge with its source's
+    # out-degree, materialized once
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    edges_deg = _materialize(e.join(outdeg, "src"), materialize)
+
+    # r0 = floor(2^Q / N) / 2^Q — uniform start already on the grid.
+    # Python's int/int true division is the same correctly-rounded
+    # IEEE divide DuckDB and the JVM perform on DOUBLE.
+    import math
+
+    r0 = math.floor(grid / n_nodes) / grid
+    # teleport term, evaluated with the exact association the oracle
+    # uses: (1.0 - d) then / N — both single correctly-rounded ops
+    teleport_over_n = (1.0 - damping) / float(n_nodes)
+
+    ranks = nodes.withColumn("rank", F.lit(r0))
+    for _ in range(iterations):
+        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            "dst",
+            (
+                F.floor(F.col("rank") / F.col("deg") * F.lit(grid))
+                / F.lit(grid)
+            ).alias("contrib"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (
+                F.floor(
+                    (
+                        F.lit(teleport_over_n)
+                        + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                    )
+                    * F.lit(grid)
+                )
+                / F.lit(grid)
+            ).alias("rank"),
+        )
+        ranks = _materialize(ranks, materialize)
+    return ranks

@@ -1,0 +1,105 @@
+"""PageRank (operators/graph.py): scalar-oracle parity, grid
+determinism under repartitioning, and structural sanity."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from athena_spark.operators.graph import pagerank
+
+
+def _scalar_pagerank(edges, iterations=5, damping=0.85, quant_bits=20):
+    """Reference implementation of the exact quantized recurrence,
+    driver-side, summing contributions in arbitrary (here: sorted)
+    order — grid sums are order-exact, so any order is THE answer."""
+    grid = 1 << quant_bits
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: math.floor(grid / n) / grid for v in nodes}
+    tpn = (1.0 - damping) / float(n)
+    for _ in range(iterations):
+        sums = {v: 0.0 for v in nodes}
+        for s, d in sorted(edges):
+            sums[d] += math.floor(rank[s] / float(outdeg[s]) * grid) / grid
+        rank = {
+            v: math.floor((tpn + damping * sums[v]) * grid) / grid
+            for v in nodes
+        }
+    return rank
+
+
+EDGES = [
+    # two hubs, a cycle, a dangling sink, parallel-free
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("e", "c"), ("f", "c"), ("c", "g"),
+    ("g", "h"), ("h", "g"),  # 2-cycle feeding nothing
+    ("i", "a"),  # i is a source-only node (rank = teleport floor)
+]
+
+
+def _spark_ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = pagerank(df, **kw)
+    return {r["node"]: r["rank"] for r in out.collect()}
+
+
+def test_pagerank_matches_scalar_oracle(spark):
+    got = _spark_ranks(spark, EDGES)
+    want = _scalar_pagerank(EDGES)
+    assert got == want  # bit-exact: everything lives on the 2^-20 grid
+
+
+def test_pagerank_repartition_invariant(spark):
+    """Grid sums are order-independent: shuffling the edge layout
+    (different partitioning => different partial-agg order) must give
+    bit-identical ranks."""
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    a = {r["node"]: r["rank"]
+         for r in pagerank(df.repartition(1)).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df.repartition(7, "dst")).collect()}
+    assert a == b
+
+
+def test_pagerank_structure(spark):
+    got = _spark_ranks(spark, EDGES)
+    # the top node agrees with the scalar recurrence (the g<->h
+    # 2-cycle traps mass, so it's 'h' here, not the in-degree hub)
+    want = _scalar_pagerank(EDGES)
+    assert max(got, key=got.get) == max(want, key=want.get) == "h"
+    # the hub outranks every plain leaf contributor
+    assert got["c"] > got["d"]
+    # source-only nodes hold exactly the floored teleport mass
+    grid = 1 << 20
+    n = len(got)
+    tpn = (1.0 - 0.85) / float(n)
+    assert got["i"] == math.floor(tpn * grid) / grid
+    # ranks are grid multiples in (0, 1)
+    for v in got.values():
+        assert 0.0 < v < 1.0
+        assert (v * grid) == int(v * grid)
+    # dangling leak: total mass strictly below 1, above teleport-only
+    assert n * tpn - 1e-9 < sum(got.values()) < 1.0
+
+
+def test_pagerank_single_iteration_and_validation(spark):
+    got = _spark_ranks(spark, EDGES, iterations=1)
+    want = _scalar_pagerank(EDGES, iterations=1)
+    assert got == want
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, quant_bits=0)
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df).count() == 0
