@@ -530,6 +530,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs via AllPairs/PPJoin PREFIX
+    filtering (operators/dedup.py jaccard_pairs_prefix): the inverted
+    index holds only each doc's rarest ~(1-t) shingles, so Zipf-hot
+    shingles never reach the self-join — same exact answer as the
+    full inverted-index gate, shares its oracle."""
+    from athena_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+    )
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline (128 perms, exact verification).
     bands=64 (r=2) because the gate queries at J >= 0.5: catch
@@ -4153,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "dedup_exact_groups": q_dedup_exact_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_close_pairs": q_simhash_close_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -4368,6 +4382,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
+        "jaccard_prefix_pairs": _JACCARD_SQL,
         "minhash_dedup_pairs": _JACCARD_SQL,
         "simhash_close_pairs": """
             SELECT 'blocking_complete' AS "check", TRUE AS ok

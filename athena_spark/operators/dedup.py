@@ -185,6 +185,107 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    materialize: str = "local",
+) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs/PPJoin prefix filtering
+    (Bayardo et al. WWW'07; Xiao et al. WWW'08) — same output
+    contract as :func:`ngram_jaccard_pairs` with ``max_doc_freq=None``
+    (exact all-pairs), but the inverted index holds only each doc's
+    PREFIX under a rare-shingle-first global order.
+
+    Prefix lemma: order every doc's distinct shingles by (corpus doc
+    frequency asc, shingle asc).  If J(A, B) >= t then
+    |A∩B| >= ceil(t·|X|) for X in {A, B}, and the SMALLEST common
+    shingle in that order must sit inside both docs' first
+    ``|X| - ceil(t·|X|) + 1`` shingles (were it outside prefix_X, at
+    most ceil(t·|X|)-2 elements of X could follow it — fewer than its
+    |A∩B|-1 common successors).  So the prefix self-join loses no
+    true pair, and exact verification on the candidates restores
+    exact semantics.
+
+    Scale shape vs the full inverted-index join: the index shrinks to
+    ~(1-t) of the shingle table, and because prefixes hold each doc's
+    RAREST shingles, Zipf-hot boilerplate shingles land in suffixes —
+    the O(df²) hot-key blowup the ``max_doc_freq`` guard exists for
+    never reaches the join, with no approximation.  A size filter
+    (t·|A| <= |B| <= |A|/t) prunes candidates before verification;
+    verification ships each candidate pair's gram arrays once
+    (bounded by candidates, not by df²).  The ceil() calls subtract
+    1e-6 so float noise can only LENGTHEN a prefix / WIDEN the size
+    window — never drop a true pair.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < threshold <= 1.0):
+        # t <= 0 degenerates to the unfiltered all-pairs join (prefix
+        # = whole doc) and t > 1 silently returns nothing
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}"
+        )
+
+    sh = _shingle_table(df, id_col, text_col, n, None).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    prefix = ordered.where(
+        F.col("pos")
+        <= F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-6))
+        + F.lit(1)
+    ).select("doc", "shingle", "sz")
+    a = prefix.select(
+        F.col("doc").alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col("doc").alias("id_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.ceil(
+                F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1e-6)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    grams = sh.groupBy("doc").agg(F.collect_list("shingle").alias("g"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    out = (
+        cand.join(
+            grams.select(F.col("doc").alias("id_a"), F.col("g").alias("g_a")),
+            "id_a",
+        )
+        .join(
+            grams.select(F.col("doc").alias("id_b"), F.col("g").alias("g_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.round(
+                inter / (F.size("g_a") + F.size("g_b") - inter), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    out = _materialize(out, materialize)
+    sh.unpersist()
+    return out
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 def _list_array(values: np.ndarray, counts: np.ndarray) -> pa.ListArray:

@@ -63,6 +63,50 @@ def test_minhash_verified_equals_exact(spark, docs):
     assert len(e) >= 2  # the two planted near-dup pairs + exact dup
 
 
+def test_jaccard_prefix_equals_full_inverted_index(spark, docs):
+    """AllPairs prefix filtering is exact: at every threshold the
+    prefix-indexed join must return the identical pair set and values
+    as the full inverted-index join with the guard off."""
+    for t in (0.3, 0.5, 0.8):
+        full = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                         threshold=t, max_doc_freq=None)
+        pref = dedup.jaccard_pairs_prefix(docs, "doc_id", "text", n=3,
+                                          threshold=t)
+        f = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+        p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pref.collect()}
+        assert f == p, f"threshold {t}: {f} != {p}"
+    assert len(p) >= 1  # t=0.8 still keeps the exact-dup pair
+
+
+def test_jaccard_prefix_borderline_threshold(spark):
+    """Pairs at EXACTLY the threshold survive the 1e-6-slack ceil:
+    docs sharing 5 of their 10 distinct shingles have J = 5/15 at
+    n=1; threshold 1/3 must keep the pair (float 5/15 rounds to
+    0.333333 = round(1/3, 6))."""
+    a = " ".join(f"w{i}" for i in range(10))
+    b = " ".join(f"w{i}" for i in range(5, 15))
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    out = dedup.jaccard_pairs_prefix(df, "doc_id", "text", n=1,
+                                     threshold=round(5 / 15, 6))
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == round(5 / 15, 6)
+
+
+def test_jaccard_prefix_identical_docs_threshold_one(spark, docs):
+    out = dedup.jaccard_pairs_prefix(docs, "doc_id", "text", n=3,
+                                     threshold=1.0)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got == {(0, 2): 1.0}  # only the exact dup survives t=1
+
+
+def test_jaccard_prefix_threshold_validation(spark, docs):
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.jaccard_pairs_prefix(docs, "doc_id", "text",
+                                       threshold=bad)
+
+
 def test_minhash_signature_similarity_estimates_jaccard(spark, docs):
     sigs = {r["doc_id"]: np.array(r["sig"])
             for r in dedup.minhash_signatures(docs, "doc_id", "text",
