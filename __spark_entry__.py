@@ -543,6 +543,19 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment |A∩B|/|A| >= 0.5, ordered pairs
+    — the subset/quote detector symmetric Jaccard misses
+    (operators/dedup.py containment_pairs).  Guard off for exact
+    all-pairs oracle parity."""
+    from athena_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+        max_doc_freq=None,
+    )
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline (128 perms, exact verification).
     bands=64 (r=2) because the gate queries at J >= 0.5: catch
@@ -3979,6 +3992,33 @@ def q_pagerank_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts over the part co-order graph
+    (parts sharing an order are adjacent) via degree-ordered
+    orientation (operators/graph.py triangles): the wedge join is
+    anchored only at each edge's low-(degree, id) end, so join volume
+    is O(m^1.5) regardless of hub parts.  Top 20 parts by triangle
+    count (ties by part key)."""
+    from athena_spark.operators.graph import node_triangle_counts
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        node_triangle_counts(edges)
+        .orderBy(F.col("n_tri").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 def q_corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two corpus slices (even vs odd
     doc_id): top 25 tokens by absolute cross-product divergence
@@ -4141,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_concurrency": q_event_concurrency,
         "edit_distance_pairs": q_edit_distance_pairs,
         "pagerank_fk": q_pagerank_fk,
+        "triangle_coparts": q_triangle_coparts,
         "corpus_drift_topk": q_corpus_drift_topk,
         "forecast_revenue": q_forecast_revenue,
         "large_orders": q_large_orders,
@@ -4167,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
+        "containment_pairs": q_containment_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_close_pairs": q_simhash_close_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -4383,6 +4425,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "jaccard_prefix_pairs": _JACCARD_SQL,
+        "containment_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         replace(text, chr(13), ''), '[ \t\n]+'),
+                         t -> t <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(ts) - 2, 0)))
+                   AS g(i)
+            ), sz AS (
+              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), both_dirs AS (
+              SELECT x AS id_a, y AS id_b,
+                     ROUND(inter::DOUBLE / sx.sz, 6) AS containment
+              FROM inter JOIN sz sx ON sx.doc_id = x
+              UNION ALL
+              SELECT y, x, ROUND(inter::DOUBLE / sy.sz, 6)
+              FROM inter JOIN sz sy ON sy.doc_id = y
+            )
+            SELECT * FROM both_dirs WHERE containment >= 0.5
+        """,
         "minhash_dedup_pairs": _JACCARD_SQL,
         "simhash_close_pairs": """
             SELECT 'blocking_complete' AS "check", TRUE AS ok
@@ -4799,6 +4871,24 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         """,
         "pagerank_fk": _pagerank_oracle(iterations=3),
+        "triangle_coparts": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
+            SELECT node, COUNT(*) AS n_tri
+            FROM corners GROUP BY node
+            ORDER BY n_tri DESC, node ASC LIMIT 20
+        """,
         "corpus_drift_topk": """
             WITH tok AS (
                 SELECT half, token FROM (

@@ -286,6 +286,65 @@ def jaccard_pairs_prefix(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
+) -> DataFrame:
+    """Asymmetric n-gram set containment C(A→B) = |A∩B| / |A|:
+    ordered pairs (id_a, id_b, containment) with containment >=
+    ``threshold`` and id_a != id_b — doc A's shingles mostly appear
+    in doc B.
+
+    This is the subset/quote/boilerplate detector symmetric Jaccard
+    structurally misses: a 50-gram passage quoted inside a
+    5000-gram document has J ~ 0.01 but containment 1.0.  The
+    standard LLM-pipeline uses: drop (or attribute) docs contained
+    in a larger doc, and benchmark decontamination where the
+    benchmark item is the SMALL side.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — the
+    unordered self-join computes |A∩B| once per pair, then up to two
+    ordered rows are emitted (one per direction passing the
+    threshold), so join volume does not double.  The Zipf guard
+    (``max_doc_freq``) applies identically, with the same caveat:
+    guarded containment counts cold shingles only.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("x"), F.col("b.doc").alias("y"))
+        .agg(F.count("*").alias("inter"))
+    )
+    both = (
+        inter.join(sizes.withColumnRenamed("doc", "x")
+                   .withColumnRenamed("sz", "sz_x"), "x")
+        .join(sizes.withColumnRenamed("doc", "y")
+              .withColumnRenamed("sz", "sz_y"), "y")
+    )
+    fwd = both.select(
+        F.col("x").alias("id_a"), F.col("y").alias("id_b"),
+        F.round(F.col("inter") / F.col("sz_x"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("y").alias("id_a"), F.col("x").alias("id_b"),
+        F.round(F.col("inter") / F.col("sz_y"), 6).alias("containment"),
+    )
+    out = fwd.union(rev).where(F.col("containment") >= threshold)
+    out = _materialize(out, materialize)
+    sh.unpersist()
+    return out
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 def _list_array(values: np.ndarray, counts: np.ndarray) -> pa.ListArray:

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from athena_spark.operators.dedup import _materialize
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangles", "node_triangle_counts"]
 
 
 def pagerank(
@@ -139,3 +139,96 @@ def pagerank(
         )
         ranks = _materialize(ranks, materialize)
     return ranks
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """All triangles of the UNDIRECTED simple graph induced by
+    ``edges``, one row per triangle: (a, b, c) in degree-order
+    (ties by node id).
+
+    Degree-ordered orientation (Suri & Vassilvitskii WWW'11; Cohen
+    2009): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher, then count wedges only at each edge's
+    LOW end and close them with an oriented-edge hash join.  Every
+    triangle has exactly one node whose two triangle edges both point
+    away (its smallest corner), so each is emitted once — and a
+    node's oriented out-degree is O(sqrt(m)), so the wedge join is
+    bounded O(m^1.5) even on power-law graphs where the naive
+    wedge count at hub nodes is O(max_deg^2).  This is the skew
+    story: the celebrity node's edges all point INTO it, so it never
+    anchors wedges.
+
+    Shuffle shape: two narrow joins on node ids (orientation keys are
+    (long, node) structs); no adjacency lists are materialized, so
+    nothing exceeds one row per wedge.  At cluster scale the wedge
+    join's AQE skew splitting covers residual imbalance.
+
+    Input edges may contain duplicates, self-loops, or both
+    directions; they are canonicalized (self-loops dropped,
+    undirected-distinct) first.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ku = deg.select(
+        F.col("node").alias("u"),
+        F.struct(F.col("deg"), F.col("node")).alias("key_u"),
+    )
+    kv = deg.select(
+        F.col("node").alias("v"),
+        F.struct(F.col("deg"), F.col("node")).alias("key_v"),
+    )
+    oriented = (
+        e.join(ku, "u")
+        .join(kv, "v")
+        .select(
+            F.when(F.col("key_u") < F.col("key_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("lo"),
+            F.when(F.col("key_u") < F.col("key_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("hi"),
+            F.when(F.col("key_u") < F.col("key_v"), F.col("key_v"))
+            .otherwise(F.col("key_u"))
+            .alias("hi_key"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.lo") == F.col("o2.lo"))
+        .where(F.col("o1.hi_key") < F.col("o2.hi_key"))
+        .select(
+            F.col("o1.lo").alias("a"),
+            F.col("o1.hi").alias("b"),
+            F.col("o2.hi").alias("c"),
+        )
+    )
+    closing = oriented.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c")
+    )
+    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+
+def node_triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, n_tri): how many triangles each node participates in —
+    the numerator of local clustering coefficients.  Each triangle
+    row from :func:`triangles` contributes to all three corners."""
+    tri = triangles(edges, src, dst)
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )

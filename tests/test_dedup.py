@@ -107,6 +107,51 @@ def test_jaccard_prefix_threshold_validation(spark, docs):
                                        threshold=bad)
 
 
+def test_containment_pairs_local_oracle(spark, docs):
+    out = dedup.containment_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.5, max_doc_freq=None)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def grams(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a != b and grams(texts[a]):
+                c = len(grams(texts[a]) & grams(texts[b])) / len(grams(texts[a]))
+                if round(c, 6) >= 0.5:
+                    want[(a, b)] = round(c, 6)
+    assert got == pytest.approx(want)
+    # containment is asymmetric and >= Jaccard: exact dups contain
+    # each other fully
+    assert got[(0, 2)] == got[(2, 0)] == 1.0
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment
+    1.0 where Jaccard is far below any useful threshold."""
+    quote = "to be or not to be that is the question"
+    long_doc = " ".join(f"filler{i}" for i in range(200)) + " " + quote
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(
+                df, "doc_id", "text", threshold=0.9).collect()}
+    assert cont == {(1, 2): 1.0}  # only the small→large direction
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                    threshold=0.3).collect()
+    assert jac == []  # symmetric Jaccard misses it entirely
+
+
+def test_containment_threshold_validation(spark, docs):
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(docs, "doc_id", "text", threshold=0.0)
+
+
 def test_minhash_signature_similarity_estimates_jaccard(spark, docs):
     sigs = {r["doc_id"]: np.array(r["sig"])
             for r in dedup.minhash_signatures(docs, "doc_id", "text",

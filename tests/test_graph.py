@@ -1,13 +1,16 @@
-"""PageRank (operators/graph.py): scalar-oracle parity, grid
-determinism under repartitioning, and structural sanity."""
+"""PageRank and triangle counting (operators/graph.py):
+scalar-oracle parity, grid determinism under repartitioning, and
+structural sanity."""
 
+import itertools
 import math
 
 import pytest
 
 from pyspark.sql import functions as F
 
-from athena_spark.operators.graph import pagerank
+from athena_spark.operators.graph import (node_triangle_counts, pagerank,
+                                          triangles)
 
 
 def _scalar_pagerank(edges, iterations=5, damping=0.85, quant_bits=20):
@@ -103,3 +106,71 @@ def test_pagerank_single_iteration_and_validation(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df).count() == 0
+
+
+def _brute_triangles(edges):
+    """All-triples oracle over the canonical undirected simple graph."""
+    und = {frozenset((u, v)) for u, v in edges if u != v}
+    nodes = sorted({x for e in und for x in e})
+    return {
+        frozenset((a, b, c))
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    }
+
+
+TRI_EDGES = [
+    # K4 on a-d (4 triangles), a pendant, an isolated 2-cycle given
+    # as BOTH directions plus a duplicate, and a self-loop
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+    ("c", "d"), ("d", "e"),
+    ("x", "y"), ("y", "x"), ("x", "y"),
+    ("z", "z"),
+    # a 5-cycle with one chord => exactly one triangle (p,q,r)
+    ("p", "q"), ("q", "r"), ("r", "s"), ("s", "t"), ("t", "p"),
+    ("p", "r"),
+]
+
+
+def test_triangles_match_brute_force(spark):
+    df = spark.createDataFrame(TRI_EDGES, ["src", "dst"])
+    got = {frozenset((r["a"], r["b"], r["c"]))
+           for r in triangles(df).collect()}
+    rows = triangles(df).collect()
+    assert len(rows) == len(got)  # each triangle emitted exactly once
+    assert got == _brute_triangles(TRI_EDGES)
+    assert len(got) == 5  # C(4,3) from the K4 + the chorded cycle
+
+
+def test_triangles_orientation_order(spark):
+    """Each emitted triangle lists its corners in (degree, id)
+    order — the apex 'a' has the lowest orientation key."""
+    df = spark.createDataFrame(TRI_EDGES, ["src", "dst"])
+    und = {frozenset((u, v)) for u, v in TRI_EDGES if u != v}
+    deg = {}
+    for e in und:
+        for x in e:
+            deg[x] = deg.get(x, 0) + 1
+    for r in triangles(df).collect():
+        keys = [(deg[x], x) for x in (r["a"], r["b"], r["c"])]
+        assert keys == sorted(keys)
+
+
+def test_node_triangle_counts(spark):
+    df = spark.createDataFrame(TRI_EDGES, ["src", "dst"])
+    got = {r["node"]: r["n_tri"]
+           for r in node_triangle_counts(df).collect()}
+    want = {}
+    for tri in _brute_triangles(TRI_EDGES):
+        for x in tri:
+            want[x] = want.get(x, 0) + 1
+    assert got == want
+    # K4 members sit in 3 triangles each
+    assert got["a"] == got["b"] == got["c"] == got["d"] == 3
+
+
+def test_triangles_triangle_free_graph(spark):
+    star = [("hub", f"leaf{i}") for i in range(20)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    assert triangles(df).count() == 0
+    assert node_triangle_counts(df).count() == 0
