@@ -357,6 +357,45 @@ def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="q double, ok boolean")
 
 
+def q_dds_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified DDSketch (sketch/ddsketch.py, Masson et al. VLDB'19):
+    RELATIVE-error quantiles of l_extendedprice — for each q, the
+    alpha-ball [est/(1+slack), est*(1+slack)] with slack = alpha must
+    straddle the exact q-quantile position (the published guarantee:
+    est is within alpha of a value whose rank matches q).  Checked
+    with one distributed aggregation, no collect of values."""
+    from athena_spark.operators.agg import aggregate_sketch, values_updater
+    from athena_spark.sketch import DDSketch
+
+    alpha = 0.01
+    li = _table(spark, sf_dir, "lineitem")
+    sk, _ = aggregate_sketch(
+        li, "l_extendedprice", lambda pid: DDSketch(alpha=alpha),
+        values_updater,
+    )
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99, 0.999]
+    ests = sk.quantile(qs)
+    slack = alpha * 1.001  # float-noise allowance on the bound itself
+    aggs = []
+    for i, e in enumerate(ests):
+        aggs.append(
+            F.avg((F.col("l_extendedprice") <= float(e) * (1 + slack))
+                  .cast("double")).alias(f"hi{i}")
+        )
+        aggs.append(
+            F.avg((F.col("l_extendedprice") < float(e) * (1 - slack))
+                  .cast("double")).alias(f"lo{i}")
+        )
+    fr = li.agg(*aggs, F.count(F.lit(1)).alias("n")).collect()[0]
+    eps = 1.0 / fr["n"]  # rank-convention slop: q*(n-1) vs q*n
+    rows = [
+        (float(q),
+         bool(fr[f"hi{i}"] >= q - eps and fr[f"lo{i}"] <= q + eps))
+        for i, q in enumerate(qs)
+    ]
+    return spark.createDataFrame(rows, schema="q double, ok boolean")
+
+
 def q_bloom_orders_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified Bloom: membership filter built on orders.o_custkey —
     no false negatives for present keys; FPP within 3x design on
@@ -4199,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_bounds": q_cms_token_bounds,
         "kll_price_quantiles": q_kll_price_quantiles,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
+        "dds_price_quantiles": q_dds_price_quantiles,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
         "ss_small_k_bounds": q_ss_small_k_bounds,
         "ss_merge_properties": q_ss_merge_properties,
@@ -4381,6 +4421,11 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_price_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM (
                 VALUES (0.01), (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)
+            ) t(q)
+        """,
+        "dds_price_quantiles": """
+            SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM (
+                VALUES (0.01), (0.1), (0.5), (0.9), (0.99), (0.999)
             ) t(q)
         """,
         "bloom_orders_custkeys": """

@@ -37,6 +37,7 @@ from athena_spark.sketch import (
     BloomFilter,
     CountMinSketch,
     CountSketch,
+    DDSketch,
     FrequentDirections,
     HyperLogLog,
     KLL,
@@ -62,6 +63,7 @@ _LOADERS = {
     "cms": CountMinSketch.from_bytes,
     "kll": KLL.from_bytes,
     "tdigest": TDigest.from_bytes,
+    "ddsketch": DDSketch.from_bytes,
     "bloom": BloomFilter.from_bytes,
     "reservoir": _reservoir_from_bytes,
     "theta": ThetaSketch.from_bytes,
@@ -125,7 +127,7 @@ def values_updater(sketch, col: pa.Array) -> int:
             sketch.insert_many(vals.astype(np.float64))
         elif isinstance(sketch, BloomFilter):
             sketch.add(vals.astype(object))
-        elif isinstance(sketch, (KLL, TDigest)):
+        elif isinstance(sketch, (KLL, TDigest, DDSketch)):
             sketch.update(vals.astype(np.float64))
         elif isinstance(sketch, SpaceSaving) or isinstance(sketch, CountMinSketch):
             u, c = np.unique(vals.astype("U"), return_counts=True)

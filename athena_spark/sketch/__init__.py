@@ -4,6 +4,7 @@ from athena_spark.sketch.hll import HyperLogLog
 from athena_spark.sketch.cms import CountMinSketch
 from athena_spark.sketch.kll import KLL
 from athena_spark.sketch.tdigest import TDigest
+from athena_spark.sketch.ddsketch import DDSketch
 from athena_spark.sketch.bloom import BloomFilter
 from athena_spark.sketch.reservoir import ReservoirSampler
 from athena_spark.sketch.theta import ThetaSketch
@@ -19,6 +20,7 @@ __all__ = [
     "CountMinSketch",
     "KLL",
     "TDigest",
+    "DDSketch",
     "BloomFilter",
     "ReservoirSampler",
     "ThetaSketch",

@@ -1,0 +1,180 @@
+"""DDSketch — relative-error quantile sketch (Masson, Rim & Lee,
+VLDB 2019, "DDSketch: a fast and fully-mergeable quantile sketch
+with relative-error guarantees").
+
+Not in the reference; added by the north rule's sketch family.  Where
+KLL/t-digest bound RANK error, DDSketch bounds VALUE error: every
+quantile estimate q̂ satisfies |q̂ - x_q| <= alpha * x_q — the right
+guarantee for long-tailed positive metrics (latencies, prices, doc
+lengths) where a 1% rank error at p99 can be a 10x value error.
+
+Design: logarithmic buckets.  gamma = (1 + alpha) / (1 - alpha); a
+positive value x lands in bucket i = ceil(log_gamma(x)), so bucket i
+covers (gamma^(i-1), gamma^i] and its midpoint-in-ratio estimate
+2*gamma^i / (gamma + 1) is within alpha relative error of every value
+in the bucket.  The sketch is a sparse (index -> count) map:
+
+* **update** is fully vectorized: one ``np.log`` over the batch, one
+  ``np.unique`` on the int64 indices (no per-value Python).
+* **merge** adds count maps — associative and commutative EXACTLY
+  (integer counts, deterministic indices), so partial sketches from
+  any partitioning merge to the bit-identical summary; pinned by
+  tests.
+* **collapsing**: when the map exceeds ``max_buckets``, the lowest
+  buckets are folded into the lowest retained one (the paper's
+  collapse rule), preserving the alpha guarantee for all quantiles
+  above the collapsed mass — the tail quantiles the sketch exists
+  for.  ``collapsed`` reports whether any fold has happened.
+
+Zeros are counted in a dedicated zero bucket (they precede every
+positive bucket and are returned exactly).  Negative values raise —
+the two-store variant of the paper is out of scope and silently
+bucketing |x| would corrupt quantiles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+
+__all__ = ["DDSketch"]
+
+
+class DDSketch:
+    __slots__ = ("alpha", "gamma", "_ln_gamma", "max_buckets", "n",
+                 "n_zero", "collapsed", "_buckets")
+
+    def __init__(self, alpha: float = 0.01, max_buckets: int = 2048):
+        if not (0.0 < alpha < 1.0):
+            raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+        if max_buckets < 2:
+            raise ValueError(f"max_buckets must be >= 2, got {max_buckets}")
+        self.alpha = float(alpha)
+        self.gamma = (1.0 + alpha) / (1.0 - alpha)
+        self._ln_gamma = math.log(self.gamma)
+        self.max_buckets = int(max_buckets)
+        self.n = 0
+        self.n_zero = 0
+        self.collapsed = False
+        self._buckets: dict[int, int] = {}
+
+    # -- updates -------------------------------------------------------------
+
+    def update(self, values: np.ndarray) -> None:
+        """Insert a batch of non-negative doubles (vectorized)."""
+        v = np.asarray(values, dtype=np.float64)
+        if v.size == 0:
+            return
+        if not np.isfinite(v).all():
+            raise ValueError("DDSketch values must be finite")
+        if (v < 0).any():
+            raise ValueError(
+                "DDSketch holds non-negative values only (the paper's "
+                "two-store negative variant is out of scope)"
+            )
+        zeros = int((v == 0.0).sum())
+        self.n_zero += zeros
+        self.n += int(v.size)
+        pos = v[v > 0.0]
+        if pos.size == 0:
+            return
+        idx = np.ceil(np.log(pos) / self._ln_gamma).astype(np.int64)
+        uniq, counts = np.unique(idx, return_counts=True)
+        for i, c in zip(uniq.tolist(), counts.tolist()):
+            self._buckets[i] = self._buckets.get(i, 0) + c
+        self._collapse()
+
+    def _collapse(self) -> None:
+        if len(self._buckets) <= self.max_buckets:
+            return
+        keys = sorted(self._buckets)
+        cut = len(keys) - self.max_buckets + 1
+        folded = 0
+        for k in keys[:cut]:
+            folded += self._buckets.pop(k)
+        self._buckets[keys[cut]] = self._buckets.get(keys[cut], 0) + folded
+        self.collapsed = True
+
+    # -- merge ---------------------------------------------------------------
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        """Fold ``other`` into self (in place, like the other
+        sketches in this package).  Exact: integer count maps add."""
+        if abs(other.alpha - self.alpha) > 1e-12:
+            raise ValueError(
+                f"cannot merge DDSketches with different alpha "
+                f"({self.alpha} vs {other.alpha})"
+            )
+        self.n += other.n
+        self.n_zero += other.n_zero
+        self.collapsed = self.collapsed or other.collapsed
+        for i, c in other._buckets.items():
+            self._buckets[i] = self._buckets.get(i, 0) + c
+        self._collapse()
+        return self
+
+    # -- queries -------------------------------------------------------------
+
+    def quantile(self, qs) -> np.ndarray:
+        """Estimated quantiles for q in [0, 1]; NaN when empty.
+        Guarantee (no collapse, or q above the collapsed mass):
+        |q̂ - x| <= alpha * x for some value x whose rank matches q."""
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        if self.n == 0:
+            return np.full(qs.shape, np.nan)
+        keys = np.array(sorted(self._buckets), dtype=np.int64)
+        counts = np.array([self._buckets[k] for k in keys], dtype=np.int64)
+        cum = self.n_zero + np.cumsum(counts) if keys.size else np.array([])
+        out = np.empty(qs.shape, dtype=np.float64)
+        half = (self.gamma + 1.0) / 2.0
+        for j, q in enumerate(np.clip(qs, 0.0, 1.0)):
+            rank = q * (self.n - 1)
+            if rank < self.n_zero:
+                out[j] = 0.0
+                continue
+            pos = int(np.searchsorted(cum, rank, side="right"))
+            pos = min(pos, len(keys) - 1)
+            out[j] = self.gamma ** int(keys[pos]) / half
+        return out
+
+    def num_buckets(self) -> int:
+        return len(self._buckets)
+
+    # -- serialization ---------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        keys = np.array(sorted(self._buckets), dtype=np.int64)
+        counts = np.array([self._buckets[k] for k in keys], dtype=np.int64)
+        return serialization.dumps(
+            {"algo": "ddsketch", "alpha": self.alpha,
+             "max_buckets": self.max_buckets, "n": self.n,
+             "n_zero": self.n_zero, "collapsed": int(self.collapsed)},
+            {"keys": keys, "counts": counts},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "DDSketch":
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "ddsketch":
+            raise ValueError("not a ddsketch summary")
+        sk = cls(float(scalars["alpha"]), int(scalars["max_buckets"]))
+        sk.n = int(scalars["n"])
+        sk.n_zero = int(scalars["n_zero"])
+        sk.collapsed = bool(scalars["collapsed"])
+        sk._buckets = {
+            int(k): int(c)
+            for k, c in zip(arrays["keys"], arrays["counts"])
+        }
+        return sk
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, DDSketch)
+            and self.alpha == other.alpha
+            and self.n == other.n
+            and self.n_zero == other.n_zero
+            and self._buckets == other._buckets
+        )

@@ -1,0 +1,152 @@
+"""DDSketch (sketch/ddsketch.py): relative-error guarantee, exact
+mergeability (associative + commutative + partition-invariant),
+collapse behavior, zeros, serialization round-trip."""
+
+import numpy as np
+import pytest
+
+from athena_spark.sketch import DDSketch
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999]
+
+
+def _exact(values, q):
+    # the "lower" exact quantile: value at floor(q*(n-1)) matches the
+    # sketch's rank convention closely enough for bound checks at
+    # both adjacent ranks
+    s = np.sort(values)
+    return s[int(np.floor(q * (len(s) - 1)))], s[
+        int(np.ceil(q * (len(s) - 1)))
+    ]
+
+
+def _assert_relative_bound(sk, values, alpha):
+    for q, est in zip(QS, sk.quantile(QS)):
+        lo, hi = _exact(values, q)
+        # est must be within alpha (plus float slack) of SOME value
+        # whose rank brackets q — the paper's guarantee
+        ok = (abs(est - lo) <= alpha * lo * 1.001) or (
+            abs(est - hi) <= alpha * hi * 1.001
+        )
+        assert ok, (q, est, lo, hi)
+
+
+@pytest.mark.parametrize("alpha", [0.01, 0.05])
+def test_ddsketch_relative_error_lognormal(alpha):
+    rng = np.random.default_rng(7)
+    values = rng.lognormal(mean=3.0, sigma=2.0, size=50_000)
+    sk = DDSketch(alpha=alpha)
+    sk.update(values)
+    assert sk.n == len(values) and not sk.collapsed
+    _assert_relative_bound(sk, values, alpha)
+
+
+def test_ddsketch_merge_exact_and_partition_invariant():
+    rng = np.random.default_rng(11)
+    values = rng.lognormal(3.0, 1.5, size=30_000)
+    whole = DDSketch(alpha=0.02)
+    whole.update(values)
+    # any split, any merge order: identical bucket maps
+    parts = np.array_split(values, 7)
+    sketches = []
+    for p in parts:
+        s = DDSketch(alpha=0.02)
+        s.update(p)
+        sketches.append(s)
+    fwd = DDSketch(alpha=0.02)
+    for s in sketches:
+        fwd.merge(DDSketch.from_bytes(s.to_bytes()))
+    rev = DDSketch(alpha=0.02)
+    for s in reversed(sketches):
+        rev.merge(DDSketch.from_bytes(s.to_bytes()))
+    assert fwd == rev == whole
+    assert np.array_equal(fwd.quantile(QS), whole.quantile(QS))
+    # associativity: (a + b) + c == a + (b + c)
+    a, b, c = (DDSketch.from_bytes(sketches[i].to_bytes()) for i in range(3))
+    ab_c = a.merge(b).merge(c)
+    a2, b2, c2 = (DDSketch.from_bytes(sketches[i].to_bytes()) for i in range(3))
+    a_bc = a2.merge(b2.merge(c2))
+    assert ab_c == a_bc
+
+
+def test_ddsketch_alpha_mismatch_rejected():
+    a, b = DDSketch(alpha=0.01), DDSketch(alpha=0.02)
+    with pytest.raises(ValueError, match="alpha"):
+        a.merge(b)
+
+
+def test_ddsketch_collapse_preserves_tail():
+    """Force a collapse (tiny max_buckets): high quantiles keep the
+    alpha guarantee; the collapsed flag reports the fold."""
+    rng = np.random.default_rng(3)
+    values = rng.lognormal(0.0, 3.0, size=40_000)  # huge dynamic range
+    sk = DDSketch(alpha=0.02, max_buckets=64)
+    sk.update(values)
+    assert sk.collapsed and sk.num_buckets() <= 64
+    # the guarantee survives only ABOVE the folded mass: the lowest
+    # retained bucket holds everything folded into it
+    lowest = min(sk._buckets)
+    folded_frac = (sk.n_zero + sk._buckets[lowest]) / sk.n
+    assert folded_frac < 1.0
+    for q in (0.999, 0.9995):
+        assert q > folded_frac + 0.001
+        lo, hi = _exact(values, q)
+        est = float(sk.quantile([q])[0])
+        ok = (abs(est - lo) <= 0.02 * lo * 1.001) or (
+            abs(est - hi) <= 0.02 * hi * 1.001
+        )
+        assert ok, (q, est, lo, hi)
+    # below the fold the estimate degrades to the fold bucket — it
+    # must never UNDERSHOOT the folded region's top by more than alpha
+    est_mid = float(sk.quantile([0.5])[0])
+    lo_mid, _ = _exact(values, 0.5)
+    assert est_mid >= lo_mid  # folds bias upward, never downward
+
+
+def test_ddsketch_zeros_and_validation():
+    sk = DDSketch(alpha=0.01)
+    sk.update(np.array([0.0, 0.0, 0.0, 5.0]))
+    assert sk.n == 4 and sk.n_zero == 3
+    assert sk.quantile([0.0, 0.5])[0] == 0.0
+    assert sk.quantile([0.5])[0] == 0.0  # rank 1.5 < 3 zeros
+    est = sk.quantile([1.0])[0]
+    assert abs(est - 5.0) <= 0.01 * 5.0 * 1.001
+    with pytest.raises(ValueError, match="non-negative"):
+        sk.update(np.array([-1.0]))
+    with pytest.raises(ValueError, match="finite"):
+        sk.update(np.array([np.inf]))
+    with pytest.raises(ValueError, match="alpha"):
+        DDSketch(alpha=0.0)
+    with pytest.raises(ValueError, match="max_buckets"):
+        DDSketch(max_buckets=1)
+    assert np.isnan(DDSketch().quantile([0.5])[0])
+
+
+def test_ddsketch_roundtrip():
+    rng = np.random.default_rng(5)
+    sk = DDSketch(alpha=0.03, max_buckets=128)
+    sk.update(rng.lognormal(1.0, 2.0, size=10_000))
+    back = DDSketch.from_bytes(sk.to_bytes())
+    assert back == sk
+    assert back.max_buckets == sk.max_buckets
+    assert back.collapsed == sk.collapsed
+    assert np.array_equal(back.quantile(QS), sk.quantile(QS))
+
+
+def test_ddsketch_distributed_aggregate(spark):
+    """aggregate_sketch partials + tree merge equal the single-pass
+    sketch bucket-for-bucket (no collapse at this scale)."""
+    from athena_spark.operators.agg import aggregate_sketch, values_updater
+
+    rng = np.random.default_rng(13)
+    values = rng.lognormal(2.0, 1.0, size=20_000)
+    df = spark.createDataFrame(
+        [(float(v),) for v in values], "value double"
+    ).repartition(8)
+    sk, metrics = aggregate_sketch(
+        df, "value", lambda pid: DDSketch(alpha=0.02), values_updater
+    )
+    whole = DDSketch(alpha=0.02)
+    whole.update(values)
+    assert sk == whole
+    assert metrics["n_values"] == len(values)
