@@ -357,6 +357,55 @@ def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="q double, ok boolean")
 
 
+def q_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified sketch-COLUMN rollup (operators/agg.py
+    grouped_sketch / merge_grouped_sketches): hourly HLL(user_id)
+    states re-aggregated to daily WITHOUT rescanning raw events must
+    be byte-identical to daily sketches built directly from the rows
+    (HLL merge is register-max — order- and partitioning-invariant),
+    and each daily estimate must sit within the 3-sigma HLL bound of
+    the exact distinct count.  This is the 'sketch as data' contract:
+    persist fine-grained states once, roll up to any coarser grain
+    for free."""
+    from athena_spark.operators.agg import (grouped_sketch, load_summary,
+                                            merge_grouped_sketches,
+                                            values_updater)
+    from athena_spark.sketch import HyperLogLog
+
+    ev = _table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    ).cache()  # feeds four bounded jobs (hourly/daily/rolled/exact)
+    factory = lambda pid: HyperLogLog(p=12)
+    hourly = grouped_sketch(ev, ["hour"], "uid", factory, values_updater)
+    rolled = merge_grouped_sketches(
+        hourly.withColumn("day", F.substring("hour", 1, 10)), ["day"]
+    )
+    direct = grouped_sketch(ev, ["day"], "uid", factory, values_updater)
+    exact = {
+        r["day"]: r["exact"]
+        for r in ev.groupBy("day")
+        .agg(F.count_distinct("uid").alias("exact"))
+        .collect()
+    }
+    d = {r["day"]: bytes(r["state"]) for r in direct.collect()}
+    rows = []
+    sigma3 = 3 * 1.04 / (2 ** 6)  # p=12 -> m=4096, rse = 1.04/sqrt(m)
+    for r in sorted(rolled.collect(), key=lambda x: x["day"]):
+        day = r["day"]
+        est = load_summary(bytes(r["state"])).estimate()
+        rows.append((
+            day,
+            bool(bytes(r["state"]) == d.get(day)),
+            bool(abs(est - exact[day]) <= sigma3 * exact[day] + 2),
+        ))
+    ev.unpersist()
+    return spark.createDataFrame(
+        rows, schema="day string, states_equal boolean, est_ok boolean"
+    )
+
+
 def q_dds_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified DDSketch (sketch/ddsketch.py, Masson et al. VLDB'19):
     RELATIVE-error quantiles of l_extendedprice — for each q, the
@@ -4239,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_price_quantiles": q_kll_price_quantiles,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "dds_price_quantiles": q_dds_price_quantiles,
+        "hll_rollup_users": q_hll_rollup_users,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
         "ss_small_k_bounds": q_ss_small_k_bounds,
         "ss_merge_properties": q_ss_merge_properties,
@@ -4427,6 +4477,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS ok FROM (
                 VALUES (0.01), (0.1), (0.5), (0.9), (0.99), (0.999)
             ) t(q)
+        """,
+        "hll_rollup_users": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   TRUE AS states_equal, TRUE AS est_ok
+            FROM events GROUP BY 1
         """,
         "bloom_orders_custkeys": """
             SELECT 'no_false_negatives' AS "check", TRUE AS ok

@@ -368,3 +368,115 @@ def spacesaving_topk(
     return spark.createDataFrame(
         pdf, schema="token string, est_count long, err long"
     )
+
+
+# -- sketch columns: per-group summaries as first-class data ----------------
+
+def _grouped_schema(df: DataFrame, group_cols: list[str]) -> str:
+    parts = [
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*group_cols).schema.fields
+    ]
+    return ", ".join(parts) + ", state binary, n_rows long, n_values long"
+
+
+def grouped_sketch_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    factory: Callable[[int], object],
+    updater: Callable[[object, pa.Array], int] = token_counts_updater,
+) -> DataFrame:
+    """One summary row per (partition, group): the sketch-column
+    equivalent of map-side combine.  Each partition folds its rows
+    into a dict of per-group sketches, so the shuffle that follows
+    carries (group, k-bounded state) rows — never raw values.  Feed
+    the result to :func:`merge_grouped_sketches` to finish (or to
+    re-aggregate later at a coarser grouping: sketch states are
+    first-class data you can persist and roll up without rescanning).
+    """
+    out_schema = _grouped_schema(df, group_cols)
+    cols = list(group_cols) + [col]
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sketches: dict[tuple, list] = {}  # key -> [sketch, rows, vals]
+        gtypes: dict[str, pa.DataType] = {}
+        for batch in batches:
+            if not gtypes:
+                gtypes = {g: batch.schema.field(g).type for g in group_cols}
+            pdf_keys = batch.select(group_cols).to_pandas()
+            value_col = batch.column(batch.schema.get_field_index(col))
+            # dropna=False: a null group key is a group, not a row loss
+            for key, idx in pdf_keys.groupby(
+                group_cols, sort=False, dropna=False
+            ).indices.items():
+                k = key if isinstance(key, tuple) else (key,)
+                cell = sketches.get(k)
+                if cell is None:
+                    cell = sketches[k] = [factory(pid), 0, 0]
+                taken = value_col.take(pa.array(idx, type=pa.int64()))
+                cell[1] += len(idx)
+                cell[2] += updater(cell[0], taken)
+        if sketches:
+            keys = list(sketches)
+
+            def _clean(v):
+                # pandas surfaces a null group key as NaN/NaT, which
+                # would flip the Arrow column to float — restore None
+                return None if pd.isna(v) else v
+
+            arrays = {
+                g: pa.array([_clean(k[i]) for k in keys], type=gtypes[g])
+                for i, g in enumerate(group_cols)
+            }
+            arrays["state"] = pa.array(
+                [sketches[k][0].to_bytes() for k in keys], pa.binary()
+            )
+            arrays["n_rows"] = pa.array(
+                [sketches[k][1] for k in keys], pa.int64()
+            )
+            arrays["n_values"] = pa.array(
+                [sketches[k][2] for k in keys], pa.int64()
+            )
+            yield pa.RecordBatch.from_pydict(arrays)
+
+    return df.select(*cols).mapInArrow(fold, out_schema)
+
+
+def merge_grouped_sketches(
+    sdf: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge sketch-state rows down to one row per group.  Works on
+    :func:`grouped_sketch_partials` output AND on any persisted
+    sketch table re-keyed to a coarser grouping (e.g. hourly HLL
+    states with a derived day column): the rollup never touches raw
+    data.  One shuffle of (group, state) rows."""
+    out_schema = _grouped_schema(sdf, group_cols)
+
+    def merge_pdf(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = merge_summaries([load_summary(s) for s in pdf["state"]])
+        row = {g: [key[i]] for i, g in enumerate(group_cols)}
+        row["state"] = [merged.to_bytes()]
+        row["n_rows"] = [int(pdf["n_rows"].sum())]
+        row["n_values"] = [int(pdf["n_values"].sum())]
+        return pd.DataFrame(row)
+
+    return sdf.groupBy(*group_cols).applyInPandas(merge_pdf, out_schema)
+
+
+def grouped_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    factory: Callable[[int], object],
+    updater: Callable[[object, pa.Array], int] = token_counts_updater,
+) -> DataFrame:
+    """Per-group sketch summaries: partial pass + per-group merge.
+    Returns (group_cols..., state binary, n_rows, n_values) — a
+    sketch COLUMN you can persist, join, and re-aggregate."""
+    return merge_grouped_sketches(
+        grouped_sketch_partials(df, group_cols, col, factory, updater),
+        group_cols,
+    )

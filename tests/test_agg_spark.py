@@ -210,3 +210,88 @@ def test_grouped_equals_ungrouped_per_key(spark, docs):
         )
         assert got[lang].total == per_key.total
         assert sorted(got[lang].items()) == sorted(per_key.items())
+
+
+# -- sketch columns ----------------------------------------------------------
+
+def test_grouped_sketch_equals_per_group_direct(spark):
+    """grouped_sketch (partition partials + per-group merge) must be
+    bit-identical to building one HLL per group from the raw values:
+    HLL merge is register-max, order- and partitioning-invariant."""
+    import numpy as np
+    from athena_spark.operators.agg import (grouped_sketch, load_summary,
+                                            values_updater)
+    from athena_spark.sketch import HyperLogLog
+
+    rng = np.random.default_rng(17)
+    rows = [(f"g{int(i) % 5}", f"user-{int(u)}")
+            for i, u in enumerate(rng.integers(0, 500, size=4000))]
+    df = spark.createDataFrame(rows, "grp string, uid string").repartition(8)
+    out = grouped_sketch(
+        df, ["grp"], "uid", lambda pid: HyperLogLog(p=12), values_updater
+    )
+    got = {r["grp"]: r for r in out.collect()}
+    assert set(got) == {f"g{i}" for i in range(5)}
+    for g, vals in _group_values(rows).items():
+        direct = HyperLogLog(p=12)
+        direct.update(np.asarray(vals, dtype=object))
+        sk = load_summary(got[g]["state"])
+        assert sk.estimate() == direct.estimate()
+        assert got[g]["n_rows"] == len(vals)
+        exact = len(set(vals))
+        assert abs(sk.estimate() - exact) <= 4 * 1.04 / (2 ** 6) * exact + 2
+
+
+def _group_values(rows):
+    by = {}
+    for g, u in rows:
+        by.setdefault(g, []).append(u)
+    return by
+
+
+def test_sketch_rollup_no_rescan_equals_direct(spark):
+    """Re-aggregating persisted hour-level HLL states to day level
+    (merge_grouped_sketches on a derived key) equals sketching the
+    day directly from raw values — byte-identical states."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.agg import (grouped_sketch, load_summary,
+                                            merge_grouped_sketches,
+                                            values_updater)
+    from athena_spark.sketch import HyperLogLog
+
+    rows = [(f"2024-01-0{1 + (i % 3)} {i % 24:02d}", f"u{i % 97}")
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "hour string, uid string").repartition(6)
+    hourly = grouped_sketch(
+        df, ["hour"], "uid", lambda pid: HyperLogLog(p=12), values_updater
+    )
+    rolled = merge_grouped_sketches(
+        hourly.withColumn("day", F.substring("hour", 1, 10)), ["day"]
+    )
+    direct = grouped_sketch(
+        df.withColumn("day", F.substring("hour", 1, 10)),
+        ["day"], "uid", lambda pid: HyperLogLog(p=12), values_updater,
+    )
+    r = {x["day"]: x for x in rolled.collect()}
+    d = {x["day"]: x for x in direct.collect()}
+    assert set(r) == set(d) and len(r) == 3
+    for day in r:
+        assert bytes(r[day]["state"]) == bytes(d[day]["state"])
+        assert r[day]["n_rows"] == d[day]["n_rows"]
+        est = load_summary(bytes(r[day]["state"])).estimate()
+        assert est == load_summary(bytes(d[day]["state"])).estimate()
+
+
+def test_grouped_sketch_null_group_key(spark):
+    from athena_spark.operators.agg import grouped_sketch, values_updater
+    from athena_spark.sketch import HyperLogLog
+
+    df = spark.createDataFrame(
+        [("a", "u1"), (None, "u2"), (None, "u3")], "grp string, uid string"
+    )
+    out = grouped_sketch(
+        df, ["grp"], "uid", lambda pid: HyperLogLog(p=12), values_updater
+    )
+    got = {r["grp"]: r["n_rows"] for r in out.collect()}
+    assert got == {"a": 1, None: 2}
