@@ -4169,6 +4169,80 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many 1996-H1 orders
+    have at least one RETURNED line (l_returnflag = 'R') — an
+    EXISTS/LEFT-SEMI join from orders into lineitem.  The semi join
+    ships only orderkeys; Catalyst keeps the filtered orders side
+    small enough to broadcast under AQE."""
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join lineitem->orders, then CONDITIONAL
+    aggregation — per l_linestatus, split 1996 shipments into
+    high-priority (1-URGENT / 2-HIGH) and low-priority order counts
+    in one pass (sum of when-expressions, no second join or scan)."""
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier 1996-Q1 revenue, then the
+    supplier(s) whose revenue EQUALS the global max — a broadcast of
+    a 1-row aggregate back onto the grouped table (the view-vs-max
+    pattern).  Per-row revenue is quantized to 2^-10 multiples so the
+    per-supplier sums and their max are order-exact doubles, making
+    cross-engine equality comparison sound."""
+    li = _table(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select(
+            "l_suppkey",
+            (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * 1024, 0) / 1024).alias("r"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("r").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("l_suppkey", "total_revenue")
+        .orderBy("l_suppkey")
+    )
+
+
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total
     line quantity exceeds 150, joined back to orders — a
@@ -4273,6 +4347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_topk": q_corpus_drift_topk,
         "forecast_revenue": q_forecast_revenue,
         "large_orders": q_large_orders,
+        "priority_returns": q_priority_returns,
+        "linestatus_priority": q_linestatus_priority,
+        "top_supplier_revenue": q_top_supplier_revenue,
         "streaming_sliding_parity": q_streaming_sliding_parity,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
@@ -5028,6 +5105,51 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount >= CAST(0.05 AS DOUBLE)
               AND l_discount <= CAST(0.07 AS DOUBLE)
               AND l_quantity < CAST(24 AS DOUBLE)
+        """,
+        "priority_returns": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1996-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "linestatus_priority": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate < '1997-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(ROUND(l_extendedprice
+                                 * (CAST(1 AS DOUBLE) - l_discount)
+                                 * CAST(1024 AS DOUBLE))
+                           / CAST(1024 AS DOUBLE)) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01'
+                  AND l_shipdate < '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, total_revenue FROM rev
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY l_suppkey
         """,
         "large_orders": """
             SELECT o.o_orderkey, o.o_custkey,
