@@ -4270,6 +4270,587 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q1024(col):
+    """Quantize a double column to exact 2^-10 multiples: partial sums
+    become order-independent (exact binary fractions) so Spark's
+    map-side combine and DuckDB's serial sum agree bit-for-bit."""
+    return F.round(col * 1024, 0) / 1024
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each LARGE part of
+    selected sizes, the supplier(s) offering the minimum unit price —
+    a correlated-min subquery decorrelated into aggregate + self-join,
+    exactly how Catalyst rewrites Q2.  The part dim filter broadcasts;
+    the per-(part,supplier) offer table is small after the filter so
+    the min-join is broadcast too.  Unit price is quantized to 2^-10
+    multiples AFTER the division (identical IEEE division tree in both
+    engines) so the equality join on the min is sound.
+    (The test schema has no partsupp table, so lineitem unit prices
+    stand in for ps_supplycost; the relational shape is unchanged.)"""
+    parts = _table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(15, 25, 35) & (F.col("p_type") == "LARGE")
+    )
+    li = _table(spark, sf_dir, "lineitem")
+    unit = _q1024(F.col("l_extendedprice") / F.col("l_quantity"))
+    offers = (
+        li.join(F.broadcast(parts.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("unit"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit").alias("min_unit")
+    )
+    sup = _table(spark, sf_dir, "supplier")
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers.l_partkey == best.bp) & (offers.unit == best.min_unit),
+        )
+        .join(F.broadcast(sup), offers.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(parts), offers.l_partkey == parts.p_partkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal",
+            F.col("unit").alias("min_unit"),
+        )
+    )
+
+
+def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation for
+    ASIA-region orders where the customer and supplier share a nation.
+    Six-table join; the three dims (nation x region, supplier,
+    customer) broadcast, so the only shuffle is lineitem<->orders on
+    orderkey.  Revenue quantized to 2^-10 before summing."""
+    nr = (
+        _table(spark, sf_dir, "nation")
+        .join(
+            _table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = _table(spark, sf_dir, "supplier").join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        _q1024(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+               ).alias("rev"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("revenue"))
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): trade volume between NATION_1
+    and NATION_2 in both directions, per shipping year.  The nation
+    pair disjunction is applied AFTER the two broadcast dim joins (a
+    cross-dim predicate can't push into either side alone); lineitem
+    never shuffles on a dim key.  Volume quantized to 2^-10."""
+    nat = _table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    sup = _table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _table(spark, sf_dir, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1997-12-31")
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        _q1024(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+               ).alias("vol"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(
+            ((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol").alias("revenue"))
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_4's share of
+    AMERICA-region ECONOMY-part order volume per order year — the
+    conditional-fraction aggregate (sum(case)/sum).  Both sums are
+    over 2^-10-quantized volumes, hence exact; their ratio is one
+    identical IEEE division in both engines, so rounding it to 6
+    decimals is cross-engine stable."""
+    nr = (
+        _table(spark, sf_dir, "nation")
+        .join(
+            _table(spark, sf_dir, "region").where(
+                F.col("r_name") == "AMERICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = _table(spark, sf_dir, "customer").join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supn = _table(spark, sf_dir, "supplier").join(
+        F.broadcast(_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    parts = _table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    orders = _table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31")
+    ).select("o_orderkey", "o_custkey",
+             F.year("o_orderdate").alias("o_year"))
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        _q1024(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+               ).alias("vol"),
+    )
+    vol4 = F.when(F.col("supp_nation") == "NATION_4",
+                  F.col("vol")).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supn), li.l_suppkey == supn.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(vol4).alias("nation_volume"),
+            F.sum("vol").alias("total_volume"),
+            F.round(F.sum(vol4) / F.sum("vol"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier nation and
+    order year, profit on widget parts.  With no partsupp table the
+    cost term is p_retailprice*l_quantity*0.1 — the same
+    join-and-subtract expression shape as ps_supplycost*l_quantity.
+    The whole per-row amount is one identical arithmetic tree in both
+    engines, quantized to 2^-10 before the sum."""
+    parts = _table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    supn = _table(spark, sf_dir, "supplier").join(
+        F.broadcast(_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = _table(spark, sf_dir, "lineitem")
+    amount = _q1024(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supn), li.l_suppkey == supn.s_suppkey)
+        .groupBy("nation", "o_year")
+        .agg(F.sum(amount).alias("sum_profit"))
+    )
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns ('R' lines) for 1996-Q1 orders.  Customer
+    and nation dims broadcast; the global top-20 compiles to
+    TakeOrdered.  Revenue quantized to 2^-10 so the ordering key is
+    exact; ties broken on c_custkey."""
+    cust = _table(spark, sf_dir, "customer").join(
+        F.broadcast(_table(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    orders = _table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        _q1024(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+               ).alias("rev"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose NATION_3-supplied
+    line value exceeds 0.1% of the nation's total — a HAVING clause
+    against a scalar subquery over the SAME aggregate input.  The
+    1-row global total broadcasts back onto the grouped table
+    (crossJoin(broadcast)), the view-vs-global-scalar pattern.  Values
+    quantized to 2^-10, so both the per-part sums and the global total
+    are exact and the threshold comparison is one identical
+    multiply-and-compare in both engines."""
+    supn = _table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _table(spark, sf_dir, "nation").where(
+                F.col("n_name") == "NATION_3")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    li = _table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supn), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", _q1024(F.col("l_extendedprice")).alias("v"))
+    per_part = li.groupBy("l_partkey").agg(F.sum("v").alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("total_value") * F.lit(0.001))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO parts' percentage of
+    March-1996 revenue — conditional aggregate over a broadcast dim
+    join, one output row.  Both sums exact (2^-10 quantized); the
+    100*x/y composition is the identical IEEE tree in both engines."""
+    parts = _table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    ).select(
+        "l_partkey",
+        _q1024(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+               ).alias("rev"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO",
+                   F.col("rev")).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_revenue"),
+            F.sum("rev").alias("total_revenue"),
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum("rev"), 6)
+            .alias("promo_pct"),
+        )
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) over selected sizes, excluding one
+    brand, one type, and every supplier in a NOT-IN subquery (negative
+    account balance) — the NOT IN compiles to a broadcast anti-join,
+    never a shuffle of the fact side.  countDistinct is exact
+    (integer keys)."""
+    bad_sup = _table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    parts = _table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup),
+                li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    one OR-of-AND tree mixing part attributes (brand, size) with
+    lineitem attributes (quantity) — the classic pushdown-splitting
+    disjunction: Catalyst pushes the per-branch l_quantity bounds'
+    union below the join while keeping the cross-table conjunctions
+    above it.  One output row; revenue quantized to 2^-10."""
+    parts = _table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        _q1024(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+               ).alias("rev"),
+    )
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .where(branch)
+        .agg(F.sum("rev").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+def q_top_shippers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): EUROPE-region
+    suppliers that shipped > 50 units of some red part in 1996 — a
+    nested semi-join chain (part filter -> grouped HAVING -> distinct
+    supplier keys -> left-semi onto the supplier dim).  Ids only cross
+    the shuffle; the supplier dim never expands."""
+    red = _table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = _table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    big = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nr = (
+        _table(spark, sf_dir, "nation")
+        .join(
+            _table(spark, sf_dir, "region").where(
+                F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(big, F.col("s_suppkey") == big.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    whose 'R' line in a finished multi-supplier order is the ONLY 'R'
+    line — EXISTS (another supplier in the order) as a left-semi join
+    plus NOT EXISTS (another supplier also returned) as a left-anti
+    join, both on (orderkey, suppkey-differs) conditions.  The test
+    schema has no receipt/commit dates, so returnflag='R' stands in
+    for 'delivered late'; the EXISTS/NOT-EXISTS shape is unchanged.
+    Counts are exact integers; top-20 by count then name."""
+    fo = _table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                                  "l_returnflag")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(F.broadcast(fo), F.col("l_orderkey") == fo.o_orderkey,
+              "left_semi")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2")).distinct()
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"),
+                F.col("l_suppkey").alias("s3")).distinct()
+    )
+    exists_other = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    )
+    lone_r = exists_other.join(
+        l3, (exists_other.l_orderkey == l3.o3)
+        & (exists_other.l_suppkey != l3.s3), "left_anti"
+    )
+    sup = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lone_r.join(F.broadcast(sup), lone_r.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): customers from
+    selected nations with above-average positive balance and no orders
+    since 1999 (every test customer has SOME order, so 'dormant since'
+    replaces 'never ordered'; the anti-join shape is identical) — a
+    scalar-subquery threshold (avg over the same filtered input)
+    plus a NOT EXISTS anti-join, grouped by nation.  Balances are
+    quantized to 2^-10 FIRST, so the filtered sum is exact and
+    avg = sum/count is one identical division in both engines; the
+    bal > avg comparison therefore agrees bit-for-bit.  (The test
+    schema has no c_phone; c_nationkey stands in for the phone-prefix
+    country code.)"""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = _table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(nations)
+    ).select("c_custkey", "c_nationkey",
+             _q1024(F.col("c_acctbal")).alias("bal"))
+    avg_bal = cust.where(F.col("bal") > 0).agg(
+        F.avg("bal").alias("avg_bal"))
+    orders = _table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("bal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.sum("bal").alias("totacctbal"))
+    )
+
+
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining (the 2-itemset core of Apriori /
+    FP-growth): part pairs co-purchased in >= 3 distinct orders.  The
+    basket self-join shuffles both sides on the SAME key (l_orderkey)
+    so co-partitioning makes the join local, and the per-basket pair
+    expansion is bounded by basket size squared (TPC-H baskets are
+    <= ~13 lines, so <= 78 pairs per order — no Zipf blowup).  At
+    100 TB the support filter is the scale lever: raise it and the
+    pair shuffle shrinks super-linearly.  Counts are exact."""
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok2"),
+                  F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a.ok == b.ok2) & (a.part_a < b.part_b))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of the orders table — the
+    anti-entropy primitive for verifying replica/migration equality at
+    100 TB without sorting: each row is canonicalized to a string,
+    sha256-hashed, and the per-row digests are folded with the two
+    order-independent aggregates (wrap-free SUM of a 40-bit prefix,
+    BIT_XOR of a 60-bit prefix).  Any single-row difference flips both
+    with overwhelming probability; the whole job is one scan + a
+    1-row combine, no shuffle of row data.  Money enters the canonical
+    string as exact cents (round half-away, identical in both
+    engines)."""
+    o = _table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    digest = F.sha2(row_str, 256)
+    sum_chunk = F.conv(F.substring(digest, 1, 10), 16, 10).cast("long")
+    xor_chunk = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long")
+    return (
+        o.select(sum_chunk.alias("sc"), xor_chunk.alias("xc"))
+        .agg(
+            F.sum("sc").alias("sum_fp"),
+            F.expr("bit_xor(xc)").alias("xor_fp"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_order_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family (percent_rank / cume_dist /
+    ntile) over January-1996 orders per market segment — the ML
+    feature-engineering staple (rank-normalize a value within a
+    group).  Partitioned windows only — each segment sorts locally
+    after one hash exchange, no global sort.  percent_rank and
+    cume_dist are exact integer ratios ((rank-1)/(n-1), rank/n) so
+    the single division is cross-engine identical; ntile's
+    extra-rows-to-leading-buckets rule matches between engines."""
+    o = _table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-02-01")
+    )
+    c = _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment", "o_orderkey", "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per event type, each day's
+    total value scored against the trailing-7-day mean/stddev — the
+    standard streaming-telemetry outlier signal, expressed as one
+    partitioned sliding window (no self-join).  Hash-stability: daily
+    sums and the windowed sum-of-squares are 2^-10-quantized per
+    addend, so every window aggregate is EXACT regardless of the
+    engines' frame-summation order (Spark running scan vs DuckDB
+    segment tree); mean/variance/sqrt/z then form one identical IEEE
+    tree (sqrt is correctly rounded, so it's deterministic too)."""
+    ev = _table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")),
+                          "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(_q1024(F.col("value"))).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    s = F.sum("v").over(w)
+    sq = F.sum(_q1024(F.col("v") * F.col("v"))).over(w)
+    n = F.count("v").over(w)
+    mean = s / n
+    var = (sq - s * s / n) / (n - 1)
+    z = (F.col("v") - mean) / F.sqrt(var)
+    return (
+        daily.select(
+            "event_type", "day", "v",
+            F.round(z, 6).alias("zscore"),
+            n.alias("n_window"),
+        )
+        .where(F.col("n_window") >= 7)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
@@ -4350,6 +4931,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_returns": q_priority_returns,
         "linestatus_priority": q_linestatus_priority,
         "top_supplier_revenue": q_top_supplier_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "region_nation_revenue": q_region_nation_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_item_customers": q_returned_item_customers,
+        "important_parts": q_important_parts,
+        "promo_revenue_pct": q_promo_revenue_pct,
+        "supplier_part_counts": q_supplier_part_counts,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "top_shippers_semi": q_top_shippers_semi,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customer_balance": q_idle_customer_balance,
+        "frequent_pairs": q_frequent_pairs,
+        "table_fingerprint": q_table_fingerprint,
+        "order_value_ranks": q_order_value_ranks,
+        "rolling_zscore": q_rolling_zscore,
         "streaming_sliding_parity": q_streaming_sliding_parity,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_asof_parity": q_streaming_asof_parity,
@@ -5161,6 +5759,312 @@ def oracle_sql() -> dict[str, str]:
                 HAVING SUM(l_quantity) > 150
             ) b ON o.o_orderkey = b.l_orderkey
             ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20
+        """,
+        "min_cost_supplier": """
+            WITH offers AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(ROUND(l_extendedprice / l_quantity
+                                 * CAST(1024 AS DOUBLE))
+                           / CAST(1024 AS DOUBLE)) AS unit
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size IN (15, 25, 35) AND p_type = 'LARGE'
+                GROUP BY l_partkey, l_suppkey
+            ),
+            best AS (
+                SELECT l_partkey AS bp, MIN(unit) AS best_unit
+                FROM offers GROUP BY l_partkey
+            )
+            SELECT p_partkey, p_name, s_name, s_acctbal,
+                   o.unit AS min_unit
+            FROM offers o
+            JOIN best ON o.l_partkey = best.bp AND o.unit = best.best_unit
+            JOIN supplier ON o.l_suppkey = s_suppkey
+            JOIN part ON o.l_partkey = p_partkey
+        """,
+        "region_nation_revenue": """
+            SELECT n_name,
+                   SUM(ROUND(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)
+                             * CAST(1024 AS DOUBLE))
+                       / CAST(1024 AS DOUBLE)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1997-01-01'
+            GROUP BY n_name
+        """,
+        "volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   SUM(ROUND(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)
+                             * CAST(1024 AS DOUBLE))
+                       / CAST(1024 AS DOUBLE)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate <= '1997-12-31'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            WITH j AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                       n_name AS supp_nation,
+                       ROUND(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)
+                             * CAST(1024 AS DOUBLE))
+                           / CAST(1024 AS DOUBLE) AS vol
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn2 ON s_nationkey = sn2.n_nationkey
+                WHERE p_type = 'ECONOMY'
+                  AND o_orderdate >= '1996-01-01'
+                  AND o_orderdate <= '1997-12-31'
+                  AND c_nationkey IN (
+                      SELECT n_nationkey FROM nation
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'AMERICA')
+            )
+            SELECT o_year,
+                   SUM(CASE WHEN supp_nation = 'NATION_4' THEN vol
+                            ELSE CAST(0 AS DOUBLE) END) AS nation_volume,
+                   SUM(vol) AS total_volume,
+                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_4' THEN vol
+                                  ELSE CAST(0 AS DOUBLE) END)
+                         / SUM(vol), 6) AS mkt_share
+            FROM j GROUP BY o_year
+        """,
+        "product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   SUM(ROUND((l_extendedprice
+                              * (CAST(1 AS DOUBLE) - l_discount)
+                              - p_retailprice * l_quantity
+                                * CAST(0.1 AS DOUBLE))
+                             * CAST(1024 AS DOUBLE))
+                       / CAST(1024 AS DOUBLE)) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "returned_item_customers": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   SUM(ROUND(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)
+                             * CAST(1024 AS DOUBLE))
+                       / CAST(1024 AS DOUBLE)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       SUM(ROUND(l_extendedprice * CAST(1024 AS DOUBLE))
+                           / CAST(1024 AS DOUBLE)) AS part_value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, part_value FROM v
+            WHERE part_value > (SELECT SUM(part_value) FROM v)
+                               * CAST(0.001 AS DOUBLE)
+        """,
+        "promo_revenue_pct": """
+            WITH j AS (
+                SELECT p_type,
+                       ROUND(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)
+                             * CAST(1024 AS DOUBLE))
+                           / CAST(1024 AS DOUBLE) AS rev
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= '1996-03-01'
+                  AND l_shipdate < '1996-04-01'
+            )
+            SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                            ELSE CAST(0 AS DOUBLE) END) AS promo_revenue,
+                   SUM(rev) AS total_revenue,
+                   ROUND(CAST(100 AS DOUBLE)
+                         * SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                    ELSE CAST(0 AS DOUBLE) END)
+                         / SUM(rev), 6) AS promo_pct
+            FROM j
+        """,
+        "supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#15'
+              AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "disjunctive_revenue": """
+            SELECT SUM(ROUND(l_extendedprice
+                             * (CAST(1 AS DOUBLE) - l_discount)
+                             * CAST(1024 AS DOUBLE))
+                       / CAST(1024 AS DOUBLE)) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "top_shippers_semi": """
+            SELECT s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_suppkey IN (
+                  SELECT l_suppkey
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_name LIKE 'red%'
+                    AND l_shipdate >= '1996-01-01'
+                    AND l_shipdate < '1997-01-01'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING SUM(l_quantity) > 50)
+        """,
+        "waiting_suppliers": """
+            WITH l1 AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_returnflag = 'R'
+                  AND l_orderkey IN (
+                      SELECT o_orderkey FROM orders
+                      WHERE o_orderstatus = 'F')
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+            WHERE EXISTS (
+                    SELECT 1 FROM lineitem x
+                    WHERE x.l_orderkey = l1.l_orderkey
+                      AND x.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM lineitem y
+                    WHERE y.l_orderkey = l1.l_orderkey
+                      AND y.l_suppkey <> l1.l_suppkey
+                      AND y.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC LIMIT 20
+        """,
+        "idle_customer_balance": """
+            WITH cust AS (
+                SELECT c_custkey, c_nationkey,
+                       ROUND(c_acctbal * CAST(1024 AS DOUBLE))
+                           / CAST(1024 AS DOUBLE) AS bal
+                FROM customer
+                WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            )
+            SELECT c_nationkey,
+                   COUNT(*) AS numcust,
+                   SUM(bal) AS totacctbal
+            FROM cust
+            WHERE bal > (SELECT AVG(bal) FROM cust
+                         WHERE bal > CAST(0 AS DOUBLE))
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '1999-01-01')
+            GROUP BY c_nationkey
+        """,
+        "frequent_pairs": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey
+             AND a.l_partkey < c.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        """,
+        "table_fingerprint": """
+            WITH h AS (
+                SELECT sha256(concat_ws('|',
+                           CAST(o_orderkey AS VARCHAR),
+                           CAST(o_custkey AS VARCHAR),
+                           o_orderstatus,
+                           strftime(o_orderdate, '%Y-%m-%d'),
+                           CAST(CAST(ROUND(o_totalprice
+                                           * CAST(100 AS DOUBLE))
+                                     AS BIGINT) AS VARCHAR),
+                           o_orderpriority)) AS d
+                FROM orders
+            )
+            SELECT CAST(SUM(CAST('0x' || substr(d, 1, 10) AS BIGINT))
+                        AS BIGINT) AS sum_fp,
+                   BIT_XOR(CAST('0x' || substr(d, 17, 15) AS BIGINT))
+                       AS xor_fp,
+                   COUNT(*) AS n_rows
+            FROM h
+        """,
+        "order_value_ranks": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume,
+                   CAST(NTILE(4) OVER w AS INT) AS quartile
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1996-02-01'
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """,
+        "rolling_zscore": """
+            WITH daily AS (
+                SELECT event_type,
+                       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       SUM(ROUND(value * CAST(1024 AS DOUBLE))
+                           / CAST(1024 AS DOUBLE)) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT event_type, day, v,
+                       SUM(v) OVER w AS s,
+                       SUM(ROUND(v * v * CAST(1024 AS DOUBLE))
+                           / CAST(1024 AS DOUBLE)) OVER w AS sq,
+                       COUNT(v) OVER w AS n
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_type, day, v,
+                   ROUND((v - s / n)
+                         / sqrt((sq - s * s / n) / (n - 1)), 6) AS zscore,
+                   n AS n_window
+            FROM win WHERE n >= 7
         """,
         "event_concurrency": """
             WITH pts AS (
