@@ -153,6 +153,127 @@ def write_zordered(
     return ranges
 
 
+def file_stats(
+    spark,
+    path: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Per-FILE min/max statistics manifest — the Delta/Iceberg data-
+    skipping layer (Armbrust et al. VLDB'20 "Delta Lake", §3.2 data
+    skipping; Iceberg manifest files) expressed Spark-first: the list
+    of parquet files is parallelized and each task reads ONLY its
+    files' footers (pyarrow, no row-group data IO), emitting one row
+    ``(file, num_rows, min_<c>, max_<c>, ...)`` per file.
+
+    Scale shape: footer reads are O(files) metadata operations spread
+    across the cluster — a 100 TB table with 100k files costs 100k
+    footer fetches in parallel tasks, never a data scan.  The manifest
+    itself is one row per file, small enough to broadcast to planners
+    (:func:`prune_files`) exactly like a table format's manifest list.
+    """
+    import glob
+    import os
+
+    import pandas as pd
+
+    cols = list(cols)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+
+    fields = ", ".join(
+        [f"min_{c} double, max_{c} double" for c in cols]
+    )
+    out_schema = f"file string, num_rows long, {fields}"
+
+    def footer_batches(batches):
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                meta = pq.ParquetFile(f).metadata
+                name_to_idx = {
+                    meta.schema.column(i).name: i
+                    for i in range(meta.num_columns)
+                }
+                rec = {"file": f, "num_rows": meta.num_rows}
+                for c in cols:
+                    lo = hi = None
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(
+                            name_to_idx[c]
+                        ).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        mn, mx = float(st.min), float(st.max)
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                    rec[f"min_{c}"] = lo
+                    rec[f"max_{c}"] = hi
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 32))
+    return files_df.mapInPandas(footer_batches, schema=out_schema)
+
+
+def prune_files(
+    stats: DataFrame,
+    predicates: dict[str, tuple[float, float]],
+) -> tuple[list[str], int]:
+    """Plan-time file pruning against a :func:`file_stats` manifest:
+    keep a file unless SOME predicate column's [min, max] is disjoint
+    from its requested (inclusive) range; files with missing stats are
+    always kept (correctness over skipping, the table-format rule).
+    Returns ``(kept_files, total_files)``.
+
+    The collect here is the manifest (one row per file) — the same
+    driver-side listing Spark's own FileIndex materializes; it is
+    metadata, never data."""
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        keep = (
+            F.col(f"min_{c}").isNull()
+            | F.col(f"max_{c}").isNull()
+            | ~(
+                (F.col(f"min_{c}") > F.lit(float(hi)))
+                | (F.col(f"max_{c}") < F.lit(float(lo)))
+            )
+        )
+        cond = cond & keep
+    total = stats.count()
+    kept = [r["file"] for r in stats.where(cond).select("file").collect()]
+    return sorted(kept), int(total)
+
+
+def read_pruned(
+    spark,
+    stats: DataFrame,
+    predicates: dict[str, tuple[float, float]],
+) -> tuple[DataFrame, dict]:
+    """Stats-pruned scan: prune the file list via the manifest, read
+    only surviving files, and apply the predicate as a residual filter
+    (file stats are necessary, not sufficient — rows inside a kept
+    file can still miss the range; parquet row-group pushdown then
+    prunes inside each file, see :func:`rowgroup_skip_stats`).
+    Returns ``(df, {"files_total": n, "files_read": k})``."""
+    kept, total = prune_files(stats, predicates)
+    info = {"files_total": total, "files_read": len(kept)}
+    if not kept:
+        raise ValueError(
+            "every file pruned; construct an empty result from the "
+            "table schema upstream instead of scanning nothing"
+        )
+    df = spark.read.parquet(*kept)
+    for c, (lo, hi) in predicates.items():
+        df = df.where(
+            (F.col(c) >= F.lit(float(lo))) & (F.col(c) <= F.lit(float(hi)))
+        )
+    return df, info
+
+
 def rowgroup_skip_stats(
     path_or_files: str | Sequence[str],
     predicates: dict[str, tuple[float, float]],

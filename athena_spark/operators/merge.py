@@ -20,6 +20,7 @@ broadcast it.
 
 from __future__ import annotations
 
+from functools import reduce as functools_reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -119,3 +120,106 @@ def merge_upsert(
         ],
     )
     return out
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_col: str = "effective_date",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance (Kimball, "The
+    Data Warehouse Toolkit" ch. 5): apply one batch of attribute
+    updates to a versioned dimension, KEEPING history.
+
+    ``dim`` carries one or more versions per key with ``[from_col,
+    to_col)`` validity (open versions have ``to_col`` NULL and
+    ``current_col`` true).  ``updates`` carries the key, the tracked
+    attribute columns, and ``effective_col`` — the date the new values
+    take effect.  Semantics per update row:
+
+    - key has a current version and ANY tracked attribute differs ->
+      the current version is CLOSED (``to_col`` = effective date,
+      ``current_col`` false) and a new open version is inserted;
+    - tracked attributes all equal -> no-op (idempotent replays);
+    - key unseen -> a new open version is inserted.
+
+    Closed (historical) rows are immutable and pass through untouched.
+
+    Scale shape: updates must be one row per key (validated — run
+    :func:`compact_changes` first); the work is ONE left join of the
+    dimension's current slice against the update set on the key plus
+    a union of the insert slice — both shuffles key-only-wide, history
+    rows never move.  The same physical shape Delta's
+    ``MERGE ... WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT`` lowers to for the classic SCD2 recipe."""
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    passthrough = [
+        c for c in dim.columns
+        if c not in keys + tracked + [from_col, to_col, current_col]
+    ]
+    missing = [c for c in keys + tracked + [effective_col]
+               if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates is missing columns: {missing}")
+    up = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in keys + tracked],
+        F.col(effective_col).alias("_u_eff"),
+    )
+    v = up.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(f"_u_{k}") for k in keys]).alias("nk"),
+    ).first()
+    if v["n"] != v["nk"]:
+        raise ValueError(
+            f"{v['n'] - v['nk']} duplicate update key(s); run "
+            "compact_changes first so the batch is one row per key"
+        )
+    history = dim.where(~F.col(current_col))
+    current = dim.where(F.col(current_col))
+    cond = [current[k] == up[f"_u_{k}"] for k in keys]
+    j = current.join(up, cond, "full_outer")
+    matched = F.col("_u_eff").isNotNull() & current[keys[0]].isNotNull()
+    changed = matched & functools_reduce(
+        lambda a, b: a | b,
+        [
+            ~current[c].eqNullSafe(F.col(f"_u_{c}"))
+            for c in tracked
+        ],
+    )
+    # slice 1: current rows — closed when a differing update matched,
+    # otherwise unchanged (includes unmatched keys and no-op updates)
+    kept_current = j.where(current[keys[0]].isNotNull()).select(
+        *[current[k].alias(k) for k in keys],
+        *[current[c].alias(c) for c in tracked],
+        *[current[c].alias(c) for c in passthrough],
+        current[from_col].alias(from_col),
+        F.when(changed, F.col("_u_eff")).otherwise(
+            current[to_col]
+        ).alias(to_col),
+        F.when(changed, F.lit(False)).otherwise(
+            current[current_col]
+        ).alias(current_col),
+    )
+    # slice 2: new open versions — changed keys + brand-new keys
+    new_key = F.col("_u_eff").isNotNull() & current[keys[0]].isNull()
+    inserts = j.where(changed | new_key).select(
+        *[F.col(f"_u_{k}").alias(k) for k in keys],
+        *[F.col(f"_u_{c}").alias(c) for c in tracked],
+        *[F.lit(None).cast(dim.schema[c].dataType).alias(c)
+          for c in passthrough],
+        F.col("_u_eff").alias(from_col),
+        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    cols = (keys + tracked + passthrough + [from_col, to_col, current_col])
+    return (
+        history.select(*cols)
+        .unionByName(kept_current.select(*cols))
+        .unionByName(inserts.select(*cols))
+    )

@@ -155,3 +155,105 @@ def test_zorder_fuzz_random_ranges(spark, seed):
             bits=bits,
         )
         assert r.z == want, (seed, bits, r.x, r.y)
+
+
+# -- file-level data skipping ------------------------------------------------
+
+@pytest.fixture(scope="module")
+def zordered_dir(spark, points, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("skip") / "pts")
+    write_zordered(points, path, ["x", "y"], bits=8, num_files=8)
+    return path
+
+
+def test_file_stats_match_pyarrow_footers(spark, zordered_dir):
+    import glob
+
+    import pyarrow.parquet as pqt
+
+    from athena_spark.operators.layout import file_stats
+
+    stats = {r.file: r for r in
+             file_stats(spark, zordered_dir, ["x", "y"]).collect()}
+    files = sorted(glob.glob(zordered_dir + "/*.parquet"))
+    assert set(stats) == set(files)
+    for f in files:
+        t = pqt.read_table(f, columns=["x", "y"])
+        xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+        r = stats[f]
+        assert r.num_rows == len(xs)
+        assert r.min_x == pytest.approx(min(xs))
+        assert r.max_x == pytest.approx(max(xs))
+        assert r.min_y == pytest.approx(min(ys))
+        assert r.max_y == pytest.approx(max(ys))
+
+
+def test_pruned_read_equals_full_scan_and_skips(spark, points, zordered_dir):
+    from athena_spark.operators.layout import file_stats, read_pruned
+
+    stats = file_stats(spark, zordered_dir, ["x", "y"])
+    pred = {"x": (-5.0, -2.0), "y": (0.0, 20.0)}
+    df, info = read_pruned(spark, stats, pred)
+    got = sorted(r.pid for r in df.select("pid").collect())
+    want = sorted(
+        r.pid for r in points.where(
+            (F.col("x") >= -5.0) & (F.col("x") <= -2.0)
+            & (F.col("y") >= 0.0) & (F.col("y") <= 20.0)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert info["files_total"] == 8
+    # z-ordered layout + corner predicate must actually skip files
+    assert info["files_read"] < info["files_total"]
+
+
+def test_pruned_read_never_touches_skipped_files(spark, points,
+                                                 tmp_path_factory):
+    """Behavioral pruning proof: corrupt every file the planner says
+    it skips — the pruned scan still answers; a full scan cannot."""
+    from athena_spark.operators.layout import (file_stats, prune_files,
+                                               read_pruned)
+
+    path = str(tmp_path_factory.mktemp("skipcorrupt") / "pts")
+    write_zordered(points, path, ["x", "y"], bits=8, num_files=8)
+    stats = file_stats(spark, path, ["x", "y"]).cache()
+    pred = {"x": (-5.0, -2.0), "y": (0.0, 20.0)}
+    kept, total = prune_files(stats, pred)
+    skipped = [r.file for r in stats.select("file").collect()
+               if r.file not in set(kept)]
+    assert skipped, "predicate must prune at least one file"
+    for f in skipped:
+        with open(f, "wb") as fh:
+            fh.write(b"corrupt")
+    df, info = read_pruned(spark, stats, pred)
+    got = sorted(r.pid for r in df.select("pid").collect())
+    want = sorted(
+        r.pid for r in points.where(
+            (F.col("x") >= -5.0) & (F.col("x") <= -2.0)
+            & (F.col("y") >= 0.0) & (F.col("y") <= 20.0)
+        ).collect()
+    )
+    assert got == want
+    stats.unpersist()
+
+
+def test_prune_keeps_files_with_missing_stats(spark):
+    from athena_spark.operators.layout import prune_files
+
+    stats = spark.createDataFrame(
+        [("f1", 10, None, None), ("f2", 10, 5.0, 9.0)],
+        "file string, num_rows long, min_x double, max_x double",
+    )
+    kept, total = prune_files(stats, {"x": (0.0, 1.0)})
+    assert total == 2
+    # f2's range [5,9] is disjoint from [0,1] -> pruned; f1 has no
+    # stats -> must be kept for correctness
+    assert kept == ["f1"]
+
+
+def test_read_pruned_raises_when_everything_pruned(spark, zordered_dir):
+    from athena_spark.operators.layout import file_stats, read_pruned
+
+    stats = file_stats(spark, zordered_dir, ["x", "y"])
+    with pytest.raises(ValueError, match="every file pruned"):
+        read_pruned(spark, stats, {"x": (1e9, 2e9)})

@@ -125,3 +125,104 @@ def test_merge_upsert_rejects_null_op(spark, base):
     )
     with pytest.raises(ValueError, match="outside"):
         merge_upsert(base, nul, ["id"])
+
+
+# -- SCD2 --------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    # key=id, tracked=(city, tier), passthrough=note; one closed
+    # historical version for id=1 plus current versions for 1..3
+    return spark.createDataFrame(
+        [
+            (1, "oslo", 1, "n1", "2020-01-01", "2021-06-01", False),
+            (1, "bergen", 1, "n1", "2021-06-01", None, True),
+            (2, "paris", 2, "n2", "2020-03-01", None, True),
+            (3, "rome", 3, "n3", "2020-05-01", None, True),
+        ],
+        "id long, city string, tier long, note string, "
+        "valid_from string, valid_to string, is_current boolean",
+    )
+
+
+def test_scd2_close_insert_noop_and_new_key(spark, dim):
+    from athena_spark.operators.merge import scd2_apply
+
+    updates = spark.createDataFrame(
+        [
+            (1, "tromso", 1, "2022-02-02"),   # tracked change -> close+insert
+            (2, "paris", 2, "2022-02-02"),    # all equal -> no-op
+            (9, "cairo", 4, "2022-02-02"),    # new key -> insert open
+        ],
+        "id long, city string, tier long, effective_date string",
+    )
+    out = scd2_apply(
+        dim, updates, ["id"], ["city", "tier"],
+        effective_col="effective_date",
+    ).collect()
+    rows = {(r.id, r.valid_from): r for r in out}
+    assert len(out) == 6
+    # history row untouched
+    h = rows[(1, "2020-01-01")]
+    assert (h.valid_to, h.is_current, h.city) == ("2021-06-01", False, "oslo")
+    # old current for id=1 closed at the effective date
+    closed = rows[(1, "2021-06-01")]
+    assert (closed.valid_to, closed.is_current) == ("2022-02-02", False)
+    # new open version for id=1 with NULL passthrough
+    new1 = rows[(1, "2022-02-02")]
+    assert (new1.city, new1.valid_to, new1.is_current, new1.note) == (
+        "tromso", None, True, None)
+    # no-op keeps id=2's single current row open
+    p = rows[(2, "2020-03-01")]
+    assert (p.valid_to, p.is_current) == (None, True)
+    # brand-new key inserted open
+    n = rows[(9, "2022-02-02")]
+    assert (n.city, n.tier, n.is_current) == ("cairo", 4, True)
+    # untouched key 3 passes through
+    assert rows[(3, "2020-05-01")].is_current is True
+
+
+def test_scd2_is_idempotent_on_replay(spark, dim):
+    from athena_spark.operators.merge import scd2_apply
+
+    updates = spark.createDataFrame(
+        [(1, "tromso", 1, "2022-02-02")],
+        "id long, city string, tier long, effective_date string",
+    )
+    once = scd2_apply(dim, updates, ["id"], ["city", "tier"],
+                      effective_col="effective_date")
+    twice = scd2_apply(once, updates, ["id"], ["city", "tier"],
+                       effective_col="effective_date")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
+def test_scd2_rejects_duplicate_update_keys(spark, dim):
+    from athena_spark.operators.merge import scd2_apply
+
+    updates = spark.createDataFrame(
+        [(1, "x", 1, "2022-01-01"), (1, "y", 1, "2022-01-02")],
+        "id long, city string, tier long, effective_date string",
+    )
+    with pytest.raises(ValueError, match="duplicate update key"):
+        scd2_apply(dim, updates, ["id"], ["city", "tier"],
+                   effective_col="effective_date").collect()
+
+
+def test_scd2_null_tracked_values_compare_null_safely(spark):
+    from athena_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, None, "2020-01-01", None, True)],
+        "id long, city string, valid_from string, valid_to string, "
+        "is_current boolean",
+    )
+    same = spark.createDataFrame(
+        [(1, None, "2021-01-01")],
+        "id long, city string, effective_date string",
+    )
+    out = scd2_apply(dim, same, ["id"], ["city"],
+                     effective_col="effective_date").collect()
+    # NULL == NULL must be a no-op, not a spurious new version
+    assert len(out) == 1 and out[0].is_current
