@@ -409,10 +409,12 @@ def q_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dds_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified DDSketch (sketch/ddsketch.py, Masson et al. VLDB'19):
     RELATIVE-error quantiles of l_extendedprice — for each q, the
-    alpha-ball [est/(1+slack), est*(1+slack)] with slack = alpha must
-    straddle the exact q-quantile position (the published guarantee:
-    est is within alpha of a value whose rank matches q).  Checked
-    with one distributed aggregation, no collect of values."""
+    alpha-ball [est/(1+slack), est/(1-slack)] with slack ~ alpha must
+    straddle the exact q-quantile position — the published guarantee
+    is |est - x_q| <= alpha * x_q, i.e. x_q lies in exactly that
+    interval (est*(1+alpha) would be ~alpha^2*est too TIGHT on the
+    upper side and can flip a correct sketch to false).  Checked with
+    one distributed aggregation, no collect of values."""
     from athena_spark.operators.agg import aggregate_sketch, values_updater
     from athena_spark.sketch import DDSketch
 
@@ -428,11 +430,11 @@ def q_dds_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for i, e in enumerate(ests):
         aggs.append(
-            F.avg((F.col("l_extendedprice") <= float(e) * (1 + slack))
+            F.avg((F.col("l_extendedprice") <= float(e) / (1 - slack))
                   .cast("double")).alias(f"hi{i}")
         )
         aggs.append(
-            F.avg((F.col("l_extendedprice") < float(e) * (1 - slack))
+            F.avg((F.col("l_extendedprice") < float(e) / (1 + slack))
                   .cast("double")).alias(f"lo{i}")
         )
     fr = li.agg(*aggs, F.count(F.lit(1)).alias("n")).collect()[0]
@@ -3238,17 +3240,26 @@ def q_streaming_asof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {
             (r.event_id, r.event_id_right) for r in got_df.collect()
         }
-        epochs = sorted(
+        # one output dir per micro-batch proves the multi-batch path
+        # ran (store epochs can't: older snapshots are GC'd by design)
+        out_epochs = sorted(
+            int(d.split("=")[1]) for d in os.listdir(outd)
+            if d.startswith("epoch=")
+        )
+        store_epochs = sorted(
             int(d.split("=")[1]) for d in os.listdir(store)
             if d.startswith("epoch=")
         )
         last_store = spark.read.parquet(
-            f"{store}/epoch={epochs[-1]}"
+            f"{store}/epoch={store_epochs[-1]}"
         )
         n_users = ev.select("user_id").distinct().count()
         checks = [
             ("enriched_matches_batch", got == batch_want),
-            ("multiple_epochs", len(epochs) >= 3),
+            ("multiple_epochs", len(out_epochs) >= 3),
+            # snapshot GC: disk holds at most the consumed + written
+            # snapshots regardless of stream length
+            ("store_gc_bounded", len(store_epochs) <= 2),
             ("store_bounded_one_row_per_key",
              last_store.count() <= n_users
              and last_store.groupBy("user_id").count()
@@ -3924,7 +3935,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= "2001-09-01"
     )
-    q1024 = lambda c: F.round(c * 1024, 0) / 1024
+    q1024 = _q1024
     disc_price = q1024(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     )
@@ -4151,7 +4162,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves a single double per partition).  Per-row products
     quantized to 2^-10 so the global sum is order-exact."""
     li = _table(spark, sf_dir, "lineitem")
-    q1024 = lambda c: F.round(c * 1024, 0) / 1024
+    q1024 = _q1024
     return (
         li.where(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -4901,15 +4912,12 @@ def q_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from athena_spark.operators.layout import (file_stats, read_pruned,
                                                write_zordered)
 
+    import shutil
+
     li = _table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     d = tempfile.mkdtemp(prefix="athena_skip_")  # local-mode shared fs
-    write_zordered(li, d, ["l_extendedprice", "l_quantity"],
-                   bits=8, num_files=8)
-    stats = file_stats(spark, d, ["l_extendedprice", "l_quantity"])
-    pred = {"l_quantity": (1.0, 10.0), "l_extendedprice": (1000.0, 20000.0)}
-    pruned, info = read_pruned(spark, stats, pred)
 
     def agg_of(df):
         r = df.agg(
@@ -4918,7 +4926,16 @@ def q_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         return int(r["n"]), float(r["s"])
 
-    got = agg_of(pruned)
+    try:
+        write_zordered(li, d, ["l_extendedprice", "l_quantity"],
+                       bits=8, num_files=8)
+        stats = file_stats(spark, d, ["l_extendedprice", "l_quantity"])
+        pred = {"l_quantity": (1.0, 10.0),
+                "l_extendedprice": (1000.0, 20000.0)}
+        pruned, info = read_pruned(spark, stats, pred)
+        got = agg_of(pruned)  # eager: safe to delete the dir after
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     want = agg_of(
         li.where(
             (F.col("l_quantity") >= 1.0) & (F.col("l_quantity") <= 10.0)
@@ -5645,7 +5662,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
                        value,
-                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                       lpad(CAST(epoch_us(ts) + 4611686018427387904 AS VARCHAR), 20, '0') ||
                        lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
                 FROM events
             )
@@ -5663,7 +5680,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        date_trunc('hour', ts) AS bkt,
                        value,
-                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                       lpad(CAST(epoch_us(ts) + 4611686018427387904 AS VARCHAR), 20, '0') ||
                        lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
                 FROM events
             ), b AS (
@@ -6243,6 +6260,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_asof_parity": """
             SELECT 'enriched_matches_batch' AS "check", TRUE AS ok
             UNION ALL SELECT 'multiple_epochs', TRUE
+            UNION ALL SELECT 'store_gc_bounded', TRUE
             UNION ALL SELECT 'store_bounded_one_row_per_key', TRUE
         """,
         "events_pivot": """

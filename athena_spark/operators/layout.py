@@ -231,21 +231,24 @@ def prune_files(
 
     The collect here is the manifest (one row per file) — the same
     driver-side listing Spark's own FileIndex materializes; it is
-    metadata, never data."""
-    cond = F.lit(True)
-    for c, (lo, hi) in predicates.items():
-        keep = (
-            F.col(f"min_{c}").isNull()
-            | F.col(f"max_{c}").isNull()
-            | ~(
-                (F.col(f"min_{c}") > F.lit(float(hi)))
-                | (F.col(f"max_{c}") < F.lit(float(lo)))
-            )
-        )
-        cond = cond & keep
-    total = stats.count()
-    kept = [r["file"] for r in stats.where(cond).select("file").collect()]
-    return sorted(kept), int(total)
+    metadata, never data.  ONE action: the manifest is collected once
+    and the disjointness test runs driver-side, so the distributed
+    footer scan behind an uncached ``file_stats`` DataFrame executes
+    exactly once per pruning call."""
+    rows = stats.collect()
+    kept = []
+    for r in rows:
+        keep = True
+        for c, (lo, hi) in predicates.items():
+            mn, mx = r[f"min_{c}"], r[f"max_{c}"]
+            if mn is None or mx is None:
+                continue  # no stats -> must keep, correctness first
+            if mn > float(hi) or mx < float(lo):
+                keep = False
+                break
+        if keep:
+            kept.append(r["file"])
+    return sorted(kept), len(rows)
 
 
 def read_pruned(

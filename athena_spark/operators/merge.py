@@ -171,10 +171,33 @@ def scd2_apply(
         *[F.col(c).alias(f"_u_{c}") for c in keys + tracked],
         F.col(effective_col).alias("_u_eff"),
     )
+    # _u_eff doubles as the "an update matched" sentinel after the
+    # full-outer join, and NULL key columns would likewise be
+    # indistinguishable from "no current row" — both must be rejected
+    # up front, in the same single validation aggregate as the
+    # duplicate-key check.  (Dimension keys are required non-NULL by
+    # the same contract; they come from the prior scd2_apply/initial
+    # load, so updates are the only entry point to validate.)
+    null_key = functools_reduce(
+        lambda a, b: a | b,
+        [F.col(f"_u_{k}").isNull() for k in keys],
+    )
     v = up.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*[F.col(f"_u_{k}") for k in keys]).alias("nk"),
+        F.sum(F.col("_u_eff").isNull().cast("int")).alias("null_eff"),
+        F.sum(null_key.cast("int")).alias("null_key"),
     ).first()
+    if v["n"] and v["null_eff"]:
+        raise ValueError(
+            f"{v['null_eff']} update row(s) have NULL {effective_col}; "
+            "the effective date is required"
+        )
+    if v["n"] and v["null_key"]:
+        raise ValueError(
+            f"{v['null_key']} update row(s) have NULL key column(s); "
+            "SCD2 keys must be non-NULL"
+        )
     if v["n"] != v["nk"]:
         raise ValueError(
             f"{v['n'] - v['nk']} duplicate update key(s); run "

@@ -59,12 +59,22 @@ _SECONDS = {"hour": 3600, "day": 86400, "week": 604800}
 
 def _order_key(ts_col: str, tiebreak_col: str):
     """Fixed-width sortable string key ``(timestamp, tiebreak)``:
-    microsecond epoch then the tiebreak id, both zero-padded so
-    lexicographic order equals numeric order.  A string (rather than a
-    struct) because the exact same key is expressible in ANSI SQL for
-    the oracle (``lpad(epoch_us(ts)...) || lpad(id...)``)."""
+    microsecond epoch (biased by 2^62 so pre-1970 timestamps — whose
+    negative micros would invert under zero-padding: '-1' > '-2'
+    lexically — stay non-negative for the whole representable range)
+    then the tiebreak id, both zero-padded.  Lexicographic order
+    equals time order; the tiebreak segment guarantees a
+    DETERMINISTIC total order for any id type (numeric order for
+    non-negative numeric ids; any canonical order is equally correct
+    for tie resolution).  A string (rather than a struct) because the
+    exact same key is expressible in ANSI SQL for the oracle
+    (``lpad(epoch_us(ts) + 2^62 ...) || lpad(id...)``)."""
+    biased = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        + F.lit(4611686018427387904)  # 2^62
+    )
     return F.concat(
-        F.lpad(F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"),
+        F.lpad(biased.cast("string"), 20, "0"),
         F.lpad(F.col(tiebreak_col).cast("string"), 20, "0"),
     )
 

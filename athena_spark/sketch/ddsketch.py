@@ -91,7 +91,10 @@ class DDSketch:
         if len(self._buckets) <= self.max_buckets:
             return
         keys = sorted(self._buckets)
-        cut = len(keys) - self.max_buckets + 1
+        # fold the lowest (len - max) buckets into the next one up so
+        # EXACTLY max_buckets remain (len - cut survivors + the fold
+        # target keys[cut] is already among them)
+        cut = len(keys) - self.max_buckets
         folded = 0
         for k in keys[:cut]:
             folded += self._buckets.pop(k)

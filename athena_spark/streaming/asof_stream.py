@@ -17,8 +17,11 @@ dedup stream makes.
 
 State is ONE row per key (the latest right payload), compacted into
 the epoch store every batch — bounded by key cardinality, not stream
-length.  Replay idempotence and checkpoint binding follow the shared
-epoch-store rules (streaming/store.py).
+length.  Each epoch's write is a FULL snapshot, so only the latest
+prior epoch is ever read back, and older snapshot dirs are GC'd after
+every batch (disk holds at most two snapshots, the one this batch
+consumed and the one it wrote).  Replay idempotence and checkpoint
+binding follow the shared epoch-store rules (streaming/store.py).
 """
 
 from __future__ import annotations
@@ -29,7 +32,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from athena_spark.operators.temporal import asof_join
-from athena_spark.streaming.store import bind_checkpoint, read_epoch_store
+from athena_spark.streaming.store import (bind_checkpoint, gc_epochs_below,
+                                          latest_epoch_id)
 
 
 class StreamingAsofEnrich:
@@ -104,7 +108,18 @@ class StreamingAsofEnrich:
         new_rights = batch_df.where(F.expr(self.right_predicate)).select(
             *self._store_cols()
         )
-        prev = read_epoch_store(self.spark, self.store_dir, epoch_id)
+        # each epoch's store write below is a FULL compacted snapshot
+        # (prev state ∪ this batch), so the latest epoch < N alone IS
+        # the complete prior state — reading all epochs would redo
+        # O(epochs x keys) work every batch and grow the join input
+        # with stream length instead of key cardinality
+        prev_id = latest_epoch_id(self.store_dir, int(epoch_id))
+        prev = (
+            None if prev_id is None
+            else self.spark.read.parquet(
+                f"{self.store_dir}/epoch={prev_id}"
+            )
+        )
         # the JOIN side keeps every right row of THIS batch (a left row
         # may match any of them, not just the newest per key) plus the
         # compacted latest-per-key history; only the STORE write is
@@ -112,7 +127,7 @@ class StreamingAsofEnrich:
         if prev is None:
             join_rights = new_rights
         else:
-            join_rights = self._compact(prev).unionByName(new_rights)
+            join_rights = prev.unionByName(new_rights)
         # materialize before the two consumers (store write + join) so
         # the union/compaction runs once
         join_rights = join_rights.localCheckpoint(eager=True)
@@ -131,3 +146,8 @@ class StreamingAsofEnrich:
         self._compact(join_rights).write.mode("overwrite").parquet(
             f"{self.store_dir}/epoch={int(epoch_id)}"
         )
+        # disk boundedness to match the state boundedness: snapshots
+        # older than the one this batch consumed are unreachable (a
+        # replay of THIS batch re-reads prev_id, which is kept)
+        if prev_id is not None:
+            gc_epochs_below(self.store_dir, prev_id)

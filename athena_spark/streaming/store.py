@@ -53,6 +53,61 @@ def read_epoch_store(
     return spark.read.parquet(*sorted(dirs))
 
 
+def latest_epoch_id(
+    store_dir: str, before_epoch: int | None = None
+) -> int | None:
+    """Highest ``K`` with ``store_dir/epoch=K`` and ``K <
+    before_epoch`` (or overall highest when ``None``); ``None`` when
+    no such epoch exists."""
+    if not os.path.isdir(store_dir):
+        return None
+    epochs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_dir)
+        if d.startswith("epoch=")
+        and (before_epoch is None or int(d.split("=", 1)[1]) < before_epoch)
+    ]
+    return max(epochs) if epochs else None
+
+
+def read_latest_epoch(
+    spark: SparkSession, store_dir: str, before_epoch: int | None = None
+) -> DataFrame | None:
+    """Rows from the single HIGHEST ``store_dir/epoch=K`` with
+    ``K < before_epoch`` (or the overall highest when ``None``), or
+    ``None`` when no such epoch exists.  For handlers whose per-epoch
+    write is a full compacted snapshot (each epoch subsumes all
+    earlier ones — e.g. the as-of latest-right store), reading every
+    epoch and re-compacting would cost O(epochs x keys) per batch;
+    the latest snapshot alone is the identical state."""
+    k = latest_epoch_id(store_dir, before_epoch)
+    if k is None:
+        return None
+    return spark.read.parquet(os.path.join(store_dir, f"epoch={k}"))
+
+
+def gc_epochs_below(store_dir: str, keep_from: int) -> None:
+    """Best-effort removal of snapshot epochs ``K < keep_from``.
+
+    Safe ONLY for full-snapshot stores (each epoch subsumes all
+    earlier ones): after batch ``N`` commits its snapshot, the only
+    epoch a future read can need is the latest one ``< N+1`` — a
+    replay of batch ``N`` itself re-reads the latest epoch ``< N``,
+    so callers pass THAT epoch id (the snapshot batch ``N`` consumed)
+    as ``keep_from``, keeping it plus ``N`` and deleting everything
+    older.  Structured Streaming replays only the last uncommitted
+    batch, never earlier committed ones, so older snapshots are
+    unreachable.  Cumulative (append-style) stores — the dedup digest
+    stores — must NEVER call this."""
+    import shutil
+
+    if not os.path.isdir(store_dir):
+        return
+    for d in os.listdir(store_dir):
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) < keep_from:
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+
+
 def bind_checkpoint(store_dir: str, checkpoint_dir: str) -> None:
     """Bind ``store_dir`` to the streaming checkpoint that drives its
     epoch ids.  The binding records BOTH the checkpoint path and a

@@ -150,3 +150,16 @@ def test_ddsketch_distributed_aggregate(spark):
     whole.update(values)
     assert sk == whole
     assert metrics["n_values"] == len(values)
+
+
+def test_ddsketch_collapse_keeps_exactly_max_buckets():
+    """The fold must leave EXACTLY max_buckets (an off-by-one that
+    leaves max_buckets - 1 silently discards one extra bucket of
+    low-end resolution on every collapse)."""
+    sk = DDSketch(alpha=0.02, max_buckets=16)
+    # values in strictly increasing buckets: gamma^k spacing
+    gamma = (1 + 0.02) / (1 - 0.02)
+    vals = np.array([gamma ** k * 1.0001 for k in range(40)])
+    sk.update(vals)
+    assert sk.collapsed
+    assert sk.num_buckets() == 16

@@ -226,3 +226,22 @@ def test_scd2_null_tracked_values_compare_null_safely(spark):
                      effective_col="effective_date").collect()
     # NULL == NULL must be a no-op, not a spurious new version
     assert len(out) == 1 and out[0].is_current
+
+
+def test_scd2_rejects_null_effective_date_and_null_key(spark, dim):
+    from athena_spark.operators.merge import scd2_apply
+
+    null_eff = spark.createDataFrame(
+        [(1, "x", 1, None)],
+        "id long, city string, tier long, effective_date string",
+    )
+    with pytest.raises(ValueError, match="NULL effective_date"):
+        scd2_apply(dim, null_eff, ["id"], ["city", "tier"],
+                   effective_col="effective_date")
+    null_key = spark.createDataFrame(
+        [(None, "x", 1, "2022-01-01")],
+        "id long, city string, tier long, effective_date string",
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        scd2_apply(dim, null_key, ["id"], ["city", "tier"],
+                   effective_col="effective_date")

@@ -379,3 +379,33 @@ def test_sliding_event_sums_matches_batch(spark, sf_dir):
     assert got == truth
     for p in (src, ckpt):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_asof_store_gc_keeps_at_most_two_snapshots(spark, tmp_path):
+    """The as-of latest-right store is a full snapshot per epoch;
+    after each batch, epochs older than the one consumed are GC'd —
+    disk stays bounded by TWO snapshots however long the stream."""
+    from athena_spark.streaming.asof_stream import StreamingAsofEnrich
+
+    store = str(tmp_path / "store")
+    outd = str(tmp_path / "out")
+    enrich = StreamingAsofEnrich(
+        spark, store, outd,
+        left_predicate="kind = 'l'",
+        right_predicate="kind = 'r'",
+        on="ts", by=["k"], right_cols=["rid"], tie_col="rid",
+    )
+    for epoch in range(5):
+        batch = spark.createDataFrame(
+            [("l", 1, float(epoch * 10 + 5), epoch * 10 + 5),
+             ("r", 1, float(epoch * 10), epoch * 10)],
+            "kind string, k long, ts double, rid long",
+        )
+        enrich(batch, epoch)
+    import os
+
+    epochs = sorted(d for d in os.listdir(store) if d.startswith("epoch="))
+    assert len(epochs) <= 2 and "epoch=4" in epochs
+    # the kept latest snapshot still carries the full per-key state
+    last = spark.read.parquet(f"{store}/epoch=4")
+    assert last.count() == 1  # one key, one latest-right row
