@@ -4897,6 +4897,110 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "is_current")
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (Delta OPTIMIZE / Iceberg
+    rewrite_data_files shape): 12 small document files are banded
+    into ~4 row-count-targeted groups by the manifest prefix sum
+    (operators/layout.py plan_compaction) and rewritten one parquet
+    file per group (compact_files).  Certified Spark-side: the plan
+    covers every row, compaction produced fewer files with exactly
+    one file per group, and the rewritten table is row-identical
+    (count + doc_id sum/xor fingerprint).  The oracle pins the
+    invariants and recomputes the document count."""
+    import glob
+    import shutil
+    import tempfile
+
+    from athena_spark.operators.layout import (compact_files, file_stats,
+                                               plan_compaction)
+
+    docs = _docs(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="athena_compact_src_")
+    out = tempfile.mkdtemp(prefix="athena_compact_out_")
+
+    def fingerprint(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("s"),
+            F.expr("bit_xor(doc_id)").alias("x"),
+        ).first()
+        return int(r["n"]), int(r["s"]), int(r["x"])
+
+    try:
+        docs.repartition(12, "doc_id").write.mode("overwrite").parquet(src)
+        stats = file_stats(spark, src, ["doc_id"])
+        manifest = stats.select("num_rows").collect()
+        total = sum(r["num_rows"] for r in manifest)
+        plan = plan_compaction(stats, target_rows=max(1, total // 4))
+        info = compact_files(spark, plan, out)
+        back = spark.read.parquet(out)
+        got = fingerprint(back)
+        one_file_each = all(
+            len(glob.glob(g + "/*.parquet")) == 1
+            for g in glob.glob(out + "/group=*")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    want = fingerprint(docs)
+    rows = [
+        ("n_docs", float(want[0])),
+        ("rows_preserved", 1.0 if total == want[0] else 0.0),
+        ("fewer_files",
+         1.0 if 0 < info["groups"] < info["files_in"] else 0.0),
+        ("one_file_per_group", 1.0 if one_file_each else 0.0),
+        ("round_trip_identical", 1.0 if got == want else 0.0),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def q_incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (Gupta & Mumick 1995 counting
+    algorithm): a per-status COUNT/SUM aggregate over orders is
+    maintained from a MERGE change set (group-moving upserts, deletes,
+    inserts) by delta propagation — only the change set joins the
+    base for old values and only affected groups touch the state; the
+    base is never re-aggregated.  The oracle recomputes the aggregate
+    from the merged snapshot, so the gate certifies
+    maintain == full recompute exactly (prices 2^-10-quantized)."""
+    from athena_spark.operators.merge import (grouped_agg_state,
+                                              maintain_grouped_agg)
+
+    o = _table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        _q1024(F.col("o_totalprice")).alias("p"),
+    )
+    changes = (
+        base.where(F.col("k") % 10 == 0).select(
+            "k", F.lit("X").alias("st"),
+            (F.col("p") + F.lit(1.0)).alias("p"),
+            F.lit("upsert").alias("op"),
+        )
+        .unionByName(
+            base.where(F.col("k") % 10 == 3).select(
+                "k", F.lit(None).cast("string").alias("st"),
+                F.lit(0.0).alias("p"), F.lit("delete").alias("op"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("k") % 10 == 7).select(
+                (F.col("k") + F.lit(10_000_000)).alias("k"),
+                F.lit("N").alias("st"), F.col("p").alias("p"),
+                F.lit("upsert").alias("op"),
+            )
+        )
+    )
+    state = grouped_agg_state(base, ["st"], ["p"])
+    out = maintain_grouped_agg(base, state, changes, ["k"], ["st"], ["p"])
+    return out.select(
+        F.col("st").alias("o_orderstatus"),
+        "n_rows",
+        F.round(F.col("sum_p"), 4).alias("sum_price"),
+    )
+
+
 def q_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-manifest data skipping (Delta Lake VLDB'20 §3.2 /
     Iceberg manifests): Z-order a lineitem projection into 8 range
@@ -5012,6 +5116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_docs": q_merge_upsert_docs,
         "scd2_customers": q_scd2_customers,
         "file_skipping_scan": q_file_skipping_scan,
+        "incremental_agg_maintain": q_incremental_agg_maintain,
+        "compaction_plan": q_compaction_plan,
         "table_profile": q_table_profile,
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
@@ -6300,6 +6406,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, sha256(text)
             FROM changes WHERE op = 'upsert'
+        """,
+        "compaction_plan": """
+            SELECT 'n_docs' AS metric,
+                   CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'rows_preserved', CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'fewer_files', CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'one_file_per_group', CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'round_trip_identical', CAST(1.0 AS DOUBLE)
+        """,
+        "incremental_agg_maintain": """
+            WITH base AS (
+                SELECT o_orderkey AS k, o_orderstatus AS st,
+                       ROUND(o_totalprice * 1024) / 1024 AS p
+                FROM orders
+            ),
+            changes AS (
+                SELECT k, 'X' AS st, p + CAST(1.0 AS DOUBLE) AS p,
+                       'upsert' AS op
+                FROM base WHERE k % 10 = 0
+                UNION ALL
+                SELECT k, NULL, CAST(0.0 AS DOUBLE), 'delete'
+                FROM base WHERE k % 10 = 3
+                UNION ALL
+                SELECT k + 10000000, 'N', p, 'upsert'
+                FROM base WHERE k % 10 = 7
+            ),
+            merged AS (
+                SELECT k, st, p FROM base
+                WHERE k NOT IN (SELECT k FROM changes)
+                UNION ALL
+                SELECT k, st, p FROM changes WHERE op = 'upsert'
+            )
+            SELECT st AS o_orderstatus,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(p), 4) AS sum_price
+            FROM merged GROUP BY st
         """,
         "scd2_customers": """
             WITH c AS (

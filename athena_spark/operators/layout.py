@@ -313,3 +313,70 @@ def rowgroup_skip_stats(
                     skippable += 1
                     break
     return {"total": total, "skippable": skippable}
+
+
+def plan_compaction(stats: DataFrame, target_rows: int) -> DataFrame:
+    """Small-file compaction plan (the maintenance half of Delta's
+    ``OPTIMIZE`` / Iceberg's ``rewrite_data_files``): band the
+    manifest's files into output groups of ~``target_rows`` rows by
+    the running prefix sum of ``num_rows`` in file-name order —
+    ``group = floor(rows_before / target_rows)``.  Deterministic
+    (no sampling), one window over the MANIFEST (a row per file —
+    metadata-sized, so the unpartitioned window is a driver-scale
+    sort, never a data shuffle).  A file larger than the target
+    simply spans its own group(s) boundary-wise; groups therefore
+    hold fewer than ``target_rows + max_input_file_rows`` rows."""
+    from pyspark.sql import Window
+
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    w = (
+        Window.orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows_before = F.coalesce(F.sum("num_rows").over(w), F.lit(0))
+    return stats.select(
+        "file",
+        "num_rows",
+        F.floor(rows_before / F.lit(int(target_rows))).alias("group"),
+    )
+
+
+def compact_files(
+    spark,
+    plan: DataFrame,
+    out_path: str,
+) -> dict:
+    """Execute a :func:`plan_compaction` plan: read the planned files,
+    route each row to its file's group, and write ONE parquet file per
+    group under ``out_path`` (hash-repartition on the group key puts
+    each group in exactly one task; ``partitionBy`` then emits a
+    single file per ``group=K`` directory).  Rows never move between
+    groups, so the rewrite is a pure re-layout — asserted by the
+    round-trip test.  Returns ``{"files_in": n, "groups": g}``.
+
+    The plan collect is the manifest (metadata); file basenames are
+    the join key against ``input_file_name()`` (unique within one
+    table directory, and immune to the file:// URI prefixing of the
+    executor-side path)."""
+    rows = plan.select("file", "group").collect()
+    if not rows:
+        raise ValueError("empty compaction plan")
+    import os
+
+    mapping = [(os.path.basename(r["file"]), int(r["group"]))
+               for r in rows]
+    groups = {g for _, g in mapping}
+    mdf = spark.createDataFrame(mapping, "base string, group long")
+    df = spark.read.parquet(*sorted(r["file"] for r in rows))
+    keyed = df.withColumn(
+        "__base", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    ).join(F.broadcast(mdf), F.col("__base") == F.col("base"), "inner")
+    (
+        keyed.drop("__base", "base")
+        .repartition(len(groups), "group")
+        .write.mode("overwrite")
+        .partitionBy("group")
+        .parquet(out_path)
+    )
+    return {"files_in": len(mapping), "groups": len(groups)}

@@ -246,3 +246,132 @@ def scd2_apply(
         .unionByName(kept_current.select(*cols))
         .unionByName(inserts.select(*cols))
     )
+
+
+def grouped_agg_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The materialized aggregate a view maintains: per group, the
+    row count plus SUM of each ``sum_cols`` entry (aliased
+    ``sum_<col>``).  Callers quantize the summed columns upstream if
+    the state must be exact under re-aggregation (see _q1024-style
+    quantization in the gates)."""
+    groups = list(group_cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return df.groupBy(*groups).agg(*aggs)
+
+
+def maintain_grouped_agg(
+    base: DataFrame,
+    agg_state: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance (delta propagation — Gupta &
+    Mumick 1995, "Maintenance of Materialized Views": counting
+    algorithm for SPJ+aggregate views): update a grouped COUNT/SUM
+    aggregate from a MERGE-style change set WITHOUT rescanning the
+    base table.
+
+    Deltas per change row (same op contract as :func:`merge_upsert`,
+    validated the same way):
+
+    - matched upsert: −old row from its group, +new row in its
+      (possibly different) group
+    - matched delete: −old row
+    - unmatched upsert (insert): +new row
+    - unmatched delete: no-op
+
+    The work is one key join of the CHANGE SET against the base (old
+    values; the planner broadcasts the compacted change set when
+    small — the usual case) plus a group-key join of the per-group
+    deltas against the aggregate state.  Only changed keys and
+    affected groups move; the base is never re-aggregated.  Groups
+    whose maintained count reaches zero are dropped, so the result
+    always equals ``grouped_agg_state(merge_upsert(base, changes))``
+    — asserted by the gate's oracle at sf0.01.
+    """
+    keys = list(key_cols)
+    groups = list(group_cols)
+    sums = list(sum_cols)
+    payload = [c for c in base.columns if c not in keys]
+    missing = [c for c in keys + payload if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+    ch = changes.select(
+        *[F.col(c).alias(f"_ch_{c}") for c in keys + payload],
+        F.col(op_col).alias("_op"),
+    )
+    v = ch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(f"_ch_{k}") for k in keys]).alias("nk"),
+        F.sum(
+            F.coalesce(~F.col("_op").isin(*_OPS), F.lit(True)).cast("int")
+        ).alias("bad"),
+    ).first()
+    if v["bad"]:
+        raise ValueError(
+            f"{v['bad']} change row(s) have {op_col} outside {_OPS}"
+        )
+    if v["n"] != v["nk"]:
+        raise ValueError(
+            f"{v['n'] - v['nk']} duplicate change key(s); run "
+            "compact_changes first so 'latest' is well-defined"
+        )
+    # old values for matched keys: the change set is the small side —
+    # an inner key join the planner can broadcast
+    cond = [base[k] == ch[f"_ch_{k}"] for k in keys]
+    old = base.join(ch.select(*[f"_ch_{k}" for k in keys]), cond, "inner")
+    minus = old.select(
+        *[base[g].alias(g) for g in groups],
+        F.lit(-1).cast("long").alias("_dn"),
+        *[(-base[c]).alias(f"_ds_{c}") for c in sums],
+    )
+    plus = ch.where(F.col("_op") == "upsert").select(
+        *[F.col(f"_ch_{g}").alias(g) for g in groups],
+        F.lit(1).cast("long").alias("_dn"),
+        *[F.col(f"_ch_{c}").alias(f"_ds_{c}") for c in sums],
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(*groups)
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            *[F.sum(f"_ds_{c}").alias(f"_ds_{c}") for c in sums],
+        )
+    )
+    st = agg_state.select(
+        *[F.col(g).alias(f"_st_{g}") for g in groups],
+        F.col("n_rows").alias("_st_n"),
+        *[F.col(f"sum_{c}").alias(f"_st_s_{c}") for c in sums],
+    )
+    jcond = [st[f"_st_{g}"].eqNullSafe(delta[g]) for g in groups]
+    j = st.join(delta, jcond, "full_outer")
+    has_delta = F.col("_dn").isNotNull()
+    n_new = F.coalesce(F.col("_st_n"), F.lit(0)) + F.coalesce(
+        F.col("_dn"), F.lit(0)
+    )
+    out = j.select(
+        *[
+            F.when(has_delta, delta[g]).otherwise(
+                F.col(f"_st_{g}")
+            ).alias(g)
+            for g in groups
+        ],
+        n_new.alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"_st_s_{c}"), F.lit(0.0))
+                + F.coalesce(F.col(f"_ds_{c}"), F.lit(0.0))
+            ).alias(f"sum_{c}")
+            for c in sums
+        ],
+    )
+    return out.where(F.col("n_rows") > 0)

@@ -257,3 +257,56 @@ def test_read_pruned_raises_when_everything_pruned(spark, zordered_dir):
     stats = file_stats(spark, zordered_dir, ["x", "y"])
     with pytest.raises(ValueError, match="every file pruned"):
         read_pruned(spark, stats, {"x": (1e9, 2e9)})
+
+
+# -- compaction ----------------------------------------------------------------
+
+def test_plan_compaction_bands_by_prefix_sum(spark):
+    from athena_spark.operators.layout import plan_compaction
+
+    stats = spark.createDataFrame(
+        [("a", 30), ("b", 50), ("c", 40), ("d", 10), ("e", 100)],
+        "file string, num_rows long",
+    )
+    got = {r.file: r.group for r in
+           plan_compaction(stats, target_rows=60).collect()}
+    # prefix-before in name order: a=0, b=30, c=80, d=120, e=130
+    assert got == {"a": 0, "b": 0, "c": 1, "d": 2, "e": 2}
+
+
+def test_plan_compaction_rejects_bad_target(spark):
+    from athena_spark.operators.layout import plan_compaction
+
+    stats = spark.createDataFrame([("a", 1)], "file string, num_rows long")
+    with pytest.raises(ValueError, match="target_rows"):
+        plan_compaction(stats, 0)
+
+
+def test_compact_files_round_trip(spark, points, tmp_path_factory):
+    """Compaction is a pure re-layout: same rows, fewer files, one
+    output file per group, group sizes inside the banding bound."""
+    import glob
+
+    from athena_spark.operators.layout import (compact_files, file_stats,
+                                               plan_compaction)
+
+    src = str(tmp_path_factory.mktemp("compact") / "src")
+    out = str(tmp_path_factory.mktemp("compact") / "out")
+    # 16 small files
+    points.repartition(16, "pid").write.parquet(src)
+    stats = file_stats(spark, src, ["x"])
+    plan = plan_compaction(stats, target_rows=200)
+    info = compact_files(spark, plan, out)
+    assert info["files_in"] == 16
+    assert 1 < info["groups"] < 16
+    back = spark.read.parquet(out)
+    assert sorted(r.pid for r in back.collect()) == sorted(
+        r.pid for r in points.collect())
+    # one parquet file per group dir
+    for gdir in glob.glob(out + "/group=*"):
+        assert len(glob.glob(gdir + "/*.parquet")) == 1
+    # banding bound: every group holds < target + max input file rows
+    max_in = max(r.num_rows for r in stats.collect())
+    sizes = {r.group: r.n for r in
+             back.groupBy("group").agg(F.count("*").alias("n")).collect()}
+    assert all(n < 200 + max_in for n in sizes.values())

@@ -245,3 +245,91 @@ def test_scd2_rejects_null_effective_date_and_null_key(spark, dim):
     with pytest.raises(ValueError, match="NULL key"):
         scd2_apply(dim, null_key, ["id"], ["city", "tier"],
                    effective_col="effective_date")
+
+
+# -- incremental aggregate maintenance ---------------------------------------
+
+def test_maintain_grouped_agg_equals_full_recompute(spark):
+    from athena_spark.operators.merge import (grouped_agg_state,
+                                              maintain_grouped_agg,
+                                              merge_upsert)
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0),
+         (5, "c", 50.0)],
+        "id long, grp string, val double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b", 21.0, "upsert"),   # moves group a -> b, new value
+            (3, "b", 31.0, "upsert"),   # same group, value change
+            (5, None, 0.0, "delete"),   # group c becomes empty -> dropped
+            (9, "d", 90.0, "upsert"),   # insert into a brand-new group
+            (77, None, 0.0, "delete"),  # unmatched delete -> no-op
+        ],
+        "id long, grp string, val double, op string",
+    )
+    state = grouped_agg_state(base, ["grp"], ["val"])
+    got = {
+        r.grp: (r.n_rows, r.sum_val)
+        for r in maintain_grouped_agg(
+            base, state, changes, ["id"], ["grp"], ["val"]
+        ).collect()
+    }
+    want = {
+        r.grp: (r.n_rows, r.sum_val)
+        for r in grouped_agg_state(
+            merge_upsert(base, changes, ["id"]), ["grp"], ["val"]
+        ).collect()
+    }
+    assert got == want
+    assert "c" not in got          # zero-count group dropped
+    assert got["d"] == (1, 90.0)   # fresh group created
+    assert got["a"] == (1, 10.0)   # row 2 left group a
+    assert got["b"] == (3, 92.0)   # 30->31 in place, +21 moved in, 40 kept
+
+
+def test_maintain_grouped_agg_rejects_duplicate_keys(spark):
+    from athena_spark.operators.merge import (grouped_agg_state,
+                                              maintain_grouped_agg)
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0)], "id long, grp string, val double")
+    state = grouped_agg_state(base, ["grp"], ["val"])
+    dup = spark.createDataFrame(
+        [(1, "a", 1.0, "upsert"), (1, "a", 2.0, "upsert")],
+        "id long, grp string, val double, op string",
+    )
+    with pytest.raises(ValueError, match="duplicate change key"):
+        maintain_grouped_agg(base, state, dup, ["id"], ["grp"], ["val"])
+
+
+def test_maintain_grouped_agg_null_group_keys(spark):
+    """NULL is a legal group value: deltas must land on the NULL
+    group via null-safe group-key equality, not spawn a second one."""
+    from athena_spark.operators.merge import (grouped_agg_state,
+                                              maintain_grouped_agg,
+                                              merge_upsert)
+
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, "a", 20.0)],
+        "id long, grp string, val double",
+    )
+    changes = spark.createDataFrame(
+        [(3, None, 5.0, "upsert")],
+        "id long, grp string, val double, op string",
+    )
+    state = grouped_agg_state(base, ["grp"], ["val"])
+    got = {
+        r.grp: (r.n_rows, r.sum_val)
+        for r in maintain_grouped_agg(
+            base, state, changes, ["id"], ["grp"], ["val"]
+        ).collect()
+    }
+    want = {
+        r.grp: (r.n_rows, r.sum_val)
+        for r in grouped_agg_state(
+            merge_upsert(base, changes, ["id"]), ["grp"], ["val"]
+        ).collect()
+    }
+    assert got == want and got[None] == (2, 15.0)
