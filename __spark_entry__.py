@@ -4897,6 +4897,69 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "is_current")
 
 
+_TMIX_SEED = 11
+_TMIX_T = 4.0
+
+
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (Arivazhagan et al. 2019;
+    XLM-R §3.1): three deterministically skewed corpora (doc_id mod-8
+    bands at 5:2:1) get weights q_i ∝ p_i^(1/T) computed DRIVER-side
+    (trainprep.temperature_weights — the pow never runs in a row
+    expression), then mix via the sha-draw mix_corpora.  Certified
+    Spark-side: smaller sources are strictly upweighted, the expected
+    mixture is strictly closer to uniform than the raw proportions,
+    and the realized per-source mixture counts track w_i * n_i within
+    6*sqrt; the oracle recomputes the raw band sizes and pins the
+    invariants."""
+    import math
+
+    from athena_spark.operators.trainprep import (mix_corpora,
+                                                  temperature_weights)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    bands = {
+        "big": F.col("doc_id") % 8 < 5,
+        "mid": (F.col("doc_id") % 8 >= 5) & (F.col("doc_id") % 8 < 7),
+        "small": F.col("doc_id") % 8 == 7,
+    }
+    parts = {k: docs.where(cond) for k, cond in bands.items()}
+    counts = {k: parts[k].count() for k in parts}
+    weights = temperature_weights(counts, temperature=_TMIX_T)
+    mixture = mix_corpora(
+        [(k, parts[k], weights[k]) for k in sorted(parts)],
+        "doc_id", seed=_TMIX_SEED,
+    )
+    sel = {
+        r["mix_source"]: r["n"]
+        for r in mixture.groupBy("mix_source")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    order = sorted(counts, key=counts.get)  # small -> big
+    upweights = all(
+        weights[order[i]] > weights[order[i + 1]]
+        for i in range(len(order) - 1)
+    )
+    n_total = sum(counts.values())
+    mixed_total = sum(weights[k] * counts[k] for k in counts)
+    u = 1.0 / len(counts)
+    l1_raw = sum(abs(counts[k] / n_total - u) for k in counts)
+    l1_mix = sum(
+        abs(weights[k] * counts[k] / mixed_total - u) for k in counts
+    )
+    tracks = all(
+        abs(sel.get(k, 0) - weights[k] * counts[k])
+        <= 6.0 * math.sqrt(weights[k] * counts[k]) + 2.0
+        for k in counts
+    )
+    rows = [(f"n_{k}", float(counts[k])) for k in sorted(counts)] + [
+        ("upweights_smaller_sources", 1.0 if upweights else 0.0),
+        ("flattens_toward_uniform", 1.0 if l1_mix < l1_raw else 0.0),
+        ("mixture_counts_track_expected", 1.0 if tracks else 0.0),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (Delta OPTIMIZE / Iceberg
     rewrite_data_files shape): 12 small document files are banded
@@ -5118,6 +5181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_skipping_scan": q_file_skipping_scan,
         "incremental_agg_maintain": q_incremental_agg_maintain,
         "compaction_plan": q_compaction_plan,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
         "table_profile": q_table_profile,
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
@@ -6406,6 +6470,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, sha256(text)
             FROM changes WHERE op = 'upsert'
+        """,
+        "corpus_mix_temperature": """
+            SELECT 'n_big' AS metric,
+                   CAST(COUNT(*) FILTER (WHERE doc_id % 8 < 5) AS DOUBLE)
+                       AS value
+            FROM documents
+            UNION ALL
+            SELECT 'n_mid',
+                   CAST(COUNT(*) FILTER (WHERE doc_id % 8 >= 5
+                                           AND doc_id % 8 < 7) AS DOUBLE)
+            FROM documents
+            UNION ALL
+            SELECT 'n_small',
+                   CAST(COUNT(*) FILTER (WHERE doc_id % 8 = 7) AS DOUBLE)
+            FROM documents
+            UNION ALL SELECT 'upweights_smaller_sources',
+                             CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'flattens_toward_uniform',
+                             CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'mixture_counts_track_expected',
+                             CAST(1.0 AS DOUBLE)
         """,
         "compaction_plan": """
             SELECT 'n_docs' AS metric,

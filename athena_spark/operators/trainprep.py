@@ -571,3 +571,41 @@ def write_training_shards(
     )
     back = df.sparkSession.read.parquet(path)
     return shard_manifest(back, id_col, pos_col)
+
+
+def temperature_weights(
+    counts: dict[str, int],
+    temperature: float,
+    target_total: float | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights (Arivazhagan et al. 2019
+    "Massively Multilingual NMT" §4.2; Conneau et al. 2020 XLM-R
+    §3.1): sampling probabilities q_i ∝ p_i^(1/T) over the raw size
+    shares p_i = n_i / N.  T=1 keeps natural proportions, T→∞ tends
+    to uniform; the standard trick for keeping low-resource corpora
+    visible without letting giant crawls dominate.
+
+    Returns per-source ``mix_corpora`` weights (expected COPIES of
+    each row): ``w_i = q_i * target_total / n_i`` with
+    ``target_total`` defaulting to N, so the mixture keeps roughly
+    the input volume while shifting composition.  Driver-side pure
+    Python over the (tiny) per-source count map — the transcendental
+    pow never runs inside a row expression, so gates embed the
+    resulting float literals exactly on both engines."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    bad = [k for k, n in counts.items() if n <= 0]
+    if bad:
+        raise ValueError(f"sources with non-positive counts: {bad}")
+    total = float(sum(counts.values()))
+    if target_total is None:
+        target_total = total
+    shares = {k: n / total for k, n in counts.items()}
+    scaled = {k: p ** (1.0 / float(temperature)) for k, p in shares.items()}
+    z = sum(scaled.values())
+    return {
+        k: (scaled[k] / z) * float(target_total) / float(counts[k])
+        for k in counts
+    }

@@ -435,3 +435,48 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     m2 = shard_manifest(altered).orderBy("shard").collect()
     assert [r.checksum for r in m1] != [r.checksum for r in m2]
     assert [r.n_rows for r in m1] == [r.n_rows for r in m2]
+
+
+def test_temperature_weights_flatten_toward_uniform():
+    from athena_spark.operators.trainprep import temperature_weights
+
+    counts = {"big": 9000, "mid": 900, "small": 100}
+    w1 = temperature_weights(counts, temperature=1.0)
+    # T=1: natural proportions -> every weight exactly 1.0
+    assert all(abs(w - 1.0) < 1e-12 for w in w1.values())
+    w5 = temperature_weights(counts, temperature=5.0)
+    # higher temperature upweights small sources, downweights big ones
+    assert w5["small"] > 1.0 > w5["big"]
+    assert w5["small"] > w5["mid"] > w5["big"]
+    # expected volume is preserved: sum over sources of w_i * n_i = N
+    n_total = sum(counts.values())
+    mixed = sum(w5[k] * counts[k] for k in counts)
+    assert abs(mixed - n_total) < 1e-6
+    # mixed proportions are strictly closer to uniform than raw
+    raw = {k: n / n_total for k, n in counts.items()}
+    mix = {k: w5[k] * counts[k] / mixed for k in counts}
+    u = 1.0 / len(counts)
+    l1_raw = sum(abs(p - u) for p in raw.values())
+    l1_mix = sum(abs(p - u) for p in mix.values())
+    assert l1_mix < l1_raw
+
+
+def test_temperature_weights_validation():
+    from athena_spark.operators.trainprep import temperature_weights
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_weights({"a": 1}, temperature=0.0)
+    with pytest.raises(ValueError, match="non-empty"):
+        temperature_weights({}, temperature=1.0)
+    with pytest.raises(ValueError, match="non-positive"):
+        temperature_weights({"a": 0}, temperature=1.0)
+
+
+def test_temperature_weights_infinite_t_is_uniform_volume():
+    from athena_spark.operators.trainprep import temperature_weights
+
+    counts = {"a": 400, "b": 100}
+    w = temperature_weights(counts, temperature=1e9)
+    # q_i -> 1/2 each: a gets 250/400, b gets 250/100
+    assert abs(w["a"] - 0.625) < 1e-6
+    assert abs(w["b"] - 2.5) < 1e-6
