@@ -4897,6 +4897,79 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "is_current")
 
 
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (deequ, Schelter et al.
+    VLDB'18; operators/profile.py check_rules) over orders: key
+    completeness/uniqueness, price ranges (one rule deliberately
+    tight so the checker PROVES it counts violations — the oracle
+    recomputes the exact count), status domain, priority format,
+    row-count floor, and o_custkey referential integrity against
+    customer.  All row-level rules fold into one aggregate scan; the
+    FK rule is one ids-only anti-join."""
+    from athena_spark.operators.profile import check_rules
+
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    return check_rules(
+        o,
+        [
+            {"rule": "not_null", "col": "o_orderkey"},
+            {"rule": "unique", "cols": ["o_orderkey"]},
+            {"rule": "in_range", "col": "o_totalprice",
+             "lo": 0.0, "hi": 10_000_000.0},
+            {"rule": "in_range", "col": "o_totalprice",
+             "lo": 0.0, "hi": 50_000.0},
+            {"rule": "in_set", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"rule": "matches", "col": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+            {"rule": "min_rows", "n": 1},
+            {"rule": "foreign_key", "col": "o_custkey",
+             "ref": "customer", "ref_col": "c_custkey"},
+        ],
+        ref_tables={"customer": c},
+    )
+
+
+def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data capture between snapshots (Delta change-data-feed
+    shape, operators/merge.py snapshot_diff): the documents base is
+    revised with the same MERGE change set as merge_upsert_docs
+    (revise %10==0, delete %10==3, insert copies of %10==7), and the
+    diff of (base, revised) must recover EXACTLY that change set —
+    upserts with the new payload, deletes carrying the old payload,
+    unchanged keys absent.  One null-safe full-outer key join; only
+    changed keys leave it."""
+    from athena_spark.operators.merge import merge_upsert, snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    changes = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("REVISED "), F.col("text")).alias("text"),
+            F.lit("upsert").alias("op"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 3).select(
+                "doc_id", F.lit(None).cast("string").alias("text"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                F.col("text"), F.lit("upsert").alias("op"),
+            )
+        )
+    )
+    new = merge_upsert(docs, changes, ["doc_id"])
+    diff = snapshot_diff(docs, new, ["doc_id"])
+    return diff.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha"), "op"
+    )
+
+
 _TMIX_SEED = 11
 _TMIX_T = 4.0
 
@@ -5182,6 +5255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_maintain": q_incremental_agg_maintain,
         "compaction_plan": q_compaction_plan,
         "corpus_mix_temperature": q_corpus_mix_temperature,
+        "snapshot_diff_cdc": q_snapshot_diff_cdc,
+        "data_quality_checks": q_data_quality_checks,
         "table_profile": q_table_profile,
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
@@ -6470,6 +6545,62 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, sha256(text)
             FROM changes WHERE op = 'upsert'
+        """,
+        "data_quality_checks": """
+            WITH v AS (
+                SELECT
+                    CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+                         AS BIGINT) AS nn,
+                    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+                         AS BIGINT) AS uq,
+                    CAST(COUNT(*) FILTER (WHERE o_totalprice < 0.0
+                            OR o_totalprice > 10000000.0)
+                         AS BIGINT) AS r1,
+                    CAST(COUNT(*) FILTER (WHERE o_totalprice < 0.0
+                            OR o_totalprice > 50000.0)
+                         AS BIGINT) AS r2,
+                    CAST(COUNT(*) FILTER (WHERE o_orderstatus
+                            NOT IN ('O', 'F', 'P'))
+                         AS BIGINT) AS st,
+                    CAST(COUNT(*) FILTER (WHERE NOT regexp_matches(
+                            o_orderpriority, '^[1-5]-'))
+                         AS BIGINT) AS pr,
+                    CAST(CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
+                         ELSE 0 END AS BIGINT) AS mr
+                FROM orders
+            ),
+            fk AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS fkv
+                FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN
+                      (SELECT c_custkey FROM customer)
+            )
+            SELECT 'not_null(o_orderkey)' AS rule,
+                   nn AS violations, nn = 0 AS passed FROM v
+            UNION ALL SELECT 'unique(o_orderkey)', uq, uq = 0 FROM v
+            UNION ALL SELECT 'in_range(o_totalprice,0.0,10000000.0)',
+                             r1, r1 = 0 FROM v
+            UNION ALL SELECT 'in_range(o_totalprice,0.0,50000.0)',
+                             r2, r2 = 0 FROM v
+            UNION ALL SELECT 'in_set(o_orderstatus)', st, st = 0 FROM v
+            UNION ALL SELECT 'matches(o_orderpriority)', pr, pr = 0
+                      FROM v
+            UNION ALL SELECT 'min_rows(1)', mr, mr = 0 FROM v
+            UNION ALL SELECT
+                'foreign_key(o_custkey->customer.c_custkey)',
+                fkv, fkv = 0 FROM fk
+        """,
+        "snapshot_diff_cdc": """
+            SELECT doc_id, sha256('REVISED ' || text) AS text_sha,
+                   'upsert' AS op
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, sha256(text), 'delete'
+            FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT doc_id + 1000000, sha256(text), 'upsert'
+            FROM documents WHERE doc_id % 10 = 7
         """,
         "corpus_mix_temperature": """
             SELECT 'n_big' AS metric,

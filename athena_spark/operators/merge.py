@@ -375,3 +375,100 @@ def maintain_grouped_agg(
         ],
     )
     return out.where(F.col("n_rows") > 0)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-data capture between two immutable snapshots — the
+    inverse of :func:`merge_upsert` and the batch shape of Delta's
+    change data feed: one full-outer join on the key emits
+
+    - key only in ``new``            -> ``upsert`` (insert)
+    - key in both, any payload diff  -> ``upsert`` (update)
+    - key only in ``old``            -> ``delete``
+    - key in both, payload identical -> no row (unchanged keys are
+      the overwhelming majority at scale and never leave the join)
+
+    Payload comparison is null-safe per column.  Output schema = key
+    + new-side payload (delete rows carry the OLD payload so
+    downstream consumers see what disappeared) + ``op_col``.
+    Round-trip law, asserted by the gate's oracle:
+    ``merge_upsert(old, snapshot_diff(old, new)) == new`` whenever
+    ``new`` has unique keys (validated)."""
+    keys = list(key_cols)
+    payload = [c for c in old.columns if c not in keys]
+    if sorted(old.columns) != sorted(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}"
+        )
+    # explicit presence markers, NOT key-is-null sentinels: the join
+    # below is null-safe on the keys, so a legitimately-NULL key value
+    # must still read as "present on this side"
+    o = old.select(
+        *[F.col(k).alias(f"_o_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in payload],
+        F.lit(True).alias("_o_present"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_n_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in payload],
+        F.lit(True).alias("_n_present"),
+    )
+    # unique keys on both sides, or the join fans out and the diff is
+    # ill-defined — one count per side, same discipline as merge_upsert
+    for side, df in (("old", o), ("new", n)):
+        pref = "_o_" if side == "old" else "_n_"
+        v = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            # struct-wrap: count_distinct drops rows whose bare key is
+            # NULL, but NULL is a legal (null-safe-joined) key here —
+            # a struct with a NULL field is itself non-NULL, so every
+            # row counts and NULLs compare null-safely
+            F.count_distinct(
+                F.struct(*[F.col(f"{pref}{k}") for k in keys])
+            ).alias("k"),
+        ).first()
+        if v["c"] != v["k"]:
+            raise ValueError(
+                f"{v['c'] - v['k']} duplicate key(s) in the {side} "
+                "snapshot; diff requires unique keys per side"
+            )
+    j = o.join(
+        n,
+        [F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in keys],
+        "full_outer",
+    )
+    in_old = F.coalesce(F.col("_o_present"), F.lit(False))
+    in_new = F.coalesce(F.col("_n_present"), F.lit(False))
+    changed = functools_reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+            for c in payload
+        ],
+        F.lit(False),
+    )
+    keep = (~in_old & in_new) | (in_old & ~in_new) | (
+        in_old & in_new & changed
+    )
+    op = F.when(in_new, F.lit("upsert")).otherwise(F.lit("delete"))
+    return j.where(keep).select(
+        *[
+            F.when(in_new, F.col(f"_n_{k}")).otherwise(
+                F.col(f"_o_{k}")
+            ).alias(k)
+            for k in keys
+        ],
+        *[
+            F.when(in_new, F.col(f"_n_{c}")).otherwise(
+                F.col(f"_o_{c}")
+            ).alias(c)
+            for c in payload
+        ],
+        op.alias(op_col),
+    )

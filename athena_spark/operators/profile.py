@@ -139,3 +139,131 @@ def profile_table(
     return df.sparkSession.createDataFrame(
         out_rows, "column string, stat string, value double"
     )
+
+
+def check_rules(
+    df: DataFrame,
+    rules: Sequence[dict],
+    ref_tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative data-quality validation (deequ — Schelter et al.
+    VLDB'18 "Automating large-scale data quality verification";
+    Great Expectations): evaluate constraint rules against a table
+    and report per-rule violation counts.
+
+    Rule dicts (``rule`` selects the kind):
+
+    - ``{"rule": "not_null", "col": c}``
+    - ``{"rule": "unique", "cols": [c, ...]}`` — duplicate rows beyond
+      the first per key count as violations
+    - ``{"rule": "in_range", "col": c, "lo": x, "hi": y}`` (inclusive;
+      NULLs are not violations — compose with ``not_null``)
+    - ``{"rule": "in_set", "col": c, "values": [...]}``
+    - ``{"rule": "matches", "col": c, "pattern": regex}`` (``rlike``
+      semantics: unanchored search — anchor with ``^``/``$`` for a
+      full match)
+    - ``{"rule": "min_rows", "n": k}``
+    - ``{"rule": "foreign_key", "col": c, "ref": name, "ref_col": rc}``
+      with ``ref_tables[name]`` the referenced DataFrame — NULLs are
+      not violations (SQL FK semantics)
+
+    Scale shape: every row-level rule (not_null / in_range / in_set /
+    matches / min_rows) folds into ONE wide aggregate — a single scan
+    of the table regardless of rule count; each ``unique`` rule adds a
+    ``count_distinct(struct(...))`` to the same pass (one extra
+    shuffle of just those key columns); each ``foreign_key`` rule is
+    one ids-only left-anti join (broadcast when the distinct reference
+    keys are small).  Output: ``(rule, violations, passed)`` — long
+    form, one row per rule, driver-assembled (rule counts are
+    metadata-sized)."""
+    rules = list(rules)
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    ref_tables = dict(ref_tables or {})
+
+    aggs = []
+    labels = []
+    uniques = []
+    fks = []
+    for r in rules:
+        kind = r["rule"]
+        if kind == "not_null":
+            c = r["col"]
+            labels.append(f"not_null({c})")
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(labels[-1])
+            )
+        elif kind == "in_range":
+            c, lo, hi = r["col"], float(r["lo"]), float(r["hi"])
+            labels.append(f"in_range({c},{lo!r},{hi!r})")
+            bad = (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))
+            aggs.append(
+                F.sum(F.coalesce(bad, F.lit(False)).cast("long"))
+                .alias(labels[-1])
+            )
+        elif kind == "in_set":
+            c = r["col"]
+            vals = list(r["values"])
+            labels.append(f"in_set({c})")
+            bad = ~F.col(c).isin(*vals)
+            aggs.append(
+                F.sum(F.coalesce(bad, F.lit(False)).cast("long"))
+                .alias(labels[-1])
+            )
+        elif kind == "matches":
+            c, pat = r["col"], r["pattern"]
+            labels.append(f"matches({c})")
+            bad = ~F.col(c).rlike(pat)
+            aggs.append(
+                F.sum(F.coalesce(bad, F.lit(False)).cast("long"))
+                .alias(labels[-1])
+            )
+        elif kind == "min_rows":
+            n = int(r["n"])
+            labels.append(f"min_rows({n})")
+            aggs.append(
+                F.when(F.count(F.lit(1)) < n, F.lit(n).cast("long")
+                       - F.count(F.lit(1))).otherwise(F.lit(0).cast("long"))
+                .alias(labels[-1])
+            )
+        elif kind == "unique":
+            cols = list(r["cols"])
+            label = f"unique({','.join(cols)})"
+            labels.append(label)
+            uniques.append((label, cols))
+            # struct-wrap so NULL key values still count rows
+            aggs.append(
+                (F.count(F.lit(1))
+                 - F.count_distinct(F.struct(*cols))).alias(label)
+            )
+        elif kind == "foreign_key":
+            label = f"foreign_key({r['col']}->{r['ref']}.{r['ref_col']})"
+            labels.append(label)
+            if r["ref"] not in ref_tables:
+                raise ValueError(
+                    f"foreign_key rule references unknown table "
+                    f"{r['ref']!r}; pass it via ref_tables"
+                )
+            fks.append((label, r["col"], r["ref"], r["ref_col"]))
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+
+    counts: dict[str, int] = {}
+    if aggs:
+        row = df.agg(*aggs).first()
+        for lab in labels:
+            if lab in row.asDict():
+                counts[lab] = int(row[lab] or 0)
+    for label, col, ref, ref_col in fks:
+        refs = ref_tables[ref].select(
+            F.col(ref_col).alias(col)
+        ).distinct()
+        counts[label] = (
+            df.select(col).where(F.col(col).isNotNull())
+            .join(refs, on=col, how="left_anti").count()
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(lab, counts[lab], counts[lab] == 0) for lab in labels],
+        "rule string, violations long, passed boolean",
+    )

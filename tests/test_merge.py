@@ -333,3 +333,63 @@ def test_maintain_grouped_agg_null_group_keys(spark):
         ).collect()
     }
     assert got == want and got[None] == (2, 15.0)
+
+
+# -- snapshot diff (CDC derivation) ------------------------------------------
+
+def test_snapshot_diff_classifies_and_round_trips(spark):
+    from athena_spark.operators.merge import merge_upsert, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, text string, score long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),      # unchanged -> no diff row
+         (2, "B2", 20),     # payload change -> upsert
+         (4, "d", 41),      # payload change -> upsert
+         (9, "new", 90)],   # insert -> upsert; 3 deleted
+        "id long, text string, score long",
+    )
+    diff = snapshot_diff(old, new, ["id"])
+    got = {r.id: (r.text, r.score, r.op) for r in diff.collect()}
+    assert got == {
+        2: ("B2", 20, "upsert"),
+        3: ("c", 30, "delete"),   # delete rows carry the OLD payload
+        4: ("d", 41, "upsert"),
+        9: ("new", 90, "upsert"),
+    }
+    # round-trip law: applying the diff to old reproduces new exactly
+    rebuilt = merge_upsert(old, diff, ["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect()))
+
+
+def test_snapshot_diff_null_safe_payload_and_keys(spark):
+    from athena_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "x", None), (2, None, 5)],
+        "id long, text string, score long",
+    )
+    new = spark.createDataFrame(
+        [(None, "x", None), (2, None, 6)],
+        "id long, text string, score long",
+    )
+    got = {r.id: r.op for r in snapshot_diff(old, new, ["id"]).collect()}
+    # NULL-keyed identical row is matched (not delete+insert);
+    # NULL == NULL payload is unchanged
+    assert got == {2: "upsert"}
+
+
+def test_snapshot_diff_rejects_duplicate_keys_and_schema_drift(spark):
+    from athena_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "id long, text string")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")],
+                                "id long, text string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        snapshot_diff(old, dup, ["id"]).collect()
+    other = spark.createDataFrame([(1, 2)], "id long, score long")
+    with pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(old, other, ["id"])

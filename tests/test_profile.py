@@ -86,3 +86,71 @@ def test_column_histogram_explicit_range_filters(spark):
            .column_histogram(df, "x", n_bins=2, lo=2.0, hi=5.0).collect()}
     # only values in [2, 5] participate: 2,3 -> bin 0; 4,5 -> bin 1
     assert got == {0: 2, 1: 2}
+
+
+# -- constraint validation -----------------------------------------------------
+
+def test_check_rules_counts_violations(spark):
+    from athena_spark.operators.profile import check_rules
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, "c", None), (None, "zz", 7.0)],
+        "id long, tag string, val double",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rid long")
+    out = {r.rule: (r.violations, r.passed) for r in check_rules(
+        df,
+        [
+            {"rule": "not_null", "col": "id"},
+            {"rule": "unique", "cols": ["id"]},
+            {"rule": "in_range", "col": "val", "lo": 0.0, "hi": 10.0},
+            {"rule": "in_set", "col": "tag", "values": ["a", "b", "c"]},
+            {"rule": "matches", "col": "tag", "pattern": "^[a-z]$"},
+            {"rule": "min_rows", "n": 3},
+            {"rule": "min_rows", "n": 10},
+            {"rule": "foreign_key", "col": "id", "ref": "r",
+             "ref_col": "rid"},
+        ],
+        ref_tables={"r": ref},
+    ).collect()}
+    assert out["not_null(id)"] == (1, False)
+    # ids: 1, 2, 2, NULL -> one duplicate beyond first (NULL counts as
+    # a distinct key via the struct wrap)
+    assert out["unique(id)"] == (1, False)
+    # val 50.0 out of range; NULL val is not a violation
+    assert out["in_range(val,0.0,10.0)"] == (1, False)
+    assert out["in_set(tag)"] == (1, False)      # 'zz'
+    assert out["matches(tag)"] == (1, False)     # 'zz'
+    assert out["min_rows(3)"] == (0, True)
+    assert out["min_rows(10)"] == (6, False)     # 6 rows short
+    # FK: non-null ids {1,2,2} all present in ref -> 0 (NULL skipped)
+    assert out["foreign_key(id->r.rid)"] == (0, True)
+
+
+def test_check_rules_single_pass_for_row_rules(spark):
+    """All row-level rules + uniqueness run as ONE aggregate job."""
+    from athena_spark.operators.profile import check_rules
+
+    df = spark.createDataFrame([(1, "a")], "id long, tag string")
+    out = check_rules(
+        df,
+        [
+            {"rule": "not_null", "col": "id"},
+            {"rule": "unique", "cols": ["id", "tag"]},
+            {"rule": "min_rows", "n": 1},
+        ],
+    ).collect()
+    assert all(r.passed for r in out)
+
+
+def test_check_rules_validation_errors(spark):
+    from athena_spark.operators.profile import check_rules
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="non-empty"):
+        check_rules(df, [])
+    with pytest.raises(ValueError, match="unknown rule"):
+        check_rules(df, [{"rule": "frobnicate"}])
+    with pytest.raises(ValueError, match="unknown table"):
+        check_rules(df, [{"rule": "foreign_key", "col": "id",
+                          "ref": "missing", "ref_col": "x"}])
