@@ -42,6 +42,10 @@ Subcommands:
 * ``merge``      — snapshot MERGE upsert/delete (optional CDC compact)
 * ``zorder``     — Z-order layout rewrite for row-group scan pruning
 * ``shard``      — deterministic shuffle + fixed-size training shards
+* ``diff``       — snapshot diff: derive the upsert/delete CDC change set
+* ``scd2``       — type-2 slowly-changing-dimension apply (keep history)
+* ``compact``    — small-file compaction (stats-manifest bin banding)
+* ``validate``   — deequ-style rule checks (completeness/uniqueness/FK)
 * ``package``    — build the --py-files zip
 """
 
@@ -390,6 +394,39 @@ def _build_parser() -> argparse.ArgumentParser:
     sh2.add_argument("--id-col", default="doc_id")
     sh2.add_argument("--rows-per-shard", type=int, default=65536)
     sh2.add_argument("--seed", type=int, default=0)
+
+    df_ = sub.add_parser("diff")
+    common(df_, output_help="change-set parquet dir (required)")
+    df_.add_argument("--new", required=True,
+                     help="the newer snapshot dir (same schema)")
+    df_.add_argument("--key", required=True,
+                     help="comma-separated key columns")
+
+    s2 = sub.add_parser("scd2")
+    common(s2, output_help="next dimension snapshot dir (required)")
+    s2.add_argument("--updates", required=True,
+                    help="update batch dir: key + tracked columns + "
+                         "an effective-date column")
+    s2.add_argument("--key", required=True,
+                    help="comma-separated key columns")
+    s2.add_argument("--tracked", required=True,
+                    help="comma-separated tracked attribute columns")
+    s2.add_argument("--effective-col", default="effective_date")
+
+    cp = sub.add_parser("compact")
+    common(cp, output_help="compacted parquet root (required)")
+    cp.add_argument("--target-rows", type=int, required=True,
+                    help="rows per output group (prefix-sum banding)")
+
+    va = sub.add_parser("validate")
+    common(va, output_help="unused (report goes to stdout)")
+    va.add_argument("--rules", required=True,
+                    help="JSON file: list of rule dicts per "
+                         "operators/profile.py check_rules")
+    va.add_argument("--ref", action="append", default=[],
+                    help="name=dir reference tables for foreign_key "
+                         "rules (repeatable)")
+    va.add_argument("--fail-on-violation", action="store_true")
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -1344,6 +1381,97 @@ def cmd_shard(args) -> None:
           file=sys.stderr)
 
 
+def cmd_diff(args) -> None:
+    """Snapshot diff (CDC derivation): emit the minimal upsert/delete
+    change set between --input (old) and --new; applying it with
+    ``merge`` reproduces --new exactly."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.merge import snapshot_diff
+    from athena_spark.sources.corpus import read_corpus
+
+    if not args.output:
+        raise SystemExit("diff requires --output (the change set)")
+    spark = _spark(args)
+    old = read_corpus(spark, args.input, fmt=args.format)
+    new = spark.read.parquet(args.new)
+    keys = [k for k in args.key.split(",") if k]
+    diff = snapshot_diff(old, new, keys)
+    diff.write.mode("overwrite").parquet(args.output)
+    ops = {r["op"]: r["n"] for r in spark.read.parquet(args.output)
+           .groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(json.dumps({"upserts": ops.get("upsert", 0),
+                      "deletes": ops.get("delete", 0)}), file=sys.stderr)
+
+
+def cmd_scd2(args) -> None:
+    """Type-2 slowly-changing-dimension apply: close current versions
+    whose tracked attributes changed, insert new open versions, keep
+    history; writes the next dimension snapshot to --output."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.merge import scd2_apply
+    from athena_spark.sources.corpus import read_corpus
+
+    if not args.output:
+        raise SystemExit("scd2 requires --output (the next snapshot)")
+    spark = _spark(args)
+    dim = read_corpus(spark, args.input, fmt=args.format)
+    updates = spark.read.parquet(args.updates)
+    keys = [k for k in args.key.split(",") if k]
+    tracked = [c for c in args.tracked.split(",") if c]
+    out = scd2_apply(dim, updates, keys, tracked,
+                     effective_col=args.effective_col)
+    out.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    print(json.dumps({
+        "rows": back.count(),
+        "open_versions": back.where(F.col("is_current")).count(),
+    }), file=sys.stderr)
+
+
+def cmd_compact(args) -> None:
+    """Small-file compaction: band --input's files into
+    ~--target-rows groups via the footer-stats manifest prefix sum
+    and rewrite one parquet file per group under --output."""
+    from athena_spark.operators.layout import (compact_files, file_stats,
+                                               plan_compaction)
+
+    if not args.output:
+        raise SystemExit("compact requires --output (the new root)")
+    spark = _spark(args)
+    stats = file_stats(spark, args.input, [])
+    plan = plan_compaction(stats, target_rows=args.target_rows)
+    info = compact_files(spark, plan, args.output)
+    print(json.dumps(info), file=sys.stderr)
+
+
+def cmd_validate(args) -> None:
+    """Data-quality validation: evaluate the JSON rule list against
+    --input (deequ-style: completeness / uniqueness / ranges /
+    domains / regex / row floors / referential integrity) and print
+    one TSV row per rule; --fail-on-violation exits non-zero when any
+    rule fails."""
+    from athena_spark.operators.profile import check_rules
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    with open(args.rules, encoding="utf-8") as fh:
+        rules = json.load(fh)
+    refs = {}
+    for spec in args.ref:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--ref must be name=dir, got {spec!r}")
+        refs[name] = spark.read.parquet(path)
+    report = check_rules(df, rules, ref_tables=refs).collect()
+    for r in report:
+        print(f"{r.rule}\t{r.violations}\t{r.passed}")
+    if args.fail_on_violation and any(not r.passed for r in report):
+        raise SystemExit(2)
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -1388,6 +1516,10 @@ def main(argv=None) -> None:
         "merge": cmd_merge,
         "zorder": cmd_zorder,
         "shard": cmd_shard,
+        "diff": cmd_diff,
+        "scd2": cmd_scd2,
+        "compact": cmd_compact,
+        "validate": cmd_validate,
         "package": cmd_package,
     }[args.cmd](args)
 

@@ -181,10 +181,10 @@ def file_stats(
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
 
-    fields = ", ".join(
-        [f"min_{c} double, max_{c} double" for c in cols]
-    )
-    out_schema = f"file string, num_rows long, {fields}"
+    fields = ["file string", "num_rows long"] + [
+        f"min_{c} double, max_{c} double" for c in cols
+    ]
+    out_schema = ", ".join(fields)
 
     def footer_batches(batches):
         for pdf in batches:

@@ -716,3 +716,94 @@ def test_cli_docstring_lists_every_subcommand():
     )
     for name in sub_action.choices:
         assert f"``{name}``" in cli.__doc__, name
+
+
+def test_cli_diff_then_merge_round_trip(spark, sf_dir, tmp_path, capsys):
+    new_dir = str(tmp_path / "new")
+    diff_dir = str(tmp_path / "diff")
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.where("doc_id % 5 != 0")  # drop every 5th doc
+    new.write.mode("overwrite").parquet(new_dir)
+    main(["diff", "--input", f"{sf_dir}/documents.parquet",
+          "--new", new_dir, "--key", "doc_id", "--output", diff_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert rep["deletes"] == docs.where("doc_id % 5 = 0").count()
+    assert rep["upserts"] == 0
+    # applying the diff reproduces the new snapshot
+    main(["merge", "--input", f"{sf_dir}/documents.parquet",
+          "--changes", diff_dir, "--key", "doc_id",
+          "--output", rebuilt_dir])
+    capsys.readouterr()
+    assert spark.read.parquet(rebuilt_dir).count() == new.count()
+
+
+def test_cli_scd2(spark, sf_dir, tmp_path, capsys):
+    dim_dir = str(tmp_path / "dim")
+    upd_dir = str(tmp_path / "upd")
+    out_dir = str(tmp_path / "scd2")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = cust.selectExpr(
+        "c_custkey", "c_acctbal",
+        "'2020-01-01' AS valid_from",
+        "CAST(NULL AS STRING) AS valid_to",
+        "TRUE AS is_current",
+    )
+    dim.write.mode("overwrite").parquet(dim_dir)
+    cust.where("c_custkey % 3 = 0").selectExpr(
+        "c_custkey", "c_acctbal + 10.0 AS c_acctbal",
+        "'2022-01-01' AS effective_date",
+    ).write.mode("overwrite").parquet(upd_dir)
+    main(["scd2", "--input", dim_dir, "--updates", upd_dir,
+          "--key", "c_custkey", "--tracked", "c_acctbal",
+          "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    n = cust.count()
+    n_changed = cust.where("c_custkey % 3 = 0").count()
+    assert rep["rows"] == n + n_changed     # every key keeps one open
+    assert rep["open_versions"] == n        # plus closed history
+
+
+def test_cli_compact(spark, sf_dir, tmp_path, capsys):
+    src_dir = str(tmp_path / "small")
+    out_dir = str(tmp_path / "big")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8, "doc_id").write.parquet(src_dir)
+    main(["compact", "--input", src_dir, "--target-rows", "1000",
+          "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert rep["files_in"] == 8
+    assert rep["groups"] < 8
+    assert spark.read.parquet(out_dir).count() == docs.count()
+
+
+def test_cli_validate(spark, sf_dir, tmp_path, capsys):
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"rule": "not_null", "col": "o_orderkey"},
+        {"rule": "unique", "cols": ["o_orderkey"]},
+        {"rule": "in_range", "col": "o_totalprice",
+         "lo": 0.0, "hi": 100.0},
+        {"rule": "foreign_key", "col": "o_custkey",
+         "ref": "customer", "ref_col": "c_custkey"},
+    ]))
+    out = run_cli(capsys, [
+        "validate", "--input", f"{sf_dir}/orders.parquet",
+        "--rules", str(rules),
+        "--ref", f"customer={sf_dir}/customer.parquet",
+    ])
+    rows = {l.split("\t")[0]: l.split("\t")[1:]
+            for l in out.strip().splitlines()}
+    assert rows["not_null(o_orderkey)"] == ["0", "True"]
+    assert rows["unique(o_orderkey)"] == ["0", "True"]
+    assert rows["foreign_key(o_custkey->customer.c_custkey)"][1] == "True"
+    # the tight range rule must really count violations
+    assert int(rows["in_range(o_totalprice,0.0,100.0)"][0]) > 0
+    # --fail-on-violation exits non-zero on the failing rule
+    with pytest.raises(SystemExit) as e:
+        main(["validate", "--input", f"{sf_dir}/orders.parquet",
+              "--rules", str(rules),
+              "--ref", f"customer={sf_dir}/customer.parquet",
+              "--fail-on-violation"])
+    capsys.readouterr()
+    assert e.value.code == 2
