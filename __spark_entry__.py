@@ -2266,6 +2266,65 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "`check` string, ok boolean")
 
 
+def q_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified 8-bit scalar-quantization ANN (FAISS QT_8bit, the
+    training-free rung of the compression ladder: per-vector affine
+    grid, d uint8 codes): asymmetric scoring needs no decompression
+    (q·x̂ = vmin·Σq + vstep·(q·code)); unreranked recall@5 vs brute
+    force >= 0.7 (SQ8 is far less lossy than PQ), exact re-rank
+    >= 0.85, per-dimension reconstruction error <= vstep/2 certified
+    over EVERY vector in one aggregate, codes exactly d bytes."""
+    from athena_spark.operators.similarity import (ann_topk_bruteforce,
+                                                   ann_topk_sq8,
+                                                   sq8_encode)
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 20")
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, q, k=5).collect()}
+    codes = sq8_encode(emb).persist()
+    dim = emb.select(F.size("embedding").alias("d")).agg(
+        F.max("d")).first()[0]
+    code_lens = {r[0] for r in
+                 codes.select(F.length("code")).distinct().collect()}
+    # reconstruction bound over EVERY vector, one distributed join +
+    # aggregate: max_i |vmin + code_i*vstep - x_i / ||x||| <= vstep/2
+    joined = codes.join(emb, "vec_id")
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    ))
+    err = F.expr(
+        "aggregate(zip_with(embedding, "
+        # code bytes -> ints via unbase? use substring on binary
+        "transform(sequence(1, length(code)), "
+        "  i -> CAST(conv(hex(substring(code, i, 1)), 16, 10) AS DOUBLE)),"
+        " (x, c) -> abs(vmin + c * vstep - x / __norm)), "
+        "CAST(0.0 AS DOUBLE), (acc, e) -> greatest(acc, e))"
+    )
+    bad = (
+        joined.withColumn("__norm", norm)
+        .withColumn("__err", err)
+        .where(F.col("__err") > F.col("vstep") / 2 + F.lit(1e-12))
+        .count()
+    )
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_sq8(codes, q, k=5).collect()}
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_sq8(codes, q, k=5, rerank_df=emb).collect()}
+    codes.unpersist()
+    adc_recall = len(bf & adc) / len(bf)
+    rr_recall = len(bf & rr) / len(bf)
+    rows = [
+        ("sq8_recall_at_5_ge_0.7", bool(adc_recall >= 0.7)),
+        ("reranked_recall_at_5_ge_0.85", bool(rr_recall >= 0.85)),
+        ("rerank_not_worse", bool(rr_recall >= adc_recall)),
+        ("reconstruction_within_half_step", bool(bad == 0)),
+        ("codes_exactly_dim_bytes", bool(code_lens == {dim})),
+    ]
+    return spark.createDataFrame(rows, "`check` string, ok boolean")
+
+
 def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified IVF-PQ ANN (the canonical 100 TB composition: cell
     pruning bounds ROWS touched, PQ bounds BYTES per row): one encode
@@ -5257,6 +5316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "snapshot_diff_cdc": q_snapshot_diff_cdc,
         "data_quality_checks": q_data_quality_checks,
+        "ann_sq8_recall": q_ann_sq8_recall,
         "table_profile": q_table_profile,
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
@@ -7485,6 +7545,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'reranked_recall_at_5_ge_0.7', TRUE
             UNION ALL SELECT 'rerank_not_worse_than_adc', TRUE
             UNION ALL SELECT 'codes_exactly_16_bytes', TRUE
+        """,
+        "ann_sq8_recall": """
+            SELECT 'sq8_recall_at_5_ge_0.7' AS "check", TRUE AS ok
+            UNION ALL SELECT 'reranked_recall_at_5_ge_0.85', TRUE
+            UNION ALL SELECT 'rerank_not_worse', TRUE
+            UNION ALL SELECT 'reconstruction_within_half_step', TRUE
+            UNION ALL SELECT 'codes_exactly_dim_bytes', TRUE
         """,
         "ann_ivfpq_recall": """
             SELECT 'adc_recall_at_5_ge_0.25' AS "check", TRUE AS ok

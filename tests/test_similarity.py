@@ -468,3 +468,74 @@ def test_ivfpq_index_and_recall(spark, sf_dir):
     # empty queries short-circuit
     assert ann_topk_ivfpq(index, emb.where("vec_id < 0"), cents, cb,
                           k=3).collect() == []
+
+
+def test_sq8_encode_reconstruction_bound_and_topk(spark, sf_dir):
+    """Scalar quantization: d-byte codes (8x over the float64 test
+    column), per-dimension reconstruction error <= vstep/2, and the
+    asymmetric-scoring + exact-rerank pipeline recovering
+    near-brute-force recall (SQ8 is far less lossy than PQ, so even
+    the unreranked recall is high)."""
+    import numpy as np
+
+    from athena_spark.operators.similarity import (ann_topk_bruteforce,
+                                                   ann_topk_sq8,
+                                                   sq8_encode)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 20")
+    codes = sq8_encode(emb)
+    rows = {r["vec_id"]: r for r in codes.collect()}
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    assert set(rows) == set(orig)
+    for vid, r in rows.items():
+        x = orig[vid]
+        x = x / np.linalg.norm(x)
+        assert len(r["code"]) == len(x)
+        recon = r["vmin"] + np.frombuffer(
+            r["code"], np.uint8).astype(np.float64) * r["vstep"]
+        assert np.abs(recon - x).max() <= r["vstep"] / 2 + 1e-12
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, q, k=5).collect()}
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in ann_topk_sq8(codes, q, k=5).collect()}
+    assert len(bf & adc) / len(bf) >= 0.8
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_sq8(codes, q, k=5, rerank_df=emb).collect()}
+    assert len(bf & rr) / len(bf) >= 0.9
+
+
+def test_sq8_constant_vector_and_validation(spark):
+    import numpy as np
+    import pytest
+
+    from athena_spark.operators.similarity import ann_topk_sq8, sq8_encode
+
+    const = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in sq8_encode(const).collect()}
+    # constant vector: vstep 0, all-zero codes, decodes exactly to vmin
+    r1 = rows[1]
+    assert r1["vstep"] == 0.0
+    assert set(r1["code"]) == {0}
+    recon = r1["vmin"] + np.frombuffer(r1["code"], np.uint8) * r1["vstep"]
+    assert np.allclose(recon, np.full(8, 1 / np.sqrt(8)))
+    # ragged input fails loudly (the check is per Arrow batch —
+    # coalesce(1) puts both rows in one batch; cross-batch ragged
+    # rows are caught by the d-byte width check at scoring time)
+    ragged = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.1, 0.2, 0.3])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="fixed-dimension"):
+        sq8_encode(ragged).collect()
+    # stored codes of the wrong width fail loudly at scoring time
+    q = const.where("vec_id = 1")
+    bad = sq8_encode(const).withColumn(
+        "code", F.expr("substring(code, 1, 4)")
+    )
+    with pytest.raises(Exception, match="exactly d="):
+        ann_topk_sq8(bad, q, k=1).collect()
