@@ -393,3 +393,75 @@ def test_snapshot_diff_rejects_duplicate_keys_and_schema_drift(spark):
     other = spark.createDataFrame([(1, 2)], "id long, score long")
     with pytest.raises(ValueError, match="schemas differ"):
         snapshot_diff(old, other, ["id"])
+
+
+# -- property tests: round-trip laws over random tables ----------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+settings.register_profile("merge_ci", derandomize=True, deadline=None)
+settings.load_profile("merge_ci")
+
+_table_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=6),          # key
+    st.tuples(st.sampled_from(["a", "b", "c", None]),
+              st.integers(min_value=-3, max_value=3)),
+    min_size=0, max_size=7,
+)
+
+
+def _df_of(spark, d):
+    rows = [(k, v[0], v[1]) for k, v in sorted(d.items())]
+    return spark.createDataFrame(
+        rows or [(None, None, None)],
+        "id long, text string, score long",
+    ).where("id IS NOT NULL" if not rows else "TRUE")
+
+
+@settings(max_examples=8, deadline=None)
+@given(_table_strategy, _table_strategy)
+def test_property_snapshot_diff_roundtrip(spark, old_d, new_d):
+    """merge_upsert(old, snapshot_diff(old, new)) == new for ANY pair
+    of unique-key snapshots, and the diff is minimal (no rows for
+    unchanged keys)."""
+    from athena_spark.operators.merge import merge_upsert, snapshot_diff
+
+    old = _df_of(spark, old_d)
+    new = _df_of(spark, new_d)
+    diff = snapshot_diff(old, new, ["id"])
+    drows = diff.collect()
+    unchanged = {k for k in old_d if k in new_d and old_d[k] == new_d[k]}
+    assert all(r.id not in unchanged for r in drows)    # minimality
+    rebuilt = merge_upsert(old, diff, ["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect()))
+
+
+@settings(max_examples=8, deadline=None)
+@given(_table_strategy, _table_strategy)
+def test_property_ivm_equals_recompute(spark, base_d, target_d):
+    """maintain_grouped_agg over the change set that turns base into
+    target equals grouped_agg_state(target) — the IVM correctness law
+    composed with the diff round trip, for ANY snapshot pair
+    (group-moving updates, deletes, inserts, NULL groups)."""
+    from athena_spark.operators.merge import (grouped_agg_state,
+                                              maintain_grouped_agg,
+                                              merge_upsert, snapshot_diff)
+
+    base = _df_of(spark, base_d)
+    target = _df_of(spark, target_d)
+    changes = snapshot_diff(base, target, ["id"])
+    state = grouped_agg_state(base, ["text"], ["score"])
+    got = {
+        r.text: (r.n_rows, r.sum_score)
+        for r in maintain_grouped_agg(
+            base, state, changes, ["id"], ["text"], ["score"]
+        ).collect()
+    }
+    want = {
+        r.text: (r.n_rows, r.sum_score)
+        for r in grouped_agg_state(
+            merge_upsert(base, changes, ["id"]), ["text"], ["score"]
+        ).collect()
+    }
+    assert got == want
