@@ -4956,6 +4956,22 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "is_current")
 
 
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse cosine-similarity self-join (AllPairs family,
+    Bayardo et al. WWW'07; operators/dedup.py cosine_pairs_sparse):
+    bag-of-words TF vectors, inverted-index dot products, cosine =
+    dot / sqrt(|a|^2·|b|^2) at threshold 0.8.  Guard off so the
+    exact-all-shared-terms oracle matches; weights are small-integer
+    counts in doubles, so every partial sum is exact and the final
+    division/sqrt is one identical IEEE tree in both engines."""
+    from athena_spark.operators.dedup import cosine_pairs_sparse
+
+    return cosine_pairs_sparse(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.8, max_doc_freq=None,
+    )
+
+
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint validation (deequ, Schelter et al.
     VLDB'18; operators/profile.py check_rules) over orders: key
@@ -5317,6 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_cdc": q_snapshot_diff_cdc,
         "data_quality_checks": q_data_quality_checks,
         "ann_sq8_recall": q_ann_sq8_recall,
+        "cosine_pairs": q_cosine_pairs,
         "table_profile": q_table_profile,
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
@@ -6605,6 +6622,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, sha256(text)
             FROM changes WHERE op = 'upsert'
+        """,
+        "cosine_pairs": """
+            WITH toks AS (
+                SELECT doc_id AS id, t.tok AS tok
+                FROM documents,
+                     UNNEST(list_filter(regexp_split_to_array(
+                         replace(text, chr(13), ''), '[ \\t\\n]+'),
+                         x -> x <> '')) AS t(tok)
+            ),
+            tf AS (
+                SELECT id, tok, CAST(COUNT(*) AS DOUBLE) AS w
+                FROM toks GROUP BY id, tok
+            ),
+            norms AS (
+                SELECT id, SUM(w * w) AS n2 FROM tf GROUP BY id
+            ),
+            dots AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       SUM(a.w * b.w) AS dot
+                FROM tf a JOIN tf b
+                  ON a.tok = b.tok AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   dot / SQRT(na.n2 * nb.n2) AS cosine
+            FROM dots
+            JOIN norms na ON dots.id_a = na.id
+            JOIN norms nb ON dots.id_b = nb.id
+            WHERE dot / SQRT(na.n2 * nb.n2) >= CAST(0.8 AS DOUBLE)
         """,
         "data_quality_checks": """
             WITH v AS (

@@ -1472,3 +1472,94 @@ def paragraph_dup_stats(
     keyed.unpersist()
     paras.unpersist()
     return out
+
+
+def cosine_pairs_sparse(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    idf: bool = False,
+    hash_tokens: bool = False,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Exact cosine-similarity self-join over sparse bag-of-words
+    vectors (the AllPairs family, Bayardo et al. WWW'07 "Scaling Up
+    All Pairs Similarity Search" — here the inverted-index sparse
+    dot product, exact because pairs sharing no term have cosine 0
+    and every shared term contributes through the index):
+
+    1. one aggregate builds the (id, token, tf) posting table,
+    2. per-doc squared norms come from the same table (sum tf^2),
+    3. the posting self-join on token + a pair aggregate computes
+       dot(a, b) = Σ tf_a·tf_b over shared terms,
+    4. cosine = dot / sqrt(|a|^2 · |b|^2), filtered at ``threshold``.
+
+    ``idf=True`` weights entries by ln(N/df) (classic TF-IDF
+    cosine); the gate certifies the idf-free path because ln is not
+    cross-engine bit-stable (verify-skill rule) — the idf path is
+    pytest-certified against a NumPy oracle instead.
+
+    Scale shape: shuffles carry (token, id, tf) postings and (id_a,
+    id_b) partial products, never text.  The Zipf guard drops tokens
+    appearing in more than ``max_doc_freq`` docs (a stop-word's
+    postings join is the classic quadratic blowup; dropping it
+    perturbs cosine by at most its weight share — escape hatch
+    ``None`` for the exact join).  ``hash_tokens=True`` replaces the
+    token string with ``xxhash64`` in the join key — the 100 TB path
+    (8-byte keys, no string shuffle); exact up to 64-bit collisions.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from athena_spark.functions.tokenize import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_col(text_col)).alias("_tok"),
+    )
+    tf = toks.groupBy("_id", "_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_w")
+    )
+    if idf:
+        n_docs = float(df.count())
+        df_tbl = tf.groupBy("_tok").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        tf = tf.join(df_tbl, "_tok").withColumn(
+            "_w",
+            F.col("_w") * F.log(F.lit(n_docs) / F.col("_df")),
+        ).drop("_df")
+    if max_doc_freq is not None:
+        hot = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+        tf = tf.join(
+            hot.where(F.col("_df") <= int(max_doc_freq)).select("_tok"),
+            "_tok", "left_semi",
+        )
+    if hash_tokens:
+        tf = tf.withColumn("_tok", F.xxhash64("_tok"))
+    norms = tf.groupBy("_id").agg(F.sum(F.col("_w") * F.col("_w"))
+                                  .alias("_n2"))
+    a = tf.select(F.col("_id").alias("id_a"), "_tok",
+                  F.col("_w").alias("_wa"))
+    b = tf.select(F.col("_id").alias("id_b"), "_tok",
+                  F.col("_w").alias("_wb"))
+    dots = (
+        a.join(b, "_tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"),
+                      F.col("_n2").alias("_na"))
+    nb = norms.select(F.col("_id").alias("id_b"),
+                      F.col("_n2").alias("_nb"))
+    out = (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            F.col("_dot") / F.sqrt(F.col("_na") * F.col("_nb")),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+    return out

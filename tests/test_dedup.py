@@ -947,3 +947,95 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
         ).collect()
     }
     assert minid == {1, 10, 20}
+
+
+# -- sparse cosine join --------------------------------------------------------
+
+def _np_cosine_pairs(texts, threshold, idf=False):
+    import math
+
+    import numpy as np
+
+    tfs = []
+    for t in texts.values():
+        toks = [w for w in t.replace("\r", "").split() if w]
+        d = {}
+        for w in toks:
+            d[w] = d.get(w, 0) + 1.0
+        tfs.append(d)
+    ids = list(texts)
+    if idf:
+        n = float(len(ids))
+        dfs = {}
+        for d in tfs:
+            for w in d:
+                dfs[w] = dfs.get(w, 0) + 1
+        tfs = [{w: c * math.log(n / dfs[w]) for w, c in d.items()}
+               for d in tfs]
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = tfs[i], tfs[j]
+            dot = sum(a[w] * b[w] for w in a if w in b)
+            na = math.sqrt(sum(v * v for v in a.values()))
+            nb = math.sqrt(sum(v * v for v in b.values()))
+            if na and nb and dot / (na * nb) >= threshold:
+                ia, ib = sorted((ids[i], ids[j]))
+                out[(ia, ib)] = dot / (na * nb)
+    return out
+
+
+def test_cosine_pairs_sparse_matches_numpy_oracle(spark):
+    from athena_spark.operators.dedup import cosine_pairs_sparse
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat today",
+        3: "dogs chase cats in the park",
+        4: "the cat sat on the mat",       # exact dup of 1
+        5: "completely different words entirely",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string")
+    for idf in (False, True):
+        got = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs_sparse(
+            df, "doc_id", "text", threshold=0.5, idf=idf,
+            max_doc_freq=None).collect()}
+        want = _np_cosine_pairs(texts, 0.5, idf=idf)
+        assert set(got) == set(want), (idf, got, want)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-9
+    # the exact dup pair scores exactly 1.0
+    exact = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs_sparse(
+        df, "doc_id", "text", threshold=0.999, max_doc_freq=None
+    ).collect()}
+    assert (1, 4) in exact and abs(exact[(1, 4)] - 1.0) < 1e-12
+
+
+def test_cosine_pairs_hash_tokens_parity_and_guard(spark):
+    from athena_spark.operators.dedup import cosine_pairs_sparse
+
+    texts = {
+        1: "alpha beta gamma delta",
+        2: "alpha beta gamma epsilon",
+        3: "alpha zeta eta theta",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string")
+    s = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs_sparse(
+        df, "doc_id", "text", threshold=0.3, max_doc_freq=None
+    ).collect()}
+    h = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs_sparse(
+        df, "doc_id", "text", threshold=0.3, max_doc_freq=None,
+        hash_tokens=True).collect()}
+    assert s == h
+    # the Zipf guard drops 'alpha' (df=3 > 2): pair (1,3) loses its
+    # only shared term and disappears
+    g = {(r.id_a, r.id_b) for r in cosine_pairs_sparse(
+        df, "doc_id", "text", threshold=0.1, max_doc_freq=2
+    ).collect()}
+    assert (1, 3) not in g and (1, 2) in g
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        cosine_pairs_sparse(df, "doc_id", "text", threshold=0.0)
