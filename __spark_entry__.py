@@ -4956,6 +4956,21 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "is_current")
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination (semantic twin of the
+    n-gram `decontaminate` gate; operators/curate.py
+    semantic_decontaminate): the first 10 embeddings act as the
+    benchmark set, broadcast; every corpus row reports its max cosine
+    against the set and a contaminated flag at 0.9.  Both sides are
+    2^-10-quantized FIRST, so every dot/norm is an exact sum and the
+    score is bit-identical to the oracle's list_dot_product tree."""
+    from athena_spark.operators.curate import semantic_decontaminate
+
+    emb = _table(spark, sf_dir, "embeddings")
+    bench = emb.where("vec_id < 10")
+    return semantic_decontaminate(emb, bench, threshold=0.9)
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sparse cosine-similarity self-join (AllPairs family,
     Bayardo et al. WWW'07; operators/dedup.py cosine_pairs_sparse):
@@ -5334,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_checks": q_data_quality_checks,
         "ann_sq8_recall": q_ann_sq8_recall,
         "cosine_pairs": q_cosine_pairs,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "table_profile": q_table_profile,
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
@@ -6622,6 +6638,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, sha256(text)
             FROM changes WHERE op = 'upsert'
+        """,
+        "semantic_decontaminate": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> ROUND(CAST(x AS DOUBLE) * 1024)
+                                / 1024) AS e
+                FROM embeddings
+            ),
+            b AS (SELECT e FROM q WHERE vec_id < 10),
+            scored AS (
+                SELECT d.vec_id,
+                       MAX(list_dot_product(d.e, b.e)
+                           / SQRT(list_dot_product(d.e, d.e)
+                                  * list_dot_product(b.e, b.e)))
+                           AS max_cos
+                FROM q d, b
+                GROUP BY d.vec_id
+            )
+            SELECT vec_id, max_cos,
+                   max_cos >= CAST(0.9 AS DOUBLE) AS contaminated
+            FROM scored
         """,
         "cosine_pairs": """
             WITH toks AS (

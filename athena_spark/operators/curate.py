@@ -187,3 +187,81 @@ def decontaminate(
         .select(id_col).distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    quantize: bool = True,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin
+    of :func:`decontaminate` (n-gram rule): flag every corpus row
+    whose max cosine against ANY benchmark embedding reaches
+    ``threshold`` (the rule used for paraphrase-level leakage that
+    n-gram overlap misses; e.g. the Phi/"textbooks" pipelines and
+    GPT-3 appendix-C variants use exactly this shape).
+
+    Scale shape: the benchmark matrix broadcasts (it is the small
+    side by construction); each corpus partition computes one local
+    matmul and emits (id, max_cos, contaminated) — corpus vectors
+    never shuffle.  With ``quantize`` (default) both sides are
+    rounded to exact 2^-10 multiples FIRST (Spark-side half-away
+    ``F.round``), making every dot/norm partial sum exact and the
+    whole score bit-identical across engines — the oracle recomputes
+    it in SQL with ``list_dot_product``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def qcol(c):
+        # cast each element to double BEFORE quantizing: a float32
+        # source column would otherwise quantize/accumulate in
+        # float32 on one engine and float64 on the other, breaking
+        # the exact-sum argument at the 8th significant digit
+        return F.transform(
+            F.col(c),
+            lambda x: F.round(x.cast("double") * 1024, 0) / 1024,
+        ) if quantize else F.col(c)
+
+    bench_rows = benchmark.select(qcol(vec_col).alias("e")).collect()
+    if not bench_rows:
+        raise ValueError("benchmark set is empty")
+    bmat = np.asarray([r["e"] for r in bench_rows], dtype=np.float64)
+    bn2 = (bmat * bmat).sum(axis=1)
+    if (bn2 == 0).any():
+        raise ValueError("benchmark contains a zero vector")
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((bmat, bn2))
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    thr = float(threshold)
+
+    def score(batches):
+        bmat_, bn2_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["_e"].to_numpy()).astype(np.float64)
+            n2 = (mat * mat).sum(axis=1)
+            dots = mat @ bmat_.T                       # (n, n_bench)
+            denom = np.sqrt(n2[:, None] * bn2_[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            mx = cos.max(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "max_cos": mx,
+                "contaminated": mx >= thr,
+            })
+
+    return df.select(
+        F.col(id_col), qcol(vec_col).alias("_e")
+    ).mapInPandas(
+        score,
+        f"`{id_col}` {id_type}, max_cos double, contaminated boolean",
+    )

@@ -539,3 +539,38 @@ def test_sq8_constant_vector_and_validation(spark):
     )
     with pytest.raises(Exception, match="exactly d="):
         ann_topk_sq8(bad, q, k=1).collect()
+
+
+def test_semantic_decontaminate_flags_benchmark_and_near_matches(spark):
+    import numpy as np
+
+    from athena_spark.operators.curate import semantic_decontaminate
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(3, 16))
+    rows = []
+    # corpus: 3 bench members verbatim (ids 0-2), 1 near-copy of
+    # bench[0] (id 10), and noise (ids 20+)
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+    rows.append((10, (base[0] + rng.normal(scale=0.01, size=16)).tolist()))
+    for j in range(6):
+        rows.append((20 + j, rng.normal(size=16).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = corpus.where("vec_id < 3")
+    out = {r.vec_id: (r.max_cos, r.contaminated)
+           for r in semantic_decontaminate(
+               corpus, bench, threshold=0.95).collect()}
+    assert len(out) == len(rows)
+    for i in range(3):           # verbatim members: cosine exactly 1
+        assert out[i][1] and abs(out[i][0] - 1.0) < 1e-12
+    assert out[10][1] and out[10][0] > 0.99   # paraphrase-level copy
+    for j in range(6):           # random 16-dim noise stays far away
+        assert not out[20 + j][1]
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_decontaminate(corpus, bench, threshold=0.0)
+    with pytest.raises(ValueError, match="empty"):
+        semantic_decontaminate(corpus, corpus.where("vec_id < 0"))
