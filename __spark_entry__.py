@@ -6727,9 +6727,10 @@ def oracle_sql() -> dict[str, str]:
                              r1, r1 = 0 FROM v
             UNION ALL SELECT 'in_range(o_totalprice,0.0,50000.0)',
                              r2, r2 = 0 FROM v
-            UNION ALL SELECT 'in_set(o_orderstatus)', st, st = 0 FROM v
-            UNION ALL SELECT 'matches(o_orderpriority)', pr, pr = 0
-                      FROM v
+            UNION ALL SELECT 'in_set(o_orderstatus,[O|F|P])', st,
+                             st = 0 FROM v
+            UNION ALL SELECT 'matches(o_orderpriority,^[1-5]-)', pr,
+                             pr = 0 FROM v
             UNION ALL SELECT 'min_rows(1)', mr, mr = 0 FROM v
             UNION ALL SELECT
                 'foreign_key(o_custkey->customer.c_custkey)',

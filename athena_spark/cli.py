@@ -381,6 +381,10 @@ def _build_parser() -> argparse.ArgumentParser:
     mg.add_argument("--version-col", default=None,
                     help="CDC mode: compact the change log to the "
                          "latest version per key before merging")
+    mg.add_argument("--null-safe-keys", action="store_true",
+                    help="match NULL key values (required to apply a "
+                         "diff of NULL-keyed snapshots; disables "
+                         "exchange-free bucketed joins)")
 
     zo = sub.add_parser("zorder")
     common(zo, output_help="z-ordered parquet dir (required)")
@@ -1326,7 +1330,8 @@ def cmd_merge(args) -> None:
     if args.version_col:
         changes = compact_changes(changes, keys, args.version_col,
                                   op_col=args.op_col).drop(args.version_col)
-    merged = merge_upsert(base, changes, keys, op_col=args.op_col)
+    merged = merge_upsert(base, changes, keys, op_col=args.op_col,
+                          null_safe_keys=args.null_safe_keys)
     merged.write.mode("overwrite").parquet(args.output)
     print(json.dumps({
         "base_rows": base.count(),

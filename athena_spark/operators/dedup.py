@@ -1511,6 +1511,11 @@ def cosine_pairs_sparse(
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ValueError(
+            f"max_doc_freq must be None (guard off) or >= 1, got "
+            f"{max_doc_freq}"
+        )
     from athena_spark.functions.tokenize import tokens_col
 
     toks = df.select(
@@ -1528,7 +1533,14 @@ def cosine_pairs_sparse(
         tf = tf.join(df_tbl, "_tok").withColumn(
             "_w",
             F.col("_w") * F.log(F.lit(n_docs) / F.col("_df")),
-        ).drop("_df")
+        ).drop("_df").where(
+            # ln(N/df)=0 entries (tokens in EVERY doc) contribute
+            # nothing to dots or norms; dropping them also prevents a
+            # doc whose every token is corpus-universal from reaching
+            # the norm table with |v|=0 and scoring 0/0=NaN pairs
+            # (NaN >= threshold is TRUE under Spark's NaN ordering)
+            F.col("_w") != 0.0
+        )
     if max_doc_freq is not None:
         hot = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
         tf = tf.join(

@@ -57,39 +57,32 @@ def compact_changes(
     return packed.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
 
 
-def merge_upsert(
-    base: DataFrame,
+def _validated_changes(
+    base_cols: Sequence[str],
     changes: DataFrame,
-    key_cols: Sequence[str],
-    op_col: str = "op",
+    keys: Sequence[str],
+    op_col: str,
 ) -> DataFrame:
-    """MERGE: apply a compacted change set to a base snapshot.
-
-    ``changes`` rows carry ``op_col`` in {'upsert', 'delete'} and the
-    full payload schema of ``base``:
-
-    - matched + upsert  -> the change row replaces the base row
-    - matched + delete  -> the key disappears
-    - unmatched upsert  -> inserted
-    - unmatched delete  -> no-op (idempotent replays)
-
-    One full-outer join on the key; the winner is picked per column
-    group with ``when`` — whole-stage codegen, no UDF."""
-    keys = list(key_cols)
-    payload = [c for c in base.columns if c not in keys]
-    missing = [c for c in keys + payload if c not in changes.columns]
+    """Shared change-set validation for :func:`merge_upsert` and
+    :func:`maintain_grouped_agg`: schema coverage, legal ops, unique
+    keys.  ONE aggregate pass; returns the ``_ch_``-aliased frame.
+    The distinct count is struct-wrapped so a legal NULL key value
+    still counts a row (bare ``count_distinct`` drops it and would
+    report a phantom duplicate — the same rule snapshot_diff
+    applies)."""
+    payload = [c for c in base_cols if c not in keys]
+    missing = [c for c in list(keys) + payload if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
     ch = changes.select(
-        *[F.col(c).alias(f"_ch_{c}") for c in keys + payload],
+        *[F.col(c).alias(f"_ch_{c}") for c in list(keys) + payload],
         F.col(op_col).alias("_op"),
     )
-    # one validation pass: op values legal AND keys unique (duplicate
-    # change keys would silently fan out base rows through the join —
-    # compact_changes first)
     v = ch.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(f"_ch_{k}") for k in keys]).alias("nk"),
+        F.count_distinct(
+            F.struct(*[F.col(f"_ch_{k}") for k in keys])
+        ).alias("nk"),
         # coalesce: a NULL op makes isin() NULL, which F.sum would
         # silently skip — NULL ops are invalid, not invisible
         F.sum(
@@ -105,7 +98,45 @@ def merge_upsert(
             f"{v['n'] - v['nk']} duplicate change key(s); run "
             "compact_changes first so 'latest' is well-defined"
         )
-    cond = [base[k] == ch[f"_ch_{k}"] for k in keys]
+    return ch
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    null_safe_keys: bool = False,
+) -> DataFrame:
+    """MERGE: apply a compacted change set to a base snapshot.
+
+    ``changes`` rows carry ``op_col`` in {'upsert', 'delete'} and the
+    full payload schema of ``base``:
+
+    - matched + upsert  -> the change row replaces the base row
+    - matched + delete  -> the key disappears
+    - unmatched upsert  -> inserted
+    - unmatched delete  -> no-op (idempotent replays)
+
+    One full-outer join on the key; the winner is picked per column
+    group with ``when`` — whole-stage codegen, no UDF.
+
+    ``null_safe_keys`` trades plan quality for NULL-key support: the
+    default ``==`` join keeps bucketed base/changes EXCHANGE-FREE
+    (Catalyst matches the bucket partitioning; the plan-test pins
+    it) but treats a NULL key as matching nothing — a NULL-key
+    upsert inserts and a NULL-key delete no-ops.  ``True`` switches
+    to ``<=>`` keys so :func:`snapshot_diff` output containing NULL
+    keys round-trips exactly (merge_upsert(old, diff,
+    null_safe_keys=True) == new); null-safe keys cannot reuse bucket
+    partitioning, so the join re-shuffles both sides."""
+    keys = list(key_cols)
+    payload = [c for c in base.columns if c not in keys]
+    ch = _validated_changes(base.columns, changes, keys, op_col)
+    if null_safe_keys:
+        cond = [base[k].eqNullSafe(ch[f"_ch_{k}"]) for k in keys]
+    else:
+        cond = [base[k] == ch[f"_ch_{k}"] for k in keys]
     j = base.join(ch, cond, "full_outer")
     has_change = F.col("_op").isNotNull()
     keep = ~has_change | (F.col("_op") == "upsert")
@@ -297,37 +328,25 @@ def maintain_grouped_agg(
     whose maintained count reaches zero are dropped, so the result
     always equals ``grouped_agg_state(merge_upsert(base, changes))``
     — asserted by the gate's oracle at sf0.01.
-    """
+
+    SUM-column semantics: the maintained sum is
+    ``SUM(COALESCE(col, 0))`` — exact NULL-SUM semantics (SUM is
+    NULL when every value in the group is NULL) would need a
+    per-group non-null count the state does not carry, so a group
+    whose values are all NULL maintains to 0 where a recompute gives
+    NULL.  Untouched groups pass through VERBATIM (state sum and
+    dtype unchanged); touched groups' sums are cast back to the
+    state column's type."""
     keys = list(key_cols)
     groups = list(group_cols)
     sums = list(sum_cols)
-    payload = [c for c in base.columns if c not in keys]
-    missing = [c for c in keys + payload if c not in changes.columns]
-    if missing:
-        raise ValueError(f"changes is missing columns: {missing}")
-    ch = changes.select(
-        *[F.col(c).alias(f"_ch_{c}") for c in keys + payload],
-        F.col(op_col).alias("_op"),
-    )
-    v = ch.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(f"_ch_{k}") for k in keys]).alias("nk"),
-        F.sum(
-            F.coalesce(~F.col("_op").isin(*_OPS), F.lit(True)).cast("int")
-        ).alias("bad"),
-    ).first()
-    if v["bad"]:
-        raise ValueError(
-            f"{v['bad']} change row(s) have {op_col} outside {_OPS}"
-        )
-    if v["n"] != v["nk"]:
-        raise ValueError(
-            f"{v['n'] - v['nk']} duplicate change key(s); run "
-            "compact_changes first so 'latest' is well-defined"
-        )
+    ch = _validated_changes(base.columns, changes, keys, op_col)
     # old values for matched keys: the change set is the small side —
-    # an inner key join the planner can broadcast
-    cond = [base[k] == ch[f"_ch_{k}"] for k in keys]
+    # an inner key join the planner can broadcast.  Null-safe: NULL
+    # is a legal key value (snapshot_diff emits such changes) and an
+    # == join would silently turn a matched update into a bare
+    # insert, double-counting the row
+    cond = [base[k].eqNullSafe(ch[f"_ch_{k}"]) for k in keys]
     old = base.join(ch.select(*[f"_ch_{k}" for k in keys]), cond, "inner")
     minus = old.select(
         *[base[g].alias(g) for g in groups],
@@ -358,6 +377,7 @@ def maintain_grouped_agg(
     n_new = F.coalesce(F.col("_st_n"), F.lit(0)) + F.coalesce(
         F.col("_dn"), F.lit(0)
     )
+    sum_dtypes = {c: agg_state.schema[f"sum_{c}"].dataType for c in sums}
     out = j.select(
         *[
             F.when(has_delta, delta[g]).otherwise(
@@ -367,10 +387,20 @@ def maintain_grouped_agg(
         ],
         n_new.alias("n_rows"),
         *[
-            (
-                F.coalesce(F.col(f"_st_s_{c}"), F.lit(0.0))
-                + F.coalesce(F.col(f"_ds_{c}"), F.lit(0.0))
-            ).alias(f"sum_{c}")
+            # untouched group: the state's sum verbatim (value AND
+            # NULL-ness preserved); touched group: COALESCE(.., 0)
+            # arithmetic, cast back to the state column's type so
+            # the maintained state stays schema-identical
+            F.when(~has_delta, F.col(f"_st_s_{c}"))
+            .otherwise(
+                (
+                    F.coalesce(F.col(f"_st_s_{c}"),
+                               F.lit(0).cast(sum_dtypes[c]))
+                    + F.coalesce(F.col(f"_ds_{c}"),
+                                 F.lit(0).cast(sum_dtypes[c]))
+                ).cast(sum_dtypes[c])
+            )
+            .alias(f"sum_{c}")
             for c in sums
         ],
     )
@@ -398,7 +428,10 @@ def snapshot_diff(
     downstream consumers see what disappeared) + ``op_col``.
     Round-trip law, asserted by the gate's oracle:
     ``merge_upsert(old, snapshot_diff(old, new)) == new`` whenever
-    ``new`` has unique keys (validated)."""
+    ``new`` has unique keys (validated); pass
+    ``null_safe_keys=True`` to merge_upsert when the snapshots can
+    carry NULL key values (this function joins null-safely, so its
+    change set may contain NULL-key rows)."""
     keys = list(key_cols)
     payload = [c for c in old.columns if c not in keys]
     if sorted(old.columns) != sorted(new.columns):

@@ -183,7 +183,6 @@ def check_rules(
 
     aggs = []
     labels = []
-    uniques = []
     fks = []
     for r in rules:
         kind = r["rule"]
@@ -204,7 +203,10 @@ def check_rules(
         elif kind == "in_set":
             c = r["col"]
             vals = list(r["values"])
-            labels.append(f"in_set({c})")
+            # values in the label: two in_set rules on one column
+            # must not collide (colliding agg aliases would make both
+            # report the FIRST rule's count)
+            labels.append(f"in_set({c},[{'|'.join(map(str, vals))}])")
             bad = ~F.col(c).isin(*vals)
             aggs.append(
                 F.sum(F.coalesce(bad, F.lit(False)).cast("long"))
@@ -212,7 +214,7 @@ def check_rules(
             )
         elif kind == "matches":
             c, pat = r["col"], r["pattern"]
-            labels.append(f"matches({c})")
+            labels.append(f"matches({c},{pat})")
             bad = ~F.col(c).rlike(pat)
             aggs.append(
                 F.sum(F.coalesce(bad, F.lit(False)).cast("long"))
@@ -230,7 +232,6 @@ def check_rules(
             cols = list(r["cols"])
             label = f"unique({','.join(cols)})"
             labels.append(label)
-            uniques.append((label, cols))
             # struct-wrap so NULL key values still count rows
             aggs.append(
                 (F.count(F.lit(1))
@@ -248,6 +249,12 @@ def check_rules(
         else:
             raise ValueError(f"unknown rule kind {kind!r}")
 
+    dup = {lab for lab in labels if labels.count(lab) > 1}
+    if dup:
+        raise ValueError(
+            f"duplicate rule labels {sorted(dup)}; identical rules "
+            "would collide in the aggregate and report one count"
+        )
     counts: dict[str, int] = {}
     if aggs:
         row = df.agg(*aggs).first()

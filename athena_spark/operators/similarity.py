@@ -669,7 +669,15 @@ def pq_encode(
                 col.flatten().to_numpy(zero_copy_only=False),
                 dtype=np.float64,
             ).reshape(n, d)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            if (nrm == 0).any():
+                raise ValueError(
+                    f"{int((nrm == 0).sum())} zero vector(s) cannot be "
+                    "L2-normalized for PQ encoding; filter them out "
+                    "upstream (persisting NaN-derived codes would "
+                    "silently corrupt stored indexes)"
+                )
+            mat = mat / nrm
             codes = _pq_assign(mat, cb)
             offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
             code_arr = pa.Array.from_buffers(
@@ -813,7 +821,15 @@ def ivfpq_encode(
                 col.flatten().to_numpy(zero_copy_only=False),
                 dtype=np.float64,
             ).reshape(n, d)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            if (nrm == 0).any():
+                raise ValueError(
+                    f"{int((nrm == 0).sum())} zero vector(s) cannot be "
+                    "L2-normalized for IVF-PQ encoding; filter them "
+                    "out upstream (persisting NaN-derived cells/codes "
+                    "would silently corrupt stored indexes)"
+                )
+            mat = mat / nrm
             cells = (mat @ cents.T).argmax(axis=1).astype(np.int32)
             codes = _pq_assign(mat, cb)
             offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
@@ -1026,7 +1042,15 @@ def sq8_encode(
                 col.flatten().to_numpy(zero_copy_only=False),
                 dtype=np.float64,
             ).reshape(n, d)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            if (nrm == 0).any():
+                raise ValueError(
+                    f"{int((nrm == 0).sum())} zero vector(s) cannot be "
+                    "L2-normalized for SQ8 encoding; filter them out "
+                    "upstream (persisting NaN codes would silently "
+                    "corrupt every query's top-k)"
+                )
+            mat = mat / nrm
             vmin = mat.min(axis=1)
             vstep = (mat.max(axis=1) - vmin) / 255.0
             safe = np.where(vstep > 0, vstep, 1.0)

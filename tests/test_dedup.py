@@ -1039,3 +1039,25 @@ def test_cosine_pairs_hash_tokens_parity_and_guard(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         cosine_pairs_sparse(df, "doc_id", "text", threshold=0.0)
+
+
+def test_cosine_pairs_idf_universal_token_docs_produce_no_nan(spark):
+    """Docs whose every token is corpus-universal get zero idf norms;
+    they must be excluded, not emitted as NaN pairs (NaN >= threshold
+    is TRUE under Spark's NaN ordering)."""
+    import math
+
+    from athena_spark.operators.dedup import cosine_pairs_sparse
+
+    df = spark.createDataFrame(
+        [(1, "the"), (2, "the"), (3, "the unique words here")],
+        "doc_id long, text string",
+    )
+    out = cosine_pairs_sparse(df, "doc_id", "text", threshold=0.1,
+                              idf=True, max_doc_freq=None).collect()
+    assert all(not math.isnan(r.cosine) for r in out)
+    assert all({r.id_a, r.id_b} != {1, 2} for r in out)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        cosine_pairs_sparse(df, "doc_id", "text", max_doc_freq=0)

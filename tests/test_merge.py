@@ -465,3 +465,59 @@ def test_property_ivm_equals_recompute(spark, base_d, target_d):
         ).collect()
     }
     assert got == want
+
+
+def test_merge_family_null_key_round_trip(spark):
+    """The documented law merge_upsert(old, snapshot_diff(old, new))
+    == new must hold for NULL keys too (null-safe joins +
+    struct-wrapped uniqueness end to end), and IVM must process the
+    same NULL-key change set without phantom duplicate errors."""
+    from athena_spark.operators.merge import (grouped_agg_state,
+                                              maintain_grouped_agg,
+                                              merge_upsert, snapshot_diff)
+
+    old = spark.createDataFrame(
+        [(None, "g1", 10.0), (2, "g1", 20.0)],
+        "id long, grp string, val double",
+    )
+    new = spark.createDataFrame(
+        [(None, "g2", 11.0), (2, "g1", 20.0), (3, "g2", 30.0)],
+        "id long, grp string, val double",
+    )
+    diff = snapshot_diff(old, new, ["id"])
+    ops = {r.id: r.op for r in diff.collect()}
+    assert ops == {None: "upsert", 3: "upsert"}
+    rebuilt = merge_upsert(old, diff, ["id"], null_safe_keys=True)
+    assert sorted(map(tuple, rebuilt.collect()), key=repr) == sorted(
+        map(tuple, new.collect()), key=repr)
+    # the default == join treats the NULL-key upsert as a bare insert
+    # (documented trade-off for exchange-free bucketed merges)
+    eq = merge_upsert(old, diff, ["id"])
+    assert eq.where("id IS NULL").count() == 2
+    state = grouped_agg_state(old, ["grp"], ["val"])
+    got = {r.grp: (r.n_rows, r.sum_val)
+           for r in maintain_grouped_agg(
+               old, state, diff, ["id"], ["grp"], ["val"]).collect()}
+    assert got == {"g1": (1, 20.0), "g2": (2, 41.0)}
+
+
+def test_maintain_grouped_agg_untouched_group_passes_through(spark):
+    """An untouched all-NULL-sum group keeps its NULL sum (and its
+    dtype) verbatim instead of being rewritten to 0.0."""
+    from athena_spark.operators.merge import (grouped_agg_state,
+                                              maintain_grouped_agg)
+
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5)],
+        "id long, grp string, val long",
+    )
+    changes = spark.createDataFrame(
+        [(9, "b", 7, "upsert")],
+        "id long, grp string, val long, op string",
+    )
+    state = grouped_agg_state(base, ["grp"], ["val"])
+    out = maintain_grouped_agg(base, state, changes, ["id"], ["grp"],
+                               ["val"])
+    assert dict(out.dtypes)["sum_val"] == "bigint"  # dtype preserved
+    got = {r.grp: (r.n_rows, r.sum_val) for r in out.collect()}
+    assert got == {"a": (1, None), "b": (2, 12)}

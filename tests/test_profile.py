@@ -119,8 +119,8 @@ def test_check_rules_counts_violations(spark):
     assert out["unique(id)"] == (1, False)
     # val 50.0 out of range; NULL val is not a violation
     assert out["in_range(val,0.0,10.0)"] == (1, False)
-    assert out["in_set(tag)"] == (1, False)      # 'zz'
-    assert out["matches(tag)"] == (1, False)     # 'zz'
+    assert out["in_set(tag,[a|b|c])"] == (1, False)      # 'zz'
+    assert out["matches(tag,^[a-z]$)"] == (1, False)     # 'zz'
     assert out["min_rows(3)"] == (0, True)
     assert out["min_rows(10)"] == (6, False)     # 6 rows short
     # FK: non-null ids {1,2,2} all present in ref -> 0 (NULL skipped)
@@ -154,3 +154,26 @@ def test_check_rules_validation_errors(spark):
     with pytest.raises(ValueError, match="unknown table"):
         check_rules(df, [{"rule": "foreign_key", "col": "id",
                           "ref": "missing", "ref_col": "x"}])
+
+
+def test_check_rules_distinct_rules_same_column_do_not_collide(spark):
+    """Two in_set rules on one column must report their OWN counts
+    (colliding agg aliases would make both report the first's)."""
+    from athena_spark.operators.profile import check_rules
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "tag string")
+    out = {r.rule: r.violations for r in check_rules(df, [
+        {"rule": "in_set", "col": "tag", "values": ["a"]},
+        {"rule": "in_set", "col": "tag", "values": ["a", "b", "c"]},
+    ]).collect()}
+    assert out["in_set(tag,[a])"] == 2
+    assert out["in_set(tag,[a|b|c])"] == 0
+    # truly identical rules are rejected, not silently merged
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate rule labels"):
+        check_rules(df, [
+            {"rule": "not_null", "col": "tag"},
+            {"rule": "not_null", "col": "tag"},
+        ])

@@ -574,3 +574,30 @@ def test_semantic_decontaminate_flags_benchmark_and_near_matches(spark):
         semantic_decontaminate(corpus, bench, threshold=0.0)
     with pytest.raises(ValueError, match="empty"):
         semantic_decontaminate(corpus, corpus.where("vec_id < 0"))
+
+
+def test_encoders_reject_zero_vectors(spark):
+    """The persisting encoders (SQ8 / PQ / IVF-PQ) must fail loudly
+    on zero vectors instead of writing NaN-derived codes into a
+    stored index."""
+    from athena_spark.operators.similarity import (ivfpq_encode,
+                                                   pq_encode, sq8_encode,
+                                                   train_centroids,
+                                                   train_pq)
+
+    good = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5, 0.25]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    bad = good.union(spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ))
+    cb = train_pq(good, m=2, n_codes=4)
+    cents = train_centroids(good, n_centroids=2)
+    with pytest.raises(Exception, match="zero vector"):
+        sq8_encode(bad).collect()
+    with pytest.raises(Exception, match="zero vector"):
+        pq_encode(bad, codebook=cb).collect()
+    with pytest.raises(Exception, match="zero vector"):
+        ivfpq_encode(bad, cents, cb).collect()
