@@ -4956,6 +4956,91 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "is_current")
 
 
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, certified end to end: an
+    append-mode tumbling-window count with a 10-minute watermark
+    replays two micro-batches (file source, mtimes forced so order
+    is deterministic); batch 1 advances the watermark past the first
+    window's end, so batch 2's deliberately LATE row (event time
+    inside window 0) must be DROPPED — window 0 emits with the
+    on-time counts only.  This pins the one streaming behavior the
+    parity gates can't show (they use watermarks wide enough to
+    accept everything): state is bounded because rows older than the
+    watermark are discarded, the documented Structured Streaming
+    contract."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from athena_spark.streaming.stream_agg import windowed_event_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # Structured Streaming's GUARANTEE is that data older than the
+    # watermark is dropped once its window's state was EVICTED (the
+    # window emitted in an earlier batch); a late row arriving in the
+    # same batch the window closes may still be aggregated (the
+    # documented "not guaranteed to drop" grey zone).  So: batch 1
+    # fills window 0 and advances the watermark past its end (1:50 -
+    # 10min = 1:40 > 1:00); batch 2 triggers the emission+eviction;
+    # batch 3 carries the late row — state gone, watermark far past,
+    # deterministically dropped.
+    batch1 = [("A", ts(10), 1.0), ("B", ts(20), 1.0), ("A", ts(110), 1.0)]
+    batch2 = [("A", ts(150), 1.0)]
+    batch3 = [("B", ts(30), 1.0), ("B", ts(160), 1.0)]
+    src = tempfile.mkdtemp(prefix="athena_late_src_")
+    ck = tempfile.mkdtemp(prefix="athena_late_ck_")
+    rows_out = []
+    try:
+        schema = "event_type string, ts timestamp, value double"
+        base_t = 1_600_000_000
+        for i, rows in enumerate((batch1, batch2, batch3)):
+            f = os.path.join(src, f"b{i:03d}")
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("overwrite").parquet(f)
+            for name in os.listdir(f):
+                os.utime(os.path.join(f, name),
+                         (base_t + i * 60, base_t + i * 60))
+            os.utime(f, (base_t + i * 60, base_t + i * 60))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        agg = windowed_event_counts(
+            stream, window="1 hour", watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: rows_out.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    w0_rows = [r for r in rows_out if r["hour"] == "2024-01-01 00:00:00"]
+    w0 = {r["event_type"]: r["n"] for r in w0_rows}
+    checks = [
+        # exactly one emission per key: a re-aggregated late row
+        # would re-open the evicted window and emit a duplicate
+        # append row at the next trigger
+        ("window0_emitted_once", len(w0_rows) == 2),
+        ("on_time_counts_kept", w0.get("A") == 1),
+        # the late B@0:30 row must NOT be in window 0's count
+        ("late_row_dropped", w0.get("B") == 1),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in checks],
+        schema="`check` string, ok boolean",
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level benchmark decontamination (semantic twin of the
     n-gram `decontaminate` gate; operators/curate.py
@@ -5350,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_recall": q_ann_sq8_recall,
         "cosine_pairs": q_cosine_pairs,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "streaming_late_data": q_streaming_late_data,
         "table_profile": q_table_profile,
         "price_histogram": q_price_histogram,
         "join_key_overlap": q_join_key_overlap,
@@ -6638,6 +6724,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, sha256(text)
             FROM changes WHERE op = 'upsert'
+        """,
+        "streaming_late_data": """
+            SELECT 'window0_emitted_once' AS "check", TRUE AS ok
+            UNION ALL SELECT 'on_time_counts_kept', TRUE
+            UNION ALL SELECT 'late_row_dropped', TRUE
         """,
         "semantic_decontaminate": """
             WITH q AS (
