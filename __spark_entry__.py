@@ -5368,6 +5368,132 @@ def q_file_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double")
 
 
+# ---------------------------------------------------------------------------
+# web-corpus ingestion + URL curation gates (round 4)
+# ---------------------------------------------------------------------------
+
+def _fab_messy_url(doc_id: F.Column) -> F.Column:
+    """Deterministic 'as crawled' URL for a doc row: mixed case,
+    default port, tracking params, unsorted query, fragment, and an
+    alternating eTLD (plain .com vs the co.uk multi-label suffix)."""
+    tld = F.when(doc_id % 2 == 0, F.lit("Example.COM")) \
+        .otherwise(F.lit("Example.co.uk"))
+    gclid = F.when(doc_id % 5 == 0, F.lit("&gclid=zz")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("HTTP://WWW.Site"), doc_id % 50, F.lit("."), tld,
+        F.lit(":80/p/"), doc_id,
+        F.lit("?utm_source=x&b="), doc_id % 7, F.lit("&a="), doc_id % 3,
+        gclid, F.lit("#frag"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (RFC 3986 §6 subset + tracking-param
+    strip): over fabricated 'as crawled' URLs — one per documents
+    row, messy case/port/params/fragment — emit the canonical URL,
+    host, and eTLD+1.  The oracle derives the SAME canonical form
+    independently from doc_id arithmetic, so any deviation in the
+    normalization rule (case, port, param sort, suffix table) breaks
+    the hash."""
+    from athena_spark.functions.url import (normalize_url,
+                                            registrable_domain, url_host)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    raw = _fab_messy_url(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        normalize_url(raw).alias("url_norm"),
+        url_host(raw).alias("host"),
+        registrable_domain(url_host(raw)).alias("domain"),
+    )
+
+
+def q_url_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (the crawl pipeline's first dedup pass, before
+    any text is read): four fetch variants of each of 100 pages —
+    case/port noise, a utm_ tracking param, a www. prefix — must
+    collapse to one survivor per page, the minimum doc_id, carrying
+    the canonical URL.  Ids-only join; text never shuffles
+    (operators/webcurate.py:url_dedup)."""
+    from athena_spark.operators.webcurate import url_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    page = F.col("doc_id") % 100
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://w.example/p/"), page))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("HTTPS://W.EXAMPLE:443/p/"), page))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://w.example/p/"), page,
+                       F.lit("?utm_source=z")))
+        .otherwise(F.concat(F.lit("https://www.w.example/p/"), page))
+    )
+    out = url_dedup(docs.withColumn("url", url), "url", "doc_id",
+                    strip_www=True)
+    return out.select("doc_id", "url_norm")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus aggregates (domain-level quality
+    signals, RefinedWeb/Dolma style): fabricated hosts spread over 13
+    subdomains of three domains exercising all three suffix-table
+    branches (plain TLD, ccTLD second level, private hosting
+    suffix).  One k-bounded hash aggregation; the oracle rebuilds the
+    eTLD+1 from doc_id arithmetic."""
+    from athena_spark.operators.webcurate import domain_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    apex = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("alpha.example"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("beta.co.uk"))
+        .otherwise(F.lit("gamma.github.io"))
+    )
+    url = F.concat(F.lit("https://h"), F.col("doc_id") % 13, F.lit("."),
+                   apex, F.lit("/d/"), F.col("doc_id"))
+    out = domain_stats(docs.withColumn("url", url), "url", "doc_id", "text")
+    return out.select("domain", "n_docs", "n_hosts", "total_bytes")
+
+
+def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (Common Crawl conversion-record) ingestion round-trip:
+    write the documents table as 6 gzipped spec-shaped WET shards
+    (sources/warc.py:write_wet_corpus — warcinfo record + one
+    conversion record per doc, Content-Length framing), read them
+    back with the distributed one-task-per-shard reader, and emit
+    per-record sha256 + exact payload byte length keyed by the doc id
+    parsed from the target URI.  The oracle computes both straight
+    off the parquet column — the repo-wide per-row content
+    invariant, certified through the archive format."""
+    import shutil
+    import tempfile
+
+    from athena_spark.sources.warc import read_wet, write_wet_corpus
+
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id")).alias("target_uri"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    d = tempfile.mkdtemp(prefix="athena_wet_")
+    try:
+        write_wet_corpus(src, d, n_shards=6)
+        back = read_wet(spark, d)
+        out = back.select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            F.sha2("text", 256).alias("content_sha"),
+            "content_length",
+        )
+        # eager: the temp shards are deleted before the driver
+        # re-collects the returned frame
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
@@ -5393,6 +5519,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word2vec_parity_train": q_word2vec_parity_train,
         "stateful_topk_stream": q_stateful_topk_stream,
         # -- new in r4
+        "url_normalize": q_url_normalize,
+        "url_dedup_corpus": q_url_dedup_corpus,
+        "domain_stats": q_domain_stats,
+        "wet_ingest": q_wet_ingest,
         "substring_dup_stats": q_substring_dup_stats,
         "substring_dedup_corpus": q_substring_dedup_corpus,
         "paragraph_dedup": q_paragraph_dedup,
@@ -7418,6 +7548,50 @@ def oracle_sql() -> dict[str, str]:
                                 || CAST(doc_id % 256 AS VARCHAR) || '.7 end',
                            '{_email_re}', '<EMAIL>', 'g'),
                        '{_ipv4_re}', '<IP>', 'g') AS clean
+            FROM documents
+        """,
+        # oracles derive the canonical URL / domain / byte length
+        # INDEPENDENTLY from doc_id arithmetic and the raw text —
+        # they re-state the normalization RULE, not the code
+        "url_normalize": """
+            SELECT doc_id,
+                   'http://www.site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+                     || CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+                             ELSE 'example.co.uk' END
+                     || '/p/' || CAST(doc_id AS VARCHAR)
+                     || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+                     || '&b=' || CAST(doc_id % 7 AS VARCHAR) AS url_norm,
+                   'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+                     || CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+                             ELSE 'example.co.uk' END AS host,
+                   CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+                        ELSE 'example.co.uk' END AS domain
+            FROM documents
+        """,
+        "url_dedup_corpus": """
+            SELECT MIN(doc_id) AS doc_id,
+                   'https://w.example/p/' || CAST(page AS VARCHAR)
+                     AS url_norm
+            FROM (SELECT doc_id, doc_id % 100 AS page FROM documents)
+            GROUP BY page
+        """,
+        "domain_stats": """
+            SELECT CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'alpha.example'
+                     WHEN 1 THEN 'beta.co.uk'
+                     ELSE 'gamma.github.io' END AS domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT doc_id % 13) AS BIGINT) AS n_hosts,
+                   CAST(SUM(octet_length(encode(coalesce(text, ''))))
+                        AS BIGINT) AS total_bytes
+            FROM documents
+            GROUP BY 1
+        """,
+        "wet_ingest": """
+            SELECT doc_id,
+                   sha256(coalesce(text, '')) AS content_sha,
+                   CAST(octet_length(encode(coalesce(text, '')))
+                        AS BIGINT) AS content_length
             FROM documents
         """,
         "substring_dup_stats": f"""

@@ -432,6 +432,28 @@ def _build_parser() -> argparse.ArgumentParser:
                          "rules (repeatable)")
     va.add_argument("--fail-on-violation", action="store_true")
 
+    wi = sub.add_parser("wet-ingest")
+    common(wi, output_help="parquet dir for parsed records (required)")
+    wi.add_argument("--glob", default="*.warc.wet*",
+                    help="shard filename glob under --input")
+    wi.add_argument("--warc", action="store_true",
+                    help="full WARC response records (unwrap HTTP) "
+                         "instead of WET conversion records")
+
+    ud = sub.add_parser("url-dedup")
+    common(ud)
+    ud.add_argument("--url-col", default="url")
+    ud.add_argument("--id-col", default="doc_id")
+    ud.add_argument("--keep-www", action="store_true",
+                    help="treat www.host and host as distinct")
+
+    dst = sub.add_parser("domain-stats")
+    common(dst)
+    dst.add_argument("--url-col", default="url")
+    dst.add_argument("--id-col", default="doc_id")
+    dst.add_argument("--text-col", default=None,
+                     help="include byte-size aggregates over this column")
+
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
     return p
@@ -1489,6 +1511,70 @@ def cmd_package(args) -> None:
     print(args.out)
 
 
+def cmd_wet_ingest(args) -> None:
+    """Parse a directory of WET/WARC shards into a parquet table
+    (one task per shard; Content-Length framing)."""
+    from athena_spark.sources.warc import read_warc, read_wet
+
+    spark = _spark(args)
+    reader = read_warc if args.warc else read_wet
+    out = reader(spark, args.input, glob=args.glob)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = out.count()
+    print(json.dumps({"records": n}), file=sys.stderr)
+    if not args.output:
+        for row in out.limit(20).collect():
+            print(row["target_uri"], row["content_length"])
+
+
+def cmd_url_dedup(args) -> None:
+    """Canonical-URL dedup: keep the min-id row per canonical URL."""
+    from athena_spark.operators.webcurate import url_dedup
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = url_dedup(df, args.url_col, args.id_col,
+                    strip_www=not args.keep_www)
+    n_in = df.count()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        rows = None
+    else:
+        rows = out.collect()
+        n_out = len(rows)
+    print(json.dumps({"rows_in": n_in, "rows_kept": n_out,
+                      "rows_dropped": n_in - n_out}), file=sys.stderr)
+    if rows is not None:
+        for row in rows:
+            print(row[args.id_col])
+
+
+def cmd_domain_stats(args) -> None:
+    """Per-registrable-domain aggregates, largest domains first."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.webcurate import domain_stats
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = domain_stats(df, args.url_col, args.id_col,
+                       text_col=args.text_col)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(
+            {"domains": spark.read.parquet(args.output).count()}),
+            file=sys.stderr)
+    else:
+        for row in out.orderBy(F.desc("n_docs")).limit(50).collect():
+            print(json.dumps(row.asDict()))
+
+
 def main(argv=None) -> None:
     args = _build_parser().parse_args(argv)
     {
@@ -1525,6 +1611,9 @@ def main(argv=None) -> None:
         "scd2": cmd_scd2,
         "compact": cmd_compact,
         "validate": cmd_validate,
+        "wet-ingest": cmd_wet_ingest,
+        "url-dedup": cmd_url_dedup,
+        "domain-stats": cmd_domain_stats,
         "package": cmd_package,
     }[args.cmd](args)
 

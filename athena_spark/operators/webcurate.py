@@ -1,0 +1,136 @@
+"""URL- and domain-level web-corpus curation operators.
+
+The first passes of a crawl→training-data pipeline are URL-keyed,
+not text-keyed (CCNet, RefinedWeb and Dolma all run them before any
+content dedup):
+
+* **URL dedup** — the same page appears under many fetches and many
+  tracking-parameter variants; canonicalize and keep one row per
+  canonical URL.
+* **Domain stats** — per-registrable-domain aggregates drive
+  quality decisions (a domain with 10M near-identical pages is spam).
+* **Domain allow/block filtering** — public blocklists are keyed by
+  registrable domain.
+
+Scale notes: all three shuffle only narrow keys (the canonical URL
+string or the eTLD+1), never text.  ``filter_domains`` broadcasts
+the list side — blocklists are O(100k) rows, the corpus is the 100 TB
+side, so this must never become a shuffle join.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.url import (
+    normalize_url,
+    registrable_domain,
+    url_host,
+)
+
+__all__ = ["url_dedup", "domain_stats", "filter_domains"]
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    *,
+    strip_www: bool = True,
+    keep_norm_col: str | None = "url_norm",
+) -> DataFrame:
+    """Keep exactly one row per canonical URL — the row with the
+    minimum ``id_col`` (deterministic winner, same greedy rule as the
+    exact text dedup in :mod:`athena_spark.operators.dedup`).
+
+    Rows whose URL does not normalize (no ``scheme://``) are kept
+    as-is: an unparseable URL is not evidence of duplication.
+
+    Plan shape: one hash aggregation on the canonical URL (min-id),
+    then a left-semi join back on ``(id)`` — ids only; the document
+    text never shuffles.
+    """
+    norm = normalize_url(F.col(url_col), strip_www=strip_www)
+    with_norm = df.withColumn("_url_norm", norm)
+    winners = (
+        with_norm.where(F.col("_url_norm").isNotNull())
+        .groupBy("_url_norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    # a row survives iff its URL is unnormalizable OR its id is the
+    # group winner (winners is id-only, so the join ships ids only)
+    out = with_norm.join(
+        winners.withColumn("_w", F.lit(True)), id_col, "left",
+    ).where(F.col("_url_norm").isNull() | F.col("_w").isNotNull())
+    if keep_norm_col:
+        out = out.withColumnRenamed("_url_norm", keep_norm_col)
+    else:
+        out = out.drop("_url_norm")
+    return out.drop("_w")
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Per-registrable-domain aggregates: page count, distinct hosts,
+    and (when ``text_col`` given) total/average document byte sizes.
+
+    One hash aggregation keyed on eTLD+1; map-side partial aggregation
+    makes the shuffle k-bounded (one row per domain per task).  Rows
+    with an unparseable URL group under domain NULL so totals
+    reconcile with the input count.
+    """
+    host = url_host(F.col(url_col))
+    host = F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+    base = df.select(
+        registrable_domain(host).alias("domain"),
+        host.alias("_host"),
+        *( [F.octet_length(F.coalesce(F.col(text_col), F.lit(""))
+             ).alias("_bytes")] if text_col else [] ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_host").alias("n_hosts"),
+    ]
+    if text_col:
+        aggs += [
+            F.sum("_bytes").alias("total_bytes"),
+            F.round(F.avg("_bytes"), 4).alias("avg_bytes"),
+        ]
+    return base.groupBy("domain").agg(*aggs)
+
+
+def filter_domains(
+    df: DataFrame,
+    domains: Sequence[str] | DataFrame,
+    url_col: str = "url",
+    *,
+    mode: str = "block",
+) -> DataFrame:
+    """Allow/block-filter a corpus by registrable domain.
+
+    ``domains`` may be a Python sequence (compiled into a broadcast
+    literal ``isin`` — zero shuffle) or a single-column DataFrame
+    (broadcast semi/anti join — the corpus side never shuffles).
+    ``mode='block'`` drops listed domains; ``mode='allow'`` keeps
+    only listed domains.  Comparison is on eTLD+1, so listing
+    ``spam.example`` also removes ``a.spam.example`` pages.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    dom = registrable_domain(url_host(F.col(url_col)))
+    if isinstance(domains, DataFrame):
+        (dcol,) = domains.columns
+        listed = domains.select(F.col(dcol).alias("_dom")).distinct()
+        joined = df.withColumn("_dom", dom)
+        how = "left_anti" if mode == "block" else "left_semi"
+        return joined.join(F.broadcast(listed), "_dom", how).drop("_dom")
+    domains = list(domains)
+    cond = dom.isin(domains)
+    return df.where(~cond if mode == "block" else cond)

@@ -1,0 +1,356 @@
+"""WARC / WET web-archive ingestion (ISO 28500 / WARC 1.1).
+
+The 100 TB web-corpus reality: crawl text arrives as directories of
+~150 MB gzipped WET shards (Common Crawl publishes ``*.warc.wet.gz``
+"conversion" records — one plain-text record per captured page) or
+full WARC shards ("response" records carrying raw HTTP).  This module
+is the ingestion edge for that format, built on two public specs:
+
+* ISO 28500 / the IIPC WARC 1.1 spec (record = version line, CRLF
+  header block, ``Content-Length``-delimited payload, CRLF CRLF);
+* RFC 9112 for the HTTP message framing inside ``response`` records.
+
+Scale design
+------------
+``spark.read.format("binaryFile")`` yields ONE ROW PER SHARD, so the
+unit of parallelism is the shard file — exactly right for gzip, which
+is not splittable (Common Crawl shards are sized ~150 MB for this
+reason).  Each task gunzips and parses its shard inside a single
+``mapInPandas`` Arrow batch; no text ever shuffles at ingestion (the
+output is a narrow projection the downstream curation pipeline
+consumes partition-locally).  Parsing is Content-Length-driven — a
+strict offset walk, never a regex split — so payloads containing
+``WARC/1.0`` literals cannot desynchronise the stream.
+
+Writer parity: :func:`write_wet_file` emits spec-shaped WET shards
+(warcinfo header record + conversion records) so tests and benches
+fabricate deterministic crawls; :func:`read_wet` must invert it
+byte-exactly (certified by the ``wet_ingest`` gate, which checks
+sha256-per-record equality against the source table — the repo-wide
+per-row content invariant).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "parse_warc_records",
+    "write_wet_file",
+    "write_wet_corpus",
+    "read_wet",
+    "read_warc",
+    "WET_SCHEMA",
+]
+
+_CRLF = b"\r\n"
+
+#: Output schema of :func:`read_wet` / :func:`read_warc`.
+WET_SCHEMA = (
+    "warc_file string, record_offset bigint, record_type string, "
+    "record_id string, target_uri string, warc_date string, "
+    "content_type string, http_status int, content_length bigint, "
+    "text string"
+)
+
+
+# ---------------------------------------------------------------------------
+# parsing (pure bytes -> records; no Spark)
+# ---------------------------------------------------------------------------
+
+def _split_headers(block: bytes) -> dict[str, str]:
+    """Parse a CRLF header block into a case-insensitive dict.
+
+    Per WARC 1.1 §4 header field names are case-insensitive; values
+    are stripped.  Continuation lines (obs-fold) are folded with a
+    single space, as RFC 9112 §5.2 specifies for legacy messages.
+    """
+    headers: dict[str, str] = {}
+    last_key: str | None = None
+    for line in block.split(_CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last_key is not None:
+            headers[last_key] += " " + line.strip().decode(
+                "utf-8", errors="replace")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            continue
+        last_key = name.decode("ascii", errors="replace").strip().lower()
+        headers[last_key] = value.strip().decode("utf-8", errors="replace")
+    return headers
+
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    """Decompress if gzip (multi-member safe — Common Crawl WARCs are
+    per-record gzip members concatenated; ``gzip.decompress`` handles
+    member concatenation since Python 3.8)."""
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    return data
+
+
+def parse_warc_records(data: bytes) -> list[dict]:
+    """Strict Content-Length-driven walk over a (possibly gzipped)
+    WARC/WET byte stream.
+
+    Returns one dict per record with keys ``offset``, ``type``,
+    ``record_id``, ``target_uri``, ``warc_date``, ``content_type``,
+    ``headers`` (the full WARC header dict) and ``payload`` (bytes).
+    Raises ``ValueError`` on framing violations (bad version line,
+    missing/invalid Content-Length, truncated payload) — a corrupt
+    shard must fail loudly, not yield silently shifted records.
+    """
+    data = _maybe_gunzip(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate extra blank lines between records (some writers
+        # emit more than the two mandated CRLFs)
+        while data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        offset = pos
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError(f"unterminated WARC version line at {pos}")
+        version = data[pos:eol]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(
+                f"expected WARC/x.y version line at offset {pos}, "
+                f"got {version[:32]!r}")
+        hdr_end = data.find(_CRLF + _CRLF, eol)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated header block at {eol}")
+        headers = _split_headers(data[eol + 2:hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"missing/invalid Content-Length in record at {offset}")
+        body_start = hdr_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            raise ValueError(
+                f"truncated payload: record at {offset} declares "
+                f"{length} bytes, only {n - body_start} remain")
+        records.append({
+            "offset": offset,
+            "type": headers.get("warc-type", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "headers": headers,
+            "payload": data[body_start:body_end],
+        })
+        pos = body_end
+    return records
+
+
+def _split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split a ``response`` record's HTTP message into
+    (status, content_type, body) per RFC 9112 framing.  The WARC
+    Content-Length already bounds the whole message, so the body is
+    simply everything after the header block."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0 or not payload[:5] in (b"HTTP/", b"http/"):
+        return None, None, payload
+    status_line, _, rest = payload[:sep].partition(_CRLF)
+    parts = status_line.split(b" ", 2)
+    status = None
+    if len(parts) >= 2:
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    http_headers = _split_headers(rest)
+    return status, http_headers.get("content-type"), payload[sep + 4:]
+
+
+# ---------------------------------------------------------------------------
+# writer (deterministic fabrication for tests/benches)
+# ---------------------------------------------------------------------------
+
+def _record_bytes(rtype: str, headers: list[tuple[str, str]],
+                  payload: bytes) -> bytes:
+    buf = io.BytesIO()
+    buf.write(b"WARC/1.1\r\n")
+    buf.write(f"WARC-Type: {rtype}\r\n".encode())
+    for k, v in headers:
+        buf.write(f"{k}: {v}\r\n".encode())
+    buf.write(f"Content-Length: {len(payload)}\r\n".encode())
+    buf.write(_CRLF)
+    buf.write(payload)
+    buf.write(_CRLF + _CRLF)
+    return buf.getvalue()
+
+
+def _det_record_id(*parts: str) -> str:
+    """Deterministic urn:uuid record id (sha256-derived, so writers
+    are reproducible run-to-run — the repo's fabrication rule)."""
+    h = hashlib.sha256("\x1f".join(parts).encode()).hexdigest()
+    return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-"
+            f"{h[20:32]}>")
+
+
+def write_wet_file(
+    path: str,
+    records: Iterable[tuple[str, str, str]],
+    *,
+    compress: bool = True,
+    warcinfo: str = "software: athena-spark WET writer",
+) -> int:
+    """Write one WET shard: a ``warcinfo`` header record followed by
+    one ``conversion`` record per ``(target_uri, warc_date, text)``.
+
+    Returns the number of conversion records written.  Payloads are
+    UTF-8; Content-Length is the payload byte length (spec §5.9)."""
+    buf = io.BytesIO()
+    info_payload = (warcinfo.rstrip("\r\n") + "\r\n").encode()
+    buf.write(_record_bytes("warcinfo", [
+        ("WARC-Record-ID", _det_record_id("warcinfo",
+                                          os.path.basename(path))),
+        ("WARC-Date", "2026-01-01T00:00:00Z"),
+        ("Content-Type", "application/warc-fields"),
+    ], info_payload))
+    n = 0
+    for uri, date, text in records:
+        payload = (text or "").encode("utf-8")
+        buf.write(_record_bytes("conversion", [
+            ("WARC-Record-ID", _det_record_id("conversion", uri, date)),
+            ("WARC-Target-URI", uri),
+            ("WARC-Date", date),
+            ("Content-Type", "text/plain"),
+        ], payload))
+        n += 1
+    raw = buf.getvalue()
+    if compress:
+        # mtime=0 → byte-deterministic gzip output
+        raw = gzip.compress(raw, mtime=0)
+    with open(path, "wb") as f:
+        f.write(raw)
+    return n
+
+
+def write_wet_corpus(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    uri_col: str = "target_uri",
+    date_col: str | None = None,
+    text_col: str = "text",
+    n_shards: int = 8,
+    compress: bool = True,
+) -> list[str]:
+    """Fabricate a WET crawl directory from a DataFrame — driver-side
+    writer for tests/benches (small inputs only; the production path
+    is the reverse direction).  Sharding is deterministic on row
+    order of the collected frame."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [uri_col, text_col] + ([date_col] if date_col else [])
+    rows = df.select(*cols).collect()
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+    paths = []
+    for s in range(n_shards):
+        p = os.path.join(out_dir, f"shard-{s:05d}{ext}")
+        write_wet_file(
+            p,
+            ((r[uri_col],
+              r[date_col] if date_col else "2026-01-01T00:00:00Z",
+              r[text_col]) for r in rows[s::n_shards]),
+            compress=compress,
+        )
+        paths.append(p)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# distributed readers
+# ---------------------------------------------------------------------------
+
+def _read_archive(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None,
+    record_types: Sequence[str],
+    http_body: bool,
+) -> DataFrame:
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    want = set(record_types)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "warc_file", "record_offset", "record_type", "record_id",
+                "target_uri", "warc_date", "content_type", "http_status",
+                "content_length", "text")}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_records(bytes(blob)):
+                    if want and rec["type"] not in want:
+                        continue
+                    payload = rec["payload"]
+                    status: int | None = None
+                    ctype = rec["content_type"]
+                    if http_body and rec["type"] == "response":
+                        status, http_ct, payload = _split_http_payload(
+                            payload)
+                        ctype = http_ct or ctype
+                    out["warc_file"].append(os.path.basename(fpath))
+                    out["record_offset"].append(rec["offset"])
+                    out["record_type"].append(rec["type"])
+                    out["record_id"].append(rec["record_id"])
+                    out["target_uri"].append(rec["target_uri"])
+                    out["warc_date"].append(rec["warc_date"])
+                    out["content_type"].append(ctype)
+                    out["http_status"].append(status)
+                    out["content_length"].append(len(rec["payload"]))
+                    out["text"].append(
+                        payload.decode("utf-8", errors="replace"))
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(parse, schema=WET_SCHEMA)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = "*.warc.wet*",
+    record_types: Sequence[str] = ("conversion",),
+) -> DataFrame:
+    """Distributed WET reader: one task per shard, Content-Length
+    walk per record, ``conversion`` records only by default.  Output
+    schema :data:`WET_SCHEMA`; ``text`` is the UTF-8 payload and
+    ``content_length`` its exact byte length."""
+    return _read_archive(spark, path, glob=glob,
+                         record_types=record_types, http_body=False)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = "*.warc*",
+    record_types: Sequence[str] = ("response",),
+) -> DataFrame:
+    """Distributed WARC reader: like :func:`read_wet` but unwraps the
+    HTTP message inside ``response`` records (status line + headers
+    stripped per RFC 9112; ``http_status`` and the HTTP
+    ``Content-Type`` surface as columns, ``text`` is the HTTP body)."""
+    return _read_archive(spark, path, glob=glob,
+                         record_types=record_types, http_body=True)

@@ -807,3 +807,43 @@ def test_cli_validate(spark, sf_dir, tmp_path, capsys):
               "--fail-on-violation"])
     capsys.readouterr()
     assert e.value.code == 2
+
+
+def test_cli_wet_ingest_and_url_ops(spark, sf_dir, tmp_path, capsys):
+    from athena_spark.sources.warc import write_wet_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    src = docs.select(
+        F.concat(F.lit("https://d"), F.col("doc_id") % 5,
+                 F.lit(".example/p/"), F.col("doc_id") % 8,
+                 F.lit("?utm_source=x")).alias("target_uri"),
+        F.coalesce("text", F.lit("")).alias("text"))
+    wet_dir = str(tmp_path / "wet")
+    os.makedirs(wet_dir)
+    write_wet_corpus(src, wet_dir, n_shards=2)
+
+    parsed = str(tmp_path / "parsed")
+    run_cli(capsys, ["wet-ingest", "--input", wet_dir,
+                     "--output", parsed])
+    back = spark.read.parquet(parsed)
+    assert back.count() == 40
+    assert "target_uri" in back.columns
+
+    # url-dedup over the parsed records: 5x8=40 URL variants but the
+    # utm param strips, so canonical URLs = distinct (d, p) pairs
+    with_ids = back.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("target_uri").alias("url"))
+    ud_in = str(tmp_path / "ud_in")
+    with_ids.write.parquet(ud_in)
+    out = run_cli(capsys, ["url-dedup", "--input", ud_in])
+    kept = [int(x) for x in out.strip().splitlines()]
+    assert len(kept) == with_ids.select(
+        F.regexp_replace("url", r"\?utm_source=x$", "")).distinct().count()
+
+    # domain-stats groups the 5 hosts into 5 domains (plain eTLD)
+    stats_out = run_cli(capsys, ["domain-stats", "--input", ud_in])
+    doms = [json.loads(l) for l in stats_out.strip().splitlines()]
+    assert {d["domain"] for d in doms} \
+        == {f"d{i}.example" for i in range(5)}
+    assert sum(d["n_docs"] for d in doms) == 40

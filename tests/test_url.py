@@ -1,0 +1,124 @@
+"""URL canonicalization, eTLD+1, and domain-level curation operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.functions.url import (
+    normalize_url,
+    registrable_domain,
+    url_host,
+)
+from athena_spark.operators.webcurate import (
+    domain_stats,
+    filter_domains,
+    url_dedup,
+)
+
+
+CASES = [
+    # (raw, normalized, host, registrable domain)
+    ("HTTP://Example.COM:80/path/Page?b=2&utm_source=x&a=1&gclid=z#frag",
+     "http://example.com/path/Page?a=1&b=2", "example.com", "example.com"),
+    ("https://Sub.Blogs.Example.co.uk.:443/?utm_campaign=c",
+     "https://sub.blogs.example.co.uk/", "sub.blogs.example.co.uk",
+     "example.co.uk"),
+    ("https://user:P@ss@www.Example.com:8443/x?z=1&z=0",
+     "https://user:P@ss@www.example.com:8443/x?z=0&z=1",
+     "www.example.com", "example.com"),
+    ("http://example.com?q=1", "http://example.com/?q=1",
+     "example.com", "example.com"),
+    ("https://a.github.io/repo", "https://a.github.io/repo",
+     "a.github.io", "a.github.io"),
+    ("http://localhost/x", "http://localhost/x", "localhost", "localhost"),
+    ("http://h.example/p?gclid=x&UTM_Medium=y", "http://h.example/p",
+     "h.example", "h.example"),
+    ("not a url", None, "", ""),
+]
+
+
+def test_normalize_host_domain_cases(spark):
+    df = spark.createDataFrame([(c[0],) for c in CASES], "url string")
+    rows = df.select(
+        "url",
+        normalize_url("url").alias("norm"),
+        url_host("url").alias("host"),
+        registrable_domain(url_host("url")).alias("dom"),
+    ).collect()
+    got = {r["url"]: (r["norm"], r["host"], r["dom"]) for r in rows}
+    for raw, norm, host, dom in CASES:
+        assert got[raw] == (norm, host, dom), raw
+
+
+def test_normalize_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [(c[0],) for c in CASES if c[1] is not None], "url string")
+    bad = df.select(
+        normalize_url("url").alias("n1"),
+        normalize_url(normalize_url("url")).alias("n2"),
+    ).where(F.col("n1") != F.col("n2")).count()
+    assert bad == 0
+
+
+def test_strip_www_option(spark):
+    df = spark.createDataFrame([("https://WWW.Example.com/a",)], "url string")
+    assert df.select(normalize_url("url", strip_www=True).alias("n")) \
+        .first()["n"] == "https://example.com/a"
+
+
+def test_url_dedup_keeps_min_id_and_unparseable(spark):
+    rows = [
+        (1, "https://a.example/p?utm_source=x"),
+        (2, "https://A.EXAMPLE:443/p"),          # same canonical URL
+        (3, "https://a.example/p?x=1"),           # different (real param)
+        (4, "garbage"),                           # unparseable: kept
+        (5, "https://www.a.example/p"),           # same after strip_www
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_dedup(df, "url", "doc_id", strip_www=True)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+    # survivors carry the canonical form
+    assert out.where(F.col("doc_id") == 1).first()["url_norm"] \
+        == "https://a.example/p"
+
+
+def test_domain_stats(spark):
+    rows = [
+        (1, "https://a.x.example/1", "aa"),
+        (2, "https://b.x.example/2", "bbbb"),
+        (3, "https://y.example/3", None),
+        (4, "nope", "cc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert got["x.example"]["n_docs"] == 2
+    assert got["x.example"]["n_hosts"] == 2
+    assert got["x.example"]["total_bytes"] == 6
+    assert got["y.example"]["n_docs"] == 1
+    assert got[None]["n_docs"] == 1       # unparseable rows reconcile
+    assert sum(r["n_docs"] for r in got.values()) == 4
+
+
+def test_filter_domains_list_and_df(spark):
+    rows = [(1, "https://spam.example/x"),
+            (2, "https://deep.spam.example/y"),
+            (3, "https://good.example/z")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = filter_domains(df, ["spam.example"], mode="block")
+    assert [r["doc_id"] for r in blocked.collect()] == [3]
+    allow_df = spark.createDataFrame([("spam.example",)], "domain string")
+    allowed = filter_domains(df, allow_df, mode="allow")
+    assert sorted(r["doc_id"] for r in allowed.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="mode"):
+        filter_domains(df, ["x"], mode="nope")
+
+
+def test_filter_domains_df_plan_broadcasts(spark):
+    corpus = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://h"), F.col("id") % 10,
+                 F.lit(".example/p")).alias("url"))
+    bl = spark.createDataFrame([("h1.example",), ("h2.example",)],
+                               "domain string")
+    plan = filter_domains(corpus, bl, mode="block") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan

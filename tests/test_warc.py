@@ -1,0 +1,146 @@
+"""WARC/WET ingestion: framing strictness + distributed round-trip."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    read_wet,
+    write_wet_corpus,
+    write_wet_file,
+    _record_bytes,
+)
+
+
+def _wet_bytes(recs, compress=False, path="/tmp/x"):
+    import io
+    buf = io.BytesIO()
+    for rtype, headers, payload in recs:
+        buf.write(_record_bytes(rtype, headers, payload))
+    raw = buf.getvalue()
+    return gzip.compress(raw, mtime=0) if compress else raw
+
+
+def test_parse_roundtrip_basic():
+    raw = _wet_bytes([
+        ("conversion",
+         [("WARC-Record-ID", "<urn:uuid:1>"),
+          ("WARC-Target-URI", "https://a.example/x"),
+          ("WARC-Date", "2026-01-01T00:00:00Z"),
+          ("Content-Type", "text/plain")],
+         "hello world\n".encode()),
+    ])
+    (rec,) = parse_warc_records(raw)
+    assert rec["type"] == "conversion"
+    assert rec["target_uri"] == "https://a.example/x"
+    assert rec["payload"] == b"hello world\n"
+
+
+def test_payload_containing_warc_literal_does_not_desync():
+    # Content-Length framing must carry the parser straight through a
+    # payload that *looks* like a record boundary
+    tricky = b"x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\ny"
+    raw = _wet_bytes([
+        ("conversion", [("WARC-Record-ID", "<a>")], tricky),
+        ("conversion", [("WARC-Record-ID", "<b>")], b"after"),
+    ])
+    recs = parse_warc_records(raw)
+    assert [r["record_id"] for r in recs] == ["<a>", "<b>"]
+    assert recs[0]["payload"] == tricky
+
+
+def test_truncated_payload_raises():
+    raw = _wet_bytes([("conversion", [], b"0123456789")])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_records(raw[:-8])
+
+
+def test_bad_version_line_raises():
+    with pytest.raises(ValueError, match="WARC/x.y"):
+        parse_warc_records(b"NOT-WARC\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+
+
+def test_missing_content_length_raises():
+    raw = b"WARC/1.1\r\nWARC-Type: conversion\r\n\r\nbody\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_records(raw)
+
+
+def test_multimember_gzip_and_obs_fold():
+    # Common Crawl style: each record its own gzip member, members
+    # concatenated; plus a legacy folded header line
+    r1 = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+          b"WARC-Target-URI: https://long.example/\r\n folded-tail\r\n"
+          b"Content-Length: 2\r\n\r\nok\r\n\r\n")
+    r2 = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+          b"Content-Length: 3\r\n\r\nend\r\n\r\n")
+    data = gzip.compress(r1, mtime=0) + gzip.compress(r2, mtime=0)
+    recs = parse_warc_records(data)
+    assert [r["payload"] for r in recs] == [b"ok", b"end"]
+    assert recs[0]["target_uri"] == "https://long.example/ folded-tail"
+
+
+def test_wet_writer_reader_sha_parity(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    src = docs.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id")).alias("target_uri"),
+        F.coalesce("text", F.lit("")).alias("text"))
+    d = str(tmp_path / "wet")
+    write_wet_corpus(src, d, n_shards=3)
+    back = read_wet(spark, d)
+    assert back.count() == 60
+    assert back.select("warc_file").distinct().count() == 3
+    # per-record content invariant: sha256 + exact byte length
+    j = (back.select("target_uri", F.sha2("text", 256).alias("got"),
+                     "content_length")
+         .join(src.select("target_uri", F.sha2("text", 256).alias("want"),
+                          F.octet_length("text").alias("want_len")),
+               "target_uri"))
+    bad = j.where((F.col("got") != F.col("want"))
+                  | (F.col("content_length") != F.col("want_len"))).count()
+    assert bad == 0
+    # warcinfo records are filtered by default but present on disk
+    all_recs = read_wet(spark, d, record_types=())
+    assert all_recs.where(F.col("record_type") == "warcinfo").count() == 3
+
+
+def test_wet_writer_is_deterministic(tmp_path):
+    (tmp_path / "d1").mkdir()
+    (tmp_path / "d2").mkdir()
+    p1 = str(tmp_path / "d1" / "s.warc.wet.gz")
+    p2 = str(tmp_path / "d2" / "s.warc.wet.gz")
+    recs = [("https://x.example/1", "2026-01-01T00:00:00Z", "text one"),
+            ("https://x.example/2", "2026-01-01T00:00:00Z", "text two")]
+    write_wet_file(p1, recs)
+    write_wet_file(p2, recs)
+    assert open(p1, "rb").read().split(b"\x1f\x8b")[1:] \
+        == open(p2, "rb").read().split(b"\x1f\x8b")[1:]
+
+
+def test_read_warc_unwraps_http(spark, tmp_path):
+    body = "<html>Hi &amp; bye</html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+            b"Server: test\r\n\r\n" + body.encode())
+    raw = _wet_bytes([
+        ("response",
+         [("WARC-Record-ID", "<r1>"),
+          ("WARC-Target-URI", "https://h.example/p"),
+          ("WARC-Date", "2026-02-02T00:00:00Z"),
+          ("Content-Type", "application/http;msgtype=response")],
+         http),
+        ("request", [("WARC-Record-ID", "<q1>")], b"GET /p HTTP/1.1\r\n\r\n"),
+    ], compress=True)
+    p = tmp_path / "crawl-00000.warc.gz"
+    p.write_bytes(raw)
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # request records filtered by default
+    (r,) = out
+    assert r["http_status"] == 200
+    assert r["content_type"].startswith("text/html")
+    assert r["text"] == body
+    assert r["content_length"] == len(http)  # WARC length, pre-unwrap
