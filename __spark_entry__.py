@@ -5494,6 +5494,59 @@ def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=out.schema)
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py regex-chain tier,
+    the read_warc companion): wrap every documents row in a fixed
+    HTML template exercising head/style/script removal, comments,
+    block-tag newlines, entity decoding (&amp; last) and whitespace
+    collapse; the oracle states the expected visible text from first
+    principles (it built the template), so any rule drift breaks the
+    hash."""
+    from athena_spark.functions.html import html_to_text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("t"))
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>p{color:red}"
+              "</style></head><body><!-- c --><h1>Doc "),
+        F.col("doc_id"),
+        F.lit("</h1><p>A &amp; B &lt;tag&gt; X&nbsp;Y.</p><p>"),
+        F.col("t"),
+        F.lit("</p><script>var x = '<p>no</p>';</script></body></html>"),
+    )
+    return docs.select("doc_id", html_to_text(html).alias("clean"))
+
+
+def q_c4_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2,
+    operators/c4.py): pages fabricated per documents row with one
+    line per rule — kept / too-short / no-terminal-punct /
+    javascript — plus a third kept line on even ids only and
+    page-killing '{' / 'lorem ipsum' lines on id%17 / id%23.
+    Survivors must be exactly the even ids with neither page killer,
+    carrying the three kept lines; the oracle derives that from
+    doc_id arithmetic."""
+    from athena_spark.operators.c4 import c4_clean
+
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("This is kept sentence number "), d, F.lit(".\n"),
+        F.lit("Too short.\n"),
+        F.lit("No terminal punctuation here at all\n"),
+        F.lit("This line mentions javascript and still ends.\n"),
+        F.lit("Another valid sentence with enough words here!"),
+    )
+    even = F.when(d % 2 == 0, F.lit(
+        "\nA third good sentence appears here sometimes.")) \
+        .otherwise(F.lit(""))
+    brace = F.when(d % 17 == 0, F.lit("\nbad { brace")).otherwise(F.lit(""))
+    lorem = F.when(d % 23 == 0, F.lit(
+        "\nContains Lorem Ipsum phrase today.")).otherwise(F.lit(""))
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(base, even, brace, lorem).alias("text"))
+    return c4_clean(pages, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
@@ -5523,6 +5576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_corpus": q_url_dedup_corpus,
         "domain_stats": q_domain_stats,
         "wet_ingest": q_wet_ingest,
+        "html_extract": q_html_extract,
+        "c4_clean_corpus": q_c4_clean_corpus,
         "substring_dup_stats": q_substring_dup_stats,
         "substring_dedup_corpus": q_substring_dedup_corpus,
         "paragraph_dedup": q_paragraph_dedup,
@@ -7593,6 +7648,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(coalesce(text, '')))
                         AS BIGINT) AS content_length
             FROM documents
+        """,
+        "html_extract": """
+            SELECT doc_id,
+                   CASE WHEN coalesce(text, '') = ''
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                             || 'A & B <tag> X Y.'
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                             || 'A & B <tag> X Y.' || chr(10) || text
+                   END AS clean
+            FROM documents
+        """,
+        "c4_clean_corpus": """
+            SELECT doc_id,
+                   'This is kept sentence number '
+                     || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+                     || 'Another valid sentence with enough words here!'
+                     || chr(10)
+                     || 'A third good sentence appears here sometimes.'
+                     AS clean_text,
+                   CAST(3 AS BIGINT) AS n_lines_kept
+            FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 17 <> 0
+              AND doc_id % 23 <> 0
         """,
         "substring_dup_stats": f"""
             WITH toks AS (

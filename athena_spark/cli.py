@@ -439,6 +439,9 @@ def _build_parser() -> argparse.ArgumentParser:
     wi.add_argument("--warc", action="store_true",
                     help="full WARC response records (unwrap HTTP) "
                          "instead of WET conversion records")
+    wi.add_argument("--extract-text", action="store_true",
+                    help="replace the text column with visible text "
+                         "(functions/html.py regex-chain extraction)")
 
     ud = sub.add_parser("url-dedup")
     common(ud)
@@ -453,6 +456,15 @@ def _build_parser() -> argparse.ArgumentParser:
     dst.add_argument("--id-col", default="doc_id")
     dst.add_argument("--text-col", default=None,
                      help="include byte-size aggregates over this column")
+
+    c4 = sub.add_parser("c4-clean")
+    common(c4)
+    c4.add_argument("--id-col", default="doc_id")
+    c4.add_argument("--min-words-per-line", type=int, default=5)
+    c4.add_argument("--min-lines", type=int, default=3)
+    c4.add_argument("--audit", action="store_true",
+                    help="keep rejected pages with kept=false "
+                         "instead of dropping them")
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -1519,6 +1531,12 @@ def cmd_wet_ingest(args) -> None:
     spark = _spark(args)
     reader = read_warc if args.warc else read_wet
     out = reader(spark, args.input, glob=args.glob)
+    if args.extract_text:
+        from pyspark.sql import functions as F
+
+        from athena_spark.functions.html import html_to_text
+
+        out = out.withColumn("text", html_to_text(F.col("text")))
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
@@ -1575,6 +1593,33 @@ def cmd_domain_stats(args) -> None:
             print(json.dumps(row.asDict()))
 
 
+def cmd_c4_clean(args) -> None:
+    """C4 heuristic page cleaning: write (or print counts for) the
+    cleaned corpus."""
+    from athena_spark.operators.c4 import c4_clean
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = c4_clean(df, args.id_col, args.col,
+                   min_words_per_line=args.min_words_per_line,
+                   min_lines=args.min_lines,
+                   drop_rejected=not args.audit)
+    n_in = df.count()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        rows = None
+    else:
+        rows = out.collect()
+        n_out = len(rows)
+    print(json.dumps({"rows_in": n_in, "rows_out": n_out}),
+          file=sys.stderr)
+    if rows is not None:
+        for row in rows[:50]:
+            print(row[args.id_col], row["n_lines_kept"])
+
+
 def main(argv=None) -> None:
     args = _build_parser().parse_args(argv)
     {
@@ -1614,6 +1659,7 @@ def main(argv=None) -> None:
         "wet-ingest": cmd_wet_ingest,
         "url-dedup": cmd_url_dedup,
         "domain-stats": cmd_domain_stats,
+        "c4-clean": cmd_c4_clean,
         "package": cmd_package,
     }[args.cmd](args)
 

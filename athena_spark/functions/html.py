@@ -1,0 +1,81 @@
+"""HTML → text extraction as pure Catalyst expressions.
+
+The companion to :func:`athena_spark.sources.warc.read_warc`: WARC
+``response`` records carry raw HTML, and every crawl pipeline's first
+text step is boilerplate-free extraction.  Full DOM-aware extraction
+(trafilatura / jusText class) needs an HTML parser library this
+container doesn't ship; what CAN run at 100 TB inside whole-stage
+codegen is the regex-chain extraction tier — the same tier WET
+conversion records themselves are produced at — and that is what
+this module implements, as a deterministic, documented rule:
+
+1. drop comments (``<!-- … -->``);
+2. drop the entire ``<head>`` element, then any ``script`` /
+   ``style`` / ``noscript`` / ``template`` elements (their content
+   is never prose);
+3. closing block-level tags and ``<br>`` become newlines (so
+   paragraph structure survives for the line-level filters
+   downstream, e.g. :func:`athena_spark.operators.c4.c4_clean`);
+4. every remaining tag becomes a space;
+5. the five XML named entities plus ``&nbsp;`` decode (``&amp;``
+   LAST so ``&amp;lt;`` yields the literal ``&lt;`` per the spec);
+   numeric character references beyond ``&#39;`` are out of scope
+   for a regex tier and pass through — documented, not silent;
+6. whitespace canonicalization: horizontal runs collapse to one
+   space, spaces around newlines drop, newline runs collapse to one
+   newline, leading/trailing whitespace trims.
+
+Every pattern is RE2-compatible (no backreferences, no lookaround),
+so the ``html_extract`` gate's DuckDB oracle can re-state the SAME
+rule independently and hash-match the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["html_to_text", "BLOCK_TAGS"]
+
+#: Closing tags that terminate a visual block — these become newlines.
+BLOCK_TAGS = (
+    "p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|td|th|table|blockquote|pre|"
+    "section|article|header|footer|figure|figcaption|dd|dt|dl|form|"
+    "fieldset|address|nav|aside|main|title"
+)
+
+# decode order matters: &amp; strictly last
+_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Extract visible text from an HTML column per the module rule.
+
+    One chained JVM expression — ~12 ``regexp_replace`` + 7 literal
+    ``replace`` steps, no Python per row, survives whole-stage
+    codegen.  NULL in → NULL out."""
+    c = _col(html)
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    for tag in ("script", "style", "noscript", "template"):
+        c = F.regexp_replace(
+            c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    c = F.regexp_replace(c, rf"(?i)</({BLOCK_TAGS})\s*>", "\n")
+    c = F.regexp_replace(c, r"(?i)<br\s*/?\s*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    # whitespace canonicalization (explicit classes, not \s — Java
+    # and RE2 disagree on \x0b membership)
+    c = F.regexp_replace(c, r"[ \t\r\x0B\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    c = F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")
+    return c

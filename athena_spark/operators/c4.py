@@ -1,0 +1,89 @@
+"""C4-style heuristic corpus cleaning (Raffel et al. 2020, §2.2).
+
+The published rule set that produced the C4 corpus from Common Crawl,
+re-expressed as Catalyst higher-order-function expressions — the
+canonical heuristic-cleaning baseline every later pipeline (Gopher,
+RefinedWeb, Dolma) measures against.  Implemented subset, faithful to
+the paper:
+
+* line level — retain only lines that (a) end in a terminal
+  punctuation mark (``. ! ? "``), (b) contain at least
+  ``min_words_per_line`` (default 5) whitespace-separated words, and
+  (c) do not contain the word "javascript" (case-insensitive);
+* page level — drop any page that (a) retains fewer than
+  ``min_lines`` lines (the paper's "fewer than 3 sentences", with
+  retained lines as the sentence proxy — documented deviation),
+  (b) contains a curly brace ``{`` (code), or (c) contains the
+  phrase "lorem ipsum" (case-insensitive).
+
+Out of scope here, covered elsewhere in the engine: the paper's
+three-sentence-span exact dedup (:mod:`athena_spark.operators.dedup`
+``substring_dup_stats`` / ``paragraph_dedup_corpus``), its langid
+filter (``functions/text.py``), and its bad-word list (a wordlist
+liability with no algorithmic content).
+
+Scale shape: everything is per-row column expressions — no shuffle,
+no Python, no UDF; the only wide operation a caller might add is
+their own write.  At 100 TB this runs at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["c4_line_filter", "c4_clean"]
+
+#: Terminal punctuation per the C4 rule (sentence-final marks; the
+#: paper's implementation also accepts a closing double quote).
+TERMINAL_PUNCT = ('.', '!', '?', '"')
+
+
+def c4_line_filter(
+    text: Column | str,
+    *,
+    min_words_per_line: int = 5,
+) -> Column:
+    """Array of retained lines of ``text`` under the C4 line rule."""
+    c = F.col(text) if isinstance(text, str) else text
+
+    def keep(line):
+        trimmed = F.trim(line)
+        ends = F.lit(False)
+        for p in TERMINAL_PUNCT:
+            ends = ends | trimmed.endswith(p)
+        words = F.size(F.split(trimmed, r"[ \t]+"))
+        no_js = ~F.lower(trimmed).contains("javascript")
+        return (trimmed != "") & ends \
+            & (words >= min_words_per_line) & no_js
+    return F.filter(
+        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)), keep)
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    drop_rejected: bool = True,
+) -> DataFrame:
+    """Apply the C4 rule set: returns ``(id_col, clean_text,
+    n_lines_kept, kept)`` where ``clean_text`` is the retained lines
+    re-joined with newlines.  With ``drop_rejected=False`` rejected
+    pages stay in the output with ``kept = false`` (for audit
+    pipelines); by default they are filtered out."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = c4_line_filter(raw, min_words_per_line=min_words_per_line)
+    page_ok = (
+        (F.size(lines) >= min_lines)
+        & ~raw.contains("{")
+        & ~F.lower(raw).contains("lorem ipsum")
+    )
+    out = df.select(
+        id_col,
+        F.array_join(lines, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines_kept"),
+        page_ok.alias("kept"),
+    )
+    return out.where("kept").drop("kept") if drop_rejected else out

@@ -847,3 +847,33 @@ def test_cli_wet_ingest_and_url_ops(spark, sf_dir, tmp_path, capsys):
     assert {d["domain"] for d in doms} \
         == {f"d{i}.example" for i in range(5)}
     assert sum(d["n_docs"] for d in doms) == 40
+
+
+def test_cli_c4_clean_and_warc_extract(spark, tmp_path, capsys):
+    from athena_spark.sources.warc import write_wet_file
+
+    # c4-clean over a tiny fabricated corpus
+    good = "\n".join([
+        "This is a perfectly fine first sentence here.",
+        "This is a perfectly fine second sentence here.",
+        "This is a perfectly fine third sentence here.",
+    ])
+    df = spark.createDataFrame(
+        [(1, good), (2, "code { brace " + good)],
+        "doc_id long, text string")
+    src = str(tmp_path / "c4_in")
+    df.write.parquet(src)
+    out = run_cli(capsys, ["c4-clean", "--input", src, "--col", "text"])
+    assert [l.split() for l in out.strip().splitlines()] == [["1", "3"]]
+
+    # wet-ingest --extract-text strips tags from the payload
+    wet_dir = str(tmp_path / "wet2")
+    os.makedirs(wet_dir)
+    write_wet_file(
+        os.path.join(wet_dir, "s.warc.wet.gz"),
+        [("https://x.example/a", "2026-01-01T00:00:00Z",
+          "<p>Hello &amp; goodbye.</p>")])
+    parsed = str(tmp_path / "parsed2")
+    run_cli(capsys, ["wet-ingest", "--input", wet_dir,
+                     "--extract-text", "--output", parsed])
+    assert spark.read.parquet(parsed).first()["text"] == "Hello & goodbye."

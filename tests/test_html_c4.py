@@ -1,0 +1,84 @@
+"""HTML→text extraction and C4 heuristic cleaning."""
+
+from pyspark.sql import functions as F
+
+from athena_spark.functions.html import html_to_text
+from athena_spark.operators.c4 import c4_clean, c4_line_filter
+
+
+def _extract(spark, html):
+    return spark.createDataFrame([(html,)], "h string") \
+        .select(html_to_text("h").alias("t")).first()["t"]
+
+
+def test_html_basic_structure(spark):
+    html = ("<html><head><title>T</title><style>p{color:red}</style>"
+            "</head><body><!-- note --><h1>Head</h1>"
+            "<p>First para.</p><p>Second para.</p>"
+            "<script>var x = '<p>not text</p>';</script></body></html>")
+    assert _extract(spark, html) == "Head\nFirst para.\nSecond para."
+
+
+def test_html_entities_and_double_encoding(spark):
+    # &amp; decodes LAST: &amp;lt; must yield the literal string "&lt;"
+    html = "<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; "\
+           "X&nbsp;Y &amp;lt;</p>"
+    assert _extract(spark, html) == 'A & B <tag> "q" \'s\' X Y &lt;'
+
+
+def test_html_br_and_inline_tags(spark):
+    html = "<p>one <b>bold</b> two<br/>three<br >four</p>"
+    assert _extract(spark, html) == "one bold two\nthree\nfour"
+
+
+def test_html_whitespace_collapse_and_multiline_blocks(spark):
+    html = ("<div>  a   b\t c </div>\n\n<div>\nd\n</div>"
+            "<style>\n.x {\n  y: z;\n}\n</style>")
+    assert _extract(spark, html) == "a b c\nd"
+
+
+def test_html_case_insensitive_and_null(spark):
+    html = "<SCRIPT>x</SCRIPT><P>Visible.</P>"
+    assert _extract(spark, html) == "Visible."
+    row = spark.createDataFrame([(None,)], "h string") \
+        .select(html_to_text("h").alias("t")).first()
+    assert row["t"] is None
+
+
+def test_c4_line_rules(spark):
+    lines = [
+        "This sentence has enough words to keep.",   # kept
+        "Too short.",                                 # <5 words
+        "No terminal punctuation on this line",       # no punct
+        "This line mentions JavaScript and still ends.",  # javascript
+        'He said "it ends with a quote"',   # kept: end-quote is terminal
+        'He said "it ends with a quote."',  # kept
+        "Ends with a bang and enough words!",  # kept
+    ]
+    df = spark.createDataFrame([("\n".join(lines),)], "text string")
+    kept = df.select(c4_line_filter("text").alias("k")).first()["k"]
+    assert kept == [lines[0], lines[4], lines[5], lines[6]]
+
+
+def test_c4_page_rules(spark):
+    good = "\n".join([
+        "This is a perfectly fine first sentence here.",
+        "This is a perfectly fine second sentence here.",
+        "This is a perfectly fine third sentence here.",
+    ])
+    rows = [
+        (1, good),                                   # kept
+        (2, good + "\nfn() { return; }"),            # brace
+        (3, good + "\nLorem Ipsum dolor sit amet."), # lorem ipsum
+        (4, "Only one good retained sentence here."),  # < min_lines
+        (5, None),                                   # null page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = c4_clean(df)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    assert out.first()["n_lines_kept"] == 3
+    assert out.first()["clean_text"] == good
+    audit = c4_clean(df, drop_rejected=False)
+    assert audit.count() == 5
+    assert {r["doc_id"]: r["kept"] for r in audit.collect()} == {
+        1: True, 2: False, 3: False, 4: False, 5: False}
