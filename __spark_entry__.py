@@ -5547,6 +5547,84 @@ def q_c4_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(pages, "doc_id", "text")
 
 
+# shared fabrication constants for the gopher_quality gate: the SAME
+# Python literals feed the Spark concat and the DuckDB oracle SQL
+_GOPHER_BULLETS = "\n" + "\n".join(
+    f"• bullet item number {w} here" for w in
+    ("one", "two", "three", "four", "five",
+     "six", "seven", "eight", "nine", "ten"))
+_GOPHER_ELLIPSIS = "\nto be continued..."
+_GOPHER_SYMBOLS = " " + " ".join(["#"] * 20)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-shape quality rules (Rae et al. 2021 Table A1,
+    operators/gopher.py): documents mutated per doc_id — ten bullet
+    lines on %7 (bullet fraction 10/11 > 0.9), an ellipsis line on
+    %11 (1/2 > 0.3), twenty '#' words on %13 (symbol ratio > 0.1) —
+    then all seven rule flags plus the integer evidence counts.  The
+    oracle re-states every rule in DuckDB list/lambda SQL over the
+    identically-fabricated pages, with integer cross-multiplication
+    on both sides so rule boundaries carry no float epsilon."""
+    from athena_spark.operators.gopher import gopher_quality_flags
+
+    d = F.col("doc_id")
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(d % 7 == 0, F.lit(_GOPHER_BULLETS)).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(_GOPHER_ELLIPSIS))
+            .otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(_GOPHER_SYMBOLS)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality_flags(pages, "doc_id", "text")
+
+
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→corpus composite end to end
+    (operators/webcurate.py:curate_web_corpus): HTML extraction →
+    canonical-URL dedup → C4 cleaning → Gopher rules → exact content
+    dedup, over fabricated raw HTML pages where every stage has
+    victims it alone can remove — odd ids are utm-variant refetches
+    of even pages (URL stage), a junk line in every page (C4 line
+    stage), a '{'-carrying paragraph on groups %68 (C4 page stage), a
+    '#'-run paragraph on groups %44 (Gopher symbol stage), and ids
+    4k/4k+2 share identical content (exact-dedup stage).  Survivors
+    and their cleaned text are pure doc_id arithmetic, which is what
+    the oracle states."""
+    from athena_spark.operators.webcurate import curate_web_corpus
+
+    d = F.col("doc_id")
+    g = d - d % 4
+    page = d - d % 2
+    url = F.concat(
+        F.lit("https://s.example/p/"), page,
+        F.when(d % 2 == 1, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    brace = F.when(g % 68 == 0, F.lit(
+        "<p>This bad group has a { brace and the page must die.</p>")) \
+        .otherwise(F.lit(""))
+    symbols = F.when(g % 44 == 0, F.lit(
+        "<p>" + "# " * 20 + "ends here today.</p>")).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body>"
+              "<p>This is the kept first sentence of group "), g,
+        F.lit(".</p><p>short junk</p>"
+              "<p>Another kept sentence with the word and more of them "
+              "here.</p>"
+              "<p>A third kept sentence to satisfy the minimum lines "
+              "rule.</p>"),
+        brace, symbols, F.lit("</body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), html.alias("text"))
+    return curate_web_corpus(pages, "url", "doc_id", "text",
+                             extract_html=True,
+                             gopher_params={"min_words": 10})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Board ORDER is part of the driver contract discipline
     # (VERDICT r3 items #1/#7): if the driver grades under a budget,
@@ -5578,6 +5656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_ingest": q_wet_ingest,
         "html_extract": q_html_extract,
         "c4_clean_corpus": q_c4_clean_corpus,
+        "gopher_quality": q_gopher_quality,
+        "web_pipeline": q_web_pipeline,
         "substring_dup_stats": q_substring_dup_stats,
         "substring_dedup_corpus": q_substring_dedup_corpus,
         "paragraph_dedup": q_paragraph_dedup,
@@ -7648,6 +7728,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(coalesce(text, '')))
                         AS BIGINT) AS content_length
             FROM documents
+        """,
+        "web_pipeline": """
+            SELECT doc_id,
+                   'https://s.example/p/' || CAST(doc_id AS VARCHAR)
+                       AS url_norm,
+                   'This is the kept first sentence of group '
+                     || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+                     || 'Another kept sentence with the word and more '
+                     || 'of them here.' || chr(10)
+                     || 'A third kept sentence to satisfy the minimum '
+                     || 'lines rule.' AS clean_text,
+                   CAST(3 AS BIGINT) AS n_lines_kept
+            FROM documents
+            WHERE doc_id % 4 = 0 AND doc_id % 68 <> 0
+              AND doc_id % 44 <> 0
+        """,
+        "gopher_quality": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN '{_GOPHER_BULLETS}' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN '{_GOPHER_ELLIPSIS}' ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN '{_GOPHER_SYMBOLS}' ELSE '' END AS t
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, t,
+                       list_filter(regexp_split_to_array(t, '[ \\t\\n]+'),
+                                   w -> w <> '') AS words,
+                       list_filter(list_transform(
+                           string_split(t, chr(10)), l -> trim(l)),
+                           l -> l <> '') AS lines
+                FROM pages
+            ), ev AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(coalesce(list_sum(list_transform(
+                           words, w -> length(w))), 0) AS BIGINT)
+                           AS sum_wl,
+                       CAST(2 * length(t)
+                            - length(replace(t, '#', ''))
+                            - length(replace(t, '…', ''))
+                            AS BIGINT) AS n_symbols,
+                       CAST(len(list_filter(lines,
+                           l -> substr(l, 1, 1) IN ('•', '-', '*')))
+                           AS BIGINT) AS n_bullet_lines,
+                       CAST(len(list_filter(lines,
+                           l -> l LIKE '%…' OR l LIKE '%...'))
+                           AS BIGINT) AS n_ellipsis_lines,
+                       CAST(len(list_filter(words,
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                           AS BIGINT) AS n_alpha_words,
+                       CAST(len(list_intersect(
+                           list_distinct(list_transform(words,
+                                                        w -> lower(w))),
+                           ['the','be','to','of','and','that',
+                            'have','with'])) AS BIGINT) AS n_stop_hits
+                FROM feat
+            )
+            SELECT doc_id, n_words, n_lines, n_symbols, n_bullet_lines,
+                   n_ellipsis_lines, n_alpha_words, n_stop_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                   (n_words > 0 AND sum_wl >= 3 * n_words
+                    AND sum_wl <= 10 * n_words) AS r_mean_word_len,
+                   (n_words = 0 OR n_symbols * 10 <= n_words)
+                       AS r_symbol_ratio,
+                   (n_lines = 0 OR n_bullet_lines * 10 <= n_lines * 9)
+                       AS r_bullet_lines,
+                   (n_lines = 0 OR n_ellipsis_lines * 10 <= n_lines * 3)
+                       AS r_ellipsis_lines,
+                   (n_words = 0 OR n_alpha_words * 10 >= n_words * 8)
+                       AS r_alpha_words,
+                   (n_stop_hits >= 2) AS r_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (n_words > 0 AND sum_wl >= 3 * n_words
+                         AND sum_wl <= 10 * n_words)
+                    AND (n_words = 0 OR n_symbols * 10 <= n_words)
+                    AND (n_lines = 0 OR n_bullet_lines * 10 <= n_lines * 9)
+                    AND (n_lines = 0
+                         OR n_ellipsis_lines * 10 <= n_lines * 3)
+                    AND (n_words = 0 OR n_alpha_words * 10 >= n_words * 8)
+                    AND (n_stop_hits >= 2)) AS keep
+            FROM ev
         """,
         "html_extract": """
             SELECT doc_id,

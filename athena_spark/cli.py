@@ -466,6 +466,13 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="keep rejected pages with kept=false "
                          "instead of dropping them")
 
+    gf = sub.add_parser("gopher-filter")
+    common(gf)
+    gf.add_argument("--id-col", default="doc_id")
+    gf.add_argument("--flags", action="store_true",
+                    help="emit per-rule flags + evidence counts "
+                         "instead of filtering")
+
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
     return p
@@ -1620,6 +1627,36 @@ def cmd_c4_clean(args) -> None:
             print(row[args.id_col], row["n_lines_kept"])
 
 
+def cmd_gopher_filter(args) -> None:
+    """Gopher document-shape rules: filter (default) or audit flags."""
+    from athena_spark.operators.gopher import (gopher_filter,
+                                               gopher_quality_flags)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    if args.flags:
+        out = gopher_quality_flags(df, args.id_col, args.col)
+    else:
+        out = gopher_filter(df, args.id_col, args.col)
+    n_in = df.count()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        rows = None
+    else:
+        rows = out.collect()
+        n_out = len(rows)
+    print(json.dumps({"rows_in": n_in, "rows_out": n_out}),
+          file=sys.stderr)
+    if rows is not None and args.flags:
+        for row in rows[:50]:
+            print(row[args.id_col], row["keep"])
+    elif rows is not None:
+        for row in rows[:50]:
+            print(row[args.id_col])
+
+
 def main(argv=None) -> None:
     args = _build_parser().parse_args(argv)
     {
@@ -1660,6 +1697,7 @@ def main(argv=None) -> None:
         "url-dedup": cmd_url_dedup,
         "domain-stats": cmd_domain_stats,
         "c4-clean": cmd_c4_clean,
+        "gopher-filter": cmd_gopher_filter,
         "package": cmd_package,
     }[args.cmd](args)
 

@@ -1,0 +1,167 @@
+"""Gopher document-level quality rules (Rae et al. 2021, Table A1).
+
+The MassiveWeb filter set — with C4 (:mod:`athena_spark.operators.c4`)
+and the supervised classifier (:mod:`~athena_spark.operators
+.qualityfilter`) one of the three canonical quality gates every LLM
+data pipeline composes.  This module implements the *document-shape*
+rules; the paper's repetition rules are already first-class in
+:func:`athena_spark.functions.text.repetition_features` and its
+langid rule in ``langid_col`` — compose them, don't duplicate them.
+
+Implemented rules, one boolean column each (TRUE = passes):
+
+* ``r_word_count``    — word count within ``[min_words, max_words]``
+  (paper: 50..100 000);
+* ``r_mean_word_len`` — mean word length within
+  ``[min_mean_word_len, max_mean_word_len]`` (paper: 3..10);
+* ``r_symbol_ratio``  — (# + … symbols) / words ≤ ``max_symbol_ratio``
+  (paper: 0.1);
+* ``r_bullet_lines``  — fraction of lines starting with a bullet
+  (• - *) ≤ ``max_bullet_frac`` (paper: 0.9);
+* ``r_ellipsis_lines``— fraction of lines ending with an ellipsis
+  (… or ...) ≤ ``max_ellipsis_frac`` (paper: 0.3);
+* ``r_alpha_words``   — fraction of words containing at least one
+  alphabetic character ≥ ``min_alpha_frac`` (paper: 0.8);
+* ``r_stopwords``     — at least ``min_stop_hits`` distinct words
+  from the required-stopword set (paper: 2 of
+  the/be/to/of/and/that/have/with).
+
+Numeric hygiene: every threshold comparison is evaluated by INTEGER
+cross-multiplication (``hits * denom_scale ⋛ thresh_scaled * denom``)
+— no float division anywhere — so the flags are exactly reproducible
+across engines, partitionings, and the DuckDB oracle, with no
+epsilon at rule boundaries.
+
+Scale shape: pure per-row column expressions over one shared
+words/lines subtree — no shuffle, no UDF; runs at scan speed.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["gopher_quality_flags", "gopher_filter", "REQUIRED_STOPWORDS"]
+
+#: The paper's required-stopword set.
+REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                      "have", "with")
+
+_BULLETS = ("•", "-", "*")
+
+
+def _ratio_le(num: Column, denom: Column, thresh: Fraction) -> Column:
+    """num/denom <= thresh by integer cross-multiplication; empty
+    denominator counts as passing (no evidence of violation)."""
+    return (denom == 0) | (num * thresh.denominator
+                           <= denom * thresh.numerator)
+
+
+def _ratio_ge(num: Column, denom: Column, thresh: Fraction) -> Column:
+    return (denom == 0) | (num * thresh.denominator
+                           >= denom * thresh.numerator)
+
+
+def _rule_columns(
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio: Fraction = Fraction(1, 10),
+    max_bullet_frac: Fraction = Fraction(9, 10),
+    max_ellipsis_frac: Fraction = Fraction(3, 10),
+    min_alpha_frac: Fraction = Fraction(8, 10),
+    min_stop_hits: int = 2,
+) -> tuple[dict[str, Column], dict[str, Column], Column]:
+    """(evidence counts, rule flags, keep) as unevaluated columns
+    over one shared words/lines subtree."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(raw, r"[ \t\n]+"), lambda w: w != "")
+    lines = F.filter(F.transform(F.split(raw, r"\n"),
+                                 lambda l: F.trim(l)),
+                     lambda l: l != "")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    # '#' and the Unicode ellipsis are the paper's symbol set; count
+    # occurrences via length deltas (pure JVM, no regex scan per char)
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ell = F.length(raw) - F.length(
+        F.replace(raw, F.lit("…"), F.lit("")))
+    n_symbols = (n_hash + n_ell).cast("long")
+    bullet_lines = F.size(F.filter(
+        lines,
+        lambda l: F.substring(l, 1, 1).isin(list(_BULLETS)))).cast("long")
+    ellipsis_lines = F.size(F.filter(
+        lines,
+        lambda l: l.endswith("…") | l.endswith("..."))).cast("long")
+    alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    stops = F.array(*[F.lit(s) for s in REQUIRED_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, lambda w: F.lower(w))),
+        stops)).cast("long")
+
+    mean_len_ok = (
+        (n_words > 0)
+        & (sum_word_len >= min_mean_word_len * n_words)
+        & (sum_word_len <= max_mean_word_len * n_words)
+    )
+    flags = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": mean_len_ok,
+        "r_symbol_ratio": _ratio_le(n_symbols, n_words, max_symbol_ratio),
+        "r_bullet_lines": _ratio_le(bullet_lines, n_lines,
+                                    max_bullet_frac),
+        "r_ellipsis_lines": _ratio_le(ellipsis_lines, n_lines,
+                                      max_ellipsis_frac),
+        "r_alpha_words": _ratio_ge(alpha_words, n_words, min_alpha_frac),
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    evidence = {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "n_symbols": n_symbols,
+        "n_bullet_lines": bullet_lines,
+        "n_ellipsis_lines": ellipsis_lines,
+        "n_alpha_words": alpha_words,
+        "n_stop_hits": stop_hits,
+    }
+    return evidence, flags, keep
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """Per-document rule flags + integer evidence counts + ``keep``
+    (the AND of all rules).  See module docstring for the rules."""
+    evidence, flags, keep = _rule_columns(text_col, **thresholds)
+    return df.select(
+        id_col,
+        *[c.alias(name) for name, c in evidence.items()],
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """Keep only documents passing every Gopher rule.  Original
+    columns preserved; the keep predicate evaluates in the same
+    stage as the scan — a plain filter, no join, no shuffle."""
+    _, _, keep = _rule_columns(text_col, **thresholds)
+    return df.where(keep)

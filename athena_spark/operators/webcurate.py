@@ -30,7 +30,8 @@ from athena_spark.functions.url import (
     url_host,
 )
 
-__all__ = ["url_dedup", "domain_stats", "filter_domains"]
+__all__ = ["url_dedup", "domain_stats", "filter_domains",
+           "curate_web_corpus"]
 
 
 def url_dedup(
@@ -134,3 +135,63 @@ def filter_domains(
     domains = list(domains)
     cond = dom.isin(domains)
     return df.where(~cond if mode == "block" else cond)
+
+
+def curate_web_corpus(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    extract_html: bool = False,
+    strip_www: bool = True,
+    c4_params: dict | None = None,
+    gopher_params: dict | None = None,
+) -> DataFrame:
+    """The crawl→corpus composite, in the order every published
+    pipeline runs it (CCNet / C4 / RefinedWeb): cheapest and
+    highest-yield passes first, so each later (more expensive) stage
+    sees fewer rows.
+
+    1. optional HTML → text extraction (``extract_html=True`` when
+       the input is raw WARC response HTML rather than WET text);
+    2. canonical-URL dedup (same page under many fetch variants —
+       shuffles canonical-URL strings only);
+    3. C4 line/page cleaning (per-row filter, no shuffle; the
+       retained-lines text REPLACES the raw text downstream);
+    4. Gopher document-shape rules over the cleaned text (per-row
+       filter, no shuffle);
+    5. exact content dedup on sha256 of the cleaned text, min-id
+       winner (shuffles 32-byte digests + ids only).
+
+    Near-duplicate dedup and langid are deliberately NOT folded in —
+    compose with :func:`athena_spark.operators.curate.curate_corpus`
+    (which owns those stages) when needed.
+
+    Returns ``(id_col, url_norm, clean_text, n_lines_kept)`` for the
+    surviving documents.  At every stage only ids, canonical URLs and
+    digests shuffle; document text stays partition-local.
+    """
+    from athena_spark.functions.html import html_to_text
+    from athena_spark.operators.c4 import c4_clean
+    from athena_spark.operators.gopher import gopher_filter
+
+    work = df.select(id_col, url_col, text_col)
+    if extract_html:
+        work = work.withColumn(text_col, html_to_text(F.col(text_col)))
+    work = url_dedup(work, url_col, id_col, strip_www=strip_www,
+                     keep_norm_col="url_norm")
+    cleaned = c4_clean(work.select(id_col, "url_norm", text_col),
+                       id_col, text_col, **(c4_params or {}))
+    # c4_clean projects (id, clean_text, n_lines_kept); re-attach the
+    # canonical URL by id (ids-only shuffle, and only for survivors)
+    cleaned = cleaned.join(work.select(id_col, "url_norm"), id_col)
+    kept = gopher_filter(cleaned, id_col, "clean_text",
+                         **(gopher_params or {}))
+    winners = (
+        kept.groupBy(F.sha2(F.col("clean_text"), 256).alias("_sha"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return kept.join(winners, id_col, "left_semi") \
+        .select(id_col, "url_norm", "clean_text", "n_lines_kept")

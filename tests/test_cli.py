@@ -877,3 +877,18 @@ def test_cli_c4_clean_and_warc_extract(spark, tmp_path, capsys):
     run_cli(capsys, ["wet-ingest", "--input", wet_dir,
                      "--extract-text", "--output", parsed])
     assert spark.read.parquet(parsed).first()["text"] == "Hello & goodbye."
+
+
+def test_cli_gopher_filter(spark, tmp_path, capsys):
+    good = " ".join(["the", "and", "of", "with"] + ["word"] * 56)
+    df = spark.createDataFrame(
+        [(1, good), (2, "way too short.")], "doc_id long, text string")
+    src = str(tmp_path / "gopher_in")
+    df.write.parquet(src)
+    out = run_cli(capsys, ["gopher-filter", "--input", src,
+                           "--col", "text"])
+    assert out.strip().splitlines() == ["1"]
+    flags = run_cli(capsys, ["gopher-filter", "--input", src,
+                             "--col", "text", "--flags"])
+    got = dict(l.split() for l in flags.strip().splitlines())
+    assert got == {"1": "True", "2": "False"}

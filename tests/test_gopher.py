@@ -1,0 +1,71 @@
+"""Gopher document-shape quality rules (Rae et al. 2021 Table A1)."""
+
+from fractions import Fraction
+
+from athena_spark.operators.gopher import (
+    gopher_filter,
+    gopher_quality_flags,
+)
+
+GOOD = " ".join(["the", "and", "of", "with"] + ["word"] * 56)  # 60 words
+
+
+def _flags(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = gopher_quality_flags(df, **kw)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_good_doc_passes_all(spark):
+    f = _flags(spark, [(1, GOOD)])[1]
+    assert f["keep"] is True
+    assert f["n_words"] == 60
+    assert f["n_stop_hits"] == 4
+    assert all(f[k] for k in f if k.startswith("r_"))
+
+
+def test_each_rule_fails_in_isolation(spark):
+    bullets = "\n".join(["• the item and foo bar"] * 10)
+    ellipsis = "\n".join([GOOD] + ["to be continued..."] * 1 + [GOOD])
+    rows = [
+        (1, " ".join(["the", "and"] + ["word"] * 8)),        # word count
+        (2, " ".join(["the", "and", "of"] + ["a"] * 57)),    # mean len < 3
+        (3, GOOD + " " + " ".join(["##"] * 7)),              # symbols
+        (4, bullets),                                         # bullets
+        (5, ellipsis),                                        # ellipsis
+        (6, " ".join(["123"] * 20) + " " + GOOD),            # alpha frac
+        (7, " ".join(["word"] * 60)),                         # stopwords
+        (8, None),                                            # null
+    ]
+    f = _flags(spark, rows)
+    assert not f[1]["r_word_count"] and f[1]["r_stopwords"]
+    assert not f[2]["r_mean_word_len"]
+    assert not f[3]["r_symbol_ratio"] and f[3]["r_word_count"]
+    assert not f[4]["r_bullet_lines"] and f[4]["r_word_count"]
+    assert not f[5]["r_ellipsis_lines"]
+    assert not f[6]["r_alpha_words"] and f[6]["n_alpha_words"] == 60
+    assert not f[7]["r_stopwords"]
+    assert not f[8]["keep"] and not f[8]["r_word_count"]
+    assert all(not v["keep"] for v in f.values())
+
+
+def test_boundary_is_exact_integer_arithmetic(spark):
+    # exactly 10% symbols passes (<=), one more symbol fails —
+    # no float epsilon at the boundary
+    base = " ".join(["the", "and"] + ["word"] * 48)  # 50 words
+    at = base + " #####"                              # 51 words, 5 '#'
+    over = base + " ######"                           # 51 words, 6 '#'
+    f = _flags(spark, [(1, at), (2, over)],
+               max_symbol_ratio=Fraction(5, 51))
+    assert f[1]["r_symbol_ratio"] is True
+    assert f[2]["r_symbol_ratio"] is False
+
+
+def test_gopher_filter_is_a_plain_filter(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD), (2, "too short.")], "doc_id long, text string")
+    out = gopher_filter(df)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    assert out.columns == df.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan

@@ -122,3 +122,36 @@ def test_filter_domains_df_plan_broadcasts(spark):
     plan = filter_domains(corpus, bl, mode="block") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
+def test_curate_web_corpus_stage_victims(spark):
+    from athena_spark.operators.webcurate import curate_web_corpus
+
+    good_body = (
+        "<p>This is the kept first sentence of doc {}.</p>"
+        "<p>short junk</p>"
+        "<p>Another kept sentence with the word and more of them here.</p>"
+        "<p>A third kept sentence to satisfy the minimum lines rule.</p>")
+    rows = [
+        # 1+2: same canonical URL (utm variant) -> URL stage keeps 1
+        (1, "https://a.example/x", f"<html><body>{good_body.format('A')}</body></html>"),
+        (2, "https://a.example/x?utm_source=z", f"<html><body>{good_body.format('A2')}</body></html>"),
+        # 3: page killed by C4 ('{' in visible text)
+        (3, "https://a.example/y",
+         f"<html><body>{good_body.format('B')}<p>bad {{ brace in prose dies.</p></body></html>"),
+        # 4: killed by Gopher (symbol ratio)
+        (4, "https://a.example/z",
+         f"<html><body>{good_body.format('C')}<p>{'# ' * 20}ends here today.</p></body></html>"),
+        # 5+6: distinct URLs, identical content -> exact stage keeps 5
+        (5, "https://a.example/u", f"<html><body>{good_body.format('D')}</body></html>"),
+        (6, "https://a.example/v", f"<html><body>{good_body.format('D')}</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = curate_web_corpus(df, "url", "doc_id", "text",
+                            extract_html=True,
+                            gopher_params={"min_words": 10})
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == [1, 5]
+    assert got[1]["n_lines_kept"] == 3
+    assert got[1]["url_norm"] == "https://a.example/x"
+    assert "short junk" not in got[1]["clean_text"]
