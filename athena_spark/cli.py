@@ -27,6 +27,8 @@ Subcommands:
 * ``decontaminate`` — n-gram benchmark decontamination
 * ``lm-score``   — bigram-LM perplexity quality scoring (interpolated or Kneser-Ney)
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
+* ``train-unigram`` — learn a unigram-LM (SentencePiece-style)
+  subword vocabulary (optionally Viterbi-encode)
 * ``chunk``      — RAG-style overlapping passage chunking
 * ``substring-dedup`` — duplicated-span stats / keep-first-occurrence rewrite
 * ``paragraph-dedup`` — CCNet paragraph-hash boilerplate removal
@@ -46,6 +48,13 @@ Subcommands:
 * ``scd2``       — type-2 slowly-changing-dimension apply (keep history)
 * ``compact``    — small-file compaction (stats-manifest bin banding)
 * ``validate``   — deequ-style rule checks (completeness/uniqueness/FK)
+* ``wet-ingest`` — parse WARC/WET crawl shards to parquet (optionally
+  extracting visible text from HTML)
+* ``url-dedup``  — canonical-URL dedup (RFC-3986 normalization)
+* ``domain-stats`` — per-registrable-domain (eTLD+1) aggregates
+* ``c4-clean``   — C4 heuristic line/page cleaning
+* ``gopher-filter`` — Gopher document-shape quality rules
+* ``code-quality``  — StarCoder-style source-file quality rules
 * ``package``    — build the --py-files zip
 """
 
@@ -220,6 +229,18 @@ def _build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--apply", default=None, metavar="ENC_DIR",
                     help="also encode the corpus and write parquet "
                          "(doc id, n_words, n_subwords, subwords)")
+
+    tu = sub.add_parser("train-unigram")
+    common(tu, output_help="pieces text file to write ('piece\\t"
+                           "logprob' per line, prob desc); stdout "
+                           "if omitted")
+    tu.add_argument("--id-col", default="doc_id")
+    tu.add_argument("--vocab-size", type=int, default=32000)
+    tu.add_argument("--max-words", type=int, default=1 << 20)
+    tu.add_argument("--apply", default=None, metavar="ENC_DIR",
+                    help="also Viterbi-encode the corpus and write "
+                         "parquet (doc id, n_words, n_subwords, "
+                         "subwords)")
 
     ch = sub.add_parser("chunk")
     common(ch, output_help="(doc_id, chunk_idx, n_tokens, chunk) parquet dir")
@@ -470,6 +491,15 @@ def _build_parser() -> argparse.ArgumentParser:
     common(gf)
     gf.add_argument("--id-col", default="doc_id")
     gf.add_argument("--flags", action="store_true",
+                    help="emit per-rule flags + evidence counts "
+                         "instead of filtering")
+
+    cq = sub.add_parser("code-quality")
+    common(cq)
+    cq.set_defaults(col="content")
+    cq.add_argument("--id-cols", default="repo,path",
+                    help="comma-separated file-key columns")
+    cq.add_argument("--flags", action="store_true",
                     help="emit per-rule flags + evidence counts "
                          "instead of filtering")
 
@@ -996,6 +1026,31 @@ def cmd_train_bpe(args) -> None:
         sys.stdout.write(lines)
     if args.apply:
         bpe_encode(df, args.id_col, args.col, model) \
+            .write.mode("overwrite").parquet(args.apply)
+
+
+def cmd_train_unigram(args) -> None:
+    """Learn a unigram-LM piece vocabulary from the corpus;
+    optionally Viterbi-encode the corpus with it.  Pieces go to
+    --output (one 'piece<TAB>logprob' per line, prob desc) or
+    stdout; model stats go to stderr."""
+    from athena_spark.functions.unigram import (train_unigram,
+                                                unigram_encode)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    model = train_unigram(df, args.col, vocab_size=args.vocab_size,
+                          max_words=args.max_words)
+    print(json.dumps({"pieces": len(model.pieces)}), file=sys.stderr)
+    lines = "".join(f"{p}\t{lp!r}\n" for p, lp in model.pieces)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(lines)
+    else:
+        sys.stdout.write(lines)
+    if args.apply:
+        unigram_encode(df, args.id_col, args.col, model) \
             .write.mode("overwrite").parquet(args.apply)
 
 
@@ -1657,6 +1712,30 @@ def cmd_gopher_filter(args) -> None:
             print(row[args.id_col])
 
 
+def cmd_code_quality(args) -> None:
+    """StarCoder-style source-file rules: filter or audit flags."""
+    from athena_spark.operators.codequality import (code_quality_filter,
+                                                    code_quality_flags)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    if args.flags:
+        out = code_quality_flags(
+            df, id_cols=tuple(args.id_cols.split(",")),
+            content_col=args.col)
+    else:
+        out = code_quality_filter(df, content_col=args.col)
+    n_in = df.count()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+    else:
+        n_out = out.count()
+    print(json.dumps({"rows_in": n_in, "rows_out": n_out}),
+          file=sys.stderr)
+
+
 def main(argv=None) -> None:
     args = _build_parser().parse_args(argv)
     {
@@ -1675,6 +1754,7 @@ def main(argv=None) -> None:
         "decontaminate": cmd_decontaminate,
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,
+        "train-unigram": cmd_train_unigram,
         "substring-dedup": cmd_substring_dedup,
         "paragraph-dedup": cmd_paragraph_dedup,
         "semantic-dedup": cmd_semantic_dedup,
@@ -1698,6 +1778,7 @@ def main(argv=None) -> None:
         "domain-stats": cmd_domain_stats,
         "c4-clean": cmd_c4_clean,
         "gopher-filter": cmd_gopher_filter,
+        "code-quality": cmd_code_quality,
         "package": cmd_package,
     }[args.cmd](args)
 

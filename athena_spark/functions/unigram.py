@@ -1,0 +1,304 @@
+"""Unigram-LM subword tokenizer (Kudo 2018, the SentencePiece
+``unigram`` algorithm) — training and Viterbi encoding.
+
+The second of the two standard subword learners (the engine's BPE
+twin is :mod:`athena_spark.functions.bpe`).  Where BPE grows a vocab
+bottom-up by merging, unigram starts from a large seed vocabulary and
+PRUNES it under a probabilistic model: each piece has a probability,
+a word's likelihood is the sum over all its segmentations, EM
+re-estimates piece probabilities from their posterior expected
+counts, and low-value pieces are dropped until the target size.
+
+Scale shape — identical to the BPE trainer's: the corpus is touched
+ONCE (the exact word histogram, truncated to ``max_words`` by a
+total order, so driver traffic is bounded); the seed/EM/prune loop
+runs driver-side over that bounded histogram with per-word
+forward–backward dynamic programs; encoding is distributed and
+bounded per batch by UNIQUE tokens via Arrow dictionary encoding.
+
+Faithfulness notes (documented deviations from the SentencePiece
+implementation, both standard in reimplementations):
+
+* seeding uses the top-``seed_size`` frequent substrings up to
+  ``max_piece_len`` chars (SentencePiece seeds from an ESA suffix
+  array — same set, different machinery);
+* pruning drops the pieces with the smallest expected count
+  (SentencePiece ranks by exact likelihood loss if removed; the
+  expected count is its first-order surrogate).  Single characters
+  are never pruned, so every word stays segmentable.
+
+Determinism: the histogram truncation, EM arithmetic (fixed
+iteration order over a sorted vocab), prune tie-breaks (count desc,
+piece asc) and Viterbi tie-breaks (longest piece wins) are all total
+orders — the learned model is a pure function of the histogram,
+independent of partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.tokenize import exploded_tokens
+
+__all__ = ["UnigramModel", "train_unigram", "unigram_encode",
+           "viterbi_segment"]
+
+
+@dataclass(frozen=True)
+class UnigramModel:
+    """Pieces with log probabilities (natural log), sorted by
+    (-logprob, piece) for a canonical listing."""
+    pieces: tuple[tuple[str, float], ...]
+
+    @property
+    def logp(self) -> dict[str, float]:
+        return dict(self.pieces)
+
+    @property
+    def vocab(self) -> list[str]:
+        return [p for p, _ in self.pieces]
+
+
+def _word_histogram(df: DataFrame, text_col: str,
+                    max_words: int) -> tuple[list[str], list[int]]:
+    # same normalization + truncation rule as train_bpe, so the two
+    # tokenizers are trained on identical histograms
+    norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
+    rows = (
+        exploded_tokens(df, norm, out="w")
+        .groupBy("w").count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return [r["w"] for r in rows], [int(r["count"]) for r in rows]
+
+
+def _seed_vocab(words: list[str], counts: list[int],
+                max_piece_len: int, seed_size: int) -> list[str]:
+    """All single characters plus the most frequent multi-char
+    substrings (count desc, substring asc — a total order)."""
+    subs: dict[str, int] = {}
+    chars: set[str] = set()
+    for w, c in zip(words, counts):
+        n = len(w)
+        for i in range(n):
+            chars.add(w[i])
+            for j in range(i + 2, min(i + max_piece_len, n) + 1):
+                s = w[i:j]
+                subs[s] = subs.get(s, 0) + c
+    top = sorted(subs, key=lambda s: (-subs[s], s))
+    room = max(seed_size - len(chars), 0)
+    return sorted(chars) + top[:room]
+
+
+def _em_step(words: list[str], counts: list[int],
+             logp: dict[str, float], max_piece_len: int,
+             ) -> tuple[dict[str, float], float]:
+    """One EM iteration: forward–backward expected counts over every
+    word's segmentation lattice → renormalized log-probs.  Returns
+    (new logp, total corpus log-likelihood under the OLD probs)."""
+    expected: dict[str, float] = {}
+    total_ll = 0.0
+    for w, c in zip(words, counts):
+        n = len(w)
+        alpha = [-math.inf] * (n + 1)
+        alpha[0] = 0.0
+        for j in range(1, n + 1):
+            acc = -math.inf
+            for i in range(max(0, j - max_piece_len), j):
+                lp = logp.get(w[i:j])
+                if lp is None or alpha[i] == -math.inf:
+                    continue
+                v = alpha[i] + lp
+                acc = v if acc == -math.inf else (
+                    max(acc, v) + math.log1p(math.exp(-abs(acc - v))))
+            alpha[j] = acc
+        z = alpha[n]
+        if z == -math.inf:  # unreachable: single chars always present
+            continue
+        total_ll += c * z
+        beta = [-math.inf] * (n + 1)
+        beta[n] = 0.0
+        for i in range(n - 1, -1, -1):
+            acc = -math.inf
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                lp = logp.get(w[i:j])
+                if lp is None or beta[j] == -math.inf:
+                    continue
+                v = lp + beta[j]
+                acc = v if acc == -math.inf else (
+                    max(acc, v) + math.log1p(math.exp(-abs(acc - v))))
+            beta[i] = acc
+        for i in range(n):
+            if alpha[i] == -math.inf:
+                continue
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                lp = logp.get(w[i:j])
+                if lp is None or beta[j] == -math.inf:
+                    continue
+                post = math.exp(alpha[i] + lp + beta[j] - z) * c
+                if post > 0.0:
+                    s = w[i:j]
+                    expected[s] = expected.get(s, 0.0) + post
+    tot = sum(expected.values())
+    new = {s: math.log(e / tot) for s, e in sorted(expected.items())
+           if e > 0.0}
+    return new, total_ll
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    *,
+    max_words: int = 1 << 20,
+    max_piece_len: int = 8,
+    seed_factor: int = 8,
+    shrink: float = 0.75,
+    em_iters: int = 2,
+) -> UnigramModel:
+    """Learn a ``vocab_size``-piece unigram tokenizer from the corpus
+    word histogram (one Spark pass; driver-side EM/prune loop)."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    words, counts = _word_histogram(df, text_col, max_words)
+    if not words:
+        return UnigramModel(pieces=())
+    vocab = _seed_vocab(words, counts, max_piece_len,
+                        seed_factor * vocab_size)
+    chars = {s for s in vocab if len(s) == 1}
+    if vocab_size < len(chars):
+        raise ValueError(
+            f"vocab_size {vocab_size} is below the {len(chars)} single "
+            "characters needed to keep every word segmentable")
+    # uniform init over the seed
+    logp = {s: -math.log(len(vocab)) for s in vocab}
+    while True:
+        for _ in range(em_iters):
+            logp, _ = _em_step(words, counts, logp, max_piece_len)
+            # pieces can drop out with zero posterior; chars must stay
+            floor = math.log(1e-12)
+            for ch in chars:
+                logp.setdefault(ch, floor)
+        if len(logp) <= vocab_size:
+            break
+        # prune: keep chars + best multi-char pieces by probability
+        # (count desc surrogate), ties by piece asc
+        multi = sorted((s for s in logp if len(s) > 1),
+                       key=lambda s: (-logp[s], s))
+        target = max(vocab_size, int(len(logp) * shrink))
+        keep = list(chars) + multi[:max(target - len(chars), 0)]
+        logp = {s: logp[s] for s in keep}
+        if len(logp) <= len(chars):
+            break
+    # final renormalization over the surviving vocab
+    tot = math.log(sum(math.exp(v) for v in logp.values()))
+    logp = {s: v - tot for s, v in logp.items()}
+    pieces = tuple(sorted(logp.items(), key=lambda kv: (-kv[1], kv[0])))
+    return UnigramModel(pieces=pieces)
+
+
+def viterbi_segment(word: str, logp: dict[str, float],
+                    max_piece_len: int = 8) -> list[str]:
+    """Best segmentation under the model (ties → longest piece, a
+    deterministic total order).  Unknown characters fall back to a
+    large-penalty single-char piece so encoding never fails."""
+    n = len(word)
+    unk = math.log(1e-12) - 10.0
+    best = [(-math.inf, 0)] * (n + 1)
+    best[0] = (0.0, 0)
+    for j in range(1, n + 1):
+        b_score, b_i = -math.inf, j - 1
+        for i in range(max(0, j - max_piece_len), j):
+            if best[i][0] == -math.inf:
+                continue
+            lp = logp.get(word[i:j])
+            if lp is None:
+                if j - i > 1:
+                    continue
+                lp = unk
+            v = best[i][0] + lp
+            # strict > with i ascending → smallest i (longest piece)
+            # wins ties
+            if v > b_score:
+                b_score, b_i = v, i
+        best[j] = (b_score, b_i)
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = best[j][1]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_encode(df: DataFrame, id_col: str, text_col: str,
+                   model: UnigramModel) -> DataFrame:
+    """Distributed Viterbi encoding: (id, n_words, n_subwords,
+    subwords) with the flat per-word piece stream (pieces of one word
+    are contiguous; word boundaries recoverable from the text).
+    Same Arrow dictionary-encode kernel shape as ``bpe_encode`` —
+    per-batch cost bounded by unique tokens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from athena_spark.functions.tokenize import arrow_tokenize_batch
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    sc = df.sparkSession.sparkContext
+    bmodel = sc.broadcast(model)
+
+    def kernel(batches):
+        logp = bmodel.value.logp
+        cache: dict[str, list[str]] = {}
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            tokens, t = arrow_tokenize_batch(texts)
+            dic = pc.dictionary_encode(tokens)
+            uniq = dic.dictionary.to_pylist() if len(tokens) else []
+            enc = []
+            for w in uniq:
+                e = cache.get(w)
+                if e is None:
+                    e = viterbi_segment(w, logp)
+                    cache[w] = e
+                enc.append(e)
+            idx = (dic.indices.to_numpy(zero_copy_only=False)
+                   .astype(np.int64) if len(tokens)
+                   else np.empty(0, np.int64))
+            lens = np.array([len(e) for e in enc], np.int64)
+            per_token = lens[idx] if len(idx) else np.empty(0, np.int64)
+            ends = np.cumsum(t)
+            cs = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(per_token)])
+            starts = ends - t
+            n_sub = cs[ends] - cs[starts]
+            if len(idx):
+                uniq_list = pa.array(enc, type=pa.list_(pa.string()))
+                flat_arr = uniq_list.take(pa.array(idx)).flatten()
+            else:
+                flat_arr = pa.array([], type=pa.string())
+            doc_offsets = np.concatenate(
+                [np.zeros(1, np.int64), cs[ends]])
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(t.astype(np.int64)),
+                 pa.array(n_sub),
+                 pa.ListArray.from_arrays(
+                     pa.array(doc_offsets, type=pa.int32()),
+                     flat_arr)],
+                names=[id_col, "n_words", "n_subwords", "subwords"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        kernel,
+        f"`{id_col}` {id_type}, n_words long, n_subwords long, "
+        "subwords array<string>",
+    )

@@ -1,0 +1,97 @@
+"""Unigram-LM subword tokenizer (Kudo 2018): EM training, Viterbi
+encoding, determinism, and likelihood behavior."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.functions.unigram import (
+    UnigramModel,
+    _em_step,
+    train_unigram,
+    unigram_encode,
+    viterbi_segment,
+)
+
+CORPUS = [
+    (0, "lowlow lower lowest low low"),
+    (1, "newer newest new new newly"),
+    (2, "low lower newest newer low"),
+    (3, "wide wider widest wide wide"),
+]
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    return train_unigram(df, "text", vocab_size=24)
+
+
+def test_vocab_size_and_chars_present(spark, model):
+    assert len(model.pieces) <= 24
+    chars = {c for _, t in CORPUS for c in t.replace(" ", "")}
+    assert chars <= set(model.vocab)
+    # multi-char pieces were actually learned
+    assert any(len(p) > 1 for p in model.vocab)
+    # probabilities normalize
+    assert math.isclose(sum(math.exp(lp) for _, lp in model.pieces),
+                        1.0, rel_tol=1e-9)
+
+
+def test_training_partitioning_independent(spark, model):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    m2 = train_unigram(df.repartition(7), "text", vocab_size=24)
+    assert m2.pieces == model.pieces
+
+
+def test_em_increases_likelihood(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    from athena_spark.functions.unigram import (_seed_vocab,
+                                                _word_histogram)
+    words, counts = _word_histogram(df, "text", 1 << 20)
+    vocab = _seed_vocab(words, counts, 8, 64)
+    logp = {s: -math.log(len(vocab)) for s in vocab}
+    lls = []
+    for _ in range(4):
+        logp, ll = _em_step(words, counts, logp, 8)
+        lls.append(ll)
+    # corpus log-likelihood is monotone non-decreasing under EM
+    assert all(b >= a - 1e-9 for a, b in zip(lls, lls[1:]))
+
+
+def test_viterbi_roundtrip_and_ties(model):
+    logp = model.logp
+    for w in ["lowest", "newer", "widest", "low"]:
+        segs = viterbi_segment(w, logp)
+        assert "".join(segs) == w
+        assert all(s in logp or len(s) == 1 for s in segs)
+    # unknown characters never fail
+    assert "".join(viterbi_segment("zq!", logp)) == "zq!"
+
+
+def test_distributed_encode_matches_driver_viterbi(spark, model):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    enc = {r["doc_id"]: r for r in
+           unigram_encode(df, "doc_id", "text", model).collect()}
+    logp = model.logp
+    for doc_id, text in CORPUS:
+        words = text.split()
+        want = [s for w in words for s in viterbi_segment(w, logp)]
+        assert enc[doc_id]["subwords"] == want
+        assert enc[doc_id]["n_words"] == len(words)
+        assert enc[doc_id]["n_subwords"] == len(want)
+
+
+def test_vocab_size_guard(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="single"):
+        train_unigram(df, "text", vocab_size=3)
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(df, "text", vocab_size=0)
+
+
+def test_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    m = train_unigram(df, "text", vocab_size=10)
+    assert m.pieces == ()
