@@ -57,6 +57,35 @@ WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5
 """
 
 
+# exact new-x-old cross-corpus Jaccard (new batch = odd doc_ids, old
+# corpus = even): the oracle for the minhash_cross_pairs gates — no
+# a<b order filter, pairs are (new_id, old_id) across sides only
+_CROSS_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT new_id, old_id,
+       ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = new_id
+JOIN sz sb ON sb.doc_id = old_id
+WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5
+"""
+
+
 def _markers_sql() -> dict[str, str]:
     from athena_spark.functions.text import LANG_MARKERS
 
@@ -355,6 +384,62 @@ def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, q in enumerate(qs)
     ]
     return spark.createDataFrame(rows, schema="q double, ok boolean")
+
+
+def q_hll_sparse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified SPARSE-HLL rollup (sketch/hll.py SparseHyperLogLog —
+    the HLL++ sparse-representation idea): hourly sparse HLL(user)
+    states rolled up to daily must have registers BIT-EQUAL to dense
+    HyperLogLog sketches built directly from the rows (sparse is a
+    storage layout, not a different estimator), daily estimates must
+    sit within the 3-sigma bound of exact distinct counts, and every
+    persisted sparse state must be strictly smaller than the dense
+    2**p register payload — the per-group memory win that makes
+    million-group rollups affordable at 100 TB."""
+    from athena_spark.operators.agg import (grouped_sketch, load_summary,
+                                            merge_grouped_sketches,
+                                            values_updater)
+    from athena_spark.sketch import HyperLogLog, SparseHyperLogLog
+
+    ev = _table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    ).cache()
+    hourly = grouped_sketch(ev, ["hour"], "uid",
+                            lambda pid: SparseHyperLogLog(p=12),
+                            values_updater)
+    rolled = merge_grouped_sketches(
+        hourly.withColumn("day", F.substring("hour", 1, 10)), ["day"]
+    )
+    direct = grouped_sketch(ev, ["day"], "uid",
+                            lambda pid: HyperLogLog(p=12), values_updater)
+    exact = {
+        r["day"]: r["exact"]
+        for r in ev.groupBy("day")
+        .agg(F.count_distinct("uid").alias("exact"))
+        .collect()
+    }
+    dense = {r["day"]: bytes(r["state"]) for r in direct.collect()}
+    sigma3 = 3 * 1.04 / (2 ** 6)
+    rows = []
+    for r in sorted(rolled.collect(), key=lambda x: x["day"]):
+        day, blob = r["day"], bytes(r["state"])
+        sk = load_summary(blob)
+        dk = load_summary(dense[day])
+        rows.append((
+            day,
+            bool((sk.to_dense()._regs == dk._regs).all()),
+            bool(abs(sk.estimate() - exact[day])
+                 <= sigma3 * exact[day] + 2),
+            bool(len(blob) < len(dense[day])),
+        ))
+    ev.unpersist()
+    return spark.createDataFrame(
+        rows,
+        schema="day string, regs_equal boolean, est_ok boolean, "
+               "payload_smaller boolean",
+    )
 
 
 def q_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,6 +745,107 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
         bands=64, max_doc_freq=None,
     )
+
+
+def q_cross_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup primitive: near-dup pairs strictly
+    ACROSS two corpora (new batch = odd doc_ids, existing corpus =
+    even doc_ids) via cross-side MinHash-LSH + exact verification
+    (operators/dedup.py minhash_cross_pairs).  bands=64 → r=2 → ~1
+    recall at the J >= 0.5 query threshold, so the verified output
+    must equal the exact new-x-old Jaccard oracle."""
+    from athena_spark.operators.dedup import minhash_cross_pairs
+
+    docs = _docs(spark, sf_dir)
+    return minhash_cross_pairs(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        "doc_id", "text", n=3, threshold=0.5, bands=64,
+        max_doc_freq=None,
+    )
+
+
+def q_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving new-batch ids after exact (sha256 anti-join) and
+    near-dup (cross-side MinHash at J >= 0.5) layers against the
+    existing corpus — the end-to-end admit/reject decision the
+    pairs gate above only enumerates."""
+    from athena_spark.operators.dedup import dedup_against_corpus
+
+    docs = _docs(spark, sf_dir)
+    return dedup_against_corpus(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        "doc_id", "text", n=3, threshold=0.5, bands=64,
+        max_doc_freq=None,
+    ).select("doc_id")
+
+
+def q_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified theta-sketch batch-coverage report
+    (operators/overlap.py corpus_containment): distinct-trigram
+    containment of the new batch (odd doc_ids) in the old corpus
+    (even doc_ids), estimated from two O(k) summaries.  k=512 forces
+    estimation mode at sf0.01; every estimate must sit within the
+    3-sigma binomial-thinning bound of the exact value, and the
+    containment column must equal est_inter/est_new exactly."""
+    from athena_spark.operators.overlap import (
+        corpus_containment,
+        group_shingles_exact,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    (row,) = corpus_containment(new, old, "text", n=3, k=512).collect()
+    sided = docs.withColumn(
+        "side", F.when(F.col("doc_id") % 2 == 1, "new").otherwise("old")
+    )
+    grams = group_shingles_exact(sided, "side", "text", n=3)
+    n_new = grams.where(F.col("side") == "new").count()
+    n_old = grams.where(F.col("side") == "old").count()
+    n_inter = (
+        grams.where(F.col("side") == "new")
+        .select("gram")
+        .join(grams.where(F.col("side") == "old").select("gram"), "gram",
+              "left_semi")
+        .count()
+    )
+    th = row["theta_frac"]
+
+    def ok(est, exact):
+        return bool(abs(est - exact)
+                    <= 3.0 * (exact * (1 - th) / th) ** 0.5 + 3.0)
+
+    checks = [
+        ("estimation_mode", bool(0 < th < 1)),
+        ("new_within_bound", ok(row["est_new"], n_new)),
+        ("old_within_bound", ok(row["est_old"], n_old)),
+        ("inter_within_bound", ok(row["est_inter"], n_inter)),
+        ("novel_within_bound", ok(row["est_novel"], n_new - n_inter)),
+        ("containment_consistent",
+         bool(row["containment"] == row["est_inter"] / row["est_new"])),
+    ]
+    return spark.createDataFrame(checks, schema="check string, ok boolean")
+
+
+def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate miner: top-20 word-3-grams by document frequency
+    (df >= 2) — the human-readable diagnostic twin of the Zipf guard
+    (operators/dedup.py boilerplate_grams)."""
+    from athena_spark.operators.dedup import boilerplate_grams
+
+    return boilerplate_grams(_docs(spark, sf_dir), "doc_id", "text",
+                             n=3, min_doc_freq=2, top=20)
+
+
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of a doc's distinct 3-grams appearing
+    in no other document (operators/dedup.py gram_novelty_stats) —
+    int64 gram hashes shuffle, never text."""
+    from athena_spark.operators.dedup import gram_novelty_stats
+
+    return gram_novelty_stats(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
 def q_simhash_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5783,6 +5969,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_corpus": q_substring_dedup_corpus,
         "paragraph_dedup": q_paragraph_dedup,
         "paragraph_dup_stats": q_paragraph_dup_stats,
+        "cross_dedup_pairs": q_cross_dedup_pairs,
+        "dedup_against_corpus": q_dedup_against_corpus,
+        "hll_sparse_rollup": q_hll_sparse_rollup,
+        "corpus_containment": q_corpus_containment,
+        "boilerplate_grams": q_boilerplate_grams,
+        "gram_novelty": q_gram_novelty,
         "ann_ivfpq_bucketed": q_ann_ivfpq_bucketed,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
@@ -6072,6 +6264,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS states_equal, TRUE AS est_ok
             FROM events GROUP BY 1
         """,
+        "hll_sparse_rollup": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   TRUE AS regs_equal, TRUE AS est_ok,
+                   TRUE AS payload_smaller
+            FROM events GROUP BY 1
+        """,
         "bloom_orders_custkeys": """
             SELECT 'no_false_negatives' AS "check", TRUE AS ok
             UNION ALL
@@ -6145,6 +6343,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM both_dirs WHERE containment >= 0.5
         """,
         "minhash_dedup_pairs": _JACCARD_SQL,
+        "cross_dedup_pairs": _CROSS_JACCARD_SQL,
+        "corpus_containment": """
+            SELECT 'estimation_mode' AS "check", TRUE AS ok
+            UNION ALL SELECT 'new_within_bound', TRUE
+            UNION ALL SELECT 'old_within_bound', TRUE
+            UNION ALL SELECT 'inter_within_bound', TRUE
+            UNION ALL SELECT 'novel_within_bound', TRUE
+            UNION ALL SELECT 'containment_consistent', TRUE
+        """,
+        "boilerplate_grams": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         replace(text, chr(13), ''), '[ \t\n]+'),
+                         t -> t <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(ts) - 2, 0)))
+                   AS g(i)
+            )
+            SELECT shingle, doc_freq,
+                   ROUND(doc_freq::DOUBLE
+                         / (SELECT COUNT(*) FROM documents), 6) AS doc_frac
+            FROM (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY 1)
+            WHERE doc_freq >= 2
+            ORDER BY doc_freq DESC, shingle
+            LIMIT 20
+        """,
+        "gram_novelty": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         replace(text, chr(13), ''), '[ \t\n]+'),
+                         t -> t <> '') AS ts
+              FROM documents
+            ), sh AS (
+              -- short docs (< 3 tokens) have NO grams (shingles_col
+              -- semantics): n_grams 0, novel_frac NULL via left join
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(ts) - 2, 0)))
+                   AS g(i)
+            ), dfreq AS (
+              SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+            ), stats AS (
+              SELECT doc_id, COUNT(*) AS n_grams,
+                     ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                           / COUNT(*), 6) AS novel_frac
+              FROM sh JOIN dfreq USING (shingle)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+                   s.novel_frac
+            FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+        """,
+        "dedup_against_corpus": r"""
+            WITH pairs AS (""" + _CROSS_JACCARD_SQL + r"""
+            ), old_shas AS (
+              SELECT DISTINCT sha256(text) AS sha FROM documents
+              WHERE doc_id % 2 = 0
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND sha256(d.text) NOT IN (SELECT sha FROM old_shas)
+              AND d.doc_id NOT IN (SELECT new_id FROM pairs)
+        """,
         "simhash_close_pairs": """
             SELECT 'blocking_complete' AS "check", TRUE AS ok
             UNION ALL

@@ -55,6 +55,9 @@ Subcommands:
 * ``c4-clean``   — C4 heuristic line/page cleaning
 * ``gopher-filter`` — Gopher document-shape quality rules
 * ``code-quality``  — StarCoder-style source-file quality rules
+* ``cross-dedup`` — dedup a new batch against an existing corpus
+  (pairs / filter / containment modes)
+* ``boilerplate`` — top document-frequency n-grams report
 * ``package``    — build the --py-files zip
 """
 
@@ -185,6 +188,33 @@ def _build_parser() -> argparse.ArgumentParser:
     ov.add_argument("--width", type=int, default=4096,
                     help="count-sketch columns (--freq mode); "
                          "per-row RSE ~ sqrt(2/width)")
+
+    xd = sub.add_parser("cross-dedup")
+    common(xd, output_help="surviving-rows parquet dir (filter mode)")
+    xd.add_argument("--against", required=True,
+                    help="existing-corpus dir/table the --input batch "
+                         "is deduped against")
+    xd.add_argument("--id-col", default="doc_id")
+    xd.add_argument("--mode", choices=["pairs", "filter", "containment"],
+                    default="filter",
+                    help="pairs: (new_id, old_id, jaccard) table; "
+                         "filter: surviving new rows after exact + "
+                         "near-dup layers; containment: one-row "
+                         "theta-sketch coverage report (no join runs)")
+    xd.add_argument("--threshold", type=float, default=0.8,
+                    help="near-dup Jaccard threshold")
+    xd.add_argument("--ngram", type=int, default=3)
+    xd.add_argument("--num-perm", type=int, default=128)
+    xd.add_argument("--bands", type=int, default=32)
+    xd.add_argument("--k", type=int, default=4096,
+                    help="theta sketch size (containment mode)")
+
+    bp = sub.add_parser("boilerplate")
+    common(bp, output_help="top-gram report parquet dir")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.add_argument("--ngram", type=int, default=3)
+    bp.add_argument("--min-doc-freq", type=int, default=2)
+    bp.add_argument("--top", type=int, default=20)
 
     fd = sub.add_parser("fd")
     common(fd, output_help="dir for the serialized sketch (fd.bin)")
@@ -908,6 +938,76 @@ def cmd_overlap(args) -> None:
             else:
                 print(f'{r["g_a"]}\t{r["g_b"]}\t{r["est_inter"]:.1f}\t'
                       f'{r["est_union"]:.1f}\t{r["jaccard"]:.4f}')
+
+
+def cmd_cross_dedup(args) -> None:
+    """Dedup the --input batch against the --against corpus.  filter
+    mode writes surviving rows (or prints ids); pairs mode emits the
+    verified (new_id, old_id, jaccard) table; containment mode prints
+    the one-row theta-sketch coverage report — run it first at scale
+    and skip the join when the batch is already covered."""
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    new = read_corpus(spark, args.input, fmt=args.format)
+    old = read_corpus(spark, args.against, fmt=args.format)
+    if args.mode == "containment":
+        from athena_spark.operators.overlap import corpus_containment
+
+        (row,) = corpus_containment(new, old, args.col, n=args.ngram,
+                                    k=args.k).collect()
+        print(json.dumps(row.asDict()))
+        return
+    if args.mode == "pairs":
+        from athena_spark.operators.dedup import minhash_cross_pairs
+
+        out = minhash_cross_pairs(
+            new, old, args.id_col, args.col, n=args.ngram,
+            threshold=args.threshold, num_perm=args.num_perm,
+            bands=args.bands,
+        )
+        n = out.count()
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        else:
+            for r in out.orderBy("new_id", "old_id").collect():
+                print(f'{r["new_id"]}\t{r["old_id"]}\t{r["jaccard"]:.6f}')
+        print(json.dumps({"pairs": n}), file=sys.stderr)
+        return
+    from athena_spark.operators.dedup import dedup_against_corpus
+
+    out = dedup_against_corpus(
+        new, old, args.id_col, args.col, n=args.ngram,
+        threshold=args.threshold, num_perm=args.num_perm,
+        bands=args.bands,
+    )
+    n_in, n_out = new.count(), out.count()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for r in out.select(args.id_col).orderBy(args.id_col).collect():
+            print(r[0])
+    print(json.dumps({"batch": n_in, "admitted": n_out,
+                      "rejected": n_in - n_out}), file=sys.stderr)
+
+
+def cmd_boilerplate(args) -> None:
+    """Top document-frequency n-grams (the Zipf guard's diagnostic
+    twin): shingle, doc_freq, doc_frac — stdout or --output parquet."""
+    from athena_spark.operators.dedup import boilerplate_grams
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = boilerplate_grams(df, args.id_col, args.col, n=args.ngram,
+                            min_doc_freq=args.min_doc_freq, top=args.top)
+    rows = out.collect()  # bounded by --top
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for r in rows:
+            print(f'{r["doc_freq"]}\t{r["doc_frac"]:.6f}\t{r["shingle"]}')
+    print(json.dumps({"grams": len(rows)}), file=sys.stderr)
 
 
 def cmd_fd(args) -> None:
@@ -1750,6 +1850,8 @@ def main(argv=None) -> None:
         "shuffle": cmd_shuffle,
         "quota-sample": cmd_quota_sample,
         "overlap": cmd_overlap,
+        "cross-dedup": cmd_cross_dedup,
+        "boilerplate": cmd_boilerplate,
         "fd": cmd_fd,
         "decontaminate": cmd_decontaminate,
         "lm-score": cmd_lm_score,

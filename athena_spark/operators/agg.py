@@ -40,6 +40,7 @@ from athena_spark.sketch import (
     DDSketch,
     FrequentDirections,
     HyperLogLog,
+    SparseHyperLogLog,
     KLL,
     SpaceSaving,
     TDigest,
@@ -60,6 +61,7 @@ def _reservoir_from_bytes(data: bytes):
 _LOADERS = {
     "spacesaving": SpaceSaving.from_bytes,
     "hll": HyperLogLog.from_bytes,
+    "hll_sparse": SparseHyperLogLog.from_bytes,
     "cms": CountMinSketch.from_bytes,
     "kll": KLL.from_bytes,
     "tdigest": TDigest.from_bytes,

@@ -1575,3 +1575,259 @@ def cosine_pairs_sparse(
         .select("id_a", "id_b", "cosine")
     )
     return out
+
+
+def minhash_cross_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
+) -> DataFrame:
+    """Cross-corpus near-dup pairs: ``(new_id, old_id, jaccard)`` for
+    every NEW document whose word-n-gram Jaccard against an OLD
+    document reaches ``threshold`` — the incremental-crawl dedup
+    primitive (match a fresh batch against an existing corpus without
+    ever re-pairing the corpus with itself).
+
+    Same MinHash-LSH shape as :func:`minhash_dedup_pairs` (one fused
+    Arrow tokenize pass per side emits band buckets AND verification
+    grams), but the candidate join is strictly ACROSS the two inputs:
+    band buckets from the new batch only meet band buckets from the
+    old corpus, so candidate volume is O(batch x matching buckets),
+    never O(corpus^2).  At 100 TB the old side's ``(id, grams,
+    bands)`` table is the thing to precompute and persist once
+    (bucketed on band/bucket); each nightly batch then joins against
+    it — this function recomputes it from text for self-containment.
+
+    The Zipf guard counts document frequency over the UNION of both
+    sides: boilerplate that is hot in the old corpus must be dropped
+    from the new side's gram sets too, or every new doc sharing the
+    boilerplate shingle joins against the entire hot posting list.
+
+    Ids may overlap between the two inputs (they are independent
+    corpora); pairs are keyed (new_id, old_id) and a new doc that is
+    byte-identical to an old doc with the same id IS reported —
+    unlike the self-join there is no ``a < b`` order filter.
+    """
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ValueError(
+            f"max_doc_freq must be None (guard off) or >= 1, got "
+            f"{max_doc_freq}"
+        )
+    id_type = new_df.select(id_col).schema[0].dataType.simpleString()
+    kern = _minhash_kernel(id_col, text_col, n, num_perm, with_sig=False,
+                           with_grams=True, band_count=bands)
+    schema = f"`{id_col}` {id_type}, grams array<long>, bands array<long>"
+    sg_new = new_df.select(id_col, text_col).mapInArrow(kern, schema).cache()
+    sg_old = old_df.select(id_col, text_col).mapInArrow(kern, schema).cache()
+
+    def _banded(sg, alias):
+        return sg.select(
+            F.col(id_col).alias(alias),
+            F.posexplode("bands").alias("band", "bucket"),
+        )
+
+    cands = (
+        _banded(sg_new, "new_id")
+        .join(_banded(sg_old, "old_id"), ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = sg_new.select(F.col(id_col).alias("new_id"),
+                           F.explode("grams").alias("shingle"))
+    sh_old = sg_old.select(F.col(id_col).alias("old_id"),
+                           F.explode("grams").alias("shingle"))
+    if max_doc_freq is not None:
+        # union-side doc frequency (see docstring); hot set stays
+        # bounded and broadcastable exactly like the self-join path
+        hot = (
+            sh_new.select("shingle")
+            .unionAll(sh_old.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh_new = sh_new.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_old = sh_old.join(F.broadcast(hot), "shingle", "left_anti")
+        sz_new = sh_new.groupBy("new_id").agg(F.count("*").alias("sz_a"))
+        sz_old = sh_old.groupBy("old_id").agg(F.count("*").alias("sz_b"))
+    else:
+        sz_new = sg_new.select(F.col(id_col).alias("new_id"),
+                               F.size("grams").cast("long").alias("sz_a"))
+        sz_old = sg_old.select(F.col(id_col).alias("old_id"),
+                               F.size("grams").cast("long").alias("sz_b"))
+    a = sh_new.withColumnRenamed("shingle", "sh_a")
+    b = (sh_old.withColumnRenamed("old_id", "old_id2")
+         .withColumnRenamed("shingle", "sh_b"))
+    inter = (
+        cands.join(a, "new_id")
+        # equi-join on BOTH the old id and the shingle (Catalyst folds
+        # the shingle equality into the join keys — no per-pair cross
+        # product of shingle sets, same shape as minhash_dedup_pairs)
+        .join(b, (F.col("old_id") == F.col("old_id2"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sz_new, "new_id")
+        .join(sz_old, "old_id")
+        .select(
+            "new_id", "old_id",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    out = _materialize(out, materialize)
+    sg_new.unpersist()
+    sg_old.unpersist()
+    return out
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
+) -> DataFrame:
+    """Surviving rows of ``new_df`` after two cross-corpus layers:
+
+    1. **exact** — drop new docs byte-identical to any old doc
+       (anti-join on ``sha2(text)``; only 64-hex digests shuffle);
+    2. **near-dup** — drop new docs with any
+       :func:`minhash_cross_pairs` match at ``threshold``.
+
+    Batch-INTERNAL duplicates are out of scope by design — run
+    :func:`dedup_corpus` / :func:`dedup_corpus_components` on the
+    batch first; this operator answers only "is it new relative to
+    the corpus", so admitting the batch then re-running it against
+    corpus+batch is idempotent.
+    """
+    old_shas = old_df.select(
+        F.sha2(F.col(text_col), 256).alias("text_sha")
+    ).distinct()
+    fresh = new_df.withColumn(
+        "text_sha", F.sha2(F.col(text_col), 256)
+    ).join(old_shas, "text_sha", "left_anti").drop("text_sha")
+    near = minhash_cross_pairs(
+        fresh, old_df, id_col, text_col, n=n, threshold=threshold,
+        num_perm=num_perm, bands=bands, max_doc_freq=max_doc_freq,
+        materialize=materialize,
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return fresh.join(near, id_col, "left_anti")
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_doc_freq: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Boilerplate miner: the ``top`` word-n-grams by document
+    frequency — ``(shingle, doc_freq, doc_frac)``, ordered by
+    (doc_freq desc, shingle asc) for determinism.  The diagnostic
+    twin of the Zipf guard: the guard silently DROPS hot shingles
+    before inverted-index joins; this operator SHOWS them (license
+    headers, nav bars, cookie banners) so a curation pass can strip
+    them at the text level.
+
+    Scale shape: distinct (doc, shingle) pairs partial-aggregate
+    map-side, the global agg shuffles one row per distinct shingle,
+    and the final ordering is a TakeOrdered top-k, never a global
+    sort.  Gram STRINGS shuffle here (unlike the int64-hash dedup
+    paths) because the whole point is a human-readable report —
+    bounded by the top-k, this is a report operator, not a corpus
+    transform.
+    """
+    if min_doc_freq < 1:
+        raise ValueError(f"min_doc_freq must be >= 1, got {min_doc_freq}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    n_docs = df.count()
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))  # shingles_col is per-doc distinct
+        .where(F.col("doc_freq") >= min_doc_freq)
+        .withColumn(
+            "doc_frac",
+            F.round(F.col("doc_freq") / F.lit(float(n_docs)), 6),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle"))
+        .limit(top)
+    )
+
+
+def gram_novelty_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: what fraction of a doc's distinct word
+    n-grams appear in NO other document — ``(id, n_grams,
+    novel_frac)``.  A high-novelty doc contributes genuinely new
+    sequences to a training mix; a low-novelty doc is assembled from
+    shared fragments even when no single near-dup pair catches it
+    (the complement of the duplicated-span fraction
+    :func:`substring_dup_stats` reports).
+
+    Scale shape: one fused Arrow tokenize pass emits int64 gram
+    hashes (:func:`_minhash_kernel` with grams only); the doc-freq
+    table and the per-doc join both shuffle hashes, never text.
+    Docs with fewer than n tokens have NO grams (``shingles_col``
+    semantics): they are kept in the output with ``n_grams = 0`` and
+    ``novel_frac = NULL`` — novelty is undefined, not zero, for a
+    doc too short to form a single n-gram.
+    """
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    sg = df.select(id_col, text_col).mapInArrow(
+        _minhash_kernel(id_col, text_col, n, 1, with_sig=False,
+                        with_grams=True),
+        f"`{id_col}` {id_type}, grams array<long>",
+    )
+    sh = sg.select(F.col(id_col).alias("doc"), F.explode("grams").alias("g"))
+    dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    stats = (
+        sh.join(dfreq, "g")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count("*"), 6,
+            ).alias("novel_frac"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "novel_frac",
+        )
+    )

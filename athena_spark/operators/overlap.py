@@ -319,3 +319,58 @@ def join_key_overlap(
         "est_common": inter.estimate(),
         "rel_err_bound": rse,
     }
+
+
+def corpus_containment(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    k: int = 4096,
+) -> DataFrame:
+    """One-row report: how much of the NEW corpus's distinct
+    word-n-gram vocabulary the OLD corpus already covers.
+
+    Columns: ``est_new``, ``est_old`` (per-side distinct estimates),
+    ``est_inter``, ``est_novel`` (``new \\ old``, the untrimmed
+    a-not-b estimate), ``containment`` (= inter / new, the admission
+    planner's number: 1.0 means the batch adds no new vocabulary),
+    and ``theta_frac`` for deriving binomial error bounds.
+
+    The sketch-side companion of
+    :func:`athena_spark.operators.dedup.dedup_against_corpus`: that
+    operator decides per DOCUMENT, this one prices the batch's
+    marginal content in one O(k)-byte exchange before any join runs
+    — at 100 TB you check containment first and skip the dedup join
+    entirely for a snapshot that is 99% covered.
+
+    Scale shape: one ``grouped_sketch_agg`` pass per side (text never
+    shuffles, O(P x k) summary bytes); the algebra runs on the driver
+    over exactly two k-bounded states.
+    """
+    both = new_df.select(
+        F.lit("new").alias("side"), F.col(text_col).alias("text")
+    ).unionAll(
+        old_df.select(F.lit("old").alias("side"), F.col(text_col).alias("text"))
+    )
+    grouped = group_shingle_sketches(both, "side", "text", n=n, k=k)
+    states = {r["side"]: bytes(r["state"]) for r in grouped.collect()}
+    spark = new_df.sparkSession
+    sn = ThetaSketch.from_bytes(states["new"]) if "new" in states else ThetaSketch(k)
+    so = ThetaSketch.from_bytes(states["old"]) if "old" in states else ThetaSketch(k)
+    inter = sn.intersect(so)
+    est_new = float(sn.estimate())
+    est_inter = float(inter.estimate())
+    row = {
+        "est_new": est_new,
+        "est_old": float(so.estimate()),
+        "est_inter": est_inter,
+        "est_novel": float(sn.a_not_b(so).estimate()),
+        "containment": est_inter / est_new if est_new else 0.0,
+        "theta_frac": float(inter.theta_frac),
+    }
+    return spark.createDataFrame(
+        [row],
+        schema="est_new double, est_old double, est_inter double, "
+               "est_novel double, containment double, theta_frac double",
+    )

@@ -1,6 +1,6 @@
 from athena_spark.sketch.spacesaving import SpaceSaving, SpaceSavingLanguageModel
 from athena_spark.sketch.naive_lm import NaiveLanguageModel
-from athena_spark.sketch.hll import HyperLogLog
+from athena_spark.sketch.hll import HyperLogLog, SparseHyperLogLog
 from athena_spark.sketch.cms import CountMinSketch
 from athena_spark.sketch.kll import KLL
 from athena_spark.sketch.tdigest import TDigest
@@ -17,6 +17,7 @@ __all__ = [
     "SpaceSavingLanguageModel",
     "NaiveLanguageModel",
     "HyperLogLog",
+    "SparseHyperLogLog",
     "CountMinSketch",
     "KLL",
     "TDigest",

@@ -85,3 +85,144 @@ class HyperLogLog:
         sk = cls(scalars["p"])
         sk._regs = np.asarray(arrays["regs"], dtype=np.uint8)
         return sk
+
+
+class SparseHyperLogLog:
+    """Sparse-representation HyperLogLog (the HLL++ sparse idea,
+    Heule et al. 2013, applied to the classic estimator): registers
+    are stored as parallel ``(idx: int32, rho: uint8)`` arrays until
+    their count exceeds ``max_sparse``, then the sketch densifies
+    in place and behaves exactly like :class:`HyperLogLog`.
+
+    Why it matters at scale: a per-group rollup over millions of
+    groups (e.g. distinct users per URL) pays ``2**p`` bytes per
+    group with dense registers — 16 KiB at p=14 — even when most
+    groups hold a handful of distincts.  Sparse entries cost 5 bytes
+    each, so a 100-distinct group serializes at ~0.5 KiB and the
+    shuffle of partial summaries shrinks proportionally.
+
+    Exactness contract (tested): a sparse sketch's registers are at
+    all times EQUAL to the dense sketch's registers over the same
+    input, and :meth:`estimate` delegates to the dense estimator on a
+    transient densification — so estimates are bit-identical to
+    :class:`HyperLogLog`, never "approximately the same".  Memory is
+    bounded during update/merge; the transient ``2**p`` buffer exists
+    only inside ``estimate()``.
+
+    Serialization interops with the dense format: a densified sketch
+    dumps the plain ``hll`` payload (loadable by either class);
+    ``SparseHyperLogLog.from_bytes`` accepts both.
+    """
+
+    __slots__ = ("p", "m", "max_sparse", "_idx", "_rho", "_dense")
+
+    def __init__(self, p: int = 14, max_sparse: int | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = int(p)
+        self.m = 1 << self.p
+        # default budget: densify once sparse bytes (~5/entry) would
+        # exceed the m-byte dense array
+        self.max_sparse = int(max_sparse) if max_sparse is not None else self.m // 5
+        if self.max_sparse < 1:
+            raise ValueError("max_sparse must be >= 1")
+        self._idx = np.empty(0, dtype=np.int32)
+        self._rho = np.empty(0, dtype=np.uint8)
+        self._dense: HyperLogLog | None = None
+
+    @property
+    def relative_error(self) -> float:
+        return 1.04 / float(np.sqrt(self.m))
+
+    @property
+    def is_sparse(self) -> bool:
+        return self._dense is None
+
+    def _compact(self, idx: np.ndarray, rho: np.ndarray) -> None:
+        """Keep max rho per register index; densify over budget."""
+        uniq, inv = np.unique(idx, return_inverse=True)
+        best = np.zeros(uniq.size, dtype=np.uint8)
+        np.maximum.at(best, inv, rho)
+        if uniq.size > self.max_sparse:
+            dense = HyperLogLog(self.p)
+            dense._regs[uniq] = best
+            self._dense = dense
+            self._idx = self._rho = None
+        else:
+            self._idx, self._rho = uniq.astype(np.int32), best
+
+    def update(self, values) -> None:
+        self.update_hashes(hash64(values))
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        if h.size == 0:
+            return
+        if self._dense is not None:
+            self._dense.update_hashes(h)
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)).astype(np.uint64)
+        rho = np.minimum(clz64(rest), 64 - self.p).astype(np.uint8) + np.uint8(1)
+        self._compact(np.concatenate([self._idx, idx.astype(np.int32)]),
+                      np.concatenate([self._rho, rho]))
+
+    def merge(self, other) -> "SparseHyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs with different p")
+        if isinstance(other, HyperLogLog):
+            o_dense, o_idx, o_rho = other, None, None
+        else:
+            o_dense, o_idx, o_rho = other._dense, other._idx, other._rho
+        if self._dense is not None or o_dense is not None:
+            mine = self._dense if self._dense is not None else self._to_dense()
+            theirs = o_dense if o_dense is not None else other._to_dense()
+            np.maximum(mine._regs, theirs._regs, out=mine._regs)
+            self._dense, self._idx, self._rho = mine, None, None
+        else:
+            self._compact(np.concatenate([self._idx, o_idx]),
+                          np.concatenate([self._rho, o_rho]))
+        return self
+
+    def _to_dense(self) -> HyperLogLog:
+        dense = HyperLogLog(self.p)
+        if self._dense is not None:
+            np.maximum(dense._regs, self._dense._regs, out=dense._regs)
+        elif self._idx.size:
+            dense._regs[self._idx] = self._rho
+        return dense
+
+    def to_dense(self) -> HyperLogLog:
+        """A dense :class:`HyperLogLog` with identical registers."""
+        return self._to_dense()
+
+    def estimate(self) -> float:
+        # transient densification: bit-identical to the dense
+        # estimator including the linear-counting branch and float
+        # summation order
+        if self._dense is not None:
+            return self._dense.estimate()
+        return self._to_dense().estimate()
+
+    def to_bytes(self) -> bytes:
+        if self._dense is not None:
+            return self._dense.to_bytes()  # interoperable dense payload
+        return serialization.dumps(
+            {"algo": "hll_sparse", "p": self.p, "max_sparse": self.max_sparse},
+            {"idx": self._idx, "rho": self._rho},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SparseHyperLogLog":
+        scalars, arrays = serialization.loads(data)
+        algo = scalars.get("algo")
+        if algo == "hll":
+            sk = cls(scalars["p"])
+            sk._dense = HyperLogLog.from_bytes(data)
+            sk._idx = sk._rho = None
+            return sk
+        if algo != "hll_sparse":
+            raise ValueError("not an hll/hll_sparse summary")
+        sk = cls(scalars["p"], scalars["max_sparse"])
+        sk._idx = np.asarray(arrays["idx"], dtype=np.int32)
+        sk._rho = np.asarray(arrays["rho"], dtype=np.uint8)
+        return sk

@@ -892,3 +892,57 @@ def test_cli_gopher_filter(spark, tmp_path, capsys):
                              "--col", "text", "--flags"])
     got = dict(l.split() for l in flags.strip().splitlines())
     assert got == {"1": "True", "2": "False"}
+
+
+@pytest.fixture(scope="module")
+def cross_dirs(spark, tmp_path_factory):
+    """A tiny old corpus + a new batch with one exact dup, one
+    near-dup and one fresh doc."""
+    base = tmp_path_factory.mktemp("cli_cross")
+    old = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs today")],
+        "doc_id long, content string")
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),      # exact
+         (3, "pack my box with five dozen liquor jugs tonight"),  # near
+         (5, "completely fresh text about spark engines and sketches")],
+        "doc_id long, content string")
+    od, nd = str(base / "old"), str(base / "new")
+    old.write.parquet(od)
+    new.write.parquet(nd)
+    return nd, od
+
+
+def test_cli_cross_dedup_filter_and_pairs(spark, cross_dirs, capsys):
+    nd, od = cross_dirs
+    out = run_cli(capsys, ["cross-dedup", "--input", nd, "--against", od,
+                           "--mode", "filter", "--threshold", "0.5",
+                           "--bands", "64"])
+    assert out.strip().splitlines() == ["5"]
+    pairs = run_cli(capsys, ["cross-dedup", "--input", nd, "--against", od,
+                             "--mode", "pairs", "--threshold", "0.5",
+                             "--bands", "64"])
+    lines = [ln.split("\t") for ln in pairs.strip().splitlines()]
+    assert [(int(a), int(b)) for a, b, _ in lines] == [(1, 0), (3, 2)]
+    assert float(lines[0][2]) == 1.0
+
+
+def test_cli_cross_dedup_containment_and_boilerplate(spark, cross_dirs,
+                                                     capsys):
+    import json as _json
+
+    nd, od = cross_dirs
+    out = run_cli(capsys, ["cross-dedup", "--input", nd, "--against", od,
+                           "--mode", "containment"])
+    rep = _json.loads(out.strip())
+    # k=4096 >> distinct grams: exact mode, containment is exact
+    assert rep["theta_frac"] == 1.0
+    assert 0.0 < rep["containment"] < 1.0
+    assert rep["est_novel"] > 0
+    bp = run_cli(capsys, ["boilerplate", "--input", nd, "--col", "content",
+                          "--ngram", "3", "--min-doc-freq", "1",
+                          "--top", "3"])
+    rows = [ln.split("\t") for ln in bp.strip().splitlines()]
+    assert len(rows) == 3
+    assert all(int(r[0]) >= 1 and len(r[2].split()) == 3 for r in rows)

@@ -1061,3 +1061,140 @@ def test_cosine_pairs_idf_universal_token_docs_produce_no_nan(spark):
 
     with pytest.raises(ValueError, match="max_doc_freq"):
         cosine_pairs_sparse(df, "doc_id", "text", max_doc_freq=0)
+
+
+def test_minhash_cross_pairs_matches_local_oracle(spark, docs):
+    """Cross-corpus pairs equal the exact new-x-old Jaccard oracle
+    (bands=64 → r=2 → ~1 recall at J=0.5, same rationale as the
+    self-join certified gate)."""
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    out = dedup.minhash_cross_pairs(new, old, "doc_id", "text", n=3,
+                                    threshold=0.3, bands=64)
+    got = {(r["new_id"], r["old_id"]): r["jaccard"] for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a % 2 == 1 and b % 2 == 0:
+                j = local_jaccard(texts[a], texts[b])
+                if j >= 0.3:
+                    want[(a, b)] = round(j, 6)
+    assert got == pytest.approx(want)
+    # no a<b order filter: identical text across sides IS a pair even
+    # when ids collide
+    same_id = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    out2 = dedup.minhash_cross_pairs(same_id, same_id, "doc_id", "text",
+                                     n=3, threshold=0.9, bands=64)
+    assert [(r["new_id"], r["old_id"], r["jaccard"])
+            for r in out2.collect()] == [(7, 7, 1.0)]
+
+
+def test_minhash_cross_pairs_zipf_guard_union_side(spark):
+    """A shingle hot only because of the OLD corpus is dropped from
+    BOTH sides' gram sets (union-side doc frequency)."""
+    boiler = "shared boilerplate header line"
+    old_rows = [(i, boiler + f" unique old {i} body") for i in range(10)]
+    new_rows = [(100, boiler + " fresh new content here")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    # guard off: the boilerplate 3-grams connect new to every old doc
+    # bands=128 → r=1: catch probability 1-(1-J)^128 ≈ 1 even at the
+    # J≈0.18 boilerplate pairs this test queries
+    ung = dedup.minhash_cross_pairs(new, old, "doc_id", "text", n=3,
+                                    threshold=0.1, bands=128,
+                                    max_doc_freq=None)
+    assert ung.count() == 10
+    # guard at df > 5: the boilerplate grams (df=11 across the union)
+    # vanish; no surviving shared gram → no pairs
+    g = dedup.minhash_cross_pairs(new, old, "doc_id", "text", n=3,
+                                  threshold=0.1, bands=128, max_doc_freq=5)
+    assert g.count() == 0
+
+
+def test_minhash_cross_pairs_rejects_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.minhash_cross_pairs(docs, docs, "doc_id", "text",
+                                  max_doc_freq=0)
+    with pytest.raises(ValueError):
+        dedup.minhash_cross_pairs(docs, docs, "doc_id", "text",
+                                  num_perm=128, bands=48)
+
+
+def test_dedup_against_corpus_layers(spark, docs):
+    """Exact layer drops byte-identical rows; near-dup layer drops
+    J >= threshold matches; everything else survives."""
+    old = docs.where(F.col("doc_id").isin(0, 3))          # dog / jugs-today
+    new = docs.where(F.col("doc_id").isin(1, 2, 5, 6))
+    # 2 = exact dup of 0 → exact layer; 1 = near-dup of 0 (J≈0.5);
+    # 5, 6 unrelated → survive
+    out = dedup.dedup_against_corpus(new, old, "doc_id", "text", n=3,
+                                     threshold=0.5, bands=64)
+    assert sorted(r["doc_id"] for r in out.collect()) == [5, 6]
+    assert out.columns == new.columns
+    # idempotence: admit the survivors, re-run the same batch against
+    # corpus+survivors → nothing new admitted twice, survivors
+    # themselves now exact-dup out
+    grown = old.unionAll(out)
+    again = dedup.dedup_against_corpus(new, grown, "doc_id", "text", n=3,
+                                       threshold=0.5, bands=64)
+    assert again.count() == 0
+
+
+def test_boilerplate_grams_matches_local_oracle(spark):
+    rows = [
+        (0, "copyright acme corp all rights reserved alpha"),
+        (1, "copyright acme corp all rights reserved beta"),
+        (2, "copyright acme corp something else entirely here"),
+        (3, "totally unrelated text with no shared fragments at all"),
+        (4, "xy"),  # < n tokens → no shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.boilerplate_grams(docs, "doc_id", "text", n=3,
+                                  min_doc_freq=2, top=10)
+    got = [(r["shingle"], r["doc_freq"], r["doc_frac"]) for r in out.collect()]
+    # local oracle
+    from collections import Counter
+    c = Counter()
+    for _, t in rows:
+        ts = t.split()
+        c.update({" ".join(ts[i:i+3]) for i in range(len(ts) - 2)})
+    want = sorted(((s, n) for s, n in c.items() if n >= 2),
+                  key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(s, n, round(n / 5.0, 6)) for s, n in want]
+    assert got[0] == ("copyright acme corp", 3, 0.6)
+    with pytest.raises(ValueError):
+        dedup.boilerplate_grams(docs, "doc_id", "text", min_doc_freq=0)
+    with pytest.raises(ValueError):
+        dedup.boilerplate_grams(docs, "doc_id", "text", top=0)
+
+
+def test_gram_novelty_stats_matches_local_oracle(spark, docs):
+    out = dedup.gram_novelty_stats(docs, "doc_id", "text", n=3)
+    got = {r["doc_id"]: (r["n_grams"], r["novel_frac"])
+           for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    grams = {}
+    for i, t in texts.items():
+        ts = t.split()
+        grams[i] = {" ".join(ts[j:j+3]) for j in range(len(ts) - 2)}
+    from collections import Counter
+    dfreq = Counter(g for gs in grams.values() for g in gs)
+    want = {
+        i: ((len(gs), round(sum(dfreq[g] == 1 for g in gs) / len(gs), 6))
+            if gs else (0, None))
+        for i, gs in grams.items()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        if want[i][1] is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(want[i][1])
+    # doc 6 ("xy", < n tokens): no grams → novelty undefined, kept
+    assert got[6] == (0, None)
+    # exact dups 0/2 share every gram → novelty 0 for both
+    assert got[0][1] == 0.0 and got[2][1] == 0.0

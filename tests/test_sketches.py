@@ -370,3 +370,106 @@ def test_reference_lcg_jump_ahead_blocks():
     chunks = [1, 3, ReferenceLCG._JUMP_BLOCK - 1, 10, 1000]
     split = np.concatenate([a.raw(k) for k in chunks])
     assert split.tolist() == b.raw(sum(chunks)).tolist()
+
+
+# -- SparseHyperLogLog: register-exact parity with the dense sketch --------
+
+def test_sparse_hll_register_parity_and_estimate():
+    """Sparse registers (and therefore estimates) are bit-identical
+    to the dense sketch over the same input, across chunked updates."""
+    from athena_spark.sketch.hll import HyperLogLog, SparseHyperLogLog
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2000, 10_000).astype(str)
+    d, s = HyperLogLog(12), SparseHyperLogLog(12)
+    for chunk in np.array_split(vals, 9):
+        d.update(chunk)
+        s.update(chunk)
+    assert (s.to_dense()._regs == d._regs).all()
+    assert s.estimate() == d.estimate()
+
+
+def test_sparse_hll_densifies_over_budget_and_stays_exact():
+    from athena_spark.sketch.hll import HyperLogLog, SparseHyperLogLog
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 10**9, 5000).astype(str)
+    d = HyperLogLog(8)
+    s = SparseHyperLogLog(8)  # m=256, budget 51 → must densify
+    d.update(vals)
+    s.update(vals)
+    assert not s.is_sparse
+    assert (s.to_dense()._regs == d._regs).all()
+    assert s.estimate() == d.estimate()
+
+
+def test_sparse_hll_merge_matrix():
+    """sparse+sparse, sparse+dense, dense+sparse, and merge with a
+    plain HyperLogLog all equal the dense union."""
+    from athena_spark.sketch.hll import HyperLogLog, SparseHyperLogLog
+
+    rng = np.random.default_rng(17)
+    a_vals = rng.integers(0, 500, 800).astype(str)
+    b_vals = rng.integers(400, 900, 800).astype(str)
+    want = HyperLogLog(10)
+    want.update(a_vals)
+    want.update(b_vals)
+
+    def sparse(vals, max_sparse=None):
+        s = SparseHyperLogLog(10, max_sparse=max_sparse)
+        s.update(vals)
+        return s
+
+    ss = sparse(a_vals).merge(sparse(b_vals))
+    assert ss.is_sparse is (ss.to_dense()._regs.nonzero()[0].size <= ss.max_sparse)
+    assert (ss.to_dense()._regs == want._regs).all()
+    # force-densified right operand
+    sd = sparse(a_vals).merge(sparse(b_vals, max_sparse=1))
+    assert not sd.is_sparse and (sd.to_dense()._regs == want._regs).all()
+    ds = sparse(a_vals, max_sparse=1).merge(sparse(b_vals))
+    assert (ds.to_dense()._regs == want._regs).all()
+    plain = HyperLogLog(10)
+    plain.update(b_vals)
+    dp = sparse(a_vals).merge(plain)
+    assert (dp.to_dense()._regs == want._regs).all()
+
+
+def test_sparse_hll_serialization_and_size():
+    from athena_spark.operators.agg import load_summary
+    from athena_spark.sketch.hll import HyperLogLog, SparseHyperLogLog
+
+    s = SparseHyperLogLog(14)
+    s.update(np.array([f"u{i}" for i in range(100)]))
+    blob = s.to_bytes()
+    # ~5 bytes/entry + header vs 16 KiB dense: the rollup memory win
+    assert len(blob) < 1024 < len(HyperLogLog(14).to_bytes())
+    rt = load_summary(blob)
+    assert isinstance(rt, SparseHyperLogLog)
+    assert rt.estimate() == s.estimate()
+    assert (rt.to_dense()._regs == s.to_dense()._regs).all()
+    # densified sketch dumps the interoperable dense payload
+    big = SparseHyperLogLog(6)
+    big.update(np.arange(5000).astype(str))
+    assert not big.is_sparse
+    both = HyperLogLog.from_bytes(big.to_bytes())
+    assert (both._regs == big.to_dense()._regs).all()
+    # sparse payload round-trips through SparseHyperLogLog.from_bytes
+    # via the dense branch too
+    assert (SparseHyperLogLog.from_bytes(big.to_bytes())
+            .to_dense()._regs == big.to_dense()._regs).all()
+
+
+def test_sparse_hll_validation():
+    from athena_spark.sketch.hll import HyperLogLog, SparseHyperLogLog
+
+    with pytest.raises(ValueError):
+        SparseHyperLogLog(3)
+    with pytest.raises(ValueError):
+        SparseHyperLogLog(10, max_sparse=0)
+    with pytest.raises(ValueError):
+        SparseHyperLogLog(10).merge(SparseHyperLogLog(11))
+    with pytest.raises(ValueError):
+        SparseHyperLogLog.from_bytes(HyperLogLog(10).to_bytes() and
+                                     __import__("athena_spark.sketch.kll",
+                                                fromlist=["KLL"]).KLL()
+                                     .to_bytes())

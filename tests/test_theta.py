@@ -271,3 +271,58 @@ def test_join_key_overlap_exact_mode(spark):
     res = join_key_overlap(left, right, "k", "k", k=4096)
     assert res["est_left"] == 100.0
     assert res["est_common"] == 50.0
+
+
+def test_corpus_containment_exact_mode(spark, overlap_df):
+    """k above the distinct-gram count → exact set sizes; the
+    containment row must equal the exact new-vs-old algebra."""
+    from athena_spark.operators.overlap import (
+        corpus_containment,
+        group_shingles_exact,
+    )
+
+    new = overlap_df.where(F.col("shard") == "shard_b").select("doc_id", "text")
+    old = overlap_df.where(F.col("shard") == "shard_a").select("doc_id", "text")
+    (row,) = corpus_containment(new, old, "text", n=3, k=8192).collect()
+    exact = group_shingles_exact(overlap_df, "shard", "text", n=3).collect()
+    a = {r["gram"] for r in exact if r["shard"] == "shard_a"}
+    b = {r["gram"] for r in exact if r["shard"] == "shard_b"}
+    assert row["theta_frac"] == 1.0
+    assert row["est_new"] == float(len(b))
+    assert row["est_old"] == float(len(a))
+    assert row["est_inter"] == float(len(a & b))
+    assert row["est_novel"] == float(len(b - a))
+    assert row["containment"] == pytest.approx(len(a & b) / len(b))
+    # fully-covered batch → containment 1, novel 0
+    (full,) = corpus_containment(old, old, "text", n=3, k=8192).collect()
+    assert full["containment"] == pytest.approx(1.0)
+    assert full["est_novel"] == 0.0
+
+
+def test_corpus_containment_estimation_mode_bounds(spark, overlap_df):
+    """k below the distinct count → estimates within the binomial
+    3-sigma thinning bound of exact values."""
+    from athena_spark.operators.overlap import (
+        corpus_containment,
+        group_shingles_exact,
+    )
+
+    new = overlap_df.where(F.col("shard") == "shard_b").select("doc_id", "text")
+    old = overlap_df.where(F.col("shard") == "shard_a").select("doc_id", "text")
+    (row,) = corpus_containment(new, old, "text", n=3, k=256).collect()
+    exact = group_shingles_exact(overlap_df, "shard", "text", n=3).collect()
+    a = {r["gram"] for r in exact if r["shard"] == "shard_a"}
+    b = {r["gram"] for r in exact if r["shard"] == "shard_b"}
+    th = row["theta_frac"]
+    assert 0 < th < 1
+
+    def tol(n_exact):
+        return 3.0 * (n_exact * (1 - th) / th) ** 0.5 + 3.0
+
+    assert abs(row["est_new"] - len(b)) <= tol(len(b))
+    assert abs(row["est_inter"] - len(a & b)) <= tol(len(a & b))
+    assert abs(row["est_novel"] - len(b - a)) <= tol(len(b - a))
+    # empty new side: defined, zero estimates, containment 0
+    empty = new.where(F.lit(False))
+    (z,) = corpus_containment(empty, old, "text", n=3, k=256).collect()
+    assert z["est_new"] == 0.0 and z["containment"] == 0.0
