@@ -60,6 +60,30 @@ WHERE ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5
 # exact new-x-old cross-corpus Jaccard (new batch = odd doc_ids, old
 # corpus = even): the oracle for the minhash_cross_pairs gates — no
 # a<b order filter, pairs are (new_id, old_id) across sides only
+_WJACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(
+             replace(text, chr(13), ''), '[ \t\n]+'), t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, SUM(cnt) AS sz FROM tf GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SUM(LEAST(a.cnt, b.cnt)) AS i
+  FROM tf a JOIN tf b USING (token) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i::DOUBLE / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS wjaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE ROUND(i::DOUBLE / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5
+"""
+
 _CROSS_JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -779,6 +803,110 @@ def q_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", n=3, threshold=0.5, bands=64,
         max_doc_freq=None,
     ).select("doc_id")
+
+
+def q_cross_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted near-dup index (operators/dedup.py
+    write_neardup_index / cross_dedup_pairs_indexed): the corpus side
+    (even doc_ids) is written once — band-partitioned bucket table +
+    gram table + hot list + manifest — and the batch probe (odd
+    doc_ids) must reproduce the exact cross-corpus oracle without
+    ever re-reading corpus text.  Same oracle as cross_dedup_pairs:
+    index-path answers equal recompute-path answers."""
+    import shutil
+    import tempfile
+
+    from athena_spark.operators.dedup import (cross_dedup_pairs_indexed,
+                                              write_neardup_index)
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndidx_gate_")
+    try:
+        write_neardup_index(
+            docs.where(F.col("doc_id") % 2 == 0), tmp, "doc_id", "text",
+            n=3, num_perm=128, bands=64, max_doc_freq=None,
+        )
+        out = cross_dedup_pairs_indexed(
+            docs.where(F.col("doc_id") % 2 == 1), tmp, "doc_id", "text",
+            threshold=0.5,
+        )
+        # materialized by the operator; safe to drop the index dir
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard assignment over 8 shards
+    (operators/trainprep.py rendezvous_shard): RNG-free sha256
+    draws, exact cross-engine oracle.  The minimal-movement property
+    (S -> S+1 moves ~1/(S+1) of rows, all to the new shard) is
+    pytest-certified; this gate pins the assignment itself."""
+    from athena_spark.operators.trainprep import rendezvous_shard
+
+    return rendezvous_shard(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 8
+    )
+
+
+def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (multiset) Jaccard pairs over token counts at
+    J_w >= 0.5 (operators/dedup.py weighted_jaccard_pairs): only the
+    min-sum needs the inverted-index join, sum-max derives from the
+    per-doc totals.  Guard off for exact-all-pairs oracle parity."""
+    from athena_spark.operators.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5,
+        max_doc_freq=None,
+    )
+
+
+def q_weighted_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full weighted near-dup pipeline (ICWS signatures → banded LSH
+    candidates → exact multiset-Jaccard verification,
+    operators/dedup.py weighted_dedup_pairs): verified output must
+    EQUAL the exact all-pairs oracle at J_w >= 0.6 (b=32/r=2: miss
+    probability 0.64^32 ≈ 6e-7 per borderline pair, and the ICWS
+    seeds are deterministic, so equality is a hard gate, not a
+    probabilistic one).  Guard off for oracle parity."""
+    from athena_spark.operators.dedup import weighted_dedup_pairs
+
+    return weighted_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.6,
+        num_perm=64, bands=32, max_doc_freq=None,
+    )
+
+
+def q_icws_wjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified ICWS weighted MinHash (Ioffe 2010): for every exact
+    weighted-Jaccard pair at J_w >= 0.5, the fraction of matching
+    ICWS signature slots (num_perm=256) must sit within the 4-sigma
+    binomial sampling bound of the exact J_w.  A broken sampler (non-
+    consistent draws, wrong quantization) breaks the collision
+    probability and the bound."""
+    import numpy as np
+    from athena_spark.operators.dedup import (icws_signatures,
+                                              weighted_jaccard_pairs)
+
+    docs = _docs(spark, sf_dir)
+    K = 256
+    sigs = {r["doc_id"]: np.asarray(r["sig"])
+            for r in icws_signatures(docs, "doc_id", "text",
+                                     num_perm=K).collect()}
+    pairs = weighted_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                                   max_doc_freq=None).collect()
+    rows = []
+    for r in sorted(pairs, key=lambda x: (x["id_a"], x["id_b"])):
+        j = r["wjaccard"]
+        est = float(np.mean(sigs[r["id_a"]] == sigs[r["id_b"]]))
+        sd = (j * (1 - j) / K) ** 0.5
+        rows.append((r["id_a"], r["id_b"],
+                     bool(abs(est - j) <= 4 * sd + 0.01)))
+    return spark.createDataFrame(
+        rows, schema="id_a long, id_b long, within_bound boolean"
+    )
 
 
 def q_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5969,12 +6097,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_corpus": q_substring_dedup_corpus,
         "paragraph_dedup": q_paragraph_dedup,
         "paragraph_dup_stats": q_paragraph_dup_stats,
-        "cross_dedup_pairs": q_cross_dedup_pairs,
-        "dedup_against_corpus": q_dedup_against_corpus,
-        "hll_sparse_rollup": q_hll_sparse_rollup,
-        "corpus_containment": q_corpus_containment,
-        "boilerplate_grams": q_boilerplate_grams,
+        # cheap -> heavy within this cluster (driver-budget ordering)
         "gram_novelty": q_gram_novelty,
+        "rendezvous_shards": q_rendezvous_shards,
+        "boilerplate_grams": q_boilerplate_grams,
+        "dedup_against_corpus": q_dedup_against_corpus,
+        "cross_dedup_pairs": q_cross_dedup_pairs,
+        "corpus_containment": q_corpus_containment,
+        "hll_sparse_rollup": q_hll_sparse_rollup,
+        "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+        "weighted_dedup_pairs": q_weighted_dedup_pairs,
+        "icws_wjaccard": q_icws_wjaccard,
+        "cross_dedup_indexed": q_cross_dedup_indexed,
         "ann_ivfpq_bucketed": q_ann_ivfpq_bucketed,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
@@ -6344,6 +6478,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup_pairs": _JACCARD_SQL,
         "cross_dedup_pairs": _CROSS_JACCARD_SQL,
+        "cross_dedup_indexed": _CROSS_JACCARD_SQL,
+        "rendezvous_shards": """
+            WITH draws AS (
+              SELECT doc_id, s,
+                     sha256(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(s AS VARCHAR)) AS w
+              FROM documents, unnest(generate_series(0, 7)) t(s)
+            ), ranked AS (
+              SELECT doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY w DESC, s DESC) AS rn
+              FROM draws
+            )
+            SELECT doc_id, CAST(s AS INT) AS shard
+            FROM ranked WHERE rn = 1
+        """,
+        "weighted_jaccard_pairs": _WJACCARD_SQL,
+        "weighted_dedup_pairs": _WJACCARD_SQL.replace(">= 0.5", ">= 0.6"),
+        "icws_wjaccard": ("SELECT id_a, id_b, TRUE AS within_bound FROM ("
+                          + _WJACCARD_SQL + ")"),
         "corpus_containment": """
             SELECT 'estimation_mode' AS "check", TRUE AS ok
             UNION ALL SELECT 'new_within_bound', TRUE

@@ -1831,3 +1831,494 @@ def gram_novelty_stats(
             "novel_frac",
         )
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
+) -> DataFrame:
+    """Exact WEIGHTED Jaccard over token multisets:
+    ``J_w(A, B) = sum_t min(a_t, b_t) / sum_t max(a_t, b_t)`` with
+    ``a_t`` the token's count in doc A — ``(id_a, id_b, wjaccard)``,
+    a < b.  The multiset-aware near-dup measure: set Jaccard treats
+    "spam spam spam spam ham" and "spam ham" as near-identical
+    (same distinct set); weighted Jaccard scores them 2/5.
+
+    Inverted-index shape, one trick: only the MIN sum needs the join
+    (``sum max = sz_a + sz_b - sum min`` because an unshared token's
+    max is its own count), so the shuffle carries one
+    (token, doc, count) row per DISTINCT token per doc — never the
+    multiset — and the join emits ``least(cnt_a, cnt_b)`` per shared
+    token.  Zipf guard as in :func:`ngram_jaccard_pairs` (guarded
+    tokens are excluded from the sizes too).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.regexp_replace(F.col(text_col), "\r", ""),
+                        "[ \t\n]+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    ).groupBy("doc", "token").agg(F.count("*").alias("cnt"))
+    if max_doc_freq is not None:
+        if max_doc_freq < 1:
+            raise ValueError(
+                f"max_doc_freq must be None (guard off) or >= 1, got "
+                f"{max_doc_freq}"
+            )
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), "token", "left_anti")
+    toks = toks.cache()
+    sizes = toks.groupBy("doc").agg(F.sum("cnt").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.sum(F.least(F.col("a.cnt"), F.col("b.cnt"))).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("wjaccard"),
+        )
+        .where(F.col("wjaccard") >= threshold)
+    )
+    out = _materialize(out, materialize)
+    toks.unpersist()
+    return out
+
+
+# -- ICWS weighted MinHash (Ioffe 2010) --------------------------------------
+
+_ICWS_SEED = np.uint64(0x1CE5_0F0E_5EED_0001)
+_U64_ONE = np.uint64(1)
+
+
+def _unit_open(h: np.ndarray) -> np.ndarray:
+    """uint64 hashes → uniforms in the OPEN interval (0, 1): the top
+    53 bits plus a half-ulp offset, so ``log`` never sees 0."""
+    return ((h >> np.uint64(11)).astype(np.float64) + 0.5) * (2.0 ** -53)
+
+
+def icws_samples(token_hashes: np.ndarray, weights: np.ndarray,
+                 num_perm: int = 64) -> np.ndarray:
+    """ICWS consistent samples for ONE weighted set (Ioffe, ICDM
+    2010, "Improved Consistent Sampling, Weighted Minhash and L1
+    Sketching", alg. 1): ``num_perm`` int64 sample ids whose
+    collision probability between two sets equals their weighted
+    Jaccard ``sum min(a_t,b_t) / sum max(a_t,b_t)``.
+
+    Per permutation k and token t the algorithm draws
+    ``r, c ~ Gamma(2,1)`` and ``beta ~ U(0,1)`` — all derived here
+    deterministically from splitmix64 chains on ``hash(t) ^ seed_k``
+    (Gamma(2,1) = sum of two Exp(1) = -ln u1 - ln u2, so no rejection
+    sampling) — then samples ``t_k = floor(ln w / r + beta)`` and
+    keeps the token minimizing ``ln c - r (t_k - beta) - r``.  The
+    emitted sample id hashes (token, t_k) together: two sets collide
+    on permutation k iff they pick the same token AND the same
+    quantized level, exactly the event whose probability is J_w.
+
+    Vectorized over tokens; the per-permutation loop re-mixes the
+    same token-hash vector with a new seed (num_perm passes over m
+    distinct tokens — the same shape as the MinHash seed loop).
+    """
+    if token_hashes.size == 0:
+        # empty set: deterministic sentinel samples (never collide
+        # with a non-empty set's, always collide with another empty's)
+        return np.full(num_perm, -1, dtype=np.int64)
+    th = token_hashes.astype(np.uint64)
+    ln_w = np.log(weights.astype(np.float64))
+    out = np.empty(num_perm, dtype=np.int64)
+    for k in range(num_perm):
+        s = splitmix64(th ^ (_ICWS_SEED + np.uint64(k)))
+        u1 = _unit_open(s); s = splitmix64(s)
+        u2 = _unit_open(s); s = splitmix64(s)
+        u3 = _unit_open(s); s = splitmix64(s)
+        u4 = _unit_open(s); s = splitmix64(s)
+        beta = _unit_open(s)
+        r = -(np.log(u1) + np.log(u2))
+        ln_c = np.log(-(np.log(u3) + np.log(u4)))
+        t_k = np.floor(ln_w / r + beta)
+        ln_a = ln_c - r * (t_k - beta) - r
+        i = int(np.argmin(ln_a))
+        out[k] = np.int64(
+            splitmix64(np.uint64([th[i] ^ splitmix64(
+                np.uint64([np.int64(t_k[i]).astype(np.uint64) + _U64_ONE])
+            )[0]]))[0].astype(np.int64)
+        )
+    return out
+
+
+def _icws_batch(v: np.ndarray, w: np.ndarray, d_starts: np.ndarray,
+                d_counts: np.ndarray, num_perm: int) -> np.ndarray:
+    """Batched ICWS: one (n_sets x num_perm) sample matrix over a flat
+    distinct-token array ``v`` (uint64 hashes), weights ``w``, and
+    per-set segment boundaries.  Bit-identical to calling
+    :func:`icws_samples` per segment (asserted in tests) — the
+    per-permutation pass is vectorized over ALL sets' tokens at once
+    and the per-set argmin is a segmented reduceat, so the cost is
+    num_perm passes over the flat array instead of num_perm tiny
+    kernels per document.
+    """
+    n_sets = len(d_starts)
+    out = np.empty((n_sets, num_perm), dtype=np.int64)
+    ln_w = np.log(w)
+    for k in range(num_perm):
+        s = splitmix64(v ^ (_ICWS_SEED + np.uint64(k)))
+        u1 = _unit_open(s); s = splitmix64(s)
+        u2 = _unit_open(s); s = splitmix64(s)
+        u3 = _unit_open(s); s = splitmix64(s)
+        u4 = _unit_open(s); s = splitmix64(s)
+        beta = _unit_open(s)
+        r = -(np.log(u1) + np.log(u2))
+        ln_c = np.log(-(np.log(u3) + np.log(u4)))
+        t_k = np.floor(ln_w / r + beta)
+        ln_a = ln_c - r * (t_k - beta) - r
+        mins = np.minimum.reduceat(ln_a, d_starts)
+        is_min = ln_a == np.repeat(mins, d_counts)
+        cand = np.flatnonzero(is_min)
+        seg = np.searchsorted(d_starts, cand, side="right") - 1
+        # first min per segment: seg is sorted, keep first occurrence
+        keep = np.empty(len(seg), dtype=bool)
+        if len(seg):
+            keep[0] = True
+            np.not_equal(seg[1:], seg[:-1], out=keep[1:])
+        i = cand[keep]
+        lvl = splitmix64(t_k[i].astype(np.int64).astype(np.uint64)
+                         + _U64_ONE)
+        out[:, k] = splitmix64(v[i] ^ lvl).astype(np.int64)
+    return out
+
+
+def icws_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64
+) -> DataFrame:
+    """(id, sig: array<long>) — ICWS weighted-MinHash signatures over
+    each doc's token MULTISET (token counts are the weights).  The
+    expected fraction of matching signature slots between two docs is
+    their exact weighted Jaccard (:func:`weighted_jaccard_pairs`),
+    with binomial sqrt(J(1-J)/num_perm) sampling error.  Banded LSH
+    bucketing via :func:`minhash_lsh_candidates` applies unchanged —
+    the signature contract (slot-wise collision probability = the
+    similarity) is the same, only the similarity measure differs.
+
+    Kernel shape: one Arrow tokenize pass, per-doc distinct
+    (token, count) via the shared segment-sort mask, then the ICWS
+    permutation loop per doc — all NumPy, no per-row Python.
+    """
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            tokens, t = arrow_tokenize_batch(batch.column(1))
+            n_docs = len(batch)
+            sig_mat = np.full((n_docs, num_perm), -1, dtype=np.int64)
+            if len(t) and int(t.sum()):
+                th = hash64_arrow(tokens)
+                ends = np.cumsum(t)
+                starts = ends - t
+                nz = t > 0
+                buf = th.copy()
+                first = segment_sort_unique_mask(buf, starts[nz], ends[nz])
+                idx = np.flatnonzero(first)
+                counts = np.diff(np.append(idx, len(buf)))
+                v = buf[idx]
+                d_per_doc = np.add.reduceat(
+                    first, (np.cumsum(t[nz]) - t[nz]))
+                d_ends = np.cumsum(d_per_doc)
+                d_starts = (d_ends - d_per_doc).astype(np.int64)
+                sig_mat[nz] = _icws_batch(v, counts.astype(np.float64),
+                                          d_starts, d_per_doc, num_perm)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sig_mat.tolist(),
+                               type=pa.list_(pa.int64()))],
+                [id_col, "sig"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        fn, f"`{id_col}` {id_type}, sig array<long>"
+    )
+
+
+# -- persisted near-dup index (the incremental-crawl scale path) -------------
+
+def write_neardup_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> dict:
+    """Persist the corpus side of :func:`minhash_cross_pairs` so a
+    nightly batch never re-tokenizes the corpus: under ``path``,
+
+    * ``buckets/`` — (bucket, id) rows, ``partitionBy(band)`` (one
+      directory per LSH band; a probe joins band-by-band against
+      co-partitioned data);
+    * ``grams/`` — (id, grams array<long>, sz) for exact-Jaccard
+      verification of candidates (int64 hashes, never text);
+    * ``hot/`` — gram hashes whose corpus document frequency exceeds
+      ``max_doc_freq`` (empty when the guard is off).  Hotness is
+      measured on the CORPUS AT BUILD TIME: a probe drops these from
+      both sides, so index-path results match the recompute path
+      whenever the batch alone does not push a cold gram over the
+      cap (document-level guard semantics; the recompute path's
+      union-side count is the strict form);
+    * ``manifest.json`` — the build parameters; probes validate
+      against it and refuse mismatched (n, num_perm, bands).
+
+    Returns the manifest dict.  At 100 TB this runs once per corpus
+    snapshot; each batch probe then costs one kernel pass over the
+    batch plus bucket-local joins.
+    """
+    import json as _json
+
+    kern = _minhash_kernel(id_col, text_col, n, num_perm, with_sig=False,
+                           with_grams=True, band_count=bands)
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    sg = df.select(id_col, text_col).mapInArrow(
+        kern, f"`{id_col}` {id_type}, grams array<long>, bands array<long>"
+    ).cache()
+    sh = sg.select(F.col(id_col).alias("id"),
+                   F.explode("grams").alias("gram"))
+    if max_doc_freq is not None:
+        if max_doc_freq < 1:
+            raise ValueError(
+                f"max_doc_freq must be None (guard off) or >= 1, got "
+                f"{max_doc_freq}"
+            )
+        hot = (
+            sh.groupBy("gram").agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("gram")
+        )
+    else:
+        hot = sh.sparkSession.createDataFrame([], schema="gram long")
+    hot.write.mode("overwrite").parquet(f"{path}/hot")
+    hot_r = F.broadcast(sh.sparkSession.read.parquet(f"{path}/hot"))
+    sh.join(hot_r, "gram", "left_anti").groupBy("id").agg(
+        F.collect_list("gram").alias("grams"),
+        F.count("*").alias("sz"),
+    ).write.mode("overwrite").parquet(f"{path}/grams")
+    sg.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("bands").alias("band", "bucket"),
+    ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/buckets")
+    sg.unpersist()
+    manifest = {"n": n, "num_perm": num_perm, "bands": bands,
+                "max_doc_freq": max_doc_freq, "id_col": id_col}
+    # manifest via the JVM-free local filesystem only when path is
+    # local; on object stores write it as a 1-row json dataset
+    try:
+        import os
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/manifest.json", "w") as f:
+            _json.dump(manifest, f)
+    except OSError:
+        sh.sparkSession.createDataFrame([manifest]).coalesce(1) \
+            .write.mode("overwrite").json(f"{path}/manifest")
+    return manifest
+
+
+def cross_dedup_pairs_indexed(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    materialize: str = "local",
+) -> DataFrame:
+    """:func:`minhash_cross_pairs` against a persisted
+    :func:`write_neardup_index` — ``(new_id, old_id, jaccard)``.
+    The corpus side is never re-read as text: candidates come from
+    the bucket table, verification grams from the gram table, and
+    the build-time hot list gates both sides.  The tokenization
+    shape (n, num_perm, bands) is read from the manifest, so the
+    probe can never silently disagree with the build.
+    """
+    import json as _json
+
+    spark = new_df.sparkSession
+    try:
+        with open(f"{index_path}/manifest.json") as f:
+            man = _json.load(f)
+    except OSError:
+        man = spark.read.json(f"{index_path}/manifest").head().asDict()
+    n, num_perm, bands = man["n"], man["num_perm"], man["bands"]
+    kern = _minhash_kernel(id_col, text_col, n, num_perm, with_sig=False,
+                           with_grams=True, band_count=bands)
+    id_type = new_df.select(id_col).schema[0].dataType.simpleString()
+    sg = new_df.select(id_col, text_col).mapInArrow(
+        kern, f"`{id_col}` {id_type}, grams array<long>, bands array<long>"
+    ).cache()
+    hot = F.broadcast(spark.read.parquet(f"{index_path}/hot"))
+    new_banded = sg.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode("bands").alias("band", "bucket"),
+    )
+    old_banded = spark.read.parquet(f"{index_path}/buckets").select(
+        F.col("id").alias("old_id"), "band", "bucket"
+    )
+    cands = (
+        new_banded.join(old_banded, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = (
+        sg.select(F.col(id_col).alias("new_id"),
+                  F.explode("grams").alias("gram"))
+        .join(hot, "gram", "left_anti")
+    )
+    sz_new = sh_new.groupBy("new_id").agg(F.count("*").alias("sz_a"))
+    old_grams = spark.read.parquet(f"{index_path}/grams")
+    sh_old = old_grams.select(F.col("id").alias("old_id2"),
+                              F.explode("grams").alias("gram_b"))
+    sz_old = old_grams.select(F.col("id").alias("old_id"),
+                              F.col("sz").alias("sz_b"))
+    a = sh_new.withColumnRenamed("gram", "sh_a")
+    inter = (
+        cands.join(a, "new_id")
+        .join(sh_old, (F.col("old_id") == F.col("old_id2"))
+              & (F.col("sh_a") == F.col("gram_b")))
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sz_new, "new_id")
+        .join(sz_old, "old_id")
+        .select(
+            "new_id", "old_id",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    out = _materialize(out, materialize)
+    sg.unpersist()
+    return out
+
+
+def weighted_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 64,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
+) -> DataFrame:
+    """Weighted near-dup pipeline — the multiset twin of
+    :func:`minhash_dedup_pairs`: ICWS signatures → banded LSH
+    candidates (:func:`minhash_lsh_candidates` applies unchanged:
+    the signature contract is slot-collision-probability = the
+    similarity) → EXACT weighted-Jaccard verification of candidates
+    only.
+
+    Recall math is the same banded curve with J_w in place of J:
+    catch probability 1 - (1 - J_w^r)^b for r = num_perm/bands rows
+    per band.  The default b=64/r=2 covers thresholds >= 0.5 (miss
+    probability ~1e-8 at J_w = 0.5); verification makes precision
+    exact.
+
+    Scale shape: signatures are one Arrow kernel pass; the
+    verification join ships (doc, token, count) rows for CANDIDATE
+    docs only, with the same Zipf guard as
+    :func:`weighted_jaccard_pairs` (guard counts document frequency
+    over the full input, not just candidates, so guarded sizes are
+    consistent corpus-wide).
+    """
+    sigs = icws_signatures(df, id_col, text_col, num_perm=num_perm)
+    cands = minhash_lsh_candidates(sigs, id_col, num_perm=num_perm,
+                                   bands=bands)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.regexp_replace(F.col(text_col), "\r", ""),
+                        "[ \t\n]+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    ).groupBy("doc", "token").agg(F.count("*").alias("cnt"))
+    if max_doc_freq is not None:
+        if max_doc_freq < 1:
+            raise ValueError(
+                f"max_doc_freq must be None (guard off) or >= 1, got "
+                f"{max_doc_freq}"
+            )
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), "token", "left_anti")
+    toks = toks.cache()
+    # candidate-restricted min-sum: semi-join the token table down to
+    # candidate docs before the pair join
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc"))
+        .unionAll(cands.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    ct = toks.join(cand_ids, "doc", "left_semi")
+    sizes = toks.groupBy("doc").agg(F.sum("cnt").alias("sz"))
+    a = ct.select(F.col("doc").alias("id_a"),
+                  F.col("token").alias("tok_a"),
+                  F.col("cnt").alias("cnt_a"))
+    b = ct.select(F.col("doc").alias("id_b2"),
+                  F.col("token").alias("tok_b"),
+                  F.col("cnt").alias("cnt_b"))
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("id_b2"))
+              & (F.col("tok_a") == F.col("tok_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least(F.col("cnt_a"), F.col("cnt_b"))).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("wjaccard"),
+        )
+        .where(F.col("wjaccard") >= threshold)
+    )
+    out = _materialize(out, materialize)
+    toks.unpersist()
+    return out

@@ -609,3 +609,43 @@ def temperature_weights(
         k: (scaled[k] / z) * float(target_total) / float(counts[k])
         for k in counts
     }
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each row
+    goes to ``argmax_s sha256(id ':' s [':' salt])`` over shards
+    ``0..num_shards-1`` (Thaler & Ravishankar 1998).
+
+    Why not ``hash(id) % num_shards``: growing the corpus from S to
+    S+1 shards re-homes ~S/(S+1) of ALL rows under modulo, but only
+    ~1/(S+1) under HRW — and every moved row moves TO the new shard
+    (an existing shard's winners still win among the old candidates).
+    That minimal-movement property is what makes incremental corpus
+    re-sharding affordable: only the new shard's data is rewritten.
+
+    RNG-free like the rest of trainprep (sha256 draws), so the
+    assignment is reproducible cross-engine and stable under
+    repartitioning.  Cost: num_shards sha256 evaluations per row,
+    all inside one JVM projection — no shuffle, no UDF.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    def draw(s):
+        parts = [F.col(id_col).cast("string"), s.cast("string")]
+        if salt:
+            parts.append(F.lit(salt))
+        return F.struct(
+            F.sha2(F.concat_ws(":", *parts), 256).alias("w"),
+            s.alias("s"),
+        )
+
+    draws = F.transform(F.sequence(F.lit(0), F.lit(num_shards - 1)), draw)
+    return df.withColumn(
+        shard_col, F.array_max(draws)["s"].cast("int")
+    )

@@ -1198,3 +1198,170 @@ def test_gram_novelty_stats_matches_local_oracle(spark, docs):
     assert got[6] == (0, None)
     # exact dups 0/2 share every gram → novelty 0 for both
     assert got[0][1] == 0.0 and got[2][1] == 0.0
+
+
+def test_weighted_jaccard_pairs_matches_local_oracle(spark):
+    rows = [
+        (0, "spam spam spam spam ham"),
+        (1, "spam ham"),                      # set-J 1.0, weighted 2/5
+        (2, "spam spam spam spam ham"),       # exact dup of 0
+        (3, "eggs bacon eggs toast"),
+        (4, "eggs bacon toast toast"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.weighted_jaccard_pairs(docs, "doc_id", "text",
+                                       threshold=0.05)
+    got = {(r["id_a"], r["id_b"]): r["wjaccard"] for r in out.collect()}
+    from collections import Counter
+    tf = {i: Counter(t.split()) for i, t in rows}
+    want = {}
+    for a in tf:
+        for b in tf:
+            if a < b:
+                keys = set(tf[a]) | set(tf[b])
+                num = sum(min(tf[a][k], tf[b][k]) for k in keys)
+                den = sum(max(tf[a][k], tf[b][k]) for k in keys)
+                j = num / den
+                if j >= 0.05:
+                    want[(a, b)] = round(j, 6)
+    assert got == pytest.approx(want)
+    assert got[(0, 1)] == 0.4          # the multiset-aware value
+    assert got[(0, 2)] == 1.0
+    # Zipf guard: capping df drops 'spam'/'ham'/'eggs' etc. consistently
+    with pytest.raises(ValueError):
+        dedup.weighted_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=0)
+
+
+def test_icws_signatures_estimate_weighted_jaccard(spark):
+    rows = [
+        (0, "spam spam spam spam ham"),
+        (1, "spam ham"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),
+        (4, ""),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    K = 512
+    sigs = {r["doc_id"]: np.asarray(r["sig"])
+            for r in dedup.icws_signatures(docs, "doc_id", "text",
+                                           num_perm=K).collect()}
+    assert all(len(s) == K for s in sigs.values())
+    exact = {(r["id_a"], r["id_b"]): r["wjaccard"]
+             for r in dedup.weighted_jaccard_pairs(
+                 docs, "doc_id", "text", threshold=0.01).collect()}
+    for (a, b), j in exact.items():
+        est = float(np.mean(sigs[a] == sigs[b]))
+        sd = (j * (1 - j) / K) ** 0.5
+        assert abs(est - j) <= 4 * sd + 0.01, (a, b, j, est)
+    # disjoint docs never collide beyond chance; empty docs always do
+    assert float(np.mean(sigs[0] == sigs[2])) < 0.05
+    assert (sigs[4] == sigs[5]).all() and (sigs[4] == -1).all()
+    # determinism across recomputation
+    again = {r["doc_id"]: np.asarray(r["sig"])
+             for r in dedup.icws_signatures(docs, "doc_id", "text",
+                                            num_perm=K).collect()}
+    for i in sigs:
+        assert (sigs[i] == again[i]).all()
+
+
+def test_icws_batch_kernel_bit_parity_with_per_set():
+    """The segmented batch kernel must produce BIT-identical samples
+    to the per-set reference implementation."""
+    from athena_spark.operators.dedup import _icws_batch, icws_samples
+    from athena_spark.sketch.hashing import hash64
+
+    rng = np.random.default_rng(5)
+    sets = []
+    for _ in range(50):
+        m = int(rng.integers(1, 40))
+        toks = np.array(
+            [f"tok{j}" for j in rng.choice(200, m, replace=False)],
+            dtype=object)
+        th = np.sort(hash64(toks))  # batch path is sorted per segment
+        w = rng.integers(1, 9, m).astype(float)
+        sets.append((th, w))
+    v = np.concatenate([t for t, _ in sets])
+    w = np.concatenate([x for _, x in sets])
+    d_counts = np.array([len(t) for t, _ in sets])
+    d_starts = (np.cumsum(d_counts) - d_counts).astype(np.int64)
+    batch = _icws_batch(v, w, d_starts, d_counts, 32)
+    for i, (th, wi) in enumerate(sets):
+        assert (batch[i] == icws_samples(th, wi, 32)).all(), i
+
+
+def test_neardup_index_matches_recompute(spark, docs, tmp_path):
+    """Index-path cross-dedup equals minhash_cross_pairs recomputed
+    from text (guard off so the two guard semantics coincide), and
+    the on-disk layout is band-partitioned."""
+    import os
+
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "ndidx")
+    man = dedup.write_neardup_index(old, path, "doc_id", "text", n=3,
+                                    num_perm=128, bands=64,
+                                    max_doc_freq=None)
+    assert man["bands"] == 64
+    assert os.path.isdir(f"{path}/buckets/band=0")
+    got = {(r["new_id"], r["old_id"]): r["jaccard"]
+           for r in dedup.cross_dedup_pairs_indexed(
+               new, path, "doc_id", "text", threshold=0.3).collect()}
+    want = {(r["new_id"], r["old_id"]): r["jaccard"]
+            for r in dedup.minhash_cross_pairs(
+                new, old, "doc_id", "text", n=3, threshold=0.3,
+                bands=64, max_doc_freq=None).collect()}
+    assert got == pytest.approx(want) and len(got) > 0
+
+
+def test_neardup_index_hot_guard_build_time(spark, tmp_path):
+    """Build-time hot grams are dropped from BOTH sides at probe
+    time: boilerplate hot in the corpus produces no pairs."""
+    boiler = "shared boilerplate header line"
+    old = spark.createDataFrame(
+        [(i, boiler + f" unique old {i} body") for i in range(10)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, boiler + " fresh new content here")],
+        "doc_id long, text string")
+    path = str(tmp_path / "ndidx_hot")
+    dedup.write_neardup_index(old, path, "doc_id", "text", n=3,
+                              num_perm=128, bands=128, max_doc_freq=5)
+    out = dedup.cross_dedup_pairs_indexed(new, path, "doc_id", "text",
+                                          threshold=0.1)
+    assert out.count() == 0
+    # guard off at build: the boilerplate pairs reappear
+    path2 = str(tmp_path / "ndidx_unguarded")
+    dedup.write_neardup_index(old, path2, "doc_id", "text", n=3,
+                              num_perm=128, bands=128, max_doc_freq=None)
+    assert dedup.cross_dedup_pairs_indexed(
+        new, path2, "doc_id", "text", threshold=0.1).count() == 10
+    with pytest.raises(ValueError):
+        dedup.write_neardup_index(old, path2, "doc_id", "text",
+                                  max_doc_freq=0)
+
+
+def test_weighted_dedup_pairs_equals_exact(spark):
+    """ICWS-LSH + verification must equal the exact weighted-Jaccard
+    all-pairs answer at the queried threshold (b=64/r=2 → ~1 recall
+    at J_w >= 0.5)."""
+    rows = [
+        (0, "spam spam spam spam ham ham eggs toast toast bacon"),
+        (1, "spam spam spam ham ham eggs toast toast bacon bacon"),
+        (2, "spam spam spam spam ham ham eggs toast toast bacon"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+        (5, "completely different words entirely unrelated to others"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["wjaccard"]
+             for r in dedup.weighted_jaccard_pairs(
+                 docs, "doc_id", "text", threshold=0.5).collect()}
+    got = {(r["id_a"], r["id_b"]): r["wjaccard"]
+           for r in dedup.weighted_dedup_pairs(
+               docs, "doc_id", "text", threshold=0.5,
+               num_perm=128, bands=64).collect()}
+    assert got == pytest.approx(exact)
+    assert (0, 2) in got and got[(0, 2)] == 1.0
+    with pytest.raises(ValueError):
+        dedup.weighted_dedup_pairs(docs, "doc_id", "text", max_doc_freq=0)

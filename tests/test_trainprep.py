@@ -480,3 +480,36 @@ def test_temperature_weights_infinite_t_is_uniform_volume():
     # q_i -> 1/2 each: a gets 250/400, b gets 250/100
     assert abs(w["a"] - 0.625) < 1e-6
     assert abs(w["b"] - 2.5) < 1e-6
+
+
+def test_rendezvous_shard_matches_local_oracle_and_minimal_movement(spark):
+    import hashlib
+
+    from athena_spark.operators.trainprep import rendezvous_shard
+
+    ids = list(range(400))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def local_assign(i, S, salt=""):
+        def w(s):
+            key = f"{i}:{s}" + (f":{salt}" if salt else "")
+            return hashlib.sha256(key.encode()).hexdigest()
+        return max(range(S), key=lambda s: (w(s), s))
+
+    got8 = {r["doc_id"]: r["shard"]
+            for r in rendezvous_shard(df, "doc_id", 8).collect()}
+    assert got8 == {i: local_assign(i, 8) for i in ids}
+    # salt changes the assignment deterministically
+    salted = {r["doc_id"]: r["shard"]
+              for r in rendezvous_shard(df, "doc_id", 8, salt="v2").collect()}
+    assert salted == {i: local_assign(i, 8, "v2") for i in ids}
+    assert salted != got8
+    # minimal movement 8 -> 9: every moved row moves TO shard 8, and
+    # the moved fraction is ~1/9 of rows
+    got9 = {r["doc_id"]: r["shard"]
+            for r in rendezvous_shard(df, "doc_id", 9).collect()}
+    moved = [i for i in ids if got9[i] != got8[i]]
+    assert all(got9[i] == 8 for i in moved)
+    assert 0.03 < len(moved) / len(ids) < 0.25   # E = 1/9 ≈ 0.11
+    with pytest.raises(ValueError):
+        rendezvous_shard(df, "doc_id", 0)
