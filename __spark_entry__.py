@@ -805,6 +805,52 @@ def q_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified Johnson–Lindenstrauss projection
+    (operators/similarity.py project_embeddings, Achlioptas 2003
+    sparse matrix): embeddings 64 -> 16 dims.  Checks computed
+    Spark-side: (a) the distributed projection is bit-equal to the
+    locally recomputed matmul (matrix derived from (dims, seed)
+    alone — nothing broadcast or trained), (b) pairwise distance
+    ratios over a fixed probe set stay within the empirical JL band,
+    (c) partitioning independence."""
+    import numpy as np
+    from athena_spark.operators.similarity import (jl_matrix,
+                                                   project_embeddings)
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = {r["vec_id"]: np.asarray(r["projected"], dtype=np.float64)
+           for r in project_embeddings(emb, "vec_id", "embedding",
+                                       16).collect()}
+    local = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+             for r in emb.collect()}
+    r16 = jl_matrix(64, 16)
+    bit_equal = all(
+        np.array_equal(out[i], (local[i] @ r16).astype(np.float32)
+                       .astype(np.float64))
+        for i in local
+    )
+    ids = sorted(local)[:40]
+    ratios = []
+    for a in range(0, len(ids), 3):
+        for b in range(a + 1, len(ids), 5):
+            d0 = np.linalg.norm(local[ids[a]] - local[ids[b]])
+            if d0 > 0:
+                ratios.append(
+                    np.linalg.norm(out[ids[a]] - out[ids[b]]) / d0)
+    band_ok = bool(ratios) and all(0.3 < x < 1.7 for x in ratios)
+    out8 = {r["vec_id"]: np.asarray(r["projected"], dtype=np.float64)
+            for r in project_embeddings(emb.repartition(8), "vec_id",
+                                        "embedding", 16).collect()}
+    part_ok = all(np.array_equal(out[i], out8[i]) for i in local)
+    return spark.createDataFrame(
+        [("bit_equal_local", bool(bit_equal)),
+         ("distances_in_band", band_ok),
+         ("partitioning_independent", bool(part_ok))],
+        schema="check string, ok boolean",
+    )
+
+
 def q_cross_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted near-dup index (operators/dedup.py
     write_neardup_index / cross_dedup_pairs_indexed): the corpus side
@@ -6105,6 +6151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup_pairs": q_cross_dedup_pairs,
         "corpus_containment": q_corpus_containment,
         "hll_sparse_rollup": q_hll_sparse_rollup,
+        "jl_project": q_jl_project,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "weighted_dedup_pairs": q_weighted_dedup_pairs,
         "icws_wjaccard": q_icws_wjaccard,
@@ -6479,6 +6526,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": _JACCARD_SQL,
         "cross_dedup_pairs": _CROSS_JACCARD_SQL,
         "cross_dedup_indexed": _CROSS_JACCARD_SQL,
+        "jl_project": """
+            SELECT 'bit_equal_local' AS "check", TRUE AS ok
+            UNION ALL SELECT 'distances_in_band', TRUE
+            UNION ALL SELECT 'partitioning_independent', TRUE
+        """,
         "rendezvous_shards": """
             WITH draws AS (
               SELECT doc_id, s,

@@ -1145,3 +1145,65 @@ def ann_topk_sq8(
         score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
     )
     return _topk_of_partials(partial, k)
+
+
+# -- Johnson–Lindenstrauss random projection ---------------------------------
+
+def jl_matrix(in_dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic JL projection matrix, Achlioptas 2003 sparse
+    form: entries in {+1, 0, -1} with probabilities {1/6, 2/3, 1/6},
+    scaled by sqrt(3 / out_dim).  Database-friendly (no Gaussians —
+    integer draws from a seeded generator) and the same distance-
+    preservation guarantee as the dense Gaussian matrix."""
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"dims must be >= 1, got {in_dim}->{out_dim}")
+    rng = np.random.default_rng(seed)
+    draws = rng.integers(0, 6, size=(in_dim, out_dim))
+    r = np.zeros((in_dim, out_dim))
+    r[draws == 0] = 1.0
+    r[draws == 1] = -1.0
+    return r * np.sqrt(3.0 / out_dim)
+
+
+def project_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 7,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: ``(id,
+    projected: array<float>)`` with pairwise Euclidean distances
+    preserved within ``(1 ± eps)`` for
+    ``out_dim >= 8 ln(n) / eps^2`` (the JL lemma; Achlioptas 2003
+    for the sparse matrix used here).
+
+    The projection matrix derives from ``(in_dim, out_dim, seed)``
+    alone, so every executor regenerates it identically — nothing is
+    broadcast, nothing is trained, and re-running on a grown corpus
+    reuses the same map (append-friendly, unlike PCA/OPQ which drift
+    with the data).  One Arrow batch matmul per partition; vectors
+    shuffle nowhere.  Use it in front of the ANN family when the
+    raw embedding dimension (not n) dominates cost: brute-force and
+    IVF scoring are O(n x dim) per query.
+    """
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def fn(it):
+        r = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if r is None:
+                r = jl_matrix(mat.shape[1], out_dim, seed)
+            proj = (mat @ r).astype(np.float32)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                out_col: [row.tolist() for row in proj],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"`{id_col}` {id_type}, {out_col} array<float>"
+    )

@@ -601,3 +601,47 @@ def test_encoders_reject_zero_vectors(spark):
         pq_encode(bad, codebook=cb).collect()
     with pytest.raises(Exception, match="zero vector"):
         ivfpq_encode(bad, cents, cb).collect()
+
+
+def test_jl_projection_preserves_distances(spark):
+    """JL-projected pairwise distances within (1 ± eps) for eps from
+    the lemma at out_dim=64 over 60 vectors, and the operator is
+    deterministic / partitioning-independent (matrix derived from
+    (dims, seed) alone)."""
+    import numpy as np
+    from athena_spark.operators.similarity import (jl_matrix,
+                                                   project_embeddings)
+
+    rng = np.random.default_rng(42)
+    n, d_in, d_out = 60, 256, 64
+    vecs = rng.normal(size=(n, d_in))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: np.asarray(r["projected"], dtype=np.float64)
+           for r in project_embeddings(df, "vec_id", "embedding",
+                                       d_out).collect()}
+    # local oracle: same matrix, same matmul
+    r = jl_matrix(d_in, d_out)
+    want = vecs @ r
+    for i in range(n):
+        assert np.allclose(out[i], want[i], atol=1e-4)
+    # distance preservation: eps ~ sqrt(8 ln n / k) ≈ 0.71 is the
+    # worst-case lemma bound; empirically check a tighter 0.5
+    checked = 0
+    for i in range(0, n, 7):
+        for j in range(i + 1, n, 11):
+            d0 = np.linalg.norm(vecs[i] - vecs[j])
+            d1 = np.linalg.norm(out[i] - out[j])
+            assert 0.5 < d1 / d0 < 1.5, (i, j, d1 / d0)
+            checked += 1
+    assert checked > 20
+    # partitioning independence
+    out8 = {r["vec_id"]: np.asarray(r["projected"])
+            for r in project_embeddings(df.repartition(8), "vec_id",
+                                        "embedding", d_out).collect()}
+    for i in out:
+        assert np.array_equal(out[i].astype(np.float32),
+                              out8[i].astype(np.float32))
+    with pytest.raises(ValueError):
+        jl_matrix(10, 0)
