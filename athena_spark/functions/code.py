@@ -1,0 +1,255 @@
+"""Code-corpus curation: license detection, secret scanning and
+redaction, and import-dependency extraction.
+
+The north-rule input is an Iceberg-shaped table of source-code
+repositories ``(repo, path, commit, lang, content)``; these are the
+code-specific curation passes a training pipeline runs over it before
+tokenization, mirroring the published BigCode/StarCoder data pipeline
+(license allow-list filter and secret redaction before training) and
+the SPDX license-identifier convention:
+
+* :func:`license_detect` / :func:`license_filter` — SPDX tag first,
+  then the canonical license-header phrases; allow-list keep.
+* :func:`secret_flags` / :func:`redact_secrets` — private-key blocks,
+  AWS/GitHub/Slack credential shapes, and generic
+  ``key = "...."`` assignments, counted and replaced with typed
+  placeholders.
+* :func:`extract_imports` / :func:`module_popularity` /
+  :func:`repo_dependency_edges` — per-language import statements as
+  ``(file, module)`` edges, module popularity counts, and the
+  repo-level dependency edge list (the input of the existing
+  ``operators/graph.py`` PageRank).
+
+Scale shape: everything here is a per-row JVM regexp expression
+(``regexp_extract`` / ``regexp_extract_all`` / ``regexp_replace``)
+inside whole-stage codegen — NO Python in the hot path, NO shuffle
+until the (small) id- or module-level aggregates.  Content never
+shuffles: filters semi-join ids back, popularity aggregates ship
+``(module)`` strings only.
+
+Portability contract: like :data:`athena_spark.functions.text.PII_PATTERNS`,
+every pattern is restricted to syntax with identical semantics in
+Java regex (Spark) and RE2 (DuckDB) — character classes, bounded and
+unbounded repetition, ``(?m)`` / ``(?s)`` / ``(?i)`` inline flags,
+``\\b`` word boundaries, non-greedy ``*?`` — so the driver oracle
+runs the IDENTICAL pattern on both engines.  No backreferences, no
+lookaround (RE2 has neither), no group references in replacement
+strings (``$1`` vs ``\\1`` syntax differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# -- license detection --------------------------------------------------------
+
+#: SPDX tag — group 1 is the license id (https://spdx.dev/ids/).
+SPDX_PATTERN = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+
+#: Canonical header phrases, checked IN ORDER after the SPDX tag;
+#: first match wins.  Phrases are the legally operative first lines
+#: of each license's grant, stable across copyright-holder edits.
+#: ``GNU Lesser`` is listed before ``GNU General`` so LGPL headers
+#: are not claimed by the GPL phrase's prefix.
+LICENSE_PHRASES: list[tuple[str, str]] = [
+    ("Apache-2.0", r"Licensed under the Apache License,[ \t]*Version 2\.0"),
+    ("MIT", r"Permission is hereby granted, free of charge"),
+    ("BSD-3-Clause", r"Redistribution and use in source and binary forms"),
+    ("LGPL-3.0", r"GNU Lesser General Public License"),
+    ("GPL-3.0", r"GNU General Public License"),
+    ("MPL-2.0", r"Mozilla Public License"),
+    ("Unlicense", r"This is free and unencumbered software"),
+]
+
+#: The StarCoder-style allow list: permissive licenses whose code may
+#: be trained on without copyleft obligations.
+PERMISSIVE_LICENSES: frozenset[str] = frozenset(
+    {"MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
+     "Unlicense", "0BSD", "CC0-1.0"}
+)
+
+
+def license_col(col) -> Column:
+    """License id of one content column: the SPDX tag when present
+    (the tag is the file's own declaration — it wins over boilerplate
+    that may quote other licenses), else the first matching header
+    phrase, else ``'unknown'``.  Pure JVM codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    spdx = F.regexp_extract(c, SPDX_PATTERN, 1)
+    phrase = F.lit("unknown")
+    for name, pat in reversed(LICENSE_PHRASES):
+        phrase = F.when(c.rlike(pat), F.lit(name)).otherwise(phrase)
+    return F.when(spdx != "", spdx).otherwise(phrase)
+
+
+def license_detect(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, license, permissive)`` per file.  ``permissive`` is the
+    allow-list membership (SPDX ids normalized as-is; unknown →
+    false — the conservative default for training data)."""
+    lic = license_col(text_col)
+    return df.select(
+        F.col(id_col),
+        lic.alias("license"),
+        lic.isin(*sorted(PERMISSIVE_LICENSES)).alias("permissive"),
+    )
+
+
+def license_filter(df: DataFrame, id_col: str, text_col: str,
+                   allow: frozenset[str] | set[str] = PERMISSIVE_LICENSES,
+                   keep_unknown: bool = False) -> DataFrame:
+    """Rows whose detected license is in ``allow`` (optionally also
+    ``'unknown'`` — e.g. for pipelines that license-check at the repo
+    level instead).  Ids-only semi join; content never shuffles."""
+    keep = license_detect(df, id_col, text_col).where(
+        F.col("license").isin(*sorted(allow))
+        | (F.lit(keep_unknown) & (F.col("license") == "unknown"))
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# -- secret scanning / redaction ----------------------------------------------
+
+#: (kind, pattern, replacement) — ordered; the private-key block runs
+#: first so its key material is never partially matched by the
+#: generic rules.  Replacements are plain strings (no group refs) for
+#: Java/RE2 oracle parity.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    ("private_key",
+     r"-----BEGIN [A-Z ]*PRIVATE KEY-----(?s:.*?)-----END "
+     r"[A-Z ]*PRIVATE KEY-----",
+     "<PRIVATE_KEY>"),
+    ("aws_access_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_ACCESS_KEY>"),
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36}\b", "<GITHUB_TOKEN>"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,48}\b", "<SLACK_TOKEN>"),
+    # key/secret/token/password assigned a >=16-char literal — the
+    # whole assignment is replaced (no group refs, see module doc)
+    ("assigned_secret",
+     r"(?i)\b(api[_-]?key|secret|token|passwd|password)"
+     r"[ \t]*[:=][ \t]*['\"][A-Za-z0-9+/_=-]{16,64}['\"]",
+     "<SECRET_ASSIGNMENT>"),
+]
+
+
+def secret_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-file secret counts: one ``n_<kind>`` column per
+    :data:`SECRET_PATTERNS` entry plus ``n_secrets`` (total) and
+    ``has_secret``.  Counts are SEQUENTIAL, mirroring
+    :func:`redact_secrets` exactly: each pattern is counted against
+    the text after all higher-priority patterns have been redacted,
+    so every secret span is counted once, under its first matching
+    kind (a token inside a private-key block counts as the block; a
+    quoted token inside a ``key = "..."`` assignment counts as the
+    token, and the assignment rule then sees the placeholder).
+    ``n_secrets`` therefore equals the number of placeholder spans
+    redaction would emit.  ``regexp_count``/``regexp_replace`` chain
+    — JVM-side codegen, no shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    raw_counts = []
+    for _kind, pat, repl in SECRET_PATTERNS:
+        raw_counts.append(F.regexp_count(c, F.lit(pat)))
+        c = F.regexp_replace(c, pat, repl)
+    counts = [cnt.alias(f"n_{kind}") for cnt, (kind, _p, _r)
+              in zip(raw_counts, SECRET_PATTERNS)]
+    total = raw_counts[0]
+    for cnt in raw_counts[1:]:
+        total = total + cnt
+    return df.select(
+        F.col(id_col), *counts,
+        total.cast("long").alias("n_secrets"),
+        (total > 0).alias("has_secret"),
+    )
+
+
+def redact_secrets_col(col) -> Column:
+    """Chained ``regexp_replace`` over :data:`SECRET_PATTERNS` in
+    order (private-key blocks first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _kind, pat, repl in SECRET_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redact_secrets(df: DataFrame, text_col: str,
+                   out_col: str | None = None) -> DataFrame:
+    """Replace secret spans in ``text_col`` with typed placeholders
+    (in place unless ``out_col`` given)."""
+    return df.withColumn(out_col or text_col, redact_secrets_col(text_col))
+
+
+# -- import-dependency extraction ---------------------------------------------
+
+#: lang → list of patterns whose group 1 is the imported module.  All
+#: multiline-anchored (``(?m)^``) so only statement-position imports
+#: match, not prose mentioning the word.  Heuristic by design (Go
+#: block imports and Python parenthesized imports need a parser); the
+#: docstring of :func:`extract_imports` states the contract.
+IMPORT_PATTERNS: dict[str, list[str]] = {
+    "python": [
+        r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+        r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import\b",
+    ],
+    "java": [
+        r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?"
+        r"([A-Za-z_][A-Za-z0-9_.]*)[ \t]*;",
+    ],
+    "c": [r"(?m)^[ \t]*#[ \t]*include[ \t]*[<\"]([A-Za-z0-9_./-]+)[>\"]"],
+    "cpp": [r"(?m)^[ \t]*#[ \t]*include[ \t]*[<\"]([A-Za-z0-9_./-]+)[>\"]"],
+    "go": [r"(?m)^[ \t]*import[ \t]+\"([A-Za-z0-9_./-]+)\""],
+}
+
+
+def extract_imports(df: DataFrame, id_col: str, text_col: str,
+                    lang_col: str = "lang") -> DataFrame:
+    """``(id, module)`` — one row per import statement (duplicates
+    per file deduplicated: a file depends on a module once).  Files
+    whose ``lang`` has no pattern contribute nothing.
+
+    Statement-level regex extraction: top-level single-statement
+    imports only (Go import blocks / Python ``import (a, b)`` forms
+    need a real parser — out of scope, documented).  The extraction
+    is ``regexp_extract_all`` inside codegen; only the (short) module
+    strings leave the row."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    mods = F.array().cast("array<string>")
+    for lang, pats in IMPORT_PATTERNS.items():
+        arr = F.concat(*[F.regexp_extract_all(c, F.lit(p), 1) for p in pats]) \
+            if len(pats) > 1 else F.regexp_extract_all(c, F.lit(pats[0]), 1)
+        mods = F.when(F.col(lang_col) == lang, arr).otherwise(mods)
+    return (
+        df.select(F.col(id_col), F.explode(mods).alias("module"))
+        .distinct()
+    )
+
+
+def module_popularity(df: DataFrame, id_col: str, text_col: str,
+                      lang_col: str = "lang", n: int = 20) -> DataFrame:
+    """Top-``n`` imported modules by file count: ``(module,
+    n_files)``, ties broken by module name for determinism.  The
+    aggregate ships (module) strings only; the top-n compiles to
+    TakeOrderedAndProject (no global sort)."""
+    edges = extract_imports(df, id_col, text_col, lang_col)
+    return (
+        edges.groupBy("module")
+        .agg(F.count("*").alias("n_files"))
+        .orderBy(F.desc("n_files"), F.asc("module"))
+        .limit(n)
+    )
+
+
+def repo_dependency_edges(df: DataFrame, repo_col: str, id_col: str,
+                          text_col: str, lang_col: str = "lang"
+                          ) -> DataFrame:
+    """Distinct ``(repo, module)`` dependency edges — the bipartite
+    repo→module graph (feed ``operators/graph.py`` for centrality
+    over shared dependencies)."""
+    edges = extract_imports(
+        df.select(F.col(repo_col), F.col(id_col), F.col(text_col),
+                  F.col(lang_col)),
+        id_col, text_col, lang_col,
+    )
+    return (
+        df.select(F.col(id_col), F.col(repo_col))
+        .join(edges, id_col)
+        .select(repo_col, "module")
+        .distinct()
+    )

@@ -465,3 +465,72 @@ def chunk_passages(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk"),
     )
+
+
+def compression_features(df: DataFrame, id_col: str, text_col: str,
+                         level: int = 6) -> DataFrame:
+    """Per-doc deflate compressibility — the low-entropy quality
+    signal (boilerplate, keyword-stuffing and template spam compress
+    far below prose; pure noise barely compresses at all):
+
+    * ``raw_len``  — UTF-8 byte length,
+    * ``comp_len`` — zlib(level)-compressed byte length,
+    * ``comp_ratio`` — ``comp_len / raw_len`` (empty docs → 1.0).
+
+    Used as a band-pass filter in web-scale pipelines: drop both
+    tails (ratio below ~0.3 is machine-generated repetition; above
+    ~1.0 is binary junk that survived text extraction).
+
+    Compressibility is a per-document property → one partition-local
+    batch pass, NO shuffle at any scale.  zlib is stdlib C (the
+    per-row loop costs the compression call, not Python dispatch).
+    The compressed LENGTH is deterministic for a fixed zlib version
+    and level but not a cross-engine contract — gates certify the
+    banded invariants, not raw byte counts.
+    """
+    import zlib
+
+    if not 0 <= level <= 9:
+        raise ValueError(f"level must be in [0, 9], got {level}")
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            raw = texts.str.encode("utf-8")
+            raw_len = raw.str.len().to_numpy(dtype=np.int64)
+            comp_len = np.fromiter(
+                (len(zlib.compress(b, level)) for b in raw),
+                dtype=np.int64, count=len(raw),
+            )
+            ratio = np.where(raw_len > 0, comp_len / np.maximum(raw_len, 1),
+                             1.0)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "raw_len": raw_len,
+                "comp_len": comp_len,
+                "comp_ratio": ratio,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"`{id_col}` {id_type}, raw_len long, comp_len long, "
+        "comp_ratio double",
+    )
+
+
+def compression_filter(df: DataFrame, id_col: str, text_col: str,
+                       min_ratio: float = 0.3, max_ratio: float = 1.05,
+                       level: int = 6) -> DataFrame:
+    """Band-pass compressibility filter: the surviving rows of ``df``
+    whose ``comp_ratio`` lies in ``[min_ratio, max_ratio]``.  Ids-only
+    semi join back to the corpus — text never shuffles."""
+    if not min_ratio < max_ratio:
+        raise ValueError(
+            f"min_ratio must be < max_ratio, got {min_ratio}/{max_ratio}")
+    feats = compression_features(df, id_col, text_col, level)
+    keep = feats.where(
+        (F.col("comp_ratio") >= min_ratio)
+        & (F.col("comp_ratio") <= max_ratio)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -265,3 +265,160 @@ def semantic_decontaminate(
         score,
         f"`{id_col}` {id_type}, max_cos double, contaminated boolean",
     )
+
+
+def benchmark_gram_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    fpp: float = 1e-6,
+    expected_grams: int | None = None,
+    build_partitions: int = 8,
+) -> "BloomFilter":
+    """Bloom filter over the benchmark's distinct word-``n``-gram
+    hashes — build once per eval battery, reuse across every corpus
+    shard/ingest (persist via ``to_bytes()``).
+
+    The scale twin of :func:`decontaminate`'s broadcast gram table: a
+    combined eval battery can reach 1e9 distinct 13-grams (8+ GB of
+    int64 rows), too large to broadcast as a join side, while the
+    Bloom filter answers the same membership question in
+    ``1.44 * log2(1/fpp)`` bits per gram (~29 bits at fpp=1e-6) and
+    errs only on the conservative side — a false positive drops a
+    clean doc, never admits a contaminated one; no false negatives
+    (Bloom 1970).
+
+    Build shape: one Arrow tokenize pass per benchmark partition
+    (text never shuffles, no distinct — Bloom insertion is
+    idempotent, so duplicate grams cost nothing), one fixed-size
+    filter per coalesced partition, OR-merged at the driver
+    (``build_partitions`` bounds driver memory to
+    ``partitions * m/8`` bytes — the treeAggregate final-reduce
+    shape; lower it for very large ``m``).
+
+    ``expected_grams`` sizes the filter; when omitted, one cheap
+    ``approx_count_distinct`` pass over the gram hashes counts them
+    (HLL, no shuffle of gram rows).
+    """
+    from athena_spark.sketch.bloom import BloomFilter
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not 0 < fpp < 1:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    bench = benchmark.select(
+        F.monotonically_increasing_id().alias("_bench_id"), F.col(text_col)
+    )
+    grams = _gram_hash_table(bench, "_bench_id", text_col, n).select("gram")
+    if expected_grams is None:
+        expected_grams = grams.agg(
+            F.approx_count_distinct("gram").alias("d")
+        ).collect()[0]["d"]
+    proto = BloomFilter.from_capacity(max(int(expected_grams), 1), fpp)
+    m_bits, num_hashes = proto.m, proto.h
+
+    def build(batches):
+        import pandas as pd
+
+        bf = BloomFilter(m_bits, num_hashes)
+        for pdf in batches:
+            if len(pdf):
+                bf.add(pdf["gram"].to_numpy())
+        yield pd.DataFrame({"filter": [bf.to_bytes()]})
+
+    partials = (
+        grams.coalesce(max(int(build_partitions), 1))
+        .mapInPandas(build, "filter binary")
+        .collect()
+    )
+    out = BloomFilter(m_bits, num_hashes)
+    for row in partials:
+        out.merge(BloomFilter.from_bytes(bytes(row["filter"])))
+    return out
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: "DataFrame | BloomFilter",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    fpp: float = 1e-6,
+    expected_grams: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter — same contract
+    as :func:`decontaminate` (drop every corpus doc sharing ANY word
+    ``n``-gram with the benchmark), for benchmark suites whose exact
+    gram set is too large to broadcast as rows.
+
+    Guarantees: the kept set is a SUBSET of :func:`decontaminate`'s —
+    every truly contaminated document is dropped (Bloom filters have
+    no false negatives); additionally each clean document is dropped
+    with probability <= 1 - (1-fpp)^grams(doc), the conservative
+    direction for decontamination.  The whole operator is
+    deterministic (seeded double hashing), so the same corpus +
+    benchmark always yields the same kept set.
+
+    Scale shape: the filter broadcasts once (fixed ~29 bits/gram at
+    fpp=1e-6); the corpus side is one Arrow tokenize pass per
+    partition with a vectorized membership probe over each doc's gram
+    array — corpus text never shuffles, no join at all (vs the gram
+    semi join of ``decontaminate(broadcast_benchmark=False)``); only
+    the flagged ids shuffle for the final anti-join.
+
+    ``benchmark`` may be a prebuilt :class:`BloomFilter` from
+    :func:`benchmark_gram_bloom` (the build-once path) or a DataFrame
+    (built here with ``fpp`` / ``expected_grams``).
+    """
+    import numpy as np
+
+    from athena_spark.sketch.bloom import BloomFilter
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if isinstance(benchmark, BloomFilter):
+        bf = benchmark
+    else:
+        bf = benchmark_gram_bloom(
+            benchmark, bench_text_col or text_col, n,
+            fpp=fpp, expected_grams=expected_grams,
+        )
+    from athena_spark.operators.dedup import _minhash_kernel
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(bf.to_bytes())
+    id_type = corpus.select(id_col).schema[0].dataType.simpleString()
+    doc_grams = corpus.select(id_col, text_col).mapInArrow(
+        _minhash_kernel(id_col, text_col, n, 2, with_sig=False,
+                        with_grams=True),
+        f"`{id_col}` {id_type}, grams array<long>",
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        bloom = BloomFilter.from_bytes(bc.value)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["grams"].str.len().to_numpy()
+            flat = np.concatenate(
+                [np.asarray(g, dtype=np.int64) for g in pdf["grams"]]
+            ) if lens.sum() else np.empty(0, dtype=np.int64)
+            hit = bloom.contains(flat)
+            # per-doc ANY over the flat mask; docs with zero grams
+            # (fewer than n tokens) never match, same convention as
+            # decontaminate()
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            flagged = np.zeros(len(pdf), dtype=bool)
+            nonempty = lens > 0
+            if nonempty.any():
+                flagged[nonempty] = np.logical_or.reduceat(
+                    hit, starts[nonempty]
+                ) if hit.size else False
+            yield pd.DataFrame({id_col: pdf[id_col][flagged]})
+
+    contaminated = doc_grams.mapInPandas(probe, f"`{id_col}` {id_type}")
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -1,0 +1,336 @@
+"""Perceptual near-duplicate detection for image/media columns.
+
+Extends the text near-dup family (MinHash/SimHash, operators/dedup.py)
+to the multimodal side of a training corpus: a 64-bit difference hash
+("dHash", the standard perceptual fingerprint — e.g. the imagehash
+library's dhash) per image, then the SAME 4x16-bit pigeonhole band
+join as SimHash for candidate pairs, so only (id, 64-bit hash) rows
+ever shuffle — pixels stay inside the scan partition.
+
+Scale shape (100 TB of images):
+  * decode + hash is one Arrow batch kernel per partition — the only
+    pass over pixel bytes;
+  * the hash table is 16 bytes/row; banding makes the pair join
+    bucket-local (identical plan to ``simhash_pairs``);
+  * dedup composes exactly like text: pairs → greedy min-id keep →
+    anti-join of loser ids.
+
+dHash is invariant to global brightness/contrast shifts (adjacent-
+pixel comparisons cancel offsets) and robust to recompression and
+small noise; it is NOT rotation/crop-invariant — that tier needs a
+learned embedding (see operators/semdedup.py over embedding columns).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.operators.dedup import simhash_pairs
+from athena_spark.sources.multimodal import decode_image
+
+
+def _resize_gray(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Grayscale + box-average resample to (out_h, out_w) — exact
+    area pooling over integer pixel bins (no Pillow), deterministic.
+
+    Luma uses the Rec.601 weights (0.299, 0.587, 0.114)."""
+    if img.ndim == 3:
+        gray = (img[..., 0] * 0.299 + img[..., 1] * 0.587
+                + img[..., 2] * 0.114)
+    else:
+        gray = img.astype(np.float64)
+    h, w = gray.shape
+    if h < out_h or w < out_w:
+        # upscale tiny images by nearest-neighbor repetition first;
+        # perceptual hashing only needs the coarse layout
+        gray = np.repeat(gray, -(-out_h // h), axis=0)
+        gray = np.repeat(gray, -(-out_w // w), axis=1)
+        h, w = gray.shape
+    # bin edges: pixel r belongs to output row floor(r * out_h / h) —
+    # the classic area mapping; cumulative sums give exact box means
+    row_bins = (np.arange(h, dtype=np.int64) * out_h) // h
+    col_bins = (np.arange(w, dtype=np.int64) * out_w) // w
+    pooled = np.zeros((out_h, out_w), dtype=np.float64)
+    counts = np.zeros((out_h, out_w), dtype=np.int64)
+    np.add.at(pooled, (row_bins[:, None], col_bins[None, :]), gray)
+    np.add.at(counts, (row_bins[:, None], col_bins[None, :]), 1)
+    return pooled / counts
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: resize to 8x9 grayscale, set bit
+    (r, c) iff pixel (r, c) < pixel (r, c+1), row-major from the
+    most-significant bit.  Returned as a SIGNED 64-bit int (two's
+    complement) so it lands in a Spark ``long`` column unchanged."""
+    small = _resize_gray(img, 8, 9)
+    bits = (small[:, :-1] < small[:, 1:]).ravel()
+    word = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return word - (1 << 64) if word >= (1 << 63) else word
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    meta_col: str = "meta",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """``(id, dhash: long)`` per media row — decode (real bmp/png/
+    jpeg codecs, stub otherwise), Rec.601 grayscale, 8x9 box resize,
+    adjacent-column comparison bits.  One Arrow batch kernel per
+    partition; pixel bytes never shuffle."""
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for media_id, blob, meta in zip(
+                pdf[id_col], pdf[media_col], pdf[meta_col]
+            ):
+                img = decode_image(blob, meta, decode_stub)
+                ids.append(media_id)
+                hashes.append(dhash64(img))
+            yield pd.DataFrame({id_col: ids,
+                                "dhash": pd.array(hashes, dtype="int64")})
+
+    return df.select(id_col, media_col, meta_col).mapInPandas(
+        kernel, f"`{id_col}` {id_type}, dhash long"
+    )
+
+
+def image_neardup_pairs(
+    hash_df: DataFrame,
+    id_col: str = "media_id",
+    max_distance: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for image pairs whose dHashes differ in
+    at most ``max_distance`` bits.
+
+    Reuses the SimHash band join (4 x 16-bit pigeonhole blocking):
+    complete for distance <= 3 by pigeonhole; above 3 it is the
+    standard recall/cost trade — pairs agreeing on no 16-bit band are
+    missed.  For exhaustive recall at larger radii, band the hash
+    into ``max_distance + 1`` blocks instead (multi-index Hamming);
+    at dedup-grade radii (<= 6) the 4-band layout catches everything
+    in practice because near-dup bit flips cluster in few regions.
+    """
+    sim = hash_df.select(F.col(id_col), F.col("dhash").alias("simhash"))
+    return simhash_pairs(sim, id_col, max_distance=max_distance)
+
+
+def dedup_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    meta_col: str = "meta",
+    max_distance: int = 6,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Surviving media ids after perceptual dedup: greedy keep-min-id
+    over the near-dup pair graph, same rule as the text
+    ``dedup_corpus``.  Returns one ``id_col`` column; join back for
+    the surviving rows (ids shuffle, media bytes never do)."""
+    hashes = image_dhash(df, id_col, media_col, meta_col,
+                         decode_stub=decode_stub)
+    pairs = image_neardup_pairs(hashes, id_col, max_distance)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.select(id_col).join(losers, id_col, "left_anti")
+
+
+# -- generic set-Jaccard join (shared by audio/video fingerprints) -----------
+
+def set_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.5,
+    max_item_freq: int | None = 100_000,
+    materialize: str = "local",
+) -> DataFrame:
+    """Exact Jaccard over per-row int64 fingerprint SETS:
+    (id_a, id_b, jaccard), a < b — the media-column twin of
+    ``ngram_jaccard_pairs`` (operators/dedup.py), taking an already-
+    computed ``array<long>`` instead of text.
+
+    Inverted-index join on the fingerprint value: |A ∩ B| from the
+    self-join, set sizes joined back, J = inter/(|A|+|B|-inter).
+    Only (id, hash) rows shuffle.  ``max_item_freq`` is the Zipf
+    guard — fingerprints shared by more rows are dropped before the
+    join (an unguarded hot value contributes O(df^2) join rows);
+    ``None`` for exact-all-pairs semantics."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    items = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.col(set_col))).alias("item"),
+    )
+    if max_item_freq is not None:
+        hot = (items.groupBy("item").agg(F.count("*").alias("df_"))
+               .where(F.col("df_") > max_item_freq).select("item"))
+        items = items.join(hot, "item", "left_anti")
+    items = items.cache()
+    sizes = items.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = items.alias("a"), items.alias("b")
+    inter = (
+        a.join(b, "item")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                    6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    # eager materialization (same contract as ngram_jaccard_pairs)
+    # lets the cached item table drop before returning; pass
+    # materialize="reliable" for fault-tolerant corpus-scale runs
+    from athena_spark.operators.dedup import _materialize
+
+    out = _materialize(out, materialize)
+    items.unpersist()
+    return out
+
+
+# -- audio landmark fingerprints (Wang 2003 constellation, simplified) -------
+
+def audio_landmarks(samples: np.ndarray, frame: int = 1024, hop: int = 512,
+                    fan_out: int = 3) -> np.ndarray:
+    """Distinct int64 landmark hashes of one clip: Hann-windowed
+    rFFT magnitude per frame, peak bin per frame, then each
+    (peak_i, peak_{i+j}, j) pair for j = 1..fan_out hashed with
+    splitmix64 — the constellation-pair scheme of Wang 2003
+    (Shazam), reduced to one peak per frame.  Peak bins of tonal
+    content survive additive noise well below the tone's power, so
+    noisy copies share most landmarks."""
+    from athena_spark.sketch.hashing import splitmix64
+
+    x = samples.astype(np.float64)
+    n_frames = max((len(x) - frame) // hop + 1, 0)
+    if n_frames < 2:
+        return np.empty(0, dtype=np.int64)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(frame)
+    mags = np.abs(np.fft.rfft(x[idx] * win, axis=1))
+    peaks = mags[:, 1:].argmax(axis=1).astype(np.uint64) + np.uint64(1)
+    hashes = []
+    for j in range(1, fan_out + 1):
+        if n_frames <= j:
+            break
+        a, b = peaks[:-j], peaks[j:]
+        with np.errstate(over="ignore"):
+            key = (a << np.uint64(24)) ^ (b << np.uint64(4)) ^ np.uint64(j)
+        hashes.append(splitmix64(key))
+    return np.unique(np.concatenate(hashes)).view(np.int64) \
+        if hashes else np.empty(0, dtype=np.int64)
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    meta_col: str = "meta",
+    frame: int = 1024,
+    hop: int = 512,
+    fan_out: int = 3,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """``(id, fingerprints: array<long>)`` per audio row — real WAV/
+    μ-law decode, landmark constellation hashes.  One batch kernel
+    per partition; sample bytes never shuffle."""
+    from athena_spark.sources.multimodal import decode_audio
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for media_id, blob, meta in zip(
+                pdf[id_col], pdf[media_col], pdf[meta_col]
+            ):
+                samples, _rate = decode_audio(blob, meta, decode_stub)
+                ids.append(media_id)
+                fps.append(audio_landmarks(samples, frame, hop, fan_out))
+            yield pd.DataFrame({id_col: ids, "fingerprints": fps})
+
+    return df.select(id_col, media_col, meta_col).mapInPandas(
+        kernel, f"`{id_col}` {id_type}, fingerprints array<long>"
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    threshold: float = 0.5,
+    decode_stub: bool = True,
+    **fp_kwargs,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over landmark-fingerprint sets — audio
+    clips sharing >= ``threshold`` of their constellation are
+    near-duplicates (re-encodes, noisy copies, trims)."""
+    fps = audio_fingerprints(df, id_col, decode_stub=decode_stub,
+                             **fp_kwargs)
+    return set_jaccard_pairs(fps, id_col, "fingerprints", threshold)
+
+
+# -- video keyframe hashing ---------------------------------------------------
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    meta_col: str = "meta",
+    every_n: int = 2,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """``(id, frame_hashes: array<long>)`` — dHash of every
+    ``every_n``-th frame (real y4m / MJPEG-MP4 demux; mp4 skips the
+    JPEG decode of unsampled frames).  The per-video SET of frame
+    hashes feeds :func:`set_jaccard_pairs` for clip-copy detection:
+    shared footage → shared frame hashes, robust to trims and
+    re-containering."""
+    from athena_spark.sources.multimodal import decode_video
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for media_id, blob, meta in zip(
+                pdf[id_col], pdf[media_col], pdf[meta_col]
+            ):
+                frames = decode_video(blob, meta, decode_stub,
+                                      every_n=every_n)
+                ids.append(media_id)
+                hs.append(np.array(sorted({dhash64(f) for f in frames}),
+                                   dtype=np.int64))
+            yield pd.DataFrame({id_col: ids, "frame_hashes": hs})
+
+    return df.select(id_col, media_col, meta_col).mapInPandas(
+        kernel, f"`{id_col}` {id_type}, frame_hashes array<long>"
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    threshold: float = 0.5,
+    every_n: int = 2,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over sampled-frame dHash sets."""
+    hs = video_frame_hashes(df, id_col, every_n=every_n,
+                            decode_stub=decode_stub)
+    return set_jaccard_pairs(hs, id_col, "frame_hashes", threshold)

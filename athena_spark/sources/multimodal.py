@@ -429,6 +429,28 @@ def image_grid_features(img: np.ndarray, feature_dim: int = 16) -> np.ndarray:
     return pooled.reshape(-1)[:feature_dim].astype(np.float32) / 255.0
 
 
+def decode_image(blob: bytes, meta, decode_stub: bool = True) -> np.ndarray:
+    """Codec-dispatched image decode shared by the featurize and
+    perceptual-hash kernels: ``bmp``/``png``/``jpeg`` go through the
+    REAL pure-NumPy parsers; other codecs use the deterministic stub
+    when ``decode_stub=True`` (an exotic-codec row would need Pillow,
+    absent in this sandbox) and raise otherwise."""
+    codec = meta["codec"]
+    if codec == "bmp":
+        return decode_bmp(bytes(blob))
+    if codec == "png":
+        return decode_png(bytes(blob))
+    if codec == "jpeg":
+        return decode_jpeg(bytes(blob))
+    if decode_stub:
+        return _fake_decode(bytes(blob), meta["width"], meta["height"])
+    raise NotImplementedError(
+        f"decoding codec {codec!r} requires Pillow — not available in "
+        "this environment; run with decode_stub=True or supply "
+        "bmp/png/jpeg payloads"
+    )
+
+
 def decode_and_featurize_images(
     df: DataFrame,
     feature_dim: int = 16,
@@ -449,27 +471,30 @@ def decode_and_featurize_images(
             for media_id, blob, meta in zip(
                 pdf["media_id"], pdf["media"], pdf["meta"]
             ):
-                codec = meta["codec"]
-                if codec == "bmp":
-                    img = decode_bmp(bytes(blob))
-                elif codec == "png":
-                    img = decode_png(bytes(blob))
-                elif codec == "jpeg":
-                    img = decode_jpeg(bytes(blob))
-                elif decode_stub:
-                    img = _fake_decode(bytes(blob), meta["width"],
-                                       meta["height"])
-                else:
-                    raise NotImplementedError(
-                        f"decoding codec {codec!r} requires Pillow — "
-                        "not available in this environment; run with "
-                        "decode_stub=True or supply bmp payloads"
-                    )
+                img = decode_image(blob, meta, decode_stub)
                 ids.append(media_id)
                 feats.append(image_grid_features(img, feature_dim))
             yield pd.DataFrame({"media_id": ids, "features": feats})
 
     return df.mapInPandas(kernel, "media_id long, features array<float>")
+
+
+def decode_audio(blob: bytes, meta, decode_stub: bool = True
+                 ) -> tuple[np.ndarray, int]:
+    """Codec-dispatched audio decode shared by the featurize and
+    fingerprint kernels: ``pcm_s16le``/``ulaw`` through the REAL WAV
+    parser; ``fake-pcm`` interprets the payload as raw little-endian
+    int16 when ``decode_stub=True`` (an MP3/AAC-class codec would
+    need soundfile/pyav).  Returns (int16 samples, sample_rate)."""
+    codec = meta["codec"]
+    if codec in ("pcm_s16le", "ulaw"):
+        return decode_wav_pcm16(bytes(blob))
+    if codec == "fake-pcm" and decode_stub:
+        return np.frombuffer(bytes(blob), "<i2"), meta["sample_rate"]
+    raise NotImplementedError(
+        f"decoding codec {codec!r} requires soundfile/pyav — supply "
+        "pcm_s16le WAV payloads or run with decode_stub=True"
+    )
 
 
 def decode_and_featurize_audio(
@@ -489,19 +514,7 @@ def decode_and_featurize_audio(
             for media_id, blob, meta in zip(
                 pdf["media_id"], pdf["media"], pdf["meta"]
             ):
-                codec = meta["codec"]
-                if codec in ("pcm_s16le", "ulaw"):
-                    samples, rate = decode_wav_pcm16(bytes(blob))
-                elif codec == "fake-pcm" and decode_stub:
-                    # stub: the fake payload IS raw little-endian int16
-                    samples = np.frombuffer(bytes(blob), "<i2")
-                    rate = meta["sample_rate"]
-                else:
-                    raise NotImplementedError(
-                        f"decoding codec {codec!r} requires "
-                        "soundfile/pyav — supply pcm_s16le WAV "
-                        "payloads or run with decode_stub=True"
-                    )
+                samples, rate = decode_audio(blob, meta, decode_stub)
                 x = samples.astype(np.float64) / 32768.0
                 out["media_id"].append(media_id)
                 out["duration_s"].append(len(x) / rate)
@@ -517,6 +530,37 @@ def decode_and_featurize_audio(
         "media_id long, duration_s double, rms double, "
         "zero_cross_rate double, peak double",
     )
+
+
+def decode_video(blob: bytes, meta, decode_stub: bool = True,
+                 every_n: int = 1) -> np.ndarray:
+    """Codec-dispatched video decode shared by the frame-sampling and
+    keyframe-hash kernels: ``y4m-mono`` → (N, H, W) uint8 via the
+    real YUV4MPEG2 demux; ``mp4-mjpeg`` → (N, H, W, 3) via the real
+    ISO BMFF walk + JPEG decode; ``fake-frames`` byte-slices the stub
+    payload.  ``every_n`` subsamples frames AT THE DEMUX (mp4 skips
+    the JPEG entropy decode of unsampled frames entirely)."""
+    codec = meta["codec"]
+    if codec == "y4m-mono":
+        frames, _fps = decode_y4m_mono(bytes(blob))
+        return frames[::every_n]
+    if codec == "mp4-mjpeg":
+        samples, _cc, _w, _h, _fps = demux_mp4(bytes(blob))
+        return np.stack([decode_jpeg(samples[fi])
+                         for fi in range(0, len(samples), every_n)])
+    if not decode_stub:
+        raise NotImplementedError(
+            f"demuxing codec {codec!r} requires pyav/ffmpeg — supply "
+            "y4m-mono payloads or run with decode_stub=True"
+        )
+    n_frames = meta["n_frames"] or 0
+    w, h = meta["width"] or 0, meta["height"] or 0
+    data = bytes(blob)
+    out = []
+    for fi in range(0, n_frames, every_n):
+        chunk = data[fi * w * h * 3:(fi + 1) * w * h * 3]
+        out.append(np.frombuffer(chunk, np.uint8).reshape(h, w, 3))
+    return np.stack(out) if out else np.zeros((0, h, w, 3), np.uint8)
 
 
 def sample_video_frames(

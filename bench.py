@@ -375,6 +375,28 @@ def run_headline() -> dict:
         # wanders (BASELINE.md): compare these first, suite walls
         # second
         "kernels": kernels,
+        # N→4N scaling criterion (BASELINE.json north rule): measured
+        # with the paired-interleaved protocol by `bench.py --scaling`
+        # — these are the ROUND-4 recorded runs (full session logs and
+        # same-session bandwidth probes in BASELINE.md "Scaling"), not
+        # re-measured per headline run because a clean measurement
+        # needs ~5 min of paired rounds on a calm host phase.
+        "scaling_evidence": {
+            "protocol": "paired-interleaved rounds, median ratio; "
+                        "see BASELINE.md and `python bench.py --scaling`",
+            "efficiency_1_to_4_cores_runs": [0.806, 0.945, 0.906],
+            "tokens_per_sec_local1_best": 8_420_000,
+            "tokens_per_sec_local4_best": 30_500_000,
+            "efficiency_8_to_32_cores_runs": [0.397, 0.352],
+            "tokens_per_sec_local8_best": 48_900_000,
+            "tokens_per_sec_local32_best": 68_800_000,
+            "note": "1→4 holds ≥0.8 (per-core bandwidth headroom "
+                    "intact — the cluster-faithful window; a cluster "
+                    "adds memory channels with cores). 8→32 on this "
+                    "single box hits the documented memcpy wall "
+                    "(aggregate bandwidth saturates ~8 procs, probe "
+                    "0.3→0.7 GB/s); BASELINE.md quantifies the wall.",
+        },
         # host-phase normalization (VERDICT r3 #2): the read_fold
         # kernel rate measured in THIS process immediately before the
         # throughput jobs, divided by the documented calm-host

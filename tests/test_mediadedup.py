@@ -1,0 +1,178 @@
+"""Perceptual image dedup: dHash + banded Hamming pairs."""
+
+import numpy as np
+import pytest
+
+from athena_spark.operators.mediadedup import (_resize_gray, dedup_media,
+                                               dhash64, image_dhash,
+                                               image_neardup_pairs)
+from athena_spark.sources.multimodal import (MEDIA_SCHEMA, decode_bmp,
+                                             encode_bmp, synthetic_media)
+
+
+def _noisy(img: np.ndarray, seed: int, n_px: int = 6) -> np.ndarray:
+    """Perturb a few pixels slightly — a near-duplicate."""
+    rng = np.random.default_rng(seed)
+    out = img.astype(np.int16).copy()
+    h, w, _ = out.shape
+    for _ in range(n_px):
+        r, c = rng.integers(0, h), rng.integers(0, w)
+        out[r, c] += rng.integers(-6, 7, size=3)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def test_resize_gray_exact_box_means():
+    # 4x4 constant blocks -> 2x2 resize recovers the block values
+    img = np.zeros((4, 4), dtype=np.float64)
+    img[:2, :2] = 10; img[:2, 2:] = 20; img[2:, :2] = 30; img[2:, 2:] = 40
+    small = _resize_gray(img, 2, 2)
+    assert np.array_equal(small, [[10, 20], [30, 40]])
+    # upscale path: 2x2 -> 4x4 keeps values
+    up = _resize_gray(np.array([[1.0, 2.0], [3.0, 4.0]]), 4, 4)
+    assert up.shape == (4, 4) and up[0, 0] == 1 and up[3, 3] == 4
+
+
+def test_dhash_brightness_invariant_and_sensitive():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 200, size=(40, 50, 3), dtype=np.uint8)
+    h0 = dhash64(img)
+    # global brightness shift: adjacent-pixel comparisons cancel it
+    assert dhash64(np.clip(img.astype(np.int16) + 30, 0, 255)
+                   .astype(np.uint8)) == h0
+    # a very different image hashes far away
+    other = rng.integers(0, 255, size=(40, 50, 3), dtype=np.uint8)
+    assert bin(h0 ^ dhash64(other)).count("1") > 10
+    # signed-long range
+    assert -(1 << 63) <= h0 < (1 << 63)
+
+
+def test_image_neardup_pairs_finds_planted(spark):
+    base = synthetic_media(spark, 8, "bmp").collect()
+    rows = list(base)
+    for r in base:  # plant a noisy near-dup of every image at id+100
+        img = decode_bmp(bytes(r["media"]))
+        rows.append((r["media_id"] + 100, "bmp",
+                     bytearray(encode_bmp(_noisy(img, r["media_id"]))),
+                     r["meta"]))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = image_dhash(df)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_neardup_pairs(hashes, max_distance=6).collect()}
+    for i in range(8):  # every planted pair found, nothing else
+        assert (i, i + 100) in got, (i, sorted(got))
+    assert set(got) == {(i, i + 100) for i in range(8)}
+    # dedup drops exactly the planted copies
+    kept = {r["media_id"] for r in dedup_media(df).collect()}
+    assert kept == set(range(8))
+    # determinism
+    again = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(hashes, max_distance=6).collect()}
+    assert again == got
+
+
+def test_image_dhash_codec_paths(spark):
+    # png and fake-codec rows hash through their decoders too
+    for modality in ("png", "image"):
+        df = synthetic_media(spark, 3, modality)
+        out = image_dhash(df).collect()
+        assert len(out) == 3
+        assert all(isinstance(r["dhash"], int) for r in out)
+    with pytest.raises(Exception):
+        image_dhash(synthetic_media(spark, 1, "image"),
+                    decode_stub=False).collect()
+
+
+def test_audio_landmarks_noise_robust():
+    import numpy as np
+    from athena_spark.operators.mediadedup import audio_landmarks
+
+    rate = 16_000
+    t = np.arange(rate, dtype=np.float64)
+    tone = (np.sin(2 * np.pi * 440.0 * t / rate) * 12000).astype(np.int16)
+    fp = audio_landmarks(tone)
+    assert len(fp) > 0 and fp.dtype == np.int64
+    # additive noise well below the tone: most landmarks survive
+    rng = np.random.default_rng(5)
+    noisy = np.clip(tone.astype(np.int32)
+                    + rng.integers(-300, 301, size=len(tone)),
+                    -32768, 32767).astype(np.int16)
+    fpn = audio_landmarks(noisy)
+    inter = len(np.intersect1d(fp, fpn))
+    assert inter / max(len(fp), len(fpn)) > 0.6
+    # a different tone shares little
+    other = (np.sin(2 * np.pi * 910.0 * t / rate) * 12000).astype(np.int16)
+    fpo = audio_landmarks(other)
+    union = len(np.union1d(fp, fpo))
+    assert len(np.intersect1d(fp, fpo)) / union < 0.2
+    # too-short clip -> empty
+    assert len(audio_landmarks(tone[:100])) == 0
+
+
+def test_audio_neardup_pairs_planted(spark):
+    import numpy as np
+    from athena_spark.operators.mediadedup import audio_neardup_pairs
+    from athena_spark.sources.multimodal import (MEDIA_SCHEMA,
+                                                 decode_wav_pcm16,
+                                                 encode_wav_pcm16,
+                                                 synthetic_media)
+
+    base = synthetic_media(spark, 6, "wav").collect()
+    rows = list(base)
+    for r in base:  # noisy re-encode of every clip at id+100
+        samples, rate = decode_wav_pcm16(bytes(r["media"]))
+        rng = np.random.default_rng(40 + r["media_id"])
+        noisy = np.clip(samples.astype(np.int32)
+                        + rng.integers(-250, 251, size=len(samples)),
+                        -32768, 32767).astype(np.int16)
+        rows.append((r["media_id"] + 100, "wav",
+                     bytearray(encode_wav_pcm16(noisy, rate)), r["meta"]))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r["id_a"], r["id_b"]) for r in
+           audio_neardup_pairs(df, threshold=0.5).collect()}
+    # synthetic_media's wav frequencies repeat mod 8 — with 6 base
+    # clips all frequencies are distinct, so exactly the planted pairs
+    assert got == {(i, i + 100) for i in range(6)}, sorted(got)
+
+
+def test_video_neardup_pairs_shared_footage(spark):
+    import numpy as np
+    from athena_spark.operators.mediadedup import video_neardup_pairs
+    from athena_spark.sources.multimodal import (MEDIA_SCHEMA,
+                                                 decode_y4m_mono,
+                                                 encode_y4m_mono,
+                                                 synthetic_media)
+
+    base = synthetic_media(spark, 4, "y4m").collect()
+    rows = list(base)
+    for r in base:  # a trimmed copy (drop the last quarter) at id+100
+        frames, _fps = decode_y4m_mono(bytes(r["media"]))
+        trimmed = frames[: len(frames) * 3 // 4]
+        meta = (r["meta"]["width"], r["meta"]["height"], None,
+                len(trimmed), "y4m-mono")
+        rows.append((r["media_id"] + 100, "y4m",
+                     bytearray(encode_y4m_mono(trimmed, fps=12)), meta))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           video_neardup_pairs(df, threshold=0.5, every_n=2).collect()}
+    assert set(got) == {(i, i + 100) for i in range(4)}, sorted(got)
+    # trimmed copy shares exactly its frame subset: jaccard ~ 0.75
+    assert all(0.6 <= j <= 1.0 for j in got.values())
+
+
+def test_set_jaccard_pairs_guard_and_validation(spark):
+    import pytest as _pt
+    from athena_spark.operators.mediadedup import set_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30]), (2, [10, 20, 40]), (3, [99])],
+        "media_id long, fp array<bigint>",
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           set_jaccard_pairs(df, "media_id", "fp", 0.4).collect()}
+    assert got == {(1, 2): 0.5}
+    # Zipf guard: cap at freq 1 drops the shared items entirely
+    none = set_jaccard_pairs(df, "media_id", "fp", 0.4,
+                             max_item_freq=1).collect()
+    assert none == []
+    with _pt.raises(ValueError, match="threshold"):
+        set_jaccard_pairs(df, "media_id", "fp", 0.0)

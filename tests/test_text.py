@@ -651,3 +651,111 @@ def test_edit_distance_gate_preconditions(spark, sf_dir):
            pairs.select(F.levenshtein("a", "b")).collect()]
     want = [dp(a, b) for a, b in zip(texts, texts[1:])]
     assert got == want
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """Bloom decontamination: kept set is a subset of the exact kept
+    set (no false negatives ever), equals it at tight fpp on a small
+    corpus, deterministic, and the prebuilt-filter path agrees."""
+    from athena_spark.operators.curate import (benchmark_gram_bloom,
+                                               decontaminate,
+                                               decontaminate_bloom)
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "a completely different document about spark engines"),
+        (2, "prefix words then the quick brown fox jumps over the "
+            "lazy dog tonight and more"),
+        (3, "short doc"),
+    ] + [(10 + i, f"filler document number {i} with several unique "
+                  f"words alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+         for i in range(30)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog tonight",)],
+        "text string",
+    )
+    exact = {r["doc_id"] for r in
+             decontaminate(corpus, bench, "doc_id", "text", n=5).collect()}
+    bloomed = {r["doc_id"] for r in
+               decontaminate_bloom(corpus, bench, "doc_id", "text",
+                                   n=5).collect()}
+    assert bloomed <= exact           # never admits a contaminated doc
+    assert bloomed == exact           # fpp=1e-6: no excess drops here
+    # deterministic
+    again = {r["doc_id"] for r in
+             decontaminate_bloom(corpus, bench, "doc_id", "text",
+                                 n=5).collect()}
+    assert again == bloomed
+    # prebuilt-filter path (build once, reuse across shards)
+    bf = benchmark_gram_bloom(bench, "text", n=5)
+    pre = {r["doc_id"] for r in
+           decontaminate_bloom(corpus, bf, "doc_id", "text",
+                               n=5).collect()}
+    assert pre == bloomed
+    # round-trip the filter through bytes (the persist path)
+    from athena_spark.sketch.bloom import BloomFilter
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    pre2 = {r["doc_id"] for r in
+            decontaminate_bloom(corpus, bf2, "doc_id", "text",
+                                n=5).collect()}
+    assert pre2 == bloomed
+    # n larger than every doc: nothing flagged
+    allkept = {r["doc_id"] for r in
+               decontaminate_bloom(corpus, bench, "doc_id", "text",
+                                   n=50).collect()}
+    assert allkept == {r[0] for r in rows}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fpp"):
+        benchmark_gram_bloom(bench, "text", n=5, fpp=1.5)
+    with _pt.raises(ValueError, match="n must be"):
+        decontaminate_bloom(corpus, bench, n=0)
+
+
+def test_compression_features_band(spark):
+    from athena_spark.functions.text import (compression_features,
+                                             compression_filter)
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam " * 400),                          # ultra-repetitive
+            (1, "The quick brown fox jumps over the lazy dog. " * 20),
+            (2, None),                                    # null -> ratio 1.0
+            (3, ""),                                      # empty -> ratio 1.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           compression_features(df, "doc_id", "text").collect()}
+    assert out[0]["comp_ratio"] < 0.05          # repetition collapses
+    assert 0.02 < out[1]["comp_ratio"] < 0.6    # prose compresses some
+    assert out[2]["comp_ratio"] == 1.0 and out[2]["raw_len"] == 0
+    assert out[3]["comp_ratio"] == 1.0
+    assert out[1]["raw_len"] == 45 * 20
+    # gibberish (hex of hashes) stays near-incompressible
+    import hashlib
+    gib = " ".join(hashlib.sha256(str(i).encode()).hexdigest()
+                   for i in range(60))
+    g = spark.createDataFrame([(9, gib)], "doc_id long, text string")
+    r9 = compression_features(g, "doc_id", "text").collect()[0]
+    assert r9["comp_ratio"] > 0.5
+    # band-pass filter: varied prose and gibberish survive; the
+    # repeated-sentence docs (0 and 1 both collapse under zlib) and
+    # the empty docs (ratio 1.0) are dropped
+    prose = spark.createDataFrame(
+        [(8, "Each sentence here differs from its neighbours, "
+             "mentioning sparks, rivers, compilers, meadows, and "
+             "the seventeen ways a parser can disappoint you; "
+             "variety keeps deflate honest while staying text.")],
+        "doc_id long, text string",
+    )
+    both = df.union(g).union(prose)
+    kept = {r["doc_id"] for r in
+            compression_filter(both, "doc_id", "text",
+                               min_ratio=0.1, max_ratio=0.9).collect()}
+    assert kept == {8, 9}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="level"):
+        compression_features(df, "doc_id", "text", level=11).collect()
+    with _pt.raises(ValueError, match="min_ratio"):
+        compression_filter(df, "doc_id", "text", 0.9, 0.3)
