@@ -292,6 +292,10 @@ def run_headline() -> dict:
         "minhash_dedup_pairs",
         "paragraph_dedup",
         "curate_corpus",
+        # the graft payload axis: StarCoder-style code curation
+        # (license regex -> quality rules -> sha dedup -> secret
+        # redaction) over a code table fabricated from documents
+        "code_curation",
         "ann_topk_cosine",
         "langid",
         "events_hourly_streaming",
