@@ -6489,6 +6489,58 @@ def q_code_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
         _code_import_files(spark, sf_dir), "doc_id", "content")
 
 
+def q_code_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truffleHog-style entropy secret detection (functions/code.py
+    entropy_flags) over planted extremes: doc_id%3==0 rows carry a
+    40-distinct-char quoted literal (Shannon entropy log2(40)≈5.32
+    bits/char — far above the 4.0 threshold), %3==1 rows a constant
+    20-char run (entropy 0), %3==2 rows no candidate literal at all.
+    The gate returns the integer columns only (n_candidates,
+    n_high_entropy); the oracle re-states the planted outcome by
+    arithmetic — entropies sit > 1.3 bits from the threshold, so the
+    float comparison is ulp-safe, and max_entropy (raw float) is
+    certified by the pytest scalar oracle instead (repo-wide ``ln``
+    rule)."""
+    from athena_spark.functions.code import entropy_flags
+
+    d = F.col("doc_id")
+    secret = "AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=-"
+    content = (
+        F.when(d % 3 == 0, F.lit(f'k = "{secret}"\n'))
+        .when(d % 3 == 1, F.lit('k = "' + "a" * 20 + '"\n'))
+        .otherwise(F.lit("plain code, no quoted literal\n"))
+    )
+    files = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return entropy_flags(files, "doc_id", "content") \
+        .select("doc_id", "n_candidates", "n_high_entropy")
+
+
+def q_code_comment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact comment-density integers (functions/code.py
+    comment_stats) over a fabricated multi-language table: python
+    ``#`` lines, java/c block and line comments in statement position,
+    a trailing same-line comment that must NOT count (the (?m)^
+    anchor), and a pattern-less lang reporting zero.  The oracle
+    re-runs the identical anchored patterns with DuckDB
+    regexp_extract_all."""
+    from athena_spark.functions.code import comment_stats
+
+    d = F.col("doc_id")
+    lang = (F.when(d % 4 == 0, "python").when(d % 4 == 1, "java")
+            .when(d % 4 == 2, "go").otherwise("rust"))
+    content = (
+        F.when(d % 4 == 0,
+               F.lit("# top\nx = 1  # trailing\n  # indented\n"))
+        .when(d % 4 == 1,
+              F.lit("// a\n/* b\n * c\n */\nint x;\n"))
+        .when(d % 4 == 2, F.lit("// a\ncode()\n"))
+        .otherwise(F.lit("// rust has no pattern\nfn main() {}\n"))
+    )
+    files = _docs(spark, sf_dir).select(
+        "doc_id", lang.alias("lang"), content.alias("content"))
+    return comment_stats(files, "doc_id", "content")
+
+
 def q_code_module_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 imported modules by file count (module_popularity) —
     the TakeOrderedAndProject aggregate over the same edges; ties
@@ -6620,6 +6672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_license_filter": q_code_license_filter,
         "code_secret_redaction": q_code_secret_redaction,
         "code_curation": q_code_curation,
+        "code_entropy_secrets": q_code_entropy_secrets,
+        "code_comment_stats": q_code_comment_stats,
         "code_imports": q_code_imports,
         "code_module_popularity": q_code_module_popularity,
         "unigram_tokenizer": q_unigram_tokenizer,
@@ -7002,6 +7056,62 @@ def _code_oracles() -> dict[str, str]:
         SELECT module, CAST(COUNT(*) AS BIGINT) AS n_files
         FROM edges GROUP BY module
         ORDER BY n_files DESC, module LIMIT 15
+    """
+
+    # entropy gate: planted-outcome arithmetic (entropy floats are
+    # certified by the pytest scalar oracle; the threshold sits >1.3
+    # bits from every planted value) — n_candidates additionally
+    # re-derived by re-running the candidate regex in DuckDB
+    from athena_spark.functions.code import (CANDIDATE_LITERAL_PATTERN,
+                                             COMMENT_PATTERNS)
+    out["code_entropy_secrets"] = f"""
+        WITH files AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'k = "AbCdEfGhIjKlMnOpQrStUvWxYz'
+                                 || '0123456789+/=-"' || chr(10)
+                     WHEN 1 THEN 'k = "{'a' * 20}"' || chr(10)
+                     ELSE 'plain code, no quoted literal' || chr(10)
+                   END AS content
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(content,
+                    '{rq(CANDIDATE_LITERAL_PATTERN)}', 1)) AS BIGINT)
+                   AS n_candidates,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_high_entropy
+        FROM files
+    """
+    comment_case = "\n".join(
+        f"                 WHEN '{lang}' THEN CAST(len("
+        f"regexp_extract_all(content, '{rq(pat)}')) AS BIGINT)"
+        for lang, pat in COMMENT_PATTERNS.items()
+    )
+    out["code_comment_stats"] = f"""
+        WITH files AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+                     WHEN 2 THEN 'go' ELSE 'rust' END AS lang,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN '# top' || chr(10)
+                                 || 'x = 1  # trailing' || chr(10)
+                                 || '  # indented' || chr(10)
+                     WHEN 1 THEN '// a' || chr(10) || '/* b' || chr(10)
+                                 || ' * c' || chr(10) || ' */' || chr(10)
+                                 || 'int x;' || chr(10)
+                     WHEN 2 THEN '// a' || chr(10) || 'code()' || chr(10)
+                     ELSE '// rust has no pattern' || chr(10)
+                          || 'fn main() {{}}' || chr(10)
+                   END AS content
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(string_split(content, chr(10))) AS BIGINT)
+                   AS n_lines,
+               CASE lang
+{comment_case}
+                 ELSE CAST(0 AS BIGINT) END AS n_comment_lines
+        FROM files
     """
 
     # full curation composite: redaction chain nested in stage order

@@ -39,6 +39,10 @@ strings (``$1`` vs ``\\1`` syntax differs).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # -- license detection --------------------------------------------------------
@@ -252,4 +256,114 @@ def repo_dependency_edges(df: DataFrame, repo_col: str, id_col: str,
         .join(edges, id_col)
         .select(repo_col, "module")
         .distinct()
+    )
+
+
+# -- entropy-based secret detection -------------------------------------------
+
+#: Candidate secret literal: a quoted run of base64/hex-ish chars.
+#: Deliberately broader than SECRET_PATTERNS' provider shapes — the
+#: entropy test, not the regex, decides.  Portable (no lookaround).
+CANDIDATE_LITERAL_PATTERN = r"['\"]([A-Za-z0-9+/=_-]{16,64})['\"]"
+
+
+def entropy_flags(df: DataFrame, id_col: str, text_col: str,
+                  min_bits_per_char: float = 4.0) -> DataFrame:
+    """truffleHog-style high-entropy secret detection: the tier that
+    catches credentials no provider regex knows about (random API
+    keys, base64 blobs) while passing ordinary identifiers.
+
+    Per file: extract every quoted 16-64 char base64/hex-ish literal
+    (:data:`CANDIDATE_LITERAL_PATTERN`, JVM-side), then score each
+    candidate's Shannon entropy (bits/char over its own character
+    histogram) in one Arrow batch kernel — candidates are short
+    strings, so the Python stage sees bytes proportional to the
+    SECRETS, not the corpus.  Returns ``(id, n_candidates,
+    n_high_entropy, max_entropy)``.
+
+    A literal is flagged when entropy >= ``min_bits_per_char``
+    (truffleHog's classic threshold for its base64 alphabet is ~4.5;
+    4.0 is the conservative default here because 16-char keys can't
+    exceed 4 bits — entropy <= log2(len)).  English-ish identifiers
+    ("set_value_handler_x") score ~3.2-3.7; random 64-alphabet keys
+    approach 6.  Entropy is float — gates certify planted extremes
+    and banded invariants, never raw bit counts (libm-vs-engine log
+    differs by ulps; see the repo-wide ``ln`` rule).
+
+    Scale shape: regexp_extract_all in codegen → mapInPandas over
+    (id, candidates-array) only — no shuffle, text never leaves the
+    scan, and the Arrow batch carries just the extracted literals.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    cands = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(c, F.lit(CANDIDATE_LITERAL_PATTERN), 1)
+        .alias("_cands"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_c, n_hi, mx = [], [], []
+            for lst in pdf["_cands"]:
+                ents = []
+                for s in lst:
+                    b = np.frombuffer(s.encode(), dtype=np.uint8)
+                    counts = np.bincount(b, minlength=256)
+                    p = counts[counts > 0] / len(b)
+                    ents.append(float(-(p * np.log2(p)).sum()))
+                n_c.append(len(ents))
+                n_hi.append(sum(e >= min_bits_per_char for e in ents))
+                mx.append(max(ents) if ents else 0.0)
+            yield pd.DataFrame({
+                pdf.columns[0]: pdf.iloc[:, 0],
+                "n_candidates": np.asarray(n_c, dtype=np.int64),
+                "n_high_entropy": np.asarray(n_hi, dtype=np.int64),
+                "max_entropy": np.asarray(mx, dtype=np.float64),
+            })
+
+    return cands.mapInPandas(
+        kernel,
+        f"`{id_col}` {id_type}, n_candidates long, n_high_entropy long, "
+        "max_entropy double",
+    )
+
+
+# -- comment-density metrics --------------------------------------------------
+
+#: lang → comment-line pattern ((?m)^-anchored, statement position).
+#: Integer line counts only — exactly reproducible in the DuckDB
+#: oracle, no float ratio at the contract surface.
+COMMENT_PATTERNS: dict[str, str] = {
+    "python": r"(?m)^[ \t]*#",
+    "java": r"(?m)^[ \t]*(//|/\*|\*)",
+    "cpp": r"(?m)^[ \t]*(//|/\*|\*)",
+    "c": r"(?m)^[ \t]*(//|/\*|\*)",
+    "go": r"(?m)^[ \t]*(//|/\*)",
+    "js": r"(?m)^[ \t]*(//|/\*|\*)",
+}
+
+
+def comment_stats(df: DataFrame, id_col: str, text_col: str,
+                  lang_col: str = "lang") -> DataFrame:
+    """Per-file comment density as EXACT integers: ``(id, n_lines,
+    n_comment_lines)`` — the code-corpus quality signal (StarCoder
+    keeps files with documentation; pathological corpora are either
+    0% or ~100% comments).  Ratio thresholds belong downstream as
+    integer cross-multiplications (``n_comment_lines * D >= n_lines
+    * N``), following the Gopher/codequality convention.
+
+    Counting is ``regexp_count`` of the lang's ``(?m)^``-anchored
+    comment pattern — pure JVM codegen, no shuffle, no Python.
+    Langs without a pattern report 0 comment lines."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_lines = F.size(F.split(c, r"\n")).cast("long")
+    n_comment = F.lit(0)
+    for lang, pat in COMMENT_PATTERNS.items():
+        n_comment = F.when(F.col(lang_col) == lang,
+                           F.regexp_count(c, F.lit(pat))).otherwise(n_comment)
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_comment.cast("long").alias("n_comment_lines"),
     )

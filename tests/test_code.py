@@ -201,3 +201,65 @@ def test_patterns_portable_to_duckdb(spark):
             "SELECT regexp_matches(?, ?)", [s, pat]).fetchone()[0]
             for s in samples]
         assert spark_hits == duck_hits, pat
+
+
+# -- entropy secret detection -------------------------------------------------
+
+B64_SECRET = "AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=-"  # 40 distinct chars
+
+
+def test_entropy_flags_extremes(spark):
+    from athena_spark.functions.code import entropy_flags
+
+    df = _df(spark, [
+        (1, f'key = "{B64_SECRET}"\n'),          # high entropy → flagged
+        (2, 'x = "' + "a" * 20 + '"\n'),          # zero entropy
+        (3, 'name = "set_value_handler_impl"\n'),  # English-ish, ~3.6 bits
+        (4, "no literals here\n"),
+        (5, None),
+    ])
+    got = {r["doc_id"]: r.asDict()
+           for r in entropy_flags(df, "doc_id", "text").collect()}
+    assert got[1]["n_candidates"] == 1 and got[1]["n_high_entropy"] == 1
+    assert got[1]["max_entropy"] > 5.0
+    assert got[2]["n_candidates"] == 1 and got[2]["n_high_entropy"] == 0
+    assert got[2]["max_entropy"] == 0.0
+    assert got[3]["n_candidates"] == 1 and got[3]["n_high_entropy"] == 0
+    assert 3.0 < got[3]["max_entropy"] < 4.0
+    assert got[4]["n_candidates"] == 0 and got[4]["max_entropy"] == 0.0
+    assert got[5]["n_candidates"] == 0
+
+
+def test_entropy_matches_scalar_oracle(spark):
+    import math
+
+    from athena_spark.functions.code import entropy_flags
+
+    s = "q7Zp3kX9vL2mN8rT"  # 16 chars, some repeats
+    freqs = {c: s.count(c) for c in set(s)}
+    expect = -sum((n / len(s)) * math.log2(n / len(s))
+                  for n in freqs.values())
+    df = _df(spark, [(1, f'a = "{s}"')])
+    got = entropy_flags(df, "doc_id", "text").collect()[0]
+    assert abs(got["max_entropy"] - expect) < 1e-12
+
+
+# -- comment density ----------------------------------------------------------
+
+def test_comment_stats_exact_counts(spark):
+    from athena_spark.functions.code import comment_stats
+
+    df = spark.createDataFrame([
+        (1, "python", "# a\nx = 1  # trailing not counted\n  # b\n"),
+        (2, "java", "// a\n/* b\n * c\n */\nint x;\n"),
+        (3, "go", "// a\ncode()\n"),
+        (4, "rust", "// not counted: no pattern for lang\n"),
+        (5, "python", None),
+    ], "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_comment_lines"])
+           for r in comment_stats(df, "doc_id", "text").collect()}
+    assert got[1] == (4, 2)       # trailing comment line NOT counted
+    assert got[2] == (6, 4)       # //, /*, * c, */ all statement-position
+    assert got[3] == (3, 1)
+    assert got[4] == (2, 0)
+    assert got[5] == (1, 0)

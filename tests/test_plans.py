@@ -502,3 +502,97 @@ def test_check_rules_row_level_is_single_aggregate_scan(spark, sf_dir):
         {"rule": "min_rows", "n": 1},
     ])
     assert all(r.passed for r in out.collect())
+
+
+def _fab_code_table(spark, sf_dir):
+    d = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("r"), (d % 3).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), d.cast("string")).alias("path"),
+        F.concat(F.lit("# SPDX-License-Identifier: MIT\ndef b_"),
+                 (d % 40).cast("string"),
+                 F.lit("():\n    return 1\n")).alias("content"),
+    )
+
+
+def test_code_curation_shuffles_digests_not_content(spark, sf_dir):
+    """curate_code_corpus: the dedup window runs over (sha, repo,
+    path) ONLY — file content must be pruned out of every Exchange
+    (the 100 TB contract: digests and ids shuffle, source bytes
+    stay in the scan partition)."""
+    from athena_spark.operators.codequality import curate_code_corpus
+
+    plan = plan_of(curate_code_corpus(_fab_code_table(spark, sf_dir)))
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first:
+            assert "content#" not in block, block
+
+
+def test_secret_scan_is_pure_jvm_no_shuffle(spark, sf_dir):
+    """secret_flags + redact_secrets are chained regexp expressions:
+    the plan must be scan -> project inside WholeStageCodegen with NO
+    Exchange and NO Python evaluation node (a Pandas-UDF formulation
+    would drop the hot path out of codegen)."""
+    from athena_spark.functions.code import redact_secrets, secret_flags
+
+    files = _fab_code_table(spark, sf_dir)
+    for df in (secret_flags(files, "path", "content"),
+               redact_secrets(files, "content")):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+        # '*' prefix = the operator runs inside whole-stage codegen
+        assert "* Project" in plan, plan
+
+
+def test_license_detect_is_pure_jvm_no_shuffle(spark, sf_dir):
+    from athena_spark.functions.code import license_detect
+
+    plan = plan_of(license_detect(_fab_code_table(spark, sf_dir),
+                                  "path", "content"))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_extract_imports_content_never_shuffles(spark, sf_dir):
+    """extract_imports ends in a distinct over (id, module): the
+    exchange must carry only those two columns — file content is
+    consumed by the partition-local regexp_extract_all."""
+    from athena_spark.functions.code import extract_imports
+
+    files = _fab_code_table(spark, sf_dir).withColumn(
+        "lang", F.lit("python"))
+    plan = plan_of(extract_imports(files, "path", "content"))
+    assert "Exchange" in plan  # the distinct
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first:
+            assert "content#" not in block, block
+
+
+def test_compression_features_single_pass_no_shuffle(spark, sf_dir):
+    """Compressibility is per-document: scan -> one mapInPandas, no
+    Exchange (zlib runs where the text lives)."""
+    from athena_spark.functions.text import compression_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(compression_features(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+
+
+def test_image_neardup_pixels_never_shuffle(spark, sf_dir):
+    """image_neardup_pairs: only (id, 64-bit hash) rows reach the
+    band-join exchanges — the media binary column must be pruned out
+    of every Exchange (pixels stay in the scan partition)."""
+    from athena_spark.operators.mediadedup import (image_dhash,
+                                                   image_neardup_pairs)
+    from athena_spark.sources.multimodal import synthetic_media
+
+    media = synthetic_media(spark, 8, "bmp")
+    plan = plan_of(image_neardup_pairs(image_dhash(media)))
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first:
+            assert "media#" not in block, block
