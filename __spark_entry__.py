@@ -6489,6 +6489,44 @@ def q_code_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
         _code_import_files(spark, sf_dir), "doc_id", "content")
 
 
+def q_code_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level license propagation (functions/code.py
+    propagate_repo_license — The Stack's rule: files inherit the
+    repository's LICENSE-file declaration when they carry no header
+    of their own).  Fabricated table: 50 repos of 10 files; docs with
+    doc_id%10==0 are 'LICENSE' files (MIT phrase on %20==0, Apache
+    otherwise) so only repos r0/r10/r20/r30/r40 carry declarations —
+    r0/r20/r40 carry BOTH (min() tie-break exercised); %7==0 files
+    have their own GPL header (own-header-wins), the rest are plain
+    (inherit or stay unknown).  The oracle re-runs the license
+    regexes, the license-filename regex, and the same group-min +
+    coalesce in SQL."""
+    from athena_spark.functions.code import propagate_repo_license
+
+    d = F.col("doc_id")
+    content = (
+        F.when(d % 10 == 0,
+               F.when(d % 20 == 0,
+                      F.lit("Permission is hereby granted, free of"
+                            " charge, to any person\n"))
+               .otherwise(
+                   F.lit("Licensed under the Apache License,"
+                         " Version 2.0\n")))
+        .when(d % 7 == 0,
+              F.lit("# under the terms of the GNU General Public"
+                    " License\ncode()\n"))
+        .otherwise(F.lit("plain()\n"))
+    )
+    files = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 50).cast("string")).alias("repo"),
+        F.when(d % 10 == 0, F.lit("LICENSE"))
+        .otherwise(F.concat(F.lit("src/f"), d.cast("string"),
+                            F.lit(".py"))).alias("path"),
+        content.alias("content"),
+    )
+    return propagate_repo_license(files)
+
+
 def q_code_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """truffleHog-style entropy secret detection (functions/code.py
     entropy_flags) over planted extremes: doc_id%3==0 rows carry a
@@ -6673,6 +6711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_secret_redaction": q_code_secret_redaction,
         "code_curation": q_code_curation,
         "code_entropy_secrets": q_code_entropy_secrets,
+        "code_repo_license": q_code_repo_license,
         "code_comment_stats": q_code_comment_stats,
         "code_imports": q_code_imports,
         "code_module_popularity": q_code_module_popularity,
@@ -7056,6 +7095,44 @@ def _code_oracles() -> dict[str, str]:
         SELECT module, CAST(COUNT(*) AS BIGINT) AS n_files
         FROM edges GROUP BY module
         ORDER BY n_files DESC, module LIMIT 15
+    """
+
+    from athena_spark.functions.code import LICENSE_FILE_PATTERN
+    out["code_repo_license"] = f"""
+        WITH files AS (
+            SELECT 'r' || CAST(doc_id % 50 AS VARCHAR) AS repo,
+                   CASE WHEN doc_id % 10 = 0 THEN 'LICENSE'
+                        ELSE 'src/f' || CAST(doc_id AS VARCHAR)
+                             || '.py' END AS path,
+                   CASE WHEN doc_id % 10 = 0 THEN
+                          CASE WHEN doc_id % 20 = 0
+                               THEN 'Permission is hereby granted, '
+                                    || 'free of charge, to any person'
+                                    || chr(10)
+                               ELSE 'Licensed under the Apache '
+                                    || 'License, Version 2.0' || chr(10)
+                          END
+                        WHEN doc_id % 7 = 0
+                        THEN '# under the terms of the GNU General '
+                             || 'Public License' || chr(10)
+                             || 'code()' || chr(10)
+                        ELSE 'plain()' || chr(10)
+                   END AS content
+            FROM documents),
+        lic AS (
+            SELECT repo, path, {lic_case} AS license
+            FROM files),
+        repo_lic AS (
+            SELECT repo, min(license) AS repo_license
+            FROM lic
+            WHERE regexp_matches(path, '{rq(LICENSE_FILE_PATTERN)}')
+              AND license <> 'unknown'
+            GROUP BY repo)
+        SELECT l.repo, l.path, l.license,
+               CASE WHEN l.license <> 'unknown' THEN l.license
+                    ELSE coalesce(r.repo_license, 'unknown')
+               END AS effective_license
+        FROM lic l LEFT JOIN repo_lic r ON l.repo = r.repo
     """
 
     # entropy gate: planted-outcome arithmetic (entropy floats are

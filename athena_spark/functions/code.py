@@ -367,3 +367,56 @@ def comment_stats(df: DataFrame, id_col: str, text_col: str,
         n_lines.alias("n_lines"),
         n_comment.cast("long").alias("n_comment_lines"),
     )
+
+
+# -- repo-level license propagation -------------------------------------------
+
+#: Root-level license file names (case-insensitive match on the last
+#: path segment's stem): LICENSE, LICENSE.md, LICENCE, COPYING, ...
+LICENSE_FILE_PATTERN = r"(?i)(^|/)(license|licence|copying)(\.[a-z]+)?$"
+
+
+def propagate_repo_license(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    text_col: str = "content",
+) -> DataFrame:
+    """The Stack's repo-level license rule (Kocetkov et al. 2022 §3:
+    licenses are detected per REPOSITORY and apply to every file in
+    it): detect each file's own header license, detect the repo's
+    declared license from its LICENSE/COPYING file, and give every
+    file an ``effective_license`` — its own header when present, else
+    the repo declaration, else ``'unknown'``.
+
+    Repo declaration = the minimum license id among the repo's
+    license-file detections (deterministic when a repo carries both a
+    LICENSE and a COPYING file; single-license repos — the normal
+    case — are unaffected).
+
+    Output: ``(repo, path, license, effective_license)``.
+
+    Scale shape: per-file detection is the usual codegen regex pass;
+    the repo table aggregates to ONE short row per repo (repos ≪
+    files) and joins back broadcast-small — content never shuffles,
+    and the only exchange carries (repo, license) pairs."""
+    file_lic = df.select(
+        F.col(repo_col), F.col(path_col),
+        license_col(text_col).alias("license"),
+    )
+    repo_lic = (
+        file_lic
+        .where(F.col(path_col).rlike(LICENSE_FILE_PATTERN)
+               & (F.col("license") != "unknown"))
+        .groupBy(repo_col)
+        .agg(F.min("license").alias("_repo_license"))
+    )
+    return (
+        file_lic.join(F.broadcast(repo_lic), repo_col, "left")
+        .select(
+            repo_col, path_col, "license",
+            F.when(F.col("license") != "unknown", F.col("license"))
+            .otherwise(F.coalesce("_repo_license", F.lit("unknown")))
+            .alias("effective_license"),
+        )
+    )

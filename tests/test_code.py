@@ -263,3 +263,39 @@ def test_comment_stats_exact_counts(spark):
     assert got[3] == (3, 1)
     assert got[4] == (2, 0)
     assert got[5] == (1, 0)
+
+
+# -- repo license propagation -------------------------------------------------
+
+def test_propagate_repo_license(spark):
+    from athena_spark.functions.code import propagate_repo_license
+
+    MIT = "// Permission is hereby granted, free of charge\n"
+    APACHE = "Licensed under the Apache License, Version 2.0\n"
+    GPL = "# under the terms of the GNU General Public License\n"
+    df = spark.createDataFrame([
+        # repo a: MIT LICENSE file; plain files inherit, GPL header wins
+        ("a", "LICENSE", MIT),
+        ("a", "src/x.py", "print(1)\n"),
+        ("a", "src/y.py", GPL + "code\n"),
+        # repo b: nested license files ignored... root OR nested both
+        # match (^|/) — COPYING + LICENSE.md -> min() license wins
+        ("b", "COPYING", GPL),
+        ("b", "docs/LICENSE.md", APACHE),
+        ("b", "main.go", "package main\n"),
+        # repo c: no license file at all
+        ("c", "lib.rs", "fn f() {}\n"),
+        # repo d: a file merely NAMED license-ish but with no
+        # detectable license contributes nothing
+        ("d", "LICENSE", "TODO: pick a license\n"),
+        ("d", "app.py", "x = 1\n"),
+    ], "repo string, path string, content string")
+    got = {(r["repo"], r["path"]): (r["license"], r["effective_license"])
+           for r in propagate_repo_license(df).collect()}
+    assert got[("a", "src/x.py")] == ("unknown", "MIT")
+    assert got[("a", "src/y.py")] == ("GPL-3.0", "GPL-3.0")
+    assert got[("a", "LICENSE")] == ("MIT", "MIT")
+    # min("Apache-2.0", "GPL-3.0") = "Apache-2.0"
+    assert got[("b", "main.go")] == ("unknown", "Apache-2.0")
+    assert got[("c", "lib.rs")] == ("unknown", "unknown")
+    assert got[("d", "app.py")] == ("unknown", "unknown")
