@@ -6527,6 +6527,55 @@ def q_code_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
     return propagate_repo_license(files)
 
 
+def q_code_infer_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language inference (functions/code.py infer_lang): extension
+    map (case-folded), shebang fallback for extensionless scripts
+    (plain and /usr/bin/env forms), unmapped-extension-falls-to-
+    shebang, and unknown.  The oracle re-runs the same extension and
+    shebang regexes and the same lookup CASEs in DuckDB."""
+    from athena_spark.functions.code import infer_lang
+
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("src/f"), d.cast("string"),
+                                    F.lit(".py")))
+        .when(d % 6 == 1, F.concat(F.lit("A"), d.cast("string"),
+                                   F.lit(".Java")))
+        .when(d % 6 == 2, F.concat(F.lit("bin/t"), d.cast("string")))
+        .when(d % 6 == 3, F.concat(F.lit("x"), d.cast("string"),
+                                   F.lit(".rs")))
+        .when(d % 6 == 4, F.concat(F.lit("r"), d.cast("string"),
+                                   F.lit(".xyz")))
+        .otherwise(F.concat(F.lit("n"), d.cast("string")))
+    )
+    content = (
+        F.when(d % 6 == 2, F.lit("#!/usr/bin/env python3\nx = 1\n"))
+        .when(d % 6 == 4, F.lit("#!/bin/bash\necho hi\n"))
+        .otherwise(F.lit("code()\n"))
+    )
+    files = _docs(spark, sf_dir).select(
+        "doc_id", path.alias("path"), content.alias("content"))
+    return infer_lang(files, "path", "content") \
+        .select("doc_id", "lang")
+
+
+def q_code_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo profile aggregate (functions/code.py repo_stats) over
+    the REAL documents text partitioned into 20 synthetic repos and 3
+    langs by doc_id arithmetic — exact SQL oracle over the identical
+    grouping (byte totals via octet_length on both engines)."""
+    from athena_spark.functions.code import repo_stats
+
+    d = F.col("doc_id")
+    files = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 20).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), d.cast("string")).alias("path"),
+        F.concat(F.lit("l"), (d % 3).cast("string")).alias("lang"),
+        F.col("text").alias("content"),
+    )
+    return repo_stats(files)
+
+
 def q_code_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """truffleHog-style entropy secret detection (functions/code.py
     entropy_flags) over planted extremes: doc_id%3==0 rows carry a
@@ -6712,6 +6761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_curation": q_code_curation,
         "code_entropy_secrets": q_code_entropy_secrets,
         "code_repo_license": q_code_repo_license,
+        "code_infer_lang": q_code_infer_lang,
+        "code_repo_stats": q_code_repo_stats,
         "code_comment_stats": q_code_comment_stats,
         "code_imports": q_code_imports,
         "code_module_popularity": q_code_module_popularity,
@@ -7097,7 +7148,64 @@ def _code_oracles() -> dict[str, str]:
         ORDER BY n_files DESC, module LIMIT 15
     """
 
-    from athena_spark.functions.code import LICENSE_FILE_PATTERN
+    from athena_spark.functions.code import (EXTENSION_LANGS,
+                                             LICENSE_FILE_PATTERN,
+                                             SHEBANG_LANGS,
+                                             SHEBANG_PATTERN)
+    ext_case = "\n".join(
+        f"                 WHEN '{e}' THEN '{lang}'"
+        for e, lang in sorted(EXTENSION_LANGS.items()))
+    sb_case = "\n".join(
+        f"                 WHEN '{i}' THEN '{lang}'"
+        for i, lang in sorted(SHEBANG_LANGS.items()))
+    out["code_infer_lang"] = f"""
+        WITH files AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'src/f' || CAST(doc_id AS VARCHAR)
+                                 || '.py'
+                     WHEN 1 THEN 'A' || CAST(doc_id AS VARCHAR)
+                                 || '.Java'
+                     WHEN 2 THEN 'bin/t' || CAST(doc_id AS VARCHAR)
+                     WHEN 3 THEN 'x' || CAST(doc_id AS VARCHAR) || '.rs'
+                     WHEN 4 THEN 'r' || CAST(doc_id AS VARCHAR)
+                                 || '.xyz'
+                     ELSE 'n' || CAST(doc_id AS VARCHAR)
+                   END AS path,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 2 THEN '#!/usr/bin/env python3' || chr(10)
+                                 || 'x = 1' || chr(10)
+                     WHEN 4 THEN '#!/bin/bash' || chr(10) || 'echo hi'
+                                 || chr(10)
+                     ELSE 'code()' || chr(10)
+                   END AS content
+            FROM documents),
+        det AS (
+            SELECT doc_id,
+               CASE lower(regexp_extract(path,
+                    '(\\.[A-Za-z0-9]+)$', 1))
+{ext_case}
+                 ELSE '' END AS by_ext,
+               CASE regexp_extract(content, '{rq(SHEBANG_PATTERN)}', 1)
+{sb_case}
+                 ELSE 'unknown' END AS by_shebang
+            FROM files)
+        SELECT doc_id,
+               CASE WHEN by_ext <> '' THEN by_ext
+                    ELSE by_shebang END AS lang
+        FROM det
+    """
+    out["code_repo_stats"] = """
+        SELECT 'r' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_langs,
+               CAST(SUM(octet_length(encode(coalesce(text, ''))))
+                    AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(encode(coalesce(text, ''))))
+                    AS BIGINT) AS max_file_bytes
+        FROM documents
+        GROUP BY 1
+    """
     out["code_repo_license"] = f"""
         WITH files AS (
             SELECT 'r' || CAST(doc_id % 50 AS VARCHAR) AS repo,

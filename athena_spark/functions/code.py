@@ -420,3 +420,74 @@ def propagate_repo_license(
             .alias("effective_license"),
         )
     )
+
+
+# -- language inference -------------------------------------------------------
+
+#: extension (lowercased, incl. dot) → lang key used by
+#: :data:`IMPORT_PATTERNS` / :data:`COMMENT_PATTERNS`.
+EXTENSION_LANGS: dict[str, str] = {
+    ".py": "python", ".java": "java", ".c": "c", ".h": "c",
+    ".cc": "cpp", ".cpp": "cpp", ".cxx": "cpp", ".hpp": "cpp",
+    ".go": "go", ".rs": "rust", ".js": "js", ".mjs": "js",
+    ".ts": "ts", ".rb": "ruby", ".sh": "shell", ".pl": "perl",
+}
+
+#: shebang interpreter basename → lang (for extensionless scripts).
+SHEBANG_LANGS: dict[str, str] = {
+    "python": "python", "python3": "python", "node": "js",
+    "bash": "shell", "sh": "shell", "perl": "perl", "ruby": "ruby",
+}
+
+#: group 1 = interpreter basename of a first-line shebang, with an
+#: optional `/usr/bin/env ` prefix.  Portable (no lookaround).
+SHEBANG_PATTERN = r"^#![ \t]*(?:/[A-Za-z0-9._/-]*/)?(?:env[ \t]+)?([A-Za-z0-9._-]+)"
+
+
+def infer_lang(df: DataFrame, path_col: str = "path",
+               text_col: str = "content",
+               out_col: str = "lang") -> DataFrame:
+    """Language inference for raw crawled code (the north-rule table
+    carries ``lang``; a raw ingest does not): extension map first —
+    the file's own declaration, The Stack's methodology — then the
+    first-line shebang for extensionless scripts, else ``'unknown'``.
+
+    Both lookups compile to one CASE chain over
+    ``regexp_extract``/``lower`` — pure codegen, no Python, no
+    shuffle; the emitted keys feed :func:`extract_imports` and
+    :func:`comment_stats` directly."""
+    p = F.coalesce(F.col(path_col), F.lit(""))
+    ext = F.lower(F.regexp_extract(p, r"(\.[A-Za-z0-9]+)$", 1))
+    by_ext = F.lit("")
+    for e, lang in reversed(sorted(EXTENSION_LANGS.items())):
+        by_ext = F.when(ext == e, F.lit(lang)).otherwise(by_ext)
+    sb = F.regexp_extract(
+        F.coalesce(F.col(text_col), F.lit("")), SHEBANG_PATTERN, 1)
+    by_shebang = F.lit("unknown")
+    for interp, lang in reversed(sorted(SHEBANG_LANGS.items())):
+        by_shebang = F.when(sb == interp, F.lit(lang)) \
+            .otherwise(by_shebang)
+    return df.withColumn(
+        out_col, F.when(by_ext != "", by_ext).otherwise(by_shebang))
+
+
+def repo_stats(df: DataFrame, repo_col: str = "repo",
+               path_col: str = "path", text_col: str = "content",
+               lang_col: str = "lang") -> DataFrame:
+    """Per-repository corpus statistics: ``(repo, n_files, n_langs,
+    total_bytes, max_file_bytes)`` — the repo-level profile a
+    curation pipeline filters on (single-file dumps, vendored
+    monorepos, binary-heavy repos).  One hash aggregate; only the
+    per-file (repo, lang, byte-count) projection shuffles, never
+    content."""
+    proj = df.select(
+        F.col(repo_col), F.col(lang_col),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long").alias("_bytes"),
+    )
+    return proj.groupBy(repo_col).agg(
+        F.count("*").alias("n_files"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.sum("_bytes").alias("total_bytes"),
+        F.max("_bytes").alias("max_file_bytes"),
+    )

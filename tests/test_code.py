@@ -299,3 +299,46 @@ def test_propagate_repo_license(spark):
     assert got[("b", "main.go")] == ("unknown", "Apache-2.0")
     assert got[("c", "lib.rs")] == ("unknown", "unknown")
     assert got[("d", "app.py")] == ("unknown", "unknown")
+
+
+# -- language inference / repo stats ------------------------------------------
+
+def test_infer_lang_extension_and_shebang(spark):
+    from athena_spark.functions.code import infer_lang
+
+    df = spark.createDataFrame([
+        (1, "src/app.py", "print(1)\n"),
+        (2, "src/Main.JAVA", "class Main {}\n"),          # case-folded ext
+        (3, "bin/tool", "#!/usr/bin/env python3\nx = 1\n"),
+        (4, "bin/run", "#!/bin/bash\necho hi\n"),
+        (5, "weird.xyz", "#!/usr/bin/env node\n"),        # ext wins? no map
+        (6, "noext", "plain text\n"),
+        (7, "a.PY", None),
+        (8, None, "#! /usr/bin/perl\n"),
+    ], "doc_id long, path string, content string")
+    got = {r["doc_id"]: r["lang"]
+           for r in infer_lang(df, "path", "content").collect()}
+    assert got[1] == "python"
+    assert got[2] == "java"
+    assert got[3] == "python"
+    assert got[4] == "shell"
+    assert got[5] == "js"          # .xyz unmapped -> shebang decides
+    assert got[6] == "unknown"
+    assert got[7] == "python"
+    assert got[8] == "perl"        # null path, space after #!
+
+
+def test_repo_stats_exact(spark):
+    from athena_spark.functions.code import repo_stats
+
+    df = spark.createDataFrame([
+        ("a", "x.py", "python", "12345"),
+        ("a", "y.go", "go", "1234567"),
+        ("a", "z.py", "python", None),
+        ("b", "m.c", "c", "1"),
+    ], "repo string, path string, lang string, content string")
+    got = {r["repo"]: (r["n_files"], r["n_langs"], r["total_bytes"],
+                       r["max_file_bytes"])
+           for r in repo_stats(df).collect()}
+    assert got["a"] == (3, 2, 12, 7)
+    assert got["b"] == (1, 1, 1, 1)
