@@ -6527,6 +6527,57 @@ def q_code_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
     return propagate_repo_license(files)
 
 
+def q_code_path_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendored/generated path hygiene (functions/code.py
+    vendored_flags + path_filter): planted vendored trees (%5==1),
+    generated files (%5==2), a 'distillery' trap that must NOT match
+    the 'dist' segment rule (%5==3), and clean paths.  Returns the
+    flags plus the filter verdict; the oracle re-runs both
+    segment-anchored regexes in DuckDB."""
+    from athena_spark.functions.code import (GENERATED_FILE_PATTERN,
+                                             VENDORED_DIR_PATTERN,
+                                             vendored_flags)
+
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 5 == 1, F.concat(F.lit("vendor/lib/x"),
+                                    d.cast("string"), F.lit(".go")))
+        .when(d % 5 == 2, F.concat(F.lit("web/app"), d.cast("string"),
+                                   F.lit(".min.js")))
+        .when(d % 5 == 3, F.concat(F.lit("distillery/brew"),
+                                   d.cast("string"), F.lit(".py")))
+        .when(d % 5 == 4, F.concat(F.lit("a/node_modules/y"),
+                                   d.cast("string"), F.lit(".js")))
+        .otherwise(F.concat(F.lit("src/app"), d.cast("string"),
+                            F.lit(".py")))
+    )
+    files = _docs(spark, sf_dir).select("doc_id", path.alias("path"))
+    p = F.coalesce(F.col("path"), F.lit(""))
+    return vendored_flags(files).withColumn(
+        "kept", ~p.rlike(VENDORED_DIR_PATTERN)
+        & ~p.rlike(GENERATED_FILE_PATTERN)
+    ).select("doc_id", "is_vendored", "is_generated", "kept")
+
+
+def q_code_latest_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version selection (functions/code.py
+    latest_file_versions): 500 version rows collapsing onto ~300
+    (repo, path) keys by doc_id arithmetic, fixed-width commit
+    strings so lexicographic max == numeric max on both engines;
+    winners carry their content through the semi join.  Oracle:
+    row_number over (repo, path) by commit desc in DuckDB."""
+    from athena_spark.functions.code import latest_file_versions
+
+    d = F.col("doc_id")
+    files = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 30).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), (d % 100).cast("string")).alias("path"),
+        F.lpad(d.cast("string"), 6, "0").alias("commit"),
+        F.concat(F.lit("c"), d.cast("string")).alias("content"),
+    )
+    return latest_file_versions(files)
+
+
 def q_code_infer_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language inference (functions/code.py infer_lang): extension
     map (case-folded), shebang fallback for extensionless scripts
@@ -6762,6 +6813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_entropy_secrets": q_code_entropy_secrets,
         "code_repo_license": q_code_repo_license,
         "code_infer_lang": q_code_infer_lang,
+        "code_path_filter": q_code_path_filter,
+        "code_latest_versions": q_code_latest_versions,
         "code_repo_stats": q_code_repo_stats,
         "code_comment_stats": q_code_comment_stats,
         "code_imports": q_code_imports,
@@ -7194,6 +7247,46 @@ def _code_oracles() -> dict[str, str]:
                CASE WHEN by_ext <> '' THEN by_ext
                     ELSE by_shebang END AS lang
         FROM det
+    """
+    from athena_spark.functions.code import (GENERATED_FILE_PATTERN,
+                                             VENDORED_DIR_PATTERN)
+    out["code_path_filter"] = f"""
+        WITH files AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 1 THEN 'vendor/lib/x' || CAST(doc_id AS VARCHAR)
+                                 || '.go'
+                     WHEN 2 THEN 'web/app' || CAST(doc_id AS VARCHAR)
+                                 || '.min.js'
+                     WHEN 3 THEN 'distillery/brew'
+                                 || CAST(doc_id AS VARCHAR) || '.py'
+                     WHEN 4 THEN 'a/node_modules/y'
+                                 || CAST(doc_id AS VARCHAR) || '.js'
+                     ELSE 'src/app' || CAST(doc_id AS VARCHAR) || '.py'
+                   END AS path
+            FROM documents)
+        SELECT doc_id,
+               regexp_matches(path, '{rq(VENDORED_DIR_PATTERN)}')
+                   AS is_vendored,
+               regexp_matches(path, '{rq(GENERATED_FILE_PATTERN)}')
+                   AS is_generated,
+               NOT regexp_matches(path, '{rq(VENDORED_DIR_PATTERN)}')
+               AND NOT regexp_matches(path,
+                   '{rq(GENERATED_FILE_PATTERN)}') AS kept
+        FROM files
+    """
+    out["code_latest_versions"] = """
+        WITH files AS (
+            SELECT 'r' || CAST(doc_id % 30 AS VARCHAR) AS repo,
+                   'f' || CAST(doc_id % 100 AS VARCHAR) AS path,
+                   lpad(CAST(doc_id AS VARCHAR), 6, '0') AS "commit",
+                   'c' || CAST(doc_id AS VARCHAR) AS content
+            FROM documents)
+        SELECT repo, path, "commit", content FROM (
+            SELECT *, row_number() OVER (PARTITION BY repo, path
+                                         ORDER BY "commit" DESC) AS rn
+            FROM files)
+        WHERE rn = 1
     """
     out["code_repo_stats"] = """
         SELECT 'r' || CAST(doc_id % 20 AS VARCHAR) AS repo,

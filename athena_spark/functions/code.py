@@ -491,3 +491,67 @@ def repo_stats(df: DataFrame, repo_col: str = "repo",
         F.sum("_bytes").alias("total_bytes"),
         F.max("_bytes").alias("max_file_bytes"),
     )
+
+
+# -- path hygiene / version selection -----------------------------------------
+
+#: Path segments that mark vendored / generated / build-output trees
+#: (The Stack's exclusion list family).  Segment-anchored — a project
+#: legitimately NAMED "distillery" must not match "dist".
+VENDORED_DIR_PATTERN = (
+    r"(^|/)(vendor|vendored|node_modules|third[_-]party|external|"
+    r"extern|deps|dist|build|out|target|\.git)(/|$)"
+)
+
+#: Generated/minified FILE name shapes.
+GENERATED_FILE_PATTERN = (
+    r"(\.min\.(js|css)|\.pb\.(go|cc|h|py)|_pb2(_grpc)?\.py|"
+    r"\.generated\.[A-Za-z0-9]+)$"
+)
+
+
+def vendored_flags(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """``is_vendored`` / ``is_generated`` booleans per row (path-only
+    rules, codegen, no shuffle) — the triage columns;
+    :func:`path_filter` is the drop."""
+    p = F.coalesce(F.col(path_col), F.lit(""))
+    return df.withColumns({
+        "is_vendored": p.rlike(VENDORED_DIR_PATTERN),
+        "is_generated": p.rlike(GENERATED_FILE_PATTERN),
+    })
+
+
+def path_filter(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Drop vendored-directory and generated-file rows — the
+    cheapest, highest-yield pass of a raw code ingest (The Stack
+    drops whole vendored trees before looking at content), so run it
+    FIRST: it is a scan-stage filter on the path string alone."""
+    p = F.coalesce(F.col(path_col), F.lit(""))
+    return df.where(~p.rlike(VENDORED_DIR_PATTERN)
+                    & ~p.rlike(GENERATED_FILE_PATTERN))
+
+
+def latest_file_versions(df: DataFrame, repo_col: str = "repo",
+                         path_col: str = "path",
+                         commit_col: str = "commit") -> DataFrame:
+    """One row per ``(repo, path)`` from a multi-version ingest: the
+    lexicographically greatest ``commit`` wins (deterministic on both
+    engines; with real commit metadata, order by commit time — the
+    hash is what the north-rule schema carries).  A training corpus
+    wants each file once, at its newest version, not once per
+    historical commit.
+
+    Scale shape: the window runs over a ``(repo, path, commit)``
+    projection — content does NOT ride through the rank exchange; the
+    winning (repo, path, commit) keys join back semi/broadcast-style,
+    mirroring ``curate_code_corpus``'s dedup stage."""
+    from pyspark.sql import Window
+
+    keys = df.select(repo_col, path_col, commit_col)
+    rn = F.row_number().over(
+        Window.partitionBy(repo_col, path_col)
+        .orderBy(F.col(commit_col).desc()))
+    winners = keys.withColumn("_rn", rn).where(F.col("_rn") == 1) \
+        .select(repo_col, path_col, commit_col)
+    return df.join(winners, [repo_col, path_col, commit_col],
+                   "left_semi")

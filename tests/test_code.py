@@ -342,3 +342,45 @@ def test_repo_stats_exact(spark):
            for r in repo_stats(df).collect()}
     assert got["a"] == (3, 2, 12, 7)
     assert got["b"] == (1, 1, 1, 1)
+
+
+# -- path hygiene / latest versions -------------------------------------------
+
+def test_vendored_and_generated_paths(spark):
+    from athena_spark.functions.code import path_filter, vendored_flags
+
+    df = spark.createDataFrame([
+        (1, "src/app.py"),
+        (2, "vendor/lib/x.go"),
+        (3, "a/node_modules/y.js"),
+        (4, "distillery/brew.py"),     # must NOT match "dist"
+        (5, "dist/bundle.js"),
+        (6, "web/app.min.js"),
+        (7, "proto/msg_pb2.py"),
+        (8, "api/svc.pb.go"),
+        (9, None),
+    ], "doc_id long, path string")
+    flags = {r["doc_id"]: (r["is_vendored"], r["is_generated"])
+             for r in vendored_flags(df).collect()}
+    assert flags[1] == (False, False)
+    assert flags[2][0] and flags[3][0] and flags[5][0]
+    assert flags[4] == (False, False)
+    assert flags[6][1] and flags[7][1] and flags[8][1]
+    kept = {r["doc_id"] for r in path_filter(df).collect()}
+    assert kept == {1, 4, 9}
+
+
+def test_latest_file_versions(spark):
+    from athena_spark.functions.code import latest_file_versions
+
+    df = spark.createDataFrame([
+        ("r", "a.py", "0a1", "old"),
+        ("r", "a.py", "0b2", "new"),       # wins: '0b2' > '0a1'
+        ("r", "b.py", "fff", "only"),
+        ("s", "a.py", "001", "other-repo"),
+    ], "repo string, path string, commit string, content string")
+    got = {(r["repo"], r["path"]): (r["commit"], r["content"])
+           for r in latest_file_versions(df).collect()}
+    assert got[("r", "a.py")] == ("0b2", "new")
+    assert got[("r", "b.py")] == ("fff", "only")
+    assert got[("s", "a.py")] == ("001", "other-repo")
