@@ -1,0 +1,113 @@
+"""Continuous code-corpus ingestion: the streaming composition of the
+batch ``ingest_code_corpus`` stages.
+
+A code-training pipeline ingests repository snapshots AS they are
+crawled; every micro-batch runs the stateless stages (vendored-path
+hygiene, within-batch latest-version selection, license allow-list,
+StarCoder quality rules, secret redaction) and is then deduplicated
+against everything already admitted — by file key (``repo``/``path``)
+AND by content digest — so the admitted corpus never holds two copies
+of a file or of a byte-identical content.
+
+Semantics (documented, not accidental):
+
+* **Append-only, first-wins.**  A ``(repo, path)`` key admitted in an
+  earlier epoch blocks later arrivals of the same key (including newer
+  commits — a stream cannot retract).  Version SUPERSEDENCE is the
+  batch compaction job's concern: run
+  :func:`athena_spark.functions.code.latest_file_versions` (or the
+  SCD2 operators in ``operators/merge.py``) over re-crawled snapshots.
+  Within one micro-batch, the newest commit wins as in batch.
+* **Cross-batch content dedup** mirrors the batch sha-dedup: a batch
+  whose content digest appeared in any earlier epoch is dropped;
+  within a batch the lexicographically smallest ``(repo, path)`` wins
+  (identical to ``curate_code_corpus``), so when duplicate contents
+  arrive in the SAME batch the streaming and batch winners coincide —
+  the ``streaming_code_ingest`` gate exploits exactly this to prove
+  row-exact batch parity over a co-batched replay.
+* **State is digests only**: ``(key_sha, content_sha)`` rows per
+  epoch, never source bytes — the same 100 TB discipline as
+  ``dedup_stream``/``neardup_stream``.
+
+Per-epoch overwrite of store and output keeps replay idempotent under
+Structured Streaming's foreachBatch contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from athena_spark.streaming.store import bind_checkpoint, read_epoch_store
+
+#: \x01 never appears in repo/path strings; keeps key hashing
+#: collision-free across the (repo, path) concatenation.
+_KEY_SEP = ""
+
+
+class CodeIngestStream:
+    """``foreachBatch`` handler: raw ``(repo, path, commit, content)``
+    micro-batches → curated, redacted, deduplicated corpus epochs.
+
+    Surviving rows land in ``output_dir/epoch=N`` with columns
+    ``(repo, path, lang, license, content)`` — the batch
+    ``ingest_code_corpus`` surface."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_dir: str,
+        store_dir: str,
+        repo_col: str = "repo",
+        path_col: str = "path",
+        commit_col: str = "commit",
+        content_col: str = "content",
+        checkpoint_dir: str | None = None,
+        **curate_kwargs,
+    ) -> None:
+        self.spark = spark
+        self.output_dir = output_dir
+        self.store_dir = store_dir
+        self.repo_col = repo_col
+        self.path_col = path_col
+        self.commit_col = commit_col
+        self.content_col = content_col
+        self.curate_kwargs = curate_kwargs
+        os.makedirs(store_dir, exist_ok=True)
+        if checkpoint_dir is not None:
+            bind_checkpoint(store_dir, checkpoint_dir)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from athena_spark.operators.codequality import ingest_code_corpus
+
+        # batch stages 1-4 (path hygiene, within-batch latest
+        # version, curation chain, lang inference) are exactly the
+        # batch composite over this micro-batch
+        curated = ingest_code_corpus(
+            batch_df, self.repo_col, self.path_col, self.commit_col,
+            self.content_col, **self.curate_kwargs,
+        )
+        keyed = curated.withColumn(
+            "_key", F.sha2(F.concat_ws(
+                _KEY_SEP, F.col(self.repo_col), F.col(self.path_col)),
+                256),
+        ).withColumn(
+            "_sha", F.sha2(F.coalesce(F.col(self.content_col),
+                                      F.lit("")), 256),
+        )
+        store = read_epoch_store(self.spark, self.store_dir,
+                                 before_epoch=int(epoch_id))
+        if store is not None:
+            keyed = keyed.join(store.select("_key"), "_key", "left_anti")
+            keyed = keyed.join(store.select("_sha"), "_sha", "left_anti")
+        out = keyed.localCheckpoint(eager=True)
+        out.select("_key", "_sha").write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, f"epoch={int(epoch_id)}"))
+        out.drop("_key", "_sha").write.mode("overwrite").parquet(
+            os.path.join(self.output_dir, f"epoch={int(epoch_id)}"))
+
+    def admitted(self) -> DataFrame | None:
+        """All curated files admitted so far (union of epochs), or
+        ``None`` before the first epoch."""
+        return read_epoch_store(self.spark, self.output_dir)

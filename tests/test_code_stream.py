@@ -1,0 +1,100 @@
+"""Continuous code ingestion stream (streaming/code_stream.py):
+batch parity over a co-batched replay, cross-batch key and content
+dedup, append-only first-wins versioning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_spark.streaming.code_stream import CodeIngestStream
+
+MIT = "// Permission is hereby granted, free of charge\n"
+SCHEMA = "repo string, path string, commit string, content string"
+
+
+def _drive(spark, src, schema, handler, ckpt):
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def _dirs(tmp_path):
+    return (str(tmp_path / "src"), str(tmp_path / "out"),
+            str(tmp_path / "store"), str(tmp_path / "ck"))
+
+
+def test_stream_matches_batch_when_cobatched(spark, tmp_path):
+    from athena_spark.operators.codequality import ingest_code_corpus
+
+    rows = [
+        ("r0", "a.py", "000001", MIT + "def a():\n    return 1\n"),
+        ("r0", "a.py", "000002", MIT + "def a():\n    return 2\n"),
+        ("r0", "b.py", "000001", "no license\n"),
+        ("r1", "c.py", "000001", MIT + "def c():\n    return 3\n"),
+        # exact content duplicate of c.py under a larger key
+        ("r2", "d.py", "000001", MIT + "def c():\n    return 3\n"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    src, out, store, ck = _dirs(tmp_path)
+    # one file -> one batch: stream and batch winners coincide
+    df.coalesce(1).write.parquet(src)
+    cs = CodeIngestStream(spark, out, store, checkpoint_dir=ck)
+    _drive(spark, src, df.schema, cs, ck)
+    got = {tuple(r) for r in cs.admitted()
+           .select("repo", "path", "lang", "license", "content")
+           .collect()}
+    want = {tuple(r) for r in ingest_code_corpus(df)
+            .select("repo", "path", "lang", "license", "content")
+            .collect()}
+    assert got == want
+    assert ("r0", "a.py") in {(a, b) for a, b, *_ in got}
+    # duplicate content: min (repo, path) = c.py won
+    assert ("r2", "d.py") not in {(a, b) for a, b, *_ in got}
+
+
+def test_cross_batch_key_and_content_dedup(spark, tmp_path):
+    src, out, store, ck = _dirs(tmp_path)
+    b0 = spark.createDataFrame(
+        [("r", "a.py", "000005", MIT + "v_old()\n"),
+         ("r", "u.py", "000001", MIT + "unique()\n")], SCHEMA)
+    b1 = spark.createDataFrame(
+        # newer commit of an admitted key: blocked (first-wins)
+        [("r", "a.py", "000009", MIT + "v_new()\n"),
+         # new key, duplicate content of an admitted doc: blocked
+         ("z", "w.py", "000001", MIT + "unique()\n"),
+         # genuinely new
+         ("r", "n.py", "000001", MIT + "novel()\n")], SCHEMA)
+    b0.coalesce(1).write.parquet(src + "/f0")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    import glob
+    import shutil
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    flat = str(tmp_path / "flat")
+    import os
+    os.makedirs(flat)
+    for i, f in enumerate(files):
+        shutil.copy(f, f"{flat}/{i:02d}.parquet")
+    cs = CodeIngestStream(spark, out, store, checkpoint_dir=ck)
+    _drive(spark, flat, b0.schema, cs, ck)
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in cs.admitted().collect()}
+    assert set(got) == {("r", "a.py"), ("r", "u.py"), ("r", "n.py")}
+    assert "v_old()" in got[("r", "a.py")]   # first-wins documented
+
+
+def test_store_holds_digests_never_content(spark, tmp_path):
+    src, out, store, ck = _dirs(tmp_path)
+    df = spark.createDataFrame(
+        [("r", "a.py", "000001", MIT + "x()\n")], SCHEMA)
+    df.coalesce(1).write.parquet(src)
+    cs = CodeIngestStream(spark, out, store, checkpoint_dir=ck)
+    _drive(spark, src, df.schema, cs, ck)
+    stored = spark.read.parquet(store + "/epoch=0")
+    assert set(stored.columns) == {"_key", "_sha"}
+    for r in stored.collect():
+        assert len(r["_key"]) == 64 and len(r["_sha"]) == 64
