@@ -544,7 +544,15 @@ def latest_file_versions(df: DataFrame, repo_col: str = "repo",
     Scale shape: the window runs over a ``(repo, path, commit)``
     projection — content does NOT ride through the rank exchange; the
     winning (repo, path, commit) keys join back semi/broadcast-style,
-    mirroring ``curate_code_corpus``'s dedup stage."""
+    mirroring ``curate_code_corpus``'s dedup stage.
+
+    Precondition: ``(repo, path, commit)`` must uniquely key the
+    input (git semantics — a commit pins one content per path).
+    Byte-duplicate rows under one (repo, path, commit) would all
+    survive the key semi join; collapsing them would force a
+    full-row shuffle, so exact row dedup belongs downstream
+    (``curate_code_corpus``'s sha stage with its own unique-key
+    precondition, or ``operators/dedup.py``)."""
     from pyspark.sql import Window
 
     keys = df.select(repo_col, path_col, commit_col)

@@ -156,11 +156,25 @@ def ngram_jaccard_pairs(
     checkpoints it to fault-tolerant storage for corpus-scale runs
     (see :func:`_materialize`).
     """
-    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sh = _shingle_table(df, id_col, text_col, n, max_doc_freq)
+    return jaccard_pair_tail(sh, "shingle", threshold, materialize)
+
+
+def jaccard_pair_tail(items: DataFrame, key_col: str, threshold: float,
+                      materialize: str = "local") -> DataFrame:
+    """Shared inverted-index Jaccard tail over a ``(doc, <key>)``
+    table: cache it, self-join on the key (``a.doc < b.doc``) for
+    |A ∩ B|, attach set sizes, emit ``(id_a, id_b, jaccard)`` rounded
+    to 6 dp at ``>= threshold``, eagerly materialized so the cache
+    can be released before returning.  Used by
+    :func:`ngram_jaccard_pairs` (shingle tables) and
+    ``operators/mediadedup.py``'s fingerprint-set twin — any
+    upstream frequency guard must already be applied."""
+    items = items.cache()
+    sizes = items.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = items.alias("a"), items.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, key_col)
         .where(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count("*").alias("inter"))
@@ -181,7 +195,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     out = _materialize(out, materialize)
-    sh.unpersist()
+    items.unpersist()
     return out
 
 

@@ -172,36 +172,12 @@ def set_jaccard_pairs(
         hot = (items.groupBy("item").agg(F.count("*").alias("df_"))
                .where(F.col("df_") > max_item_freq).select("item"))
         items = items.join(hot, "item", "left_anti")
-    items = items.cache()
-    sizes = items.groupBy("doc").agg(F.count("*").alias("sz"))
-    a, b = items.alias("a"), items.alias("b")
-    inter = (
-        a.join(b, "item")
-        .where(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc", "id_a")
-                   .withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc", "id_b")
-              .withColumnRenamed("sz", "sz_b"), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(F.col("inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                    6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    # eager materialization (same contract as ngram_jaccard_pairs)
-    # lets the cached item table drop before returning; pass
-    # materialize="reliable" for fault-tolerant corpus-scale runs
-    from athena_spark.operators.dedup import _materialize
+    # shared inverted-index tail (cache, self-join, sizes, rounded
+    # Jaccard threshold, eager materialization) — one implementation
+    # with ngram_jaccard_pairs
+    from athena_spark.operators.dedup import jaccard_pair_tail
 
-    out = _materialize(out, materialize)
-    items.unpersist()
-    return out
+    return jaccard_pair_tail(items, "item", threshold, materialize)
 
 
 # -- audio landmark fingerprints (Wang 2003 constellation, simplified) -------

@@ -545,9 +545,12 @@ def decode_video(blob: bytes, meta, decode_stub: bool = True,
         frames, _fps = decode_y4m_mono(bytes(blob))
         return frames[::every_n]
     if codec == "mp4-mjpeg":
-        samples, _cc, _w, _h, _fps = demux_mp4(bytes(blob))
-        return np.stack([decode_jpeg(samples[fi])
-                         for fi in range(0, len(samples), every_n)])
+        samples, _cc, w, h, _fps = demux_mp4(bytes(blob))
+        decoded = [decode_jpeg(samples[fi])
+                   for fi in range(0, len(samples), every_n)]
+        # zero-sample table: empty array, like the y4m/stub branches
+        return (np.stack(decoded) if decoded
+                else np.zeros((0, h, w, 3), np.uint8))
     if not decode_stub:
         raise NotImplementedError(
             f"demuxing codec {codec!r} requires pyav/ffmpeg — supply "
@@ -583,36 +586,14 @@ def sample_video_frames(
             for media_id, blob, meta in zip(
                 pdf["media_id"], pdf["media"], pdf["meta"]
             ):
-                if meta["codec"] == "y4m-mono":
-                    decoded, _fps = decode_y4m_mono(bytes(blob))
-                    for fi in range(0, len(decoded), every_n):
-                        ids.append(media_id)
-                        idxs.append(fi)
-                        frames.append(bytearray(decoded[fi].tobytes()))
-                    continue
-                if meta["codec"] == "mp4-mjpeg":
-                    samples, _cc, _w, _h, _fps = demux_mp4(bytes(blob))
-                    for fi in range(0, len(samples), every_n):
-                        ids.append(media_id)
-                        idxs.append(fi)
-                        frames.append(bytearray(
-                            decode_jpeg(samples[fi]).tobytes()))
-                    continue
-                if not decode_stub:
-                    raise NotImplementedError(
-                        f"demuxing codec {meta['codec']!r} requires "
-                        "pyav/ffmpeg — supply y4m-mono payloads or run "
-                        "with decode_stub=True"
-                    )
-                n_frames = meta["n_frames"] or 0
-                frame_bytes = (meta["width"] or 0) * (meta["height"] or 0) * 3
-                data = bytes(blob)
-                for fi in range(0, n_frames, every_n):
+                # one shared codec dispatch (decode_video) for demux +
+                # subsampling; frame_idx i maps back to source frame
+                # i * every_n
+                decoded = decode_video(blob, meta, decode_stub, every_n)
+                for i in range(len(decoded)):
                     ids.append(media_id)
-                    idxs.append(fi)
-                    frames.append(bytearray(
-                        data[fi * frame_bytes : (fi + 1) * frame_bytes]
-                    ))
+                    idxs.append(i * every_n)
+                    frames.append(bytearray(decoded[i].tobytes()))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )

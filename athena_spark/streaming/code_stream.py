@@ -84,22 +84,29 @@ class CodeIngestStream:
         # batch stages 1-4 (path hygiene, within-batch latest
         # version, curation chain, lang inference) are exactly the
         # batch composite over this micro-batch
+        key_of = F.sha2(F.concat_ws(
+            _KEY_SEP, F.col(self.repo_col), F.col(self.path_col)), 256)
+        store = read_epoch_store(self.spark, self.store_dir,
+                                 before_epoch=int(epoch_id))
+        batch = batch_df
+        if store is not None:
+            # first-wins KEY blocking must run BEFORE the curation
+            # chain: a blocked key is dead on arrival, so it must not
+            # participate in (and win) the within-batch content
+            # dedup — otherwise a novel (key, content) row that lost
+            # the within-batch sha tiebreak to a blocked key would be
+            # admitted nowhere (data loss beyond first-wins)
+            batch = batch.withColumn("_key", key_of).join(
+                store.select("_key"), "_key", "left_anti").drop("_key")
         curated = ingest_code_corpus(
-            batch_df, self.repo_col, self.path_col, self.commit_col,
+            batch, self.repo_col, self.path_col, self.commit_col,
             self.content_col, **self.curate_kwargs,
         )
-        keyed = curated.withColumn(
-            "_key", F.sha2(F.concat_ws(
-                _KEY_SEP, F.col(self.repo_col), F.col(self.path_col)),
-                256),
-        ).withColumn(
+        keyed = curated.withColumn("_key", key_of).withColumn(
             "_sha", F.sha2(F.coalesce(F.col(self.content_col),
                                       F.lit("")), 256),
         )
-        store = read_epoch_store(self.spark, self.store_dir,
-                                 before_epoch=int(epoch_id))
         if store is not None:
-            keyed = keyed.join(store.select("_key"), "_key", "left_anti")
             keyed = keyed.join(store.select("_sha"), "_sha", "left_anti")
         out = keyed.localCheckpoint(eager=True)
         out.select("_key", "_sha").write.mode("overwrite").parquet(

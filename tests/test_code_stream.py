@@ -98,3 +98,34 @@ def test_store_holds_digests_never_content(spark, tmp_path):
     assert set(stored.columns) == {"_key", "_sha"}
     for r in stored.collect():
         assert len(r["_key"]) == 64 and len(r["_sha"]) == 64
+
+
+def test_blocked_key_cannot_eat_novel_content(spark, tmp_path):
+    """Regression: a key blocked by first-wins must not participate
+    in the within-batch content dedup — the novel key carrying the
+    same new content must be admitted."""
+    import glob
+    import os
+    import shutil
+
+    src, out, store, ck = _dirs(tmp_path)
+    b0 = spark.createDataFrame(
+        [("a", "x.py", "000001", MIT + "c1()\n")], SCHEMA)
+    b1 = spark.createDataFrame(
+        # 'a/x.py' is key-blocked; without pre-curation blocking it
+        # would win the sha dedup over b/y.py and C2 would vanish
+        [("a", "x.py", "000002", MIT + "c2()\n"),
+         ("b", "y.py", "000001", MIT + "c2()\n")], SCHEMA)
+    b0.coalesce(1).write.parquet(src + "/f0")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:02d}.parquet")
+    cs = CodeIngestStream(spark, out, store, checkpoint_dir=ck)
+    _drive(spark, flat, b0.schema, cs, ck)
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in cs.admitted().collect()}
+    assert set(got) == {("a", "x.py"), ("b", "y.py")}
+    assert "c1()" in got[("a", "x.py")]
+    assert "c2()" in got[("b", "y.py")]
