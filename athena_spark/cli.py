@@ -58,6 +58,11 @@ Subcommands:
 * ``cross-dedup`` — dedup a new batch against an existing corpus
   (pairs / filter / containment modes)
 * ``boilerplate`` — top document-frequency n-grams report
+* ``code-ingest`` — raw code table → curated training corpus (path
+  hygiene, latest-version selection, license/quality/dedup/redaction,
+  lang inference)
+* ``code-scan``  — per-file code triage report (license, secrets,
+  entropy, vendored/generated, lang) without filtering
 * ``package``    — build the --py-files zip
 """
 
@@ -532,6 +537,28 @@ def _build_parser() -> argparse.ArgumentParser:
     cq.add_argument("--flags", action="store_true",
                     help="emit per-rule flags + evidence counts "
                          "instead of filtering")
+
+    ci = sub.add_parser("code-ingest")
+    common(ci, output_help="parquet dir for the curated corpus")
+    ci.add_argument("--repo-col", default="repo")
+    ci.add_argument("--path-col", default="path")
+    ci.add_argument("--commit-col", default="commit")
+    ci.add_argument("--keep-unknown", action="store_true",
+                    help="keep files with no detectable license "
+                         "(repo-level checks happen elsewhere)")
+    ci.add_argument("--no-redact", action="store_true",
+                    help="skip secret redaction (leave content raw)")
+    ci.add_argument("--skip-versions", action="store_true",
+                    help="input is already one row per (repo, path): "
+                         "skip the latest-commit selection")
+
+    cr = sub.add_parser("code-scan")
+    common(cr, output_help="parquet dir for the per-file report")
+    cr.add_argument("--repo-col", default="repo")
+    cr.add_argument("--path-col", default="path")
+    cr.add_argument("--commit-col", default="commit",
+                    help="part of the row key (multi-version inputs "
+                         "report one row per version)")
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -1673,6 +1700,89 @@ def cmd_validate(args) -> None:
         raise SystemExit(2)
 
 
+def cmd_code_ingest(args) -> None:
+    """Raw code table → curated training corpus (the full
+    ingest_code_corpus composite; --skip-versions runs
+    curate_code_corpus only, with path hygiene still applied)."""
+    from athena_spark.functions.code import path_filter
+    from athena_spark.operators.codequality import (curate_code_corpus,
+                                                    ingest_code_corpus)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    n_in = df.count()
+    kw = dict(keep_unknown=args.keep_unknown,
+              redact=not args.no_redact)
+    if args.skip_versions:
+        from athena_spark.functions.code import infer_lang
+
+        work = path_filter(df, args.path_col)
+        out = curate_code_corpus(
+            work, (args.repo_col, args.path_col), args.col, **kw)
+        out = infer_lang(out, args.path_col, args.col).select(
+            args.repo_col, args.path_col, "lang", "license", args.col)
+    else:
+        out = ingest_code_corpus(
+            df, args.repo_col, args.path_col, args.commit_col,
+            args.col, **kw)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+    else:
+        n_out = out.count()
+    print(json.dumps({"rows_in": n_in, "rows_kept": n_out,
+                      "rows_dropped": n_in - n_out}), file=sys.stderr)
+
+
+def cmd_code_scan(args) -> None:
+    """Per-file code triage report (no filtering): license +
+    permissive flag, secret counts, entropy candidates, vendored/
+    generated flags, inferred lang — the columns a curation run
+    filters on, materialized for inspection."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.functions.code import (entropy_flags, infer_lang,
+                                             license_detect,
+                                             secret_flags,
+                                             vendored_flags)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    # row-unique key: (repo, path, commit) — with bare (repo, path)
+    # a multi-version input would fan out through the report joins
+    key = F.concat_ws("\x01", F.col(args.repo_col), F.col(args.path_col),
+                      F.col(args.commit_col))
+    base = df.withColumn("_fid", key)
+    rep = (
+        vendored_flags(infer_lang(base, args.path_col, args.col),
+                       args.path_col)
+        .select("_fid", args.repo_col, args.path_col, "lang",
+                "is_vendored", "is_generated")
+        .join(license_detect(base, "_fid", args.col), "_fid")
+        .join(secret_flags(base, "_fid", args.col)
+              .select("_fid", "n_secrets", "has_secret"), "_fid")
+        .join(entropy_flags(base, "_fid", args.col)
+              .select("_fid", "n_candidates", "n_high_entropy"), "_fid")
+        .drop("_fid")
+    )
+    if args.output:
+        rep.write.mode("overwrite").parquet(args.output)
+        summary = spark.read.parquet(args.output)
+    else:
+        summary = rep
+    agg = summary.agg(
+        F.count("*").alias("files"),
+        F.sum(F.col("has_secret").cast("long")).alias("files_with_secrets"),
+        F.sum(F.col("is_vendored").cast("long")).alias("vendored"),
+        F.sum(F.col("permissive").cast("long")).alias("permissive"),
+    ).collect()[0]
+    print(json.dumps({k: int(agg[k] or 0) for k in
+                      ("files", "files_with_secrets", "vendored",
+                       "permissive")}), file=sys.stderr)
+
+
 def cmd_package(args) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -1881,6 +1991,8 @@ def main(argv=None) -> None:
         "c4-clean": cmd_c4_clean,
         "gopher-filter": cmd_gopher_filter,
         "code-quality": cmd_code_quality,
+        "code-ingest": cmd_code_ingest,
+        "code-scan": cmd_code_scan,
         "package": cmd_package,
     }[args.cmd](args)
 

@@ -946,3 +946,46 @@ def test_cli_cross_dedup_containment_and_boilerplate(spark, cross_dirs,
     rows = [ln.split("\t") for ln in bp.strip().splitlines()]
     assert len(rows) == 3
     assert all(int(r[0]) >= 1 and len(r[2].split()) == 3 for r in rows)
+
+
+def test_cli_code_ingest_and_scan(spark, tmp_path, capsys):
+    """code-ingest subcommand equals the library composite; code-scan
+    report carries the triage columns with a sane summary."""
+    from athena_spark.operators.codequality import ingest_code_corpus
+
+    MIT = "// Permission is hereby granted, free of charge\n"
+    rows = [
+        ("r", "a.py", "000001", MIT + "def a():\n    return 1\n"),
+        ("r", "a.py", "000002", MIT + "def a():\n    return 2\n"),
+        ("r", "vendor/v.py", "000001", MIT + "lib()\n"),
+        ("r", "s.py", "000001",
+         MIT + "key = 'AKIA" + "ABCDEFGHIJKLMNOP'\n"),
+        ("r", "u.py", "000001", "no license\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string")
+    src = str(tmp_path / "code_src")
+    df.write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "code_out")
+    main(["code-ingest", "--input", src, "--output", out_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    got = {(r["repo"], r["path"], r["content"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r["repo"], r["path"], r["content"])
+            for r in ingest_code_corpus(df).collect()}
+    assert got == want
+    assert rep["rows_in"] == 5 and rep["rows_kept"] == len(want)
+    # redaction applied through the CLI path
+    assert all("AKIA" not in c for _r, _p, c in got)
+
+    scan_dir = str(tmp_path / "code_scan")
+    main(["code-scan", "--input", src, "--output", scan_dir])
+    srep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert srep["files"] == 5
+    assert srep["files_with_secrets"] == 1
+    assert srep["vendored"] == 1
+    assert srep["permissive"] == 4
+    cols = set(spark.read.parquet(scan_dir).columns)
+    assert {"repo", "path", "lang", "license", "permissive",
+            "is_vendored", "is_generated", "n_secrets",
+            "n_high_entropy"} <= cols
