@@ -6964,7 +6964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_path_filter": q_code_path_filter,
         "code_latest_versions": q_code_latest_versions,
         "code_ingest": q_code_ingest,
-        "streaming_code_ingest": q_streaming_code_ingest,
         "code_repo_stats": q_code_repo_stats,
         "code_comment_stats": q_code_comment_stats,
         "code_imports": q_code_imports,
@@ -7133,6 +7132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "streaming_dedup_parity": q_streaming_dedup_parity,
         "streaming_neardup_parity": q_streaming_neardup_parity,
+        "streaming_code_ingest": q_streaming_code_ingest,
     }
 
 
