@@ -6675,6 +6675,27 @@ def q_code_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
     return propagate_repo_license(files)
 
 
+def q_code_identifier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier-subtoken vocabulary profile (functions/code.py
+    identifier_token_counts): camelCase/snake_case humps over a
+    fabricated code table (per-doc variable identifiers keyed on
+    doc_id mods, shared humps for a real Zipfy distribution, an
+    ALL-CAPS run exercising the no-lookahead acronym rule).  Exact
+    oracle: DuckDB re-runs the same extraction regex, lowercases,
+    unnests, counts and takes the same tie-broken top-20."""
+    from athena_spark.functions.code import identifier_token_counts
+
+    d = F.col("doc_id")
+    content = F.concat(
+        F.lit("getValue"), (d % 9).cast("string"),
+        F.lit(" = HTTPServer(user_name_"), (d % 5).cast("string"),
+        F.lit(")\nsetValue"), (d % 9).cast("string"),
+        F.lit("(buf_ptr)\n"),
+    )
+    files = _docs(spark, sf_dir).select(content.alias("content"))
+    return identifier_token_counts(files, "content", n=20)
+
+
 def q_code_path_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vendored/generated path hygiene (functions/code.py
     vendored_flags + path_filter): planted vendored trees (%5==1),
@@ -6962,6 +6983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_repo_license": q_code_repo_license,
         "code_infer_lang": q_code_infer_lang,
         "code_path_filter": q_code_path_filter,
+        "code_identifier_topk": q_code_identifier_topk,
         "code_latest_versions": q_code_latest_versions,
         "code_ingest": q_code_ingest,
         "code_repo_stats": q_code_repo_stats,
@@ -7399,7 +7421,24 @@ def _code_oracles() -> dict[str, str]:
         FROM det
     """
     from athena_spark.functions.code import (GENERATED_FILE_PATTERN,
+                                             IDENTIFIER_SUBTOKEN_PATTERN,
                                              VENDORED_DIR_PATTERN)
+    out["code_identifier_topk"] = f"""
+        WITH files AS (
+            SELECT 'getValue' || CAST(doc_id % 9 AS VARCHAR)
+                   || ' = HTTPServer(user_name_'
+                   || CAST(doc_id % 5 AS VARCHAR) || ')' || chr(10)
+                   || 'setValue' || CAST(doc_id % 9 AS VARCHAR)
+                   || '(buf_ptr)' || chr(10) AS content
+            FROM documents),
+        toks AS (
+            SELECT lower(unnest(regexp_extract_all(content,
+                   '{rq(IDENTIFIER_SUBTOKEN_PATTERN)}'))) AS token
+            FROM files)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM toks GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 20
+    """
     out["code_path_filter"] = f"""
         WITH files AS (
             SELECT doc_id,

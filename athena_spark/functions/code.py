@@ -563,3 +563,48 @@ def latest_file_versions(df: DataFrame, repo_col: str = "repo",
         .select(repo_col, path_col, commit_col)
     return df.join(winners, [repo_col, path_col, commit_col],
                    "left_semi")
+
+
+# -- identifier tokenization --------------------------------------------------
+
+#: Subtoken extraction: camelCase humps, ALL-CAPS runs split into
+#: single capitals + a trailing hump (no lookahead — RE2-portable),
+#: lowercase/digit runs between snake_case underscores.  ``HTTPServer``
+#: → H, T, T, P, Server — simple, deterministic, engine-identical;
+#: a linguistically smarter acronym rule needs lookahead, which RE2
+#: lacks (portability contract, module doc).
+IDENTIFIER_SUBTOKEN_PATTERN = r"[A-Z][a-z0-9]*|[a-z0-9]+"
+
+
+def split_identifiers_col(col) -> Column:
+    """Array of LOWERCASED subtokens of one identifier/content
+    column — ``getFooBar_v2`` → [get, foo, bar, v2].  Pure codegen
+    (``regexp_extract_all`` + ``transform``+``lower``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.regexp_extract_all(F.coalesce(c, F.lit("")),
+                             F.lit(IDENTIFIER_SUBTOKEN_PATTERN),
+                             F.lit(0)),
+        lambda t: F.lower(t),
+    )
+
+
+def identifier_token_counts(df: DataFrame, text_col: str = "content",
+                            n: int = 20) -> DataFrame:
+    """Top-``n`` identifier subtokens by total occurrences across the
+    corpus: ``(token, n_occurrences)``, ties broken by token — the
+    vocabulary profile a code-LM tokenizer training run starts from
+    (camelCase/snake_case humps are the natural subword units of
+    source code; StarCoder §4 analyzes exactly this distribution).
+
+    Scale shape: extraction is per-row codegen; only (token) strings
+    shuffle into the count aggregate (map-side combined) and the
+    top-n compiles to TakeOrderedAndProject."""
+    toks = df.select(
+        F.explode(split_identifiers_col(text_col)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(n)
+    )

@@ -384,3 +384,31 @@ def test_latest_file_versions(spark):
     assert got[("r", "a.py")] == ("0b2", "new")
     assert got[("r", "b.py")] == ("fff", "only")
     assert got[("s", "a.py")] == ("001", "other-repo")
+
+
+# -- identifier tokenization --------------------------------------------------
+
+def test_split_identifiers(spark):
+    from athena_spark.functions.code import split_identifiers_col
+
+    df = spark.createDataFrame([
+        (1, "getFooBar_v2 = HTTPServer(snake_case_name)"),
+        (2, None),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["toks"] for r in df.select(
+        "doc_id", split_identifiers_col("text").alias("toks")).collect()}
+    assert got[1] == ["get", "foo", "bar", "v2", "h", "t", "t", "p",
+                      "server", "snake", "case", "name"]
+    assert got[2] == []
+
+
+def test_identifier_token_counts(spark):
+    from athena_spark.functions.code import identifier_token_counts
+
+    df = spark.createDataFrame([
+        (1, "fooBar foo_bar"),
+        (2, "foo baz"),
+    ], "doc_id long, text string")
+    got = [(r["token"], r["n_occurrences"])
+           for r in identifier_token_counts(df, "text", n=3).collect()]
+    assert got == [("foo", 3), ("bar", 2), ("baz", 1)]
