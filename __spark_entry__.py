@@ -6696,6 +6696,39 @@ def q_code_identifier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return identifier_token_counts(files, "content", n=20)
 
 
+def q_code_notebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notebook→script conversion (functions/code.py
+    convert_notebooks — The Stack converts .ipynb before dedup so
+    notebook wrappers can't hide duplicate code): doc_id%3==0 rows
+    carry a fabricated nbformat JSON (markdown cell + two code
+    cells), the rest are plain .py passthroughs.  The oracle rebuilds
+    the identical JSON text and re-parses it with DuckDB
+    json_transform + list ops — a genuine cross-engine
+    semi-structured-parsing comparison, not a pinned string."""
+    from athena_spark.functions.code import convert_notebooks
+
+    d = F.col("doc_id")
+    k = (d % 50).cast("string")
+    nb = F.concat(
+        F.lit('{"cells": [{"cell_type": "markdown", "source":'
+              ' ["# doc '), k,
+        F.lit('\\n"]}, {"cell_type": "code", "source": ["x = '), k,
+        F.lit('\\n", "y = x + 1\\n"]}, {"cell_type": "code",'
+              ' "source": ["print('), k,
+        F.lit(')\\n"]}]}'),
+    )
+    path = (F.when(d % 3 == 0,
+                   F.concat(F.lit("nb/n"), d.cast("string"),
+                            F.lit(".ipynb")))
+            .otherwise(F.concat(F.lit("src/f"), d.cast("string"),
+                                F.lit(".py"))))
+    content = F.when(d % 3 == 0, nb).otherwise(
+        F.concat(F.lit("print("), d.cast("string"), F.lit(")\n")))
+    files = _docs(spark, sf_dir).select(
+        "doc_id", path.alias("path"), content.alias("content"))
+    return convert_notebooks(files)
+
+
 def q_code_path_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vendored/generated path hygiene (functions/code.py
     vendored_flags + path_filter): planted vendored trees (%5==1),
@@ -6984,6 +7017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_infer_lang": q_code_infer_lang,
         "code_path_filter": q_code_path_filter,
         "code_identifier_topk": q_code_identifier_topk,
+        "code_notebooks": q_code_notebooks,
         "code_latest_versions": q_code_latest_versions,
         "code_ingest": q_code_ingest,
         "code_repo_stats": q_code_repo_stats,
@@ -7438,6 +7472,48 @@ def _code_oracles() -> dict[str, str]:
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         FROM toks GROUP BY token
         ORDER BY n_occurrences DESC, token LIMIT 20
+    """
+    out["code_notebooks"] = r"""
+        WITH files AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'nb/n' || CAST(doc_id AS VARCHAR)
+                             || '.ipynb'
+                        ELSE 'src/f' || CAST(doc_id AS VARCHAR)
+                             || '.py' END AS path,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '{"cells": [{"cell_type": "markdown", '
+                             || '"source": ["# doc '
+                             || CAST(doc_id % 50 AS VARCHAR)
+                             || '\n"]}, {"cell_type": "code", '
+                             || '"source": ["x = '
+                             || CAST(doc_id % 50 AS VARCHAR)
+                             || '\n", "y = x + 1\n"]}, '
+                             || '{"cell_type": "code", "source": '
+                             || '["print('
+                             || CAST(doc_id % 50 AS VARCHAR)
+                             || ')\n"]}]}'
+                        ELSE 'print(' || CAST(doc_id AS VARCHAR)
+                             || ')' || chr(10) END AS content
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN path LIKE '%.ipynb'
+                    THEN substring(path, 1, length(path) - 6) || '.py'
+                    ELSE path END AS path,
+               CASE WHEN path LIKE '%.ipynb'
+                    THEN COALESCE(list_aggr(
+                        list_transform(
+                            list_filter(
+                                json_transform(content,
+                                  '{"cells":[{"cell_type":"VARCHAR",'
+                                  || '"source":["VARCHAR"]}]}').cells,
+                                c -> c.cell_type = 'code'),
+                            c -> COALESCE(list_aggr(c.source,
+                                          'string_agg', ''), '')),
+                        'string_agg', chr(10) || '# %%' || chr(10)),
+                        '')
+                    ELSE content END AS content
+        FROM files
     """
     out["code_path_filter"] = f"""
         WITH files AS (

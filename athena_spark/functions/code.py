@@ -608,3 +608,49 @@ def identifier_token_counts(df: DataFrame, text_col: str = "content",
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(n)
     )
+
+
+# -- notebook conversion ------------------------------------------------------
+
+#: nbformat subset the converter reads (cell type + source lines).
+NOTEBOOK_SCHEMA = ("struct<cells:array<struct<cell_type:string,"
+                   "source:array<string>>>>")
+
+#: Cell separator in the emitted script (the jupytext/VS Code
+#: percent-format convention).
+CELL_SEPARATOR = "\n# %%\n"
+
+
+def notebook_to_source_col(col) -> Column:
+    """Concatenated code-cell source of one ``.ipynb`` JSON column —
+    The Stack's notebook→script conversion step (Kocetkov et al. 2022
+    convert notebooks before dedup/filtering so notebook wrappers
+    don't hide duplicate code).  Markdown/raw cells are dropped; code
+    cells join with :data:`CELL_SEPARATOR`.  Pure Catalyst
+    (``from_json`` + array ops, no Python); malformed JSON yields
+    ``''`` (from_json null → coalesce), matching the
+    drop-unparseable-notebook convention."""
+    c = F.col(col) if isinstance(col, str) else col
+    cells = F.from_json(c, NOTEBOOK_SCHEMA).getField("cells")
+    code = F.filter(cells, lambda x: x.getField("cell_type") == "code")
+    srcs = F.transform(
+        code, lambda x: F.array_join(x.getField("source"), ""))
+    return F.coalesce(F.array_join(srcs, CELL_SEPARATOR), F.lit(""))
+
+
+def convert_notebooks(df: DataFrame, path_col: str = "path",
+                      content_col: str = "content") -> DataFrame:
+    """Replace ``.ipynb`` rows' content with their extracted code-cell
+    source (other rows pass through untouched), rewriting the path
+    extension to ``.py`` so downstream lang inference sees a script.
+    Scan-stage projection — no shuffle, no Python."""
+    is_nb = F.lower(F.coalesce(F.col(path_col), F.lit(""))) \
+        .endswith(".ipynb")
+    return df.withColumns({
+        content_col: F.when(is_nb, notebook_to_source_col(content_col))
+        .otherwise(F.col(content_col)),
+        path_col: F.when(
+            is_nb, F.concat(F.expr(
+                f"substring(`{path_col}`, 1, length(`{path_col}`) - 6)"),
+                F.lit(".py"))).otherwise(F.col(path_col)),
+    })

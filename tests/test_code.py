@@ -412,3 +412,31 @@ def test_identifier_token_counts(spark):
     got = [(r["token"], r["n_occurrences"])
            for r in identifier_token_counts(df, "text", n=3).collect()]
     assert got == [("foo", 3), ("bar", 2), ("baz", 1)]
+
+
+# -- notebook conversion ------------------------------------------------------
+
+def test_notebook_to_source(spark):
+    import json as _json
+
+    from athena_spark.functions.code import convert_notebooks
+
+    nb = _json.dumps({"cells": [
+        {"cell_type": "markdown", "source": ["# title\n"]},
+        {"cell_type": "code", "source": ["x = 1\n", "y = 2\n"]},
+        {"cell_type": "code", "source": ["print(x+y)\n"]},
+    ]})
+    df = spark.createDataFrame([
+        (1, "nb/analysis.ipynb", nb),
+        (2, "src/app.py", "print(1)\n"),
+        (3, "bad.ipynb", "{not json"),
+        (4, "empty.ipynb", _json.dumps({"cells": [
+            {"cell_type": "markdown", "source": ["text\n"]}]})),
+    ], "doc_id long, path string, content string")
+    got = {r["doc_id"]: (r["path"], r["content"])
+           for r in convert_notebooks(df).collect()}
+    assert got[1] == ("nb/analysis.py",
+                      "x = 1\ny = 2\n\n# %%\nprint(x+y)\n")
+    assert got[2] == ("src/app.py", "print(1)\n")   # untouched
+    assert got[3] == ("bad.py", "")                  # malformed -> ''
+    assert got[4] == ("empty.py", "")                # no code cells
