@@ -6729,6 +6729,44 @@ def q_code_notebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convert_notebooks(files)
 
 
+def q_code_docstrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documentation-density integers (functions/code.py
+    docstring_stats): fabricated python files where doc_id arithmetic
+    plants documented defs, undocumented defs, a class docstring
+    (''' form), and a comment-trap line that must NOT count.  Oracle
+    re-runs both adjacency-spelled patterns in DuckDB."""
+    from athena_spark.functions.code import docstring_stats
+
+    d = F.col("doc_id")
+    content = F.concat(
+        F.lit('def a():\n    """doc."""\n    return 1\n'),
+        F.when(d % 3 == 0, F.lit("def b():\n    return 2\n"))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("class C:\n    '''doc'''\n"))
+        .otherwise(F.lit("")),
+        F.lit("x = 1  # def trap():\n"),
+    )
+    files = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return docstring_stats(files, "doc_id", "content")
+
+
+def q_code_fork_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo clone groups (functions/code.py fork_clone_stats):
+    10 repos x 25 shared contents by doc_id arithmetic — every
+    content group spans multiple repos; the oracle groups by the same
+    sha256 in DuckDB (digest equality across engines is itself under
+    test, as in content_sha256)."""
+    from athena_spark.functions.code import fork_clone_stats
+
+    d = F.col("doc_id")
+    files = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (d % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("shared_body_"), (d % 25).cast("string"),
+                 F.lit("\n")).alias("content"),
+    )
+    return fork_clone_stats(files)
+
+
 def q_code_path_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vendored/generated path hygiene (functions/code.py
     vendored_flags + path_filter): planted vendored trees (%5==1),
@@ -7018,6 +7056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_path_filter": q_code_path_filter,
         "code_identifier_topk": q_code_identifier_topk,
         "code_notebooks": q_code_notebooks,
+        "code_docstrings": q_code_docstrings,
+        "code_fork_clones": q_code_fork_clones,
         "code_latest_versions": q_code_latest_versions,
         "code_ingest": q_code_ingest,
         "code_repo_stats": q_code_repo_stats,
@@ -7472,6 +7512,49 @@ def _code_oracles() -> dict[str, str]:
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         FROM toks GROUP BY token
         ORDER BY n_occurrences DESC, token LIMIT 20
+    """
+    from athena_spark.functions.code import (DEF_PATTERN,
+                                             DOCSTRING_PATTERN)
+    out["code_docstrings"] = f"""
+        WITH files AS (
+            SELECT doc_id,
+                   'def a():' || chr(10) || '    '
+                   || repeat(chr(34), 3) || 'doc.'
+                   || repeat(chr(34), 3) || chr(10)
+                   || '    return 1' || chr(10)
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN 'def b():' || chr(10)
+                                || '    return 2' || chr(10)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN 'class C:' || chr(10) || '    '
+                                || chr(39) || chr(39) || chr(39)
+                                || 'doc' || chr(39) || chr(39)
+                                || chr(39) || chr(10)
+                           ELSE '' END
+                   || 'x = 1  # def trap():' || chr(10) AS content
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(content,
+                    '{rq(DEF_PATTERN)}')) AS BIGINT) AS n_defs,
+               CAST(len(regexp_extract_all(content,
+                    '{rq(DOCSTRING_PATTERN)}')) AS BIGINT)
+                   AS n_documented
+        FROM files
+    """
+    out["code_fork_clones"] = """
+        WITH files AS (
+            SELECT 'r' || CAST(doc_id % 10 AS VARCHAR) AS repo,
+                   'shared_body_' || CAST(doc_id % 25 AS VARCHAR)
+                   || chr(10) AS content
+            FROM documents)
+        SELECT sha256(content) AS content_sha,
+               CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_repos,
+               CAST(COUNT(*) AS BIGINT) AS n_files
+        FROM files
+        GROUP BY content_sha
+        HAVING COUNT(DISTINCT repo) >= 2
+        ORDER BY n_files DESC, content_sha
     """
     out["code_notebooks"] = r"""
         WITH files AS (

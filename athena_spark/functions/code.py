@@ -654,3 +654,55 @@ def convert_notebooks(df: DataFrame, path_col: str = "path",
                 f"substring(`{path_col}`, 1, length(`{path_col}`) - 6)"),
                 F.lit(".py"))).otherwise(F.col(path_col)),
     })
+
+
+# -- docstring density / fork detection ---------------------------------------
+
+#: Python def/class statement (statement position).
+DEF_PATTERN = r"(?m)^[ \t]*(def|class)[ \t]+[A-Za-z_]"
+#: A def/class line followed (next line) by a docstring opener.
+#: No lookahead needed: the adjacency is spelled out.
+DOCSTRING_PATTERN = (r"(?m)^[ \t]*(def|class)[ \t]+[^\n]*:[ \t]*\n"
+                     r"[ \t]*(\"\"\"|''')")
+
+
+def docstring_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-file documentation density as EXACT integers: ``(id,
+    n_defs, n_documented)`` — the 'educational code' proxy (phi-1,
+    Gunasekar et al. 2023, selects well-documented code; The Stack's
+    quality tiers count docstrings).  ``n_documented`` counts
+    def/class statements whose NEXT line opens a docstring —
+    adjacency spelled out in the pattern, no lookahead, RE2-portable.
+    Ratio thresholds belong downstream as integer
+    cross-multiplications.  Pure codegen, no shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(DEF_PATTERN)).cast("long")
+        .alias("n_defs"),
+        F.regexp_count(c, F.lit(DOCSTRING_PATTERN)).cast("long")
+        .alias("n_documented"),
+    )
+
+
+def fork_clone_stats(df: DataFrame, repo_col: str = "repo",
+                     content_col: str = "content",
+                     min_repos: int = 2) -> DataFrame:
+    """Cross-repo clone groups — fork detection (The Stack
+    deduplicates across forks; a content digest appearing in many
+    repos marks vendored/forked code that per-repo stats overcount):
+    ``(content_sha, n_repos, n_files)`` for digests spanning at least
+    ``min_repos`` repositories, n_files desc / sha asc.  Only
+    (digest, repo) rows shuffle."""
+    if min_repos < 1:
+        raise ValueError(f"min_repos must be >= 1, got {min_repos}")
+    sha = df.select(
+        F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
+        .alias("content_sha"), F.col(repo_col))
+    return (
+        sha.groupBy("content_sha")
+        .agg(F.countDistinct(repo_col).alias("n_repos"),
+             F.count("*").alias("n_files"))
+        .where(F.col("n_repos") >= min_repos)
+        .orderBy(F.desc("n_files"), F.asc("content_sha"))
+    )

@@ -440,3 +440,38 @@ def test_notebook_to_source(spark):
     assert got[2] == ("src/app.py", "print(1)\n")   # untouched
     assert got[3] == ("bad.py", "")                  # malformed -> ''
     assert got[4] == ("empty.py", "")                # no code cells
+
+
+# -- docstring density / fork detection ---------------------------------------
+
+def test_docstring_stats(spark):
+    from athena_spark.functions.code import docstring_stats
+
+    df = spark.createDataFrame([
+        (1, 'def a():\n    """doc."""\n    return 1\n'
+            "def b():\n    return 2\n"
+            "class C:\n    '''doc'''\n"),
+        (2, "x = 1  # def not_a_statement():\n"),
+        (3, None),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_defs"], r["n_documented"])
+           for r in docstring_stats(df, "doc_id", "text").collect()}
+    assert got[1] == (3, 2)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+
+
+def test_fork_clone_stats(spark):
+    from athena_spark.functions.code import fork_clone_stats
+
+    df = spark.createDataFrame([
+        ("r1", "a.py", "shared"),
+        ("r2", "b.py", "shared"),
+        ("r2", "c.py", "shared"),     # same repo twice: n_repos 2, files 3
+        ("r1", "d.py", "unique"),
+        ("r3", "e.py", None), ("r4", "f.py", None),  # null == empty group
+    ], "repo string, path string, content string")
+    got = [(r["n_repos"], r["n_files"])
+           for r in fork_clone_stats(df).collect()]
+    assert got == [(2, 3), (2, 2)]
+    assert fork_clone_stats(df, min_repos=3).count() == 0
