@@ -6700,11 +6700,15 @@ def q_code_notebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Notebook→script conversion (functions/code.py
     convert_notebooks — The Stack converts .ipynb before dedup so
     notebook wrappers can't hide duplicate code): doc_id%3==0 rows
-    carry a fabricated nbformat JSON (markdown cell + two code
-    cells), the rest are plain .py passthroughs.  The oracle rebuilds
+    carry a fabricated nbformat JSON (markdown cell + an ARRAY-source
+    code cell + a STRING-source code cell — nbformat allows both
+    shapes per cell), the rest are plain .py passthroughs.  Paths
+    convert by APPENDING .py (n.ipynb → n.ipynb.py: converted keys
+    must stay disjoint from sibling scripts).  The oracle rebuilds
     the identical JSON text and re-parses it with DuckDB
-    json_transform + list ops — a genuine cross-engine
-    semi-structured-parsing comparison, not a pinned string."""
+    json_extract + list ops, branching per cell on
+    json_type(source) — a genuine cross-engine semi-structured-
+    parsing comparison, not a pinned string."""
     from athena_spark.functions.code import convert_notebooks
 
     d = F.col("doc_id")
@@ -6714,8 +6718,8 @@ def q_code_notebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
               ' ["# doc '), k,
         F.lit('\\n"]}, {"cell_type": "code", "source": ["x = '), k,
         F.lit('\\n", "y = x + 1\\n"]}, {"cell_type": "code",'
-              ' "source": ["print('), k,
-        F.lit(')\\n"]}]}'),
+              ' "source": "print('), k,
+        F.lit(')\\n"}]}'),
     )
     path = (F.when(d % 3 == 0,
                    F.concat(F.lit("nb/n"), d.cast("string"),
@@ -7573,26 +7577,32 @@ def _code_oracles() -> dict[str, str]:
                              || CAST(doc_id % 50 AS VARCHAR)
                              || '\n", "y = x + 1\n"]}, '
                              || '{"cell_type": "code", "source": '
-                             || '["print('
+                             || '"print('
                              || CAST(doc_id % 50 AS VARCHAR)
-                             || ')\n"]}]}'
+                             || ')\n"}]}'
                         ELSE 'print(' || CAST(doc_id AS VARCHAR)
                              || ')' || chr(10) END AS content
             FROM documents)
         SELECT doc_id,
                CASE WHEN path LIKE '%.ipynb'
-                    THEN substring(path, 1, length(path) - 6) || '.py'
+                    THEN path || '.py'
                     ELSE path END AS path,
                CASE WHEN path LIKE '%.ipynb'
                     THEN COALESCE(list_aggr(
                         list_transform(
                             list_filter(
-                                json_transform(content,
-                                  '{"cells":[{"cell_type":"VARCHAR",'
-                                  || '"source":["VARCHAR"]}]}').cells,
-                                c -> c.cell_type = 'code'),
-                            c -> COALESCE(list_aggr(c.source,
-                                          'string_agg', ''), '')),
+                                CAST(json_extract(content, '$.cells')
+                                     AS JSON[]),
+                                c -> json_extract_string(c,
+                                     '$.cell_type') = 'code'),
+                            c -> CASE WHEN json_type(c, '$.source')
+                                          = 'ARRAY'
+                                 THEN COALESCE(list_aggr(
+                                     CAST(json_extract(c, '$.source')
+                                          AS VARCHAR[]),
+                                     'string_agg', ''), '')
+                                 ELSE COALESCE(json_extract_string(c,
+                                     '$.source'), '') END),
                         'string_agg', chr(10) || '# %%' || chr(10)),
                         '')
                     ELSE content END AS content

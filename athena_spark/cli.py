@@ -550,15 +550,21 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="skip secret redaction (leave content raw)")
     ci.add_argument("--skip-versions", action="store_true",
                     help="input is already one row per (repo, path): "
-                         "skip the latest-commit selection")
+                         "skip the latest-commit selection (notebook "
+                         "conversion still runs — see --no-notebooks)")
+    ci.add_argument("--no-notebooks", action="store_true",
+                    help="skip .ipynb->script conversion (leave "
+                         "notebook JSON as raw content)")
 
     cr = sub.add_parser("code-scan")
     common(cr, output_help="parquet dir for the per-file report")
     cr.add_argument("--repo-col", default="repo")
     cr.add_argument("--path-col", default="path")
     cr.add_argument("--commit-col", default="commit",
-                    help="part of the row key (multi-version inputs "
-                         "report one row per version)")
+                    help="carried through to the report when the "
+                         "column exists (rows are independent, so "
+                         "multi-version and commit-less inputs both "
+                         "work)")
 
     z = sub.add_parser("package")
     z.add_argument("--out", default="athena_spark.zip")
@@ -1702,9 +1708,11 @@ def cmd_validate(args) -> None:
 
 def cmd_code_ingest(args) -> None:
     """Raw code table → curated training corpus (the full
-    ingest_code_corpus composite; --skip-versions runs
-    curate_code_corpus only, with path hygiene still applied)."""
-    from athena_spark.functions.code import path_filter
+    ingest_code_corpus composite; --skip-versions skips ONLY the
+    latest-commit selection — path hygiene and notebook conversion
+    still run, so both branches see the same per-file stages)."""
+    from athena_spark.functions.code import (convert_notebooks,
+                                             path_filter)
     from athena_spark.operators.codequality import (curate_code_corpus,
                                                     ingest_code_corpus)
     from athena_spark.sources.corpus import read_corpus
@@ -1718,6 +1726,8 @@ def cmd_code_ingest(args) -> None:
         from athena_spark.functions.code import infer_lang
 
         work = path_filter(df, args.path_col)
+        if not args.no_notebooks:
+            work = convert_notebooks(work, args.path_col, args.col)
         out = curate_code_corpus(
             work, (args.repo_col, args.path_col), args.col, **kw)
         out = infer_lang(out, args.path_col, args.col).select(
@@ -1725,7 +1735,7 @@ def cmd_code_ingest(args) -> None:
     else:
         out = ingest_code_corpus(
             df, args.repo_col, args.path_col, args.commit_col,
-            args.col, **kw)
+            args.col, notebooks=not args.no_notebooks, **kw)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
@@ -1739,34 +1749,46 @@ def cmd_code_scan(args) -> None:
     """Per-file code triage report (no filtering): license +
     permissive flag, secret counts, entropy candidates, vendored/
     generated flags, inferred lang — the columns a curation run
-    filters on, materialized for inspection."""
+    filters on, materialized for inspection.
+
+    Every signal except entropy is a pure per-row projection, so the
+    whole report is ONE scan: flag columns stack as withColumns and
+    the entropy kernel carries them through (keep_cols) — no
+    synthetic row key, no joins (a concat'd key is neither null-safe
+    nor row-unique: duplicate rows would fan a join chain out
+    multiplicatively).  Rows are independent, so any input shape
+    works — commit-less single-version tables included (the commit
+    column rides along when present)."""
     from pyspark.sql import functions as F
 
-    from athena_spark.functions.code import (entropy_flags, infer_lang,
-                                             license_detect,
-                                             secret_flags,
+    from athena_spark.functions.code import (PERMISSIVE_LICENSES,
+                                             entropy_flags, infer_lang,
+                                             license_col,
+                                             secret_total_col,
                                              vendored_flags)
     from athena_spark.sources.corpus import read_corpus
 
     spark = _spark(args)
     df = read_corpus(spark, args.input, fmt=args.format)
-    # row-unique key: (repo, path, commit) — with bare (repo, path)
-    # a multi-version input would fan out through the report joins
-    key = F.concat_ws("\x01", F.col(args.repo_col), F.col(args.path_col),
-                      F.col(args.commit_col))
-    base = df.withColumn("_fid", key)
-    rep = (
-        vendored_flags(infer_lang(base, args.path_col, args.col),
+    lic = license_col(args.col)
+    n_sec = secret_total_col(args.col)
+    base = (
+        vendored_flags(infer_lang(df, args.path_col, args.col),
                        args.path_col)
-        .select("_fid", args.repo_col, args.path_col, "lang",
-                "is_vendored", "is_generated")
-        .join(license_detect(base, "_fid", args.col), "_fid")
-        .join(secret_flags(base, "_fid", args.col)
-              .select("_fid", "n_secrets", "has_secret"), "_fid")
-        .join(entropy_flags(base, "_fid", args.col)
-              .select("_fid", "n_candidates", "n_high_entropy"), "_fid")
-        .drop("_fid")
+        .withColumns({
+            "license": lic,
+            "permissive": lic.isin(*sorted(PERMISSIVE_LICENSES)),
+            "n_secrets": n_sec,
+            "has_secret": n_sec > 0,
+        })
     )
+    keep = [args.repo_col, args.path_col, "lang", "is_vendored",
+            "is_generated", "license", "permissive", "n_secrets",
+            "has_secret"]
+    if args.commit_col in df.columns:
+        keep.insert(2, args.commit_col)
+    rep = entropy_flags(base, args.repo_col, args.col,
+                        keep_cols=keep).drop("max_entropy")
     if args.output:
         rep.write.mode("overwrite").parquet(args.output)
         summary = spark.read.parquet(args.output)

@@ -39,7 +39,7 @@ strings (``$1`` vs ``\\1`` syntax differs).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -134,6 +134,31 @@ SECRET_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def _secret_raw_counts(text_col) -> list[Column]:
+    """Per-kind SEQUENTIAL ``regexp_count`` columns over one text
+    column (each pattern counted after all higher-priority patterns
+    were redacted — see :func:`secret_flags`)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str)
+                   else text_col, F.lit(""))
+    raw_counts = []
+    for _kind, pat, repl in SECRET_PATTERNS:
+        raw_counts.append(F.regexp_count(c, F.lit(pat)))
+        c = F.regexp_replace(c, pat, repl)
+    return raw_counts
+
+
+def secret_total_col(text_col) -> Column:
+    """Total secret-span count of one text column (long) — the
+    ``n_secrets`` value of :func:`secret_flags` as a bare column
+    expression, for one-pass reports that project many signals off a
+    single scan."""
+    raw_counts = _secret_raw_counts(text_col)
+    total = raw_counts[0]
+    for cnt in raw_counts[1:]:
+        total = total + cnt
+    return total.cast("long")
+
+
 def secret_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-file secret counts: one ``n_<kind>`` column per
     :data:`SECRET_PATTERNS` entry plus ``n_secrets`` (total) and
@@ -147,11 +172,7 @@ def secret_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``n_secrets`` therefore equals the number of placeholder spans
     redaction would emit.  ``regexp_count``/``regexp_replace`` chain
     — JVM-side codegen, no shuffle."""
-    c = F.coalesce(F.col(text_col), F.lit(""))
-    raw_counts = []
-    for _kind, pat, repl in SECRET_PATTERNS:
-        raw_counts.append(F.regexp_count(c, F.lit(pat)))
-        c = F.regexp_replace(c, pat, repl)
+    raw_counts = _secret_raw_counts(text_col)
     counts = [cnt.alias(f"n_{kind}") for cnt, (kind, _p, _r)
               in zip(raw_counts, SECRET_PATTERNS)]
     total = raw_counts[0]
@@ -268,7 +289,8 @@ CANDIDATE_LITERAL_PATTERN = r"['\"]([A-Za-z0-9+/=_-]{16,64})['\"]"
 
 
 def entropy_flags(df: DataFrame, id_col: str, text_col: str,
-                  min_bits_per_char: float = 4.0) -> DataFrame:
+                  min_bits_per_char: float = 4.0,
+                  keep_cols: Sequence[str] = ()) -> DataFrame:
     """truffleHog-style high-entropy secret detection: the tier that
     catches credentials no provider regex knows about (random API
     keys, base64 blobs) while passing ordinary identifiers.
@@ -293,11 +315,19 @@ def entropy_flags(df: DataFrame, id_col: str, text_col: str,
     Scale shape: regexp_extract_all in codegen → mapInPandas over
     (id, candidates-array) only — no shuffle, text never leaves the
     scan, and the Arrow batch carries just the extracted literals.
+    ``keep_cols`` names extra columns to carry through the kernel
+    unchanged (so a one-pass report never needs a re-join on a
+    synthetic row key — concat'd keys are neither null-safe nor
+    row-unique and fan joins out).
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
+    keep = [k for k in keep_cols if k != id_col]
+    keep_types = {k: df.select(k).schema[0].dataType.simpleString()
+                  for k in keep}
     id_type = df.select(id_col).schema[0].dataType.simpleString()
     cands = df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         F.regexp_extract_all(c, F.lit(CANDIDATE_LITERAL_PATTERN), 1)
         .alias("_cands"),
     )
@@ -315,17 +345,19 @@ def entropy_flags(df: DataFrame, id_col: str, text_col: str,
                 n_c.append(len(ents))
                 n_hi.append(sum(e >= min_bits_per_char for e in ents))
                 mx.append(max(ents) if ents else 0.0)
-            yield pd.DataFrame({
-                pdf.columns[0]: pdf.iloc[:, 0],
-                "n_candidates": np.asarray(n_c, dtype=np.int64),
-                "n_high_entropy": np.asarray(n_hi, dtype=np.int64),
-                "max_entropy": np.asarray(mx, dtype=np.float64),
-            })
+            out = {pdf.columns[0]: pdf.iloc[:, 0]}
+            for k in keep:
+                out[k] = pdf[k]
+            out["n_candidates"] = np.asarray(n_c, dtype=np.int64)
+            out["n_high_entropy"] = np.asarray(n_hi, dtype=np.int64)
+            out["max_entropy"] = np.asarray(mx, dtype=np.float64)
+            yield pd.DataFrame(out)
 
+    keep_schema = "".join(f", `{k}` {keep_types[k]}" for k in keep)
     return cands.mapInPandas(
         kernel,
-        f"`{id_col}` {id_type}, n_candidates long, n_high_entropy long, "
-        "max_entropy double",
+        f"`{id_col}` {id_type}{keep_schema}, n_candidates long, "
+        "n_high_entropy long, max_entropy double",
     )
 
 
@@ -612,10 +644,6 @@ def identifier_token_counts(df: DataFrame, text_col: str = "content",
 
 # -- notebook conversion ------------------------------------------------------
 
-#: nbformat subset the converter reads (cell type + source lines).
-NOTEBOOK_SCHEMA = ("struct<cells:array<struct<cell_type:string,"
-                   "source:array<string>>>>")
-
 #: Cell separator in the emitted script (the jupytext/VS Code
 #: percent-format convention).
 CELL_SEPARATOR = "\n# %%\n"
@@ -626,33 +654,50 @@ def notebook_to_source_col(col) -> Column:
     The Stack's notebook→script conversion step (Kocetkov et al. 2022
     convert notebooks before dedup/filtering so notebook wrappers
     don't hide duplicate code).  Markdown/raw cells are dropped; code
-    cells join with :data:`CELL_SEPARATOR`.  Pure Catalyst
-    (``from_json`` + array ops, no Python); malformed JSON yields
-    ``''`` (from_json null → coalesce), matching the
+    cells join with :data:`CELL_SEPARATOR`.
+
+    nbformat allows each cell's ``source`` to be EITHER an array of
+    lines or a single multiline string, independently per cell — the
+    parse goes through the VARIANT type (``try_parse_json`` +
+    ``try_variant_get``) so both shapes decode per-cell; a fixed
+    ``array<string>`` schema would null string-source cells and
+    ``array_join`` would then silently skip them.  Still pure
+    Catalyst (no Python); malformed JSON yields ``''``, matching the
     drop-unparseable-notebook convention."""
     c = F.col(col) if isinstance(col, str) else col
-    cells = F.from_json(c, NOTEBOOK_SCHEMA).getField("cells")
-    code = F.filter(cells, lambda x: x.getField("cell_type") == "code")
-    srcs = F.transform(
-        code, lambda x: F.array_join(x.getField("source"), ""))
+    cells = F.try_variant_get(F.try_parse_json(c), "$.cells",
+                              "array<variant>")
+    code = F.filter(cells, lambda x:
+                    F.try_variant_get(x, "$.cell_type", "string") == "code")
+    srcs = F.transform(code, lambda x: F.coalesce(
+        F.array_join(F.try_variant_get(x, "$.source", "array<string>"), ""),
+        F.try_variant_get(x, "$.source", "string"),
+        F.lit("")))
     return F.coalesce(F.array_join(srcs, CELL_SEPARATOR), F.lit(""))
 
 
 def convert_notebooks(df: DataFrame, path_col: str = "path",
                       content_col: str = "content") -> DataFrame:
     """Replace ``.ipynb`` rows' content with their extracted code-cell
-    source (other rows pass through untouched), rewriting the path
-    extension to ``.py`` so downstream lang inference sees a script.
-    Scan-stage projection — no shuffle, no Python."""
+    source (other rows pass through untouched), APPENDING ``.py`` to
+    the path (``nb.ipynb`` → ``nb.ipynb.py``) so downstream lang
+    inference sees a script.  Appending rather than replacing the
+    extension keeps converted keys disjoint from sibling scripts: a
+    repo holding both ``util.ipynb`` and ``util.py`` must yield two
+    distinct ``(repo, path)`` rows, or :func:`latest_file_versions`
+    would silently collapse them to one surviving file.  (The one
+    residual collision — an input file literally named
+    ``*.ipynb.py`` next to its ``*.ipynb`` twin — requires the repo
+    itself to contain the converted name.)  Scan-stage projection —
+    no shuffle, no Python."""
     is_nb = F.lower(F.coalesce(F.col(path_col), F.lit(""))) \
         .endswith(".ipynb")
     return df.withColumns({
         content_col: F.when(is_nb, notebook_to_source_col(content_col))
         .otherwise(F.col(content_col)),
         path_col: F.when(
-            is_nb, F.concat(F.expr(
-                f"substring(`{path_col}`, 1, length(`{path_col}`) - 6)"),
-                F.lit(".py"))).otherwise(F.col(path_col)),
+            is_nb, F.concat(F.col(path_col), F.lit(".py")))
+        .otherwise(F.col(path_col)),
     })
 
 

@@ -1,0 +1,224 @@
+"""Priority sampling — mergeable weighted sample with UNBIASED
+subset-sum estimation.
+
+Not in the reference (athena's samplers — ``NaiveSampler``,
+``AliasSampler``, ``ReservoirSampler``, /root/reference/src/_math.h —
+draw from a fixed distribution or sample uniformly; none estimates
+weighted subset sums from a bounded summary).  Added under the north
+rule's mergeable-summaries family, following Duffield, Lund & Thorup
+2007 (JACM 54(6), "Priority sampling for estimation of arbitrary
+subset sums"; near-optimal per Szegedy 2006):
+
+* every item gets a priority ``q_i = w_i / u_i`` with ``u_i`` uniform
+  in (0, 1];
+* the sketch keeps the ``k`` items with the LARGEST priorities plus
+  the threshold ``tau`` = the (k+1)-th largest priority ever seen
+  (0 while fewer than k+1 items — exact mode);
+* for ANY predicate ``P`` chosen after the fact,
+  ``sum_{i in sample, P(i)} max(w_i, tau)`` is an unbiased estimator
+  of ``sum_{i in stream, P(i)} w_i`` — "sample 1000 documents, then
+  answer weighted totals for any slice you think of later", which a
+  plain weighted sample (``exp_race_key`` top-n) cannot do unbiasedly.
+
+Determinism and cross-engine parity: ``u_i`` is the engine's standard
+hash draw — the 13-hex-digit (52-bit) sha256 prefix of
+``"<id>:<seed>"``, ``u = (draw+1) / 2**52`` — so the sketch is a pure
+function of (ids, weights, k, seed): reruns, repartitionings and merge
+orders are byte-identical, and a DuckDB oracle rebuilds sample, tau
+AND estimates exactly (priorities need one division only — correctly
+rounded IEEE in every engine; no ``ln`` in sight, see
+[[oracle-float-parity]]).
+
+Mergeability (exact, not approximate): the overall (k+1)-th largest
+priority lies in ``top-(k+1)(A) ∪ top-(k+1)(B)``, and each partial
+retains its top-k plus ``tau`` (the value of its own (k+1)-th), so
+``merge`` pools retained items, keeps the top-k (ties broken by id —
+measure-zero, but keeps merge byte-deterministic), and sets ``tau`` to
+the (k+1)-th largest of pooled priorities and both partial taus.  The
+union of partials therefore equals the bulk build over the
+concatenated stream exactly (asserted in tests), and the sketch rides
+the ``sketch_partials`` → ``tree_merge`` machinery unchanged at
+``O(k)`` bytes per summary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from athena_spark.sketch import serialization
+
+#: 52-bit uniform draw — matches operators/trainprep.py exp_race_key
+#: (13 sha256 hex digits; +1 keeps u in (0, 1], never 0).
+_DRAW_HEX_DIGITS = 13
+_DRAW_SCALE = float(1 << 52)
+
+
+def hash_draw(ids, seed: int = 0) -> np.ndarray:
+    """Deterministic uniform draws in (0, 1] for integer ids: the
+    sha256-prefix rule shared with the Spark side (``exp_race_key`` /
+    ``hash_split``), computed with hashlib — bit-identical to the JVM
+    ``sha2``/``conv`` pipeline for the same rendered id strings."""
+    out = np.empty(len(ids), dtype=np.float64)
+    tail = (":" + str(int(seed))).encode()
+    for i, v in enumerate(ids):
+        hx = hashlib.sha256(str(int(v)).encode() + tail).hexdigest()
+        out[i] = (int(hx[:_DRAW_HEX_DIGITS], 16) + 1.0) / _DRAW_SCALE
+    return out
+
+
+class PrioritySample:
+    """Bounded weighted sample: top-``k`` priorities + threshold.
+
+    ``ids``/``weights``/``priorities`` are parallel arrays sorted by
+    (-priority, id); ``tau`` is the (k+1)-th largest priority ever
+    absorbed (0.0 while the sketch has seen <= k items).  ``n`` and
+    ``total_weight`` track the exact stream size/mass (exact adds —
+    they are metadata, not part of the estimator).
+    """
+
+    __slots__ = ("k", "ids", "weights", "priorities", "tau", "n",
+                 "total_weight")
+
+    def __init__(self, k: int = 256):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.ids = np.empty(0, dtype=np.int64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.priorities = np.empty(0, dtype=np.float64)
+        self.tau = 0.0
+        self.n = 0
+        self.total_weight = 0.0
+
+    # -- updates -----------------------------------------------------------
+
+    def update(self, ids, weights, seed: int = 0) -> None:
+        """Absorb a batch of (id, weight) items.  Weights must be
+        positive (zero-weight items can never be sampled and would
+        make ``q = 0`` collide; the caller filters them, as
+        ``weighted_sample`` does)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        w = np.asarray(weights, dtype=np.float64)
+        if ids.shape != w.shape:
+            raise ValueError("ids and weights must align")
+        if np.any(~(w > 0.0)):
+            raise ValueError("weights must be positive (drop w <= 0 "
+                             "rows upstream)")
+        q = w / hash_draw(ids, seed)
+        self.n += int(ids.size)
+        self.total_weight += float(w.sum())
+        self._absorb(ids, w, q, tau_in=0.0)
+
+    def update_with_priorities(self, ids, weights, priorities) -> None:
+        """Absorb items whose priorities were already computed (e.g.
+        JVM-side by the Spark operator, with the identical draw)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        w = np.asarray(weights, dtype=np.float64)
+        q = np.asarray(priorities, dtype=np.float64)
+        self.n += int(ids.size)
+        self.total_weight += float(w.sum())
+        self._absorb(ids, w, q, tau_in=0.0)
+
+    def _absorb(self, ids, w, q, tau_in: float) -> None:
+        ids = np.concatenate([self.ids, ids])
+        w = np.concatenate([self.weights, w])
+        q = np.concatenate([self.priorities, q])
+        # tau candidates: pooled priorities + both prior thresholds
+        # (each stands in for its own discarded (k+1)-th item)
+        taus = [t for t in (self.tau, tau_in) if t > 0.0]
+        pool = np.concatenate([q, np.asarray(taus)]) if taus else q
+        if pool.size >= self.k + 1:
+            # (k+1)-th largest of every candidate ever seen
+            kth = np.partition(pool, pool.size - (self.k + 1))
+            self.tau = float(kth[pool.size - (self.k + 1)])
+        # retain top-k by (-q, id): the id tie-break keeps merge
+        # byte-deterministic under priority ties
+        if ids.size > self.k:
+            order = np.lexsort((ids, -q))[:self.k]
+        else:
+            order = np.lexsort((ids, -q))
+        self.ids = ids[order]
+        self.weights = w[order]
+        self.priorities = q[order]
+
+    # -- merge -------------------------------------------------------------
+
+    def merge(self, other: "PrioritySample") -> "PrioritySample":
+        """Fold ``other`` into this sketch (receiver mutated, like
+        every sketch in the family).  Exact: equals the bulk build
+        over the concatenated streams."""
+        if self.k != other.k:
+            raise ValueError(f"k mismatch: {self.k} != {other.k}")
+        self.n += other.n
+        self.total_weight += other.total_weight
+        self._absorb(other.ids, other.weights, other.priorities,
+                     tau_in=other.tau)
+        return self
+
+    @classmethod
+    def merge_many(cls, sketches: list["PrioritySample"]) -> "PrioritySample":
+        if not sketches:
+            raise ValueError("merge_many needs at least one sketch")
+        out = cls.from_bytes(sketches[0].to_bytes())
+        for s in sketches[1:]:
+            out.merge(s)
+        return out
+
+    # -- estimation --------------------------------------------------------
+
+    def adjusted_weights(self) -> np.ndarray:
+        """Per-sample Horvitz–Thompson weights ``max(w_i, tau)``:
+        summing them over any id subset estimates that subset's true
+        weight sum unbiasedly."""
+        return np.maximum(self.weights, self.tau)
+
+    def estimate_subset_sum(self, member_mask) -> float:
+        """Unbiased estimate of the total weight of the items whose
+        sample rows ``member_mask`` selects (bool array aligned with
+        ``ids``)."""
+        mask = np.asarray(member_mask, dtype=bool)
+        if mask.shape != self.ids.shape:
+            raise ValueError("mask must align with the sample")
+        return float(self.adjusted_weights()[mask].sum())
+
+    def estimate_total(self) -> float:
+        """Estimate of the full stream's weight sum (the all-true
+        subset; exact ``total_weight`` is also tracked — the two
+        agreeing within sampling error is a sanity check, not a
+        tautology)."""
+        return float(self.adjusted_weights().sum())
+
+    # -- serialization -----------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return serialization.dumps(
+            {"k": self.k, "tau": self.tau, "n": self.n,
+             "total_weight": self.total_weight},
+            {"ids": self.ids, "weights": self.weights,
+             "priorities": self.priorities},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "PrioritySample":
+        scalars, arrays = serialization.loads(data)
+        out = cls(k=int(scalars["k"]))
+        out.tau = float(scalars["tau"])
+        out.n = int(scalars["n"])
+        out.total_weight = float(scalars["total_weight"])
+        out.ids = np.asarray(arrays["ids"], dtype=np.int64)
+        out.weights = np.asarray(arrays["weights"], dtype=np.float64)
+        out.priorities = np.asarray(arrays["priorities"],
+                                    dtype=np.float64)
+        return out
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, PrioritySample)
+                and self.k == other.k
+                and self.tau == other.tau
+                and self.n == other.n
+                and self.total_weight == other.total_weight
+                and np.array_equal(self.ids, other.ids)
+                and np.array_equal(self.weights, other.weights)
+                and np.array_equal(self.priorities, other.priorities))

@@ -989,3 +989,62 @@ def test_cli_code_ingest_and_scan(spark, tmp_path, capsys):
     assert {"repo", "path", "lang", "license", "permissive",
             "is_vendored", "is_generated", "n_secrets",
             "n_high_entropy"} <= cols
+
+
+def test_cli_code_scan_no_fanout_no_commit_required(spark, tmp_path,
+                                                    capsys):
+    """The scan is a pure per-row projection: duplicate rows and NULL
+    key columns must NOT multiply report rows (the old joined-on-a-
+    concat-key shape fanned k duplicates out to k^4), and a
+    commit-less single-version table — the shape code-ingest
+    --skip-versions exists for — must scan without a dummy column."""
+    MIT = "// Permission is hereby granted, free of charge\n"
+    rows = [
+        ("r", None, "x = 1\n"),          # NULL path
+        ("r", None, "x = 1\n"),          # exact duplicate row
+        ("r", "a.py", MIT + "def a():\n    return 1\n"),
+        (None, "a.py", MIT + "def a():\n    return 1\n"),  # NULL repo
+    ]
+    df = spark.createDataFrame(rows,
+                               "repo string, path string, content string")
+    src = str(tmp_path / "nv_src")
+    df.write.mode("overwrite").parquet(src)
+    scan_dir = str(tmp_path / "nv_scan")
+    main(["code-scan", "--input", src, "--output", scan_dir])
+    srep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    out = spark.read.parquet(scan_dir)
+    assert out.count() == 4          # one report row per input row
+    assert srep["files"] == 4
+    assert srep["permissive"] == 2
+    assert "commit" not in out.columns
+
+
+def test_cli_code_ingest_skip_versions_converts_notebooks(
+        spark, tmp_path, capsys):
+    """--skip-versions skips ONLY commit selection: a notebook in a
+    single-version corpus must still convert to script (raw nbformat
+    JSON would fail the mean-line-length quality rule and silently
+    vanish), unless --no-notebooks asks for that explicitly."""
+    import json as _json
+
+    MIT = "// Permission is hereby granted, free of charge\n"
+    nb = _json.dumps({"cells": [
+        {"cell_type": "code", "source": [MIT, "def f():\n",
+                                         "    return 1\n"]}]})
+    df = spark.createDataFrame([("r", "nb.ipynb", nb)],
+                               "repo string, path string, content string")
+    src = str(tmp_path / "sv_src")
+    df.write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "sv_out")
+    main(["code-ingest", "--input", src, "--output", out_dir,
+          "--skip-versions"])
+    capsys.readouterr()
+    got = spark.read.parquet(out_dir).collect()
+    assert [(r["path"], r["lang"]) for r in got] \
+        == [("nb.ipynb.py", "python")]
+    assert "def f():" in got[0]["content"]
+    out2 = str(tmp_path / "sv_out2")
+    main(["code-ingest", "--input", src, "--output", out2,
+          "--skip-versions", "--no-notebooks"])
+    capsys.readouterr()
+    assert spark.read.parquet(out2).count() == 0   # raw JSON fails quality

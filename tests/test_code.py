@@ -435,11 +435,53 @@ def test_notebook_to_source(spark):
     ], "doc_id long, path string, content string")
     got = {r["doc_id"]: (r["path"], r["content"])
            for r in convert_notebooks(df).collect()}
-    assert got[1] == ("nb/analysis.py",
+    assert got[1] == ("nb/analysis.ipynb.py",
                       "x = 1\ny = 2\n\n# %%\nprint(x+y)\n")
     assert got[2] == ("src/app.py", "print(1)\n")   # untouched
-    assert got[3] == ("bad.py", "")                  # malformed -> ''
-    assert got[4] == ("empty.py", "")                # no code cells
+    assert got[3] == ("bad.ipynb.py", "")            # malformed -> ''
+    assert got[4] == ("empty.ipynb.py", "")          # no code cells
+
+
+def test_notebook_string_source_cells(spark):
+    """nbformat allows source to be a single multiline STRING (not an
+    array of lines), per cell — both shapes must decode; a fixed
+    array<string> schema would silently drop string-source cells."""
+    import json as _json
+
+    from athena_spark.functions.code import convert_notebooks
+
+    nb = _json.dumps({"cells": [
+        {"cell_type": "code", "source": "x = 1\ny = 2\n"},     # string
+        {"cell_type": "code", "source": ["z = 3\n"]},          # array
+        {"cell_type": "markdown", "source": "ignore me"},
+    ]})
+    df = spark.createDataFrame([(1, "nb.ipynb", nb)],
+                               "doc_id long, path string, content string")
+    got = convert_notebooks(df).collect()[0]
+    assert got["path"] == "nb.ipynb.py"
+    assert got["content"] == "x = 1\ny = 2\n\n# %%\nz = 3\n"
+
+
+def test_notebook_path_never_collides_with_sibling_script(spark):
+    """util.ipynb converts to util.ipynb.py, NOT util.py: a repo
+    holding both a notebook and its same-stem script must keep two
+    distinct (repo, path) keys or latest_file_versions would
+    silently drop one of two different files."""
+    import json as _json
+
+    from athena_spark.functions.code import (convert_notebooks,
+                                             latest_file_versions)
+
+    nb = _json.dumps({"cells": [
+        {"cell_type": "code", "source": ["from nb\n"]}]})
+    df = spark.createDataFrame([
+        ("r", "util.py", "002", "from script\n"),
+        ("r", "util.ipynb", "001", nb),
+    ], "repo string, path string, commit string, content string")
+    out = latest_file_versions(convert_notebooks(df))
+    got = {r["path"]: r["content"] for r in out.collect()}
+    assert got == {"util.py": "from script\n",
+                   "util.ipynb.py": "from nb\n"}
 
 
 # -- docstring density / fork detection ---------------------------------------
