@@ -2405,6 +2405,29 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_priority_subset_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007, JACM —
+    operators/prioritysum.py): ONE k=512 weighted sample of orders
+    (weight o_totalprice, priority q = w/u with u the 52-bit
+    sha256("<id>:<seed>") draw) answers per-o_orderpriority revenue
+    totals chosen AFTER the draw, via the Horvitz–Thompson
+    sum(max(w, tau)) estimator — the subset-sum capability a plain
+    weighted sample lacks and a grouped aggregate can only give for
+    slices fixed before the pass.  Sample, threshold tau and
+    estimates are pure hash functions of the input (q needs one IEEE
+    division, no ln), so the DuckDB oracle rebuilds ALL of them
+    exactly; per-row floor-scaling to bigint keeps float summation
+    order off the contract surface.  Plan: TakeOrderedAndProject of
+    k+1 narrow rows — no global sort, no wide shuffle."""
+    from athena_spark.operators.prioritysum import priority_subset_sums
+
+    orders = _table(spark, sf_dir, "orders")
+    return priority_subset_sums(
+        orders, "o_orderkey", "o_totalprice", "o_orderpriority",
+        k=512, seed=0,
+    )
+
+
 def q_theta_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified theta-sketch corpus overlap (Dasgupta et al. 2016):
     for every lang pair, the sketch's distinct-trigram intersection,
@@ -7100,6 +7123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
+        "priority_subset_sums": q_priority_subset_sums,
         "theta_overlap_langs": q_theta_overlap_langs,
         "fd_covariance": q_fd_covariance,
         "countsketch_lang_cosine": q_countsketch_lang_cosine,
@@ -9491,6 +9515,37 @@ def _oracle_sql_table() -> dict[str, str]:
                     LIMIT {_WSAMPLE_N}
                 )
             )
+        """,
+        "priority_subset_sums": """
+            WITH prio AS (
+                SELECT o_orderpriority AS grp,
+                       o_totalprice AS w,
+                       o_orderkey AS id,
+                       o_totalprice /
+                           ((CAST(('0x' || substr(sha256(
+                                 CAST(o_orderkey AS VARCHAR) || ':0'),
+                                 1, 13)) AS BIGINT) + 1.0)
+                            / 4503599627370496.0) AS q
+                FROM orders
+                WHERE o_orderkey IS NOT NULL
+                  AND o_totalprice IS NOT NULL AND o_totalprice > 0
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY q DESC, id) AS rn
+                FROM prio
+            ), tau AS (
+                SELECT COALESCE(MAX(CASE WHEN rn = 513 THEN q END), 0.0)
+                       AS t
+                FROM ranked
+            )
+            SELECT grp AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   CAST(SUM(CAST(FLOOR(1000000 * GREATEST(
+                       w, (SELECT t FROM tau))) AS BIGINT)) AS BIGINT)
+                       AS est_sum_scaled
+            FROM ranked
+            WHERE rn <= 512
+            GROUP BY grp
+            ORDER BY grp
         """,
         "theta_overlap_langs": """
             SELECT a.lang AS g_a, b.lang AS g_b, TRUE AS ok

@@ -22,6 +22,7 @@ Subcommands:
 * ``pack``       — sequence packing (global offsets + chunk spans)
 * ``shuffle``    — deterministic global training shuffle (id, pos)
 * ``quota-sample`` — exact per-group quota sampling (n rows/group)
+* ``priority-sample`` — weighted sample + unbiased subset-sum estimates
 * ``overlap``    — theta-sketch pairwise corpus overlap (Jaccard)
 * ``fd``         — Frequent Directions covariance/PCA sketch report
 * ``decontaminate`` — n-gram benchmark decontamination
@@ -174,6 +175,20 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="exact rows kept per group (fewer if the "
                          "group is smaller)")
     qs.add_argument("--seed", type=int, default=0)
+
+    ps = sub.add_parser("priority-sample")
+    common(ps, output_help="parquet dir for the sampled rows "
+                           "(id, weight, adjusted_weight)")
+    ps.add_argument("--id-col", default="doc_id")
+    ps.add_argument("--weight-col", required=True,
+                    help="positive weight column (w <= 0 rows are "
+                         "dropped — they can never be sampled)")
+    ps.add_argument("--k", type=int, required=True,
+                    help="sample size (priorities retained)")
+    ps.add_argument("--group-col", default=None,
+                    help="also print per-group subset-sum estimates "
+                         "off the same sample")
+    ps.add_argument("--seed", type=int, default=0)
 
     ov = sub.add_parser("overlap")
     common(ov, output_help="pairwise overlap report parquet dir")
@@ -933,6 +948,48 @@ def cmd_quota_sample(args) -> None:
         for row in out.orderBy(args.group_col, "rank").limit(100).collect():
             print(f'{row[args.group_col]}\t{row["rank"]}\t'
                   f'{row[args.id_col]}')
+
+
+def cmd_priority_sample(args) -> None:
+    """Priority sampling (Duffield–Lund–Thorup): a k-row weighted
+    sample whose Horvitz–Thompson weights max(w, tau) answer any
+    later subset-sum query unbiasedly.  Writes/prints the sampled
+    rows with their adjusted weights; --group-col adds per-group
+    estimate JSON to stderr (off the same sample)."""
+    from athena_spark.operators.prioritysum import (priority_sample,
+                                                    priority_subset_sums)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    sk = priority_sample(df, args.id_col, args.weight_col, args.k,
+                         seed=args.seed)
+    adj = sk.adjusted_weights()
+    rows = [(int(i), float(w), float(a))
+            for i, w, a in zip(sk.ids, sk.weights, adj)]
+    out = spark.createDataFrame(
+        rows, f"`{args.id_col}` long, weight double, "
+              "adjusted_weight double")
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        for i, w, a in rows[:100]:
+            print(f"{i}\t{w}\t{a}")
+    meta = {"k": sk.k, "n": sk.n, "tau": sk.tau,
+            "total_weight": sk.total_weight,
+            "estimate_total": sk.estimate_total()}
+    if args.group_col:
+        est = priority_subset_sums(df, args.id_col, args.weight_col,
+                                   args.group_col, args.k,
+                                   seed=args.seed)
+        meta["groups"] = {
+            str(r[args.group_col]): {
+                "n_sampled": r["n_sampled"],
+                "est_sum": r["est_sum_scaled"] / 1e6,
+            }
+            for r in est.collect()
+        }
+    print(json.dumps(meta), file=sys.stderr)
 
 
 def cmd_overlap(args) -> None:
@@ -1981,6 +2038,7 @@ def main(argv=None) -> None:
         "pack": cmd_pack,
         "shuffle": cmd_shuffle,
         "quota-sample": cmd_quota_sample,
+        "priority-sample": cmd_priority_sample,
         "overlap": cmd_overlap,
         "cross-dedup": cmd_cross_dedup,
         "boilerplate": cmd_boilerplate,

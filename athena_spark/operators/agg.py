@@ -58,6 +58,12 @@ def _reservoir_from_bytes(data: bytes):
     return ReservoirSampler.from_bytes(data)
 
 
+def _prioritysample_from_bytes(data: bytes):
+    from athena_spark.sketch.prioritysample import PrioritySample
+
+    return PrioritySample.from_bytes(data)
+
+
 _LOADERS = {
     "spacesaving": SpaceSaving.from_bytes,
     "hll": HyperLogLog.from_bytes,
@@ -71,6 +77,7 @@ _LOADERS = {
     "theta": ThetaSketch.from_bytes,
     "fd": FrequentDirections.from_bytes,
     "countsketch": CountSketch.from_bytes,
+    "prioritysample": _prioritysample_from_bytes,
 }
 
 

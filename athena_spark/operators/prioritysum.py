@@ -1,0 +1,239 @@
+"""Priority sampling over DataFrames — bounded weighted samples that
+answer ARBITRARY after-the-fact subset-sum queries unbiasedly.
+
+The Spark face of :mod:`athena_spark.sketch.prioritysample` (Duffield,
+Lund & Thorup 2007).  Use cases in a training-data pipeline: "keep a
+1000-document audit sample of the corpus, weighted by token count,
+that can still estimate total tokens per language / per license / per
+any slice decided later" — a plain weighted sample
+(``weighted_sample``) draws the same rows but cannot estimate slice
+totals without bias; a grouped aggregate answers only the slices
+chosen before the pass.
+
+Scale shape: the priority ``q = w / u`` is pure JVM codegen (the
+``exp_race_key`` sha-draw without the ``ln``), the sample is
+``orderBy(q desc, id).limit(k+1)`` — TakeOrderedAndProject: a
+per-partition heap of k+1 NARROW rows (id, weight, priority, payload)
+and a driver merge of p·(k+1) rows; no global sort exchange, and the
+weight/text columns of non-sampled rows never move.  The mergeable
+path (:func:`priority_sample_partials` → ``tree_merge``) builds one
+O(k) summary per partition and folds them associatively — the shape
+that survives 10^12 rows, used when the sample feeds later jobs
+rather than one driver.
+
+Determinism: the draw hashes ``"<id>:<seed>"`` (sha256, 52-bit
+prefix), so sample, threshold and estimates are pure functions of the
+input — reruns, repartitionings and merge orders are byte-identical,
+and the driver gate's DuckDB oracle rebuilds them exactly (division
+is correctly rounded IEEE in both engines; no transcendental in the
+pipeline — see [[oracle-float-parity]]).
+
+Preconditions (shared with ``weighted_sample``): ``id_col`` non-null
+and unique per row (duplicate ids would share one draw), weights
+positive (``w <= 0`` rows are dropped — they can never be sampled).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, functions as F
+
+from athena_spark.sketch.prioritysample import (_DRAW_HEX_DIGITS,
+                                                _DRAW_SCALE,
+                                                PrioritySample)
+
+
+def priority_key(id_col: str, weight, seed: int = 0) -> Column:
+    """Priority ``q_i = w_i / u_i`` as a JVM column — the
+    Duffield–Lund–Thorup key; the n LARGEST q form the sample.
+    ``u_i`` is the engine-standard 52-bit sha256 draw of
+    ``"<id>:<seed>"`` (same bits as ``exp_race_key``; no ``ln``, so
+    q itself is cross-engine exact, not just the selected order)."""
+    draw = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(F.col(id_col).cast("string"),
+                         F.lit(":" + str(int(seed)))),
+                256,
+            ),
+            1,
+            _DRAW_HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (draw + F.lit(1.0)) / F.lit(_DRAW_SCALE)
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return w.cast("double") / u
+
+
+def _narrow(df: DataFrame, id_col: str, weight_col: str, seed: int,
+            payload_cols: Sequence[str]) -> DataFrame:
+    w = F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col).alias("id"),
+            w.alias("weight"),
+            priority_key(id_col, w, seed).alias("priority"),
+            *[F.col(c) for c in payload_cols],
+        )
+    )
+
+
+def priority_sample_rows(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    payload_cols: Sequence[str] = (),
+) -> tuple[list, float]:
+    """The k sampled rows (with payload columns) plus the threshold
+    ``tau``.  Runs ONE TakeOrdered job of k+1 narrow rows; returns
+    (rows, tau) where rows are Row(id, weight, priority, *payload)
+    sorted by (-priority, id)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    top = (
+        _narrow(df, id_col, weight_col, seed, payload_cols)
+        .orderBy(F.desc("priority"), F.asc("id"))
+        .limit(k + 1)
+        .collect()
+    )
+    tau = float(top[k]["priority"]) if len(top) > k else 0.0
+    return top[:k], tau
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> PrioritySample:
+    """Build the :class:`PrioritySample` summary of ``df`` via the
+    TakeOrdered fast path plus one count/sum job for the exact
+    stream metadata."""
+    rows, tau = priority_sample_rows(df, id_col, weight_col, k, seed)
+    meta = (
+        _narrow(df, id_col, weight_col, seed, ())
+        .agg(F.count("*").alias("n"), F.sum("weight").alias("tw"))
+        .collect()[0]
+    )
+    sk = PrioritySample(k=k)
+    sk.ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+    sk.weights = np.asarray([r["weight"] for r in rows],
+                            dtype=np.float64)
+    sk.priorities = np.asarray([r["priority"] for r in rows],
+                               dtype=np.float64)
+    sk.tau = tau
+    sk.n = int(meta["n"])
+    sk.total_weight = float(meta["tw"] or 0.0)
+    return sk
+
+
+def priority_sample_partials(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """One O(k) :class:`PrioritySample` summary row per partition
+    (SUMMARY_SCHEMA) — the mergeable path.  Priorities are computed
+    JVM-side by :func:`priority_key`; the Arrow fold only keeps the
+    per-partition top-k, so Python touches k-bounded state while the
+    scan stays in codegen."""
+    from athena_spark.operators.agg import SUMMARY_SCHEMA
+
+    narrow = _narrow(df, id_col, weight_col, seed, ())
+
+    def fold(batches):
+        import time
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sk = PrioritySample(k=k)
+        n_rows = 0
+        start = time.perf_counter()
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            w = batch.column(1).to_numpy(zero_copy_only=False)
+            q = batch.column(2).to_numpy(zero_copy_only=False)
+            n_rows += batch.num_rows
+            sk.update_with_priorities(ids, w, q)
+        wall = time.perf_counter() - start
+        yield pa.RecordBatch.from_pydict({
+            "pid": pa.array([pid], pa.int64()),
+            "state": pa.array([sk.to_bytes()], pa.binary()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_values": pa.array([n_rows], pa.int64()),
+            "wall_secs": pa.array([wall], pa.float64()),
+        })
+
+    return narrow.mapInArrow(fold, SUMMARY_SCHEMA)
+
+
+def priority_sample_distributed(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    fanout: int = 32,
+) -> tuple[PrioritySample, dict]:
+    """partials → tree merge → one summary (the treeAggregate shape
+    shared with the whole sketch family).  Equals
+    :func:`priority_sample` exactly (merge is bulk-equivalent;
+    asserted in tests)."""
+    from athena_spark.operators.agg import load_summary, tree_merge
+
+    partials = priority_sample_partials(df, id_col, weight_col, k, seed)
+    n_parts = df.rdd.getNumPartitions()
+    row = tree_merge(partials, n_parts, fanout).collect()[0]
+    sketch = load_summary(bytes(row["state"]))
+    metrics = {"n_rows": int(row["n_rows"]),
+               "wall_secs": float(row["wall_secs"])}
+    return sketch, metrics
+
+
+def priority_subset_sums(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group subset-sum estimates off ONE k-bounded sample:
+    ``(group, n_sampled, est_sum_scaled)`` where ``est_sum_scaled =
+    sum(floor(scale * max(w_i, tau)))`` over the group's sampled rows
+    — the Horvitz–Thompson estimator, integer-scaled per row so the
+    value is exactly reproducible in any engine (float SUM order
+    never touches the contract surface).
+
+    This is the operator a grouped aggregate cannot replace: the
+    groups are read off the SAMPLE after it was drawn, so the same k
+    rows answer every future slicing.  Groups none of whose rows were
+    sampled are absent (their estimate is 0)."""
+    rows, tau = priority_sample_rows(df, id_col, weight_col, k, seed,
+                                     payload_cols=(group_col,))
+    spark = df.sparkSession
+    agg: dict = {}
+    for r in rows:
+        g = r[group_col]
+        adj = max(float(r["weight"]), tau)
+        n_s, tot = agg.get(g, (0, 0))
+        agg[g] = (n_s + 1, tot + int(np.floor(scale * adj)))
+    out = [(g, n_s, tot) for g, (n_s, tot) in agg.items()]
+    gtype = df.select(group_col).schema[0].dataType.simpleString()
+    return spark.createDataFrame(
+        out, f"`{group_col}` {gtype}, n_sampled long, est_sum_scaled long"
+    ).orderBy(group_col)

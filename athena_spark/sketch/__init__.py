@@ -10,6 +10,7 @@ from athena_spark.sketch.reservoir import ReservoirSampler
 from athena_spark.sketch.theta import ThetaSketch
 from athena_spark.sketch.fd import FrequentDirections
 from athena_spark.sketch.countsketch import CountSketch
+from athena_spark.sketch.prioritysample import PrioritySample
 from athena_spark.sketch.normalizer import ExponentCountNormalizer
 
 __all__ = [
@@ -27,5 +28,6 @@ __all__ = [
     "ThetaSketch",
     "FrequentDirections",
     "CountSketch",
+    "PrioritySample",
     "ExponentCountNormalizer",
 ]

@@ -194,8 +194,8 @@ class PrioritySample:
 
     def to_bytes(self) -> bytes:
         return serialization.dumps(
-            {"k": self.k, "tau": self.tau, "n": self.n,
-             "total_weight": self.total_weight},
+            {"algo": "prioritysample", "k": self.k, "tau": self.tau,
+             "n": self.n, "total_weight": self.total_weight},
             {"ids": self.ids, "weights": self.weights,
              "priorities": self.priorities},
         )
@@ -203,6 +203,8 @@ class PrioritySample:
     @classmethod
     def from_bytes(cls, data: bytes) -> "PrioritySample":
         scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "prioritysample":
+            raise ValueError("not a PrioritySample summary")
         out = cls(k=int(scalars["k"]))
         out.tau = float(scalars["tau"])
         out.n = int(scalars["n"])

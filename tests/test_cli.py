@@ -513,6 +513,26 @@ def test_cli_shuffle_and_quota_sample(spark, sf_dir, tmp_path, capsys):
     assert "text" in got.columns  # full rows survive the id join
 
 
+def test_cli_priority_sample(spark, sf_dir, tmp_path, capsys):
+    from athena_spark.operators.prioritysum import priority_sample
+
+    out = str(tmp_path / "psample_out")
+    main(["priority-sample", "--input", f"{sf_dir}/documents.parquet",
+          "--weight-col", "n_chars", "--k", "50", "--seed", "3",
+          "--group-col", "lang", "--output", out])
+    meta = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = priority_sample(docs, "doc_id", "n_chars", 50, seed=3)
+    assert {r["doc_id"] for r in got.collect()} == set(want.ids)
+    assert meta["tau"] == want.tau and meta["n"] == want.n
+    # adjusted weights are the HT estimator inputs: >= raw weight
+    assert got.where("adjusted_weight < weight").count() == 0
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert meta["groups"] and set(meta["groups"]) <= {str(g) for g in langs}
+
+
 def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     """The north rule's launch mode, actually launched: `cli package`
     builds the zip, a FRESH spark-submit --py-files JVM (PYTHONPATH

@@ -1,0 +1,196 @@
+"""Priority sampling (Duffield–Lund–Thorup 2007): class laws, exact
+mergeability, and the Spark operator's parity with the class build."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from athena_spark.sketch.prioritysample import PrioritySample, hash_draw
+
+
+def _scalar_draw(i, seed=0):
+    hx = hashlib.sha256(f"{i}:{seed}".encode()).hexdigest()
+    return (int(hx[:13], 16) + 1.0) / float(1 << 52)
+
+
+def test_hash_draw_matches_scalar_oracle():
+    ids = np.arange(50, dtype=np.int64)
+    got = hash_draw(ids, seed=7)
+    want = np.array([_scalar_draw(i, 7) for i in ids])
+    assert np.array_equal(got, want)
+    assert np.all((got > 0) & (got <= 1.0))
+
+
+def test_exact_mode_estimates_are_exact():
+    sk = PrioritySample(k=64)
+    ids = np.arange(1, 41)
+    w = ids.astype(np.float64) * 1.5
+    sk.update(ids, w)
+    assert sk.tau == 0.0
+    assert sk.n == 40
+    assert sk.estimate_total() == pytest.approx(w.sum(), abs=0)
+    mask = sk.ids % 2 == 0
+    assert sk.estimate_subset_sum(mask) == w[ids % 2 == 0].sum()
+
+
+def test_tau_is_k_plus_1_th_largest_priority():
+    k = 16
+    sk = PrioritySample(k=k)
+    ids = np.arange(200, dtype=np.int64)
+    w = np.full(200, 3.0)
+    sk.update(ids, w, seed=1)
+    q = w / hash_draw(ids, seed=1)
+    q_sorted = np.sort(q)[::-1]
+    assert sk.tau == q_sorted[k]
+    # retained = top-k priorities
+    assert set(sk.priorities) == set(q_sorted[:k])
+    # parallel arrays sorted by (-priority, id)
+    assert np.all(np.diff(sk.priorities) <= 0)
+
+
+def test_incremental_equals_bulk():
+    ids = np.arange(500, dtype=np.int64)
+    w = (ids % 17 + 1).astype(np.float64)
+    bulk = PrioritySample(k=32)
+    bulk.update(ids, w, seed=3)
+    inc = PrioritySample(k=32)
+    for lo in range(0, 500, 61):
+        inc.update(ids[lo:lo + 61], w[lo:lo + 61], seed=3)
+    assert inc == bulk
+
+
+def test_merge_equals_bulk_any_order():
+    ids = np.arange(700, dtype=np.int64)
+    w = (ids % 23 + 1).astype(np.float64)
+    bulk = PrioritySample(k=48)
+    bulk.update(ids, w, seed=5)
+    parts = []
+    for lo in range(0, 700, 250):
+        p = PrioritySample(k=48)
+        p.update(ids[lo:lo + 250], w[lo:lo + 250], seed=5)
+        parts.append(p)
+    m1 = PrioritySample.merge_many(parts)
+    m2 = PrioritySample.merge_many(list(reversed(
+        [PrioritySample.from_bytes(p.to_bytes()) for p in parts])))
+    assert m1 == bulk
+    assert m2 == bulk
+
+
+def test_subset_sum_estimates_within_sampling_error():
+    """Deterministic draws -> a fixed accuracy assertion is stable:
+    with k=256 of 4000 items the per-subset relative error should sit
+    well inside priority sampling's ~1/sqrt(k) regime."""
+    ids = np.arange(4000, dtype=np.int64)
+    w = (ids % 97 + 1).astype(np.float64)
+    sk = PrioritySample(k=256)
+    sk.update(ids, w, seed=11)
+    assert sk.tau > 0.0
+    for mod in (2, 3, 5):
+        est = sk.estimate_subset_sum(sk.ids % mod == 0)
+        exact = w[ids % mod == 0].sum()
+        assert abs(est - exact) / exact < 0.25
+    est_total = sk.estimate_total()
+    assert abs(est_total - w.sum()) / w.sum() < 0.15
+    assert sk.total_weight == w.sum()
+
+
+def test_weight_validation_and_alignment():
+    sk = PrioritySample(k=8)
+    with pytest.raises(ValueError, match="positive"):
+        sk.update([1, 2], [1.0, 0.0])
+    with pytest.raises(ValueError, match="align"):
+        sk.update([1, 2], [1.0])
+    with pytest.raises(ValueError, match="k mismatch"):
+        sk.merge(PrioritySample(k=9))
+    with pytest.raises(ValueError):
+        PrioritySample(k=0)
+
+
+def test_serialization_roundtrip_and_registry():
+    from athena_spark.operators.agg import load_summary
+
+    sk = PrioritySample(k=16)
+    sk.update(np.arange(100), np.full(100, 2.0), seed=2)
+    back = PrioritySample.from_bytes(sk.to_bytes())
+    assert back == sk
+    assert load_summary(sk.to_bytes()) == sk
+    with pytest.raises(ValueError, match="not a PrioritySample"):
+        from athena_spark.sketch.theta import ThetaSketch
+
+        PrioritySample.from_bytes(ThetaSketch(k=16).to_bytes())
+
+
+# -- Spark operator ----------------------------------------------------------
+
+def _docs_df(spark, n=1500):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13 + 1).cast("double").alias("tokens"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+    )
+
+
+def test_spark_priority_sample_equals_class_build(spark):
+    from athena_spark.operators.prioritysum import priority_sample
+
+    df = _docs_df(spark)
+    sk = priority_sample(df, "doc_id", "tokens", k=64, seed=9)
+    ref = PrioritySample(k=64)
+    ids = np.arange(1500, dtype=np.int64)
+    ref.update(ids, (ids % 13 + 1).astype(np.float64), seed=9)
+    assert sk == ref
+
+
+def test_spark_distributed_equals_fast_path_and_partitioning(spark):
+    from athena_spark.operators.prioritysum import (
+        priority_sample, priority_sample_distributed)
+
+    df = _docs_df(spark)
+    want = priority_sample(df, "doc_id", "tokens", k=32, seed=4)
+    for parts in (1, 7):
+        got, metrics = priority_sample_distributed(
+            df.repartition(parts), "doc_id", "tokens", k=32, seed=4)
+        assert got == want
+        assert metrics["n_rows"] == 1500
+
+
+def test_spark_sample_plan_is_take_ordered(spark):
+    """The k+1 selection must compile to TakeOrderedAndProject —
+    per-partition heaps of narrow rows, no global sort exchange."""
+    from athena_spark.operators.prioritysum import _narrow
+
+    df = _narrow(_docs_df(spark), "doc_id", "tokens", 0, ()) \
+        .orderBy("priority", ascending=False).limit(65)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_spark_subset_sums_match_manual(spark):
+    from athena_spark.operators.prioritysum import (
+        priority_sample_rows, priority_subset_sums)
+
+    df = _docs_df(spark)
+    out = {r["lang"]: (r["n_sampled"], r["est_sum_scaled"])
+           for r in priority_subset_sums(
+               df, "doc_id", "tokens", "lang", k=200, seed=6).collect()}
+    rows, tau = priority_sample_rows(df, "doc_id", "tokens", 200, 6,
+                                     payload_cols=("lang",))
+    assert tau > 0
+    manual: dict = {}
+    for r in rows:
+        n_s, tot = manual.get(r["lang"], (0, 0))
+        manual[r["lang"]] = (
+            n_s + 1,
+            tot + int(np.floor(1_000_000 * max(r["weight"], tau))))
+    assert out == manual
+    # estimates are in the right ballpark of the exact per-lang sums
+    from pyspark.sql import functions as F
+
+    exact = {r["lang"]: r["s"] for r in
+             df.groupBy("lang").agg(F.sum("tokens").alias("s"))
+             .collect()}
+    for lang, (_n, scaled) in out.items():
+        assert abs(scaled / 1e6 - exact[lang]) / exact[lang] < 0.35
