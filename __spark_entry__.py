@@ -2771,6 +2771,27 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_trans", "p_nano")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2019 §4.3 —
+    operators/lmscore.py perplexity_buckets): per-lang equal-
+    frequency terciles of the corpus by LM score, best first.  The
+    gate ranks by mean transition probability (p_nano/n_trans — one
+    IEEE division of two exact integers, bit-identical across
+    engines) so bucket ASSIGNMENTS certify exactly; the literal
+    log-space perplexity order is the operator's default and is
+    pytest-covered, the same exact/transcendental split as the
+    lm_perplexity gate.  Window shuffles narrow (id, lang, score)
+    rows only."""
+    from athena_spark.operators.lmscore import (perplexity_buckets,
+                                                train_bigram_lm)
+
+    docs = _docs(spark, sf_dir)
+    lm = train_bigram_lm(docs, "text", max_vocab=_LM_VOCAB,
+                         max_bigrams=_LM_BIGRAMS, alpha=_LM_ALPHA)
+    return perplexity_buckets(docs, "doc_id", "text", lm,
+                              group_col="lang", order="mean_p")
+
+
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified product-quantization ANN (the memory-compression
     scale path: 64-dim float32 vectors → 16 uint8 codes, 16x):
@@ -7246,6 +7267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "lm_perplexity": q_lm_perplexity,
         "kn_perplexity": q_kn_perplexity,
+        "perplexity_buckets": q_perplexity_buckets,
         "bpe_tokenizer": q_bpe_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
@@ -10282,6 +10304,73 @@ def _oracle_sql_table() -> dict[str, str]:
                    CAST(COALESCE(a.s, 0) AS BIGINT) AS p_nano
             FROM documents d
             LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "perplexity_buckets": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), words AS (
+                SELECT unnest(ts) AS w FROM toks
+            ), uni AS (
+                SELECT w, COUNT(*) AS c FROM words
+                GROUP BY w ORDER BY c DESC, w ASC LIMIT {_LM_VOCAB}
+            ), stats AS (
+                SELECT CAST(SUM(c) AS BIGINT) + COUNT(*) + 1 AS denom
+                FROM uni
+            ), rawpairs AS (
+                SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                     AS u(i)
+            ), bi AS (
+                SELECT p.w1, p.w2, COUNT(*) AS c FROM rawpairs p
+                JOIN uni u1 ON p.w1 = u1.w
+                JOIN uni u2 ON p.w2 = u2.w
+                GROUP BY p.w1, p.w2
+                ORDER BY c DESC, p.w1 ASC, p.w2 ASC LIMIT {_LM_BIGRAMS}
+            ), trans AS (
+                SELECT p.doc_id,
+                       COALESCE(b.c, 0)::DOUBLE AS cb,
+                       COALESCE(u1.c, 0)::DOUBLE AS c1,
+                       COALESCE(u2.c, 0)::DOUBLE AS c2
+                FROM rawpairs p
+                LEFT JOIN uni u1 ON p.w1 = u1.w
+                LEFT JOIN uni u2 ON p.w2 = u2.w
+                LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(FLOOR((
+                           {_lm_oma} * (CASE WHEN c1 > 0 THEN cb / c1
+                                             ELSE 0.0 END)
+                           + {_lm_alpha} * ((c2 + 1.0)
+                               / (SELECT denom FROM stats))
+                       ) * 1000000000.0) AS BIGINT) AS pn
+                FROM trans
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n, CAST(SUM(pn) AS BIGINT) AS s
+                FROM scored GROUP BY doc_id
+            ), final AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_trans,
+                       CAST(COALESCE(a.s, 0) AS BIGINT) AS p_nano
+                FROM documents d
+                LEFT JOIN agg a ON d.doc_id = a.doc_id
+            )
+            SELECT doc_id, lang, n_trans, p_nano,
+                   CASE NTILE(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(p_nano AS DOUBLE) / n_trans DESC,
+                                doc_id ASC)
+                       WHEN 1 THEN 'head'
+                       WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+            FROM final WHERE n_trans > 0
+            UNION ALL
+            SELECT doc_id, lang, n_trans, p_nano, 'tail' AS bucket
+            FROM final WHERE n_trans = 0
         """,
         "kn_perplexity": f"""
             WITH toks AS (

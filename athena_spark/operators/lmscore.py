@@ -367,3 +367,76 @@ def score_perplexity(df: DataFrame, id_col: str, text_col: str,
         kernel,
         f"`{id_col}` {id_type}, n_trans long, p_nano long, avg_nll double",
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm,
+    group_col: str | None = None,
+    n_buckets: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+    order: str = "avg_nll",
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2019
+    §4.3): score every document under the reference LM, then — per
+    ``group_col`` value (CCNet buckets per language) — assign equal-
+    frequency buckets, best-scoring first.  "head" is the most
+    reference-like third, the slice CCNet trains on first.
+
+    ``order`` picks the ranking surface:
+
+    * ``"avg_nll"`` — mean negative log likelihood ascending, the
+      literal CCNet perplexity order (perplexity = exp(avg_nll) is
+      monotone in it).  Log-space, so cross-engine reproducibility
+      is pytest-grade, not hash-grade (libm vs engine ``ln`` differ
+      by 1 ulp — the repo-wide transcendental rule).
+    * ``"mean_p"`` — mean smoothed transition probability
+      descending: ``p_nano / n_trans``, one IEEE division of two
+      exact integers, bit-identical in every engine — the surface
+      the driver gate certifies (same split as ``lm_perplexity``).
+
+    Documents with no transition (< 2 tokens) carry no evidence and
+    are assigned the LAST bucket label outside the window (CCNet
+    drops them; keeping them labeled keeps the operator total).
+
+    Scale shape: scoring is the partition-local broadcast-model pass
+    of :func:`score_perplexity`; the bucket window shuffles only
+    (id, group, n_trans, p_nano[, avg_nll]) narrow rows keyed by
+    group — text never moves.  ``ntile`` is the standard SQL
+    equal-frequency split (first buckets take the remainder), so a
+    DuckDB oracle reproduces assignments exactly given the exact
+    ``mean_p`` order.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets != len(labels):
+        raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
+    if order not in ("avg_nll", "mean_p"):
+        raise ValueError(f"unknown order {order!r}")
+    scored = score_perplexity(df, id_col, text_col, lm)
+    if group_col is not None:
+        scored = scored.join(
+            df.select(id_col, group_col), id_col, "left")
+        part = Window.partitionBy(group_col)
+    else:
+        part = Window.partitionBy()
+    if order == "avg_nll":
+        sort_key = F.col("avg_nll").asc()
+    else:
+        sort_key = (F.col("p_nano").cast("double")
+                    / F.col("n_trans")).desc()
+    win = part.orderBy(sort_key, F.col(id_col).asc())
+    with_ev = scored.where(F.col("n_trans") > 0)
+    tile = F.ntile(n_buckets).over(win)
+    bucket = F.lit(labels[0])
+    for i in range(1, n_buckets):
+        bucket = F.when(tile == i + 1, F.lit(labels[i])) \
+            .otherwise(bucket)
+    cols = [id_col] + ([group_col] if group_col else []) \
+        + ["n_trans", "p_nano"]
+    bucketed = with_ev.select(*cols, bucket.alias("bucket"))
+    rest = scored.where(F.col("n_trans") == 0).select(
+        *cols, F.lit(labels[-1]).alias("bucket"))
+    return bucketed.unionByName(rest)

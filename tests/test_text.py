@@ -362,6 +362,49 @@ def test_bigram_lm_edge_cases(spark):
     assert r2["avg_nll"] < -math.log(0.1)  # in-vocab mass found
 
 
+def test_perplexity_buckets_ccnet_split(spark):
+    """CCNet head/middle/tail terciles (Wenzek et al. 2019 §4.3):
+    per-group equal-frequency buckets by LM score, best first;
+    no-transition docs land in 'tail' without entering the window."""
+    from athena_spark.operators.lmscore import (perplexity_buckets,
+                                                train_bigram_lm)
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string")
+    lm = train_bigram_lm(ref, "text", max_vocab=16)
+    texts = {0: "the cat sat on the mat",        # reference-like
+             1: "the cat zzz qqq www vvv",       # half OOV
+             2: "zzz qqq www vvv xxx yyy"}       # all OOV
+    # 12 evidence docs: group i%2, quality (i//2)%3 — each group holds
+    # exactly 2 docs of each quality, so ntile(3) of 6 = 2/2/2 and the
+    # expected bucket is a pure function of quality
+    rows = [(i, "g" + str(i % 2), texts[(i // 2) % 3])
+            for i in range(12)]
+    rows.append((12, "g1", "solo"))              # 1 token: no evidence
+    docs = spark.createDataFrame(rows, "doc_id long, g string, text string")
+
+    out = {r["doc_id"]: r for r in perplexity_buckets(
+        docs, "doc_id", "text", lm, group_col="g").collect()}
+    assert len(out) == 13
+    assert out[12]["bucket"] == "tail" and out[12]["n_trans"] == 0
+    want = {0: "head", 1: "middle", 2: "tail"}
+    for i in range(12):
+        assert out[i]["bucket"] == want[(i // 2) % 3], i
+    # both ranking surfaces agree on this clearly-separated corpus
+    out2 = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(
+        docs, "doc_id", "text", lm, group_col="g",
+        order="mean_p").collect()}
+    assert out2 == {i: r["bucket"] for i, r in out.items()}
+    # global window (no group) still covers every doc exactly once
+    glob = perplexity_buckets(docs, "doc_id", "text", lm).collect()
+    assert sorted(r["doc_id"] for r in glob) == list(range(13))
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(docs, "doc_id", "text", lm, n_buckets=4)
+    with pytest.raises(ValueError, match="order"):
+        perplexity_buckets(docs, "doc_id", "text", lm, order="x")
+
+
 def _ref_bpe_train(word_counts, num_merges):
     """Independent reference BPE (Sennrich alg. 1) over a word
     histogram — dict-based, same tie rule, for oracle comparison."""
