@@ -3068,6 +3068,100 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "`check` string, ok boolean")
 
 
+def q_wordpiece_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified WordPiece gate (Schuster & Nakajima 2012 / BERT —
+    functions/wordpiece.py; iterative likelihood-scored merging is
+    not SQL-expressible, so the Spark side computes REAL invariants
+    and the oracle pins the expected TRUE rows):
+
+    * training is partitioning-independent (exact-rational score
+      comparisons — no float ties to reorder),
+    * vocab arithmetic holds (initial alphabet + one symbol per
+      merge, no duplicates),
+    * longest-match encode∘decode is the identity on EVERY document
+      (the corpus trains the model, so no char is unseen and n_unk
+      must be 0 corpus-wide),
+    * per-doc piece counts sit in [n_words, n_chars],
+    * every emitted piece is in the learned vocab,
+    * the corpus's most frequent word encodes to ONE piece (enough
+      merges fully fuse it — the planted-signal check that training
+      actually learned the distribution).
+    """
+    from athena_spark.functions.wordpiece import (train_wordpiece,
+                                                  wordpiece_encode)
+    from athena_spark.functions.tokenize import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    m1 = train_wordpiece(docs, "text", num_merges=60)
+    m2 = train_wordpiece(docs.repartition(13), "text", num_merges=60)
+    deterministic = (m1.merges == m2.merges and m1.vocab == m2.vocab)
+    from athena_spark.functions.wordpiece import CONT, _word_symbols
+    merged_syms = [a + b[len(CONT):] for a, b in m1.merges]
+    vocab_ok = (
+        len(set(m1.vocab)) == len(m1.vocab)
+        and m1.vocab[len(m1.vocab) - len(merged_syms):] == merged_syms
+        and len(m1.merges) <= 60
+    )
+    top_word = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w").count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(1).collect()[0]["w"]
+    )
+    from athena_spark.functions.wordpiece import wordpiece_word
+    top_fused = wordpiece_word(top_word, set(m1.vocab)) \
+        == [top_word]
+    enc = wordpiece_encode(docs, "doc_id", "text", m1)
+    joined = enc.join(
+        docs.select(
+            "doc_id", tokens_col("text").alias("toks"),
+            F.length(F.regexp_replace(
+                F.col("text"), "[ \\t\\n\\r]", "")).alias("n_chars"),
+        ),
+        "doc_id",
+    )
+    vocab_lit = F.array(*[F.lit(s) for s in m1.vocab])
+    # decode Spark-side: '##'-started pieces glue to the previous
+    # piece, others start words — join + strip must equal the
+    # original token join
+    decoded = F.array_join(
+        F.transform(
+            "subwords",
+            lambda s, i: F.when(
+                s.startswith("##"),
+                F.substring(s, 3, 1 << 20)).otherwise(
+                F.when(i == 0, s).otherwise(F.concat(F.lit(" "), s))),
+        ), "")
+    stats = joined.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(decoded == F.array_join("toks", " "), 1)
+              .otherwise(0)).alias("roundtrip_ok"),
+        F.sum("n_unk").alias("unk_total"),
+        F.sum(F.when(
+            (F.col("n_subwords") >= F.col("n_words"))
+            & (F.col("n_subwords") <= F.col("n_chars")),
+            1).otherwise(0)).alias("bounds_ok"),
+        F.sum(F.when(
+            F.size(F.array_except("subwords", vocab_lit)) == 0,
+            1).otherwise(0)).alias("vocab_member_ok"),
+    ).collect()[0]
+    n = stats["docs"]
+    rows = [
+        ("training_deterministic_across_partitionings",
+         bool(deterministic)),
+        ("vocab_is_alphabet_plus_merges", bool(vocab_ok)),
+        ("roundtrip_identity_all_docs",
+         bool(stats["roundtrip_ok"] == n and n > 0)),
+        ("no_unk_on_training_corpus",
+         bool(stats["unk_total"] == 0)),
+        ("piece_counts_within_bounds", bool(stats["bounds_ok"] == n)),
+        ("all_pieces_in_vocab", bool(stats["vocab_member_ok"] == n)),
+        ("top_word_fully_fused", bool(top_fused)),
+        ("merges_nonempty", bool(len(m1.merges) > 0)),
+    ]
+    return spark.createDataFrame(rows, "`check` string, ok boolean")
+
+
 def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-based dedup: one representative (min id) per
     connected component of the near-dup graph (J >= 0.8), after exact
@@ -7269,6 +7363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": q_kn_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
         "bpe_tokenizer": q_bpe_tokenizer,
+        "wordpiece_tokenizer": q_wordpiece_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
         "sessionization": q_sessionization,
@@ -10465,6 +10560,17 @@ def _oracle_sql_table() -> dict[str, str]:
             UNION ALL SELECT 'roundtrip_identity_all_docs', TRUE
             UNION ALL SELECT 'subword_counts_within_bounds', TRUE
             UNION ALL SELECT 'all_subwords_in_vocab', TRUE
+            UNION ALL SELECT 'merges_nonempty', TRUE
+        """,
+        "wordpiece_tokenizer": """
+            SELECT 'training_deterministic_across_partitionings'
+                       AS "check", TRUE AS ok
+            UNION ALL SELECT 'vocab_is_alphabet_plus_merges', TRUE
+            UNION ALL SELECT 'roundtrip_identity_all_docs', TRUE
+            UNION ALL SELECT 'no_unk_on_training_corpus', TRUE
+            UNION ALL SELECT 'piece_counts_within_bounds', TRUE
+            UNION ALL SELECT 'all_pieces_in_vocab', TRUE
+            UNION ALL SELECT 'top_word_fully_fused', TRUE
             UNION ALL SELECT 'merges_nonempty', TRUE
         """,
         "text_input_parity": """

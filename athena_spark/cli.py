@@ -28,6 +28,7 @@ Subcommands:
 * ``decontaminate`` — n-gram benchmark decontamination
 * ``lm-score``   — bigram-LM perplexity quality scoring (interpolated or Kneser-Ney)
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
+* ``train-wordpiece`` — learn a WordPiece vocabulary (BERT-style)
 * ``train-unigram`` — learn a unigram-LM (SentencePiece-style)
   subword vocabulary (optionally Viterbi-encode)
 * ``chunk``      — RAG-style overlapping passage chunking
@@ -279,6 +280,18 @@ def _build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--apply", default=None, metavar="ENC_DIR",
                     help="also encode the corpus and write parquet "
                          "(doc id, n_words, n_subwords, subwords)")
+
+    tw = sub.add_parser("train-wordpiece")
+    common(tw, output_help="vocab text file to write (one piece per "
+                           "line, alphabet then merge order); stdout "
+                           "if omitted")
+    tw.add_argument("--id-col", default="doc_id")
+    tw.add_argument("--num-merges", type=int, default=32000)
+    tw.add_argument("--max-words", type=int, default=1 << 20)
+    tw.add_argument("--apply", default=None, metavar="ENC_DIR",
+                    help="also encode the corpus and write parquet "
+                         "(doc id, n_words, n_subwords, n_unk, "
+                         "subwords)")
 
     tu = sub.add_parser("train-unigram")
     common(tu, output_help="pieces text file to write ('piece\\t"
@@ -1219,6 +1232,33 @@ def cmd_train_bpe(args) -> None:
             .write.mode("overwrite").parquet(args.apply)
 
 
+def cmd_train_wordpiece(args) -> None:
+    """Learn a WordPiece vocabulary from the corpus (likelihood-
+    scored merges, BERT-style); optionally encode the corpus with
+    greedy longest-match.  Vocab goes to --output (one piece per
+    line, alphabet then merge order) or stdout; model stats to
+    stderr."""
+    from athena_spark.functions.wordpiece import (train_wordpiece,
+                                                  wordpiece_encode)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    model = train_wordpiece(df, args.col, num_merges=args.num_merges,
+                            max_words=args.max_words)
+    print(json.dumps({"merges": len(model.merges),
+                      "vocab": len(model.vocab)}), file=sys.stderr)
+    lines = "".join(f"{p}\n" for p in model.vocab)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(lines)
+    else:
+        sys.stdout.write(lines)
+    if args.apply:
+        wordpiece_encode(df, args.id_col, args.col, model) \
+            .write.mode("overwrite").parquet(args.apply)
+
+
 def cmd_train_unigram(args) -> None:
     """Learn a unigram-LM piece vocabulary from the corpus;
     optionally Viterbi-encode the corpus with it.  Pieces go to
@@ -2046,6 +2086,7 @@ def main(argv=None) -> None:
         "decontaminate": cmd_decontaminate,
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,
+        "train-wordpiece": cmd_train_wordpiece,
         "train-unigram": cmd_train_unigram,
         "substring-dedup": cmd_substring_dedup,
         "paragraph-dedup": cmd_paragraph_dedup,

@@ -1,0 +1,287 @@
+"""WordPiece tokenizer training and encoding.
+
+The third member of the engine's subword-tokenizer family (BPE —
+Sennrich 2016, ``functions/bpe.py``; unigram LM — Kudo 2018,
+``functions/unigram.py``): WordPiece (Schuster & Nakajima 2012, the
+BERT tokenizer) merges like BPE but scores candidate pairs by the
+LIKELIHOOD ratio ``count(ab) / (count(a) * count(b))`` — the pair
+whose merge most increases a unigram LM's corpus likelihood — and
+encodes by greedy longest-match-first against the final vocabulary
+with ``##`` continuation prefixes and an ``[UNK]`` fallback, NOT by
+replaying merges.
+
+Scale shape (same as the BPE trainer): ONE Spark pass aggregates the
+exact word histogram (TakeOrdered to ``max_words``, bounded driver
+traffic); the merge loop is driver-side over the bounded histogram
+with incrementally-maintained pair/symbol counts and a pair→words
+index.  Encoding dictionary-encodes each Arrow batch so cost is
+bounded by UNIQUE tokens, and the longest-match automaton touches
+Python only per unique word.
+
+Determinism: merge scores compare as EXACT rationals
+(cross-multiplied integer counts — no float ratio ties), ties break
+by lexicographically smallest pair, so training is a pure function of
+the histogram and partitioning-independent.
+
+Reference scope: the reference tokenizes by whitespace only
+(/root/reference/src/_io.cpp:21-76); subword learning is an engine
+extension in the LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.tokenize import exploded_tokens
+
+#: Continuation prefix for non-initial subwords (the BERT convention).
+CONT = "##"
+
+#: Unknown-word token: emitted when a word cannot be segmented from
+#: the vocabulary (a character unseen in training) or exceeds
+#: ``max_word_chars``.
+UNK = "[UNK]"
+
+
+@dataclass
+class WordPieceModel:
+    """Learned vocabulary (alphabet order, then merge order) + the
+    merge list that produced it.  Picklable/broadcastable; only
+    ``vocab`` matters for encoding (longest-match is merge-free)."""
+
+    vocab: list[str]
+    merges: list[tuple[str, str]]
+    max_word_chars: int = 100
+
+
+def _check_word(word: str) -> None:
+    if CONT in word or word == UNK:
+        raise ValueError(
+            f"token {word!r} collides with the WordPiece continuation "
+            f"prefix {CONT!r} or the {UNK!r} sentinel — decoding would "
+            "be ambiguous; strip or escape such tokens before "
+            "WordPiece (BERT pre-tokenization assumption)"
+        )
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    """Initial segmentation: first char bare, rest ##-prefixed."""
+    return tuple([word[0]] + [CONT + c for c in word[1:]])
+
+
+def _merge_symbol(a: str, b: str) -> str:
+    """The symbol a merge produces: ``b`` loses its continuation
+    prefix; ``a`` keeps its own (inner merges stay ##-prefixed)."""
+    return a + b[len(CONT):]
+
+
+def train_wordpiece(df: DataFrame, text_col: str, num_merges: int,
+                    max_words: int = 1 << 20,
+                    max_word_chars: int = 100) -> WordPieceModel:
+    """Learn up to ``num_merges`` WordPiece merges from the corpus
+    word histogram.  One Spark pass; the driver loop picks, each
+    round, the adjacent symbol pair maximizing the exact rational
+    ``count(pair) / (count(left) * count(right))``, stopping early
+    when no pair occurs twice (count-1 merges are noise and would
+    make training depend on histogram truncation order)."""
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
+    rows = (
+        exploded_tokens(df, norm, out="w")
+        .groupBy("w").count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    for r in rows:
+        _check_word(r["w"])
+    words = [_word_symbols(r["w"]) for r in rows]
+    counts = [int(r["count"]) for r in rows]
+    alphabet = sorted({s for syms in words for s in syms})
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    sym_counts: dict[str, int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        c = counts[wi]
+        for s in syms:
+            sym_counts[s] = sym_counts.get(s, 0) + c
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        candidates = {p: n for p, n in pair_counts.items() if n >= 2}
+        if not candidates:
+            break
+        # max of count(ab)/(count(a)*count(b)) as an exact rational:
+        # a/b > c/d  <=>  a*d > c*b  for positive integer counts —
+        # no float ties; final tie-break lexicographic
+        best = None
+        best_num = best_den = 0
+        for p, n in candidates.items():
+            den = sym_counts[p[0]] * sym_counts[p[1]]
+            if best is None or n * best_den > best_num * den \
+                    or (n * best_den == best_num * den and p < best):
+                best, best_num, best_den = p, n, den
+        a, b = best
+        new_sym = _merge_symbol(a, b)
+        merges.append(best)
+        for wi in sorted(pair_words.get(best, ())):
+            syms = words[wi]
+            c = counts[wi]
+            # retract this word's contribution
+            for s in syms:
+                sym_counts[s] -= c
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        del pair_words[p]
+            # rewrite and re-add
+            merged, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    merged.append(new_sym)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = tuple(merged)
+            words[wi] = syms
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + c
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(wi)
+    vocab = alphabet + [_merge_symbol(a, b) for a, b in merges]
+    return WordPieceModel(vocab=vocab, merges=merges,
+                          max_word_chars=max_word_chars)
+
+
+def wordpiece_word(word: str, vocab: set, max_word_chars: int = 100
+                   ) -> list[str]:
+    """Encode one word by greedy longest-match-first (the BERT
+    ``WordpieceTokenizer`` algorithm): longest vocab prefix, then
+    longest ##-continuations; any dead end (or an over-long word)
+    collapses the WHOLE word to ``[UNK]``."""
+    if len(word) > max_word_chars or not word:
+        return [UNK]
+    out = []
+    start = 0
+    while start < len(word):
+        end = len(word)
+        cur = None
+        prefix = CONT if start > 0 else ""
+        while end > start:
+            piece = prefix + word[start:end]
+            if piece in vocab:
+                cur = piece
+                break
+            end -= 1
+        if cur is None:
+            return [UNK]
+        out.append(cur)
+        start = end
+    return out
+
+
+def wordpiece_encode(df: DataFrame, id_col: str, text_col: str,
+                     model: WordPieceModel) -> DataFrame:
+    """Encode documents: (id, n_words, n_subwords, n_unk, subwords)
+    with the flat doc-major subword stream.  Word boundaries survive
+    decoding because exactly the non-``##`` tokens start words
+    (``[UNK]`` included), so decode = split before each non-##
+    token, join pieces stripping ``##``; identity for every word
+    that did not collapse to ``[UNK]``.
+
+    Same batch shape as ``bpe_encode``: Arrow dictionary-encode →
+    per-unique-word Python → fan out through indices."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from athena_spark.functions.tokenize import arrow_tokenize_batch
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    sc = df.sparkSession.sparkContext
+    bmodel = sc.broadcast(model)
+
+    def kernel(batches):
+        m = bmodel.value
+        vset = set(m.vocab)
+        cache: dict[str, list[str]] = {}
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            tokens, t = arrow_tokenize_batch(texts)
+            dic = pc.dictionary_encode(tokens)
+            uniq = dic.dictionary.to_pylist() if len(tokens) else []
+            enc = []
+            for w in uniq:
+                e = cache.get(w)
+                if e is None:
+                    _check_word(w)
+                    e = wordpiece_word(w, vset, m.max_word_chars)
+                    cache[w] = e
+                enc.append(e)
+            idx = (dic.indices.to_numpy(zero_copy_only=False)
+                   .astype(np.int64) if len(tokens)
+                   else np.empty(0, np.int64))
+            lens = np.array([len(e) for e in enc], np.int64)
+            unks = np.array([e == [UNK] for e in enc], np.int64)
+            per_token = lens[idx] if len(idx) else np.empty(0, np.int64)
+            unk_token = unks[idx] if len(idx) else np.empty(0, np.int64)
+            ends = np.cumsum(t)
+            starts = ends - t
+            cs = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(per_token)])
+            cu = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(unk_token)])
+            n_sub = cs[ends] - cs[starts]
+            n_unk = cu[ends] - cu[starts]
+            if len(idx):
+                uniq_list = pa.array(enc, type=pa.list_(pa.string()))
+                flat_arr = uniq_list.take(pa.array(idx)).flatten()
+            else:
+                flat_arr = pa.array([], type=pa.string())
+            doc_offsets = np.concatenate(
+                [np.zeros(1, np.int64), cs[ends]])
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(t.astype(np.int64)),
+                 pa.array(n_sub),
+                 pa.array(n_unk),
+                 pa.ListArray.from_arrays(
+                     pa.array(doc_offsets, type=pa.int32()),
+                     flat_arr)],
+                names=[id_col, "n_words", "n_subwords", "n_unk",
+                       "subwords"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        kernel,
+        f"`{id_col}` {id_type}, n_words long, n_subwords long, "
+        "n_unk long, subwords array<string>",
+    )
+
+
+def wordpiece_decode_subwords(subwords: list[str]) -> list[str]:
+    """Inverse of encoding for non-``[UNK]`` words: non-## tokens
+    start words; ## pieces append with the prefix stripped."""
+    out: list[str] = []
+    for s in subwords:
+        if s.startswith(CONT) and out:
+            out[-1] += s[len(CONT):]
+        else:
+            out.append(s)
+    return out

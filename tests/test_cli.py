@@ -292,6 +292,37 @@ def test_cli_decontaminate_and_lm_score(spark, sf_dir, tmp_path, capsys):
     assert got_rows == want_rows
 
 
+def test_cli_train_wordpiece(spark, sf_dir, tmp_path, capsys):
+    """train-wordpiece subcommand: vocab matches the library; --apply
+    writes an encoded corpus that round-trips with zero [UNK]."""
+    from athena_spark.functions.tokenize import tokens_col
+    from athena_spark.functions.wordpiece import (
+        train_wordpiece, wordpiece_decode_subwords)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_dir = str(tmp_path / "wp_in")
+    docs.write.parquet(docs_dir)
+    vocab_path = str(tmp_path / "wp_vocab.txt")
+    enc_dir = str(tmp_path / "wp_enc")
+    main(["train-wordpiece", "--input", docs_dir, "--col", "text",
+          "--num-merges", "30", "--output", vocab_path,
+          "--apply", enc_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    model = train_wordpiece(docs, "text", num_merges=30)
+    with open(vocab_path) as fh:
+        assert fh.read().splitlines() == model.vocab
+    assert rep["merges"] == len(model.merges)
+    assert rep["vocab"] == len(model.vocab)
+    enc = {r["doc_id"]: r for r in spark.read.parquet(enc_dir).collect()}
+    toks = {r["doc_id"]: r["ts"] for r in
+            docs.select("doc_id", tokens_col("text").alias("ts"))
+            .collect()}
+    assert sum(r["n_unk"] for r in enc.values()) == 0
+    some = sorted(enc)[:20]
+    for i in some:
+        assert wordpiece_decode_subwords(enc[i]["subwords"]) == toks[i]
+
+
 def test_cli_train_bpe(spark, sf_dir, tmp_path, capsys):
     """train-bpe subcommand: merge list matches the library; --apply
     writes an encoded corpus that round-trips."""

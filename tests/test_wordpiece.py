@@ -1,0 +1,151 @@
+"""WordPiece (Schuster & Nakajima 2012 / BERT): likelihood-scored
+merge training vs a from-scratch oracle, longest-match encoding laws,
+and the [UNK] / continuation-prefix contract."""
+
+from fractions import Fraction
+
+import pytest
+
+from athena_spark.functions.wordpiece import (CONT, UNK, WordPieceModel,
+                                              _word_symbols,
+                                              train_wordpiece,
+                                              wordpiece_decode_subwords,
+                                              wordpiece_encode,
+                                              wordpiece_word)
+
+
+def _ref_wp_train(word_counts, num_merges):
+    """Recompute-from-scratch trainer: exact-rational likelihood
+    scores, lexicographic ties — the incremental trainer must match
+    this merge for merge."""
+    segs = {w: list(_word_symbols(w)) for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pc, sc = {}, {}
+        for w, c in word_counts.items():
+            syms = segs[w]
+            for s in syms:
+                sc[s] = sc.get(s, 0) + c
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + c
+        cands = {p: n for p, n in pc.items() if n >= 2}
+        if not cands:
+            break
+        best = min(cands, key=lambda p:
+                   (-Fraction(cands[p], sc[p[0]] * sc[p[1]]), p))
+        merges.append(best)
+        a, b = best
+        new = a + b[len(CONT):]
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a \
+                        and syms[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_training_matches_reference_oracle(spark):
+    texts = ["the cat can cant canter rant rat the the",
+             "can can cant rat cat the canter rant rant"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    model = train_wordpiece(df, "text", num_merges=12)
+    counts: dict = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    assert model.merges == _ref_wp_train(counts, 12)
+    # vocab arithmetic: alphabet + one symbol per merge, no dups
+    assert len(model.vocab) == len(set(model.vocab))
+    alpha = {s for w in counts for s in _word_symbols(w)}
+    assert set(model.vocab) == alpha | {
+        a + b[len(CONT):] for a, b in model.merges}
+
+
+def test_likelihood_score_differs_from_bpe_frequency(spark):
+    """WordPiece's count(ab)/(count(a)count(b)) must pick a LOW-
+    frequency-parts pair over BPE's raw-count winner: 'qz' occurs 3x
+    from symbols that occur only 3x each (score 1/3), while 'aa'
+    occurs 4x from 'a' symbols occurring 11x (score << 1/3)."""
+    from athena_spark.functions.bpe import train_bpe
+
+    rows = [(0, "aaa aaa aaa qz qz qz aa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wp = train_wordpiece(df, "text", num_merges=1)
+    bpe = train_bpe(df, "text", num_merges=1)
+    assert wp.merges[0] == ("q", "##z")
+    assert bpe.merges[0] == ("a", "a")
+
+
+def test_training_partitioning_independent(spark):
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta beta gamma doc', CAST(id % 7 AS STRING))"
+        " AS text")
+    m1 = train_wordpiece(docs, "text", num_merges=20)
+    m2 = train_wordpiece(docs.repartition(11), "text", num_merges=20)
+    assert m1.merges == m2.merges and m1.vocab == m2.vocab
+
+
+def test_wordpiece_word_longest_match_and_unk():
+    vocab = {"u", "##n", "##na", "un", "unb", "##b", "##bel", "x"}
+    # greedy longest prefix: 'unb' wins over 'un'/'u', then the
+    # longest continuation '##bel' wins over '##b'
+    assert wordpiece_word("unbbel", vocab) == ["unb", "##bel"]
+    assert wordpiece_word("unbb", vocab) == ["unb", "##b"]
+    # dead end (no '##c') collapses the whole word
+    assert wordpiece_word("unc", vocab) == [UNK]
+    assert wordpiece_word("x", vocab) == ["x"]
+    assert wordpiece_word("x" * 101, vocab) == [UNK]   # over-long
+
+
+def test_encode_roundtrip_and_unk_counts(spark):
+    corpus = [(0, "hello hello help hello help held"),
+              (1, "hello held help"),
+              (2, ""),                     # empty doc
+              (3, "hello q!z held")]       # q!z has chars unseen
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    model = train_wordpiece(df.where("doc_id < 2"), "text",
+                            num_merges=30)
+    out = {r["doc_id"]: r for r in
+           wordpiece_encode(df, "doc_id", "text", model).collect()}
+    assert out[2]["n_words"] == 0 and out[2]["subwords"] == []
+    assert out[3]["n_unk"] == 1          # exactly the q!z word
+    for i in (0, 1):
+        assert out[i]["n_unk"] == 0
+        words = [w for w in corpus[i][1].split() if w]
+        assert wordpiece_decode_subwords(out[i]["subwords"]) == words
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_subwords"] == len(out[i]["subwords"])
+    # decode of the UNK doc keeps word COUNT (boundaries survive)
+    dec = wordpiece_decode_subwords(out[3]["subwords"])
+    assert len(dec) == 3 and dec[0] == "hello" and dec[2] == "held"
+    assert dec[1] == UNK
+    # every piece is vocab or UNK
+    vset = set(model.vocab) | {UNK}
+    for i in range(4):
+        assert set(out[i]["subwords"]) <= vset
+
+
+def test_check_word_rejects_ambiguous_tokens(spark):
+    df = spark.createDataFrame([(0, "bad##token")],
+                               "doc_id long, text string")
+    with pytest.raises(Exception, match="continuation"):
+        train_wordpiece(df, "text", num_merges=1)
+    model = WordPieceModel(vocab=["a"], merges=[])
+    enc = wordpiece_encode(df, "doc_id", "text", model)
+    with pytest.raises(Exception, match="continuation"):
+        enc.collect()
+
+
+def test_merges_stop_when_no_pair_repeats(spark):
+    df = spark.createDataFrame([(0, "ab cd ef")],
+                               "doc_id long, text string")
+    model = train_wordpiece(df, "text", num_merges=10)
+    assert model.merges == []            # every pair occurs once
