@@ -2771,6 +2771,62 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_trans", "p_nano")
 
 
+def q_decayed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-decay rollup (Cormode et al. 2009 — operators/decay.py):
+    per-event-type recency-weighted counts under polynomial decay
+    g(age) = age^2 with integer-second ages (epoch-micros DIV 1e6,
+    landmark = min age) — every numerator an exact int64, so the
+    oracle rebuilds SUM(age*age) bit-exactly.  Numerators are fixed
+    at arrival: the groupBy is map-side combinable and the query-time
+    normalization is one scalar division (the property that makes
+    forward decay the distributable decay model)."""
+    from athena_spark.operators.decay import decayed_rollup
+
+    ev = _table(spark, sf_dir, "events")
+    return decayed_rollup(ev, "ts", "event_type", p=2)
+
+
+def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified decayed heavy hitters — the forward-decay ×
+    Space-Saving composition (Cormode et al. 2009 §5): SS updated
+    with integer g(age)=age^2 weights over user_id arrivals, k=64
+    counters under ~2k distinct users (estimation mode).  Certified
+    Spark-side against the exact decayed masses: the sketch absorbs
+    the full decayed mass W, every estimate upper-bounds its true
+    mass, overshoot and tracked error stay within W/k, and every
+    user with mass > W/k is retained — the SS guarantees, inherited
+    over the decayed weight domain.  Oracle pins the TRUE rows."""
+    from athena_spark.operators.decay import decayed_rollup, decayed_topk
+
+    ev = _table(spark, sf_dir, "events")
+    k = 64
+    sk, _metrics = decayed_topk(ev, "ts", "user_id", k=k, p=2)
+    exact = {str(r["user_id"]): r["g_sum"]
+             for r in decayed_rollup(ev, "ts", "user_id", p=2)
+             .collect()}
+    w_total = sum(exact.values())
+    bound = w_total // k
+    items = sk.items()
+    retained = {w: (est, err) for w, est, err in items}
+    rows = [
+        ("total_mass_exact", bool(sk.total == w_total)),
+        ("estimates_upper_bound_truth",
+         all(est >= exact[w] for w, (est, _e) in retained.items())),
+        ("overshoot_within_w_over_k",
+         all(est - exact[w] <= bound
+             for w, (est, _e) in retained.items())),
+        ("tracked_error_within_w_over_k",
+         all(err <= bound for _w, (_e, err) in retained.items())),
+        ("heavy_keys_retained",
+         all(w in retained
+             for w, mass in exact.items() if mass > bound)),
+        ("estimation_mode", bool(len(exact) > k and len(items) == k)),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows],
+        "`check` string, ok boolean")
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2019 §4.3 —
     operators/lmscore.py perplexity_buckets): per-lang equal-
@@ -7362,6 +7418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "kn_perplexity": q_kn_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
+        "decayed_rollup": q_decayed_rollup,
+        "decayed_topk": q_decayed_topk,
         "bpe_tokenizer": q_bpe_tokenizer,
         "wordpiece_tokenizer": q_wordpiece_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
@@ -10399,6 +10457,28 @@ def _oracle_sql_table() -> dict[str, str]:
                    CAST(COALESCE(a.s, 0) AS BIGINT) AS p_nano
             FROM documents d
             LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "decayed_rollup": """
+            WITH ages AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 1000000)
+                       - (SELECT MIN(epoch_us(ts) // 1000000)
+                          FROM events) AS age
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(age * age) AS BIGINT) AS g_sum
+            FROM ages
+            GROUP BY event_type
+        """,
+        "decayed_topk": """
+            SELECT 'total_mass_exact' AS "check", TRUE AS ok
+            UNION ALL SELECT 'estimates_upper_bound_truth', TRUE
+            UNION ALL SELECT 'overshoot_within_w_over_k', TRUE
+            UNION ALL SELECT 'tracked_error_within_w_over_k', TRUE
+            UNION ALL SELECT 'heavy_keys_retained', TRUE
+            UNION ALL SELECT 'estimation_mode', TRUE
         """,
         "perplexity_buckets": f"""
             WITH toks AS (

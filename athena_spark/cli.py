@@ -23,6 +23,7 @@ Subcommands:
 * ``shuffle``    — deterministic global training shuffle (id, pos)
 * ``quota-sample`` — exact per-group quota sampling (n rows/group)
 * ``priority-sample`` — weighted sample + unbiased subset-sum estimates
+* ``decay``      — forward-decay rollup + decayed heavy hitters
 * ``overlap``    — theta-sketch pairwise corpus overlap (Jaccard)
 * ``fd``         — Frequent Directions covariance/PCA sketch report
 * ``decontaminate`` — n-gram benchmark decontamination
@@ -176,6 +177,21 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="exact rows kept per group (fewer if the "
                          "group is smaller)")
     qs.add_argument("--seed", type=int, default=0)
+
+    dc = sub.add_parser("decay")
+    common(dc, output_help="per-key decayed-rollup parquet dir")
+    dc.add_argument("--ts-col", default="ts")
+    dc.add_argument("--key-col", required=True)
+    dc.add_argument("--p", type=int, default=2,
+                    help="polynomial decay exponent g(age)=age^p "
+                         "(0..3)")
+    dc.add_argument("--unit", default="seconds",
+                    choices=["seconds", "minutes", "hours"])
+    dc.add_argument("--value-col", default=None,
+                    help="also aggregate sum(value * g)")
+    dc.add_argument("--topk", type=int, default=None, metavar="K",
+                    help="also print Space-Saving decayed heavy "
+                         "hitters with K counters")
 
     ps = sub.add_parser("priority-sample")
     common(ps, output_help="parquet dir for the sampled rows "
@@ -961,6 +977,41 @@ def cmd_quota_sample(args) -> None:
         for row in out.orderBy(args.group_col, "rank").limit(100).collect():
             print(f'{row[args.group_col]}\t{row["rank"]}\t'
                   f'{row[args.id_col]}')
+
+
+def cmd_decay(args) -> None:
+    """Forward-decay rollup (exact integer numerators) and, with
+    --topk, Space-Saving decayed heavy hitters over the same
+    weights."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.decay import decayed_rollup, decayed_topk
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    out = decayed_rollup(df, args.ts_col, args.key_col, p=args.p,
+                         unit=args.unit, value_col=args.value_col)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n_keys = spark.read.parquet(args.output).count()
+    else:
+        rows = out.orderBy(F.col("g_sum").desc()).limit(50).collect()
+        n_keys = len(rows)
+        for r in rows:
+            print(f'{r[args.key_col]}\t{r["n"]}\t{r["g_sum"]}')
+    meta = {"keys": n_keys, "p": args.p, "unit": args.unit}
+    if args.topk:
+        sk, metrics = decayed_topk(df, args.ts_col, args.key_col,
+                                   k=args.topk, p=args.p,
+                                   unit=args.unit)
+        meta["topk"] = [
+            {"key": w, "est": est, "err": err}
+            for w, est, err in sk.items(min(args.topk, 20))
+        ]
+        meta["total_decayed_mass"] = sk.total
+        meta["landmark"] = metrics["landmark"]
+    print(json.dumps(meta), file=sys.stderr)
 
 
 def cmd_priority_sample(args) -> None:
@@ -2079,6 +2130,7 @@ def main(argv=None) -> None:
         "shuffle": cmd_shuffle,
         "quota-sample": cmd_quota_sample,
         "priority-sample": cmd_priority_sample,
+        "decay": cmd_decay,
         "overlap": cmd_overlap,
         "cross-dedup": cmd_cross_dedup,
         "boilerplate": cmd_boilerplate,

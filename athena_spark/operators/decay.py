@@ -1,0 +1,186 @@
+"""Forward-decay time-decayed aggregation (Cormode, Shkapenyuk,
+Srivastava & Xu 2009, "Forward decay: a practical time decay model
+for streaming systems").
+
+Recency-weighted analytics without re-aggregating on every query:
+under forward decay an item arriving at time ``t_i`` carries weight
+``g(t_i - L) / g(t - L)`` for landmark ``L <= all arrivals`` and
+query time ``t``.  The numerators ``g(t_i - L)`` are FIXED at arrival
+— so per-key numerator sums are plain mergeable aggregates (map-side
+combine, any merge tree), and the query-time normalization is one
+scalar division.  Backward decay ("weight by t - t_i") would need
+every weight recomputed per query; forward decay is the form that
+distributes.
+
+The engine uses the paper's practical recommendation, POLYNOMIAL
+``g(a) = a^p``: with integer-second ages every numerator is an exact
+int64, so decayed rollups certify bit-exactly in any engine (no
+``exp`` in sight — the exponential instance is equivalent to classic
+exponential decay but transcendental; see [[oracle-float-parity]]).
+Int64 bound: ``sum_of(age^p)`` must fit 2^63 — with p=2, second
+granularity and a 1-month horizon that allows ~1.3M rows per key
+PER PARTIAL; pick ``unit="minutes"|"hours"`` at larger horizons (the
+weights only need RELATIVE magnitudes, so coarser units change
+nothing but the bound).
+
+Composition with the sketch family (§5 of the paper): decayed
+heavy hitters = Space-Saving updated with the integer ``g`` weights —
+:func:`decayed_topk` rides the engine's ``SUMMARY_SCHEMA`` partials →
+``tree_merge`` machinery, k-bounded per partition, and inherits SS's
+guarantees over the decayed weight mass W: estimates overcount by at
+most W/k and every key with decayed mass > W/k is retained.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, functions as F
+
+_UNIT_DIVISORS = {"seconds": 1, "minutes": 60, "hours": 3600}
+
+
+def _age_col(ts_col: str, landmark, unit: str) -> Column:
+    """Integer age ``floor(epoch_seconds(ts)) // unit - landmark`` as
+    a long — floor-of-microseconds, bit-identical to the DuckDB
+    ``epoch_us(ts) // 1000000 // unit`` rebuild (sub-second parts
+    truncate identically)."""
+    div = _UNIT_DIVISORS[unit]
+    # integer DIV end to end — no double quotient anywhere (epochs
+    # are positive, so DIV == floor division in both engines).  The
+    # cast covers TIMESTAMP_NTZ parquet columns; the session runs in
+    # UTC (athena_spark.session), so the wall-time reinterpretation
+    # is the identity and matches DuckDB's naive epoch_us.
+    micros = f"unix_micros(CAST(`{ts_col}` AS TIMESTAMP))"
+    sec = F.expr(f"{micros} DIV 1000000")
+    if div != 1:
+        sec = F.expr(f"({micros} DIV 1000000) DIV {div}")
+    return (sec - landmark).cast("long")
+
+
+def forward_decay_weight(ts_col: str, landmark, p: int = 2,
+                         unit: str = "seconds") -> Column:
+    """The exact-integer numerator ``g(age) = age^p`` (long).  Rows
+    older than the landmark get weight 0 (the paper requires
+    ``L <= all arrivals``; clamping keeps stragglers harmless rather
+    than negative-weighted)."""
+    if unit not in _UNIT_DIVISORS:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_DIVISORS)}")
+    if not 0 <= int(p) <= 3:
+        raise ValueError(f"p must be in 0..3 (int64 overflow), got {p}")
+    age = F.greatest(_age_col(ts_col, landmark, unit), F.lit(0))
+    g = F.lit(1).cast("long")
+    for _ in range(int(p)):
+        g = g * age
+    return g
+
+
+def _min_age_landmark(df: DataFrame, ts_col: str, unit: str) -> int:
+    row = df.agg(F.min(_age_col(ts_col, 0, unit)).alias("m")).collect()[0]
+    if row["m"] is None:
+        raise ValueError("cannot infer a landmark from an empty input")
+    return int(row["m"])
+
+
+def decayed_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    landmark: int | None = None,
+    p: int = 2,
+    unit: str = "seconds",
+    value_col: str | None = None,
+    normalize_at: int | None = None,
+) -> DataFrame:
+    """Per-key forward-decayed aggregates: ``(key, n, g_sum)`` with
+    ``g_sum = sum(age^p)`` — the exact-int64 decayed-count numerator
+    (a decayed count IS a weighted count with the g weights).
+
+    ``value_col`` adds ``gv_sum = sum(value * g)`` (double — a float
+    surface, pytest-grade).  ``normalize_at`` (an integer instant in
+    ``unit`` since the epoch) adds ``decayed_count = g_sum /
+    g(normalize_at - landmark)`` — the query-time normalization,
+    also float by nature.  ``landmark=None`` infers min(age) with
+    one cheap agg job.
+
+    Scale shape: one groupBy over (key, g) narrow rows — map-side
+    combined, no window, text/payload never moves; g is pure
+    codegen."""
+    if landmark is None:
+        landmark = _min_age_landmark(df, ts_col, unit)
+    g = forward_decay_weight(ts_col, landmark, p, unit)
+    aggs = [F.count("*").alias("n"), F.sum(g).alias("g_sum")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("double") * g)
+                    .alias("gv_sum"))
+    out = df.groupBy(key_col).agg(*aggs)
+    if normalize_at is not None:
+        denom = float(max(int(normalize_at) - int(landmark), 1)) ** p
+        out = out.withColumn(
+            "decayed_count", F.col("g_sum").cast("double") / denom)
+    return out
+
+
+def decayed_topk(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    k: int,
+    landmark: int | None = None,
+    p: int = 2,
+    unit: str = "seconds",
+    fanout: int = 32,
+):
+    """Decayed heavy hitters: Space-Saving over ``g``-weighted key
+    arrivals (the forward-decay × counter-sketch composition of
+    Cormode et al. §5).  Returns ``(sketch, metrics)`` — the sketch's
+    ``items()`` are (key, est_decayed_mass, err_bound) with the
+    standard SS guarantees over the TOTAL decayed mass W: ``true <=
+    est <= true + W/k`` and every key with mass > W/k retained.
+
+    Per-partition fold keeps k-bounded SS state; only summaries
+    shuffle (SUMMARY_SCHEMA partials → tree merge)."""
+    from athena_spark.operators.agg import (SUMMARY_SCHEMA,
+                                            load_summary, tree_merge)
+    from athena_spark.sketch.spacesaving import SpaceSaving
+
+    if landmark is None:
+        landmark = _min_age_landmark(df, ts_col, unit)
+    g = forward_decay_weight(ts_col, landmark, p, unit)
+    narrow = df.select(
+        F.col(key_col).cast("string").alias("key"), g.alias("g"),
+    ).where(F.col("key").isNotNull() & (F.col("g") > 0))
+
+    def fold(batches):
+        import time
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        sk = SpaceSaving(k=k)
+        n_rows = 0
+        start = time.perf_counter()
+        for batch in batches:
+            keys = batch.column(0).to_pylist()
+            w = batch.column(1).to_numpy(zero_copy_only=False)
+            n_rows += batch.num_rows
+            if len(keys):
+                sk.update_counts(keys, w)
+        wall = time.perf_counter() - start
+        yield pa.RecordBatch.from_pydict({
+            "pid": pa.array([pid], pa.int64()),
+            "state": pa.array([sk.to_bytes()], pa.binary()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_values": pa.array([n_rows], pa.int64()),
+            "wall_secs": pa.array([wall], pa.float64()),
+        })
+
+    partials = narrow.mapInArrow(fold, SUMMARY_SCHEMA)
+    n_parts = df.rdd.getNumPartitions()
+    row = tree_merge(partials, n_parts, fanout).collect()[0]
+    sketch = load_summary(bytes(row["state"]))
+    metrics = {"n_rows": int(row["n_rows"]),
+               "wall_secs": float(row["wall_secs"]),
+               "landmark": int(landmark)}
+    return sketch, metrics

@@ -544,6 +544,28 @@ def test_cli_shuffle_and_quota_sample(spark, sf_dir, tmp_path, capsys):
     assert "text" in got.columns  # full rows survive the id join
 
 
+def test_cli_decay(spark, sf_dir, tmp_path, capsys):
+    from athena_spark.operators.decay import decayed_rollup
+
+    out = str(tmp_path / "decay_out")
+    main(["decay", "--input", f"{sf_dir}/events.parquet",
+          "--key-col", "event_type", "--p", "2", "--topk", "8",
+          "--output", out])
+    meta = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    got = {r["event_type"]: (r["n"], r["g_sum"]) for r in
+           spark.read.parquet(out).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {r["event_type"]: (r["n"], r["g_sum"]) for r in
+            decayed_rollup(ev, "ts", "event_type", p=2).collect()}
+    assert got == want
+    assert meta["keys"] == len(want)
+    # k=8 >= 5 distinct event types -> exact mode: SS estimates
+    # equal the exact decayed masses
+    assert {d["key"]: d["est"] for d in meta["topk"]} \
+        == {k: g for k, (_n, g) in want.items()}
+    assert meta["total_decayed_mass"] == sum(g for _n, g in want.values())
+
+
 def test_cli_priority_sample(spark, sf_dir, tmp_path, capsys):
     from athena_spark.operators.prioritysum import priority_sample
 

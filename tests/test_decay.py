@@ -1,0 +1,129 @@
+"""Forward decay (Cormode et al. 2009): exact polynomial numerators,
+mergeable rollups, and the decayed Space-Saving composition."""
+
+import datetime
+
+import pytest
+
+from athena_spark.operators.decay import (decayed_rollup, decayed_topk,
+                                          forward_decay_weight)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp, key string, value double")
+
+
+BASE = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(seconds, micros=0):
+    return BASE + datetime.timedelta(seconds=seconds,
+                                     microseconds=micros)
+
+
+def test_forward_decay_weight_values(spark):
+    from pyspark.sql import functions as F
+
+    df = _events(spark, [
+        (_t(0), "a", 1.0),
+        (_t(10, 999999), "a", 1.0),   # sub-second TRUNCATES: age 10
+        (_t(120), "b", 1.0),
+    ])
+    base_epoch = int(BASE.timestamp())
+    for p, want in [(0, [1, 1, 1]), (1, [0, 10, 120]),
+                    (2, [0, 100, 14400])]:
+        got = [r["g"] for r in df.select(
+            forward_decay_weight("ts", base_epoch, p=p).alias("g"))
+            .collect()]
+        assert got == want
+    # minutes unit: integer DIV, age 0 / 0 / 2
+    got = [r["g"] for r in df.select(
+        forward_decay_weight("ts", base_epoch // 60, p=1,
+                             unit="minutes").alias("g")).collect()]
+    assert got == [0, 0, 2]
+    # stragglers older than the landmark clamp to weight 0
+    got = [r["g"] for r in df.select(
+        forward_decay_weight("ts", base_epoch + 60, p=2).alias("g"))
+        .collect()]
+    assert got == [0, 0, 3600]
+    with pytest.raises(ValueError, match="unit"):
+        forward_decay_weight("ts", 0, unit="days")
+    with pytest.raises(ValueError, match="p must"):
+        forward_decay_weight("ts", 0, p=4)
+
+
+def test_decayed_rollup_exact_and_partitioning_independent(spark):
+    rows = [(_t(i * 7), "k" + str(i % 3), float(i)) for i in range(200)]
+    df = _events(spark, rows)
+    out = {r["key"]: (r["n"], r["g_sum"]) for r in
+           decayed_rollup(df, "ts", "key", p=2).collect()}
+    # manual: landmark = min age = epoch(BASE); age = 7i
+    want: dict = {}
+    for i in range(200):
+        k = "k" + str(i % 3)
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + (7 * i) ** 2)
+    assert out == want
+    out2 = {r["key"]: (r["n"], r["g_sum"]) for r in
+            decayed_rollup(df.repartition(13), "ts", "key", p=2)
+            .collect()}
+    assert out2 == want
+
+
+def test_decayed_rollup_value_and_normalization(spark):
+    df = _events(spark, [
+        (_t(0), "a", 5.0), (_t(10), "a", 2.0), (_t(20), "b", 1.0)])
+    out = {r["key"]: r for r in decayed_rollup(
+        df, "ts", "key", p=1, value_col="value",
+        normalize_at=int(BASE.timestamp()) + 20).collect()}
+    # landmark inferred = epoch(BASE); ages 0, 10, 20
+    assert out["a"]["g_sum"] == 10 and out["b"]["g_sum"] == 20
+    assert out["a"]["gv_sum"] == pytest.approx(0 * 5.0 + 10 * 2.0)
+    # normalization: g(now - L) = 20^1
+    assert out["a"]["decayed_count"] == pytest.approx(10 / 20)
+    assert out["b"]["decayed_count"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="empty"):
+        decayed_rollup(df.where("key = 'zz'"), "ts", "key")
+
+
+def test_decayed_topk_exact_mode_and_bounds(spark):
+    # 4 distinct keys, k=8 -> exact mode: estimates equal true mass
+    rows = [(_t(i), "k" + str(i % 4), 1.0) for i in range(100)]
+    df = _events(spark, rows)
+    sk, metrics = decayed_topk(df, "ts", "key", k=8, p=1)
+    true: dict = {}
+    for i in range(100):
+        true["k" + str(i % 4)] = true.get("k" + str(i % 4), 0) + i
+    # rows with g = 0 (age 0) are filtered out but carry no mass
+    assert metrics["n_rows"] == 99
+    got = {w: est for w, est, _err in sk.items()}
+    assert got == {k: v for k, v in true.items()}
+    assert all(err == 0 for _w, _e, err in sk.items())
+
+
+def test_decayed_topk_estimation_bounds_under_pressure(spark):
+    # 60 distinct keys into k=16 counters: SS invariants over the
+    # decayed mass W: true <= est, est - true <= W/k, and every key
+    # with mass > W/k is retained
+    rows = []
+    for i in range(600):
+        key = "hot" + str(i % 4) if i % 2 == 0 else "cold" + str(i % 56)
+        rows.append((_t(i), key, 1.0))
+    df = _events(spark, rows)
+    sk, _m = decayed_topk(df, "ts", "key", k=16, p=2)
+    true: dict = {}
+    for i in range(600):
+        key = "hot" + str(i % 4) if i % 2 == 0 else "cold" + str(i % 56)
+        true[key] = true.get(key, 0) + i * i
+    w_total = sum(true.values())
+    assert sk.total == w_total
+    bound = w_total // 16
+    retained = {w: (est, err) for w, est, err in sk.items()}
+    for w, (est, err) in retained.items():
+        assert est >= true[w]
+        assert est - true[w] <= bound
+        assert err <= bound
+    for key, mass in true.items():
+        if mass > bound:
+            assert key in retained, key
