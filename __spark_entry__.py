@@ -2771,6 +2771,50 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_trans", "p_nano")
 
 
+def q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified CMS join-size estimation (Cormode & Muthukrishnan
+    2005 §4.2 — operators/overlap.py join_size_estimate): the
+    orders⋈customer equi-join row count from two depth×width key
+    summaries, never executing the join.  Certified Spark-side
+    against the exact join count: the estimate NEVER undercounts
+    (collision mass is non-negative), overshoots within 4× the
+    published (e/width)·|L|·|R| bound, is partitioning-independent
+    (fixed hash family, sum-merge), and respects multiplicities
+    (est ≥ the distinct-key overlap, which undercounts duplicate
+    keys).  Oracle pins the TRUE rows."""
+    from athena_spark.operators.overlap import join_size_estimate
+
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    res = join_size_estimate(orders, cust, "o_custkey", "c_custkey",
+                             depth=5, width=8192)
+    res2 = join_size_estimate(orders.repartition(13), cust,
+                              "o_custkey", "c_custkey",
+                              depth=5, width=8192)
+    true = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]).count()
+    distinct_overlap = (
+        orders.select("o_custkey").distinct()
+        .join(cust.select("c_custkey").distinct(),
+              F.col("o_custkey") == F.col("c_custkey")).count()
+    )
+    est = res["est_join_rows"]
+    rows = [
+        ("never_undercounts", bool(est >= true)),
+        ("overshoot_within_bound",
+         bool(est - true <= 4 * res["overshoot_bound"])),
+        ("partitioning_independent",
+         bool(res2["est_join_rows"] == est)),
+        ("respects_multiplicities", bool(est >= distinct_overlap
+                                         and true > distinct_overlap)),
+        ("totals_exact", bool(res["n_left"] == orders.count()
+                              and res["n_right"] == cust.count())),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows],
+        "`check` string, ok boolean")
+
+
 def q_decayed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-decay rollup (Cormode et al. 2009 — operators/decay.py):
     per-event-type recency-weighted counts under polynomial decay
@@ -7420,6 +7464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "decayed_rollup": q_decayed_rollup,
         "decayed_topk": q_decayed_topk,
+        "join_size_cms": q_join_size_cms,
         "bpe_tokenizer": q_bpe_tokenizer,
         "wordpiece_tokenizer": q_wordpiece_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
@@ -10471,6 +10516,13 @@ def _oracle_sql_table() -> dict[str, str]:
                    CAST(SUM(age * age) AS BIGINT) AS g_sum
             FROM ages
             GROUP BY event_type
+        """,
+        "join_size_cms": """
+            SELECT 'never_undercounts' AS "check", TRUE AS ok
+            UNION ALL SELECT 'overshoot_within_bound', TRUE
+            UNION ALL SELECT 'partitioning_independent', TRUE
+            UNION ALL SELECT 'respects_multiplicities', TRUE
+            UNION ALL SELECT 'totals_exact', TRUE
         """,
         "decayed_topk": """
             SELECT 'total_mass_exact' AS "check", TRUE AS ok

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from athena_spark.functions.tokenize import arrow_tokenize_batch
 from athena_spark.operators.agg import load_summary, token_counts_updater
 from athena_spark.operators.grouped import grouped_sketch_agg
+from athena_spark.sketch.cms import CountMinSketch
 from athena_spark.sketch.countsketch import CountSketch
 from athena_spark.sketch.hashing import fold_gram_hashes, hash64_arrow
 from athena_spark.sketch.theta import ThetaSketch
@@ -318,6 +319,61 @@ def join_key_overlap(
         "est_right": sk_r.estimate(),
         "est_common": inter.estimate(),
         "rel_err_bound": rse,
+    }
+
+
+def cms_key_updater(sketch, col: pa.Array) -> int:
+    """CMS updater over a KEY column: string-cast values folded with
+    their multiplicities (the frequency vector a join-size estimate
+    needs — :func:`key_hash_updater`'s theta twin keeps only
+    distincts)."""
+    import pyarrow.compute as pc
+
+    vals = col.drop_null()
+    if len(vals) == 0:
+        return 0
+    s = pc.cast(vals, pa.string()).to_numpy(zero_copy_only=False)
+    u, c = np.unique(s.astype("U"), return_counts=True)
+    sketch.update_counts(u.astype(object), c)
+    return len(vals)
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 5,
+    width: int = 8192,
+) -> dict:
+    """Equi-join ROW-count estimate from two count-min sketches
+    (Cormode & Muthukrishnan 2005 §4.2 inner products) — the
+    multiplicity-aware planner quantity :func:`join_key_overlap`'s
+    distinct-key theta overlap cannot give (a key appearing n×m
+    times contributes n·m join rows, not 1).  Each side is one
+    partial-aggregate scan of its key column into a depth×width
+    summary; the estimate is pure summary algebra at the driver.
+
+    Guarantees (inherited from CMS): ``estimate >= true_join_rows``
+    ALWAYS (collision mass is non-negative), and the overshoot is at
+    most ``(e/width) * |L| * |R|`` w.p. ``1 - exp(-depth)``.
+
+    Returns {est_join_rows, n_left, n_right, overshoot_bound}."""
+    from athena_spark.operators.agg import aggregate_sketch
+
+    sk_l, _ = aggregate_sketch(
+        left.select(left_key), left_key,
+        lambda pid: CountMinSketch(depth, width), cms_key_updater,
+    )
+    sk_r, _ = aggregate_sketch(
+        right.select(right_key), right_key,
+        lambda pid: CountMinSketch(depth, width), cms_key_updater,
+    )
+    return {
+        "est_join_rows": sk_l.inner_product(sk_r),
+        "n_left": sk_l.total,
+        "n_right": sk_r.total,
+        "overshoot_bound": sk_l.eps * sk_l.total * sk_r.total,
     }
 
 

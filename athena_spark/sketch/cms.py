@@ -72,6 +72,29 @@ class CountMinSketch:
         ests = np.stack([self._table[r][cols[r]] for r in range(self.depth)])
         return ests.min(axis=0)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Inner-product / equi-join-size estimate (Cormode &
+        Muthukrishnan 2005 §4.2): ``min`` over rows of the row dot
+        products.  For key-frequency vectors ``a`` (this sketch) and
+        ``b`` (other), every row's dot is ``a·b`` plus non-negative
+        collision mass, so the estimate NEVER undercounts the true
+        join row count and overshoots by at most
+        ``eps * ||a||_1 * ||b||_1`` w.p. ``1 - delta`` (eps = e/width,
+        delta = exp(-depth)).  Requires identical (depth, width) —
+        the hash family is seed-fixed, so same-shape sketches share
+        columns."""
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("cannot inner-product CMS with different "
+                             "shape")
+        # int64 dot overflow guard: each row dot <= total_a * total_b
+        if self.total and other.total \
+                and self.total * other.total > (1 << 62):
+            raise ValueError(
+                "totals too large for an exact int64 inner product — "
+                "use a wider sketch over coarser keys")
+        dots = np.einsum("ij,ij->i", self._table, other._table)
+        return int(dots.min()) if self.depth else 0
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (other.depth, other.width) != (self.depth, self.width):
             raise ValueError("cannot merge CMS with different shape")

@@ -273,6 +273,55 @@ def test_join_key_overlap_exact_mode(spark):
     assert res["est_common"] == 50.0
 
 
+def test_cms_inner_product_class_laws():
+    import numpy as np
+
+    from athena_spark.sketch.cms import CountMinSketch
+
+    a = CountMinSketch(depth=5, width=2048)
+    b = CountMinSketch(depth=5, width=2048)
+    keys = [str(i) for i in range(200)]
+    a.update(np.array(keys * 3, dtype=object))       # each key 3x
+    b.update(np.array(keys[:50] * 2, dtype=object))  # 50 keys 2x
+    true = 50 * 3 * 2
+    est = a.inner_product(b)
+    assert est >= true
+    assert est - true <= 4 * a.eps * a.total * b.total
+    # symmetric
+    assert b.inner_product(a) == est
+    with pytest.raises(ValueError, match="shape"):
+        a.inner_product(CountMinSketch(depth=5, width=1024))
+    big = CountMinSketch(depth=2, width=16)
+    big.total = 1 << 40
+    other = CountMinSketch(depth=2, width=16)
+    other.total = 1 << 40
+    with pytest.raises(ValueError, match="int64"):
+        big.inner_product(other)
+
+
+def test_join_size_estimate_operator(spark):
+    """CMS join-size estimate: never undercounts the true equi-join
+    row count, overshoot within the published bound, multiplicities
+    respected (the quantity distinct-key overlap cannot give)."""
+    from athena_spark.operators.overlap import join_size_estimate
+
+    # left: key i%100 (30 rows each); right: keys 0..49 twice
+    left = spark.createDataFrame(
+        [(i % 100,) for i in range(3000)], "k long")
+    right = spark.createDataFrame(
+        [(i % 50,) for i in range(100)], "k long")
+    true = 50 * 30 * 2
+    res = join_size_estimate(left, right, "k", "k",
+                             depth=5, width=4096)
+    assert res["n_left"] == 3000 and res["n_right"] == 100
+    assert res["est_join_rows"] >= true
+    assert res["est_join_rows"] - true <= 4 * res["overshoot_bound"]
+    # partitioning-independent (fixed hash family, sum-merge)
+    res2 = join_size_estimate(left.repartition(7), right, "k", "k",
+                              depth=5, width=4096)
+    assert res2["est_join_rows"] == res["est_join_rows"]
+
+
 def test_corpus_containment_exact_mode(spark, overlap_df):
     """k above the distinct-gram count → exact set sizes; the
     containment row must equal the exact new-vs-old algebra."""
