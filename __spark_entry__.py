@@ -2771,6 +2771,62 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_trans", "p_nano")
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified key-skew profile (operators/skew.py — AMS F0/F1/F2
+    from one theta+CountSketch+SpaceSaving pass): events.user_id with
+    a PLANTED hot key (user_id%3==0 → key 0, ~1/3 of the mass — the
+    synthetic table's natural keys are near-uniform, so the skew
+    signal must be planted to be certifiable).  Checks, all computed
+    Spark-side against exact moments: F1 exact, F0 within 5σ, F2
+    within 5σ, the SS top estimate brackets the true max count within
+    F1/ss_k, the hot key identified, skew clearly separated from the
+    uniform table's, and the salting recommendation consistent with
+    the planted mass (~1/3 × shuffle partitions).  Oracle pins TRUE
+    rows."""
+    from athena_spark.operators.skew import key_skew_profile
+
+    ev = _table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id")).alias("k"))
+    p = key_skew_profile(skewed, "k", shuffle_partitions=120,
+                         theta_k=4096, ss_k=64)
+    uniform = key_skew_profile(ev.select("user_id"), "user_id",
+                               shuffle_partitions=120, ss_k=64)
+    exact = skewed.groupBy("k").count()
+    stats = exact.agg(
+        F.count("*").alias("d"), F.sum("count").alias("n"),
+        F.sum(F.col("count") * F.col("count")).alias("f2"),
+        F.max("count").alias("mx"),
+    ).collect()[0]
+    n, d, f2, mx = (int(stats["n"]), int(stats["d"]),
+                    int(stats["f2"]), int(stats["mx"]))
+    rows = [
+        ("f1_exact", bool(p["n"] == n)),
+        ("f0_within_5_sigma",
+         bool(abs(p["distinct_est"] - d)
+              <= max(5 * p["rse_f0"] * d, 1e-9))),
+        ("f2_within_5_sigma",
+         bool(abs(p["f2_est"] - f2) <= 5 * p["rse_f2"] * f2)),
+        ("top_estimate_brackets_truth",
+         bool(mx <= p["top_count_est"] <= mx + n // 64)),
+        ("hot_key_identified", bool(p["top_key"] == "0")),
+        ("skew_separates_from_uniform",
+         bool(p["skew"] > 10 * uniform["skew"])),
+        # uniform side: ~150 distinct users share the mass, so the
+        # fair-share rule may still suggest 2-3 token salts — the
+        # separation that matters is planted ~40 vs natural ~2
+        ("salting_recommendation_consistent",
+         bool(30 <= p["suggested_salts"] <= 50
+              and uniform["suggested_salts"] <= 3
+              and p["suggested_salts"]
+              >= 10 * uniform["suggested_salts"])),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows],
+        "`check` string, ok boolean")
+
+
 def q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified CMS join-size estimation (Cormode & Muthukrishnan
     2005 §4.2 — operators/overlap.py join_size_estimate): the
@@ -7465,6 +7521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_rollup": q_decayed_rollup,
         "decayed_topk": q_decayed_topk,
         "join_size_cms": q_join_size_cms,
+        "key_skew_profile": q_key_skew_profile,
         "bpe_tokenizer": q_bpe_tokenizer,
         "wordpiece_tokenizer": q_wordpiece_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
@@ -10516,6 +10573,15 @@ def _oracle_sql_table() -> dict[str, str]:
                    CAST(SUM(age * age) AS BIGINT) AS g_sum
             FROM ages
             GROUP BY event_type
+        """,
+        "key_skew_profile": """
+            SELECT 'f1_exact' AS "check", TRUE AS ok
+            UNION ALL SELECT 'f0_within_5_sigma', TRUE
+            UNION ALL SELECT 'f2_within_5_sigma', TRUE
+            UNION ALL SELECT 'top_estimate_brackets_truth', TRUE
+            UNION ALL SELECT 'hot_key_identified', TRUE
+            UNION ALL SELECT 'skew_separates_from_uniform', TRUE
+            UNION ALL SELECT 'salting_recommendation_consistent', TRUE
         """,
         "join_size_cms": """
             SELECT 'never_undercounts' AS "check", TRUE AS ok

@@ -24,6 +24,7 @@ Subcommands:
 * ``quota-sample`` — exact per-group quota sampling (n rows/group)
 * ``priority-sample`` — weighted sample + unbiased subset-sum estimates
 * ``decay``      — forward-decay rollup + decayed heavy hitters
+* ``skew-profile`` — key moments + salting recommendation
 * ``overlap``    — theta-sketch pairwise corpus overlap (Jaccard)
 * ``fd``         — Frequent Directions covariance/PCA sketch report
 * ``decontaminate`` — n-gram benchmark decontamination
@@ -177,6 +178,13 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="exact rows kept per group (fewer if the "
                          "group is smaller)")
     qs.add_argument("--seed", type=int, default=0)
+
+    sk = sub.add_parser("skew-profile")
+    common(sk)
+    sk.add_argument("--key-col", required=True)
+    sk.add_argument("--shuffle-partitions", type=int, default=200,
+                    help="target partition count the salting "
+                         "recommendation is computed against")
 
     dc = sub.add_parser("decay")
     common(dc, output_help="per-key decayed-rollup parquet dir")
@@ -977,6 +985,19 @@ def cmd_quota_sample(args) -> None:
         for row in out.orderBy(args.group_col, "rank").limit(100).collect():
             print(f'{row[args.group_col]}\t{row["rank"]}\t'
                   f'{row[args.id_col]}')
+
+
+def cmd_skew_profile(args) -> None:
+    """One-pass key-skew profile (F0/F1/F2 + heaviest key) and the
+    salting recommendation, as one JSON line."""
+    from athena_spark.operators.skew import key_skew_profile
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    p = key_skew_profile(df, args.key_col,
+                         shuffle_partitions=args.shuffle_partitions)
+    print(json.dumps(p))
 
 
 def cmd_decay(args) -> None:
@@ -2131,6 +2152,7 @@ def main(argv=None) -> None:
         "quota-sample": cmd_quota_sample,
         "priority-sample": cmd_priority_sample,
         "decay": cmd_decay,
+        "skew-profile": cmd_skew_profile,
         "overlap": cmd_overlap,
         "cross-dedup": cmd_cross_dedup,
         "boilerplate": cmd_boilerplate,

@@ -1,67 +1,135 @@
-"""Skew-taming helpers (north rule: Zipfian source-code identifiers).
+"""Key-skew profiling from mergeable summaries — the measurement a
+shuffle-planning decision (salt? broadcast? AQE skew hints?) needs,
+at O(k) bytes per partition instead of an exact groupBy.
 
-What each one is for at 100 TB:
+One Arrow pass folds THREE summaries of the key column per partition
+— theta (F0 / distinct), CountSketch (F2 / second moment), and
+Space-Saving (the heaviest keys) — then merges per-type partials.
+From the frequency moments (Alon–Matias–Szegedy 1996's F0/F1/F2):
 
-* Plain ``groupBy().count()`` does NOT need salting — Catalyst's hash
-  aggregate already partially combines map-side, so each token sends
-  one row per task regardless of frequency.
-* ``salted_distinct_count`` — per-key DISTINCT counts are the real
-  skew hazard (no map-side combine over raw rows): dedupe on
-  (key, value) first, diluting the hot key across the value space,
-  then count.
-* ``salted_join`` — explicit hot-key salting for joins where AQE's
-  runtime skew split is unavailable (e.g. non-sort-merge paths):
-  replicate the small side S ways, scatter the big side's hot keys.
-* ``repartition_by_bytes`` — balance partitions by *content bytes*
-  rather than row count before an Arrow kernel pass (giant documents
-  make row-balanced partitions time-skewed).
+* ``avg_multiplicity`` = F1/F0 — rows per distinct key;
+* ``skew``             = F0·F2/F1² — 1.0 for perfectly uniform keys,
+  growing with concentration (the normalized second moment /
+  chi-square statistic; repeated-key mass drives shuffle imbalance
+  quadratically, which is exactly what F2 measures);
+* ``top_share``        = est(heaviest key)/F1 — the single-key mass
+  an SS counter upper-bounds within F1/ss_k;
+* ``suggested_salts``  = ceil(top_share × shuffle_partitions) — how
+  many ways the heaviest key must split so no task carries more than
+  ~one partition's fair share (1 = no salting needed).
+
+Scale shape: the only data-volume-dependent stage is the narrow
+key-column scan; partials are k-bounded and merge associatively
+(theta: min-theta union; CountSketch: element-wise add; SS: counter
+fold), so the profile costs the same whether the table is 1 GB or
+100 TB.  The final reduce merges P partial triples at the driver —
+the documented treeAggregate tail, bounded by partitions × O(k)
+bytes (the same contract as ``aggregate_sketch_direct``).
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
+from athena_spark.sketch.cms import CountMinSketch  # noqa: F401  (family)
+from athena_spark.sketch.countsketch import CountSketch
+from athena_spark.sketch.spacesaving import SpaceSaving
+from athena_spark.sketch.theta import ThetaSketch
 
-def salted_distinct_count(df: DataFrame, key: str, value: str) -> DataFrame:
-    """Exact distinct-count per key, skew-safe: shuffle keys are
-    (key, value) pairs, so a hot key spreads over its value space."""
-    return (
-        df.select(key, value).distinct()
-        .groupBy(key)
-        .agg(F.count("*").alias("n_distinct"))
-    )
+_PROFILE_SCHEMA = ("pid long, theta binary, cs binary, ss binary, "
+                   "n_rows long")
 
 
-def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    key: str,
-    salt: int = 8,
-) -> DataFrame:
-    """Inner join with hot-key dilution: big side gets a random salt
-    in [0, salt); small side is exploded salt times.  Use when the
-    small side is too large to broadcast and AQE skew handling can't
-    kick in."""
-    big_s = big.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)))
-    small_s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    )
-    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    shuffle_partitions: int = 200,
+    theta_k: int = 4096,
+    cs_depth: int = 7,
+    cs_width: int = 4096,
+    ss_k: int = 64,
+) -> dict:
+    """Profile ``key_col``'s distribution for shuffle planning.
 
+    Returns {n, distinct_est, f2_est, avg_multiplicity, skew,
+    top_key, top_count_est, top_count_err, top_share,
+    suggested_salts, rse_f0, rse_f2} — every estimate carrying its
+    published error: theta RSE 1/sqrt(k-1), CountSketch F2 RSE
+    sqrt(2/width) per row (median of depth), SS overcount <= F1/ss_k.
+    """
 
-def repartition_by_bytes(
-    df: DataFrame, col: str, target_bytes: int = 64 << 20
-) -> DataFrame:
-    """Range-repartition so each partition holds ~target_bytes of
-    ``col`` content: sort keys are (length bucket, random) so giant
-    rows spread instead of clumping."""
-    stats = df.select(
-        F.sum(F.length(col)).alias("total"), F.count("*").alias("rows")
-    ).collect()[0]
-    if not stats["total"]:
-        return df
-    n_parts = max(1, int(stats["total"] // target_bytes) + 1)
-    # seeded-random spread: NOT a range partition on length (which
-    # clusters the giant rows into one partition) and NOT a content
-    # hash (which sends identical giant rows to the same partition)
-    return df.repartition(n_parts, F.rand(seed=7))
+    def fold(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        th = ThetaSketch(k=theta_k)
+        cs = CountSketch(depth=cs_depth, width=cs_width)
+        ss = SpaceSaving(k=ss_k)
+        n_rows = 0
+        for batch in batches:
+            col = batch.column(0).drop_null()
+            if len(col) == 0:
+                continue
+            import pyarrow.compute as pc
+
+            vals = pc.cast(col, pa.string()).to_numpy(
+                zero_copy_only=False)
+            n_rows += len(vals)
+            u, c = np.unique(vals.astype("U"), return_counts=True)
+            u = u.astype(object)
+            th.update(u)
+            cs.update_counts(u, c)
+            ss.update_counts(u, c)
+        yield pa.RecordBatch.from_pydict({
+            "pid": pa.array([pid], pa.int64()),
+            "theta": pa.array([th.to_bytes()], pa.binary()),
+            "cs": pa.array([cs.to_bytes()], pa.binary()),
+            "ss": pa.array([ss.to_bytes()], pa.binary()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+        })
+
+    parts = df.select(key_col).mapInArrow(fold, _PROFILE_SCHEMA) \
+        .collect()
+    if not parts:
+        # an empty-relation plan can run zero tasks — synthesize the
+        # empty profile the zero-row fold would have produced
+        return {
+            "n": 0, "distinct_est": 0.0, "f2_est": 0.0,
+            "avg_multiplicity": 0.0, "skew": 0.0, "top_key": None,
+            "top_count_est": 0, "top_count_err": 0, "top_share": 0.0,
+            "suggested_salts": 1, "rse_f0": 0.0,
+            "rse_f2": CountSketch(depth=cs_depth, width=cs_width).rse,
+        }
+    th = ThetaSketch.merge_many(
+        [ThetaSketch.from_bytes(bytes(r["theta"])) for r in parts])
+    cs = CountSketch.merge_many(
+        [CountSketch.from_bytes(bytes(r["cs"])) for r in parts])
+    ss = SpaceSaving.merge_many(
+        [SpaceSaving.from_bytes(bytes(r["ss"])) for r in parts])
+    n = sum(int(r["n_rows"]) for r in parts)
+    f0 = th.estimate()
+    f2 = cs.f2()
+    items = ss.items(1)
+    top_key, top_est, top_err = items[0] if items else (None, 0, 0)
+    top_share = (top_est / n) if n else 0.0
+    salts = max(1, math.ceil(top_share * shuffle_partitions)) \
+        if n else 1
+    return {
+        "n": n,
+        "distinct_est": f0,
+        "f2_est": f2,
+        "avg_multiplicity": (n / f0) if f0 else 0.0,
+        "skew": (f0 * f2 / (n * n)) if n else 0.0,
+        "top_key": top_key,
+        "top_count_est": int(top_est),
+        "top_count_err": int(top_err),
+        "top_share": top_share,
+        "suggested_salts": int(salts),
+        "rse_f0": th.relative_error,
+        "rse_f2": cs.rse,
+    }

@@ -544,6 +544,17 @@ def test_cli_shuffle_and_quota_sample(spark, sf_dir, tmp_path, capsys):
     assert "text" in got.columns  # full rows survive the id join
 
 
+def test_cli_skew_profile(spark, sf_dir, capsys):
+    main(["skew-profile", "--input", f"{sf_dir}/orders.parquet",
+          "--key-col", "o_custkey", "--shuffle-partitions", "100"])
+    p = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert p["n"] == orders.count()
+    d = orders.select("o_custkey").distinct().count()
+    assert abs(p["distinct_est"] - d) <= max(5 * p["rse_f0"] * d, 1)
+    assert p["suggested_salts"] >= 1
+
+
 def test_cli_decay(spark, sf_dir, tmp_path, capsys):
     from athena_spark.operators.decay import decayed_rollup
 

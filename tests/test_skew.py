@@ -1,0 +1,66 @@
+"""Key-skew profiling (AMS frequency moments from the summary
+family): moment accuracy, skew separation, and the salting
+recommendation."""
+
+import pytest
+
+from athena_spark.operators.skew import key_skew_profile
+
+
+def test_uniform_keys_profile(spark):
+    # 2000 rows over 500 distinct keys, 4 each — no skew
+    df = spark.range(2000).selectExpr("id % 500 AS k")
+    p = key_skew_profile(df, "k", shuffle_partitions=200,
+                         theta_k=4096, ss_k=64)
+    assert p["n"] == 2000
+    # theta exact mode below k: F0 exact
+    assert p["distinct_est"] == 500.0
+    assert p["rse_f0"] == 0.0
+    # F2 exact = 500 * 16; CountSketch within 5 sigma
+    f2_exact = 500 * 16
+    assert abs(p["f2_est"] - f2_exact) <= 5 * p["rse_f2"] * f2_exact
+    assert p["avg_multiplicity"] == pytest.approx(4.0)
+    assert p["skew"] == pytest.approx(1.0, rel=5 * p["rse_f2"])
+    # top key holds 4/2000 = 0.2% of mass -> no salting
+    assert p["suggested_salts"] == 1
+
+
+def test_skewed_key_profile_and_salting(spark):
+    # one hot key carries half the rows
+    df = spark.range(4000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k")
+    p = key_skew_profile(df, "k", shuffle_partitions=100, ss_k=64)
+    assert p["n"] == 4000
+    assert p["top_key"] == "0"
+    true_top = 2000
+    assert p["top_count_est"] >= true_top
+    assert p["top_count_est"] - true_top <= 4000 // 64 + 1
+    assert p["top_share"] >= 0.5
+    # the hot key must split across ~half the shuffle partitions
+    assert 50 <= p["suggested_salts"] <= 60
+    # skew >> 1: F2 dominated by the 2000^2 term
+    assert p["skew"] > 100
+
+
+def test_empty_and_null_keys(spark):
+    df = spark.range(10).selectExpr(
+        "CAST(NULL AS STRING) AS k").where("k IS NOT NULL")
+    p = key_skew_profile(df, "k")
+    assert p["n"] == 0 and p["suggested_salts"] == 1
+    assert p["top_key"] is None
+    # nulls are dropped, not counted
+    df2 = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "k string")
+    p2 = key_skew_profile(df2, "k")
+    assert p2["n"] == 2 and p2["distinct_est"] == 1.0
+
+
+def test_profile_partitioning_independent_exact_mode(spark):
+    df = spark.range(3000).selectExpr("id % 40 AS k")
+    a = key_skew_profile(df, "k", ss_k=64)
+    b = key_skew_profile(df.repartition(13), "k", ss_k=64)
+    # 40 distinct keys < every sketch bound: all three summaries are
+    # in exact mode, so the whole profile is layout-independent
+    for field in ("n", "distinct_est", "top_count_est", "top_share",
+                  "suggested_salts", "avg_multiplicity"):
+        assert a[field] == b[field], field
