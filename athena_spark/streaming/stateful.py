@@ -111,3 +111,77 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DECAYED_TOPK_OUTPUT_SCHEMA = (
+    "key string, total_mass long, item array<string>, "
+    "est_mass array<long>"
+)
+
+
+def stateful_decayed_topk(
+    stream_df: DataFrame,
+    key_col: str,
+    item_col: str,
+    ts_col: str,
+    landmark: int,
+    k: int = 256,
+    n: int = 10,
+    p: int = 2,
+    unit: str = "seconds",
+) -> DataFrame:
+    """Per-key streaming DECAYED heavy hitters — the forward-decay ×
+    Space-Saving composition (Cormode et al. 2009 §5) as a stateful
+    stream: each arrival's weight g(age) = age^p is FIXED at arrival
+    (computed JVM-side from ``ts_col`` against the fixed
+    ``landmark``), so the per-key SS state folds weighted counts
+    forward with no rescaling ever — exactly why forward decay is
+    the streamable decay model (backward decay would rewrite all
+    state every batch).
+
+    ``landmark`` is the stream's epoch origin in ``unit`` ticks
+    (choose it <= the first arrival; streams cannot infer a min).
+    State is one k-bounded SS serialization per key; update-mode
+    emits each touched key's current decayed top-n and total decayed
+    mass per micro-batch.  With distinct items per key <= k the
+    emissions are EXACT decayed masses, equal to the batch
+    ``decayed_topk``/``decayed_rollup`` on the same prefix (the
+    streaming/batch parity rule, certified by the driver gate)."""
+    import numpy as np
+
+    from athena_spark.operators.decay import forward_decay_weight
+    from athena_spark.sketch import SpaceSaving
+
+    keyed = stream_df.select(
+        stream_df[key_col].cast("string").alias("key"),
+        stream_df[item_col].cast("string").alias("item"),
+        forward_decay_weight(ts_col, landmark, p, unit).alias("g"),
+    ).where("item IS NOT NULL AND g > 0")
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            sk = SpaceSaving.from_bytes(bytes(state.get[0]))
+        else:
+            sk = SpaceSaving(k=k)
+        for pdf in pdfs:
+            if len(pdf):
+                grouped = pdf.groupby("item", sort=False)["g"].sum()
+                sk.update_counts(
+                    grouped.index.to_numpy(dtype=object),
+                    grouped.to_numpy(np.int64))
+        state.update((bytearray(sk.to_bytes()),))
+        items = sk.items(n)
+        yield pd.DataFrame({
+            "key": [key[0]],
+            "total_mass": [sk.total],
+            "item": [[w for w, _, _ in items]],
+            "est_mass": [[c for _, c, _ in items]],
+        })
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=DECAYED_TOPK_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -125,6 +125,73 @@ def test_stateful_topk_tokens_matches_batch(spark, sf_dir):
         shutil.rmtree(p, ignore_errors=True)
 
 
+def test_stateful_decayed_topk_matches_batch(spark, sf_dir):
+    """Streaming forward-decay heavy hitters: weights fixed at
+    arrival, SS state per key — with distinct items <= k both
+    streaming and batch are EXACT, so each key's final emission must
+    equal the exact decayed masses from decayed_rollup."""
+    from athena_spark.operators.decay import _min_age_landmark
+    from athena_spark.streaming.stateful import stateful_decayed_topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    landmark = _min_age_landmark(ev, "ts", "seconds")
+    from athena_spark.operators.decay import forward_decay_weight
+
+    exact = (
+        ev.select(
+            "event_type",
+            F.col("user_id").cast("string").alias("item"),
+            forward_decay_weight("ts", landmark, 2).alias("g"))
+        .groupBy("event_type", "item").agg(F.sum("g").alias("mass"))
+        .where("mass > 0")
+        .collect()
+    )
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r["event_type"], []).append(
+            (r["item"], r["mass"]))
+    top5 = {
+        key: ([i for i, _m in sorted(v, key=lambda x: (-x[1], x[0]))[:5]],
+              [m for _i, m in sorted(v, key=lambda x: (-x[1], x[0]))[:5]])
+        for key, v in truth.items()
+    }
+    totals = {key: sum(m for _i, m in v) for key, v in truth.items()}
+
+    src = os.path.join(TMP, "decay_state_src")
+    ckpt = os.path.join(TMP, "decay_state_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stateful_decayed_topk(stream, "event_type", "user_id", "ts",
+                              landmark, k=4096, n=5, p=2)
+        .writeStream.format("memory").queryName("decay_state_t")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from decay_state_t").collect()
+    last = {}
+    best = {}
+    for r in rows:
+        if r["total_mass"] >= best.get(r["key"], -1):
+            best[r["key"]] = r["total_mass"]
+            last[r["key"]] = (list(r["item"]), list(r["est_mass"]))
+    assert set(last) == set(top5)
+    for key in top5:
+        assert last[key] == top5[key], key
+        assert best[key] == totals[key], key
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def test_stateful_topk_recovers_groupstate_across_restart(spark, sf_dir):
     """Spark-managed GroupState recovery: feed half the corpus, stop
     the query, add the rest, restart on the SAME checkpoint — the
