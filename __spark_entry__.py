@@ -2824,9 +2824,14 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("skew_separates_from_uniform",
          bool(p["skew"] > uniform["skew"]
               and p["top_share"] > 3 * uniform["top_share"])),
+        # independent derivation: the recommendation must land inside
+        # the bracket the EXACT max count + the SS error bound imply
+        # (recomputing the implementation's own formula from its own
+        # outputs would be tautological)
         ("salting_recommendation_consistent",
-         bool(p["suggested_salts"]
-              == max(1, _math.ceil(p["top_share"] * 120))
+         bool(_math.ceil(mx / n * 120)
+              <= p["suggested_salts"]
+              <= _math.ceil((mx + n // 64) / n * 120)
               and p["suggested_salts"] > uniform["suggested_salts"])),
     ]
     return spark.createDataFrame(
@@ -2903,16 +2908,21 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass, overshoot and tracked error stay within W/k, and every
     user with mass > W/k is retained — the SS guarantees, inherited
     over the decayed weight domain.  Oracle pins the TRUE rows."""
-    from athena_spark.operators.decay import decayed_rollup, decayed_topk
+    from athena_spark.operators.decay import (_min_age_landmark,
+                                              decayed_rollup,
+                                              decayed_topk)
 
     ev = _table(spark, sf_dir, "events")
+    landmark = _min_age_landmark(ev, "ts", "seconds")  # infer ONCE
     exact = {str(r["user_id"]): r["g_sum"]
-             for r in decayed_rollup(ev, "ts", "user_id", p=2)
+             for r in decayed_rollup(ev, "ts", "user_id",
+                                     landmark=landmark, p=2)
              .collect()}
     # k scales with the table (sf0.001 has ~15 distinct users,
     # sf0.01 ~150) so the estimation-mode claim holds at any sf
     k = max(4, len(exact) // 3)
-    sk, _metrics = decayed_topk(ev, "ts", "user_id", k=k, p=2)
+    sk, _metrics = decayed_topk(ev, "ts", "user_id", k=k,
+                                landmark=landmark, p=2)
     w_total = sum(exact.values())
     bound = w_total // k
     items = sk.items()

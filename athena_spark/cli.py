@@ -1006,32 +1006,40 @@ def cmd_decay(args) -> None:
     weights."""
     from pyspark.sql import functions as F
 
-    from athena_spark.operators.decay import decayed_rollup, decayed_topk
+    from athena_spark.operators.decay import (_min_age_landmark,
+                                              decayed_rollup,
+                                              decayed_topk)
     from athena_spark.sources.corpus import read_corpus
 
     spark = _spark(args)
     df = read_corpus(spark, args.input, fmt=args.format)
-    out = decayed_rollup(df, args.ts_col, args.key_col, p=args.p,
+    # infer the landmark ONCE — rollup and topk would otherwise each
+    # run their own full min(ts) scan
+    landmark = _min_age_landmark(df, args.ts_col, args.unit)
+    out = decayed_rollup(df, args.ts_col, args.key_col,
+                         landmark=landmark, p=args.p,
                          unit=args.unit, value_col=args.value_col)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         n_keys = spark.read.parquet(args.output).count()
     else:
         rows = out.orderBy(F.col("g_sum").desc()).limit(50).collect()
-        n_keys = len(rows)
+        # the preview is capped at 50 rows; the keys count must still
+        # mean "distinct keys", same as the --output branch
+        n_keys = out.count()
         for r in rows:
             print(f'{r[args.key_col]}\t{r["n"]}\t{r["g_sum"]}')
-    meta = {"keys": n_keys, "p": args.p, "unit": args.unit}
+    meta = {"keys": n_keys, "p": args.p, "unit": args.unit,
+            "landmark": landmark}
     if args.topk:
-        sk, metrics = decayed_topk(df, args.ts_col, args.key_col,
-                                   k=args.topk, p=args.p,
-                                   unit=args.unit)
+        sk, _metrics = decayed_topk(df, args.ts_col, args.key_col,
+                                    k=args.topk, landmark=landmark,
+                                    p=args.p, unit=args.unit)
         meta["topk"] = [
             {"key": w, "est": est, "err": err}
             for w, est, err in sk.items(min(args.topk, 20))
         ]
         meta["total_decayed_mass"] = sk.total
-        meta["landmark"] = metrics["landmark"]
     print(json.dumps(meta), file=sys.stderr)
 
 

@@ -86,12 +86,20 @@ def train_wordpiece(df: DataFrame, text_col: str, num_merges: int,
     round, the adjacent symbol pair maximizing the exact rational
     ``count(pair) / (count(left) * count(right))``, stopping early
     when no pair occurs twice (count-1 merges are noise and would
-    make training depend on histogram truncation order)."""
+    make training depend on histogram truncation order).
+
+    Words longer than ``max_word_chars`` are EXCLUDED from training
+    (filtered in the histogram pass): the encoder collapses them to
+    ``[UNK]`` unconditionally, so learning their characters or
+    spending merges on them buys nothing — and a vocabulary trained
+    on what encoding throws away would quietly skew the merge
+    scores."""
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
     rows = (
         exploded_tokens(df, norm, out="w")
+        .where(F.length("w") <= max_word_chars)
         .groupBy("w").count()
         .orderBy(F.col("count").desc(), F.col("w").asc())
         .limit(max_words)

@@ -64,6 +64,12 @@ def _prioritysample_from_bytes(data: bytes):
     return PrioritySample.from_bytes(data)
 
 
+def _skewprofile_from_bytes(data: bytes):
+    from athena_spark.operators.skew import SkewProfileSummary
+
+    return SkewProfileSummary.from_bytes(data)
+
+
 _LOADERS = {
     "spacesaving": SpaceSaving.from_bytes,
     "hll": HyperLogLog.from_bytes,
@@ -78,6 +84,7 @@ _LOADERS = {
     "fd": FrequentDirections.from_bytes,
     "countsketch": CountSketch.from_bytes,
     "prioritysample": _prioritysample_from_bytes,
+    "skewprofile": _skewprofile_from_bytes,
 }
 
 

@@ -115,7 +115,17 @@ def decayed_rollup(
                     .alias("gv_sum"))
     out = df.groupBy(key_col).agg(*aggs)
     if normalize_at is not None:
-        denom = float(max(int(normalize_at) - int(landmark), 1)) ** p
+        age_now = int(normalize_at) - int(landmark)
+        if age_now <= 0:
+            # a clamp here would silently return UNNORMALIZED sums —
+            # the usual cause is a unit mismatch (normalize_at in
+            # seconds against unit="minutes"), which deserves a loud
+            # error, not values inflated by g(now - L)
+            raise ValueError(
+                f"normalize_at ({normalize_at}) must be after the "
+                f"landmark ({landmark}) in {unit} ticks — check the "
+                "unit of the instant you passed")
+        denom = float(age_now) ** p
         out = out.withColumn(
             "decayed_count", F.col("g_sum").cast("double") / denom)
     return out

@@ -28,9 +28,12 @@ and the driver gate's DuckDB oracle rebuilds them exactly (division
 is correctly rounded IEEE in both engines; no transcendental in the
 pipeline — see [[oracle-float-parity]]).
 
-Preconditions (shared with ``weighted_sample``): ``id_col`` non-null
-and unique per row (duplicate ids would share one draw), weights
-positive (``w <= 0`` rows are dropped — they can never be sampled).
+Preconditions (shared with ``weighted_sample``): ``id_col`` non-null,
+unique per row (duplicate ids would share one draw) and INTEGRAL
+(the sketch stores int64 ids; string keys need an integer surrogate
+such as ``xxhash64`` — enforced with a descriptive TypeError),
+weights positive (``w <= 0`` rows are dropped — they can never be
+sampled).
 """
 
 from __future__ import annotations
@@ -70,8 +73,23 @@ def priority_key(id_col: str, weight, seed: int = 0) -> Column:
     return w.cast("double") / u
 
 
+def _require_integral_ids(df: DataFrame, id_col: str) -> None:
+    """The sketch stores ids as int64 and the hash draw renders them
+    through ``str(int(id))`` — refuse other id types loudly instead
+    of crashing in np.asarray after the TakeOrdered job already ran.
+    String/url keys: derive a surrogate (e.g. ``xxhash64(url)``)
+    upstream; the draw only needs a stable unique integer."""
+    dt = df.select(id_col).schema[0].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"priority sampling needs an integral id column; "
+            f"`{id_col}` is {dt} — derive an integer surrogate "
+            "(e.g. xxhash64) upstream")
+
+
 def _narrow(df: DataFrame, id_col: str, weight_col: str, seed: int,
             payload_cols: Sequence[str]) -> DataFrame:
+    _require_integral_ids(df, id_col)
     w = F.col(weight_col).cast("double")
     return (
         df.where(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))

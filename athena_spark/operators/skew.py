@@ -82,8 +82,58 @@ def repartition_by_bytes(
 # see key_skew_profile below.
 
 
-_PROFILE_SCHEMA = ("pid long, theta binary, cs binary, ss binary, "
-                   "n_rows long")
+class SkewProfileSummary:
+    """Composite mergeable summary: theta (F0) + CountSketch (F2) +
+    Space-Saving (heavy key) + exact row count, packed as ONE state
+    blob so the profile rides the engine's SUMMARY_SCHEMA partials →
+    ``tree_merge`` path like every other sketch — the driver sees a
+    single O(k) row, never one per partition."""
+
+    __slots__ = ("theta", "cs", "ss", "n")
+
+    def __init__(self, theta_k: int = 4096, cs_depth: int = 7,
+                 cs_width: int = 4096, ss_k: int = 64):
+        self.theta = ThetaSketch(k=theta_k)
+        self.cs = CountSketch(depth=cs_depth, width=cs_width)
+        self.ss = SpaceSaving(k=ss_k)
+        self.n = 0
+
+    def update_unique_counts(self, u: np.ndarray, c: np.ndarray) -> None:
+        self.n += int(c.sum())
+        self.theta.update(u)
+        self.cs.update_counts(u, c)
+        self.ss.update_counts(u, c)
+
+    def merge(self, other: "SkewProfileSummary") -> "SkewProfileSummary":
+        self.theta.merge(other.theta)
+        self.cs.merge(other.cs)
+        self.ss.merge(other.ss)
+        self.n += other.n
+        return self
+
+    def to_bytes(self) -> bytes:
+        from athena_spark.sketch import serialization
+
+        return serialization.dumps(
+            {"algo": "skewprofile", "n": self.n},
+            {"theta": np.frombuffer(self.theta.to_bytes(), np.uint8),
+             "cs": np.frombuffer(self.cs.to_bytes(), np.uint8),
+             "ss": np.frombuffer(self.ss.to_bytes(), np.uint8)},
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SkewProfileSummary":
+        from athena_spark.sketch import serialization
+
+        scalars, arrays = serialization.loads(data)
+        if scalars.get("algo") != "skewprofile":
+            raise ValueError("not a SkewProfileSummary")
+        out = cls.__new__(cls)
+        out.theta = ThetaSketch.from_bytes(arrays["theta"].tobytes())
+        out.cs = CountSketch.from_bytes(arrays["cs"].tobytes())
+        out.ss = SpaceSaving.from_bytes(arrays["ss"].tobytes())
+        out.n = int(scalars["n"])
+        return out
 
 
 def key_skew_profile(
@@ -103,16 +153,18 @@ def key_skew_profile(
     published error: theta RSE 1/sqrt(k-1), CountSketch F2 RSE
     sqrt(2/width) per row (median of depth), SS overcount <= F1/ss_k.
     """
+    from athena_spark.operators.agg import (SUMMARY_SCHEMA,
+                                            load_summary, tree_merge)
 
     def fold(batches):
+        import time
+
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        th = ThetaSketch(k=theta_k)
-        cs = CountSketch(depth=cs_depth, width=cs_width)
-        ss = SpaceSaving(k=ss_k)
-        n_rows = 0
+        prof = SkewProfileSummary(theta_k, cs_depth, cs_width, ss_k)
+        start = time.perf_counter()
         for batch in batches:
             col = batch.column(0).drop_null()
             if len(col) == 0:
@@ -121,23 +173,21 @@ def key_skew_profile(
 
             vals = pc.cast(col, pa.string()).to_numpy(
                 zero_copy_only=False)
-            n_rows += len(vals)
             u, c = np.unique(vals.astype("U"), return_counts=True)
-            u = u.astype(object)
-            th.update(u)
-            cs.update_counts(u, c)
-            ss.update_counts(u, c)
+            prof.update_unique_counts(u.astype(object), c)
+        wall = time.perf_counter() - start
         yield pa.RecordBatch.from_pydict({
             "pid": pa.array([pid], pa.int64()),
-            "theta": pa.array([th.to_bytes()], pa.binary()),
-            "cs": pa.array([cs.to_bytes()], pa.binary()),
-            "ss": pa.array([ss.to_bytes()], pa.binary()),
-            "n_rows": pa.array([n_rows], pa.int64()),
+            "state": pa.array([prof.to_bytes()], pa.binary()),
+            "n_rows": pa.array([prof.n], pa.int64()),
+            "n_values": pa.array([prof.n], pa.int64()),
+            "wall_secs": pa.array([wall], pa.float64()),
         })
 
-    parts = df.select(key_col).mapInArrow(fold, _PROFILE_SCHEMA) \
-        .collect()
-    if not parts:
+    partials = df.select(key_col).mapInArrow(fold, SUMMARY_SCHEMA)
+    n_parts = df.rdd.getNumPartitions()
+    rows = tree_merge(partials, n_parts).collect()
+    if not rows:
         # an empty-relation plan can run zero tasks — synthesize the
         # empty profile the zero-row fold would have produced
         return {
@@ -147,13 +197,8 @@ def key_skew_profile(
             "suggested_salts": 1, "rse_f0": 0.0,
             "rse_f2": CountSketch(depth=cs_depth, width=cs_width).rse,
         }
-    th = ThetaSketch.merge_many(
-        [ThetaSketch.from_bytes(bytes(r["theta"])) for r in parts])
-    cs = CountSketch.merge_many(
-        [CountSketch.from_bytes(bytes(r["cs"])) for r in parts])
-    ss = SpaceSaving.merge_many(
-        [SpaceSaving.from_bytes(bytes(r["ss"])) for r in parts])
-    n = sum(int(r["n_rows"]) for r in parts)
+    prof = load_summary(bytes(rows[0]["state"]))
+    th, cs, ss, n = prof.theta, prof.cs, prof.ss, prof.n
     f0 = th.estimate()
     f2 = cs.f2()
     items = ss.items(1)

@@ -127,3 +127,12 @@ def test_decayed_topk_estimation_bounds_under_pressure(spark):
     for key, mass in true.items():
         if mass > bound:
             assert key in retained, key
+
+
+def test_normalize_at_before_landmark_raises(spark):
+    """A unit-mismatched (or too-early) normalization instant must
+    raise, not silently return unnormalized sums."""
+    df = _events(spark, [(_t(10), "a", 1.0), (_t(20), "a", 1.0)])
+    with pytest.raises(ValueError, match="after the landmark"):
+        decayed_rollup(df, "ts", "key", p=1,
+                       normalize_at=int(BASE.timestamp()))

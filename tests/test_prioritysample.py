@@ -194,3 +194,15 @@ def test_spark_subset_sums_match_manual(spark):
              .collect()}
     for lang, (_n, scaled) in out.items():
         assert abs(scaled / 1e6 - exact[lang]) / exact[lang] < 0.35
+
+
+def test_spark_rejects_non_integral_ids(spark):
+    """String keys need an integer surrogate — the operator surface
+    must refuse them loudly, not crash in np.asarray after the
+    TakeOrdered job already ran."""
+    from athena_spark.operators.prioritysum import priority_sample
+
+    df = spark.createDataFrame([("u1", 2.0), ("u2", 3.0)],
+                               "url string, w double")
+    with pytest.raises(TypeError, match="integral id"):
+        priority_sample(df, "url", "w", k=2)

@@ -149,3 +149,18 @@ def test_merges_stop_when_no_pair_repeats(spark):
                                "doc_id long, text string")
     model = train_wordpiece(df, "text", num_merges=10)
     assert model.merges == []            # every pair occurs once
+
+
+def test_overlong_words_excluded_from_training(spark):
+    """Words beyond max_word_chars encode as [UNK] unconditionally,
+    so training must not learn from them (their unique chars stay
+    out of the alphabet, no merges are spent on them)."""
+    long_word = "q" * 30
+    df = spark.createDataFrame(
+        [(0, f"hello hello {long_word} {long_word}")],
+        "doc_id long, text string")
+    model = train_wordpiece(df, "text", num_merges=10,
+                            max_word_chars=20)
+    assert not any("q" in piece for piece in model.vocab)
+    enc = wordpiece_encode(df, "doc_id", "text", model).collect()[0]
+    assert enc["n_unk"] == 2
