@@ -2771,6 +2771,60 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_trans", "p_nano")
 
 
+def q_countsketch_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified turnstile sketch maintenance
+    (operators/sketchmaint.py — Muthukrishnan 2005 §1.2 wired to
+    snapshot_diff): the corpus token CountSketch kept fresh under a
+    CDC change set (deletes %10, text updates %7, planted inserts)
+    must be BYTE-identical to rebuilding over the new snapshot —
+    linearity makes maintenance exact, so F2 and point estimates
+    stay valid under nightly MERGE traffic without rescanning the
+    corpus.  Also certified: the empty change set is the identity
+    and the base sketch is never mutated.  Oracle pins TRUE rows."""
+    from athena_spark.operators.merge import snapshot_diff
+    from athena_spark.operators.sketchmaint import (
+        maintain_token_countsketch, token_countsketch)
+
+    d = F.col("doc_id")
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    changed = (
+        old.where(d % 10 != 0)
+        .withColumn("text", F.when(
+            d % 7 == 0,
+            F.concat(F.lit("updated payload "), d.cast("string")))
+            .otherwise(F.col("text")))
+    )
+    inserts = old.limit(0).unionByName(
+        spark.range(20).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("inserted doc "),
+                     (F.col("id") % 3).cast("string")).alias("text")))
+    new = changed.unionByName(inserts)
+    base = token_countsketch(old, "text", depth=5, width=2048)
+    base_bytes = base.to_bytes()
+    cs = snapshot_diff(old, new, ["doc_id"])
+    maintained = maintain_token_countsketch(base, old, cs,
+                                            "doc_id", "text")
+    rebuilt = token_countsketch(new, "text", depth=5, width=2048)
+    empty = snapshot_diff(old, old, ["doc_id"])
+    identity = maintain_token_countsketch(base, old, empty,
+                                          "doc_id", "text")
+    rows = [
+        ("maintained_byte_identical_to_rebuild",
+         bool(maintained.to_bytes() == rebuilt.to_bytes())),
+        ("f2_and_total_match",
+         bool(maintained.f2() == rebuilt.f2()
+              and maintained.total == rebuilt.total)),
+        ("empty_changeset_is_identity",
+         bool(identity.to_bytes() == base_bytes)),
+        ("base_not_mutated", bool(base.to_bytes() == base_bytes)),
+        ("changeset_nontrivial", bool(cs.count() > 50)),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in rows],
+        "`check` string, ok boolean")
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified key-skew profile (operators/skew.py — AMS F0/F1/F2
     from one theta+CountSketch+SpaceSaving pass): events.user_id with
@@ -7626,6 +7680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_topk": q_decayed_topk,
         "join_size_cms": q_join_size_cms,
         "key_skew_profile": q_key_skew_profile,
+        "countsketch_maintain": q_countsketch_maintain,
         "bpe_tokenizer": q_bpe_tokenizer,
         "wordpiece_tokenizer": q_wordpiece_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
@@ -10677,6 +10732,14 @@ def _oracle_sql_table() -> dict[str, str]:
                    CAST(SUM(age * age) AS BIGINT) AS g_sum
             FROM ages
             GROUP BY event_type
+        """,
+        "countsketch_maintain": """
+            SELECT 'maintained_byte_identical_to_rebuild'
+                       AS "check", TRUE AS ok
+            UNION ALL SELECT 'f2_and_total_match', TRUE
+            UNION ALL SELECT 'empty_changeset_is_identity', TRUE
+            UNION ALL SELECT 'base_not_mutated', TRUE
+            UNION ALL SELECT 'changeset_nontrivial', TRUE
         """,
         "key_skew_profile": """
             SELECT 'f1_exact' AS "check", TRUE AS ok

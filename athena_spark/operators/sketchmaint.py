@@ -1,0 +1,130 @@
+"""Incremental sketch maintenance under CDC change sets — the
+turnstile model (Muthukrishnan 2005 §1.2) wired to the engine's
+snapshot machinery.
+
+``maintain_grouped_agg`` (operators/merge.py) keeps COUNT/SUM views
+fresh by delta propagation; this module does the same for a SKETCH.
+Only the LINEAR summaries qualify: a CountSketch is an element-wise
+signed counter table, so deletions are updates with negative counts
+and maintenance is exact — ``maintain(base, Δ)`` is BYTE-IDENTICAL
+to rebuilding over the new snapshot (merge is commutative integer
+addition; no order effects, certified by the driver gate).  The
+non-linear members (theta, HLL, Bloom, Space-Saving, KLL) cannot
+subtract; keeping them fresh means rebuilding — which is exactly why
+the linear member earns the maintenance path.
+
+What stays valid after maintenance: point queries, F2 second
+moments, and inner products against other same-shaped sketches
+(``distribution_similarity``) — the corpus token profile a curation
+dashboard watches stays current under nightly MERGE traffic without
+rescanning the corpus.
+
+Scale shape: the delta build scans ONLY changed rows — the
+subtract side is ``old ⋉ changeset-keys`` (an ids-only semi join
+covering delete preimages and update preimages), the add side is the
+changeset's upsert rows — folded per partition into O(depth × width)
+partials that ride ``tree_merge``.  The unchanged 99.9% of the
+corpus never moves.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.sketch.countsketch import CountSketch
+
+
+def token_countsketch(df: DataFrame, text_col: str,
+                      depth: int = 7, width: int = 4096) -> CountSketch:
+    """Full CountSketch build over the corpus token stream (the
+    rebuild path and the maintenance baseline)."""
+    from athena_spark.operators.agg import (aggregate_sketch,
+                                            token_counts_updater)
+
+    sk, _metrics = aggregate_sketch(
+        df.select(text_col), text_col,
+        lambda pid: CountSketch(depth=depth, width=width),
+        token_counts_updater,
+    )
+    return sk
+
+
+def _signed_token_fold(df: DataFrame, text_col: str, sign_col: str,
+                       depth: int, width: int) -> CountSketch:
+    """Distributed signed token fold: one CountSketch partial per
+    partition over (text, ±1) rows, tree-merged."""
+    from athena_spark.operators.agg import (SUMMARY_SCHEMA,
+                                            load_summary, tree_merge)
+    from athena_spark.functions.tokenize import arrow_token_counts
+
+    narrow = df.select(F.col(text_col).alias("text"),
+                       F.col(sign_col).cast("long").alias("sign"))
+
+    def fold(batches):
+        import time
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        cs = CountSketch(depth=depth, width=width)
+        n_rows = 0
+        start = time.perf_counter()
+        for batch in batches:
+            texts = batch.column(0)
+            signs = batch.column(1).to_numpy(zero_copy_only=False)
+            n_rows += batch.num_rows
+            # per-sign sub-batches keep the kernel vectorized (a
+            # changeset is overwhelmingly one sign per batch anyway)
+            for sign in (1, -1):
+                mask = signs == sign
+                if not mask.any():
+                    continue
+                words, counts, n = arrow_token_counts(
+                    texts.filter(pa.array(mask)))
+                if n:
+                    cs.update_counts(words, counts * sign)
+        wall = time.perf_counter() - start
+        yield pa.RecordBatch.from_pydict({
+            "pid": pa.array([pid], pa.int64()),
+            "state": pa.array([cs.to_bytes()], pa.binary()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_values": pa.array([n_rows], pa.int64()),
+            "wall_secs": pa.array([wall], pa.float64()),
+        })
+
+    partials = narrow.mapInArrow(fold, SUMMARY_SCHEMA)
+    n_parts = df.rdd.getNumPartitions()
+    rows = tree_merge(partials, n_parts).collect()
+    if not rows:
+        return CountSketch(depth=depth, width=width)
+    return load_summary(bytes(rows[0]["state"]))
+
+
+def maintain_token_countsketch(
+    base: CountSketch,
+    old: DataFrame,
+    changeset: DataFrame,
+    id_col: str,
+    text_col: str,
+    op_col: str = "op",
+) -> CountSketch:
+    """Fold a :func:`snapshot_diff` change set into ``base`` (the
+    sketch built over ``old``'s ``text_col``), returning the sketch
+    of the NEW snapshot — byte-identical to a full rebuild.
+
+    Preimages: update rows in the change set carry the NEW payload
+    only, so the subtract side is ``old`` semi-joined to ALL
+    changeset keys (delete keys vanish, update keys are replaced —
+    either way the old text leaves the sketch); the add side is the
+    upsert rows' new text.  Mutates nothing: returns a new sketch."""
+    keys = changeset.select(id_col).distinct()
+    subtract = old.join(keys, id_col, "left_semi") \
+        .select(F.col(text_col), F.lit(-1).alias("sign"))
+    add = changeset.where(F.col(op_col) == "upsert") \
+        .select(F.col(text_col), F.lit(1).alias("sign"))
+    delta = _signed_token_fold(subtract.unionByName(add), "text",
+                               "sign", base.depth, base.width)
+    out = CountSketch.from_bytes(base.to_bytes())
+    return out.merge(delta)

@@ -1,0 +1,90 @@
+"""Turnstile sketch maintenance: a CountSketch kept fresh under CDC
+change sets must be BYTE-identical to rebuilding — linearity makes
+the maintenance path exact, not approximate."""
+
+from pyspark.sql import functions as F
+
+from athena_spark.operators.merge import snapshot_diff
+from athena_spark.operators.sketchmaint import (maintain_token_countsketch,
+                                                token_countsketch)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_maintained_sketch_byte_identical_to_rebuild(spark):
+    old = _snap(spark, [
+        (i, f"alpha beta doc{i % 7} gamma") for i in range(120)])
+    # new snapshot: 10 deletes, 15 updates, 20 inserts
+    new_rows = []
+    for i in range(120):
+        if i < 10:
+            continue                        # deleted
+        if i < 25:
+            new_rows.append((i, f"REPLACED text{i} delta"))
+        else:
+            new_rows.append((i, f"alpha beta doc{i % 7} gamma"))
+    for i in range(200, 220):
+        new_rows.append((i, f"fresh insert omega{i % 3}"))
+    new = _snap(spark, new_rows)
+    cs_old = token_countsketch(old, "text", depth=5, width=1024)
+    changeset = snapshot_diff(old, new, ["doc_id"])
+    maintained = maintain_token_countsketch(
+        cs_old, old, changeset, "doc_id", "text")
+    rebuilt = token_countsketch(new, "text", depth=5, width=1024)
+    assert maintained.to_bytes() == rebuilt.to_bytes()
+    # base was not mutated
+    assert cs_old.to_bytes() != maintained.to_bytes()
+    # downstream estimates stay valid: F2 and point queries agree
+    assert maintained.f2() == rebuilt.f2()
+    import numpy as np
+
+    q = np.array(["alpha", "REPLACED", "omega1", "doc3"], dtype=object)
+    assert np.array_equal(maintained.query(q), rebuilt.query(q))
+
+
+def test_empty_changeset_is_identity(spark):
+    old = _snap(spark, [(i, f"tok{i % 5} x") for i in range(40)])
+    cs = token_countsketch(old, "text", depth=5, width=512)
+    changeset = snapshot_diff(old, old, ["doc_id"])
+    assert changeset.count() == 0
+    out = maintain_token_countsketch(cs, old, changeset,
+                                     "doc_id", "text")
+    assert out.to_bytes() == cs.to_bytes()
+
+
+def test_maintenance_partitioning_independent(spark):
+    old = _snap(spark, [(i, f"w{i % 11} y z") for i in range(90)])
+    new = old.where("doc_id % 4 != 0") \
+        .unionByName(_snap(spark, [(500, "brand new"), (501, "brand new")]))
+    cs = token_countsketch(old, "text", depth=5, width=512)
+    changeset = snapshot_diff(old, new, ["doc_id"])
+    a = maintain_token_countsketch(cs, old, changeset,
+                                   "doc_id", "text")
+    b = maintain_token_countsketch(
+        cs, old.repartition(13), changeset.repartition(5),
+        "doc_id", "text")
+    rebuilt = token_countsketch(new, "text", depth=5, width=512)
+    assert a.to_bytes() == b.to_bytes() == rebuilt.to_bytes()
+
+
+def test_only_changed_rows_are_scanned(spark):
+    """The subtract side is old ⋉ changeset-keys: with no deletes or
+    updates (pure inserts), the plan over `old` must reduce to the
+    ids-only semi join — text of unchanged rows never feeds the
+    kernel.  Proven behaviorally: corrupt the unchanged rows' text
+    in a way that WOULD change the sketch, and the maintained result
+    must still equal the true rebuild."""
+    old = _snap(spark, [(i, f"stable tok{i % 5}") for i in range(50)])
+    inserts = _snap(spark, [(100 + i, f"new{i}") for i in range(5)])
+    new = old.unionByName(inserts)
+    cs = token_countsketch(old, "text", depth=5, width=512)
+    changeset = snapshot_diff(old, new, ["doc_id"])
+    # all changeset rows are inserts -> no old key matches
+    corrupted_old = old.withColumn(
+        "text", F.concat(F.lit("CORRUPTED "), F.col("text")))
+    out = maintain_token_countsketch(cs, corrupted_old, changeset,
+                                     "doc_id", "text")
+    rebuilt = token_countsketch(new, "text", depth=5, width=512)
+    assert out.to_bytes() == rebuilt.to_bytes()
