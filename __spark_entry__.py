@@ -2428,6 +2428,26 @@ def q_priority_subset_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group priority samples (operators/prioritysum.py
+    priority_sample_per_group): a k=64 weighted audit sample of
+    orders PER o_orderpriority whose floor-scaled max(w, tau_g)
+    Horvitz–Thompson weights answer any within-group slice total
+    unbiasedly.  Fully exact-SQL-oracled (not certified booleans):
+    the DuckDB rebuild reproduces every sampled row, rank, and
+    adjusted weight bit-for-bit — priorities are one IEEE division
+    off the sha draw and tau is a priority value, so nothing on the
+    contract surface is approximate.  Window shuffles narrow rows
+    keyed by group; payload never moves."""
+    from athena_spark.operators.prioritysum import \
+        priority_sample_per_group
+
+    orders = _table(spark, sf_dir, "orders")
+    return priority_sample_per_group(
+        orders, "o_orderkey", "o_totalprice", "o_orderpriority",
+        k=64, seed=0)
+
+
 def q_theta_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified theta-sketch corpus overlap (Dasgupta et al. 2016):
     for every lang pair, the sketch's distinct-trigram intersection,
@@ -7552,6 +7572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
         "priority_subset_sums": q_priority_subset_sums,
+        "priority_sample_groups": q_priority_sample_groups,
         "theta_overlap_langs": q_theta_overlap_langs,
         "fd_covariance": q_fd_covariance,
         "countsketch_lang_cosine": q_countsketch_lang_cosine,
@@ -9982,6 +10003,38 @@ def _oracle_sql_table() -> dict[str, str]:
             WHERE rn <= 512
             GROUP BY grp
             ORDER BY grp
+        """,
+        "priority_sample_groups": """
+            WITH prio AS (
+                SELECT o_orderpriority AS grp,
+                       o_orderkey AS id,
+                       o_totalprice AS w,
+                       o_totalprice /
+                           ((CAST(('0x' || substr(sha256(
+                                 CAST(o_orderkey AS VARCHAR) || ':0'),
+                                 1, 13)) AS BIGINT) + 1.0)
+                            / 4503599627370496.0) AS q
+                FROM orders
+                WHERE o_orderkey IS NOT NULL
+                  AND o_totalprice IS NOT NULL AND o_totalprice > 0
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY grp ORDER BY q DESC, id) AS rn
+                FROM prio
+            ), tau AS (
+                SELECT grp,
+                       COALESCE(MAX(CASE WHEN rn = 65 THEN q END),
+                                0.0) AS t
+                FROM ranked GROUP BY grp
+            )
+            SELECT r.grp AS o_orderpriority,
+                   r.id AS o_orderkey,
+                   r.w AS weight,
+                   CAST(r.rn - 1 AS BIGINT) AS "rank",
+                   CAST(FLOOR(1000000.0 * GREATEST(r.w, t.t))
+                        AS BIGINT) AS adjusted_scaled
+            FROM ranked r JOIN tau t ON r.grp = t.grp
+            WHERE r.rn <= 64
         """,
         "theta_overlap_langs": """
             SELECT a.lang AS g_a, b.lang AS g_b, TRUE AS ok

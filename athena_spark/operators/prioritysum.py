@@ -255,3 +255,65 @@ def priority_subset_sums(
     return spark.createDataFrame(
         out, f"`{group_col}` {gtype}, n_sampled long, est_sum_scaled long"
     ).orderBy(group_col)
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group priority samples with per-group thresholds — "keep a
+    k-document weighted audit sample PER LANGUAGE whose adjusted
+    weights still answer any within-group slice total unbiasedly".
+
+    Output, one row per sampled input row: ``(group, id, weight,
+    rank, adjusted_scaled)`` where ``rank`` is the 0-based priority
+    order within the group and ``adjusted_scaled =
+    floor(scale * max(w, tau_g))`` with ``tau_g`` the group's
+    (k+1)-th largest priority (0 when the group holds <= k rows —
+    exact mode: adjusted == scaled raw weight).  Summing
+    ``adjusted_scaled`` over any after-the-fact slice of a group's
+    sample estimates ``scale ×`` that slice's true weight sum
+    (Duffield–Lund–Thorup per group).
+
+    Exactness: priorities are one IEEE division off the sha draw,
+    tau is a priority value, the comparison and floor-scaling are
+    exact — the whole output certifies against a DuckDB ROW_NUMBER
+    rebuild, unlike the certified-boolean gates.
+
+    Scale shape (the :func:`sample_per_group` discipline): only
+    (group, id, weight, priority) NARROW rows enter the two window
+    passes (rank, then the group's tau via a partition-only max);
+    text/payload columns never move — recover them by an id
+    semi-join when needed.  One mega-group sorts its narrow rows in
+    one task, same caveat as ``sample_per_group``."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    narrow = _narrow(df, id_col, weight_col, seed,
+                     payload_cols=(group_col,))
+    w_rank = Window.partitionBy(group_col) \
+        .orderBy(F.desc("priority"), F.asc("id"))
+    w_group = Window.partitionBy(group_col)
+    ranked = narrow.withColumn("_rn", F.row_number().over(w_rank))
+    tau = F.max(F.when(F.col("_rn") == k + 1, F.col("priority"))
+                .otherwise(F.lit(None))).over(w_group)
+    out = (
+        ranked.withColumn("_tau", F.coalesce(tau, F.lit(0.0)))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.col(group_col),
+            F.col("id").alias(id_col),
+            F.col("weight"),
+            (F.col("_rn") - 1).cast("long").alias("rank"),
+            F.floor(F.lit(float(scale))
+                    * F.greatest("weight", "_tau")).cast("long")
+            .alias("adjusted_scaled"),
+        )
+    )
+    return out

@@ -206,3 +206,53 @@ def test_spark_rejects_non_integral_ids(spark):
                                "url string, w double")
     with pytest.raises(TypeError, match="integral id"):
         priority_sample(df, "url", "w", k=2)
+
+
+def test_priority_sample_per_group_matches_global_per_group(spark):
+    """Per-group sampling must equal running the global sampler on
+    each group's rows alone: same sample sets, same per-group tau
+    (surfaced through the floor-scaled adjusted weights)."""
+    from athena_spark.operators.prioritysum import (
+        priority_sample_per_group, priority_sample_rows)
+
+    df = _docs_df(spark, n=900)
+    out = priority_sample_per_group(
+        df, "doc_id", "tokens", "lang", k=30, seed=5)
+    rows = out.collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["lang"], []).append(r)
+    assert set(by_group) == {str(g) for g in range(5)}
+    for lang, grp_rows in by_group.items():
+        solo_rows, solo_tau = priority_sample_rows(
+            df.where(f"lang = '{lang}'"), "doc_id", "tokens", 30,
+            seed=5)
+        assert {r["doc_id"] for r in grp_rows} \
+            == {r["id"] for r in solo_rows}
+        # adjusted weights reproduce the solo sampler's HT weights
+        want = {r["id"]: int(np.floor(
+            1_000_000 * max(r["weight"], solo_tau)))
+            for r in solo_rows}
+        assert {r["doc_id"]: r["adjusted_scaled"] for r in grp_rows} \
+            == want
+        # ranks are the 0-based priority order
+        assert sorted(r["rank"] for r in grp_rows) == list(range(30))
+    # partitioning independence
+    out2 = priority_sample_per_group(
+        df.repartition(11), "doc_id", "tokens", "lang", k=30, seed=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+
+
+def test_priority_sample_per_group_exact_mode(spark):
+    """Groups smaller than k: tau = 0, adjusted == scaled raw weight
+    (the estimator degrades to the exact sum)."""
+    from athena_spark.operators.prioritysum import \
+        priority_sample_per_group
+
+    df = _docs_df(spark, n=40)   # 8 rows per lang < k=16
+    out = priority_sample_per_group(
+        df, "doc_id", "tokens", "lang", k=16)
+    for r in out.collect():
+        assert r["adjusted_scaled"] == int(np.floor(
+            1_000_000 * r["weight"]))
+    assert out.count() == 40
