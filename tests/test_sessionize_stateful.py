@@ -379,3 +379,75 @@ def test_session_window_native_matches_lag_plan(spark, sf_dir):
         for r in sessionize(ev, gap_minutes=30).collect()
     }
     assert native == lag_based
+
+
+def test_stateful_decayed_topk_recovers_state_across_restart(spark, sf_dir):
+    """GroupState recovery for the DECAYED sketch: arrival-fixed
+    weights mean a restart needs no rescaling — the recovered per-key
+    SS state continues folding and the final masses equal the batch
+    rollup over everything (exact mode, distinct users <= k)."""
+    import glob
+
+    from athena_spark.operators.decay import (_min_age_landmark,
+                                              forward_decay_weight)
+    from athena_spark.streaming.stateful import stateful_decayed_topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    landmark = _min_age_landmark(ev, "ts", "seconds")
+    exact = (
+        ev.select(
+            "event_type",
+            F.col("user_id").cast("string").alias("item"),
+            forward_decay_weight("ts", landmark, 2).alias("g"))
+        .groupBy("event_type").agg(F.sum("g").alias("mass"))
+        .collect()
+    )
+    totals = {r["event_type"]: r["mass"] for r in exact}
+    stage = os.path.join(TMP, "decay_restart_stage")
+    src = os.path.join(TMP, "decay_restart_src")
+    ckpt = os.path.join(TMP, "decay_restart_ckpt")
+    for p in (stage, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.repartition(4).write.parquet(stage)
+    files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+    os.makedirs(src)
+
+    def run_query():
+        rows = []
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_decayed_topk(stream, "event_type", "user_id",
+                                  "ts", landmark, k=4096, n=5, p=2)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return rows
+
+    for f in files[:2]:
+        shutil.copy(f, src)
+    rows1 = run_query()
+    assert rows1
+    for f in files[2:]:
+        shutil.copy(f, src)
+    rows2 = run_query()
+    best = {}
+    for r in rows2:
+        best[r["key"]] = max(best.get(r["key"], -1), r["total_mass"])
+    assert best == totals      # recovered state + phase 2 = everything
+    p1_max = {}
+    for r in rows1:
+        p1_max[r["key"]] = max(p1_max.get(r["key"], 0),
+                               r["total_mass"])
+    assert any(best[k] > p1_max.get(k, 0) for k in best)
+    for p in (stage, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
