@@ -44,12 +44,27 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    salt: int = 8,
+    salt: int | str = 8,
+    shuffle_partitions: int = 200,
 ) -> DataFrame:
     """Inner join with hot-key dilution: big side gets a random salt
     in [0, salt); small side is exploded salt times.  Use when the
     small side is too large to broadcast and AQE skew handling can't
-    kick in."""
+    kick in.
+
+    ``salt="auto"`` measures instead of guessing: one
+    :func:`key_skew_profile` pass over the big side's key column
+    picks ``suggested_salts`` — the fair-share split count for the
+    hottest key at ``shuffle_partitions`` — so a uniform table pays
+    no replication (salt 1) and a skewed one gets exactly the
+    dilution its hot key needs."""
+    if salt == "auto":
+        salt = key_skew_profile(
+            big, key, shuffle_partitions=shuffle_partitions
+        )["suggested_salts"]
+    salt = int(salt)
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     big_s = big.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

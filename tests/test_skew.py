@@ -64,3 +64,38 @@ def test_profile_partitioning_independent_exact_mode(spark):
     for field in ("n", "distinct_est", "top_count_est", "top_share",
                   "suggested_salts", "avg_multiplicity"):
         assert a[field] == b[field], field
+
+
+def test_salted_join_auto_measures_the_big_side(spark):
+    """salt="auto" profiles the big side's key column: a skewed big
+    side gets the profiler's dilution, a uniform one pays salt=1 (no
+    replication), and the join answer is identical either way."""
+    from athena_spark.operators.skew import key_skew_profile, salted_join
+
+    skewed_big = spark.range(2000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k",
+        "id AS payload")
+    small = spark.range(1500).selectExpr("id AS k", "id * 10 AS v")
+    want = sorted((r["k"], r["payload"], r["v"]) for r in
+                  skewed_big.join(small, "k").collect())
+    got_auto = sorted(
+        (r["k"], r["payload"], r["v"]) for r in
+        salted_join(skewed_big, small, "k", salt="auto",
+                    shuffle_partitions=64).collect())
+    assert got_auto == want
+    p = key_skew_profile(skewed_big, "k", shuffle_partitions=64)
+    assert p["suggested_salts"] >= 16          # ~half the mass on key 0
+    uniform_big = spark.range(2000).selectExpr(
+        "id % 400 AS k", "id AS payload")
+    pu = key_skew_profile(uniform_big, "k", shuffle_partitions=64)
+    assert pu["suggested_salts"] == 1
+    got_u = sorted(
+        (r["k"], r["payload"], r["v"]) for r in
+        salted_join(uniform_big, small, "k", salt="auto",
+                    shuffle_partitions=64).collect())
+    assert got_u == sorted((r["k"], r["payload"], r["v"]) for r in
+                           uniform_big.join(small, "k").collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt"):
+        salted_join(uniform_big, small, "k", salt=0)
