@@ -2791,6 +2791,24 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_trans", "p_nano")
 
 
+def q_nb_langid_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable multinomial NB language ID
+    (operators/nblangid.py — the supervised LID stage of the CCNet
+    pipeline, fastText's classical deterministic core) over DSIR's
+    hashed uni+bigram buckets: per-class smoothed bucket models from
+    the labeled corpus, then the full (doc, class) evidence matrix
+    ``nano_sum = Σ floor(1e9·p_c(bucket))`` — pure rational double
+    arithmetic, so the DuckDB oracle rebuilds training AND scoring
+    exactly (the log-space argmax prediction is pytest-covered, per
+    the transcendental rule)."""
+    from athena_spark.operators.nblangid import (nb_evidence,
+                                                 train_nb_langid)
+
+    docs = _docs(spark, sf_dir)
+    model = train_nb_langid(docs, "lang", "text")
+    return nb_evidence(docs, "doc_id", "text", model)
+
+
 def q_countsketch_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified turnstile sketch maintenance
     (operators/sketchmaint.py — Muthukrishnan 2005 §1.2 wired to
@@ -7702,6 +7720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_cms": q_join_size_cms,
         "key_skew_profile": q_key_skew_profile,
         "countsketch_maintain": q_countsketch_maintain,
+        "nb_langid_evidence": q_nb_langid_evidence,
         "bpe_tokenizer": q_bpe_tokenizer,
         "wordpiece_tokenizer": q_wordpiece_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
@@ -8701,6 +8720,59 @@ def _oracle_sql_table() -> dict[str, str]:
             UNION ALL SELECT 'deterministic_across_partitionings', TRUE
             UNION ALL SELECT 'scores_in_unit_interval', TRUE
             UNION ALL SELECT 'empty_doc_scores_prior', TRUE
+        """,
+        "nb_langid_evidence": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           replace(text, chr(13), ''), '[ \\t\\n]+'),
+                           t -> t <> '') AS ts
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(ts) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+                     AS u(i)
+            ), bgrams AS (
+                SELECT doc_id, substr(sha256(g), 1, 3) AS bucket
+                FROM grams
+            ), classes AS (
+                SELECT DISTINCT lang AS label FROM documents
+                WHERE lang IS NOT NULL
+            ), ccnt AS (
+                SELECT d.lang AS label, b.bucket, COUNT(*) AS c
+                FROM bgrams b JOIN documents d USING (doc_id)
+                WHERE d.lang IS NOT NULL
+                GROUP BY d.lang, b.bucket
+            ), cstat AS (
+                SELECT label, CAST(SUM(c) AS DOUBLE) + 4096.0 AS denom
+                FROM ccnt GROUP BY label
+            ), domain AS (
+                SELECT printf('%03x', i) AS bucket
+                FROM generate_series(0, 4095) t(i)
+            ), model AS (
+                SELECT cs.label, dm.bucket,
+                       CAST(FLOOR((CAST(COALESCE(cc.c, 0) + 1
+                                        AS DOUBLE) / cs.denom)
+                           * 1000000000.0) AS BIGINT) AS nano
+                FROM domain dm CROSS JOIN cstat cs
+                LEFT JOIN ccnt cc ON cc.label = cs.label
+                                 AND cc.bucket = dm.bucket
+            ), per AS (
+                SELECT b.doc_id, m.label, COUNT(*) AS n,
+                       CAST(SUM(m.nano) AS BIGINT) AS s
+                FROM bgrams b JOIN model m USING (bucket)
+                GROUP BY b.doc_id, m.label
+            )
+            SELECT d.doc_id, c.label,
+                   CAST(COALESCE(p.n, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(p.s, 0) AS BIGINT) AS nano_sum
+            FROM documents d
+            CROSS JOIN classes c
+            LEFT JOIN per p ON p.doc_id = d.doc_id
+                           AND p.label = c.label
         """,
         "dsir_select": f"""
             WITH toks AS (

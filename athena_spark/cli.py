@@ -25,6 +25,7 @@ Subcommands:
 * ``priority-sample`` — weighted sample + unbiased subset-sum estimates
 * ``decay``      — forward-decay rollup + decayed heavy hitters
 * ``skew-profile`` — key moments + salting recommendation
+* ``langid-nb``  — trainable NB language ID (train + classify)
 * ``overlap``    — theta-sketch pairwise corpus overlap (Jaccard)
 * ``fd``         — Frequent Directions covariance/PCA sketch report
 * ``decontaminate`` — n-gram benchmark decontamination
@@ -178,6 +179,18 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="exact rows kept per group (fewer if the "
                          "group is smaller)")
     qs.add_argument("--seed", type=int, default=0)
+
+    ln = sub.add_parser("langid-nb")
+    common(ln, output_help="per-doc (id, pred_label, log_score, "
+                           "margin) parquet dir")
+    ln.add_argument("--id-col", default="doc_id")
+    ln.add_argument("--label-col", default="lang",
+                    help="training label column on --train (or on "
+                         "--input when --train is omitted)")
+    ln.add_argument("--train", default=None,
+                    help="labeled corpus to train on (defaults to "
+                         "--input itself)")
+    ln.add_argument("--alpha", type=float, default=1.0)
 
     sk = sub.add_parser("skew-profile")
     common(sk)
@@ -985,6 +998,35 @@ def cmd_quota_sample(args) -> None:
         for row in out.orderBy(args.group_col, "rank").limit(100).collect():
             print(f'{row[args.group_col]}\t{row["rank"]}\t'
                   f'{row[args.id_col]}')
+
+
+def cmd_langid_nb(args) -> None:
+    """Train multinomial NB language ID on a labeled corpus and
+    classify --input; per-class doc counts of the predictions to
+    stderr as JSON."""
+    from athena_spark.operators.nblangid import (classify_nb_langid,
+                                                 train_nb_langid)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    train_df = (read_corpus(spark, args.train, fmt=args.format)
+                if args.train else df)
+    model = train_nb_langid(train_df, args.label_col, args.col,
+                            alpha=args.alpha)
+    out = classify_nb_langid(df, args.id_col, args.col, model)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+    counts = out.groupBy("pred_label").count().collect()
+    print(json.dumps({"classes": model.classes,
+                      "predicted": {r["pred_label"]: r["count"]
+                                    for r in counts}}),
+          file=sys.stderr)
+    if not args.output:
+        for r in out.orderBy(args.id_col).limit(50).collect():
+            print(f'{r[args.id_col]}\t{r["pred_label"]}\t'
+                  f'{r["margin"]:.4f}')
 
 
 def cmd_skew_profile(args) -> None:
@@ -2161,6 +2203,7 @@ def main(argv=None) -> None:
         "priority-sample": cmd_priority_sample,
         "decay": cmd_decay,
         "skew-profile": cmd_skew_profile,
+        "langid-nb": cmd_langid_nb,
         "overlap": cmd_overlap,
         "cross-dedup": cmd_cross_dedup,
         "boilerplate": cmd_boilerplate,

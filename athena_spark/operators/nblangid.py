@@ -1,0 +1,205 @@
+"""Trainable multinomial Naive-Bayes language identification over
+hashed gram buckets — the supervised LID stage of the CCNet pipeline
+(Wenzek et al. 2019 use fastText LID, Joulin et al. 2016; multinomial
+NB over hashed n-gram buckets is its classical deterministic core:
+per-class bucket log-probabilities + a linear decision, no SGD, no
+RNG) — and the multi-CLASS sibling of the engine's binary
+quality classifier, sharing DSIR's feature space
+(``operators/dsir.py``: uni+bigram → sha256-prefix bucket).
+
+Why next to the heuristic ``langid``: the heuristic scores fixed
+stop-word lists; this trains per-class distributions FROM a labeled
+corpus (any label column — language, domain, register) and exposes
+calibrated per-class evidence.
+
+Numeric contract (the ``lm_perplexity`` split): the per-doc per-class
+evidence ``nano_sum = Σ_grams floor(1e9 · p_c(bucket))`` is pure
+rational double arithmetic — bit-identical in any engine, so the
+driver gate certifies the FULL (doc, class) evidence matrix against
+an exact DuckDB rebuild; the log-space score and the argmax
+prediction ride pytest (libm ``ln`` is 1-ulp engine-dependent).
+
+Scale shape (the DSIR discipline): training is one groupBy over
+(label, bucket) — at most C × 16^n_hex rows to the driver, bounded
+regardless of corpus size; scoring broadcasts the C-column bucket
+table, the gram explosion stays partition-local and partial-reduces
+to ONE narrow row per doc before the only shuffle; text never moves.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.operators.dsir import (DSIR_HEX_DIGITS, _bucket_col,
+                                         _check_n_hex, gram_col)
+
+_NANO = 1_000_000_000
+
+
+@dataclass
+class NBLangIDModel:
+    """Per-class smoothed bucket probabilities + log priors.
+
+    ``classes`` sorted; ``nano[c][b]`` = floor(1e9 · p_c(b)) (the
+    exact surface), ``logp[c][b]`` = ln p_c(b), ``log_prior[c]`` =
+    ln(docs_c / docs).  Bounded: C × 16^n_hex entries."""
+
+    classes: list
+    n_hex: int
+    hash_fn: str
+    alpha: float
+    nano: dict
+    logp: dict
+    log_prior: dict
+
+
+def train_nb_langid(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    n_hex: int = DSIR_HEX_DIGITS,
+    hash_fn: str = "sha256",
+    alpha: float = 1.0,
+) -> NBLangIDModel:
+    """One Spark pass: (label, bucket) gram counts + per-label doc
+    counts; smoothing and logs happen driver-side over the bounded
+    table.  Deterministic (exact counts, no sampling), so training
+    is partitioning-independent by construction."""
+    _check_n_hex(n_hex)
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    rows = (
+        df.where(F.col(label_col).isNotNull())
+        .select(F.col(label_col).alias("y"),
+                F.explode(gram_col(text_col)).alias("g"))
+        .select("y", _bucket_col(F.col("g"), n_hex, hash_fn)
+                .alias("bucket"))
+        .groupBy("y", "bucket").agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    doc_rows = (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(label_col).agg(F.count("*").alias("docs"))
+        .collect()
+    )
+    docs = {r[label_col]: int(r["docs"]) for r in doc_rows}
+    if not docs:
+        raise ValueError("no labeled rows to train on")
+    n_docs = sum(docs.values())
+    n_buckets = 16 ** n_hex
+    if hash_fn == "sha256":
+        domain = [format(i, f"0{n_hex}x") for i in range(n_buckets)]
+    else:
+        domain = list(range(n_buckets))
+    counts: dict = {c: {} for c in docs}
+    for r in rows:
+        counts[r["y"]][r["bucket"]] = int(r["cnt"])
+    classes = sorted(docs)
+    nano: dict = {}
+    logp: dict = {}
+    log_prior: dict = {}
+    for c in classes:
+        total = sum(counts[c].values())
+        denom = float(total + alpha * n_buckets)
+        nano[c] = {}
+        logp[c] = {}
+        for b in domain:
+            p = (counts[c].get(b, 0) + alpha) / denom
+            nano[c][b] = int(math.floor(p * _NANO))
+            logp[c][b] = math.log(p)
+        log_prior[c] = math.log(docs[c] / n_docs)
+    return NBLangIDModel(classes=classes, n_hex=n_hex,
+                         hash_fn=hash_fn, alpha=alpha, nano=nano,
+                         logp=logp, log_prior=log_prior)
+
+
+def nb_evidence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: NBLangIDModel,
+) -> DataFrame:
+    """The exact-certifiable surface: one row per (doc, class) with
+    ``(id, label, n_grams, nano_sum)`` — ``nano_sum`` the sum of
+    floor-scaled class probabilities over the doc's gram buckets.
+    Empty docs carry 0 evidence for every class."""
+    spark = df.sparkSession
+    key_type = "string" if model.hash_fn == "sha256" else "long"
+    table = spark.createDataFrame(
+        [(b, c, model.nano[c][b])
+         for c in model.classes for b in model.nano[c]],
+        f"bucket {key_type}, label string, nano long",
+    )
+    grams = df.select(
+        id_col, F.explode(gram_col(text_col)).alias("g")
+    ).select(id_col, _bucket_col(F.col("g"), model.n_hex,
+                                 model.hash_fn).alias("bucket"))
+    scored = grams.join(F.broadcast(table), "bucket") \
+        .groupBy(id_col, "label").agg(
+            F.count("*").alias("n_grams"),
+            F.sum("nano").alias("nano_sum"))
+    classes = spark.createDataFrame([(c,) for c in model.classes],
+                                    "label string")
+    return (
+        df.select(id_col).crossJoin(F.broadcast(classes))
+        .join(scored, [id_col, "label"], "left")
+        .select(id_col, "label",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("nano_sum", F.lit(0)).alias("nano_sum"))
+    )
+
+
+def classify_nb_langid(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: NBLangIDModel,
+) -> DataFrame:
+    """Per-doc prediction: ``(id, pred_label, log_score, margin)`` —
+    argmax over classes of ``log_prior + Σ log p_c(bucket)``, with
+    ``margin`` the gap to the runner-up (the abstention signal CCNet
+    thresholds).  Log-space (pytest-grade; the exact surface is
+    :func:`nb_evidence`).  Same broadcast-join shape: one narrow row
+    per doc, text never shuffles; ties break by class name for
+    determinism.  Empty docs fall back to the prior argmax."""
+    spark = df.sparkSession
+    key_type = "string" if model.hash_fn == "sha256" else "long"
+    table = spark.createDataFrame(
+        [(b, c, model.logp[c][b])
+         for c in model.classes for b in model.logp[c]],
+        f"bucket {key_type}, label string, lp double",
+    )
+    grams = df.select(
+        id_col, F.explode(gram_col(text_col)).alias("g")
+    ).select(id_col, _bucket_col(F.col("g"), model.n_hex,
+                                 model.hash_fn).alias("bucket"))
+    per_class = grams.join(F.broadcast(table), "bucket") \
+        .groupBy(id_col, "label").agg(F.sum("lp").alias("ll"))
+    prior = spark.createDataFrame(
+        [(c, model.log_prior[c]) for c in model.classes],
+        "label string, prior double")
+    full = (
+        df.select(id_col).crossJoin(F.broadcast(prior))
+        .join(per_class, [id_col, "label"], "left")
+        .select(id_col, "label",
+                (F.col("prior") + F.coalesce("ll", F.lit(0.0)))
+                .alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("label"))
+    best2 = full.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") <= 2)
+    top = best2.where("_rn = 1").select(
+        id_col, F.col("label").alias("pred_label"),
+        F.col("score").alias("log_score"))
+    second = best2.where("_rn = 2").select(
+        id_col, F.col("score").alias("_s2"))
+    return top.join(second, id_col, "left").select(
+        id_col, "pred_label", "log_score",
+        (F.col("log_score") - F.coalesce("_s2", F.col("log_score")))
+        .alias("margin"))

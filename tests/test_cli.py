@@ -1132,3 +1132,26 @@ def test_cli_code_ingest_skip_versions_converts_notebooks(
           "--skip-versions", "--no-notebooks"])
     capsys.readouterr()
     assert spark.read.parquet(out2).count() == 0   # raw JSON fails quality
+
+
+def test_cli_langid_nb(spark, sf_dir, tmp_path, capsys):
+    """langid-nb trains on the labeled corpus and classifies it; at
+    31-shared-word vocabulary the labels carry no real signal, so the
+    contract checks are structural: every doc classified, labels from
+    the training set, parity with the library classifier."""
+    from athena_spark.operators.nblangid import (classify_nb_langid,
+                                                 train_nb_langid)
+
+    out = str(tmp_path / "langid_out")
+    main(["langid-nb", "--input", f"{sf_dir}/documents.parquet",
+          "--col", "text", "--output", out])
+    meta = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert got.count() == docs.count()
+    assert set(meta["predicted"]) <= set(meta["classes"])
+    model = train_nb_langid(docs, "lang", "text")
+    want = {r["doc_id"]: r["pred_label"] for r in classify_nb_langid(
+        docs, "doc_id", "text", model).collect()}
+    assert {r["doc_id"]: r["pred_label"]
+            for r in got.collect()} == want

@@ -1,0 +1,114 @@
+"""Multinomial NB language identification over hashed gram buckets:
+scalar-oracle parity, planted-class recovery, determinism, and the
+prior fallback."""
+
+import hashlib
+import math
+
+import pytest
+
+from athena_spark.operators.nblangid import (classify_nb_langid,
+                                             nb_evidence,
+                                             train_nb_langid)
+
+
+def _grams(text):
+    toks = text.split()
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _bucket(g):
+    return hashlib.sha256(g.encode()).hexdigest()[:3]
+
+
+def _ref_model(rows, alpha=1.0):
+    """From-scratch NB trainer over the same sha-bucket features."""
+    counts, docs = {}, {}
+    for y, text in rows:
+        docs[y] = docs.get(y, 0) + 1
+        for g in _grams(text):
+            counts.setdefault(y, {})
+            b = _bucket(g)
+            counts[y][b] = counts[y].get(b, 0) + 1
+    n_docs = sum(docs.values())
+    model = {}
+    for y in docs:
+        total = sum(counts.get(y, {}).values())
+        denom = total + alpha * 4096
+        model[y] = (counts.get(y, {}), denom,
+                    math.log(docs[y] / n_docs))
+    return model
+
+
+def _ref_scores(model, text, alpha=1.0):
+    out = {}
+    for y, (cnt, denom, prior) in model.items():
+        ll = prior
+        nano = 0
+        for g in _grams(text):
+            p = (cnt.get(_bucket(g), 0) + alpha) / denom
+            ll += math.log(p)
+            nano += math.floor(p * 1e9)
+        out[y] = (nano, ll)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(30):
+        rows.append((i, "en", "the quick brown fox jumps the fence"))
+        rows.append((100 + i, "fr", "le renard brun saute la barriere"))
+        rows.append((200 + i, "de", "der braune fuchs springt den zaun"))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_evidence_matches_scalar_oracle(spark, corpus):
+    model = train_nb_langid(corpus, "lang", "text")
+    ref = _ref_model([(r["lang"], r["text"])
+                      for r in corpus.collect()])
+    got = {(r["doc_id"], r["label"]): (r["nano_sum"], r["n_grams"])
+           for r in nb_evidence(corpus.where("doc_id IN (0, 100, 200)"),
+                                "doc_id", "text", model).collect()}
+    for doc_id, text in [(0, "the quick brown fox jumps the fence"),
+                         (100, "le renard brun saute la barriere"),
+                         (200, "der braune fuchs springt den zaun")]:
+        want = _ref_scores(ref, text)
+        for y, (nano, _ll) in want.items():
+            assert got[(doc_id, y)][0] == nano, (doc_id, y)
+            assert got[(doc_id, y)][1] == len(_grams(text))
+
+
+def test_classification_recovers_planted_classes(spark, corpus):
+    model = train_nb_langid(corpus, "lang", "text")
+    test = spark.createDataFrame(
+        [(0, "the brown fox jumps"),
+         (1, "le renard saute"),
+         (2, "der fuchs springt den zaun"),
+         (3, "")],                        # empty: prior fallback
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in classify_nb_langid(
+        test, "doc_id", "text", model).collect()}
+    assert out[0]["pred_label"] == "en"
+    assert out[1]["pred_label"] == "fr"
+    assert out[2]["pred_label"] == "de"
+    for i in range(3):
+        assert out[i]["margin"] > 0
+    # empty doc: equal priors -> tie broken by class name
+    assert out[3]["pred_label"] == "de"
+    assert out[3]["margin"] == 0.0
+    # log scores agree with the scalar oracle
+    ref = _ref_model([(r["lang"], r["text"]) for r in corpus.collect()])
+    want = _ref_scores(ref, "the brown fox jumps")
+    best = max(want.items(), key=lambda kv: (kv[1][1], kv[0]))
+    assert out[0]["log_score"] == pytest.approx(best[1][1], rel=1e-12)
+
+
+def test_training_deterministic_and_validation(spark, corpus):
+    m1 = train_nb_langid(corpus, "lang", "text")
+    m2 = train_nb_langid(corpus.repartition(7), "lang", "text")
+    assert m1.nano == m2.nano and m1.log_prior == m2.log_prior
+    with pytest.raises(ValueError, match="alpha"):
+        train_nb_langid(corpus, "lang", "text", alpha=0.0)
+    with pytest.raises(ValueError, match="no labeled rows"):
+        train_nb_langid(corpus.where("lang IS NULL"), "lang", "text")
