@@ -8747,8 +8747,16 @@ def _oracle_sql_table() -> dict[str, str]:
                 WHERE d.lang IS NOT NULL
                 GROUP BY d.lang, b.bucket
             ), cstat AS (
-                SELECT label, CAST(SUM(c) AS DOUBLE) + 4096.0 AS denom
-                FROM ccnt GROUP BY label
+                -- denominators from the CLASS list, not from ccnt: a
+                -- label whose docs yield zero grams still gets the
+                -- smoothing-floor model (denom = alpha * 4096), like
+                -- the Spark trainer
+                SELECT c.label,
+                       CAST(COALESCE(SUM(cc.c), 0) AS DOUBLE)
+                           + 4096.0 AS denom
+                FROM classes c
+                LEFT JOIN ccnt cc ON cc.label = c.label
+                GROUP BY c.label
             ), domain AS (
                 SELECT printf('%03x', i) AS bucket
                 FROM generate_series(0, 4095) t(i)

@@ -90,28 +90,42 @@ def bucket_counts(
     )
 
 
-def _bucket_model(df, text_col, n_hex, hash_fn, alpha):
-    """Driver-side smoothed bucket model: {bucket: (cnt, p, nano)}
-    over the FULL bucket domain (unseen buckets get the smoothing
-    floor).  p = (cnt + alpha) / (total + alpha * n_buckets); nano =
-    floor(1e9 * p) — with integer-representable alpha both are exact
-    double expressions any engine reproduces bit-identically."""
+def bucket_domain(n_hex: int, hash_fn: str) -> list:
+    """The full bucket key domain (hex strings for sha256, ints for
+    xxhash64) — shared by every hashed-bucket model so the key form
+    can never drift between consumers."""
     n_buckets = 16 ** n_hex
-    counts = {r["bucket"]: r["cnt"]
-              for r in bucket_counts(df, text_col, n_hex, hash_fn).collect()}
+    if hash_fn == "sha256":
+        return [format(i, f"0{n_hex}x") for i in range(n_buckets)]
+    return list(range(n_buckets))
+
+
+def smoothed_nano_model(counts: dict, alpha: float, n_hex: int,
+                        hash_fn: str) -> dict:
+    """Driver-side smoothed bucket model from raw bucket counts:
+    {bucket: (cnt, p, nano)} over the FULL domain (unseen buckets get
+    the smoothing floor).  p = (cnt + alpha) / (total + alpha *
+    n_buckets); nano = floor(1e9 * p) — with integer-representable
+    alpha both are exact double expressions any engine reproduces
+    bit-identically.  ONE implementation for every consumer (DSIR,
+    the NB classifier): the DuckDB oracles pin this arithmetic, so
+    there must be exactly one copy to keep bit-consistent."""
+    n_buckets = 16 ** n_hex
     total = sum(counts.values())
     denom = float(total + alpha * n_buckets)
     if denom <= 0:
         raise ValueError("empty corpus with alpha=0: model undefined")
-    if hash_fn == "sha256":
-        domain = [format(i, f"0{n_hex}x") for i in range(n_buckets)]
-    else:
-        domain = list(range(n_buckets))
     out = {}
-    for b in domain:
+    for b in bucket_domain(n_hex, hash_fn):
         p = (counts.get(b, 0) + alpha) / denom
         out[b] = (counts.get(b, 0), p, int(math.floor(p * _NANO)))
     return out
+
+
+def _bucket_model(df, text_col, n_hex, hash_fn, alpha):
+    counts = {r["bucket"]: r["cnt"]
+              for r in bucket_counts(df, text_col, n_hex, hash_fn).collect()}
+    return smoothed_nano_model(counts, alpha, n_hex, hash_fn)
 
 
 def importance_weights(

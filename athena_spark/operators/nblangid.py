@@ -36,9 +36,6 @@ from pyspark.sql import DataFrame, functions as F
 from athena_spark.operators.dsir import (DSIR_HEX_DIGITS, _bucket_col,
                                          _check_n_hex, gram_col)
 
-_NANO = 1_000_000_000
-
-
 @dataclass
 class NBLangIDModel:
     """Per-class smoothed bucket probabilities + log priors.
@@ -89,11 +86,6 @@ def train_nb_langid(
     if not docs:
         raise ValueError("no labeled rows to train on")
     n_docs = sum(docs.values())
-    n_buckets = 16 ** n_hex
-    if hash_fn == "sha256":
-        domain = [format(i, f"0{n_hex}x") for i in range(n_buckets)]
-    else:
-        domain = list(range(n_buckets))
     counts: dict = {c: {} for c in docs}
     for r in rows:
         counts[r["y"]][r["bucket"]] = int(r["cnt"])
@@ -101,15 +93,14 @@ def train_nb_langid(
     nano: dict = {}
     logp: dict = {}
     log_prior: dict = {}
+    # the ONE smoothing/nano implementation (operators/dsir.py) —
+    # the DuckDB oracles pin its arithmetic
+    from athena_spark.operators.dsir import smoothed_nano_model
+
     for c in classes:
-        total = sum(counts[c].values())
-        denom = float(total + alpha * n_buckets)
-        nano[c] = {}
-        logp[c] = {}
-        for b in domain:
-            p = (counts[c].get(b, 0) + alpha) / denom
-            nano[c][b] = int(math.floor(p * _NANO))
-            logp[c][b] = math.log(p)
+        model_c = smoothed_nano_model(counts[c], alpha, n_hex, hash_fn)
+        nano[c] = {b: v[2] for b, v in model_c.items()}
+        logp[c] = {b: math.log(v[1]) for b, v in model_c.items()}
         log_prior[c] = math.log(docs[c] / n_docs)
     return NBLangIDModel(classes=classes, n_hex=n_hex,
                          hash_fn=hash_fn, alpha=alpha, nano=nano,

@@ -121,9 +121,9 @@ def maintain_token_countsketch(
     upsert rows' new text.  Mutates nothing: returns a new sketch."""
     keys = changeset.select(id_col).distinct()
     subtract = old.join(keys, id_col, "left_semi") \
-        .select(F.col(text_col), F.lit(-1).alias("sign"))
+        .select(F.col(text_col).alias("text"), F.lit(-1).alias("sign"))
     add = changeset.where(F.col(op_col) == "upsert") \
-        .select(F.col(text_col), F.lit(1).alias("sign"))
+        .select(F.col(text_col).alias("text"), F.lit(1).alias("sign"))
     delta = _signed_token_fold(subtract.unionByName(add), "text",
                                "sign", base.depth, base.width)
     out = CountSketch.from_bytes(base.to_bytes())

@@ -112,3 +112,21 @@ def test_training_deterministic_and_validation(spark, corpus):
         train_nb_langid(corpus, "lang", "text", alpha=0.0)
     with pytest.raises(ValueError, match="no labeled rows"):
         train_nb_langid(corpus.where("lang IS NULL"), "lang", "text")
+
+
+def test_zero_gram_class_gets_smoothing_floor(spark):
+    """A label whose docs yield no grams still trains a model (the
+    smoothing floor): evidence for that class is n_grams * floor(1e9
+    / 4096) for any doc, and its prior still participates."""
+    df = spark.createDataFrame(
+        [(0, "en", "the fox"), (1, "en", "the dog"),
+         (2, "zz", ""), (3, "zz", "   ")],
+        "doc_id long, lang string, text string")
+    model = train_nb_langid(df, "lang", "text")
+    assert set(model.classes) == {"en", "zz"}
+    floor_nano = math.floor(1e9 / 4096)
+    assert all(v == floor_nano for v in model.nano["zz"].values())
+    ev = {(r["doc_id"], r["label"]): r["nano_sum"]
+          for r in nb_evidence(df, "doc_id", "text", model).collect()}
+    assert ev[(0, "zz")] == 3 * floor_nano     # 2 uni + 1 bi grams
+    assert ev[(2, "en")] == 0 and ev[(2, "zz")] == 0

@@ -88,3 +88,18 @@ def test_only_changed_rows_are_scanned(spark):
                                      "doc_id", "text")
     rebuilt = token_countsketch(new, "text", depth=5, width=512)
     assert out.to_bytes() == rebuilt.to_bytes()
+
+
+def test_maintenance_with_nondefault_text_column(spark):
+    """text_col other than 'text' (e.g. the CLI's 'content' default)
+    must work — the fold aliases internally."""
+    old = spark.createDataFrame(
+        [(i, f"w{i % 6} z") for i in range(30)],
+        "doc_id long, content string")
+    new = old.where("doc_id % 3 != 0")
+    cs = token_countsketch(old, "content", depth=5, width=256)
+    changeset = snapshot_diff(old, new, ["doc_id"])
+    out = maintain_token_countsketch(cs, old, changeset,
+                                     "doc_id", "content")
+    rebuilt = token_countsketch(new, "content", depth=5, width=256)
+    assert out.to_bytes() == rebuilt.to_bytes()
