@@ -35,8 +35,11 @@ retains its top-k plus ``tau`` (the value of its own (k+1)-th), so
 ``merge`` pools retained items, keeps the top-k (ties broken by id —
 measure-zero, but keeps merge byte-deterministic), and sets ``tau`` to
 the (k+1)-th largest of pooled priorities and both partial taus.  The
-union of partials therefore equals the bulk build over the
-concatenated stream exactly (asserted in tests), and the sketch rides
+union of partials therefore reproduces the bulk build's SAMPLE,
+threshold and counts exactly over any merge order (asserted in tests
+and by Hypothesis; ``total_weight`` alone is a float running sum
+whose last-ulp bits depend on addition order — metadata, not part of
+the estimator), and the sketch rides
 the ``sketch_partials`` → ``tree_merge`` machinery unchanged at
 ``O(k)`` bytes per summary.
 """
@@ -73,9 +76,10 @@ class PrioritySample:
 
     ``ids``/``weights``/``priorities`` are parallel arrays sorted by
     (-priority, id); ``tau`` is the (k+1)-th largest priority ever
-    absorbed (0.0 while the sketch has seen <= k items).  ``n`` and
-    ``total_weight`` track the exact stream size/mass (exact adds —
-    they are metadata, not part of the estimator).
+    absorbed (0.0 while the sketch has seen <= k items).  ``n`` tracks
+    the exact stream size; ``total_weight`` its mass as a float
+    running sum (addition-order dependent in the last ulp — metadata,
+    not part of the estimator).
     """
 
     __slots__ = ("k", "ids", "weights", "priorities", "tau", "n",
@@ -216,11 +220,22 @@ class PrioritySample:
         return out
 
     def __eq__(self, other) -> bool:
+        """Sample, threshold and counts compare EXACTLY (these are
+        merge-order-invariant: top-k selection and tau are pure
+        order statistics).  ``total_weight`` is a float running sum
+        whose last-ulp bits depend on addition order across
+        partials — it is metadata, compared within 1e-12 relative
+        (a Hypothesis counterexample found the exact-equality
+        version: 1.0 + 0.74999 + 0.0119… summed in two different
+        merge orders differ in the last ulp)."""
+        import math
+
         return (isinstance(other, PrioritySample)
                 and self.k == other.k
                 and self.tau == other.tau
                 and self.n == other.n
-                and self.total_weight == other.total_weight
+                and math.isclose(self.total_weight, other.total_weight,
+                                 rel_tol=1e-12, abs_tol=1e-12)
                 and np.array_equal(self.ids, other.ids)
                 and np.array_equal(self.weights, other.weights)
                 and np.array_equal(self.priorities, other.priorities))

@@ -330,3 +330,96 @@ def test_repetition_kernels_match_counter_oracle(texts, n):
         lines = [l for l in clean.split("\n") if l != ""]
         want_line = (1.0 - len(set(lines)) / len(lines)) if lines else 0.0
         assert dup_line[d] == want_line, (d, text)
+
+
+# -- priority sampling: bulk-equivalence under ANY split/merge order --------
+
+ps_weights = st.lists(
+    st.floats(min_value=0.01, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    min_size=0, max_size=300)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ps_weights, st.integers(min_value=1, max_value=32),
+       st.integers(min_value=0, max_value=5),
+       st.integers(min_value=1, max_value=7))
+def test_prioritysample_merge_is_bulk_equivalent(weights, k, seed,
+                                                 n_parts):
+    from athena_spark.sketch.prioritysample import PrioritySample
+
+    ids = np.arange(len(weights), dtype=np.int64)
+    w = np.asarray(weights, dtype=np.float64)
+    bulk = PrioritySample(k=k)
+    if len(ids):
+        bulk.update(ids, w, seed=seed)
+    parts = []
+    for i in range(n_parts):
+        p = PrioritySample(k=k)
+        sel = ids % n_parts == i
+        if sel.any():
+            p.update(ids[sel], w[sel], seed=seed)
+        parts.append(p)
+    merged = PrioritySample.merge_many(parts)
+    rev = PrioritySample.merge_many(
+        [PrioritySample.from_bytes(p.to_bytes())
+         for p in reversed(parts)])
+    assert merged == bulk == rev
+    # HT estimator totals are conserved exactly in exact mode and
+    # adjusted weights never fall below raw weights in any mode
+    assert np.all(merged.adjusted_weights() >= merged.weights - 1e-12)
+    if len(ids) <= k:
+        # exact mode: adjusted == raw weights; totals agree up to
+        # float summation order (sample order vs input order)
+        assert abs(merged.estimate_total() - w.sum()) \
+            <= 1e-9 * max(w.sum(), 1.0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10 ** 6),
+                min_size=0, max_size=300),
+       st.integers(min_value=0, max_value=3),
+       st.integers(min_value=1, max_value=5))
+def test_forward_decay_numerators_are_exact_weighted_sums(ages, p,
+                                                          n_groups):
+    """The decayed numerator law: sum over any partition of the rows
+    equals the global sum (plain integer addition), and every g is
+    age^p exactly."""
+    from athena_spark.operators.decay import _UNIT_DIVISORS  # noqa: F401
+
+    g = [a ** p for a in ages]
+    by_group = {}
+    for i, (a, gv) in enumerate(zip(ages, g)):
+        by_group.setdefault(i % n_groups, []).append(gv)
+    assert sum(sum(v) for v in by_group.values()) == sum(g)
+    for a, gv in zip(ages, g):
+        assert gv == a ** p
+
+
+@settings(max_examples=25, deadline=None)
+@given(stream, stream, stream)
+def test_countsketch_linearity_add_then_subtract(base_toks, add_toks,
+                                                 sub_toks):
+    """The turnstile law behind sketch maintenance: updating with
+    (add - sub) equals add-then-subtract equals subtract-then-add,
+    byte-for-byte — element-wise integer addition commutes."""
+    from athena_spark.sketch.countsketch import CountSketch
+
+    def build(order):
+        cs = CountSketch(depth=3, width=64)
+        cs.update(np.array(base_toks, dtype=object))
+        for toks, sign in order:
+            if toks:
+                u, c = np.unique(np.array(toks, dtype="U"),
+                                 return_counts=True)
+                cs.update_counts(u.astype(object), c * sign)
+        return cs
+
+    a = build([(add_toks, 1), (sub_toks, -1)])
+    b = build([(sub_toks, -1), (add_toks, 1)])
+    assert a.to_bytes() == b.to_bytes()
+    # perfect cancellation: adding and subtracting the same stream
+    # returns exactly the base sketch
+    c1 = build([(add_toks, 1), (add_toks, -1)])
+    base_only = build([])
+    assert c1.to_bytes() == base_only.to_bytes()
