@@ -596,3 +596,58 @@ def test_image_neardup_pixels_never_shuffle(spark, sf_dir):
         first = block.split("\n")[0] if block else ""
         if "Exchange" in first:
             assert "media#" not in block, block
+
+
+def test_nb_evidence_never_shuffles_text(spark, sf_dir):
+    """NB language-ID shares the DSIR scoring shape: the per-class
+    bucket table joins as a BroadcastExchange, grams partial-reduce
+    to one narrow row per (doc, class) before the shuffle, and
+    document text is absent from every exchange."""
+    from athena_spark.operators.nblangid import (nb_evidence,
+                                                 train_nb_langid)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_nb_langid(docs.limit(50), "lang", "text")
+    plan = plan_of(nb_evidence(docs, "doc_id", "text", model))
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "text#" not in block, block
+
+
+def test_decayed_rollup_map_side_combined_no_window(spark, sf_dir):
+    """Forward-decay rollup is a plain aggregate over codegen
+    weights: partial aggregation before the exchange (the numerators
+    are fixed at arrival — the paper's distributable property), no
+    Window operator, and the exchange carries only (key, partials)."""
+    from athena_spark.operators.decay import decayed_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(decayed_rollup(ev, "ts", "event_type", landmark=0,
+                                  p=2))
+    assert "partial_sum" in plan and "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "props#" not in block and "value#" not in block, block
+
+
+def test_perplexity_buckets_window_carries_narrow_rows(spark, sf_dir):
+    """The CCNet tercile window shuffles only (id, group, score)
+    rows — document text never enters an exchange."""
+    from athena_spark.operators.lmscore import (perplexity_buckets,
+                                                train_bigram_lm)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(docs.limit(30), "text", max_vocab=16)
+    plan = plan_of(perplexity_buckets(docs, "doc_id", "text", lm,
+                                      group_col="lang",
+                                      order="mean_p"))
+    assert "Window" in plan, plan
+    for block in plan.split("\n\n"):
+        first = block.split("\n")[0] if block else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "text#" not in block, block
