@@ -3429,6 +3429,70 @@ def q_wordpiece_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "`check` string, ok boolean")
 
 
+def q_byte_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified byte-level BPE gate (functions/bytebpe.py — the
+    GPT-2 tokenizer family): the synthetic corpus is ASCII, so the
+    gate PLANTS non-ASCII words (accented/CJK/emoji on doc_id%4==0)
+    to exercise the byte rendering.  Certified: training is
+    partitioning-independent; the base alphabet stays ≤ 256 bytes +
+    the terminal regardless of codepoints; encode∘decode is the
+    identity on EVERY doc including the planted ones (no [UNK]
+    exists by construction); and on the UNMODIFIED ASCII corpus the
+    byte trainer's merge list equals the char trainer's exactly
+    (rendering is the identity there — the two tokenizers share one
+    merge loop and cannot drift)."""
+    from athena_spark.functions.bpe import END, train_bpe
+    from athena_spark.functions.bytebpe import (byte_bpe_decode_subwords,
+                                                byte_bpe_encode,
+                                                train_byte_bpe)
+    from athena_spark.functions.tokenize import tokens_col
+
+    ascii_docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    docs = ascii_docs.select(
+        "doc_id",
+        F.when(d % 4 == 0,
+               F.concat(F.col("text"), F.lit(" café 日本"
+                                             "語 \U0001f600x")))
+        .otherwise(F.col("text")).alias("text"))
+    m1 = train_byte_bpe(docs, "text", num_merges=50)
+    m2 = train_byte_bpe(docs.repartition(13), "text", num_merges=50)
+    deterministic = (m1.merges == m2.merges and m1.vocab == m2.vocab)
+    merged_syms = {a + b for a, b in m1.merges}
+    base = [s for s in m1.vocab if s not in merged_syms]
+    alphabet_bounded = len(base) <= 257
+    ascii_parity = (train_byte_bpe(ascii_docs, "text", num_merges=30)
+                    .merges
+                    == train_bpe(ascii_docs, "text", num_merges=30)
+                    .merges)
+    enc = {r["doc_id"]: list(r["subwords"]) for r in
+           byte_bpe_encode(docs, "doc_id", "text", m1).collect()}
+    toks = {r["doc_id"]: list(r["t"]) for r in
+            docs.select("doc_id", tokens_col("text").alias("t"))
+            .collect()}
+    roundtrip_all = all(
+        byte_bpe_decode_subwords(enc[i]) == toks[i] for i in enc)
+    planted = [i for i in enc if i % 4 == 0]
+    planted_roundtrip = bool(planted) and all(
+        byte_bpe_decode_subwords(enc[i]) == toks[i]
+        and any("日" in w for w in toks[i]) for i in planted)
+    in_vocab_or_single = all(
+        s in set(m1.vocab) or len(s) == 1 or s == END
+        for i in enc for s in enc[i])
+    rows = [
+        ("training_deterministic_across_partitionings",
+         bool(deterministic)),
+        ("base_alphabet_bounded_by_bytes", bool(alphabet_bounded)),
+        ("roundtrip_identity_all_docs", bool(roundtrip_all)),
+        ("planted_nonascii_roundtrip", bool(planted_roundtrip)),
+        ("ascii_merge_parity_with_char_bpe", bool(ascii_parity)),
+        ("pieces_closed_under_alphabet",
+         bool(in_vocab_or_single)),
+        ("merges_nonempty", bool(len(m1.merges) > 0)),
+    ]
+    return spark.createDataFrame(rows, "`check` string, ok boolean")
+
+
 def q_dedup_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-based dedup: one representative (min id) per
     connected component of the near-dup graph (J >= 0.8), after exact
@@ -7723,6 +7787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid_evidence": q_nb_langid_evidence,
         "bpe_tokenizer": q_bpe_tokenizer,
         "wordpiece_tokenizer": q_wordpiece_tokenizer,
+        "byte_bpe_tokenizer": q_byte_bpe_tokenizer,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_recall": q_ann_ivfpq_recall,
         "sessionization": q_sessionization,
@@ -11059,6 +11124,16 @@ def _oracle_sql_table() -> dict[str, str]:
             UNION ALL SELECT 'roundtrip_identity_all_docs', TRUE
             UNION ALL SELECT 'subword_counts_within_bounds', TRUE
             UNION ALL SELECT 'all_subwords_in_vocab', TRUE
+            UNION ALL SELECT 'merges_nonempty', TRUE
+        """,
+        "byte_bpe_tokenizer": """
+            SELECT 'training_deterministic_across_partitionings'
+                       AS "check", TRUE AS ok
+            UNION ALL SELECT 'base_alphabet_bounded_by_bytes', TRUE
+            UNION ALL SELECT 'roundtrip_identity_all_docs', TRUE
+            UNION ALL SELECT 'planted_nonascii_roundtrip', TRUE
+            UNION ALL SELECT 'ascii_merge_parity_with_char_bpe', TRUE
+            UNION ALL SELECT 'pieces_closed_under_alphabet', TRUE
             UNION ALL SELECT 'merges_nonempty', TRUE
         """,
         "wordpiece_tokenizer": """

@@ -32,6 +32,7 @@ Subcommands:
 * ``lm-score``   — bigram-LM perplexity quality scoring (interpolated or Kneser-Ney)
 * ``train-bpe``  — learn a BPE subword vocabulary (optionally encode)
 * ``train-wordpiece`` — learn a WordPiece vocabulary (BERT-style)
+* ``train-byte-bpe`` — learn byte-level BPE merges (GPT-2 family)
 * ``train-unigram`` — learn a unigram-LM (SentencePiece-style)
   subword vocabulary (optionally Viterbi-encode)
 * ``chunk``      — RAG-style overlapping passage chunking
@@ -315,6 +316,17 @@ def _build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--num-merges", type=int, default=32000)
     tb.add_argument("--max-words", type=int, default=1 << 20)
     tb.add_argument("--apply", default=None, metavar="ENC_DIR",
+                    help="also encode the corpus and write parquet "
+                         "(doc id, n_words, n_subwords, subwords)")
+
+    bb = sub.add_parser("train-byte-bpe")
+    common(bb, output_help="merges text file to write ('a b' per "
+                           "line over byte stand-ins, training "
+                           "order); stdout if omitted")
+    bb.add_argument("--id-col", default="doc_id")
+    bb.add_argument("--num-merges", type=int, default=32000)
+    bb.add_argument("--max-words", type=int, default=1 << 20)
+    bb.add_argument("--apply", default=None, metavar="ENC_DIR",
                     help="also encode the corpus and write parquet "
                          "(doc id, n_words, n_subwords, subwords)")
 
@@ -1354,6 +1366,30 @@ def cmd_train_bpe(args) -> None:
             .write.mode("overwrite").parquet(args.apply)
 
 
+def cmd_train_byte_bpe(args) -> None:
+    """Learn a byte-level BPE merge list (GPT-2 family: 256-bounded
+    alphabet, no [UNK] ever); optionally encode the corpus."""
+    from athena_spark.functions.bytebpe import (byte_bpe_encode,
+                                                train_byte_bpe)
+    from athena_spark.sources.corpus import read_corpus
+
+    spark = _spark(args)
+    df = read_corpus(spark, args.input, fmt=args.format)
+    model = train_byte_bpe(df, args.col, num_merges=args.num_merges,
+                           max_words=args.max_words)
+    print(json.dumps({"merges": len(model.merges),
+                      "vocab": len(model.vocab)}), file=sys.stderr)
+    lines = "".join(f"{a} {b}\n" for a, b in model.merges)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(lines)
+    else:
+        sys.stdout.write(lines)
+    if args.apply:
+        byte_bpe_encode(df, args.id_col, args.col, model) \
+            .write.mode("overwrite").parquet(args.apply)
+
+
 def cmd_train_wordpiece(args) -> None:
     """Learn a WordPiece vocabulary from the corpus (likelihood-
     scored merges, BERT-style); optionally encode the corpus with
@@ -2212,6 +2248,7 @@ def main(argv=None) -> None:
         "lm-score": cmd_lm_score,
         "train-bpe": cmd_train_bpe,
         "train-wordpiece": cmd_train_wordpiece,
+        "train-byte-bpe": cmd_train_byte_bpe,
         "train-unigram": cmd_train_unigram,
         "substring-dedup": cmd_substring_dedup,
         "paragraph-dedup": cmd_paragraph_dedup,

@@ -110,6 +110,16 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int,
         _check_sentinel(r["w"])
     words: list[tuple[str, ...]] = [tuple(r["w"]) + (END,) for r in rows]
     counts = [int(r["count"]) for r in rows]
+    return _train_merges(words, counts, num_merges)
+
+
+def _train_merges(words: list, counts: list,
+                  num_merges: int) -> BPEModel:
+    """The incremental Sennrich merge loop over a bounded
+    (segmented-word, count) histogram — shared by character-level
+    :func:`train_bpe` and the byte-level trainer
+    (``functions/bytebpe.py``), which differ only in how words are
+    rendered into initial symbols."""
     base = sorted({s for syms in words for s in syms})
     # global pair counts + inverted index, maintained incrementally
     pair_counts: dict[tuple[str, str], int] = {}

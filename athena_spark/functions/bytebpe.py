@@ -1,0 +1,176 @@
+"""Byte-level BPE — the GPT-2 tokenizer family (Radford et al. 2019
+§2.2; the tokenizer GPT/Llama-class pretraining actually ships).
+
+Character-level BPE (``functions/bpe.py``) keys merges on Unicode
+characters: a corpus with rare CJK/emoji codepoints grows an
+unbounded alphabet, and an unseen character at encode time has no
+symbol at all.  Byte-level BPE instead renders every word's UTF-8
+BYTES through a fixed 256-entry byte↔unicode bijection (GPT-2's
+``bytes_to_unicode`` table — printable stand-ins for control/space
+bytes so merges stay debuggable strings) and runs the SAME merge
+loop over the rendering.  Consequences, both certified:
+
+* the base alphabet is ≤ 256 symbols + the word terminal, forever —
+  vocabulary budget goes to merges, not codepoints;
+* EVERY string tokenizes and round-trips exactly — there is no
+  unseen-character case and no ``[UNK]`` by construction.
+
+The trainer reuses ``bpe._train_merges`` verbatim (one Spark
+histogram pass, incremental driver merge loop, count-desc/word-asc
+truncation order) and the encoder reuses the greedy-by-rank
+``bpe_word`` loop over the rendered symbols — byte-level differs
+ONLY in the word rendering, so the two tokenizers cannot drift.
+
+Scale shape: identical to ``bpe_encode`` — Arrow
+dictionary-encoding bounds Python work by UNIQUE tokens per batch,
+and the flat doc-major subword stream never shuffles text.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from athena_spark.functions.bpe import (END, BPEModel, _check_sentinel,
+                                        _train_merges, bpe_word)
+from athena_spark.functions.tokenize import exploded_tokens
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict:
+    """GPT-2's fixed byte↔unicode bijection: printable ASCII and
+    Latin-1 letters map to themselves; the remaining 68 bytes map to
+    U+0100.. so every byte has a PRINTABLE one-character stand-in
+    (gpt-2/src/encoder.py, public domain reference table)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+@lru_cache(maxsize=1)
+def unicode_to_bytes() -> dict:
+    return {v: k for k, v in bytes_to_unicode().items()}
+
+
+def render_word(word: str) -> str:
+    """UTF-8 bytes → printable stand-in characters (one per byte)."""
+    table = bytes_to_unicode()
+    return "".join(table[b] for b in word.encode("utf-8"))
+
+
+def unrender_word(rendered: str) -> str:
+    """Inverse of :func:`render_word`."""
+    table = unicode_to_bytes()
+    return bytes(table[ch] for ch in rendered).decode("utf-8")
+
+
+def train_byte_bpe(df: DataFrame, text_col: str, num_merges: int,
+                   max_words: int = 1 << 20) -> BPEModel:
+    """Learn byte-level merges from the corpus word histogram — the
+    char trainer with words rendered to byte stand-ins first."""
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
+    rows = (
+        exploded_tokens(df, norm, out="w")
+        .groupBy("w").count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    words = []
+    for r in rows:
+        rendered = render_word(r["w"])
+        _check_sentinel(rendered)
+        words.append(tuple(rendered) + (END,))
+    counts = [int(r["count"]) for r in rows]
+    return _train_merges(words, counts, num_merges)
+
+
+def byte_bpe_word(word: str, ranks: dict) -> list[str]:
+    """Encode one word: render to byte stand-ins, replay merges by
+    rank.  NEVER falls back to an unknown token — unseen bytes stay
+    single-symbol (the byte alphabet is closed)."""
+    return bpe_word(render_word(word), ranks)
+
+
+def byte_bpe_encode(df: DataFrame, id_col: str, text_col: str,
+                    model: BPEModel) -> DataFrame:
+    """Encode documents: (id, n_words, n_subwords, subwords) over the
+    RENDERED symbol space (decode via
+    :func:`byte_bpe_decode_subwords`).  Same dictionary-encoded Arrow
+    batch shape as ``bpe_encode``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from athena_spark.functions.tokenize import arrow_tokenize_batch
+
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    sc = df.sparkSession.sparkContext
+    bmodel = sc.broadcast(model)
+
+    def kernel(batches):
+        ranks = bmodel.value.ranks
+        cache: dict = {}
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            tokens, t = arrow_tokenize_batch(texts)
+            dic = pc.dictionary_encode(tokens)
+            uniq = dic.dictionary.to_pylist() if len(tokens) else []
+            enc = []
+            for w in uniq:
+                e = cache.get(w)
+                if e is None:
+                    e = byte_bpe_word(w, ranks)
+                    cache[w] = e
+                enc.append(e)
+            idx = (dic.indices.to_numpy(zero_copy_only=False)
+                   .astype(np.int64) if len(tokens)
+                   else np.empty(0, np.int64))
+            lens = np.array([len(e) for e in enc], np.int64)
+            per_token = lens[idx] if len(idx) else np.empty(0, np.int64)
+            ends = np.cumsum(t)
+            starts = ends - t
+            cs = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(per_token)])
+            n_sub = cs[ends] - cs[starts]
+            if len(idx):
+                uniq_list = pa.array(enc, type=pa.list_(pa.string()))
+                flat_arr = uniq_list.take(pa.array(idx)).flatten()
+            else:
+                flat_arr = pa.array([], type=pa.string())
+            doc_offsets = np.concatenate(
+                [np.zeros(1, np.int64), cs[ends]])
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(t.astype(np.int64)),
+                 pa.array(n_sub),
+                 pa.ListArray.from_arrays(
+                     pa.array(doc_offsets, type=pa.int32()),
+                     flat_arr)],
+                names=[id_col, "n_words", "n_subwords", "subwords"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        kernel,
+        f"`{id_col}` {id_type}, n_words long, n_subwords long, "
+        "subwords array<string>",
+    )
+
+
+def byte_bpe_decode_subwords(subwords: list[str]) -> list[str]:
+    """Inverse of encoding: concatenate, split on END, un-render each
+    word's byte stand-ins back to its original string."""
+    return [unrender_word(w)
+            for w in "".join(subwords).split(END) if w != ""]

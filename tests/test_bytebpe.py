@@ -1,0 +1,98 @@
+"""Byte-level BPE (GPT-2 family): the byte↔unicode bijection,
+closed-alphabet/no-UNK guarantees, roundtrip identity on arbitrary
+UTF-8, and merge-loop parity with the char trainer on ASCII."""
+
+import pytest
+
+from athena_spark.functions.bytebpe import (byte_bpe_decode_subwords,
+                                            byte_bpe_encode,
+                                            byte_bpe_word,
+                                            bytes_to_unicode,
+                                            render_word,
+                                            train_byte_bpe,
+                                            unrender_word)
+
+
+def test_byte_unicode_table_is_a_bijection():
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256
+    # printable ASCII maps to itself
+    assert table[ord("a")] == "a" and table[ord("!")] == "!"
+    # space/control bytes get printable stand-ins outside Latin-1
+    assert table[ord(" ")] != " " and ord(table[0]) >= 256
+
+
+def test_render_roundtrip_arbitrary_unicode():
+    for w in ["hello", "café", "日本語", "\U0001f600",
+              "mixedé日x", "a" * 50]:
+        assert unrender_word(render_word(w)) == w
+    # rendering is one symbol per UTF-8 byte
+    assert len(render_word("日")) == 3      # CJK = 3 bytes
+
+
+def test_alphabet_bounded_and_no_unk(spark):
+    """The selling point vs char BPE: rare codepoints cost bytes,
+    not alphabet entries, and unseen characters still encode."""
+    docs = spark.createDataFrame(
+        [(0, "hello world hello"), (1, "café café world")],
+        "doc_id long, text string")
+    model = train_byte_bpe(docs, "text", num_merges=20)
+    from athena_spark.functions.bpe import END
+
+    merged = {a + b for a, b in model.merges}
+    base = [s for s in model.vocab if s not in merged]
+    assert len(base) <= 257                     # 256 bytes + END
+    # a word with bytes never seen in training still encodes (single
+    # byte symbols may be absent from VOCAB but the ranks loop just
+    # leaves them unmerged) and round-trips
+    pieces = byte_bpe_word("中文\U0001f4a9", model.ranks)
+    assert byte_bpe_decode_subwords(pieces) == ["中文\U0001f4a9"]
+
+
+def test_encode_roundtrip_with_nonascii_corpus(spark):
+    texts = ["the café on main", "日本語 text here",
+             "emoji \U0001f600 line", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    model = train_byte_bpe(docs, "text", num_merges=40)
+    out = {r["doc_id"]: r for r in
+           byte_bpe_encode(docs, "doc_id", "text", model).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split() if w]
+        assert byte_bpe_decode_subwords(out[i]["subwords"]) == words, i
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_subwords"] == len(out[i]["subwords"])
+
+
+def test_matches_char_bpe_on_pure_ascii(spark):
+    """On printable-ASCII corpora the byte rendering is the identity,
+    so the two trainers must learn the IDENTICAL merge list and the
+    encoders must emit identical subwords."""
+    from athena_spark.functions.bpe import bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide widest")
+         for i in range(4)],
+        "doc_id long, text string")
+    m_char = train_bpe(docs, "text", num_merges=25)
+    m_byte = train_byte_bpe(docs, "text", num_merges=25)
+    assert m_char.merges == m_byte.merges
+    a = {r["doc_id"]: r["subwords"] for r in
+         bpe_encode(docs, "doc_id", "text", m_char).collect()}
+    b = {r["doc_id"]: r["subwords"] for r in
+         byte_bpe_encode(docs, "doc_id", "text", m_byte).collect()}
+    assert a == b
+
+
+def test_training_partitioning_independent(spark):
+    docs = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "concat('données café t', CAST(id % 5 AS STRING))"
+        " AS text")
+    m1 = train_byte_bpe(docs, "text", num_merges=15)
+    m2 = train_byte_bpe(docs.repartition(7), "text", num_merges=15)
+    assert m1.merges == m2.merges and m1.vocab == m2.vocab
+    with pytest.raises(ValueError, match="num_merges"):
+        train_byte_bpe(docs, "text", num_merges=-1)

@@ -1155,3 +1155,32 @@ def test_cli_langid_nb(spark, sf_dir, tmp_path, capsys):
         docs, "doc_id", "text", model).collect()}
     assert {r["doc_id"]: r["pred_label"]
             for r in got.collect()} == want
+
+
+def test_cli_train_byte_bpe(spark, sf_dir, tmp_path, capsys):
+    """train-byte-bpe: merge list matches the library; --apply writes
+    an encoded corpus that round-trips through the byte decoder."""
+    from athena_spark.functions.bytebpe import (
+        byte_bpe_decode_subwords, train_byte_bpe)
+    from athena_spark.functions.tokenize import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_dir = str(tmp_path / "bbpe_in")
+    docs.write.parquet(docs_dir)
+    merges_path = str(tmp_path / "bbpe_merges.txt")
+    enc_dir = str(tmp_path / "bbpe_enc")
+    main(["train-byte-bpe", "--input", docs_dir, "--col", "text",
+          "--num-merges", "25", "--output", merges_path,
+          "--apply", enc_dir])
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    model = train_byte_bpe(docs, "text", num_merges=25)
+    with open(merges_path) as fh:
+        assert [tuple(l.split(" ", 1)) for l in
+                fh.read().splitlines()] == model.merges
+    assert rep["merges"] == len(model.merges)
+    enc = {r["doc_id"]: r for r in spark.read.parquet(enc_dir).collect()}
+    toks = {r["doc_id"]: r["ts"] for r in
+            docs.select("doc_id", tokens_col("text").alias("ts"))
+            .collect()}
+    for i in sorted(enc)[:20]:
+        assert byte_bpe_decode_subwords(enc[i]["subwords"]) == toks[i]
