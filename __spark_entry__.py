@@ -3441,7 +3441,7 @@ def q_byte_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte trainer's merge list equals the char trainer's exactly
     (rendering is the identity there — the two tokenizers share one
     merge loop and cannot drift)."""
-    from athena_spark.functions.bpe import END, train_bpe
+    from athena_spark.functions.bpe import train_bpe
     from athena_spark.functions.bytebpe import (byte_bpe_decode_subwords,
                                                 byte_bpe_encode,
                                                 train_byte_bpe)
@@ -3465,29 +3465,58 @@ def q_byte_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .merges
                     == train_bpe(ascii_docs, "text", num_merges=30)
                     .merges)
-    enc = {r["doc_id"]: list(r["subwords"]) for r in
-           byte_bpe_encode(docs, "doc_id", "text", m1).collect()}
-    toks = {r["doc_id"]: list(r["t"]) for r in
-            docs.select("doc_id", tokens_col("text").alias("t"))
-            .collect()}
-    roundtrip_all = all(
-        byte_bpe_decode_subwords(enc[i]) == toks[i] for i in enc)
-    planted = [i for i in enc if i % 4 == 0]
-    planted_roundtrip = bool(planted) and all(
-        byte_bpe_decode_subwords(enc[i]) == toks[i]
-        and any("日" in w for w in toks[i]) for i in planted)
-    in_vocab_or_single = all(
-        s in set(m1.vocab) or len(s) == 1 or s == END
-        for i in enc for s in enc[i])
+    # roundtrip + closure checked IN SPARK (one narrow boolean row
+    # per doc aggregated to counts — O(1) driver traffic, unlike a
+    # corpus-wide collect of subword lists): the Python byte decode
+    # runs partition-local in a mapInArrow kernel
+    joined = byte_bpe_encode(docs, "doc_id", "text", m1).join(
+        docs.select("doc_id", tokens_col("text").alias("toks")),
+        "doc_id")
+    vocab = set(m1.vocab)
+
+    def check_kernel(batches):
+        import pyarrow as _pa
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id"))
+            subs = batch.column(
+                batch.schema.get_field_index("subwords")).to_pylist()
+            tks = batch.column(
+                batch.schema.get_field_index("toks")).to_pylist()
+            ok = [byte_bpe_decode_subwords(s) == t
+                  for s, t in zip(subs, tks)]
+            closed = [all(p in vocab or len(p) == 1 for p in s)
+                      for s in subs]
+            planted = [any("日" in w for w in t) for t in tks]
+            yield _pa.RecordBatch.from_arrays(
+                [ids, _pa.array(ok), _pa.array(closed),
+                 _pa.array(planted)],
+                names=["doc_id", "ok", "closed", "planted"])
+
+    checks = joined.mapInArrow(
+        check_kernel,
+        "doc_id long, ok boolean, closed boolean, planted boolean",
+    ).agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.sum(F.col("closed").cast("long")).alias("n_closed"),
+        F.sum(F.when(F.col("planted") & F.col("ok"), 1)
+              .otherwise(0)).alias("n_planted_ok"),
+        F.sum(F.col("planted").cast("long")).alias("n_planted"),
+    ).collect()[0]
+    n = checks["docs"]
     rows = [
         ("training_deterministic_across_partitionings",
          bool(deterministic)),
         ("base_alphabet_bounded_by_bytes", bool(alphabet_bounded)),
-        ("roundtrip_identity_all_docs", bool(roundtrip_all)),
-        ("planted_nonascii_roundtrip", bool(planted_roundtrip)),
+        ("roundtrip_identity_all_docs",
+         bool(checks["n_ok"] == n and n > 0)),
+        ("planted_nonascii_roundtrip",
+         bool(checks["n_planted"] > 0
+              and checks["n_planted_ok"] == checks["n_planted"])),
         ("ascii_merge_parity_with_char_bpe", bool(ascii_parity)),
         ("pieces_closed_under_alphabet",
-         bool(in_vocab_or_single)),
+         bool(checks["n_closed"] == n)),
         ("merges_nonempty", bool(len(m1.merges) > 0)),
     ]
     return spark.createDataFrame(rows, "`check` string, ok boolean")

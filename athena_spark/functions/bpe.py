@@ -96,21 +96,31 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int,
     pair occurs twice."""
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    rows = word_histogram(df, text_col, max_words)
+    for r in rows:
+        _check_sentinel(r["w"])
+    words: list[tuple[str, ...]] = [tuple(r["w"]) + (END,) for r in rows]
+    counts = [int(r["count"]) for r in rows]
+    return _train_merges(words, counts, num_merges)
+
+
+def word_histogram(df: DataFrame, text_col: str, max_words: int) -> list:
+    """The ONE Spark histogram pass every subword trainer shares
+    (char BPE, byte BPE, WordPiece use identical tokenization and
+    truncation rules — one implementation, so the \\v/\\f
+    normalization and the count-desc/word-asc total order can never
+    de-synchronize between trainers): rows of (w, count), top
+    ``max_words``."""
     # \v/\f → space so training tokenization matches the Arrow
     # scoring/encoding tokenizer exactly (same rule as the LM scorer)
     norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
-    rows = (
+    return (
         exploded_tokens(df, norm, out="w")
         .groupBy("w").count()
         .orderBy(F.col("count").desc(), F.col("w").asc())
         .limit(max_words)
         .collect()
     )
-    for r in rows:
-        _check_sentinel(r["w"])
-    words: list[tuple[str, ...]] = [tuple(r["w"]) + (END,) for r in rows]
-    counts = [int(r["count"]) for r in rows]
-    return _train_merges(words, counts, num_merges)
 
 
 def _train_merges(words: list, counts: list,
@@ -184,6 +194,18 @@ def bpe_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def _char_encoder(model: BPEModel):
+    """Per-word encoder for :func:`encode_tokens_df`: character BPE
+    (sentinel-checked, greedy by rank)."""
+    ranks = model.ranks
+
+    def encode(w: str) -> list[str]:
+        _check_sentinel(w)
+        return bpe_word(w, ranks)
+
+    return encode
+
+
 def bpe_encode(df: DataFrame, id_col: str, text_col: str,
                model: BPEModel) -> DataFrame:
     """Encode documents: (id, n_words, n_subwords, subwords) where
@@ -195,6 +217,17 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     encoded once through the merge ranks, and per-token subword
     counts fan back out through the dictionary indices.
     """
+    return encode_tokens_df(df, id_col, text_col, model, _char_encoder)
+
+
+def encode_tokens_df(df: DataFrame, id_col: str, text_col: str,
+                     model, make_encoder) -> DataFrame:
+    """The ONE dictionary-encoded Arrow batch kernel every subword
+    encoder shares (char BPE and byte BPE differ only in the
+    per-word ``make_encoder(model)`` closure built inside the task
+    from the broadcast model) — a single implementation, so batch
+    handling, validation placement and the flat doc-major output
+    cannot drift between tokenizers."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -205,7 +238,7 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     bmodel = sc.broadcast(model)
 
     def kernel(batches):
-        ranks = bmodel.value.ranks
+        encode_word = make_encoder(bmodel.value)
         cache: dict[str, list[str]] = {}
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
@@ -217,8 +250,7 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
             for w in uniq:
                 e = cache.get(w)
                 if e is None:
-                    _check_sentinel(w)
-                    e = bpe_word(w, ranks)
+                    e = encode_word(w)
                     cache[w] = e
                 enc.append(e)
             idx = (dic.indices.to_numpy(zero_copy_only=False)

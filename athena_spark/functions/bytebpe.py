@@ -30,12 +30,12 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from athena_spark.functions.bpe import (END, BPEModel, _check_sentinel,
-                                        _train_merges, bpe_word)
-from athena_spark.functions.tokenize import exploded_tokens
+                                        _train_merges, bpe_word,
+                                        encode_tokens_df,
+                                        word_histogram)
 
 
 @lru_cache(maxsize=1)
@@ -77,17 +77,12 @@ def unrender_word(rendered: str) -> str:
 def train_byte_bpe(df: DataFrame, text_col: str, num_merges: int,
                    max_words: int = 1 << 20) -> BPEModel:
     """Learn byte-level merges from the corpus word histogram — the
-    char trainer with words rendered to byte stand-ins first."""
+    char trainer with words rendered to byte stand-ins first (the
+    histogram pass and the merge loop are the SHARED
+    implementations; only the rendering differs)."""
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
-    norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
-    rows = (
-        exploded_tokens(df, norm, out="w")
-        .groupBy("w").count()
-        .orderBy(F.col("count").desc(), F.col("w").asc())
-        .limit(max_words)
-        .collect()
-    )
+    rows = word_histogram(df, text_col, max_words)
     words = []
     for r in rows:
         rendered = render_word(r["w"])
@@ -100,73 +95,33 @@ def train_byte_bpe(df: DataFrame, text_col: str, num_merges: int,
 def byte_bpe_word(word: str, ranks: dict) -> list[str]:
     """Encode one word: render to byte stand-ins, replay merges by
     rank.  NEVER falls back to an unknown token — unseen bytes stay
-    single-symbol (the byte alphabet is closed)."""
-    return bpe_word(render_word(word), ranks)
+    single-symbol (the byte alphabet is closed).  Words whose TEXT
+    contains the END sentinel raise (same loud guard as the char
+    path: silently encoding them would make decode split them)."""
+    rendered = render_word(word)
+    _check_sentinel(rendered)
+    return bpe_word(rendered, ranks)
+
+
+def _byte_encoder(model: BPEModel):
+    """Per-word encoder for ``encode_tokens_df`` (byte rendering +
+    sentinel check + greedy-by-rank replay)."""
+    ranks = model.ranks
+
+    def encode(w: str) -> list[str]:
+        return byte_bpe_word(w, ranks)
+
+    return encode
 
 
 def byte_bpe_encode(df: DataFrame, id_col: str, text_col: str,
                     model: BPEModel) -> DataFrame:
     """Encode documents: (id, n_words, n_subwords, subwords) over the
     RENDERED symbol space (decode via
-    :func:`byte_bpe_decode_subwords`).  Same dictionary-encoded Arrow
-    batch shape as ``bpe_encode``."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from athena_spark.functions.tokenize import arrow_tokenize_batch
-
-    id_type = df.select(id_col).schema[0].dataType.simpleString()
-    sc = df.sparkSession.sparkContext
-    bmodel = sc.broadcast(model)
-
-    def kernel(batches):
-        ranks = bmodel.value.ranks
-        cache: dict = {}
-        for batch in batches:
-            ids = batch.column(batch.schema.get_field_index(id_col))
-            texts = batch.column(batch.schema.get_field_index(text_col))
-            tokens, t = arrow_tokenize_batch(texts)
-            dic = pc.dictionary_encode(tokens)
-            uniq = dic.dictionary.to_pylist() if len(tokens) else []
-            enc = []
-            for w in uniq:
-                e = cache.get(w)
-                if e is None:
-                    e = byte_bpe_word(w, ranks)
-                    cache[w] = e
-                enc.append(e)
-            idx = (dic.indices.to_numpy(zero_copy_only=False)
-                   .astype(np.int64) if len(tokens)
-                   else np.empty(0, np.int64))
-            lens = np.array([len(e) for e in enc], np.int64)
-            per_token = lens[idx] if len(idx) else np.empty(0, np.int64)
-            ends = np.cumsum(t)
-            starts = ends - t
-            cs = np.concatenate(
-                [np.zeros(1, np.int64), np.cumsum(per_token)])
-            n_sub = cs[ends] - cs[starts]
-            if len(idx):
-                uniq_list = pa.array(enc, type=pa.list_(pa.string()))
-                flat_arr = uniq_list.take(pa.array(idx)).flatten()
-            else:
-                flat_arr = pa.array([], type=pa.string())
-            doc_offsets = np.concatenate(
-                [np.zeros(1, np.int64), cs[ends]])
-            yield pa.RecordBatch.from_arrays(
-                [ids,
-                 pa.array(t.astype(np.int64)),
-                 pa.array(n_sub),
-                 pa.ListArray.from_arrays(
-                     pa.array(doc_offsets, type=pa.int32()),
-                     flat_arr)],
-                names=[id_col, "n_words", "n_subwords", "subwords"],
-            )
-
-    return df.select(id_col, text_col).mapInArrow(
-        kernel,
-        f"`{id_col}` {id_type}, n_words long, n_subwords long, "
-        "subwords array<string>",
-    )
+    :func:`byte_bpe_decode_subwords`).  Rides the ONE shared
+    dictionary-encoded Arrow kernel (``bpe.encode_tokens_df``)."""
+    return encode_tokens_df(df, id_col, text_col, model,
+                            _byte_encoder)
 
 
 def byte_bpe_decode_subwords(subwords: list[str]) -> list[str]:

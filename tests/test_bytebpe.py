@@ -96,3 +96,20 @@ def test_training_partitioning_independent(spark):
     assert m1.merges == m2.merges and m1.vocab == m2.vocab
     with pytest.raises(ValueError, match="num_merges"):
         train_byte_bpe(docs, "text", num_merges=-1)
+
+
+def test_sentinel_words_raise_on_byte_encode(spark):
+    """Words containing the END sentinel must raise LOUDLY on the
+    byte path too — silently encoding them would make decode split
+    them into two words (same guard as the char kernel)."""
+    from athena_spark.functions.bpe import BPEModel
+
+    df = spark.createDataFrame([(0, "x</w>y ok")],
+                               "doc_id long, text string")
+    model = BPEModel(merges=[], vocab=[])
+    with pytest.raises(Exception, match="sentinel"):
+        byte_bpe_encode(df, "doc_id", "text", model).collect()
+    with pytest.raises(ValueError, match="sentinel"):
+        from athena_spark.functions.bytebpe import byte_bpe_word
+
+        byte_bpe_word("x</w>y", {})

@@ -375,27 +375,6 @@ def test_prioritysample_merge_is_bulk_equivalent(weights, k, seed,
             <= 1e-9 * max(w.sum(), 1.0)
 
 
-@settings(max_examples=40, deadline=None)
-@given(st.lists(st.integers(min_value=0, max_value=10 ** 6),
-                min_size=0, max_size=300),
-       st.integers(min_value=0, max_value=3),
-       st.integers(min_value=1, max_value=5))
-def test_forward_decay_numerators_are_exact_weighted_sums(ages, p,
-                                                          n_groups):
-    """The decayed numerator law: sum over any partition of the rows
-    equals the global sum (plain integer addition), and every g is
-    age^p exactly."""
-    from athena_spark.operators.decay import _UNIT_DIVISORS  # noqa: F401
-
-    g = [a ** p for a in ages]
-    by_group = {}
-    for i, (a, gv) in enumerate(zip(ages, g)):
-        by_group.setdefault(i % n_groups, []).append(gv)
-    assert sum(sum(v) for v in by_group.values()) == sum(g)
-    for a, gv in zip(ages, g):
-        assert gv == a ** p
-
-
 @settings(max_examples=25, deadline=None)
 @given(stream, stream, stream)
 def test_countsketch_linearity_add_then_subtract(base_toks, add_toks,
