@@ -4664,6 +4664,67 @@ def q_streaming_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="check string, ok boolean")
 
 
+def q_streaming_priority_sample(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Certified continuously-maintained priority sample
+    (streaming/stateful.py stateful_priority_sample): the stream's
+    final emission must equal the batch sampler EXACTLY — ids,
+    weights, threshold tau and count — because deterministic hash
+    priorities make the sketch a pure function of the item SET
+    (batching and arrival order cannot matter).  The always-current
+    audit sample whose max(w, tau) weights answer any subset-sum
+    question about everything ingested so far."""
+    import shutil
+    import tempfile
+
+    from athena_spark.operators.prioritysum import priority_sample
+    from athena_spark.streaming.stateful import stateful_priority_sample
+
+    docs = _docs(spark, sf_dir)
+    want = priority_sample(docs, "doc_id", "n_chars", k=64, seed=3)
+    src = tempfile.mkdtemp(prefix="athena_psample_src_")
+    ckpt = tempfile.mkdtemp(prefix="athena_psample_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = "psample_state_gate"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        stateful_priority_sample(stream, "doc_id", "n_chars", k=64,
+                                 seed=3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+        rows = spark.table(name).collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    final = max(rows, key=lambda r: r["n"]) if rows else None
+    checks = [
+        ("final_sample_equals_batch_exactly",
+         final is not None
+         and list(final["sample_ids"]) == list(want.ids)
+         and list(final["sample_weights"]) == list(want.weights)),
+        ("threshold_and_count_exact",
+         final is not None and final["tau"] == want.tau
+         and final["n"] == want.n),
+        ("multiple_emissions", len(rows) > 1),
+    ]
+    return spark.createDataFrame(
+        [(c, bool(ok)) for c, ok in checks],
+        schema="check string, ok boolean")
+
+
 def q_word2vec_parity_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified E5/E6 two-pass word2vec parity trainer
     (src/word2vec-train.cpp, alias variant src/word2vec-alias-
@@ -7760,6 +7821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup_parity": q_streaming_rollup_parity,
         "streaming_curate_parity": q_streaming_curate_parity,
         "streaming_decayed_topk": q_streaming_decayed_topk,
+        "streaming_priority_sample": q_streaming_priority_sample,
         # -- r3-green gates, cheap -> heavy
         "ss_topk_tokens": q_ss_topk_tokens,
         "exact_token_counts": q_exact_token_counts,
@@ -11187,6 +11249,12 @@ def _oracle_sql_table() -> dict[str, str]:
             UNION ALL SELECT 'dropped_have_admitted_witness', TRUE
             UNION ALL SELECT 'admitted_dropped_partition_input', TRUE
             UNION ALL SELECT 'some_near_dups_dropped', TRUE
+        """,
+        "streaming_priority_sample": """
+            SELECT 'final_sample_equals_batch_exactly'
+                       AS "check", TRUE AS ok
+            UNION ALL SELECT 'threshold_and_count_exact', TRUE
+            UNION ALL SELECT 'multiple_emissions', TRUE
         """,
         "streaming_decayed_topk": """
             SELECT 'keys_match' AS "check", TRUE AS ok

@@ -185,3 +185,70 @@ def stateful_decayed_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PRIORITY_SAMPLE_OUTPUT_SCHEMA = (
+    "key string, n long, tau double, sample_ids array<long>, "
+    "sample_weights array<double>"
+)
+
+
+def stateful_priority_sample(
+    stream_df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """A continuously-maintained priority sample of a stream — the
+    audit sample that is always current: each micro-batch folds its
+    rows into the k-bounded :class:`PrioritySample` state and emits
+    the running sample + threshold, whose ``max(w, tau)`` weights
+    answer any subset-sum question about EVERYTHING ingested so far.
+
+    Priorities are deterministic hash draws computed JVM-side
+    (``priority_key``), and the sketch is a pure function of the SET
+    of items seen — batching, arrival order and restarts cannot
+    change it — so the stream's final emission equals the batch
+    ``priority_sample`` over the same rows EXACTLY (the certified
+    parity, sharper than the decayed-topk gate's exact-mode-only
+    equality).  State = one O(k) serialization under a single global
+    group (the sample is global by definition; narrow rows only)."""
+    from pyspark.sql import functions as F
+
+    from athena_spark.operators.prioritysum import priority_key
+    from athena_spark.sketch.prioritysample import PrioritySample
+
+    keyed = stream_df.select(
+        F.lit("all").alias("key"),
+        stream_df[id_col].cast("long").alias("id"),
+        stream_df[weight_col].cast("double").alias("w"),
+        priority_key(id_col, stream_df[weight_col], seed).alias("q"),
+    ).where("id IS NOT NULL AND w IS NOT NULL AND w > 0")
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            sk = PrioritySample.from_bytes(bytes(state.get[0]))
+        else:
+            sk = PrioritySample(k=k)
+        for pdf in pdfs:
+            if len(pdf):
+                sk.update_with_priorities(
+                    pdf["id"].to_numpy(), pdf["w"].to_numpy(),
+                    pdf["q"].to_numpy())
+        state.update((bytearray(sk.to_bytes()),))
+        yield pd.DataFrame({
+            "key": [key[0]],
+            "n": [sk.n],
+            "tau": [sk.tau],
+            "sample_ids": [[int(i) for i in sk.ids]],
+            "sample_weights": [[float(w) for w in sk.weights]],
+        })
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=PRIORITY_SAMPLE_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

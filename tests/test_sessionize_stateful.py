@@ -451,3 +451,44 @@ def test_stateful_decayed_topk_recovers_state_across_restart(spark, sf_dir):
     assert any(best[k] > p1_max.get(k, 0) for k in best)
     for p in (stage, src, ckpt):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_stateful_priority_sample_equals_batch_exactly(spark, sf_dir):
+    """The streamed priority sample is a pure function of the item
+    SET (deterministic hash priorities, mergeable state), so the
+    final emission must equal the batch sampler EXACTLY — ids,
+    weights, threshold and count — regardless of batching."""
+    from athena_spark.operators.prioritysum import priority_sample
+    from athena_spark.streaming.stateful import stateful_priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = priority_sample(docs, "doc_id", "n_chars", k=64, seed=3)
+    src = os.path.join(TMP, "psample_state_src")
+    ckpt = os.path.join(TMP, "psample_state_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    docs.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_priority_sample(stream, "doc_id", "n_chars", k=64,
+                                 seed=3)
+        .writeStream.format("memory").queryName("psample_state_t")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from psample_state_t").collect()
+    assert len(rows) > 1                       # several emissions
+    final = max(rows, key=lambda r: r["n"])
+    assert final["n"] == want.n
+    assert final["tau"] == want.tau
+    assert list(final["sample_ids"]) == list(want.ids)
+    assert list(final["sample_weights"]) == list(want.weights)
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
