@@ -555,6 +555,20 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--target-rows", type=int, required=True,
                     help="rows per output group (prefix-sum banding)")
 
+    cps = sub.add_parser("compact-store")
+    cps.add_argument("--store", action="append", required=True,
+                     help="epoch-partitioned store root to fold "
+                          "(repeatable: digest store + output root)")
+    cps.add_argument("--checkpoint", default=None,
+                     help="owning streaming checkpoint; defaults to "
+                          "the store's bind_checkpoint marker. Only "
+                          "epochs at-or-below the last COMMITTED "
+                          "batch are folded (replay safety)")
+    cps.add_argument("--assume-stopped", action="store_true",
+                     help="stream has terminated for good: fold "
+                          "every epoch, committed or not")
+    cps.add_argument("--master", default=None)
+
     va = sub.add_parser("validate")
     common(va, output_help="unused (report goes to stdout)")
     va.add_argument("--rules", required=True,
@@ -1935,6 +1949,24 @@ def cmd_compact(args) -> None:
     print(json.dumps(info), file=sys.stderr)
 
 
+def cmd_compact_store(args) -> None:
+    """Fold each --store's epoch=N directories into one epoch with
+    identical read_epoch_store() contents (streaming/store.py
+    compact_epoch_store) — the maintenance job that keeps
+    long-running CodeIngestStream / dedup digest stores from
+    growing one directory per micro-batch forever."""
+    from athena_spark.streaming.store import compact_epoch_store
+
+    spark = _spark(args)
+    report = {}
+    for store in args.store:
+        info = compact_epoch_store(
+            spark, store, checkpoint_dir=args.checkpoint,
+            assume_stopped=args.assume_stopped)
+        report[store] = info
+    print(json.dumps(report), file=sys.stderr)
+
+
 def cmd_validate(args) -> None:
     """Data-quality validation: evaluate the JSON rule list against
     --input (deequ-style: completeness / uniqueness / ranges /
@@ -2267,6 +2299,7 @@ def main(argv=None) -> None:
         "diff": cmd_diff,
         "scd2": cmd_scd2,
         "compact": cmd_compact,
+        "compact-store": cmd_compact_store,
         "validate": cmd_validate,
         "wet-ingest": cmd_wet_ingest,
         "url-dedup": cmd_url_dedup,

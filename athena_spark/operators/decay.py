@@ -63,11 +63,21 @@ def forward_decay_weight(ts_col: str, landmark, p: int = 2,
     """The exact-integer numerator ``g(age) = age^p`` (long).  Rows
     older than the landmark get weight 0 (the paper requires
     ``L <= all arrivals``; clamping keeps stragglers harmless rather
-    than negative-weighted)."""
+    than negative-weighted).
+
+    NOTE: ``p <= 3`` alone does NOT make the product overflow-safe —
+    age^3 wraps int64 once age exceeds 2^21 ticks (~24 days at
+    ``unit="seconds"``), silently in non-ANSI Spark.  This function
+    returns a bare Column and cannot see the data, so callers that
+    hold the DataFrame (:func:`decayed_rollup`, :func:`decayed_topk`)
+    verify ``max(age)^p`` fits int64 at runtime and raise with a
+    unit-upgrade hint; use those, or call
+    :func:`check_decay_overflow` yourself before trusting a
+    standalone ``g`` over a long horizon."""
     if unit not in _UNIT_DIVISORS:
         raise ValueError(f"unit must be one of {sorted(_UNIT_DIVISORS)}")
     if not 0 <= int(p) <= 3:
-        raise ValueError(f"p must be in 0..3 (int64 overflow), got {p}")
+        raise ValueError(f"p must be in 0..3, got {p}")
     age = F.greatest(_age_col(ts_col, landmark, unit), F.lit(0))
     g = F.lit(1).cast("long")
     for _ in range(int(p)):
@@ -80,6 +90,29 @@ def _min_age_landmark(df: DataFrame, ts_col: str, unit: str) -> int:
     if row["m"] is None:
         raise ValueError("cannot infer a landmark from an empty input")
     return int(row["m"])
+
+
+def check_decay_overflow(df: DataFrame, ts_col: str, landmark: int,
+                         p: int, unit: str) -> None:
+    """Raise if ``max(age)^p`` would wrap int64 — one cheap max() agg
+    over the already-computed age column (a single long per
+    partition; negligible next to the rollup itself).  Non-ANSI Spark
+    wraps silently, so without this a long-horizon p=3 rollup over
+    second ages > 2^21 (~24 days) returns garbage weights with no
+    error.  p in {0, 1} cannot overflow (age is epoch-bounded)."""
+    if int(p) < 2:
+        return
+    row = df.agg(F.max(_age_col(ts_col, landmark, unit)).alias("m")
+                 ).collect()[0]
+    max_age = max(int(row["m"] or 0), 0)
+    if max_age and max_age ** int(p) > 2 ** 63 - 1:
+        bigger = {"seconds": "minutes", "minutes": "hours"}.get(unit)
+        hint = (f'retry with unit="{bigger}"' if bigger
+                else "lower p — hours is already the coarsest unit")
+        raise OverflowError(
+            f"forward decay g(age)=age^{p} overflows int64: max age is "
+            f"{max_age} {unit} and {max_age}^{p} > 2^63-1; decayed "
+            f"weights only need relative magnitudes, so {hint}")
 
 
 def decayed_rollup(
@@ -108,6 +141,7 @@ def decayed_rollup(
     codegen."""
     if landmark is None:
         landmark = _min_age_landmark(df, ts_col, unit)
+    check_decay_overflow(df, ts_col, landmark, p, unit)
     g = forward_decay_weight(ts_col, landmark, p, unit)
     aggs = [F.count("*").alias("n"), F.sum(g).alias("g_sum")]
     if value_col is not None:
@@ -156,6 +190,7 @@ def decayed_topk(
 
     if landmark is None:
         landmark = _min_age_landmark(df, ts_col, unit)
+    check_decay_overflow(df, ts_col, landmark, p, unit)
     g = forward_decay_weight(ts_col, landmark, p, unit)
     narrow = df.select(
         F.col(key_col).cast("string").alias("key"), g.alias("g"),

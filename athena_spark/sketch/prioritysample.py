@@ -117,10 +117,18 @@ class PrioritySample:
 
     def update_with_priorities(self, ids, weights, priorities) -> None:
         """Absorb items whose priorities were already computed (e.g.
-        JVM-side by the Spark operator, with the identical draw)."""
+        JVM-side by the Spark operator, with the identical draw).
+        Same contract checks as :meth:`update` — the internal Spark
+        callers pre-filter, but a misaligned or w<=0 batch must raise
+        like the sibling API, not bias ``max(w, tau)`` silently."""
         ids = np.asarray(ids, dtype=np.int64)
         w = np.asarray(weights, dtype=np.float64)
         q = np.asarray(priorities, dtype=np.float64)
+        if not (ids.shape == w.shape == q.shape):
+            raise ValueError("ids, weights and priorities must align")
+        if np.any(~(w > 0.0)):
+            raise ValueError("weights must be positive (drop w <= 0 "
+                             "rows upstream)")
         self.n += int(ids.size)
         self.total_weight += float(w.sum())
         self._absorb(ids, w, q, tau_in=0.0)

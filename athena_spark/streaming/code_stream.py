@@ -75,8 +75,14 @@ class CodeIngestStream:
         self.content_col = content_col
         self.curate_kwargs = curate_kwargs
         os.makedirs(store_dir, exist_ok=True)
+        os.makedirs(output_dir, exist_ok=True)
         if checkpoint_dir is not None:
+            # both roots are epoch-partitioned by the SAME batch
+            # counter — bind both, so the coherence guard covers the
+            # output and compact_epoch_store can discover its owning
+            # checkpoint from either root
             bind_checkpoint(store_dir, checkpoint_dir)
+            bind_checkpoint(output_dir, checkpoint_dir)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from athena_spark.operators.codequality import ingest_code_corpus

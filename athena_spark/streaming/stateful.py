@@ -216,14 +216,27 @@ def stateful_priority_sample(
     group (the sample is global by definition; narrow rows only)."""
     from pyspark.sql import functions as F
 
-    from athena_spark.operators.prioritysum import priority_key
+    from athena_spark.operators.prioritysum import (_require_integral_ids,
+                                                    priority_key)
     from athena_spark.sketch.prioritysample import PrioritySample
 
+    # Same loud contract as the batch path: the sketch stores int64
+    # ids and the draw renders str(int(id)) — a double/string id
+    # column would hash differently from what gets stored and
+    # silently break the certified stream/batch parity.  Enforce the
+    # type up front, then hash the SAME cast-to-long column the
+    # sketch stores (for integral types the cast is the identity, so
+    # the draw bits still match the batch priority_sample / DuckDB
+    # rebuild).
+    _require_integral_ids(stream_df, id_col)
+    id_long = stream_df[id_col].cast("long").alias("id")
     keyed = stream_df.select(
         F.lit("all").alias("key"),
-        stream_df[id_col].cast("long").alias("id"),
+        id_long,
         stream_df[weight_col].cast("double").alias("w"),
-        priority_key(id_col, stream_df[weight_col], seed).alias("q"),
+    ).select(
+        "key", "id", "w",
+        priority_key("id", F.col("w"), seed).alias("q"),
     ).where("id IS NOT NULL AND w IS NOT NULL AND w > 0")
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

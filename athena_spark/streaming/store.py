@@ -150,3 +150,118 @@ def bind_checkpoint(store_dir: str, checkpoint_dir: str) -> None:
         return
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(f"{cp}\n{token}")
+
+
+_COMPACT_MANIFEST = "_compact_manifest"
+
+
+def _committed_batches(checkpoint_dir: str) -> set[int]:
+    """Batch ids with a commit record in the checkpoint — the set
+    Structured Streaming will never replay."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return set()
+    out = set()
+    for f in os.listdir(commits):
+        base = f.split(".", 1)[0]
+        if base.isdigit():
+            out.add(int(base))
+    return out
+
+
+def compact_epoch_store(
+    spark: SparkSession,
+    store_dir: str,
+    checkpoint_dir: str | None = None,
+    assume_stopped: bool = False,
+) -> dict:
+    """Fold ``store_dir/epoch=K`` directories into ONE epoch whose
+    rows are the exact union of the folded epochs — the batch
+    compaction that keeps a long-running append-style store (dedup
+    digest stores, `CodeIngestStream` output) from accumulating one
+    directory per micro-batch forever.  Read-equivalence is the
+    contract: for any ``before_epoch`` ABOVE the compacted range,
+    :func:`read_epoch_store` returns exactly the same rows before
+    and after (certified by the ``code_store_compaction`` gate).
+
+    Epoch ids are the checkpoint's batch counter, and Structured
+    Streaming can replay (and ``mode("overwrite")``-rewrite) any
+    batch WITHOUT a commit record — folding such an epoch away would
+    make the replay see its own earlier rows missing from the store
+    (duplicate admissions) or resurrect them after the overwrite.
+    So only epochs ``<= max(committed)`` are folded, into
+    ``epoch=<max folded id>``; pass ``checkpoint_dir`` (defaults to
+    the store's own :func:`bind_checkpoint` binding) or, for a store
+    whose stream has terminated for good, ``assume_stopped=True`` to
+    fold every epoch.
+
+    Crash-safe and idempotent: the union is staged in a temp dir, a
+    manifest records the fold before any destructive step, and a
+    re-run (or the next compaction) completes an interrupted fold
+    from the manifest.  At 100 TB scale this is one narrow
+    shuffle-free read+write of digest rows; source bytes never move.
+
+    Returns ``{"folded": [...], "target": K | None}``."""
+    import json
+    import shutil
+
+    # finish an interrupted fold first (manifest semantics: the
+    # staged target dir is already complete once the manifest exists)
+    manifest_path = os.path.join(store_dir, _COMPACT_MANIFEST)
+    if os.path.exists(manifest_path):
+        with open(manifest_path, encoding="utf-8") as fh:
+            man = json.load(fh)
+        tmp = os.path.join(store_dir, man["tmp"])
+        tgt = os.path.join(store_dir, f"epoch={man['target']}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tgt, ignore_errors=True)
+            os.rename(tmp, tgt)
+        for k in man["folded"]:
+            if k != man["target"]:
+                shutil.rmtree(os.path.join(store_dir, f"epoch={k}"),
+                              ignore_errors=True)
+        os.remove(manifest_path)
+
+    if not os.path.isdir(store_dir):
+        return {"folded": [], "target": None}
+    epochs = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(store_dir)
+        if d.startswith("epoch="))
+    if checkpoint_dir is None and not assume_stopped:
+        marker = os.path.join(store_dir, _MARKER)
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as fh:
+                checkpoint_dir = fh.read().split("\n", 1)[0].strip()
+        else:
+            raise ValueError(
+                f"store {store_dir!r} has no bound checkpoint; pass "
+                "checkpoint_dir= so only replay-safe (committed) "
+                "epochs are folded, or assume_stopped=True if the "
+                "stream has terminated for good")
+    if checkpoint_dir is not None and not assume_stopped:
+        committed = _committed_batches(checkpoint_dir)
+        mx = max(committed) if committed else None
+        safe = [] if mx is None else [k for k in epochs if k <= mx]
+    else:
+        safe = epochs
+    if len(safe) < 2:
+        return {"folded": [], "target": safe[0] if safe else None}
+    target = max(safe)
+    tmp_name = f".compact_tmp_{target}"
+    tmp = os.path.join(store_dir, tmp_name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    union = spark.read.parquet(
+        *[os.path.join(store_dir, f"epoch={k}") for k in safe])
+    union.write.mode("overwrite").parquet(tmp)
+    with open(manifest_path, "w", encoding="utf-8") as fh:
+        json.dump({"tmp": tmp_name, "target": target, "folded": safe},
+                  fh)
+    shutil.rmtree(os.path.join(store_dir, f"epoch={target}"),
+                  ignore_errors=True)
+    os.rename(tmp, os.path.join(store_dir, f"epoch={target}"))
+    for k in safe:
+        if k != target:
+            shutil.rmtree(os.path.join(store_dir, f"epoch={k}"),
+                          ignore_errors=True)
+    os.remove(manifest_path)
+    return {"folded": safe, "target": target}

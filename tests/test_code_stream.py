@@ -129,3 +129,152 @@ def test_blocked_key_cannot_eat_novel_content(spark, tmp_path):
     assert set(got) == {("a", "x.py"), ("b", "y.py")}
     assert "c1()" in got[("a", "x.py")]
     assert "c2()" in got[("b", "y.py")]
+
+
+def _ingest_three_epochs(spark, tmp_path):
+    """Three single-row files -> three epochs, with a cross-epoch
+    key dup and content dup planted so dedup state matters."""
+    import os
+    import shutil
+
+    src, out, store, ck = _dirs(tmp_path)
+    rows = [
+        [("r", "a.py", "000001", MIT + "def a():\n    return 1\n")],
+        [("r", "b.py", "000001", MIT + "def b():\n    return 2\n"),
+         ("r", "a.py", "000002", MIT + "def a():\n    return 9\n")],
+        [("r", "c.py", "000001", MIT + "def c():\n    return 3\n")],
+    ]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    import glob
+    for i, batch in enumerate(rows):
+        d = f"{src}/f{i}"
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.parquet(d)
+        f = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(f, f"{flat}/{i:02d}.parquet")
+    cs = CodeIngestStream(spark, out, store, checkpoint_dir=ck)
+    _drive(spark, flat, "repo string, path string, commit string,"
+           " content string", cs, ck)
+    return cs, flat, out, store, ck
+
+
+def _epoch_dirs(root):
+    import os
+    return sorted(d for d in os.listdir(root) if d.startswith("epoch="))
+
+
+def test_compact_store_read_equivalent_and_idempotent(spark, tmp_path):
+    """compact_epoch_store folds N epoch dirs into one with byte-equal
+    read_epoch_store contents, for both the digest store and the
+    output root; re-running is a no-op (VERDICT r4 #7)."""
+    from athena_spark.streaming.store import (compact_epoch_store,
+                                              read_epoch_store)
+
+    cs, _flat, out, store, ck = _ingest_three_epochs(spark, tmp_path)
+    before_adm = sorted(map(tuple, cs.admitted().collect()))
+    before_dig = sorted(map(tuple, read_epoch_store(spark, store).collect()))
+    assert len(_epoch_dirs(out)) == 3 and len(_epoch_dirs(store)) == 3
+
+    for root in (store, out):
+        info = compact_epoch_store(spark, root)  # checkpoint from marker
+        assert len(info["folded"]) == 3
+    assert len(_epoch_dirs(out)) == 1 and len(_epoch_dirs(store)) == 1
+    assert sorted(map(tuple, cs.admitted().collect())) == before_adm
+    assert sorted(map(tuple, read_epoch_store(spark, store).collect())) \
+        == before_dig
+    # idempotent: single epoch left -> nothing to fold
+    info = compact_epoch_store(spark, store)
+    assert info["folded"] == []
+    assert sorted(map(tuple, read_epoch_store(spark, store).collect())) \
+        == before_dig
+
+
+def test_compact_then_continue_stream_dedup_intact(spark, tmp_path):
+    """After compaction the SAME checkpoint keeps ingesting and the
+    compacted digest store still blocks previously-admitted keys and
+    contents — the 100 TB steady-state loop: ingest, compact,
+    ingest."""
+    import shutil
+
+    from athena_spark.streaming.store import compact_epoch_store
+
+    cs, flat, out, store, ck = _ingest_three_epochs(spark, tmp_path)
+    before = {(r["repo"], r["path"]) for r in cs.admitted().collect()}
+    for root in (store, out):
+        compact_epoch_store(spark, root)
+    # continuation batch: admitted-key dup, admitted-content dup, novel
+    cont = spark.createDataFrame(
+        [("r", "a.py", "000007", MIT + "def a():\n    return 7\n"),
+         ("q", "copy.py", "000001", MIT + "def c():\n    return 3\n"),
+         ("q", "new.py", "000001", MIT + "def n():\n    return 4\n")],
+        SCHEMA)
+    d = str(tmp_path / "cont")
+    cont.coalesce(1).write.parquet(d)
+    import glob
+    shutil.copy(glob.glob(d + "/part-*.parquet")[0],
+                flat + "/99.parquet")
+    _drive(spark, flat, cont.schema, cs, ck)
+    got = {(r["repo"], r["path"]) for r in cs.admitted().collect()}
+    assert got == before | {("q", "new.py")}
+
+
+def test_compact_skips_uncommitted_epochs(spark, tmp_path):
+    """Only epochs at-or-below the checkpoint's last committed batch
+    fold — a replayable epoch must stay rewritable in place."""
+    import os
+
+    from athena_spark.streaming.store import (compact_epoch_store,
+                                              read_epoch_store)
+
+    cs, _flat, _out, store, ck = _ingest_three_epochs(spark, tmp_path)
+    # pretend batch 2 never committed
+    os.remove(os.path.join(ck, "commits", "2"))
+    info = compact_epoch_store(spark, store)
+    assert info == {"folded": [0, 1], "target": 1}
+    assert _epoch_dirs(store) == ["epoch=1", "epoch=2"]
+    # replay-visibility contract unchanged for the uncommitted epoch:
+    # a replay of batch 2 reads epochs < 2 == the folded union
+    n = read_epoch_store(spark, store, before_epoch=2).count()
+    assert n == 2  # a.py + b.py digests
+
+
+def test_compact_recovers_interrupted_fold(spark, tmp_path):
+    """A manifest + staged tmp left by a crash between the stage and
+    the swap completes on the next call (idempotent recovery)."""
+    import json
+    import os
+
+    from athena_spark.streaming.store import (compact_epoch_store,
+                                              read_epoch_store)
+
+    cs, _flat, _out, store, ck = _ingest_three_epochs(spark, tmp_path)
+    want = sorted(map(tuple, read_epoch_store(spark, store).collect()))
+    # stage the union by hand, then "crash" before swap + deletes
+    union = read_epoch_store(spark, store)
+    tmp = os.path.join(store, ".compact_tmp_2")
+    union.write.parquet(tmp)
+    with open(os.path.join(store, "_compact_manifest"), "w") as fh:
+        json.dump({"tmp": ".compact_tmp_2", "target": 2,
+                   "folded": [0, 1, 2]}, fh)
+    info = compact_epoch_store(spark, store)
+    assert _epoch_dirs(store) == ["epoch=2"]
+    assert sorted(map(tuple, read_epoch_store(spark, store).collect())) \
+        == want
+    assert info["folded"] == []  # recovery left one epoch; no new fold
+
+
+def test_compact_unbound_store_requires_explicit_intent(spark, tmp_path):
+    import os
+
+    from athena_spark.streaming.store import compact_epoch_store
+
+    root = str(tmp_path / "loose")
+    for k in (0, 1):
+        os.makedirs(f"{root}/epoch={k}")
+        spark.range(2).write.mode("overwrite").parquet(f"{root}/epoch={k}")
+    with pytest.raises(ValueError, match="bound checkpoint"):
+        compact_epoch_store(spark, root)
+    info = compact_epoch_store(spark, root, assume_stopped=True)
+    assert info["folded"] == [0, 1]
+    assert _epoch_dirs(root) == ["epoch=1"]
+    assert spark.read.parquet(f"{root}/epoch=1").count() == 4

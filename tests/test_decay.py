@@ -136,3 +136,25 @@ def test_normalize_at_before_landmark_raises(spark):
     with pytest.raises(ValueError, match="after the landmark"):
         decayed_rollup(df, "ts", "key", p=1,
                        normalize_at=int(BASE.timestamp()))
+
+
+def test_p3_long_horizon_overflow_raises(spark):
+    """age^3 wraps int64 past age 2^21 seconds (~24 days) and
+    non-ANSI Spark wraps SILENTLY — the rollup/topk entry points must
+    detect max(age)^p overflow at runtime and fail loudly with a
+    unit-upgrade hint (ADVICE r4)."""
+    span = 30 * 86400                     # 30 days > 2^21 s
+    df = _events(spark, [(_t(0), "a", 1.0), (_t(span), "a", 1.0)])
+    with pytest.raises(OverflowError, match='unit="minutes"'):
+        decayed_rollup(df, "ts", "key", p=3)
+    with pytest.raises(OverflowError, match="overflows int64"):
+        decayed_topk(df, "ts", "key", k=4, p=3)
+    # the documented fix works: coarser unit, same relative weights
+    out = {r["key"]: r["g_sum"] for r in
+           decayed_rollup(df, "ts", "key", p=3,
+                          unit="minutes").collect()}
+    assert out["a"] == (span // 60) ** 3
+    # p=2 at the same horizon is fine in seconds
+    out2 = {r["key"]: r["g_sum"] for r in
+            decayed_rollup(df, "ts", "key", p=2).collect()}
+    assert out2["a"] == span ** 2

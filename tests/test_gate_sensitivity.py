@@ -1,0 +1,299 @@
+"""Gate-sensitivity (mutation) audit — VERDICT r4 #4.
+
+214 green gates prove the code matches the oracles; they do not prove
+the gates CAN fail.  Each test here plants a deliberate, realistic bug
+(off-by-one, forgotten normalization, wrong join key, untracked error
+mass, perturbed constant) into the operator under test via monkeypatch,
+re-runs the DRIVER's own gate + DuckDB oracle comparison, and asserts
+the gate goes RED.  The monkeypatch reverts automatically, so the audit
+is side-effect free.
+
+The mutations target the ten most load-bearing surfaces named by the
+round-4 verdict: substring/paragraph dedup, SemDeDup, DSIR, priority
+sums, decayed rollup/topk, Frequent Directions, the bucketed join,
+as-of join and PageRank.  A summary table lives in BASELINE.md
+("Gate-sensitivity audit").
+"""
+
+import functools
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else f"{v:.9g}"
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def gate_is_green(spark, ddb, name):
+    """The driver's comparison, verbatim: row count + column names +
+    order-insensitive canonical values."""
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = ddb.sql(entrymod.oracle_sql()[name])
+    drows = rel.fetchall()
+    return (sorted(sdf.columns) == sorted(rel.columns)
+            and len(srows) == len(drows)
+            and _canon(srows, sdf.columns) == _canon(drows, rel.columns))
+
+
+def test_substring_dup_stats_catches_window_length_off_by_one(
+        spark, ddb, monkeypatch):
+    """Planted bug: duplicate windows counted at length 7 instead of
+    the configured 8 (classic boundary slip in the gram builder)."""
+    from athena_spark.operators import dedup
+
+    orig = dedup.substring_dup_stats
+
+    @functools.wraps(orig)
+    def mutated(df, id_col, text_col, min_len=8, **kw):
+        return orig(df, id_col, text_col, min_len=min_len - 1, **kw)
+
+    monkeypatch.setattr(dedup, "substring_dup_stats", mutated)
+    assert not gate_is_green(spark, ddb, "substring_dup_stats")
+
+
+def test_paragraph_dedup_catches_missing_normalization(
+        spark, ddb, monkeypatch):
+    """Planted bug: paragraph keys hashed RAW (CCNet normalization
+    forgotten) — the digit-variant footers stop sharing a key."""
+    from athena_spark.operators import dedup
+
+    orig = dedup.paragraph_dedup_corpus
+
+    @functools.wraps(orig)
+    def mutated(df, id_col, text_col, **kw):
+        kw["normalize"] = False
+        return orig(df, id_col, text_col, **kw)
+
+    monkeypatch.setattr(dedup, "paragraph_dedup_corpus", mutated)
+    assert not gate_is_green(spark, ddb, "paragraph_dedup")
+
+
+def test_priority_subset_sums_catches_draw_width_change(
+        spark, ddb, monkeypatch):
+    """Planted bug: the JVM-side priority draw reads 12 hex digits
+    instead of 13 — every priority shifts, the selected sample and
+    tau disagree with the sketch/oracle rebuild."""
+    from athena_spark.operators import prioritysum
+
+    monkeypatch.setattr(prioritysum, "_DRAW_HEX_DIGITS", 12)
+    assert not gate_is_green(spark, ddb, "priority_subset_sums")
+
+
+def test_decayed_rollup_catches_age_off_by_one(spark, ddb, monkeypatch):
+    """Planted bug: g computed on age+1 (fencepost in the landmark
+    subtraction)."""
+    from athena_spark.operators import decay
+
+    orig = decay.forward_decay_weight
+
+    @functools.wraps(orig)
+    def mutated(ts_col, landmark, p=2, unit="seconds"):
+        return orig(ts_col, int(landmark) - 1, p, unit)
+
+    monkeypatch.setattr(decay, "forward_decay_weight", mutated)
+    assert not gate_is_green(spark, ddb, "decayed_rollup")
+
+
+def _run_gate_in_mutated_tree(tmp_path, gate_name, file_rel, old, new):
+    """Scratch-branch mutation for code that executes inside SPARK
+    WORKERS, where a driver monkeypatch cannot reach: copy the
+    package, textually plant the bug, and run the gate + oracle
+    comparison in a fresh subprocess whose PYTHONPATH shadows
+    `athena_spark` with the mutated tree (workers inherit it in
+    local mode).  Returns True when the gate stayed green."""
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shadow = str(tmp_path / "shadow")
+    shutil.copytree(os.path.join(repo, "athena_spark"),
+                    os.path.join(shadow, "athena_spark"))
+    target = os.path.join(shadow, "athena_spark", file_rel)
+    src = open(target, encoding="utf-8").read()
+    assert src.count(old) == 1, f"mutation anchor not unique: {old!r}"
+    open(target, "w", encoding="utf-8").write(src.replace(old, new))
+    driver = f"""
+import math, os, sys
+sys.path.insert(0, {shadow!r})   # outrank cwd: shadow tree wins
+import athena_spark
+assert athena_spark.__file__.startswith({shadow!r}), athena_spark.__file__
+import duckdb
+from athena_spark.session import build_session
+spark = build_session(master="local[4]", shuffle_partitions=8,
+                      app_name="mutation-audit")
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as m
+con = duckdb.connect()
+for t in {TABLES!r}:
+    p = os.path.join({SF_DIR!r}, t + ".parquet")
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{p}}')")
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else f"{{v:.9g}}"
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+sdf = m.queries()[{gate_name!r}](spark, {SF_DIR!r})
+srows = [tuple(r) for r in sdf.collect()]
+rel = con.sql(m.oracle_sql()[{gate_name!r}])
+drows = rel.fetchall()
+green = (sorted(sdf.columns) == sorted(rel.columns)
+         and len(srows) == len(drows)
+         and canon(srows, sdf.columns) == canon(drows, rel.columns))
+print("GATE_GREEN" if green else "GATE_RED")
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = shadow   # workers resolve the mutated tree
+    out = subprocess.run([sys.executable, "-c", driver], env=env,
+                         cwd=shadow, capture_output=True, text=True,
+                         timeout=600)
+    marker = [ln for ln in out.stdout.splitlines()
+              if ln.startswith("GATE_")]
+    assert marker, f"no verdict marker; stderr tail: {out.stderr[-2000:]}"
+    return marker[-1] == "GATE_GREEN"
+
+
+def test_decayed_topk_catches_inflated_update(tmp_path):
+    """Planted bug (worker-side, scratch-branch mutation): the
+    Space-Saving weighted update over-counts the absorbed mass by one
+    per fold — the sketch's total decayed mass no longer matches the
+    exact rollup (`total_mass_exact` red)."""
+    assert not _run_gate_in_mutated_tree(
+        tmp_path, "decayed_topk", os.path.join("sketch", "spacesaving.py"),
+        "self.total += int(counts.sum())",
+        "self.total += int(counts.sum()) + 1  # PLANTED BUG")
+
+
+def test_fd_covariance_catches_untracked_shrink(tmp_path):
+    """Planted bug (worker-side, scratch-branch mutation): _shrink
+    subtracts the spectrum mass but forgets to grow the certificate
+    — the sketch's own error bound becomes a lie and
+    `error_within_certificate` must go red."""
+    assert not _run_gate_in_mutated_tree(
+        tmp_path, "fd_covariance", os.path.join("sketch", "fd.py"),
+        "self._shrink_total += delta",
+        "pass  # PLANTED BUG: delta never tracked")
+
+
+def test_asof_join_catches_tolerance_unit_error(spark, ddb, monkeypatch):
+    """Planted bug: the 24h tolerance applied as hours-worth of
+    seconds (3600) — stale purchases stop matching."""
+    from athena_spark.operators import temporal
+
+    orig = temporal.asof_join
+
+    @functools.wraps(orig)
+    def mutated(*a, **kw):
+        if kw.get("tolerance_seconds"):
+            kw["tolerance_seconds"] = kw["tolerance_seconds"] / 24.0
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(temporal, "asof_join", mutated)
+    assert not gate_is_green(spark, ddb, "asof_join_clicks")
+
+
+def test_pagerank_catches_damping_perturbation(spark, ddb, monkeypatch):
+    """Planted bug: damping 0.85 -> 0.86 (copy-paste constant drift);
+    the quantized ranks shift and the unrolled-CTE oracle catches
+    it."""
+    from athena_spark.operators import graph
+
+    orig = graph.pagerank
+
+    @functools.wraps(orig)
+    def mutated(edges, *a, **kw):
+        kw["damping"] = 0.86
+        return orig(edges, *a, **kw)
+
+    monkeypatch.setattr(graph, "pagerank", mutated)
+    assert not gate_is_green(spark, ddb, "pagerank_fk")
+
+
+def test_bucketed_join_catches_wrong_join_key(spark, ddb, monkeypatch):
+    """Planted bug: the co-located join keys on c_nationkey instead
+    of c_custkey (schema-shaped but semantically wrong)."""
+    from athena_spark.operators import bucketed
+
+    orig = bucketed.colocated_join
+
+    @functools.wraps(orig)
+    def mutated(spark_, left_table, right_table, left_on, right_on,
+                **kw):
+        return orig(spark_, left_table, right_table, left_on,
+                    "c_nationkey", **kw)
+
+    monkeypatch.setattr(bucketed, "colocated_join", mutated)
+    assert not gate_is_green(spark, ddb, "bucketed_join_orders")
+
+
+def test_semantic_dedup_catches_threshold_drift(spark, ddb, monkeypatch):
+    """Planted bug: the SemDeDup cosine threshold applied 0.05 too
+    high — borderline duplicates survive."""
+    from athena_spark.operators import semdedup
+
+    orig = semdedup.semantic_dedup
+
+    @functools.wraps(orig)
+    def mutated(df, *a, **kw):
+        kw["threshold"] = kw.get("threshold", 0.95) + 0.05
+        return orig(df, *a, **kw)
+
+    monkeypatch.setattr(semdedup, "semantic_dedup", mutated)
+    assert not gate_is_green(spark, ddb, "semantic_dedup")
+
+
+def test_dsir_catches_smoothing_change(spark, ddb, monkeypatch):
+    """Planted bug: add-2 instead of add-1 smoothing in the DSIR
+    bucket models — every nano-scaled probability shifts."""
+    from athena_spark.operators import dsir
+
+    orig = dsir.importance_weights
+
+    @functools.wraps(orig)
+    def mutated(raw_df, target_df, *a, **kw):
+        kw["alpha"] = 2.0
+        return orig(raw_df, target_df, *a, **kw)
+
+    monkeypatch.setattr(dsir, "importance_weights", mutated)
+    assert not gate_is_green(spark, ddb, "dsir_select")

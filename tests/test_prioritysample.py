@@ -256,3 +256,19 @@ def test_priority_sample_per_group_exact_mode(spark):
         assert r["adjusted_scaled"] == int(np.floor(
             1_000_000 * r["weight"]))
     assert out.count() == 40
+
+
+def test_update_with_priorities_validates_like_update():
+    """update_with_priorities must mirror update's contract checks
+    (ADVICE r4): misaligned arrays or non-positive weights raise
+    instead of silently biasing max(w, tau)."""
+    sk = PrioritySample(k=8)
+    with pytest.raises(ValueError, match="align"):
+        sk.update_with_priorities([1, 2], [1.0, 2.0], [3.0])
+    with pytest.raises(ValueError, match="align"):
+        sk.update_with_priorities([1, 2], [1.0], [3.0, 4.0])
+    with pytest.raises(ValueError, match="positive"):
+        sk.update_with_priorities([1, 2], [1.0, 0.0], [3.0, 4.0])
+    with pytest.raises(ValueError, match="positive"):
+        sk.update_with_priorities([1], [-2.0], [3.0])
+    assert sk.n == 0 and sk.ids.size == 0   # nothing absorbed

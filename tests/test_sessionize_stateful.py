@@ -492,3 +492,25 @@ def test_stateful_priority_sample_equals_batch_exactly(spark, sf_dir):
     assert list(final["sample_weights"]) == list(want.weights)
     for p in (src, ckpt):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_stateful_priority_sample_rejects_non_integral_ids(spark, sf_dir):
+    """The stream path must enforce the same integral-id contract as
+    the batch sampler (ADVICE r4): a double id column would hash one
+    rendering and store another, silently breaking the certified
+    stream/batch parity."""
+    import pytest
+
+    from athena_spark.streaming.stateful import stateful_priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = os.path.join(TMP, "psample_badid_src")
+    shutil.rmtree(src, ignore_errors=True)
+    bad = docs.selectExpr("CAST(doc_id AS DOUBLE) AS doc_id",
+                          "n_chars").limit(10)
+    bad.write.parquet(src)
+    stream = (spark.readStream.schema(bad.schema)
+              .parquet(src))
+    with pytest.raises(TypeError, match="integral id"):
+        stateful_priority_sample(stream, "doc_id", "n_chars", k=8)
+    shutil.rmtree(src, ignore_errors=True)
