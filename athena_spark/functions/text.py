@@ -86,9 +86,21 @@ def bpe_token_count_col(col) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
 
 
-def _quality_exprs(col: str, toks: Column) -> list[Column]:
+def _quality_exprs(col: str, toks: Column,
+                   round_digits: int | None = 4) -> list[Column]:
     """The aliased quality-feature columns over a shared tokens
-    subtree (see quality_features)."""
+    subtree (see quality_features).
+
+    ``round_digits=None`` emits the RAW doubles.  The default
+    4-decimal rounding is the operator's stable public surface (the
+    curate thresholds were margin-audited against it), but rounding
+    is the one step whose decimal semantics differ across engines at
+    boundary values (Spark HALF_UP on the BigDecimal expansion vs
+    DuckDB's double-arithmetic round) — at sf0.1 one document in 50k
+    lands exactly on a 1e-4 boundary.  Cross-engine certification
+    therefore compares the raw IEEE-identical expression tree
+    (identical operand order on both sides -> bit-equal doubles),
+    not the rounded rendering."""
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(F.col(col)).cast("long")
     stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
@@ -106,19 +118,24 @@ def _quality_exprs(col: str, toks: Column) -> list[Column]:
         + (1.0 - punct_ratio) * 0.3
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
     )
+    rnd = ((lambda c: F.round(c, round_digits))
+           if round_digits is not None else (lambda c: c))
     return [
         n_tokens.alias("q_n_tokens"),
-        F.round(mean_tok_len, 4).alias("q_mean_tok_len"),
-        F.round(punct_ratio, 4).alias("q_punct_ratio"),
-        F.round(stop_ratio, 4).alias("q_stop_ratio"),
-        F.round(score, 4).alias("q_score"),
+        rnd(mean_tok_len).alias("q_mean_tok_len"),
+        rnd(punct_ratio).alias("q_punct_ratio"),
+        rnd(stop_ratio).alias("q_stop_ratio"),
+        rnd(score).alias("q_score"),
     ]
 
 
-def quality_features(df: DataFrame, col: str) -> DataFrame:
+def quality_features(df: DataFrame, col: str,
+                     round_digits: int | None = 4) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features and a
-    composite score — all codegen'd column expressions."""
-    return df.select("*", *_quality_exprs(col, tokens_col(col)))
+    composite score — all codegen'd column expressions.
+    ``round_digits=None`` -> raw doubles (see _quality_exprs)."""
+    return df.select(
+        "*", *_quality_exprs(col, tokens_col(col), round_digits))
 
 
 def curation_features(df: DataFrame, col: str) -> DataFrame:

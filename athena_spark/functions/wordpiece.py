@@ -80,7 +80,8 @@ def _merge_symbol(a: str, b: str) -> str:
 
 def train_wordpiece(df: DataFrame, text_col: str, num_merges: int,
                     max_words: int = 1 << 20,
-                    max_word_chars: int = 100) -> WordPieceModel:
+                    max_word_chars: int = 100,
+                    min_count: int = 1) -> WordPieceModel:
     """Learn up to ``num_merges`` WordPiece merges from the corpus
     word histogram.  One Spark pass; the driver loop picks, each
     round, the adjacent symbol pair maximizing the exact rational
@@ -93,7 +94,19 @@ def train_wordpiece(df: DataFrame, text_col: str, num_merges: int,
     ``[UNK]`` unconditionally, so learning their characters or
     spending merges on them buys nothing — and a vocabulary trained
     on what encoding throws away would quietly skew the merge
-    scores."""
+    scores.
+
+    ``min_count`` excludes words rarer than the threshold from the
+    TRAINING histogram (the standard WordPiece/BERT word-frequency
+    cutoff) — without it the long tail of near-unique words (ids,
+    numbers) grows with the corpus and its count-2 pairs, whose
+    score count(pair)/(count(a)*count(b)) rewards EXCLUSIVITY, eat a
+    fixed merge budget that a 10x corpus then cannot spend on the
+    head words.  A RELATIVE cutoff (e.g. total_tokens // 50_000)
+    makes a fixed ``num_merges`` learn the same head vocabulary at
+    any corpus scale.  Encoding still covers every character: the
+    alphabet is taken from the full histogram BEFORE the cutoff, so
+    rare words segment to pieces rather than [UNK]."""
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     norm = F.regexp_replace(F.col(text_col), "[\\x0b\\x0c]", " ")
@@ -107,9 +120,13 @@ def train_wordpiece(df: DataFrame, text_col: str, num_merges: int,
     )
     for r in rows:
         _check_word(r["w"])
+    # alphabet from the FULL histogram (pre-cutoff): encode never
+    # meets an unseen character because training pruned a rare word
+    alphabet = sorted({s for r in rows for s in _word_symbols(r["w"])})
+    if min_count > 1:
+        rows = [r for r in rows if int(r["count"]) >= min_count]
     words = [_word_symbols(r["w"]) for r in rows]
     counts = [int(r["count"]) for r in rows]
-    alphabet = sorted({s for syms in words for s in syms})
 
     pair_counts: dict[tuple[str, str], int] = {}
     sym_counts: dict[str, int] = {}

@@ -74,6 +74,13 @@ class HyperLogLog:
                 return m * float(np.log(m / zeros))
         return raw
 
+    def to_dense(self) -> "HyperLogLog":
+        """Self — already dense.  Exists so callers holding either
+        representation (a densified SparseHyperLogLog round-trips
+        through serialization as a plain dense payload) can
+        normalize without isinstance checks."""
+        return self
+
     def to_bytes(self) -> bytes:
         return serialization.dumps({"algo": "hll", "p": self.p}, {"regs": self._regs})
 

@@ -125,8 +125,17 @@ def windowed_event_counts(
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("win"), key_col)
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact-integer value aggregate: floor-micros per row,
+            # then an order-free long sum — bit-identical to the
+            # batch twin and any SQL oracle at any scale (a float
+            # AVG + ROUND is summation-order dependent at rounding
+            # boundaries)
+            F.sum(F.floor(F.col("value") * 1e6)).alias("value_micros"),
+        )
         .select(
-            F.col("win.start").cast("string").alias("hour"), key_col, "n", "avg_value"
+            F.col("win.start").cast("string").alias("hour"), key_col,
+            "n", "value_micros"
         )
     )

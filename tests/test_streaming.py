@@ -111,12 +111,13 @@ def test_streaming_sketch_state_restart(spark, stream_corpus):
 def test_windowed_event_counts_matches_batch(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     truth = {
-        (r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+        (r["hour"], r["event_type"]): (r["n"], r["value_micros"])
         for r in events.groupBy(
             F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
             "event_type",
         ).agg(F.count("*").alias("n"),
-              F.round(F.avg("value"), 4).alias("avg_value")).collect()
+              F.sum(F.floor(F.col("value") * 1e6))
+              .alias("value_micros")).collect()
     }
     src = os.path.join(TMP, "events_stream")
     shutil.rmtree(src, ignore_errors=True)
@@ -132,7 +133,7 @@ def test_windowed_event_counts_matches_batch(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     got = {
-        (r["hour"], r["event_type"]): (r["n"], r["avg_value"])
+        (r["hour"], r["event_type"]): (r["n"], r["value_micros"])
         for r in spark.sql("select * from wincounts").collect()
     }
     assert got == truth
