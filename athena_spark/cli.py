@@ -42,6 +42,8 @@ Subcommands:
 * ``dsir-select``     — DSIR importance-weighted top-n selection
 * ``quality-filter``  — supervised quality classifier filter
 * ``curate-stream``   — continuous curation replay over a directory
+* ``compact-store``   — fold a streaming epoch store into one epoch
+  (read-equivalent; replay-safe via the checkpoint commit log)
 * ``search``     — BM25 bag-of-words relevance top-k over a text column
 * ``rollup``     — hypertable-style hour/day/week continuous aggregate
 * ``timeseries`` — OHLC bars / gap-fill LOCF / time-weighted average /

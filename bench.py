@@ -381,16 +381,16 @@ def run_headline() -> dict:
         "kernels": kernels,
         # N→4N scaling criterion (BASELINE.json north rule): measured
         # with the paired-interleaved protocol by `bench.py --scaling`
-        # — these are the ROUND-4 recorded runs (full session logs and
+        # — these are the ROUND-5 recorded runs (full session logs and
         # same-session bandwidth probes in BASELINE.md "Scaling"), not
         # re-measured per headline run because a clean measurement
         # needs ~5 min of paired rounds on a calm host phase.
         "scaling_evidence": {
             "protocol": "paired-interleaved rounds, median ratio; "
                         "see BASELINE.md and `python bench.py --scaling`",
-            "efficiency_1_to_4_cores_runs": [0.806, 0.945, 0.906],
-            "tokens_per_sec_local1_best": 8_420_000,
-            "tokens_per_sec_local4_best": 30_500_000,
+            "efficiency_1_to_4_cores_runs": [0.883, 0.936, 0.938],
+            "tokens_per_sec_local1_best": 8_397_000,
+            "tokens_per_sec_local4_best": 29_660_000,
             "efficiency_8_to_32_cores_runs": [0.397, 0.352],
             "tokens_per_sec_local8_best": 48_900_000,
             "tokens_per_sec_local32_best": 68_800_000,
