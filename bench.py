@@ -391,9 +391,9 @@ def run_headline() -> dict:
             "efficiency_1_to_4_cores_runs": [0.883, 0.936, 0.938],
             "tokens_per_sec_local1_best": 8_397_000,
             "tokens_per_sec_local4_best": 29_660_000,
-            "efficiency_8_to_32_cores_runs": [0.397, 0.352],
-            "tokens_per_sec_local8_best": 48_900_000,
-            "tokens_per_sec_local32_best": 68_800_000,
+            "efficiency_8_to_32_cores_runs": [0.474, 0.397, 0.352],
+            "tokens_per_sec_local8_best": 57_200_000,
+            "tokens_per_sec_local32_best": 108_500_000,
             "note": "1→4 holds ≥0.8 (per-core bandwidth headroom "
                     "intact — the cluster-faithful window; a cluster "
                     "adds memory channels with cores). 8→32 on this "
