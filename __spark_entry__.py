@@ -7920,7 +7920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        r2 49=board, r3/r4 50 of 62/214) — so the first 50 positions
        are the certification window.  It holds the cheapest
        never-graded distinctive operators (measured sf0.01
-       spark+oracle walls: scratch/board_order_r5.json), the
+       spark+oracle walls: BOARD_ORDER_r5.json), the
        specific gates the r4 verdict named as must-certify (FD,
        DSIR, SemDeDup-kmeans, theta, CountSketch, NB-langid,
        perplexity buckets, quality classifier, IVF-PQ-bucketed)

@@ -9,10 +9,12 @@ the gate goes RED.  The monkeypatch reverts automatically, so the audit
 is side-effect free.
 
 The mutations target the ten most load-bearing surfaces named by the
-round-4 verdict: substring/paragraph dedup, SemDeDup, DSIR, priority
+round-4 verdict (substring/paragraph dedup, SemDeDup, DSIR, priority
 sums, decayed rollup/topk, Frequent Directions, the bucketed join,
-as-of join and PageRank.  A summary table lives in BASELINE.md
-("Gate-sensitivity audit").
+as-of join, PageRank) plus the sketch-family core (Space-Saving fold,
+HLL register rank, CMS depth rows, MinHash shingles, substring span
+removal).  A summary table lives in BASELINE.md ("Gate-sensitivity
+audit").
 """
 
 import functools
@@ -297,3 +299,84 @@ def test_dsir_catches_smoothing_change(spark, ddb, monkeypatch):
 
     monkeypatch.setattr(dsir, "importance_weights", mutated)
     assert not gate_is_green(spark, ddb, "dsir_select")
+
+
+def test_ss_topk_catches_batch_fold_off_by_one(tmp_path):
+    """Planted bug (worker-side): the per-batch weighted fold feeds
+    every consolidated key count+1 into the sketch — the exact-mode
+    top-k counts disagree with the plain GROUP BY oracle.  (Merge
+    paths are NOT mutated: at test scale one parquet file means one
+    partition and a single partial, so only the update path is
+    guaranteed to execute.)"""
+    assert not _run_gate_in_mutated_tree(
+        tmp_path, "ss_topk_tokens",
+        os.path.join("sketch", "spacesaving.py"),
+        "self._fold(words, counts, "
+        "np.zeros(len(words), dtype=np.int64), 0)",
+        "self._fold(words, counts + 1, "
+        "np.zeros(len(words), dtype=np.int64), 0)  # PLANTED BUG")
+
+
+def test_hll_catches_rho_off_by_one(tmp_path):
+    """Planted bug (worker-side): the dense HLL register rank drops
+    its 1-based offset — every register one too small roughly
+    doubles the raw estimate's denominator and the per-lang
+    estimates leave the 3-sigma band."""
+    assert not _run_gate_in_mutated_tree(
+        tmp_path, "hll_distinct_by_lang",
+        os.path.join("sketch", "hll.py"),
+        "# rank of first set bit in the remaining 64-p bits, 1-based;\n"
+        "        # all-zero rest maps to (64 - p) + 1\n"
+        "        rho = np.minimum(clz64(rest), 64 - self.p)"
+        ".astype(np.uint8) + np.uint8(1)",
+        "# PLANTED BUG: 1-based offset dropped\n"
+        "        rho = np.minimum(clz64(rest), 64 - self.p)"
+        ".astype(np.uint8)")
+
+
+def test_cms_catches_skipped_row(tmp_path):
+    """Planted bug (worker-side): the count-min update writes only
+    depth-1 rows, leaving one row all-zero — the row-min estimate
+    collapses to 0 and the 'exact <= est' guarantee fails."""
+    assert not _run_gate_in_mutated_tree(
+        tmp_path, "cms_token_bounds",
+        os.path.join("sketch", "cms.py"),
+        "for r in range(self.depth):\n"
+        "            np.add.at(self._table[r], cols[r], counts)",
+        "for r in range(self.depth - 1):  # PLANTED BUG: row skipped\n"
+        "            np.add.at(self._table[r], cols[r], counts)")
+
+
+def test_minhash_pairs_catches_gram_length_change(
+        spark, ddb, monkeypatch):
+    """Planted bug: shingles built from 2-grams instead of the
+    configured 3-grams — the Jaccard values and the verified pair
+    set disagree with the exact 3-gram oracle."""
+    from athena_spark.operators import dedup
+
+    orig = dedup.minhash_dedup_pairs
+
+    @functools.wraps(orig)
+    def mutated(df, id_col, text_col, n=3, **kw):
+        return orig(df, id_col, text_col, n=n - 1, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_dedup_pairs", mutated)
+    assert not gate_is_green(spark, ddb, "minhash_dedup_pairs")
+
+
+def test_substring_dedup_catches_min_count_drift(
+        spark, ddb, monkeypatch):
+    """Planted bug: span removal requires 3 corpus-wide occurrences
+    instead of 2 — twice-occurring windows survive and the
+    reconstructed text hash-mismatches the oracle."""
+    from athena_spark.operators import dedup
+
+    orig = dedup.substring_dedup_corpus
+
+    @functools.wraps(orig)
+    def mutated(df, id_col, text_col, **kw):
+        kw["min_count"] = 3
+        return orig(df, id_col, text_col, **kw)
+
+    monkeypatch.setattr(dedup, "substring_dedup_corpus", mutated)
+    assert not gate_is_green(spark, ddb, "substring_dedup_corpus")
