@@ -8899,7 +8899,7 @@ def _oracle_sql_table() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type,
                    COUNT(*) AS n,
-                   CAST(SUM(FLOOR(value * 1e6)) AS BIGINT) AS value_micros
+                   CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
             FROM events
             GROUP BY 1, 2
         """,
@@ -9317,7 +9317,7 @@ def _oracle_sql_table() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
                    event_type,
                    COUNT(*) AS n,
-                   CAST(SUM(FLOOR(value * 1e6)) AS BIGINT) AS value_micros
+                   CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
             FROM events
             GROUP BY 1, 2
         """,

@@ -70,9 +70,9 @@ def forward_decay_weight(ts_col: str, landmark, p: int = 2,
     ``unit="seconds"``), silently in non-ANSI Spark.  This function
     returns a bare Column and cannot see the data, so callers that
     hold the DataFrame (:func:`decayed_rollup`, :func:`decayed_topk`)
-    verify ``max(age)^p`` fits int64 at runtime and raise with a
-    unit-upgrade hint; use those, or call
-    :func:`check_decay_overflow` yourself before trusting a
+    verify both ``max(age)^p`` AND the summed mass fit int64 at
+    runtime and raise with a unit-upgrade hint; use those, or call
+    :func:`resolve_landmark_checked` yourself before trusting a
     standalone ``g`` over a long horizon."""
     if unit not in _UNIT_DIVISORS:
         raise ValueError(f"unit must be one of {sorted(_UNIT_DIVISORS)}")
@@ -86,33 +86,75 @@ def forward_decay_weight(ts_col: str, landmark, p: int = 2,
 
 
 def _min_age_landmark(df: DataFrame, ts_col: str, unit: str) -> int:
+    """Smallest age (ticks since the epoch in ``unit``) — the
+    landmark the paper requires to precede all arrivals.  Callers
+    that go on to run a rollup should prefer
+    :func:`resolve_landmark_checked`, which folds this into the same
+    agg as the overflow check."""
     row = df.agg(F.min(_age_col(ts_col, 0, unit)).alias("m")).collect()[0]
     if row["m"] is None:
         raise ValueError("cannot infer a landmark from an empty input")
     return int(row["m"])
 
 
-def check_decay_overflow(df: DataFrame, ts_col: str, landmark: int,
-                         p: int, unit: str) -> None:
-    """Raise if ``max(age)^p`` would wrap int64 — one cheap max() agg
-    over the already-computed age column (a single long per
-    partition; negligible next to the rollup itself).  Non-ANSI Spark
-    wraps silently, so without this a long-horizon p=3 rollup over
-    second ages > 2^21 (~24 days) returns garbage weights with no
-    error.  p in {0, 1} cannot overflow (age is epoch-bounded)."""
-    if int(p) < 2:
-        return
-    row = df.agg(F.max(_age_col(ts_col, landmark, unit)).alias("m")
-                 ).collect()[0]
-    max_age = max(int(row["m"] or 0), 0)
-    if max_age and max_age ** int(p) > 2 ** 63 - 1:
-        bigger = {"seconds": "minutes", "minutes": "hours"}.get(unit)
-        hint = (f'retry with unit="{bigger}"' if bigger
-                else "lower p — hours is already the coarsest unit")
-        raise OverflowError(
-            f"forward decay g(age)=age^{p} overflows int64: max age is "
-            f"{max_age} {unit} and {max_age}^{p} > 2^63-1; decayed "
-            f"weights only need relative magnitudes, so {hint}")
+_I64_MAX = 2 ** 63 - 1
+
+
+def _raise_decay_overflow(what: str, p: int, unit: str) -> None:
+    bigger = {"seconds": "minutes", "minutes": "hours"}.get(unit)
+    hint = (f'retry with unit="{bigger}"' if bigger
+            else "lower p — hours is already the coarsest unit")
+    raise OverflowError(
+        f"forward decay g(age)=age^{p} overflows int64: {what}; "
+        f"decayed weights only need relative magnitudes, so {hint}")
+
+
+def resolve_landmark_checked(df: DataFrame, ts_col: str,
+                             landmark: int | None, p: int,
+                             unit: str) -> int:
+    """Infer the landmark if ``None`` and verify the rollup cannot
+    wrap int64 — BOTH the per-row term (``max(age)^p``: age^3 wraps
+    past 2^21 s, ~24 days) AND the summed mass (``sum(age^p)`` can
+    wrap even when every term fits — e.g. 1000 rows at age 2e6 s with
+    p=3).  Non-ANSI Spark wraps both silently.
+
+    Cost: ONE agg pass computing min/max/count.  The sum is first
+    bounded by ``count * max_age^p`` (no data pass beyond the same
+    agg); only when that conservative bound exceeds int64 does a
+    second agg compute the exact mass in float64 (relatively accurate
+    to ~n*2^-52 — the 1e-6 safety margin below dwarfs it) to decide
+    loudly.  p in {0, 1} cannot overflow (ages are epoch-bounded and
+    the count bound is checked too)."""
+    row = df.agg(
+        F.min(_age_col(ts_col, 0, unit)).alias("lo"),
+        F.max(_age_col(ts_col, 0, unit)).alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if row["lo"] is None:
+        if landmark is None:
+            raise ValueError("cannot infer a landmark from an empty input")
+        return int(landmark)
+    if landmark is None:
+        landmark = int(row["lo"])
+    p = int(p)
+    max_age = max(int(row["hi"]) - int(landmark), 0)
+    n = int(row["n"])
+    if p == 0 or max_age == 0:
+        return int(landmark)
+    if max_age ** p > _I64_MAX:
+        _raise_decay_overflow(
+            f"max age is {max_age} {unit} and {max_age}^{p} > 2^63-1",
+            p, unit)
+    if n * (max_age ** p) > _I64_MAX:
+        # conservative bound exceeded — decide on the exact mass
+        age = F.greatest(_age_col(ts_col, landmark, unit), F.lit(0))
+        mass = df.agg(F.sum(F.pow(age.cast("double"), float(p)))
+                      .alias("s")).collect()[0]["s"] or 0.0
+        if mass > _I64_MAX * (1.0 - 1e-6):
+            _raise_decay_overflow(
+                f"sum(age^{p}) ~ {mass:.3e} exceeds 2^63-1 even though "
+                f"every per-row term fits", p, unit)
+    return int(landmark)
 
 
 def decayed_rollup(
@@ -139,9 +181,7 @@ def decayed_rollup(
     Scale shape: one groupBy over (key, g) narrow rows — map-side
     combined, no window, text/payload never moves; g is pure
     codegen."""
-    if landmark is None:
-        landmark = _min_age_landmark(df, ts_col, unit)
-    check_decay_overflow(df, ts_col, landmark, p, unit)
+    landmark = resolve_landmark_checked(df, ts_col, landmark, p, unit)
     g = forward_decay_weight(ts_col, landmark, p, unit)
     aggs = [F.count("*").alias("n"), F.sum(g).alias("g_sum")]
     if value_col is not None:
@@ -188,9 +228,7 @@ def decayed_topk(
                                             load_summary, tree_merge)
     from athena_spark.sketch.spacesaving import SpaceSaving
 
-    if landmark is None:
-        landmark = _min_age_landmark(df, ts_col, unit)
-    check_decay_overflow(df, ts_col, landmark, p, unit)
+    landmark = resolve_landmark_checked(df, ts_col, landmark, p, unit)
     g = forward_decay_weight(ts_col, landmark, p, unit)
     narrow = df.select(
         F.col(key_col).cast("string").alias("key"), g.alias("g"),

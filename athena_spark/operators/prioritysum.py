@@ -92,7 +92,11 @@ def _narrow(df: DataFrame, id_col: str, weight_col: str, seed: int,
     _require_integral_ids(df, id_col)
     w = F.col(weight_col).cast("double")
     return (
-        df.where(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+        # NOT isnan: Spark SQL orders NaN above every number, so a
+        # NaN weight passes `w > 0` — drop it like any other
+        # non-positive weight instead of letting it poison the draw
+        df.where(F.col(id_col).isNotNull() & w.isNotNull()
+                 & ~F.isnan(w) & (w > 0))
         .select(
             F.col(id_col).alias("id"),
             w.alias("weight"),

@@ -237,7 +237,12 @@ def stateful_priority_sample(
     ).select(
         "key", "id", "w",
         priority_key("id", F.col("w"), seed).alias("q"),
-    ).where("id IS NOT NULL AND w IS NOT NULL AND w > 0")
+    ).where("id IS NOT NULL AND w IS NOT NULL AND NOT isnan(w) "
+            "AND w > 0")
+    # NOT isnan: Spark SQL orders NaN ABOVE every number, so a NaN
+    # weight passes `w > 0` and would reach the sketch's positivity
+    # check as a stream-killing ValueError instead of being dropped
+    # like every other non-positive weight
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:

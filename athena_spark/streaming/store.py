@@ -196,10 +196,20 @@ def compact_epoch_store(
     fold every epoch.
 
     Crash-safe and idempotent: the union is staged in a temp dir, a
-    manifest records the fold before any destructive step, and a
-    re-run (or the next compaction) completes an interrupted fold
-    from the manifest.  At 100 TB scale this is one narrow
+    manifest records the fold before any destructive step, a re-run
+    (or the next compaction) completes an interrupted fold from the
+    manifest, and stale manifest-less temp dirs from earlier crashes
+    are cleared on entry.  At 100 TB scale this is one narrow
     shuffle-free read+write of digest rows; source bytes never move.
+
+    CONCURRENCY contract: the swap (remove target -> rename staged
+    union -> delete folded epochs) is not atomic for a READER that
+    lists epoch dirs mid-swap — a concurrent ``read_epoch_store``
+    could miss the target epoch or read a folded epoch twice.  Run
+    compaction while the stream is stopped, or from INSIDE the
+    stream's ``foreachBatch`` handler (batch boundaries serialize
+    handler reads with the swap); never concurrently with a live
+    trigger from a separate process.
 
     Returns ``{"folded": [...], "target": K | None}``."""
     import json
@@ -244,12 +254,19 @@ def compact_epoch_store(
         safe = [] if mx is None else [k for k in epochs if k <= mx]
     else:
         safe = epochs
+    # a tmp dir without a manifest is garbage from a fold that
+    # crashed before its manifest was written (possibly for a target
+    # id the committed set has since moved past) — clear them ALL, or
+    # a fully-materialized stale union leaks disk forever
+    for d in os.listdir(store_dir):
+        if d.startswith(".compact_tmp_"):
+            shutil.rmtree(os.path.join(store_dir, d),
+                          ignore_errors=True)
     if len(safe) < 2:
         return {"folded": [], "target": safe[0] if safe else None}
     target = max(safe)
     tmp_name = f".compact_tmp_{target}"
     tmp = os.path.join(store_dir, tmp_name)
-    shutil.rmtree(tmp, ignore_errors=True)
     union = spark.read.parquet(
         *[os.path.join(store_dir, f"epoch={k}") for k in safe])
     union.write.mode("overwrite").parquet(tmp)

@@ -158,3 +158,24 @@ def test_p3_long_horizon_overflow_raises(spark):
     out2 = {r["key"]: r["g_sum"] for r in
             decayed_rollup(df, "ts", "key", p=2).collect()}
     assert out2["a"] == span ** 2
+
+
+def test_summed_mass_overflow_raises_even_when_terms_fit(spark):
+    """sum(age^p) can wrap int64 even when every per-row age^p fits
+    (review r5): two rows at age 2.0e6 s with p=3 give per-row 8e18
+    (< 2^63-1) but mass 1.6e19.  The guard must escalate past the
+    count*max^p bound to the exact float64 mass and raise; spreading
+    the same max term over a mass that DOES fit must pass."""
+    span = 2_000_000                       # age^3 = 8e18 < 2^63-1
+    df = _events(spark, [(_t(0), "a", 1.0),
+                         (_t(span), "a", 1.0),
+                         (_t(span), "a", 1.0)])
+    with pytest.raises(OverflowError, match="sum\\(age\\^3\\)"):
+        decayed_rollup(df, "ts", "key", p=3)
+    # same max term, mass fits: count-bound trips, exact mass clears
+    ok = _events(spark, [(_t(0), "a", 1.0),
+                         (_t(0), "a", 1.0),
+                         (_t(span), "a", 1.0)])
+    out = {r["key"]: r["g_sum"] for r in
+           decayed_rollup(ok, "ts", "key", p=3).collect()}
+    assert out["a"] == span ** 3

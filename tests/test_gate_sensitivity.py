@@ -18,6 +18,7 @@ audit").
 """
 
 import functools
+import inspect
 import math
 import os
 
@@ -70,8 +71,30 @@ def gate_is_green(spark, ddb, name):
             and _canon(srows, sdf.columns) == _canon(drows, rel.columns))
 
 
-def test_substring_dup_stats_catches_window_length_off_by_one(
-        spark, ddb, monkeypatch):
+#: every gate a mutation test targets — the control fixture proves
+#: each is GREEN unmutated in this environment first, so a red test
+#: result can only mean the mutation was caught (without this, an
+#: environmentally-red gate would pass every `assert not green`
+#: vacuously and the audit would certify sensitivity it never
+#: measured)
+TARGET_GATES = [
+    "substring_dup_stats", "paragraph_dedup", "priority_subset_sums",
+    "decayed_rollup", "decayed_topk", "fd_covariance",
+    "asof_join_clicks", "pagerank_fk", "bucketed_join_orders",
+    "semantic_dedup", "dsir_select", "ss_topk_tokens",
+    "hll_distinct_by_lang", "cms_token_bounds", "minhash_dedup_pairs",
+    "substring_dedup_corpus",
+]
+
+
+@pytest.fixture(scope="module")
+def greens(spark, ddb):
+    """One unmutated pass over every target gate; tests assert their
+    gate's control before trusting a red mutated run."""
+    return {g: gate_is_green(spark, ddb, g) for g in TARGET_GATES}
+
+
+def test_substring_dup_stats_catches_window_length_off_by_one(spark, ddb, greens, monkeypatch):
     """Planted bug: duplicate windows counted at length 7 instead of
     the configured 8 (classic boundary slip in the gram builder)."""
     from athena_spark.operators import dedup
@@ -83,11 +106,11 @@ def test_substring_dup_stats_catches_window_length_off_by_one(
         return orig(df, id_col, text_col, min_len=min_len - 1, **kw)
 
     monkeypatch.setattr(dedup, "substring_dup_stats", mutated)
+    assert greens["substring_dup_stats"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "substring_dup_stats")
 
 
-def test_paragraph_dedup_catches_missing_normalization(
-        spark, ddb, monkeypatch):
+def test_paragraph_dedup_catches_missing_normalization(spark, ddb, greens, monkeypatch):
     """Planted bug: paragraph keys hashed RAW (CCNet normalization
     forgotten) — the digit-variant footers stop sharing a key."""
     from athena_spark.operators import dedup
@@ -100,21 +123,22 @@ def test_paragraph_dedup_catches_missing_normalization(
         return orig(df, id_col, text_col, **kw)
 
     monkeypatch.setattr(dedup, "paragraph_dedup_corpus", mutated)
+    assert greens["paragraph_dedup"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "paragraph_dedup")
 
 
-def test_priority_subset_sums_catches_draw_width_change(
-        spark, ddb, monkeypatch):
+def test_priority_subset_sums_catches_draw_width_change(spark, ddb, greens, monkeypatch):
     """Planted bug: the JVM-side priority draw reads 12 hex digits
     instead of 13 — every priority shifts, the selected sample and
     tau disagree with the sketch/oracle rebuild."""
     from athena_spark.operators import prioritysum
 
     monkeypatch.setattr(prioritysum, "_DRAW_HEX_DIGITS", 12)
+    assert greens["priority_subset_sums"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "priority_subset_sums")
 
 
-def test_decayed_rollup_catches_age_off_by_one(spark, ddb, monkeypatch):
+def test_decayed_rollup_catches_age_off_by_one(spark, ddb, greens, monkeypatch):
     """Planted bug: g computed on age+1 (fencepost in the landmark
     subtraction)."""
     from athena_spark.operators import decay
@@ -126,6 +150,7 @@ def test_decayed_rollup_catches_age_off_by_one(spark, ddb, monkeypatch):
         return orig(ts_col, int(landmark) - 1, p, unit)
 
     monkeypatch.setattr(decay, "forward_decay_weight", mutated)
+    assert greens["decayed_rollup"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "decayed_rollup")
 
 
@@ -148,6 +173,10 @@ def _run_gate_in_mutated_tree(tmp_path, gate_name, file_rel, old, new):
     src = open(target, encoding="utf-8").read()
     assert src.count(old) == 1, f"mutation anchor not unique: {old!r}"
     open(target, "w", encoding="utf-8").write(src.replace(old, new))
+    # the subprocess grades with the IDENTICAL canonicalization: the
+    # source of _canon is injected verbatim, so the two copies cannot
+    # drift (review r5)
+    canon_src = inspect.getsource(_canon)
     driver = f"""
 import math, os, sys
 sys.path.insert(0, {shadow!r})   # outrank cwd: shadow tree wins
@@ -164,18 +193,8 @@ for t in {TABLES!r}:
     p = os.path.join({SF_DIR!r}, t + ".parquet")
     if os.path.exists(p):
         con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{p}}')")
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = "NaN" if math.isnan(v) else f"{{v:.9g}}"
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr)
+{canon_src}
+canon = _canon
 sdf = m.queries()[{gate_name!r}](spark, {SF_DIR!r})
 srows = [tuple(r) for r in sdf.collect()]
 rel = con.sql(m.oracle_sql()[{gate_name!r}])
@@ -196,29 +215,31 @@ print("GATE_GREEN" if green else "GATE_RED")
     return marker[-1] == "GATE_GREEN"
 
 
-def test_decayed_topk_catches_inflated_update(tmp_path):
+def test_decayed_topk_catches_inflated_update(tmp_path, greens):
     """Planted bug (worker-side, scratch-branch mutation): the
     Space-Saving weighted update over-counts the absorbed mass by one
     per fold — the sketch's total decayed mass no longer matches the
     exact rollup (`total_mass_exact` red)."""
+    assert greens["decayed_topk"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "decayed_topk", os.path.join("sketch", "spacesaving.py"),
         "self.total += int(counts.sum())",
         "self.total += int(counts.sum()) + 1  # PLANTED BUG")
 
 
-def test_fd_covariance_catches_untracked_shrink(tmp_path):
+def test_fd_covariance_catches_untracked_shrink(tmp_path, greens):
     """Planted bug (worker-side, scratch-branch mutation): _shrink
     subtracts the spectrum mass but forgets to grow the certificate
     — the sketch's own error bound becomes a lie and
     `error_within_certificate` must go red."""
+    assert greens["fd_covariance"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "fd_covariance", os.path.join("sketch", "fd.py"),
         "self._shrink_total += delta",
         "pass  # PLANTED BUG: delta never tracked")
 
 
-def test_asof_join_catches_tolerance_unit_error(spark, ddb, monkeypatch):
+def test_asof_join_catches_tolerance_unit_error(spark, ddb, greens, monkeypatch):
     """Planted bug: the 24h tolerance applied as hours-worth of
     seconds (3600) — stale purchases stop matching."""
     from athena_spark.operators import temporal
@@ -232,10 +253,11 @@ def test_asof_join_catches_tolerance_unit_error(spark, ddb, monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(temporal, "asof_join", mutated)
+    assert greens["asof_join_clicks"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "asof_join_clicks")
 
 
-def test_pagerank_catches_damping_perturbation(spark, ddb, monkeypatch):
+def test_pagerank_catches_damping_perturbation(spark, ddb, greens, monkeypatch):
     """Planted bug: damping 0.85 -> 0.86 (copy-paste constant drift);
     the quantized ranks shift and the unrolled-CTE oracle catches
     it."""
@@ -249,10 +271,11 @@ def test_pagerank_catches_damping_perturbation(spark, ddb, monkeypatch):
         return orig(edges, *a, **kw)
 
     monkeypatch.setattr(graph, "pagerank", mutated)
+    assert greens["pagerank_fk"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "pagerank_fk")
 
 
-def test_bucketed_join_catches_wrong_join_key(spark, ddb, monkeypatch):
+def test_bucketed_join_catches_wrong_join_key(spark, ddb, greens, monkeypatch):
     """Planted bug: the co-located join keys on c_nationkey instead
     of c_custkey (schema-shaped but semantically wrong)."""
     from athena_spark.operators import bucketed
@@ -266,10 +289,11 @@ def test_bucketed_join_catches_wrong_join_key(spark, ddb, monkeypatch):
                     "c_nationkey", **kw)
 
     monkeypatch.setattr(bucketed, "colocated_join", mutated)
+    assert greens["bucketed_join_orders"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "bucketed_join_orders")
 
 
-def test_semantic_dedup_catches_threshold_drift(spark, ddb, monkeypatch):
+def test_semantic_dedup_catches_threshold_drift(spark, ddb, greens, monkeypatch):
     """Planted bug: the SemDeDup cosine threshold applied 0.05 too
     high — borderline duplicates survive."""
     from athena_spark.operators import semdedup
@@ -282,10 +306,11 @@ def test_semantic_dedup_catches_threshold_drift(spark, ddb, monkeypatch):
         return orig(df, *a, **kw)
 
     monkeypatch.setattr(semdedup, "semantic_dedup", mutated)
+    assert greens["semantic_dedup"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "semantic_dedup")
 
 
-def test_dsir_catches_smoothing_change(spark, ddb, monkeypatch):
+def test_dsir_catches_smoothing_change(spark, ddb, greens, monkeypatch):
     """Planted bug: add-2 instead of add-1 smoothing in the DSIR
     bucket models — every nano-scaled probability shifts."""
     from athena_spark.operators import dsir
@@ -298,16 +323,18 @@ def test_dsir_catches_smoothing_change(spark, ddb, monkeypatch):
         return orig(raw_df, target_df, *a, **kw)
 
     monkeypatch.setattr(dsir, "importance_weights", mutated)
+    assert greens["dsir_select"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "dsir_select")
 
 
-def test_ss_topk_catches_batch_fold_off_by_one(tmp_path):
+def test_ss_topk_catches_batch_fold_off_by_one(tmp_path, greens):
     """Planted bug (worker-side): the per-batch weighted fold feeds
     every consolidated key count+1 into the sketch — the exact-mode
     top-k counts disagree with the plain GROUP BY oracle.  (Merge
     paths are NOT mutated: at test scale one parquet file means one
     partition and a single partial, so only the update path is
     guaranteed to execute.)"""
+    assert greens["ss_topk_tokens"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "ss_topk_tokens",
         os.path.join("sketch", "spacesaving.py"),
@@ -317,11 +344,12 @@ def test_ss_topk_catches_batch_fold_off_by_one(tmp_path):
         "np.zeros(len(words), dtype=np.int64), 0)  # PLANTED BUG")
 
 
-def test_hll_catches_rho_off_by_one(tmp_path):
+def test_hll_catches_rho_off_by_one(tmp_path, greens):
     """Planted bug (worker-side): the dense HLL register rank drops
     its 1-based offset — every register one too small roughly
     doubles the raw estimate's denominator and the per-lang
     estimates leave the 3-sigma band."""
+    assert greens["hll_distinct_by_lang"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "hll_distinct_by_lang",
         os.path.join("sketch", "hll.py"),
@@ -334,10 +362,11 @@ def test_hll_catches_rho_off_by_one(tmp_path):
         ".astype(np.uint8)")
 
 
-def test_cms_catches_skipped_row(tmp_path):
+def test_cms_catches_skipped_row(tmp_path, greens):
     """Planted bug (worker-side): the count-min update writes only
     depth-1 rows, leaving one row all-zero — the row-min estimate
     collapses to 0 and the 'exact <= est' guarantee fails."""
+    assert greens["cms_token_bounds"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "cms_token_bounds",
         os.path.join("sketch", "cms.py"),
@@ -347,8 +376,7 @@ def test_cms_catches_skipped_row(tmp_path):
         "            np.add.at(self._table[r], cols[r], counts)")
 
 
-def test_minhash_pairs_catches_gram_length_change(
-        spark, ddb, monkeypatch):
+def test_minhash_pairs_catches_gram_length_change(spark, ddb, greens, monkeypatch):
     """Planted bug: shingles built from 2-grams instead of the
     configured 3-grams — the Jaccard values and the verified pair
     set disagree with the exact 3-gram oracle."""
@@ -361,11 +389,11 @@ def test_minhash_pairs_catches_gram_length_change(
         return orig(df, id_col, text_col, n=n - 1, **kw)
 
     monkeypatch.setattr(dedup, "minhash_dedup_pairs", mutated)
+    assert greens["minhash_dedup_pairs"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "minhash_dedup_pairs")
 
 
-def test_substring_dedup_catches_min_count_drift(
-        spark, ddb, monkeypatch):
+def test_substring_dedup_catches_min_count_drift(spark, ddb, greens, monkeypatch):
     """Planted bug: span removal requires 3 corpus-wide occurrences
     instead of 2 — twice-occurring windows survive and the
     reconstructed text hash-mismatches the oracle."""
@@ -379,4 +407,5 @@ def test_substring_dedup_catches_min_count_drift(
         return orig(df, id_col, text_col, **kw)
 
     monkeypatch.setattr(dedup, "substring_dedup_corpus", mutated)
+    assert greens["substring_dedup_corpus"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "substring_dedup_corpus")

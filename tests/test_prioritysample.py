@@ -272,3 +272,18 @@ def test_update_with_priorities_validates_like_update():
     with pytest.raises(ValueError, match="positive"):
         sk.update_with_priorities([1], [-2.0], [3.0])
     assert sk.n == 0 and sk.ids.size == 0   # nothing absorbed
+
+
+def test_nan_weights_dropped_like_nonpositive(spark):
+    """Spark SQL orders NaN above every number, so `w > 0` alone
+    passes NaN rows (review r5); the narrow projection must drop
+    them like any other non-positive weight rather than poisoning
+    the draw or tripping the sketch's positivity check."""
+    from athena_spark.operators.prioritysum import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, float("nan")), (3, 5.0), (4, 0.0), (5, -1.0)],
+        "id long, w double")
+    sk = priority_sample(df, "id", "w", k=8, seed=1)
+    assert sorted(sk.ids) == [1, 3]
+    assert sk.n == 2 and sk.total_weight == 7.0
