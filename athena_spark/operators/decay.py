@@ -125,6 +125,9 @@ def resolve_landmark_checked(df: DataFrame, ts_col: str,
     to ~n*2^-52 — the 1e-6 safety margin below dwarfs it) to decide
     loudly.  p in {0, 1} cannot overflow (ages are epoch-bounded and
     the count bound is checked too)."""
+    if int(p) == 0 and landmark is not None:
+        # g == 1 for every row and nothing to infer: zero data passes
+        return int(landmark)
     row = df.agg(
         F.min(_age_col(ts_col, 0, unit)).alias("lo"),
         F.max(_age_col(ts_col, 0, unit)).alias("hi"),

@@ -401,7 +401,13 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     picked = (
         df.select(F.col(id_col), w.alias("_w"))
+        # NOT isnan: Spark SQL orders NaN above every number, so a
+        # NaN weight would pass `w > 0` and could be drawn into the
+        # sample (its race key sorts last, but limit(n) reaches it
+        # whenever n covers the valid rows) — drop it like any other
+        # non-positive weight
         .where(w > 0)
+        .where(~F.isnan(F.col("_w")))
         .withColumn("_key", exp_race_key(id_col, F.col("_w"), seed))
         .orderBy("_key", id_col)
         .limit(n)

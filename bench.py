@@ -388,7 +388,7 @@ def run_headline() -> dict:
         "scaling_evidence": {
             "protocol": "paired-interleaved rounds, median ratio; "
                         "see BASELINE.md and `python bench.py --scaling`",
-            "efficiency_1_to_4_cores_runs": [0.883, 0.936, 0.938],
+            "efficiency_1_to_4_cores_runs": [0.883, 0.936, 0.938, 0.963, 0.943],
             "tokens_per_sec_local1_best": 8_397_000,
             "tokens_per_sec_local4_best": 29_660_000,
             "efficiency_8_to_32_cores_runs": [0.474, 0.397, 0.352],

@@ -71,32 +71,30 @@ def gate_is_green(spark, ddb, name):
             and _canon(srows, sdf.columns) == _canon(drows, rel.columns))
 
 
-#: every gate a mutation test targets — the control fixture proves
-#: each is GREEN unmutated in this environment first, so a red test
-#: result can only mean the mutation was caught (without this, an
-#: environmentally-red gate would pass every `assert not green`
-#: vacuously and the audit would certify sensitivity it never
-#: measured)
-TARGET_GATES = [
-    "substring_dup_stats", "paragraph_dedup", "priority_subset_sums",
-    "decayed_rollup", "decayed_topk", "fd_covariance",
-    "asof_join_clicks", "pagerank_fk", "bucketed_join_orders",
-    "semantic_dedup", "dsir_select", "ss_topk_tokens",
-    "hll_distinct_by_lang", "cms_token_bounds", "minhash_dedup_pairs",
-    "substring_dedup_corpus",
-]
-
-
 @pytest.fixture(scope="module")
 def greens(spark, ddb):
-    """One unmutated pass over every target gate; tests assert their
-    gate's control before trusting a red mutated run."""
-    return {g: gate_is_green(spark, ddb, g) for g in TARGET_GATES}
+    """Memoized UNMUTATED control: each monkeypatch test asserts
+    ``greens(gate)`` before trusting a red mutated run, so an
+    environmentally-red gate cannot make `assert not green` pass
+    vacuously.  Lazy + cached: a focused `-k` run evaluates exactly
+    the gates its tests target, once each.  (The worker-side shadow
+    tests carry their OWN control — the unmutated gate re-run through
+    the same subprocess harness — since this in-process pass does not
+    exercise that environment.)"""
+    cache = {}
+
+    def check(gate):
+        if gate not in cache:
+            cache[gate] = gate_is_green(spark, ddb, gate)
+        return cache[gate]
+
+    return check
 
 
 def test_substring_dup_stats_catches_window_length_off_by_one(spark, ddb, greens, monkeypatch):
     """Planted bug: duplicate windows counted at length 7 instead of
     the configured 8 (classic boundary slip in the gram builder)."""
+    assert greens("substring_dup_stats"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import dedup
 
     orig = dedup.substring_dup_stats
@@ -106,13 +104,13 @@ def test_substring_dup_stats_catches_window_length_off_by_one(spark, ddb, greens
         return orig(df, id_col, text_col, min_len=min_len - 1, **kw)
 
     monkeypatch.setattr(dedup, "substring_dup_stats", mutated)
-    assert greens["substring_dup_stats"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "substring_dup_stats")
 
 
 def test_paragraph_dedup_catches_missing_normalization(spark, ddb, greens, monkeypatch):
     """Planted bug: paragraph keys hashed RAW (CCNet normalization
     forgotten) — the digit-variant footers stop sharing a key."""
+    assert greens("paragraph_dedup"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import dedup
 
     orig = dedup.paragraph_dedup_corpus
@@ -123,7 +121,6 @@ def test_paragraph_dedup_catches_missing_normalization(spark, ddb, greens, monke
         return orig(df, id_col, text_col, **kw)
 
     monkeypatch.setattr(dedup, "paragraph_dedup_corpus", mutated)
-    assert greens["paragraph_dedup"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "paragraph_dedup")
 
 
@@ -131,16 +128,17 @@ def test_priority_subset_sums_catches_draw_width_change(spark, ddb, greens, monk
     """Planted bug: the JVM-side priority draw reads 12 hex digits
     instead of 13 — every priority shifts, the selected sample and
     tau disagree with the sketch/oracle rebuild."""
+    assert greens("priority_subset_sums"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import prioritysum
 
     monkeypatch.setattr(prioritysum, "_DRAW_HEX_DIGITS", 12)
-    assert greens["priority_subset_sums"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "priority_subset_sums")
 
 
 def test_decayed_rollup_catches_age_off_by_one(spark, ddb, greens, monkeypatch):
     """Planted bug: g computed on age+1 (fencepost in the landmark
     subtraction)."""
+    assert greens("decayed_rollup"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import decay
 
     orig = decay.forward_decay_weight
@@ -150,29 +148,17 @@ def test_decayed_rollup_catches_age_off_by_one(spark, ddb, greens, monkeypatch):
         return orig(ts_col, int(landmark) - 1, p, unit)
 
     monkeypatch.setattr(decay, "forward_decay_weight", mutated)
-    assert greens["decayed_rollup"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "decayed_rollup")
 
 
-def _run_gate_in_mutated_tree(tmp_path, gate_name, file_rel, old, new):
-    """Scratch-branch mutation for code that executes inside SPARK
-    WORKERS, where a driver monkeypatch cannot reach: copy the
-    package, textually plant the bug, and run the gate + oracle
-    comparison in a fresh subprocess whose PYTHONPATH shadows
-    `athena_spark` with the mutated tree (workers inherit it in
-    local mode).  Returns True when the gate stayed green."""
-    import shutil
+def _grade_in_shadow_subprocess(shadow, gate_name):
+    """Grade one gate in a fresh subprocess whose sys.path[0]/cwd/
+    PYTHONPATH all point at ``shadow`` (workers inherit it in local
+    mode).  Returns True when the gate graded green there."""
     import subprocess
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    shadow = str(tmp_path / "shadow")
-    shutil.copytree(os.path.join(repo, "athena_spark"),
-                    os.path.join(shadow, "athena_spark"))
-    target = os.path.join(shadow, "athena_spark", file_rel)
-    src = open(target, encoding="utf-8").read()
-    assert src.count(old) == 1, f"mutation anchor not unique: {old!r}"
-    open(target, "w", encoding="utf-8").write(src.replace(old, new))
     # the subprocess grades with the IDENTICAL canonicalization: the
     # source of _canon is injected verbatim, so the two copies cannot
     # drift (review r5)
@@ -205,7 +191,7 @@ green = (sorted(sdf.columns) == sorted(rel.columns)
 print("GATE_GREEN" if green else "GATE_RED")
 """
     env = dict(os.environ)
-    env["PYTHONPATH"] = shadow   # workers resolve the mutated tree
+    env["PYTHONPATH"] = shadow   # workers resolve the shadow tree
     out = subprocess.run([sys.executable, "-c", driver], env=env,
                          cwd=shadow, capture_output=True, text=True,
                          timeout=600)
@@ -215,24 +201,45 @@ print("GATE_GREEN" if green else "GATE_RED")
     return marker[-1] == "GATE_GREEN"
 
 
-def test_decayed_topk_catches_inflated_update(tmp_path, greens):
+def _run_gate_in_mutated_tree(tmp_path, gate_name, file_rel, old, new):
+    """Scratch-branch mutation for code that executes inside SPARK
+    WORKERS, where a driver monkeypatch cannot reach: copy the
+    package, run the gate through the subprocess harness UNMUTATED
+    (the control — in-process green does not control THIS
+    environment: shadow copy, cwd change, fresh session), then
+    textually plant the bug and grade again.  Returns True when the
+    MUTATED gate stayed green; asserts the control was green."""
+    import shutil
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shadow = str(tmp_path / "shadow")
+    shutil.copytree(os.path.join(repo, "athena_spark"),
+                    os.path.join(shadow, "athena_spark"))
+    assert _grade_in_shadow_subprocess(shadow, gate_name), \
+        "control: gate red UNMUTATED in the subprocess harness"
+    target = os.path.join(shadow, "athena_spark", file_rel)
+    src = open(target, encoding="utf-8").read()
+    assert src.count(old) == 1, f"mutation anchor not unique: {old!r}"
+    open(target, "w", encoding="utf-8").write(src.replace(old, new))
+    return _grade_in_shadow_subprocess(shadow, gate_name)
+
+
+def test_decayed_topk_catches_inflated_update(tmp_path):
     """Planted bug (worker-side, scratch-branch mutation): the
     Space-Saving weighted update over-counts the absorbed mass by one
     per fold — the sketch's total decayed mass no longer matches the
     exact rollup (`total_mass_exact` red)."""
-    assert greens["decayed_topk"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "decayed_topk", os.path.join("sketch", "spacesaving.py"),
         "self.total += int(counts.sum())",
         "self.total += int(counts.sum()) + 1  # PLANTED BUG")
 
 
-def test_fd_covariance_catches_untracked_shrink(tmp_path, greens):
+def test_fd_covariance_catches_untracked_shrink(tmp_path):
     """Planted bug (worker-side, scratch-branch mutation): _shrink
     subtracts the spectrum mass but forgets to grow the certificate
     — the sketch's own error bound becomes a lie and
     `error_within_certificate` must go red."""
-    assert greens["fd_covariance"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "fd_covariance", os.path.join("sketch", "fd.py"),
         "self._shrink_total += delta",
@@ -242,6 +249,7 @@ def test_fd_covariance_catches_untracked_shrink(tmp_path, greens):
 def test_asof_join_catches_tolerance_unit_error(spark, ddb, greens, monkeypatch):
     """Planted bug: the 24h tolerance applied as hours-worth of
     seconds (3600) — stale purchases stop matching."""
+    assert greens("asof_join_clicks"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import temporal
 
     orig = temporal.asof_join
@@ -253,7 +261,6 @@ def test_asof_join_catches_tolerance_unit_error(spark, ddb, greens, monkeypatch)
         return orig(*a, **kw)
 
     monkeypatch.setattr(temporal, "asof_join", mutated)
-    assert greens["asof_join_clicks"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "asof_join_clicks")
 
 
@@ -261,6 +268,7 @@ def test_pagerank_catches_damping_perturbation(spark, ddb, greens, monkeypatch):
     """Planted bug: damping 0.85 -> 0.86 (copy-paste constant drift);
     the quantized ranks shift and the unrolled-CTE oracle catches
     it."""
+    assert greens("pagerank_fk"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import graph
 
     orig = graph.pagerank
@@ -271,13 +279,13 @@ def test_pagerank_catches_damping_perturbation(spark, ddb, greens, monkeypatch):
         return orig(edges, *a, **kw)
 
     monkeypatch.setattr(graph, "pagerank", mutated)
-    assert greens["pagerank_fk"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "pagerank_fk")
 
 
 def test_bucketed_join_catches_wrong_join_key(spark, ddb, greens, monkeypatch):
     """Planted bug: the co-located join keys on c_nationkey instead
     of c_custkey (schema-shaped but semantically wrong)."""
+    assert greens("bucketed_join_orders"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import bucketed
 
     orig = bucketed.colocated_join
@@ -289,13 +297,13 @@ def test_bucketed_join_catches_wrong_join_key(spark, ddb, greens, monkeypatch):
                     "c_nationkey", **kw)
 
     monkeypatch.setattr(bucketed, "colocated_join", mutated)
-    assert greens["bucketed_join_orders"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "bucketed_join_orders")
 
 
 def test_semantic_dedup_catches_threshold_drift(spark, ddb, greens, monkeypatch):
     """Planted bug: the SemDeDup cosine threshold applied 0.05 too
     high — borderline duplicates survive."""
+    assert greens("semantic_dedup"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import semdedup
 
     orig = semdedup.semantic_dedup
@@ -306,13 +314,13 @@ def test_semantic_dedup_catches_threshold_drift(spark, ddb, greens, monkeypatch)
         return orig(df, *a, **kw)
 
     monkeypatch.setattr(semdedup, "semantic_dedup", mutated)
-    assert greens["semantic_dedup"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "semantic_dedup")
 
 
 def test_dsir_catches_smoothing_change(spark, ddb, greens, monkeypatch):
     """Planted bug: add-2 instead of add-1 smoothing in the DSIR
     bucket models — every nano-scaled probability shifts."""
+    assert greens("dsir_select"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import dsir
 
     orig = dsir.importance_weights
@@ -323,18 +331,16 @@ def test_dsir_catches_smoothing_change(spark, ddb, greens, monkeypatch):
         return orig(raw_df, target_df, *a, **kw)
 
     monkeypatch.setattr(dsir, "importance_weights", mutated)
-    assert greens["dsir_select"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "dsir_select")
 
 
-def test_ss_topk_catches_batch_fold_off_by_one(tmp_path, greens):
+def test_ss_topk_catches_batch_fold_off_by_one(tmp_path):
     """Planted bug (worker-side): the per-batch weighted fold feeds
     every consolidated key count+1 into the sketch — the exact-mode
     top-k counts disagree with the plain GROUP BY oracle.  (Merge
     paths are NOT mutated: at test scale one parquet file means one
     partition and a single partial, so only the update path is
     guaranteed to execute.)"""
-    assert greens["ss_topk_tokens"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "ss_topk_tokens",
         os.path.join("sketch", "spacesaving.py"),
@@ -344,12 +350,11 @@ def test_ss_topk_catches_batch_fold_off_by_one(tmp_path, greens):
         "np.zeros(len(words), dtype=np.int64), 0)  # PLANTED BUG")
 
 
-def test_hll_catches_rho_off_by_one(tmp_path, greens):
+def test_hll_catches_rho_off_by_one(tmp_path):
     """Planted bug (worker-side): the dense HLL register rank drops
     its 1-based offset — every register one too small roughly
     doubles the raw estimate's denominator and the per-lang
     estimates leave the 3-sigma band."""
-    assert greens["hll_distinct_by_lang"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "hll_distinct_by_lang",
         os.path.join("sketch", "hll.py"),
@@ -362,11 +367,10 @@ def test_hll_catches_rho_off_by_one(tmp_path, greens):
         ".astype(np.uint8)")
 
 
-def test_cms_catches_skipped_row(tmp_path, greens):
+def test_cms_catches_skipped_row(tmp_path):
     """Planted bug (worker-side): the count-min update writes only
     depth-1 rows, leaving one row all-zero — the row-min estimate
     collapses to 0 and the 'exact <= est' guarantee fails."""
-    assert greens["cms_token_bounds"], "control: gate red unmutated"
     assert not _run_gate_in_mutated_tree(
         tmp_path, "cms_token_bounds",
         os.path.join("sketch", "cms.py"),
@@ -380,6 +384,7 @@ def test_minhash_pairs_catches_gram_length_change(spark, ddb, greens, monkeypatc
     """Planted bug: shingles built from 2-grams instead of the
     configured 3-grams — the Jaccard values and the verified pair
     set disagree with the exact 3-gram oracle."""
+    assert greens("minhash_dedup_pairs"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import dedup
 
     orig = dedup.minhash_dedup_pairs
@@ -389,7 +394,6 @@ def test_minhash_pairs_catches_gram_length_change(spark, ddb, greens, monkeypatc
         return orig(df, id_col, text_col, n=n - 1, **kw)
 
     monkeypatch.setattr(dedup, "minhash_dedup_pairs", mutated)
-    assert greens["minhash_dedup_pairs"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "minhash_dedup_pairs")
 
 
@@ -397,6 +401,7 @@ def test_substring_dedup_catches_min_count_drift(spark, ddb, greens, monkeypatch
     """Planted bug: span removal requires 3 corpus-wide occurrences
     instead of 2 — twice-occurring windows survive and the
     reconstructed text hash-mismatches the oracle."""
+    assert greens("substring_dedup_corpus"), "control: gate red unmutated"  # BEFORE the patch
     from athena_spark.operators import dedup
 
     orig = dedup.substring_dedup_corpus
@@ -407,5 +412,4 @@ def test_substring_dedup_catches_min_count_drift(spark, ddb, greens, monkeypatch
         return orig(df, id_col, text_col, **kw)
 
     monkeypatch.setattr(dedup, "substring_dedup_corpus", mutated)
-    assert greens["substring_dedup_corpus"], "control: gate red unmutated"
     assert not gate_is_green(spark, ddb, "substring_dedup_corpus")

@@ -513,3 +513,19 @@ def test_rendezvous_shard_matches_local_oracle_and_minimal_movement(spark):
     assert 0.03 < len(moved) / len(ids) < 0.25   # E = 1/9 ≈ 0.11
     with pytest.raises(ValueError):
         rendezvous_shard(df, "doc_id", 0)
+
+
+def test_weighted_sample_drops_nan_weights(spark):
+    """Spark SQL orders NaN above every number, so `w > 0` alone
+    passes NaN rows (review r5): with n covering the valid rows the
+    NaN row (race key NaN, sorted last) would be drawn.  It must be
+    excluded like any other non-positive weight."""
+    from athena_spark.operators.trainprep import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, float("nan")), (3, 5.0), (4, 0.0)],
+        "doc_id long, w double")
+    got = {r["doc_id"]
+           for r in weighted_sample(df, "doc_id", "w", n=4)
+           .collect()}
+    assert got == {1, 3}
