@@ -625,8 +625,10 @@ def test_decayed_rollup_map_side_combined_no_window(spark, sf_dir):
     from athena_spark.operators.decay import decayed_rollup
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    plan = plan_of(decayed_rollup(ev, "ts", "event_type", landmark=0,
-                                  p=2))
+    # landmark inferred: the old landmark=0 gave epoch-scale ages
+    # whose per-key sum(age^2) genuinely wraps int64 — the r5
+    # overflow guard now (correctly) refuses that configuration
+    plan = plan_of(decayed_rollup(ev, "ts", "event_type", p=2))
     assert "partial_sum" in plan and "partial_count" in plan, plan
     assert "Window" not in plan, plan
     for block in plan.split("\n\n"):
