@@ -79,7 +79,7 @@ class StreamingAsofEnrich:
         os.makedirs(store_dir, exist_ok=True)
         os.makedirs(output_dir, exist_ok=True)
         if checkpoint_dir is not None:
-            bind_checkpoint(store_dir, checkpoint_dir)
+            bind_checkpoint(store_dir, checkpoint_dir, style="snapshot")
 
     def _store_cols(self) -> list[str]:
         cols = list(self.by) + [self.on]

@@ -108,7 +108,21 @@ def gc_epochs_below(store_dir: str, keep_from: int) -> None:
             shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
 
 
-def bind_checkpoint(store_dir: str, checkpoint_dir: str) -> None:
+def store_style(store_dir: str) -> str | None:
+    """The store style recorded by :func:`bind_checkpoint` —
+    ``"append"`` (disjoint per-epoch rows; union = state) or
+    ``"snapshot"`` (each epoch supersedes all earlier ones; latest =
+    state) — or ``None`` for an unbound or pre-style store."""
+    path = os.path.join(store_dir, _MARKER)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        lines = fh.read().strip().split("\n")
+    return lines[2].strip() if len(lines) >= 3 else None
+
+
+def bind_checkpoint(store_dir: str, checkpoint_dir: str,
+                    style: str = "append") -> None:
     """Bind ``store_dir`` to the streaming checkpoint that drives its
     epoch ids.  The binding records BOTH the checkpoint path and a
     random token written inside the checkpoint directory itself, so a
@@ -117,7 +131,18 @@ def bind_checkpoint(store_dir: str, checkpoint_dir: str) -> None:
     0 — fails the guard too, instead of silently overwriting earlier
     epochs and bypassing cross-run dedup.  First call records; later
     calls verify and raise a descriptive :class:`ValueError` on any
-    mismatch."""
+    mismatch.
+
+    ``style`` records whether epochs are disjoint appends
+    (``"append"`` — union of epochs = state; the dedup digest stores,
+    CodeIngestStream) or full snapshots (``"snapshot"`` — latest
+    epoch = state; the as-of latest-right store).  The two have
+    OPPOSITE maintenance jobs (:func:`compact_epoch_store` folds
+    appends; :func:`gc_epochs_below` drops superseded snapshots) and
+    applying the wrong one silently corrupts the state, so the style
+    is persisted and enforced."""
+    if style not in ("append", "snapshot"):
+        raise ValueError(f"style must be append|snapshot, got {style!r}")
     cp = os.path.abspath(checkpoint_dir)
     os.makedirs(cp, exist_ok=True)
     cp_marker = os.path.join(cp, _CP_TOKEN)
@@ -131,7 +156,17 @@ def bind_checkpoint(store_dir: str, checkpoint_dir: str) -> None:
     path = os.path.join(store_dir, _MARKER)
     if os.path.exists(path):
         with open(path, encoding="utf-8") as fh:
-            bound_path, _, bound_token = fh.read().strip().partition("\n")
+            lines = fh.read().strip().split("\n")
+        bound_path = lines[0]
+        bound_token = lines[1] if len(lines) > 1 else ""
+        bound_style = lines[2].strip() if len(lines) >= 3 else None
+        if bound_style is not None and bound_style != style:
+            raise ValueError(
+                f"store {store_dir!r} is recorded as a {bound_style!r}"
+                f"-style store but this handler binds it as {style!r}: "
+                "the two styles have opposite maintenance semantics "
+                "(union-of-epochs vs latest-epoch) — use a separate "
+                "store directory")
         if bound_path != cp or bound_token.strip() != token:
             what = (
                 "a recreated checkpoint at the same path"
@@ -149,7 +184,7 @@ def bind_checkpoint(store_dir: str, checkpoint_dir: str) -> None:
             )
         return
     with open(path, "w", encoding="utf-8") as fh:
-        fh.write(f"{cp}\n{token}")
+        fh.write(f"{cp}\n{token}\n{style}")
 
 
 _COMPACT_MANIFEST = "_compact_manifest"
@@ -219,21 +254,43 @@ def compact_epoch_store(
     # staged target dir is already complete once the manifest exists)
     manifest_path = os.path.join(store_dir, _COMPACT_MANIFEST)
     if os.path.exists(manifest_path):
-        with open(manifest_path, encoding="utf-8") as fh:
-            man = json.load(fh)
-        tmp = os.path.join(store_dir, man["tmp"])
-        tgt = os.path.join(store_dir, f"epoch={man['target']}")
-        if os.path.isdir(tmp):
-            shutil.rmtree(tgt, ignore_errors=True)
-            os.rename(tmp, tgt)
-        for k in man["folded"]:
-            if k != man["target"]:
-                shutil.rmtree(os.path.join(store_dir, f"epoch={k}"),
-                              ignore_errors=True)
-        os.remove(manifest_path)
+        try:
+            with open(manifest_path, encoding="utf-8") as fh:
+                man = json.load(fh)
+        except (json.JSONDecodeError, KeyError, OSError):
+            # the manifest is written atomically (tmp + os.replace),
+            # so a corrupt one can only be a pre-r5 artifact or
+            # filesystem damage — either way the fold it described
+            # never became authoritative (the manifest IS the commit
+            # point); drop it and let the sweep below clear the
+            # staged tmp, instead of bricking compaction forever
+            os.remove(manifest_path)
+            man = None
+        if man is None:
+            tmp = None
+        else:
+            tmp = os.path.join(store_dir, man["tmp"])
+        if man is not None:
+            tgt = os.path.join(store_dir, f"epoch={man['target']}")
+            if os.path.isdir(tmp):
+                shutil.rmtree(tgt, ignore_errors=True)
+                os.rename(tmp, tgt)
+            for k in man["folded"]:
+                if k != man["target"]:
+                    shutil.rmtree(
+                        os.path.join(store_dir, f"epoch={k}"),
+                        ignore_errors=True)
+            os.remove(manifest_path)
 
     if not os.path.isdir(store_dir):
         return {"folded": [], "target": None}
+    if store_style(store_dir) == "snapshot":
+        raise ValueError(
+            f"store {store_dir!r} is a SNAPSHOT-style store (each "
+            "epoch supersedes all earlier ones): folding would union "
+            "stale superseded rows into the state read_latest_epoch "
+            "returns.  A snapshot store's compaction is "
+            "gc_epochs_below, which its handler already runs.")
     epochs = sorted(
         int(d.split("=", 1)[1]) for d in os.listdir(store_dir)
         if d.startswith("epoch="))
@@ -270,9 +327,13 @@ def compact_epoch_store(
     union = spark.read.parquet(
         *[os.path.join(store_dir, f"epoch={k}") for k in safe])
     union.write.mode("overwrite").parquet(tmp)
-    with open(manifest_path, "w", encoding="utf-8") as fh:
+    # atomic commit point: a crash mid-write must not leave a
+    # truncated manifest (recovery would otherwise brick on it)
+    staged = manifest_path + ".tmp"
+    with open(staged, "w", encoding="utf-8") as fh:
         json.dump({"tmp": tmp_name, "target": target, "folded": safe},
                   fh)
+    os.replace(staged, manifest_path)
     shutil.rmtree(os.path.join(store_dir, f"epoch={target}"),
                   ignore_errors=True)
     os.rename(tmp, os.path.join(store_dir, f"epoch={target}"))

@@ -278,3 +278,66 @@ def test_compact_unbound_store_requires_explicit_intent(spark, tmp_path):
     assert info["folded"] == [0, 1]
     assert _epoch_dirs(root) == ["epoch=1"]
     assert spark.read.parquet(f"{root}/epoch=1").count() == 4
+
+
+def test_compact_refuses_snapshot_style_store(spark, tmp_path):
+    """Folding a snapshot store (each epoch supersedes earlier ones)
+    would union stale rows into read_latest_epoch's state — the
+    style recorded by bind_checkpoint must make that a loud error
+    (review r5)."""
+    import os
+
+    from athena_spark.streaming.store import (bind_checkpoint,
+                                              compact_epoch_store)
+
+    root = str(tmp_path / "snap")
+    ck = str(tmp_path / "ck")
+    os.makedirs(root)
+    bind_checkpoint(root, ck, style="snapshot")
+    for k in (0, 1):
+        spark.range(2).write.mode("overwrite").parquet(
+            f"{root}/epoch={k}")
+    with pytest.raises(ValueError, match="SNAPSHOT-style"):
+        compact_epoch_store(spark, root, checkpoint_dir=ck)
+    # even assume_stopped must refuse: the style, not the stream
+    # state, is what makes folding wrong
+    with pytest.raises(ValueError, match="SNAPSHOT-style"):
+        compact_epoch_store(spark, root, assume_stopped=True)
+
+
+def test_compact_self_heals_corrupt_manifest(spark, tmp_path):
+    """A truncated/corrupt manifest (pre-atomic-write artifact or fs
+    damage) must not brick compaction: it is dropped, the staged tmp
+    is swept, and the fold proceeds (review r5)."""
+    import os
+
+    from athena_spark.streaming.store import (compact_epoch_store,
+                                              read_epoch_store)
+
+    cs, _flat, _out, store, ck = _ingest_three_epochs(spark, tmp_path)
+    want = sorted(map(tuple, read_epoch_store(spark, store).collect()))
+    with open(os.path.join(store, "_compact_manifest"), "w") as fh:
+        fh.write('{"tmp": "x"')          # truncated json
+    os.makedirs(os.path.join(store, ".compact_tmp_9"))  # stale staging
+    info = compact_epoch_store(spark, store)
+    assert len(info["folded"]) == 3
+    assert not os.path.exists(os.path.join(store, ".compact_tmp_9"))
+    assert not os.path.exists(os.path.join(store, "_compact_manifest"))
+    assert sorted(map(tuple, read_epoch_store(spark, store).collect())) \
+        == want
+
+
+def test_style_mismatch_rebind_raises(spark, tmp_path):
+    """A handler binding an existing store under the opposite style
+    must fail loudly — opposite maintenance semantics."""
+    import os
+
+    from athena_spark.streaming.store import bind_checkpoint
+
+    root = str(tmp_path / "s")
+    ck = str(tmp_path / "ck")
+    os.makedirs(root)
+    bind_checkpoint(root, ck, style="append")
+    bind_checkpoint(root, ck, style="append")    # idempotent rebind ok
+    with pytest.raises(ValueError, match="opposite maintenance"):
+        bind_checkpoint(root, ck, style="snapshot")
