@@ -103,6 +103,12 @@ def gc_epochs_below(store_dir: str, keep_from: int) -> None:
 
     if not os.path.isdir(store_dir):
         return
+    if store_style(store_dir) == "append":
+        raise ValueError(
+            f"store {store_dir!r} is an APPEND-style store (state = "
+            "union of epochs): dropping epochs below a watermark "
+            "destroys admitted state and re-admits deduped rows.  An "
+            "append store's compaction is compact_epoch_store.")
     for d in os.listdir(store_dir):
         if d.startswith("epoch=") and int(d.split("=", 1)[1]) < keep_from:
             shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
@@ -167,6 +173,15 @@ def bind_checkpoint(store_dir: str, checkpoint_dir: str,
                 "the two styles have opposite maintenance semantics "
                 "(union-of-epochs vs latest-epoch) — use a separate "
                 "store directory")
+        if (bound_style is None and bound_path == cp
+                and bound_token.strip() == token):
+            # legacy pre-style marker from a matching binding:
+            # persist the style NOW, or the snapshot guard in
+            # compact_epoch_store stays permanently defeated for
+            # every store created before styles existed
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(f"{cp}\n{token}\n{style}")
+            return
         if bound_path != cp or bound_token.strip() != token:
             what = (
                 "a recreated checkpoint at the same path"
@@ -247,8 +262,22 @@ def compact_epoch_store(
     trigger from a separate process.
 
     Returns ``{"folded": [...], "target": K | None}``."""
+    import contextlib
     import json
     import shutil
+
+    if not os.path.isdir(store_dir):
+        return {"folded": [], "target": None}
+    # the style guard must run BEFORE manifest recovery: a stale
+    # manifest on a snapshot store (left by a pre-guard run) must not
+    # complete its destructive fold and only then raise
+    if store_style(store_dir) == "snapshot":
+        raise ValueError(
+            f"store {store_dir!r} is a SNAPSHOT-style store (each "
+            "epoch supersedes all earlier ones): folding would union "
+            "stale superseded rows into the state read_latest_epoch "
+            "returns.  A snapshot store's compaction is "
+            "gc_epochs_below, which its handler already runs.")
 
     # finish an interrupted fold first (manifest semantics: the
     # staged target dir is already complete once the manifest exists)
@@ -257,40 +286,36 @@ def compact_epoch_store(
         try:
             with open(manifest_path, encoding="utf-8") as fh:
                 man = json.load(fh)
-        except (json.JSONDecodeError, KeyError, OSError):
+            # shape-check INSIDE the try: a valid-JSON manifest with
+            # missing keys / wrong types is just as unauthoritative
+            tmp = os.path.join(store_dir, man["tmp"])
+            target = int(man["target"])
+            folded = [int(k) for k in man["folded"]]
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError,
+                OSError):
             # the manifest is written atomically (tmp + os.replace),
-            # so a corrupt one can only be a pre-r5 artifact or
+            # so a damaged one can only be a pre-r5 artifact or
             # filesystem damage — either way the fold it described
             # never became authoritative (the manifest IS the commit
             # point); drop it and let the sweep below clear the
             # staged tmp, instead of bricking compaction forever
-            os.remove(manifest_path)
+            # (suppress: if the READ failed with OSError the remove
+            # may too — heal what we can, the sweep is idempotent)
+            with contextlib.suppress(OSError):
+                os.remove(manifest_path)
             man = None
-        if man is None:
-            tmp = None
-        else:
-            tmp = os.path.join(store_dir, man["tmp"])
         if man is not None:
-            tgt = os.path.join(store_dir, f"epoch={man['target']}")
+            tgt = os.path.join(store_dir, f"epoch={target}")
             if os.path.isdir(tmp):
                 shutil.rmtree(tgt, ignore_errors=True)
                 os.rename(tmp, tgt)
-            for k in man["folded"]:
-                if k != man["target"]:
+            for k in folded:
+                if k != target:
                     shutil.rmtree(
                         os.path.join(store_dir, f"epoch={k}"),
                         ignore_errors=True)
             os.remove(manifest_path)
 
-    if not os.path.isdir(store_dir):
-        return {"folded": [], "target": None}
-    if store_style(store_dir) == "snapshot":
-        raise ValueError(
-            f"store {store_dir!r} is a SNAPSHOT-style store (each "
-            "epoch supersedes all earlier ones): folding would union "
-            "stale superseded rows into the state read_latest_epoch "
-            "returns.  A snapshot store's compaction is "
-            "gc_epochs_below, which its handler already runs.")
     epochs = sorted(
         int(d.split("=", 1)[1]) for d in os.listdir(store_dir)
         if d.startswith("epoch="))

@@ -341,3 +341,66 @@ def test_style_mismatch_rebind_raises(spark, tmp_path):
     bind_checkpoint(root, ck, style="append")    # idempotent rebind ok
     with pytest.raises(ValueError, match="opposite maintenance"):
         bind_checkpoint(root, ck, style="snapshot")
+
+
+def test_legacy_marker_upgrades_to_styled_on_rebind(spark, tmp_path):
+    """A pre-style 2-line marker must gain the style line on the next
+    matching rebind, or the snapshot guard stays permanently defeated
+    for stores created before styles existed (review r5)."""
+    import os
+
+    from athena_spark.streaming.store import (bind_checkpoint,
+                                              compact_epoch_store,
+                                              store_style)
+
+    root = str(tmp_path / "legacy")
+    ck = str(tmp_path / "ck")
+    os.makedirs(root)
+    bind_checkpoint(root, ck, style="snapshot")
+    # rewrite the marker as a legacy 2-line binding (no style)
+    marker = os.path.join(root, "_bound_checkpoint")
+    with open(marker) as fh:
+        cp, token = fh.read().strip().split("\n")[:2]
+    with open(marker, "w") as fh:
+        fh.write(f"{cp}\n{token}")
+    assert store_style(root) is None
+    bind_checkpoint(root, ck, style="snapshot")   # matching rebind
+    assert store_style(root) == "snapshot"
+    with pytest.raises(ValueError, match="SNAPSHOT-style"):
+        compact_epoch_store(spark, root, assume_stopped=True)
+
+
+def test_gc_refuses_append_style_store(spark, tmp_path):
+    """gc_epochs_below on an append store would destroy admitted
+    state — the persisted style makes it loud, symmetrically with
+    compact's snapshot guard (review r5)."""
+    import os
+
+    from athena_spark.streaming.store import (bind_checkpoint,
+                                              gc_epochs_below)
+
+    root = str(tmp_path / "app")
+    os.makedirs(root)
+    bind_checkpoint(root, str(tmp_path / "ck"), style="append")
+    with pytest.raises(ValueError, match="APPEND-style"):
+        gc_epochs_below(root, keep_from=5)
+
+
+def test_compact_heals_valid_json_bad_shape_manifest(spark, tmp_path):
+    """A manifest that parses but lacks keys (or holds null) must be
+    dropped like corrupt JSON, not raise KeyError forever."""
+    import os
+
+    from athena_spark.streaming.store import (compact_epoch_store,
+                                              read_epoch_store)
+
+    cs, _flat, _out, store, ck = _ingest_three_epochs(spark, tmp_path)
+    want = sorted(map(tuple, read_epoch_store(spark, store).collect()))
+    for payload in ['{"tmp": ".compact_tmp_9"}', "null", "[1, 2]"]:
+        with open(os.path.join(store, "_compact_manifest"), "w") as fh:
+            fh.write(payload)
+        info = compact_epoch_store(spark, store)
+        assert not os.path.exists(
+            os.path.join(store, "_compact_manifest"))
+    assert sorted(map(tuple, read_epoch_store(spark, store).collect())) \
+        == want
