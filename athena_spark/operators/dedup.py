@@ -53,6 +53,18 @@ from athena_spark.sketch.hashing import (
 DEFAULT_MAX_DOC_FREQ = 100_000
 
 
+def _check_threshold(threshold: float) -> None:
+    """Shared guard for the (0, 1] similarity-threshold contract:
+    t <= 0 degenerates to emitting every candidate pair (an
+    LSH-bucket-dependent, non-reproducible set) and t > 1 silently
+    returns nothing — both are typos, not requests (the same
+    silent-failure class the max_doc_freq and num_perm % bands
+    guards exist for)."""
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}")
+
+
 def _materialize(out: DataFrame, mode: str) -> DataFrame:
     """Eagerly materialize a result so upstream caches can be released
     before returning.
@@ -156,6 +168,7 @@ def ngram_jaccard_pairs(
     checkpoints it to fault-tolerant storage for corpus-scale runs
     (see :func:`_materialize`).
     """
+    _check_threshold(threshold)
     sh = _shingle_table(df, id_col, text_col, n, max_doc_freq)
     return jaccard_pair_tail(sh, "shingle", threshold, materialize)
 
@@ -170,6 +183,7 @@ def jaccard_pair_tail(items: DataFrame, key_col: str, threshold: float,
     :func:`ngram_jaccard_pairs` (shingle tables) and
     ``operators/mediadedup.py``'s fingerprint-set twin — any
     upstream frequency guard must already be applied."""
+    _check_threshold(threshold)
     items = items.cache()
     sizes = items.groupBy("doc").agg(F.count("*").alias("sz"))
     a, b = items.alias("a"), items.alias("b")
@@ -598,7 +612,20 @@ def minhash_dedup_pairs(
     DuckDB oracles.  On text containing vertical-tab/form-feed the
     two paths can report different Jaccard values; they coincide on
     all other input (asserted for the test tables in
-    tests/test_dedup.py)."""
+    tests/test_dedup.py).
+    NOTE on the Zipf guard and RECALL: band buckets come from
+    signatures over ALL grams, while verification Jaccard (when
+    ``max_doc_freq`` is set) is computed over the GUARDED gram sets.
+    A pair whose guarded Jaccard clears the threshold but whose raw
+    Jaccard is diluted far below it by hot boilerplate grams has a
+    reduced catch probability (the banded curve applies to the RAW
+    similarity).  With the default conservative cap the dilution is
+    bounded; for aggressive small caps, treat the threshold as
+    applying to the raw similarity, or strip boilerplate BEFORE
+    signatures (functions/text.py + boilerplate_grams) so both
+    stages see the same sets.
+    """
+    _check_threshold(threshold)
     if max_doc_freq is not None and max_doc_freq < 1:
         raise ValueError(
             f"max_doc_freq must be None (guard off) or >= 1, got "
@@ -961,21 +988,41 @@ def simhash_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) for all pairs within ``max_distance``.
 
-    Band blocking: split 64 bits into 4 x 16-bit bands; any pair with
-    Hamming distance <= 3 agrees exactly on >= 1 band (pigeonhole), so
-    the join is band-bucket-local.  Hamming verified via bit_count of
-    XOR (JVM expression)."""
-    bands = 4
-    width = 16
-    mask = (1 << width) - 1
+    Multi-index Hamming band blocking: split the 64 bits into
+    ``max(4, max_distance + 1)`` contiguous blocks — by pigeonhole,
+    any pair within ``max_distance`` agrees EXACTLY on at least one
+    block, so the join is band-bucket-local and recall is COMPLETE
+    for every supported radius (a fixed 4x16 layout would silently
+    drop pairs at distance >= 4 that differ in every band — the
+    silent-recall failure the ``num_perm % bands`` guard elsewhere
+    in this file exists to prevent; distance <= 3 keeps the exact
+    historical 4x16 layout).  More blocks = shorter blocks = more
+    candidate collisions: cost grows with the radius, recall never
+    degrades.  Hamming verified via bit_count of XOR (JVM
+    expression)."""
+    if not 0 <= int(max_distance) <= 63:
+        raise ValueError(
+            f"max_distance must be in 0..63 for 64-bit hashes, "
+            f"got {max_distance}")
+    bands = max(4, int(max_distance) + 1)
+    base, rem = divmod(64, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    shifts = [sum(widths[:i]) for i in range(bands)]
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.lit(shifts[i]).alias("shift"),
+                 F.lit((1 << widths[i]) - 1).alias("mask"))
+        for i in range(bands)
+    ])
     banded = sim_df.select(
         F.col(id_col).alias("doc"), "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.explode(blocks).alias("bs"),
     ).select(
-        "doc", "simhash", "band",
+        "doc", "simhash",
+        F.col("bs.band").alias("band"),
         # shiftrightunsigned's Python wrapper wants a literal shift —
-        # go through the SQL expression for a per-row shift amount
-        F.expr(f"shiftrightunsigned(simhash, band * {width}) & {mask}")
+        # go through the SQL expression for the per-row shift amount
+        F.expr("shiftrightunsigned(simhash, bs.shift) & bs.mask")
         .alias("bucket"),
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -1496,6 +1543,7 @@ def cosine_pairs_sparse(
     idf: bool = False,
     hash_tokens: bool = False,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    materialize: str = "local",
 ) -> DataFrame:
     """Exact cosine-similarity self-join over sparse bag-of-words
     vectors (the AllPairs family, Bayardo et al. WWW'07 "Scaling Up
@@ -1536,9 +1584,15 @@ def cosine_pairs_sparse(
         F.col(id_col).alias("_id"),
         F.explode(tokens_col(text_col)).alias("_tok"),
     )
-    tf = toks.groupBy("_id", "_tok").agg(
+    # the base posting table feeds the idf document-frequency
+    # aggregate, the hot-token guard, the norms aggregate and BOTH
+    # sides of the self-join — cache it once (released after the
+    # eager materialize below) or the tokenize + (doc, token)
+    # aggregation of the whole corpus recomputes up to four times,
+    # multiplying the operator's dominant cost
+    tf = base = toks.groupBy("_id", "_tok").agg(
         F.count(F.lit(1)).cast("double").alias("_w")
-    )
+    ).cache()
     if idf:
         n_docs = float(df.count())
         df_tbl = tf.groupBy("_tok").agg(
@@ -1588,6 +1642,8 @@ def cosine_pairs_sparse(
         .where(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
+    out = _materialize(out, materialize)
+    base.unpersist()
     return out
 
 
@@ -1628,7 +1684,20 @@ def minhash_cross_pairs(
     corpora); pairs are keyed (new_id, old_id) and a new doc that is
     byte-identical to an old doc with the same id IS reported —
     unlike the self-join there is no ``a < b`` order filter.
+    
+    NOTE on the Zipf guard and RECALL: band buckets come from
+    signatures over ALL grams, while verification Jaccard (when
+    ``max_doc_freq`` is set) is computed over the GUARDED gram sets.
+    A pair whose guarded Jaccard clears the threshold but whose raw
+    Jaccard is diluted far below it by hot boilerplate grams has a
+    reduced catch probability (the banded curve applies to the RAW
+    similarity).  With the default conservative cap the dilution is
+    bounded; for aggressive small caps, treat the threshold as
+    applying to the raw similarity, or strip boilerplate BEFORE
+    signatures (functions/text.py + boilerplate_grams) so both
+    stages see the same sets.
     """
+    _check_threshold(threshold)
     if max_doc_freq is not None and max_doc_freq < 1:
         raise ValueError(
             f"max_doc_freq must be None (guard off) or >= 1, got "
@@ -1870,6 +1939,7 @@ def weighted_jaccard_pairs(
     token.  Zipf guard as in :func:`ngram_jaccard_pairs` (guarded
     tokens are excluded from the sizes too).
     """
+    _check_threshold(threshold)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -2146,15 +2216,19 @@ def write_neardup_index(
     manifest = {"n": n, "num_perm": num_perm, "bands": bands,
                 "max_doc_freq": max_doc_freq, "id_col": id_col}
     # manifest via the JVM-free local filesystem only when path is
-    # local; on object stores write it as a 1-row json dataset
-    try:
+    # genuinely local; a URI scheme (s3a://, hdfs://, ...) must go
+    # through Spark — os.makedirs("s3a://...") "succeeds" by creating
+    # a local directory literally named s3a:/... under the driver's
+    # cwd, so an except-OSError fallback would never trigger and the
+    # index would be unusable from any other driver
+    if "://" in path:
+        sh.sparkSession.createDataFrame([manifest]).coalesce(1) \
+            .write.mode("overwrite").json(f"{path}/manifest")
+    else:
         import os
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/manifest.json", "w") as f:
             _json.dump(manifest, f)
-    except OSError:
-        sh.sparkSession.createDataFrame([manifest]).coalesce(1) \
-            .write.mode("overwrite").json(f"{path}/manifest")
     return manifest
 
 
@@ -2174,6 +2248,7 @@ def cross_dedup_pairs_indexed(
     shape (n, num_perm, bands) is read from the manifest, so the
     probe can never silently disagree with the build.
     """
+    _check_threshold(threshold)
     import json as _json
 
     spark = new_df.sparkSession
@@ -2268,8 +2343,27 @@ def weighted_dedup_pairs(
     :func:`weighted_jaccard_pairs` (guard counts document frequency
     over the full input, not just candidates, so guarded sizes are
     consistent corpus-wide).
+    
+    NOTE on the Zipf guard and RECALL: band buckets come from
+    signatures over ALL grams, while verification Jaccard (when
+    ``max_doc_freq`` is set) is computed over the GUARDED gram sets.
+    A pair whose guarded Jaccard clears the threshold but whose raw
+    Jaccard is diluted far below it by hot boilerplate grams has a
+    reduced catch probability (the banded curve applies to the RAW
+    similarity).  With the default conservative cap the dilution is
+    bounded; for aggressive small caps, treat the threshold as
+    applying to the raw similarity, or strip boilerplate BEFORE
+    signatures (functions/text.py + boilerplate_grams) so both
+    stages see the same sets.
     """
+    _check_threshold(threshold)
     sigs = icws_signatures(df, id_col, text_col, num_perm=num_perm)
+    # drop empty/whitespace-only docs BEFORE banding: their sentinel
+    # all -1 signatures mutually collide on every band (a corpus with
+    # m empties would materialize ~m^2/2 candidates — the exact
+    # hot-key blowup the Zipf guard exists to prevent) yet can never
+    # verify, because empty docs contribute no (doc, token, cnt) rows
+    sigs = sigs.where(F.exists("sig", lambda x: x != -1))
     cands = minhash_lsh_candidates(sigs, id_col, num_perm=num_perm,
                                    bands=bands)
     toks = df.select(
@@ -2304,7 +2398,11 @@ def weighted_dedup_pairs(
         .distinct()
     )
     ct = toks.join(cand_ids, "doc", "left_semi")
-    sizes = toks.groupBy("doc").agg(F.sum("cnt").alias("sz"))
+    # sizes over the candidate-restricted table: sum(cnt) per doc
+    # depends only on the doc's own rows and sizes is only ever
+    # joined to candidate pairs, so aggregating the full corpus here
+    # would shuffle rows that are immediately discarded
+    sizes = ct.groupBy("doc").agg(F.sum("cnt").alias("sz"))
     a = ct.select(F.col("doc").alias("id_a"),
                   F.col("token").alias("tok_a"),
                   F.col("cnt").alias("cnt_a"))

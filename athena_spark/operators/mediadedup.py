@@ -110,13 +110,12 @@ def image_neardup_pairs(
     """(id_a, id_b, hamming) for image pairs whose dHashes differ in
     at most ``max_distance`` bits.
 
-    Reuses the SimHash band join (4 x 16-bit pigeonhole blocking):
-    complete for distance <= 3 by pigeonhole; above 3 it is the
-    standard recall/cost trade — pairs agreeing on no 16-bit band are
-    missed.  For exhaustive recall at larger radii, band the hash
-    into ``max_distance + 1`` blocks instead (multi-index Hamming);
-    at dedup-grade radii (<= 6) the 4-band layout catches everything
-    in practice because near-dup bit flips cluster in few regions.
+    Reuses the SimHash band join, which blocks the hash into
+    ``max(4, max_distance + 1)`` contiguous bands (multi-index
+    Hamming): by pigeonhole a pair within ``max_distance`` agrees on
+    at least one band, so recall is COMPLETE at every radius — the
+    default 6 gets 7 ~9-bit bands (more candidates than the
+    distance-3 4x16 layout, exhaustively correct).
     """
     sim = hash_df.select(F.col(id_col), F.col("dhash").alias("simhash"))
     return simhash_pairs(sim, id_col, max_distance=max_distance)

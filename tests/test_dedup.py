@@ -1365,3 +1365,91 @@ def test_weighted_dedup_pairs_equals_exact(spark):
     assert (0, 2) in got and got[(0, 2)] == 1.0
     with pytest.raises(ValueError):
         dedup.weighted_dedup_pairs(docs, "doc_id", "text", max_doc_freq=0)
+
+
+def test_simhash_pairs_complete_recall_beyond_distance_3(spark):
+    """Multi-index Hamming banding (review r5): the old fixed 4x16
+    layout silently missed pairs at distance >= 4 differing in every
+    band; with max(4, d+1) blocks recall is complete by pigeonhole.
+    The adversarial pair differs in exactly bits 0/16/32/48 — one per
+    16-bit band — so the 4x16 layout can never bucket them
+    together."""
+    from athena_spark.operators.dedup import simhash_pairs
+
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)   # hamming 4
+    sim = spark.createDataFrame([(1, a), (2, b)],
+                                "doc_id long, simhash long")
+    assert simhash_pairs(sim, "doc_id", max_distance=3).count() == 0
+    rows = simhash_pairs(sim, "doc_id", max_distance=4).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] \
+        == [(1, 2, 4)]
+    # distance-3 behavior unchanged (historical 4x16 layout)
+    c = (1 << 1) | (1 << 2)                            # hamming 2 vs a
+    sim2 = spark.createDataFrame([(1, a), (3, c)],
+                                 "doc_id long, simhash long")
+    assert simhash_pairs(sim2, "doc_id", max_distance=3).count() == 1
+    with pytest.raises(ValueError, match="max_distance"):
+        simhash_pairs(sim, "doc_id", max_distance=64)
+    with pytest.raises(ValueError, match="max_distance"):
+        simhash_pairs(sim, "doc_id", max_distance=-1)
+
+
+def test_similarity_thresholds_validated(spark):
+    """All near-dup pair operators share the (0, 1] threshold
+    contract; t<=0 emits LSH-bucket-dependent garbage and t>1
+    silently returns nothing — both must raise (review r5)."""
+    from athena_spark.operators.dedup import (minhash_dedup_pairs,
+                                              ngram_jaccard_pairs,
+                                              weighted_dedup_pairs)
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for fn in (minhash_dedup_pairs, ngram_jaccard_pairs,
+               weighted_dedup_pairs):
+        with pytest.raises(ValueError, match="threshold"):
+            fn(df, "doc_id", "text", threshold=0.0)
+        with pytest.raises(ValueError, match="threshold"):
+            fn(df, "doc_id", "text", threshold=1.5)
+
+
+def test_weighted_dedup_skips_empty_doc_sentinel_collisions(spark):
+    """Empty/whitespace docs all share the ICWS sentinel signature —
+    banding them would materialize a quadratic candidate set that can
+    never verify; output must be unchanged with empties present
+    (review r5)."""
+    from athena_spark.operators.dedup import weighted_dedup_pairs
+
+    base = [(1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota")]
+    empties = [(10 + i, "   " if i % 2 else "") for i in range(8)]
+    out = weighted_dedup_pairs(
+        spark.createDataFrame(base + empties, "doc_id long, text string"),
+        "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["wjaccard"] for r in out.collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_neardup_index_uri_path_uses_spark_manifest(spark, tmp_path):
+    """A URI-schemed index path must write the manifest through Spark
+    (os.makedirs('s3a://...') would 'succeed' into a bogus local dir)
+    — exercised via file:// which both branches can read back
+    (review r5)."""
+    from athena_spark.operators.dedup import (cross_dedup_pairs_indexed,
+                                              write_neardup_index)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content here right now today")],
+        "doc_id long, text string")
+    path = "file://" + str(tmp_path / "idx")
+    man = write_neardup_index(docs, path, "doc_id", "text")
+    import os
+    assert not os.path.exists(str(tmp_path / "idx") + "/manifest.json")
+    assert os.path.isdir(str(tmp_path / "idx") + "/manifest")
+    new = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    pairs = cross_dedup_pairs_indexed(new, path, "doc_id", "text",
+                                      threshold=0.5).collect()
+    assert {(r["new_id"], r["old_id"]) for r in pairs} == {(9, 1)}
